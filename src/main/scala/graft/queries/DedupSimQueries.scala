@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.RollingHash
+import graft.operators.{Multimodal, TextDedup, VectorSearch}
+
+/** Dedup + similarity-search extension queries (SURVEY §7.1). The exact
+  * n-gram-Jaccard SQL doubles as the oracle for the MinHash-LSH path, whose
+  * candidate-verify design makes it result-identical on corpora whose
+  * near-dup pairs sit far above the threshold (this one: j≈0.98 vs <0.1).
+  */
+object DedupSimQueries {
+
+  private val exactJaccardSql = """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT it.a_id, it.b_id,
+             it.i / (sa.n + sb.n - it.i) AS jaccard
+      FROM inter it
+      JOIN sz sa ON it.a_id = sa.doc_id
+      JOIN sz sb ON it.b_id = sb.doc_id
+      WHERE it.i / (sa.n + sb.n - it.i) >= 0.5"""
+
+  /** Exact all-pairs word-3-gram Jaccard ≥ 0.5 (small-scale/oracle path). */
+  val q18NgramJaccard: Q = Q(
+    "q18_ngram_jaccard",
+    Some(exactJaccardSql),
+    headline = true) { (spark, dir) =>
+    TextDedup.exactJaccardPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
+  }
+
+  /** MinHash-LSH near-dup detection (scale path): 64 perms, 16 bands × 4.
+    * Oracle = the exact-Jaccard SQL — candidates are verified exactly, so
+    * output matches exact all-pairs when recall holds (j≈0.98 here). */
+  val q19MinhashLsh: Q = Q(
+    "q19_minhash_lsh",
+    Some(exactJaccardSql),
+    headline = true) { (spark, dir) =>
+    TextDedup.minhashPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
+  }
+
+  /** SimHash near-dup pairs, Hamming ≤ 4 (no SQL oracle: engine-specific
+    * 64-bit hashing; correctness pinned by ScalaTest against MinHash).
+    * Threshold calibrated on this corpus: planted near-dups land at
+    * hamming ≤ 3, the shared-vocab background starts ≈ 5. */
+  val q20Simhash: Q = Q("q20_simhash", None) { (spark, dir) =>
+    TextDedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 4)
+  }
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 20 — the exact ANN
+    * baseline, decimal-exact so it oracle-matches DuckDB bit-for-bit. */
+  val q21KnnCosine: Q = Q(
+    "q21_knn_cosine",
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS v
+        FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 20),
+      idx AS (SELECT UNNEST(range(1, 65)) AS i),
+      pr AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               CAST(SUM(q.v[i] * e.v[i]) AS BIGINT) AS dot
+        FROM q, e, idx
+        WHERE q.vec_id <> e.vec_id
+        GROUP BY 1, 2),
+      n AS (
+        SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS n2
+        FROM e, idx GROUP BY 1),
+      c AS (
+        SELECT qid, nid,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+        FROM pr JOIN n qn ON pr.qid = qn.vec_id JOIN n nn ON pr.nid = nn.vec_id),
+      r AS (
+        SELECT qid, nid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rnk
+        FROM c)
+      SELECT qid, nid, rnk, cosine FROM r WHERE rnk <= 5"""),
+    headline = true) { (spark, dir) =>
+    val emb = table(spark, dir, "embeddings")
+    VectorSearch.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+  }
+
+  /** Sign-LSH-bucketed ANN (scale path; approximate → rows-only check,
+    * recall pinned vs brute force in ScalaTest). */
+  val q28AnnLsh: Q = Q("q28_ann_lsh", None) { (spark, dir) =>
+    VectorSearch.annLsh(table(spark, dir, "embeddings"), k = 5, nBits = 8, dim = 64)
+  }
+
+  /** Multimodal decode plumbing (stubbed codec; deterministic features). */
+  val q29MediaFeatures: Q = Q("q29_media_features", None) { (spark, dir) =>
+    Multimodal.extractFeatures(Multimodal.toMedia(table(spark, dir, "documents"))).toDF()
+  }
+
+  /** Rolling-hash fingerprint via the custom codegen Expression (no oracle:
+    * not expressible in DuckDB SQL; pinned by ScalaTest reference impl).
+    * The Expression is registered as a temp SQL function so it composes
+    * with the rest of the declarative plan (and whole-stage codegen). */
+  val q30RollingFingerprint: Q = Q("q30_rolling_fingerprint", None) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), expr("rolling_hash(text)").as("rhash"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q18NgramJaccard, q19MinhashLsh, q20Simhash, q21KnnCosine,
+    q28AnnLsh, q29MediaFeatures, q30RollingFingerprint)
+}

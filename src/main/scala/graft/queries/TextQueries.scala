@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.table
+
+/** Text-analysis extension operators over the `documents` table: token
+  * counting, quality scoring, language-ID heuristic, document
+  * fingerprinting, multimodal byte plumbing. All expressible in portable
+  * SQL, so each has a DuckDB oracle. Token explosion keeps everything
+  * distributed (no driver-side loops) and shuffles only on `doc_id`.
+  */
+object TextQueries {
+
+  /** Per-document quality scores: token count, stopword count/ratio, avg
+    * token length — the length/stopword-ratio scoring a pretraining
+    * pipeline runs before filtering. */
+  val q23TextQuality: Q = Q(
+    "q23_text_quality",
+    Some("""
+      WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+             CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT)
+               / CAST(COUNT(*) AS BIGINT) AS stop_ratio,
+             CAST(SUM(CAST(LENGTH(tok) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_token_len
+      FROM tok GROUP BY doc_id""")) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").isin("the", "a"), 1).otherwise(0)).as("n_stop"),
+        (sum(when(col("tok").isin("the", "a"), 1).otherwise(0))
+          / count(lit(1))).as("stop_ratio"),
+        (sum(length(col("tok")).cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("avg_token_len"))
+  }
+
+  /** Language-ID heuristic (stopword-frequency rule) + confusion counts vs
+    * the labeled `lang` column. A real n-gram profile model drops in behind
+    * the same shape; the predicate must stay engine-portable for the oracle. */
+  val q24LangId: Q = Q(
+    "q24_lang_id",
+    Some("""
+      WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      d AS (SELECT doc_id, lang,
+                   CAST(SUM(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS n_the,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok GROUP BY doc_id, lang),
+      p AS (SELECT lang,
+                   CASE WHEN n_the > 0 AND n_the / n > 0.02 THEN 'en' ELSE 'other' END AS pred
+            FROM d)
+      SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY lang, pred""")) { (spark, dir) =>
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        sum(when(col("tok") === "the", 1).otherwise(0)).as("n_the"),
+        count(lit(1)).as("n"))
+    d.select(col("lang"),
+        when(col("n_the") > 0 && col("n_the") / col("n") > 0.02, "en")
+          .otherwise("other").as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Token counting per source: whitespace tokens and a regex ("BPE-ish"
+    * alpha-run) tokenization, plus total chars. */
+  val q25TokenCount: Q = Q(
+    "q25_token_count",
+    Some("""
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS alpha_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source""")) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")).as("alpha_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
+  /** Document fingerprinting with cryptographic digests (md5 + sha-256 hex
+    * match across engines); the non-oracle rolling-hash variant lives in
+    * q30 with a custom codegen Expression. */
+  val q26Fingerprint: Q = Q(
+    "q26_fingerprint",
+    Some("""
+      SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
+      FROM documents""")) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp_md5"), sha2(col("text"), 256).as("fp_sha256"))
+  }
+
+  /** Multimodal byte plumbing: text→binary stands in for image/audio blobs;
+    * byte length vs char length. The typed decode pipeline is q28. */
+  val q27BinaryBytes: Q = Q(
+    "q27_binary_bytes",
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(length(text) AS BIGINT) AS n_chars_measured
+      FROM documents""")) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+  }
+
+  /** Exact deduplication: content-hash group-by, keep min doc_id — the
+    * first stage of any dedup cascade (hash-partition on the fingerprint;
+    * no full-text shuffle needed at scale if fingerprint is computed first). */
+  val q22DedupExact: Q = Q(
+    "q22_dedup_exact",
+    Some("""
+      SELECT md5(text) AS fp,
+             CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY md5(text)""")) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q22DedupExact, q23TextQuality, q24LangId, q25TokenCount,
+    q26Fingerprint, q27BinaryBytes)
+}
