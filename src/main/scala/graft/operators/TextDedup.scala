@@ -113,22 +113,21 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per doc from token frequencies: per-bit signed vote
-    * weighted by term count, assembled into one BIGINT. All columnar
-    * aggregates — one shuffle on doc_id. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
+  /** 64-bit SimHash per doc over distinct word-3-gram shingles: per-bit
+    * signed vote, assembled into one BIGINT. Shingle features (not raw
+    * tokens) so that corpora sharing a small vocabulary still separate —
+    * token-frequency simhash collapses when every doc contains every word.
+    * All columnar aggregates — one shuffle on doc_id. */
+  def simhash(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n).withColumn("h", xxhash64(col("shingle")))
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"v$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
     }
     val sig = (0 until 64)
       .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    sh.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
   }
 

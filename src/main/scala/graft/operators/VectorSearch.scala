@@ -65,37 +65,46 @@ object VectorSearch {
     Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Random-hyperplane LSH code: bit p = sign(v · h_p). */
-  def lshCode(vCol: String, nBits: Int, dim: Int): Column =
-    (0 until nBits).map { p =>
-      val h = typedLit(hyperplane(p, dim))
+  /** One sign-LSH code: bits = sign(v · h_p) for the table's hyperplanes. */
+  private def lshCode(vCol: String, table: Int, bitsPerTable: Int, dim: Int): Column =
+    (0 until bitsPerTable).map { b =>
+      val arrSql = hyperplane(table * 1024 + b, dim)
+        .map(v => if (v > 0) "1.0D" else "-1.0D")
+        .mkString("array(", ",", ")")
       val proj = expr(
-        s"aggregate(zip_with($vCol, h_$p, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
-      when(proj > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+        s"aggregate(zip_with($vCol, $arrSql, (x, y) -> x * y), " +
+          "cast(0 as double), (acc, x) -> acc + x)")
+      when(proj > 0, shiftleft(lit(1), b)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** ANN via sign-LSH bucketing: code vectors, self-join per bucket, exact
-    * re-rank inside buckets. Recall < 1 by construction; probe multiple
-    * buckets (here: exact code match) — at 100 TB the bucket join replaces
-    * the quadratic cross join. */
-  def annLsh(emb: DataFrame, k: Int, nBits: Int = 8, dim: Int = 64): DataFrame = {
+  /** ANN via multi-table sign-LSH: L independent code tables, candidates =
+    * union of same-bucket pairs over tables (P(candidate) =
+    * 1-(1-p^bits)^L with p = 1-θ/π), exact cosine re-rank of candidates
+    * only. At 100 TB the (table, code) bucket join replaces the quadratic
+    * cross join; tune bits up for bucket size, tables up for recall. */
+  def annLsh(
+      emb: DataFrame, k: Int, nBits: Int = 5, nTables: Int = 16,
+      dim: Int = 64): DataFrame = {
     val base = withNorm(emb)
-    // Materialize hyperplanes as literal array columns h_0..h_{nBits-1}.
-    val withPlanes = (0 until nBits).foldLeft(base) { (df, p) =>
-      df.withColumn(s"h_$p", typedLit(hyperplane(p, dim)))
-    }
-    val coded = withPlanes
-      .withColumn("code", lshCode("v", nBits, dim))
-      .select(col("vec_id"), col("v"), col("n2"), col("code"))
-    val q = coded.select(
-      col("code"), col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-    val c = coded.select(
-      col("code"), col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2"))
-    val scored = q.join(c, "code")
+    val codeCols = (0 until nTables).map(t =>
+      lshCode("v", t, nBits, dim).as(s"code_$t"))
+    val coded = base.select(
+      (Seq(col("vec_id"), col("v"), col("n2")) ++ codeCols): _*)
+    val buckets = coded.select(col("vec_id"), col("v"), col("n2"),
+      posexplode(array((0 until nTables).map(t => col(s"code_$t")): _*))
+        .as(Seq("tbl", "code")))
+    val q = buckets.select(col("tbl"), col("code"),
+      col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val c = buckets.select(col("tbl"), col("code"),
+      col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2"))
+    val cands = q.join(c, Seq("tbl", "code"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine",
-        dotDouble("qv", "nv")
-          / (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+      .select(col("qid"), col("qv"), col("qn2"),
+        col("nid"), col("nv"), col("nn2"))
+      .dropDuplicates("qid", "nid")
+    val scored = cands.withColumn("cosine",
+      dotDouble("qv", "nv")
+        / (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -314,14 +314,16 @@ object CoreQueries {
   }
 
   /** Left-anti join (NOT EXISTS) — the FK-integrity pattern from SURVEY §2.4:
-    * customers with zero orders. */
+    * customers with no order above 400k (every customer has *some* order in
+    * this data, so the unfiltered anti-join would be trivially empty). */
   val q14AntiJoin: Q = Q(
     "q14_anti_join",
     Some("""
       SELECT c_custkey, c_name FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")) { (spark, dir) =>
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""")) { (spark, dir) =>
     val c = table(spark, dir, "customer")
-    val o = table(spark, dir, "orders")
+    val o = table(spark, dir, "orders").filter(col("o_totalprice") > 400000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }

@@ -50,12 +50,11 @@ object DedupSimQueries {
     TextDedup.minhashPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
   }
 
-  /** SimHash near-dup pairs, Hamming ≤ 4 (no SQL oracle: engine-specific
-    * 64-bit hashing; correctness pinned by ScalaTest against MinHash).
-    * Threshold calibrated on this corpus: planted near-dups land at
-    * hamming ≤ 3, the shared-vocab background starts ≈ 5. */
+  /** SimHash (shingle features) near-dup pairs, Hamming ≤ 12 (no SQL
+    * oracle: engine-specific 64-bit hashing; correctness pinned by
+    * ScalaTest against the exact-Jaccard pair set). */
   val q20Simhash: Q = Q("q20_simhash", None) { (spark, dir) =>
-    TextDedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 4)
+    TextDedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 12)
   }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 20 — the exact ANN
@@ -96,7 +95,7 @@ object DedupSimQueries {
   /** Sign-LSH-bucketed ANN (scale path; approximate → rows-only check,
     * recall pinned vs brute force in ScalaTest). */
   val q28AnnLsh: Q = Q("q28_ann_lsh", None) { (spark, dir) =>
-    VectorSearch.annLsh(table(spark, dir, "embeddings"), k = 5, nBits = 8, dim = 64)
+    VectorSearch.annLsh(table(spark, dir, "embeddings"), k = 5)
   }
 
   /** Multimodal decode plumbing (stubbed codec; deterministic features). */
