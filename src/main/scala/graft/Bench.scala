@@ -18,6 +18,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // testdata ships one parquet file per table (~10 MB at sf0.1); the
+      // 128 MB default would scan it in ONE task — split small so all
+      // cores engage. On a real cluster with properly-sized files this
+      // reverts to the default.
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
