@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch sources & sinks (SURVEY §2.1/§2.2) behind one small façade so
+  * pipelines stay storage-agnostic and tests can swap parquet/CSV for the
+  * production JDBC/Delta endpoints.
+  *
+  * Scale notes: `readJdbc` *requires* a partition column spec at real data
+  * sizes — the reference read Postgres in a single partition
+  * (`read_delta.py:101`, SURVEY §7.3 risk), which serializes the whole
+  * table through one task; `JdbcPartitioning` makes the parallel form the
+  * easy default.
+  */
+object IO {
+
+  /** S3 batch scan (Delta in the reference, `read_delta.py:51`; parquet
+    * here — the Delta format string drops in unchanged when delta-spark is
+    * on the classpath). */
+  def readTable(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
+
+  /** S5 file source replacing the Excel ingest
+    * (`commute_validation.py:187-209`): explicit schema, header, UTF-8 —
+    * no schema inference at scale. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .schema(schema)
+      .csv(path)
+
+  /** JSON-lines source with explicit schema (CDC fixture files etc.). */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Partitioned-read spec for JDBC: ~one partition per `stride` keys. */
+  final case class JdbcPartitioning(
+      column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
+
+  /** S4 JDBC scan (`read_delta.py:87-103`) — parallel by default. */
+  def readJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: Properties,
+      partitioning: Option[JdbcPartitioning]): DataFrame =
+    partitioning match {
+      case Some(p) =>
+        spark.read.jdbc(url, table, p.column, p.lowerBound, p.upperBound,
+          p.numPartitions, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+
+  /** K2 batch overwrite (`read_delta.py:219-222`), schema evolution
+    * allowed like the reference's overwriteSchema. */
+  def writeTable(
+      df: DataFrame, path: String, format: String = "parquet",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format(format).mode(mode).save(path)
+
+  /** K3 JDBC bulk append (`sql_manipulation.py:119-124`). */
+  def writeJdbc(df: DataFrame, url: String, table: String, props: Properties): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** K4 CSV write (the reference's storage smoke probe,
+    * `SaveDelta.scala:64-66`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
+}
