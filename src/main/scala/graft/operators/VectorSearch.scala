@@ -59,6 +59,24 @@ object VectorSearch {
       .select(col("qid"), col("nid"), col("rnk"), col("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (dedup family): all a<b pairs
+    * with cosine ≥ minCosine, exact/deterministic via the scaled-integer
+    * dot product. Quadratic — the oracle/small-scale path; at scale run
+    * [[annLsh]] candidates through the same exact verification. */
+  def cosineNearDups(emb: DataFrame, minCosine: Double): DataFrame = {
+    val a = withNorm(emb).select(
+      col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"))
+    val b = withNorm(emb).select(
+      col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dotExact("av", "bv").cast("double")
+          / (sqrt(col("an2").cast("double")) * sqrt(col("bn2").cast("double"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   /** Deterministic ±1 hyperplane components, seeded — no RNG at plan time. */
   private def hyperplane(seed: Int, dim: Int): Seq[Double] = {
     val rnd = new scala.util.Random(seed * 1000003L + 7)

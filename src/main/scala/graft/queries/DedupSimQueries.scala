@@ -113,7 +113,35 @@ object DedupSimQueries {
       .select(col("doc_id"), expr("rolling_hash(text)").as("rhash"))
   }
 
+  /** Embedding-cosine near-dup pairs ≥ 0.4 — exact integer-cosine, so the
+    * DuckDB oracle matches bit-for-bit (dedup family's embedding variant). */
+  val q32EmbeddingDedup: Q = Q(
+    "q32_embedding_dedup",
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS v
+        FROM embeddings),
+      idx AS (SELECT UNNEST(range(1, 65)) AS i),
+      n AS (
+        SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS n2
+        FROM e, idx GROUP BY 1),
+      pr AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(SUM(a.v[i] * b.v[i]) AS BIGINT) AS dot
+        FROM e a, e b, idx
+        WHERE a.vec_id < b.vec_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      FROM pr JOIN n na ON pr.a_id = na.vec_id JOIN n nb ON pr.b_id = nb.vec_id
+      WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4""")) {
+    (spark, dir) =>
+      VectorSearch.cosineNearDups(table(spark, dir, "embeddings"), minCosine = 0.4)
+  }
+
   val all: Seq[Q] = Seq(
     q18NgramJaccard, q19MinhashLsh, q20Simhash, q21KnnCosine,
-    q28AnnLsh, q29MediaFeatures, q30RollingFingerprint)
+    q28AnnLsh, q29MediaFeatures, q30RollingFingerprint, q32EmbeddingDedup)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style invariants (SURVEY §5 test plan) over seeded random
+  * inputs — deterministic across runs. */
+class PropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  test("rolling_hash reference implementation: bounded, deterministic, order-sensitive") {
+    def rh(x: String): Long = {
+      var h = 0L
+      x.getBytes("UTF-8").foreach(b => h = (h * 31L + (b & 0xffL)) % 2147483647L)
+      h
+    }
+    (1 to 200).foreach { _ =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(100)).mkString
+      val h = rh(s)
+      assert(h >= 0L && h < 2147483647L)
+      assert(h === rh(s))
+    }
+    assert(rh("ab") !== rh("ba"))
+    assert(rh("") === 0L)
+  }
+
+  test("benefit invariants hold over randomized employee rows") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val rows = (1 to 100).map { i =>
+        (i, 10000 + rnd.nextInt(90000), rnd.nextBoolean(),
+          if (rnd.nextBoolean()) Some(rnd.nextInt(40).toLong) else None)
+      }
+      val df = rows.toDF("id_employee", "gross_salary", "is_valid", "count_activity")
+        .withColumn("business_unity", lit("R&D"))
+        .withColumn("constract_type", lit("CDI"))
+        .withColumn("calculed_distance", lit(null).cast("decimal(10,2)"))
+        .withColumn("mean_duration", lit(null).cast("double"))
+      val r = graft.domain.Ops.benefitReport(df)
+      val bad = r.filter(
+        (col("commute_valid") && col("commute_prime") =!= round(col("gross_salary") * 0.05, 2)) ||
+        (!col("commute_valid") && col("commute_prime") =!= 0) ||
+        col("total_salary") =!= col("gross_salary") + col("commute_prime") ||
+        (col("is_valid_activities") && coalesce(col("count_activity"), lit(0L)) < 15))
+      assert(bad.isEmpty)
+    }
+  }
+
+  test("aggregation invariant to input order (A1)") {
+    val spark = SparkSpec.session
+    val acts = graft.domain.Fixtures.activities(spark, 20, 60)
+    // double avg is summation-order-sensitive at the last ulp; compare at
+    // a tolerance that is still far tighter than any semantic difference
+    def norm(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id_employee"), col("count_activity"), round(col("mean_duration"), 6))
+    val a = norm(graft.domain.Ops.aggregateActivities(acts))
+    val b = norm(graft.domain.Ops.aggregateActivities(acts.orderBy(rand(7))))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("salted join ≡ plain join on skewed data") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) 1 else i % 50, s"v$i"))
+      .toDF("k", "payload") // key 1 is hot
+    val small = (1 to 50).map(i => (i, s"dim$i")).toDF("k", "dim")
+    val salted = graft.operators.SkewJoin.saltedInnerJoin(big, small, "k")
+    val plain = graft.operators.SkewJoin.plainInnerJoin(big, small, "k")
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "payload", "dim")
+      .exceptAll(plain.select("k", "payload", "dim")).isEmpty)
+  }
+}
