@@ -86,6 +86,11 @@ class CdcIngestSpec extends SparkSpec {
         Thread.sleep(100)
       assert(listener.totalInputRows === envelopeStrings.size.toLong)
       assert(listener.batches >= 1)
+      // A5 reconciliation (ref SaveDelta.scala:208-220): source rows minus
+      // the malformed drops must equal what a sink would commit
+      val sinkRows = graft.domain.Ops.decodeCdc(
+        graft.domain.Fixtures.cdcEnvelopes(spark, 5, 20)).count()
+      assert(listener.totalInputRows - 3 === sinkRows)
     } finally spark.streams.removeListener(listener)
   }
 }
