@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions (SURVEY §4: "assert via
+  * df.queryExecution.executedPlan in tests"): pushdown, pruning, broadcast,
+  * and top-k strategy must survive refactors. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = Catalog.byName(name).run(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter pushed to the parquet scan; unused columns pruned") {
+    val plan = Catalog.byName("q01_pricing_summary").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$plan")
+    assert(!plan.contains("l_orderkey"), "unpruned column l_orderkey in scan")
+    assert(!plan.contains("l_comment"), "unpruned column in scan")
+  }
+
+  test("q17: dimension joins broadcast; top-k is TakeOrderedAndProject") {
+    val plan = executedPlan("q17_revenue_top")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dimension join fell back to sort-merge")
+  }
+
+  test("q04: aggregation is partial+final (map-side combine before shuffle)") {
+    val plan = executedPlan("q04_cust_order_stats")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no partial aggregation in:\n$plan")
+  }
+
+  test("q13/q14: semi/anti joins use the dedicated join types") {
+    assert(executedPlan("q13_semi_join").contains("LeftSemi"))
+    assert(executedPlan("q14_anti_join").contains("LeftAnti"))
+  }
+}
