@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.RollingHash
+import graft.functions.{MinHashSignature, RollingHash}
 
 /** Session extension point: `--conf spark.sql.extensions=graft.GraftExtensions`
   * registers graft's custom Catalyst expressions in every session (SQL and
@@ -15,5 +15,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => MinHashSignature(
+        children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
   }
 }

