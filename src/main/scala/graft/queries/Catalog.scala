@@ -24,8 +24,30 @@ object Catalog {
         (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05).as("approx_ok"))
   }
 
+  /** CUBE + GROUPING marker (§2.6 extension): all subtotal combinations of
+    * (event_type, hour-of-day) with an explicit grouping indicator so NULL
+    * group keys are distinguishable from NULL subtotal rows. */
+  val q33Cube: Q = Q(
+    "q33_cube",
+    Some("""
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+             CAST(GROUPING(event_type) + 2 * GROUPING((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) AS INTEGER) AS gid,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY CUBE(event_type, (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24)""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, expr, grouping, lit}
+    table(spark, dir, "events")
+      .select(col("event_type"), expr("(ts div 3600000000000) % 24").as("hod"))
+      .cube(col("event_type"), col("hod"))
+      .agg(
+        (grouping(col("event_type")) + lit(2) * grouping(col("hod"))).cast("int").as("gid"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] =
-    CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++ Seq(q31ApproxDistinct)
+    CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
+      Seq(q31ApproxDistinct, q33Cube)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
