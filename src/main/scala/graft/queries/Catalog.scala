@@ -45,9 +45,38 @@ object Catalog {
         count(lit(1)).as("n"))
   }
 
+  /** As-of join (q34): align each purchase with the user's most recent
+    * click at-or-before it — DuckDB's native ASOF JOIN is the oracle for
+    * [[graft.operators.AsOfJoin]]'s union+window composition. */
+  val q34AsofJoin: Q = Q(
+    "q34_asof_join",
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+               event_id AS click_id, value AS click_value
+        FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.event_id, p.t_us,
+             c.click_id AS asof_click_id, c.click_value AS asof_click_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.t_us >= c.t_us"""),
+    headline = true) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    graft.operators.AsOfJoin.asofJoin(
+      purchases, clicks, "user_id", "t_us", Seq("click_id", "click_value"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
-      Seq(q31ApproxDistinct, q33Cube)
+      Seq(q31ApproxDistinct, q33Cube, q34AsofJoin)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
