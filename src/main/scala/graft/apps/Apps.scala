@@ -61,7 +61,13 @@ object CdcIngestJob {
         Fixtures.cdcEnvelopes(spark).write.mode("overwrite").text(dir)
         spark.readStream.schema("value STRING").text(dir)
     }
-    val q = graft.streaming.CdcIngest.startIngest(source, sink, checkpoint)
+    // fixture mode drains what's there and exits; kafka mode runs forever
+    val trigger =
+      if (kind == "kafka") org.apache.spark.sql.streaming.Trigger.ProcessingTime("30 seconds")
+      else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    val q = graft.streaming.CdcIngest.startIngest(source, sink, checkpoint, trigger = trigger)
     q.awaitTermination()
+    println(s"[cdc-ingest] sink rows: " + spark.read.parquet(sink).count())
+    spark.stop()
   }
 }
