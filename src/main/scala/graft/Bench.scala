@@ -26,16 +26,15 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def once(q: graft.queries.Q): Unit =
-      try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+    def once(q: graft.queries.Q): Boolean =
+      try { q.run(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
       catch {
-        case _: Throwable =>
-          try q.run(spark, sfDir).count()
-          catch { case _: Throwable => () }
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          false
       }
 
     // Untimed warmup pass: codegen compilation + file-index caches, so the
@@ -48,12 +47,12 @@ object Bench {
 
     val results = Catalog.headlines.map { q =>
       val t0 = System.nanoTime()
-      once(q)
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = once(q)
+      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -14,8 +14,11 @@ object Tables {
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as a
       // timestamp; read it as BIGINT nanoseconds (exact) and derive
-      // seconds/hours with integer floor-division — matches DuckDB's
-      // floor-truncation of ns → µs.
+      // seconds/hours with integer division. Spark `div` truncates toward
+      // zero while DuckDB `//` floors — equivalent ONLY for non-negative
+      // epochs (this corpus is 2024+; pre-1970 data would need a floor-div
+      // expression on the Spark side). Session-conf side effect is
+      // idempotent (always the same value).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")

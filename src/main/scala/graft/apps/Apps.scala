@@ -25,9 +25,11 @@ object BatchJoinJob {
     val (emp, vals, acts) = args.toSeq match {
       case Seq(_, e, v, a) =>
         (IO.readTable(spark, e), IO.readTable(spark, v), IO.readTable(spark, a))
-      case _ =>
+      case Seq(_) | Seq() =>
         val e = Fixtures.employees(spark)
         (e, Ops.validateCommutes(e), Fixtures.activities(spark))
+      case other =>
+        sys.error(s"usage: BatchJoinJob [outDir [employees validations activities]]; got ${other.size} args")
     }
     val finalDf = Ops.buildFinal(emp, vals, acts)
     IO.writeTable(finalDf, s"$outDir/final")
@@ -42,6 +44,8 @@ object BatchJoinJob {
   * sinkPath checkpointPath [bootstrapServers]. */
 object CdcIngestJob {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3 || (args(0) == "kafka" && args.length < 4))
+      sys.error("usage: CdcIngestJob <kafka|fixture> <sinkPath> <checkpointPath> [bootstrapServers]")
     val Array(kind, sink, checkpoint) = args.take(3)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))

@@ -16,8 +16,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (children: Seq[Expression]) => MinHashSignature(
-        children.head,
-        children(1).eval().asInstanceOf[Number].intValue()))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "minhash_signature(elementHash BIGINT, numPerms INT literal) takes exactly 2 arguments")
+        require(children(1).foldable,
+          "minhash_signature: numPerms must be a literal")
+        MinHashSignature(
+          children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      })
   }
 }

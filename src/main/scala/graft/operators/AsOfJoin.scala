@@ -36,12 +36,20 @@ object AsOfJoin {
       time: String,
       payloads: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val lSide = payloads.foldLeft(left.withColumn("__side", lit(1))) {
-      (df, p) => df.withColumn(s"__r_$p", lit(null).cast(right.schema(p).dataType))
-    }
+    // Payloads travel as ONE struct so the matched right row is carried
+    // whole — per-column carries would backfill a NULL field from an
+    // OLDER right row, silently mixing rows.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloads.map(p => right.schema(p)))
+    val lSide = left
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(payloadType))
+      .withColumn("__tb", lit(0L))
     val rSide0 = right.select(
-      Seq(col(key), col(time), lit(0).as("__side")) ++
-        payloads.map(p => col(p).as(s"__r_$p")): _*)
+      col(key), col(time), lit(0).as("__side"),
+      struct(payloads.map(col): _*).as("__r"),
+      // deterministic winner among right rows tied on (key, time)
+      xxhash64(struct(payloads.map(col): _*)).as("__tb"))
     // right rows contribute NULL for every left-only column
     val rSide = leftCols.foldLeft(rSide0) { (df, c) =>
       if (df.columns.contains(c)) df
@@ -49,12 +57,12 @@ object AsOfJoin {
     }
     val unioned = lSide.unionByName(rSide.select(lSide.columns.map(col): _*))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"))
+      .orderBy(col(time), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloads.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"asof_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloads.map(p => col(s"asof_$p")): _*)
+      .select(leftCols.map(col) ++
+        payloads.map(p => col("__c").getField(p).as(s"asof_$p")): _*)
   }
 }

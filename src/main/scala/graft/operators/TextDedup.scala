@@ -67,14 +67,6 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash signature matrix: numPerms independent min-hashes per doc.
-    * One aggregation, numPerms columns — a single shuffle keyed on doc_id. */
-  def minhashSignatures(sh: DataFrame, numPerms: Int): DataFrame = {
-    val aggs: Seq[Column] =
-      (0 until numPerms).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
-
   /** Sketch-based signature: ONE custom TypedImperativeAggregate
     * ([[graft.functions.MinHashSignature]]) maintaining all numPerms minima
     * in a single buffer — numPerms× fewer aggregate expressions than the
@@ -92,17 +84,6 @@ object TextDedup {
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
     sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
-  }
-
-  /** LSH banding: hash each band of `rowsPerBand` signature slots, emit
-    * (doc_id, band, band_hash). Collision in any band ⇒ candidate pair. */
-  def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws("_",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
-    }
-    sigs
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
   }
 
   /** Candidate pairs from band-bucket self-join (distinct, a<b). */
