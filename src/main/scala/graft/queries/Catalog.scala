@@ -74,9 +74,38 @@ object Catalog {
       purchases, clicks, "user_id", "t_us", Seq("click_id", "click_value"))
   }
 
+  /** 4-way star join through both remaining dimensions (part, supplier →
+    * nation): revenue by nation × brand. All three dims broadcast; the
+    * only shuffle is the final group-by. */
+  val q35PartSupplier: Q = Q(
+    "q35_part_supplier",
+    Some("""
+      SELECT n.n_name, p.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val l = table(spark, dir, "lineitem")
+    val p = broadcast(table(spark, dir, "part"))
+    val s = broadcast(table(spark, dir, "supplier"))
+    val n = broadcast(table(spark, dir, "nation"))
+    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(disc).cast("double").as("revenue"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
-      Seq(q31ApproxDistinct, q33Cube, q34AsofJoin)
+      Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -39,6 +39,15 @@ object CdcIngest {
   /** The transform: raw (key,value) stream → typed activity rows. */
   def pipeline(raw: DataFrame): DataFrame = Ops.decodeCdc(raw)
 
+  /** Pipeline + streaming dedup on the CDC primary key: replays / at-least-
+    * once upstream deliveries collapse to one row per id. State is bounded
+    * by the watermark (ids older than the horizon are evicted — SURVEY
+    * §2.8 extension; the reference appends duplicates unconditionally). */
+  def dedupedPipeline(raw: DataFrame, watermark: String = "1 day"): DataFrame =
+    pipeline(raw)
+      .withWatermark("start_datetime", watermark)
+      .dropDuplicatesWithinWatermark("id")
+
   /** K1 (ref `SaveDelta.scala:157-163`): append sink with checkpoint +
     * 30 s trigger. Delta jars are absent in this environment, so the
     * default format is parquet — swap `format` for "delta" on a cluster

@@ -70,6 +70,21 @@ class CdcIngestSpec extends SparkSpec {
     assert(delivered.forall(r => !r.isNullAt(r.fieldIndex("comment"))))
   }
 
+  test("deduped pipeline: duplicated envelope delivery collapses to one row per id") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val data = envelopeStrings
+    val source = MemoryStream[String]
+    source.addData(data ++ data: _*) // simulate at-least-once double delivery
+    val q = CdcIngest.dedupedPipeline(source.toDF())
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("dedup_sink")
+    assert(out.count() === (data.size - 3).toLong) // unique ids only
+    assert(out.groupBy(col("id")).count().filter(col("count") > 1).count() === 0)
+  }
+
   test("metrics listener accumulates progress") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
