@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * cluster-pruning alternative to [[VectorSearch.annLsh]].
+  *
+  * Build: k-means centroids trained on a bounded deterministic SAMPLE
+  * collected to the driver (the standard IVF build path — FAISS trains on
+  * a sample too; centroid count k is small and the sample is capped, so
+  * this is a broadcast-sized model, not a driver-side data loop), then a
+  * distributed assignment pass tags every corpus vector with its nearest
+  * centroid (cell).
+  *
+  * Search: each query probes its `nProbe` nearest cells; candidates are
+  * the corpus vectors in those cells (a join keyed on cell id — the
+  * 1/k-ish pruning that replaces the quadratic cross join at scale);
+  * candidates are exactly re-ranked by cosine.
+  */
+object IvfSearch {
+
+  private def sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic Lloyd k-means on a driver-side sample. */
+  private[operators] def trainCentroids(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    // deterministic init: evenly strided sample points
+    var centroids = Array.tabulate(k)(i => sample((i * sample.length / k) % sample.length).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = sq(v, centroids(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Top-k cosine neighbors via IVF cells. */
+  def ivfTopK(
+      emb: DataFrame,
+      k: Int,
+      nClusters: Int = 16,
+      nProbe: Int = 4,
+      trainIters: Int = 5,
+      sampleCap: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val base = VectorSearch.withNorm(emb)
+      .select(col("vec_id"), expr("transform(v, x -> cast(x as double))").as("vd"), col("n2"))
+
+    // bounded, deterministic training sample (ordered by id, capped)
+    val sample: Array[Array[Double]] = base
+      .orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("vd")).as[Seq[Double]].collect().map(_.toArray)
+    val centroids = trainCentroids(sample, nClusters, trainIters)
+    val centDf = broadcast(
+      centroids.zipWithIndex
+        .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq.toDF("cid", "cv"))
+
+    def sqDistCol = expr(
+      "aggregate(zip_with(vd, cv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x)")
+
+    // distributed assignment: nearest centroid per vector
+    val assigned = base.crossJoin(centDf)
+      .withColumn("d2", sqDistCol)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("vd"), col("n2"), col("cid"))
+
+    // query probes: nProbe nearest cells per query vector
+    val probes = base.crossJoin(centDf)
+      .withColumn("d2", sqDistCol)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
+        col("n2").as("qn2"), col("cid"))
+
+    // candidates = corpus vectors in probed cells; exact cosine rerank
+    val cands = probes.join(
+      assigned.select(col("cid"), col("vec_id").as("nid"),
+        col("vd").as("nv"), col("n2").as("nn2")), "cid")
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("cosine",
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+          / (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+    cands
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("cosine"))
+  }
+}

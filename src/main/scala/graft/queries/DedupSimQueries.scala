@@ -98,6 +98,12 @@ object DedupSimQueries {
     VectorSearch.annLsh(table(spark, dir, "embeddings"), k = 5)
   }
 
+  /** IVF-bucketed ANN (scale path #2; approximate → rows-only check,
+    * recall pinned vs brute force in ScalaTest). */
+  val q36IvfAnn: Q = Q("q36_ivf_ann", None) { (spark, dir) =>
+    graft.operators.IvfSearch.ivfTopK(table(spark, dir, "embeddings"), k = 5)
+  }
+
   /** Multimodal decode plumbing (stubbed codec; deterministic features). */
   val q29MediaFeatures: Q = Q("q29_media_features", None) { (spark, dir) =>
     Multimodal.extractFeatures(Multimodal.toMedia(table(spark, dir, "documents"))).toDF()
@@ -143,5 +149,6 @@ object DedupSimQueries {
 
   val all: Seq[Q] = Seq(
     q18NgramJaccard, q19MinhashLsh, q20Simhash, q21KnnCosine,
-    q28AnnLsh, q29MediaFeatures, q30RollingFingerprint, q32EmbeddingDedup)
+    q28AnnLsh, q29MediaFeatures, q30RollingFingerprint, q32EmbeddingDedup,
+    q36IvfAnn)
 }

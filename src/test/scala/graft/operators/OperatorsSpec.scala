@@ -71,6 +71,17 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall $recall too low")
   }
 
+  test("ivf ann: recall vs brute force, candidates cell-bounded") {
+    val brute = VectorSearch.bruteForceTopK(emb, emb, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = IvfSearch.ivfTopK(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = ivf.count { case (q, n) => brute.get(q).contains(n) }
+    val recall = hits.toDouble / brute.size
+    assert(ivf.nonEmpty)
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("rolling_hash: codegen result matches reference implementation") {
     graft.functions.GraftFunctions.register(spark)
     def ref(s: String): Long = {
