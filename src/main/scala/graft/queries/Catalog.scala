@@ -103,9 +103,32 @@ object Catalog {
       .agg(count(lit(1)).as("n_items"), sum(disc).cast("double").as("revenue"))
   }
 
+  /** Correlated scalar subquery (oracle form) vs the decorrelated
+    * aggregate-join plan Catalyst would also produce: customers above
+    * their nation's average balance. */
+  val q37AboveNationAvg: Q = Q(
+    "q37_above_nation_avg",
+    Some("""
+      SELECT c.c_custkey, c.c_name
+      FROM customer c
+      WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val c = table(spark, dir, "customer")
+    val avgByNation = c.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+        / count(lit(1))).as("nation_avg"))
+    c.join(broadcast(avgByNation), c("c_nationkey") === avgByNation("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_name"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
-      Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier)
+      Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
+        q37AboveNationAvg)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
