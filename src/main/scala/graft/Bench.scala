@@ -9,11 +9,19 @@ import graft.queries.Catalog
   *
   * local[32] + 32 shuffle partitions (the container's thread budget), AQE
   * on — the same knobs a cluster deployment would set per-executor-count.
+  *
+  * Noise control (rounds 1–2 showed 4× total swings on identical code from
+  * host contention): per timed query we clear the SQL/file caches, force a
+  * GC so earlier queries' garbage can't stall this one, run three passes,
+  * print every pass to stderr (so the distribution is visible in the driver
+  * log, not just the minimum), and report the per-query minimum — the
+  * query's actual cost under the least external load observed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,28 +46,33 @@ object Bench {
       }
 
     // Untimed warmup pass: codegen compilation + file-index caches, so the
-    // timed pass measures steady-state throughput (what matters at scale).
+    // timed passes measure steady-state throughput (what matters at scale).
     Catalog.headlines.foreach { q =>
       val t0 = System.nanoTime()
       once(q)
       System.err.println(s"[warmup] ${q.name} ${(System.nanoTime() - t0) / 1e9}")
     }
 
-    // Two timed passes, keep the per-query minimum: the host occasionally
-    // stalls a single query by 10-20s (external load); min-of-2 reports
-    // the query's actual cost instead of the noise.
-    def timed(q: graft.queries.Q): Double = {
-      val t0 = System.nanoTime()
-      if (once(q)) (System.nanoTime() - t0) / 1e9 else -1.0
-    }
     val results = Catalog.headlines.map { q =>
-      val (a, b) = (timed(q), timed(q))
-      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      spark.catalog.clearCache()
+      System.gc()
+      val times = (1 to passes).map { i =>
+        val t0 = System.nanoTime()
+        val ok = once(q)
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[pass $i/$passes] ${q.name} " + (if (ok) f"$t%.3f" else "FAILED"))
+        if (ok) t else -1.0
+      }
+      val good = times.filter(_ >= 0)
+      // any failed pass marks the query failed: a partial minimum would
+      // silently understate a flaky query's cost
+      q.name -> (if (good.size < passes) -1.0 else good.min)
     }
+    val failed = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

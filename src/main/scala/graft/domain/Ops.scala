@@ -69,8 +69,10 @@ object Ops {
       .withColumn("calculed_distance_m", when(sporty, distanceCol))
       .withColumn("limit_m", limit)
       .select(
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("id_employee"))).as("id_validate"),
+        // Surrogate id derived from the (unique) employee key — NOT
+        // row_number() over a global unpartitioned Window, which would pull
+        // the whole table through one task at scale.
+        col("id_employee").cast("int").as("id_validate"),
         col("id_employee"),
         col("calculed_distance_m").cast(DecimalType(10, 2)).as("calculed_distance"),
         // duration stub: distance at ~1.25 m/s walking-equivalent

@@ -75,8 +75,10 @@ object Catalog {
   }
 
   /** 4-way star join through both remaining dimensions (part, supplier →
-    * nation): revenue by nation × brand. All three dims broadcast; the
-    * only shuffle is the final group-by. */
+    * nation): revenue by nation × brand. Only the fixed-size nation dim is
+    * hinted broadcast; part/supplier grow with SF, so AQE decides those
+    * from runtime stats (a forced hint would OOM at 100×). The only
+    * guaranteed shuffle is the final group-by. */
   val q35PartSupplier: Q = Q(
     "q35_part_supplier",
     Some("""
@@ -91,8 +93,8 @@ object Catalog {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
     val l = table(spark, dir, "lineitem")
-    val p = broadcast(table(spark, dir, "part"))
-    val s = broadcast(table(spark, dir, "supplier"))
+    val p = table(spark, dir, "part")
+    val s = table(spark, dir, "supplier")
     val n = broadcast(table(spark, dir, "nation"))
     val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1) - col("l_discount").cast(DecimalType(4, 2)))

@@ -404,8 +404,11 @@ object CoreQueries {
     val l = table(spark, dir, "lineitem")
     val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    // No broadcast hint on customer: it grows with SF (forced broadcast =
+    // OOM at 100×). AQE picks broadcast from runtime stats when the
+    // filtered side is actually small.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(disc).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))

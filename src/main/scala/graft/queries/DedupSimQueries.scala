@@ -35,8 +35,10 @@ object DedupSimQueries {
   /** Exact all-pairs word-3-gram Jaccard ≥ 0.5 (small-scale/oracle path). */
   val q18NgramJaccard: Q = Q(
     "q18_ngram_jaccard",
-    Some(exactJaccardSql),
-    headline = true) { (spark, dir) =>
+    Some(exactJaccardSql)) { (spark, dir) =>
+    // not a bench headline: quadratic-by-design oracle baseline — it would
+    // dominate the bench total while saying nothing about the production
+    // (q19 LSH) path, which IS headlined
     TextDedup.exactJaccardPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
   }
 

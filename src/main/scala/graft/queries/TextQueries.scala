@@ -122,7 +122,8 @@ object TextQueries {
       SELECT md5(text) AS fp,
              CAST(MIN(doc_id) AS BIGINT) AS keep_id,
              CAST(COUNT(*) AS BIGINT) AS n_copies
-      FROM documents GROUP BY md5(text)""")) { (spark, dir) =>
+      FROM documents GROUP BY md5(text)"""),
+    headline = true) { (spark, dir) =>
     table(spark, dir, "documents")
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
