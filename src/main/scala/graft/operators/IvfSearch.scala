@@ -76,30 +76,45 @@ object IvfSearch {
     val sample: Array[Array[Double]] = base
       .orderBy(col("vec_id")).limit(sampleCap)
       .select(col("vd")).as[Seq[Double]].collect().map(_.toArray)
+    if (sample.isEmpty) {
+      // empty corpus → empty result with the output schema (no crash)
+      return base.select(col("vec_id").as("qid"), col("vec_id").as("nid"),
+        lit(1).as("rnk"), lit(0.0).as("cosine")).limit(0)
+    }
     val centroids = trainCentroids(sample, nClusters, trainIters)
-    val centDf = broadcast(
-      centroids.zipWithIndex
-        .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq.toDF("cid", "cv"))
 
-    def sqDistCol = expr(
-      "aggregate(zip_with(vd, cv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x)")
+    // The trained model is tiny (nClusters × dim doubles), so it's embedded
+    // as a plan constant — assignment and probing are pure map-side
+    // projections (argmin over a literal centroid array), with NO
+    // crossJoin and NO per-vector window shuffle: at 100 TB the old
+    // crossJoin+window shape shuffled |corpus| × nClusters rows; this
+    // shuffles nothing.
+    val centsSql = centroids
+      .map(_.map(v => s"${v}D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val distsSql =
+      s"transform($centsSql, c -> aggregate(zip_with(vd, c, " +
+        "(x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x))"
 
-    // distributed assignment: nearest centroid per vector
-    val assigned = base.crossJoin(centDf)
-      .withColumn("d2", sqDistCol)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
-      .filter(col("rk") === 1)
+    // distributed assignment: nearest centroid per vector (ties → lowest
+    // cid, matching array_position's first-occurrence semantics)
+    val assigned = base
+      .withColumn("dists", expr(distsSql))
+      .withColumn("cid",
+        expr("cast(array_position(dists, array_min(dists)) as int) - 1"))
       .select(col("vec_id"), col("vd"), col("n2"), col("cid"))
 
-    // query probes: nProbe nearest cells per query vector
-    val probes = base.crossJoin(centDf)
-      .withColumn("d2", sqDistCol)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
-      .filter(col("rk") <= nProbe)
+    // query probes: nProbe nearest cells per query vector (sort (d, cid)
+    // pairs — struct ordering breaks distance ties by cid)
+    val probes = base
+      .withColumn("dists", expr(distsSql))
+      .withColumn("cids", expr(
+        s"transform(slice(array_sort(zip_with(dists, " +
+          s"sequence(0, ${nClusters - 1}), " +
+          "(d, i) -> named_struct('d', d, 'i', i))), 1, " + nProbe +
+          "), s -> cast(s.i as int))"))
       .select(col("vec_id").as("qid"), col("vd").as("qv"),
-        col("n2").as("qn2"), col("cid"))
+        col("n2").as("qn2"), explode(col("cids")).as("cid"))
 
     // candidates = corpus vectors in probed cells; exact cosine rerank
     val cands = probes.join(

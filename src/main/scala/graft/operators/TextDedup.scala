@@ -34,6 +34,22 @@ object TextDedup {
   def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
+  /** Drop "stop shingles" — shingles whose document frequency exceeds
+    * maxDf. Boilerplate shared by a large fraction of the corpus (headers,
+    * license blocks, templates) makes unrelated docs look similar: it blows
+    * up the shingle-bucket join quadratically on the exact path and
+    * collapses MinHash signatures (hence band buckets) on the LSH path,
+    * while carrying no dedup signal. One extra aggregation on the shingle
+    * relation + an anti-join; the heavy-hitter side is small by
+    * construction (≤ |shingle occurrences| / maxDf distinct values). */
+  def capShingleDf(sh: DataFrame, maxDf: Long): DataFrame = {
+    val stop = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    sh.join(stop, Seq("shingle"), "left_anti")
+  }
+
   /** Exact Jaccard over the given candidate (a_id, b_id) pairs. */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = shingleSizes(sh)
@@ -51,8 +67,12 @@ object TextDedup {
 
   /** All-pairs exact Jaccard ≥ minJaccard (oracle/small-scale path): join on
     * shared shingles, count intersections, derive |A∪B| from set sizes. */
-  def exactJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n)
+  def exactJaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val sh = maxShingleDf.fold(shingles(docs, n))(capShingleDf(shingles(docs, n), _))
     val sizes = shingleSizes(sh)
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -106,8 +126,12 @@ object TextDedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
-    val sh = shingles(docs, n)
+      rowsPerBand: Int = 4,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    // The optional DF cap applies to BOTH the signature and the verify
+    // relation, so the reported Jaccard is consistently "over non-stop
+    // shingles". Default off: the oracle (exact all-pairs SQL) has no cap.
+    val sh = maxShingleDf.fold(shingles(docs, n))(capShingleDf(shingles(docs, n), _))
     val cands = lshCandidates(
       lshBandsFromSig(minhashSignaturesSketch(sh, bands * rowsPerBand), bands, rowsPerBand))
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
@@ -132,15 +156,51 @@ object TextDedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. The small-
-    * scale path compares all pairs; at scale, bucket by bit-bands first
-    * (same LSH trick as MinHash). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+  /** All-pairs SimHash comparison — O(n²) cross join, the small-corpus
+    * baseline that [[simhashPairs]]' banded path is spec-checked against. */
+  def simhashPairsAllPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
     val s = simhash(docs)
     val a = s.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
     val b = s.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via
+    * bit-band bucketing: the 64-bit signature is split into `bands` equal
+    * slices; docs joining on any identical (band, slice-value) become
+    * candidates, verified by exact Hamming distance.
+    *
+    * EXACT, not approximate: with bands > maxHamming, a pair within
+    * maxHamming differs in ≤ maxHamming bit positions, which (pigeonhole)
+    * leaves at least one band untouched — so every qualifying pair lands in
+    * some shared bucket and the output equals the all-pairs result. The
+    * join is keyed on (band, value): linear in corpus size for bounded
+    * bucket width, no CartesianProduct anywhere in the plan. Fewer bands
+    * (wider slices) shrink buckets but lower the guaranteed radius —
+    * bands=16 × 4 bits covers maxHamming ≤ 15. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12, bands: Int = 16): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    require(bands > maxHamming,
+      s"exactness needs bands > maxHamming (got $bands <= $maxHamming)")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val s = simhash(docs)
+    val banded = s.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bval")))
+    val a = banded.select(col("band"), col("bval"),
+      col("doc_id").as("a_id"), col("simhash").as("ha"))
+    val b = banded.select(col("band"), col("bval"),
+      col("doc_id").as("b_id"), col("simhash").as("hb"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ha"), col("hb"))
+      .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))

@@ -77,6 +77,40 @@ object VectorSearch {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** Scale path for [[cosineNearDups]]: sign-LSH bucket candidates → the
+    * SAME exact scaled-integer cosine verification as the quadratic path,
+    * so any pair the buckets recall scores bit-identically. The (table,
+    * code) bucket join replaces the cross join; recall of pairs ≥ minCosine
+    * is 1-(1-p^nBits)^nTables with p = 1-θ/π, so tune nTables up (or nBits
+    * down) for the similarity floor you must not miss — near-dup thresholds
+    * (cos ≥ 0.9) are recalled at ≈1 with the defaults. */
+  def cosineNearDupsLsh(
+      emb: DataFrame, minCosine: Double,
+      nBits: Int = 5, nTables: Int = 16, dim: Int = 64): DataFrame = {
+    val base = withNorm(emb)
+    val codeCols = (0 until nTables).map(t =>
+      lshCode("v", t, nBits, dim).as(s"code_$t"))
+    val coded = base.select(
+      (Seq(col("vec_id"), col("v"), col("n2")) ++ codeCols): _*)
+    val buckets = coded.select(col("vec_id"), col("v"), col("n2"),
+      posexplode(array((0 until nTables).map(t => col(s"code_$t")): _*))
+        .as(Seq("tbl", "code")))
+    val a = buckets.select(col("tbl"), col("code"),
+      col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"))
+    val b = buckets.select(col("tbl"), col("code"),
+      col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"))
+    a.join(b, Seq("tbl", "code"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("av"), col("an2"),
+        col("b_id"), col("bv"), col("bn2"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine",
+        dotExact("av", "bv").cast("double")
+          / (sqrt(col("an2").cast("double")) * sqrt(col("bn2").cast("double"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   /** Deterministic ±1 hyperplane components, seeded — no RNG at plan time. */
   private def hyperplane(seed: Int, dim: Int): Seq[Double] = {
     val rnd = new scala.util.Random(seed * 1000003L + 7)

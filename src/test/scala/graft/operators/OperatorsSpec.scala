@@ -28,6 +28,81 @@ class OperatorsSpec extends SparkSpec {
     assert(sim.size < exact.size * 4, s"simhash too loose: ${sim.size} pairs")
   }
 
+  test("simhash banded path == all-pairs path; no cartesian product in plan") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)
+    val allPairs = TextDedup.simhashPairsAllPairs(docs, maxHamming = 12)
+      .collect().map(key).toSet
+    val bandedDf = TextDedup.simhashPairs(docs, maxHamming = 12)
+    val banded = bandedDf.collect().map(key).toSet
+    assert(allPairs.nonEmpty, "corpus should contain simhash-close pairs")
+    assert(banded === allPairs)
+    val plan = bandedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded simhash still quadratic:\n$plan")
+    // pigeonhole precondition is enforced
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashPairs(docs, maxHamming = 20, bands = 16)
+    }
+  }
+
+  test("stop-shingle DF cap bounds candidates under adversarial boilerplate") {
+    import spark.implicits._
+    // 30 docs: 10 shared boilerplate words + 2 unique words each → every
+    // pair shares 8 of ~10 shingles (jaccard ≈ 0.67) through boilerplate
+    // alone; plus one genuinely duplicated doc pair.
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docsAdv = ((0L until 30L).map(i => (i, s"$boiler u${i}a u${i}b")) :+
+      (100L, "real dup content alpha beta gamma delta") :+
+      (101L, "real dup content alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val uncapped = TextDedup.exactJaccardPairs(docsAdv, minJaccard = 0.5)
+    assert(uncapped.count() >= 30L * 29 / 2,
+      "adversarial corpus should blow up the uncapped pair count")
+    // capped: boilerplate shingles (df=30) dropped → only the planted dup
+    // pair survives, and the LSH band candidates are bounded too
+    val capped = TextDedup.minhashPairs(docsAdv, minJaccard = 0.5, maxShingleDf = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)), s"capped pairs: $capped")
+    val cappedSh = TextDedup.capShingleDf(TextDedup.shingles(docsAdv), 10L)
+    val nCands = TextDedup.lshCandidates(TextDedup.lshBandsFromSig(
+      TextDedup.minhashSignaturesSketch(cappedSh, 64), 16, 4)).count()
+    assert(nCands <= 30, s"capped candidate set should be small, got $nCands")
+  }
+
+  test("embedding near-dup LSH compose == quadratic exact path in the near-dup regime") {
+    // plant near-dups: copies of vec 0..9 (scaled ×1.02 — same direction,
+    // different quantization) so the ≥0.9 band is non-empty in this corpus
+    val planted = emb.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 1000).as("vec_id"),
+      expr("transform(embedding, x -> x * cast(1.02 as float))").as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).union(planted)
+    val quad = VectorSearch.cosineNearDups(corpus, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorSearch.cosineNearDupsLsh(corpus, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(quad.size >= 10, s"expected planted near-dup pairs, got ${quad.size}")
+    assert(lsh === quad,
+      s"missed: ${quad.diff(lsh).map(t => (t._1, t._2))}; extra: ${lsh.diff(quad).map(t => (t._1, t._2))}")
+  }
+
+  test("embedding LSH compose at mid-similarity: exact subset with usable recall") {
+    // cos ≈ 0.4 pairs are the adversarial case for sign-LSH (collision
+    // probability per 5-bit table ≈ 0.1): the composed path must never
+    // emit a false or differently-scored pair (verification is the same
+    // exact integer cosine), and recall must match the 1-(1-p^bits)^L
+    // theory — exactness at this threshold is what the quadratic
+    // oracle path is for.
+    val quad = VectorSearch.cosineNearDups(emb, minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorSearch.cosineNearDupsLsh(emb, minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(quad.nonEmpty)
+    assert(lsh.subsetOf(quad), s"false/mis-scored pairs: ${lsh.diff(quad)}")
+    val recall = lsh.size.toDouble / quad.size
+    assert(recall >= 0.7, s"recall $recall below theory floor")
+  }
+
   test("minhash_signature sketch: one-buffer aggregate matches per-perm semantics") {
     graft.functions.GraftFunctions.register(spark)
     val sh = TextDedup.shingles(docs).cache()
@@ -80,6 +155,15 @@ class OperatorsSpec extends SparkSpec {
     val recall = hits.toDouble / brute.size
     assert(ivf.nonEmpty)
     assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("ivf ann: assignment is map-side (no crossJoin/window shuffle); empty input ok") {
+    val plan = IvfSearch.ivfTopK(emb, k = 1).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join Cross"), s"IVF assignment still cross-joins:\n$plan")
+    import spark.implicits._
+    val empty = IvfSearch.ivfTopK(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), k = 1)
+    assert(empty.collect().isEmpty)
   }
 
   test("rolling_hash: codegen result matches reference implementation") {
