@@ -94,16 +94,45 @@ object DedupSimQueries {
     VectorSearch.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
   }
 
-  /** Sign-LSH-bucketed ANN (scale path; approximate → rows-only check,
-    * recall pinned vs brute force in ScalaTest). */
-  val q28AnnLsh: Q = Q("q28_ann_lsh", None) { (spark, dir) =>
-    VectorSearch.annLsh(table(spark, dir, "embeddings"), k = 5)
+  /** Deterministic recall gate for an ANN path (q31's approx_ok pattern):
+    * evaluate top-1-in-top-5 recall for queries vec_id < 100 against the
+    * exact brute-force truth, emit ONE row (n_eval, recall_ok). n_eval is
+    * SQL-exact; recall_ok is TRUE iff recall ≥ minRecall — the whole
+    * pipeline is deterministic (seeded hyperplanes / strided k-means init),
+    * so the oracle gate is stable, with measured margin (LSH 0.82, IVF
+    * 0.83–0.90 at the gate SFs vs the 0.5 floor). */
+  private def annRecallGate(
+      ann: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame,
+      minRecall: Double): org.apache.spark.sql.DataFrame = {
+    val truth = VectorSearch
+      .bruteForceTopK(emb.filter(col("vec_id") < 100), emb, k = 1)
+      .select(col("qid"), col("nid").as("true_nid"))
+    val nEval = truth.agg(countDistinct(col("qid")).as("n_eval"))
+    val nHits = truth.join(ann.select(col("qid"), col("nid")), Seq("qid"))
+      .filter(col("nid") === col("true_nid"))
+      .agg(countDistinct(col("qid")).as("n_hits"))
+    nEval.crossJoin(nHits).select(
+      col("n_eval"),
+      (col("n_hits") >= col("n_eval") * minRecall).as("recall_ok"))
   }
 
-  /** IVF-bucketed ANN (scale path #2; approximate → rows-only check,
-    * recall pinned vs brute force in ScalaTest). */
-  val q36IvfAnn: Q = Q("q36_ivf_ann", None) { (spark, dir) =>
-    graft.operators.IvfSearch.ivfTopK(table(spark, dir, "embeddings"), k = 5)
+  private val annRecallOracle = """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_eval, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 100"""
+
+  /** Sign-LSH-bucketed ANN (scale path), oracle-gated via the recall row. */
+  val q28AnnLsh: Q = Q("q28_ann_lsh", Some(annRecallOracle)) { (spark, dir) =>
+    val emb = table(spark, dir, "embeddings")
+    annRecallGate(VectorSearch.annLsh(emb, k = 5), emb, minRecall = 0.5)
+  }
+
+  /** IVF-bucketed ANN (scale path #2), oracle-gated via the recall row.
+    * nProbe=8 of 16 cells: measured recall 0.83+ at the gate SFs. */
+  val q36IvfAnn: Q = Q("q36_ivf_ann", Some(annRecallOracle)) { (spark, dir) =>
+    val emb = table(spark, dir, "embeddings")
+    annRecallGate(
+      graft.operators.IvfSearch.ivfTopK(emb, k = 5, nProbe = 8), emb, minRecall = 0.5)
   }
 
   /** Multimodal decode plumbing (stubbed codec; deterministic features). */
@@ -111,11 +140,21 @@ object DedupSimQueries {
     Multimodal.extractFeatures(Multimodal.toMedia(table(spark, dir, "documents"))).toDF()
   }
 
-  /** Rolling-hash fingerprint via the custom codegen Expression (no oracle:
-    * not expressible in DuckDB SQL; pinned by ScalaTest reference impl).
-    * The Expression is registered as a temp SQL function so it composes
-    * with the rest of the declarative plan (and whole-stage codegen). */
-  val q30RollingFingerprint: Q = Q("q30_rolling_fingerprint", None) { (spark, dir) =>
+  /** Rolling-hash fingerprint via the custom codegen Expression, registered
+    * as a temp SQL function so it composes with the declarative plan (and
+    * whole-stage codegen). Oracle: DuckDB list_reduce over the polynomial —
+    * per code point, which equals the Expression's per-UTF-8-byte hash on
+    * this all-ASCII corpus (verified: octet_length(encode(text)) ==
+    * length(text) for every row). */
+  val q30RollingFingerprint: Q = Q(
+    "q30_rolling_fingerprint",
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, b) -> (h * 31 + b) % 2147483647) AS rhash
+      FROM documents""")) { (spark, dir) =>
     graft.functions.GraftFunctions.register(spark)
     table(spark, dir, "documents")
       .select(col("doc_id"), expr("rolling_hash(text)").as("rhash"))
