@@ -13,21 +13,25 @@ import Model.{SportyModes, TransportLimits}
   */
 object Ops {
 
+  /** Debezium row image (payload.before / payload.after). */
+  val cdcRowSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("id_employee", IntegerType),
+    StructField("first_name", StringType),
+    StructField("last_name", StringType),
+    StructField("start_datetime", LongType), // epoch microseconds
+    StructField("sport_type", StringType),
+    StructField("distance", IntegerType),
+    StructField("activity_duration", IntegerType),
+    StructField("comment", StringType)))
+
   /** Debezium envelope schema (ref `SaveDelta.scala:87-95` — the declared
-    * one is dead code there; this one is actually used). */
+    * one is dead code there; this one is actually used). `before` is the
+    * same row image as `after`: deletes carry the key there. */
   val cdcEnvelopeSchema: StructType = StructType(Seq(
     StructField("payload", StructType(Seq(
-      StructField("before", StringType),
-      StructField("after", StructType(Seq(
-        StructField("id", IntegerType),
-        StructField("id_employee", IntegerType),
-        StructField("first_name", StringType),
-        StructField("last_name", StringType),
-        StructField("start_datetime", LongType), // epoch microseconds
-        StructField("sport_type", StringType),
-        StructField("distance", IntegerType),
-        StructField("activity_duration", IntegerType),
-        StructField("comment", StringType)))),
+      StructField("before", cdcRowSchema),
+      StructField("after", cdcRowSchema),
       StructField("source", StructType(Seq(StructField("table", StringType)))),
       StructField("op", StringType),
       StructField("ts_ms", LongType))))))
@@ -44,6 +48,24 @@ object Ops {
       .select(col("env.payload.after.*"))
       .withColumn("start_datetime", timestamp_micros(col("start_datetime")))
       .filter(col("id").isNotNull)
+
+  /** Full CDC event decode for MERGE-style sinks: like [[decodeCdc]] but
+    * keeps the `op` discriminator + `ts_ms`, and resolves the key from the
+    * after-image (c/r/u) or the before-image (d — after is null there).
+    * The reference appends `payload.after` for EVERY op
+    * (`SaveDelta.scala:160`), turning deletes into all-null rows; here a
+    * delete becomes a keyed tombstone an upsert sink can apply. */
+  def decodeCdcOps(raw: DataFrame): DataFrame =
+    raw
+      .selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), cdcEnvelopeSchema).as("env"))
+      .select(
+        coalesce(col("env.payload.after.id"), col("env.payload.before.id")).as("key_id"),
+        col("env.payload.op").as("op"),
+        col("env.payload.ts_ms").as("ts_ms"),
+        col("env.payload.after.*"))
+      .withColumn("start_datetime", timestamp_micros(col("start_datetime")))
+      .filter(col("key_id").isNotNull && col("op").isin("c", "r", "u", "d"))
 
   /** A1 (ref `read_delta.py:114-127`): one row per employee — partial
     * aggregation map-side, single shuffle on id_employee. */

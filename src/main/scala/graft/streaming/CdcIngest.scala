@@ -67,8 +67,12 @@ object CdcIngest {
       .start()
 
   /** K5 notifier port (ref `slack_notification.py:37-132`): per-batch
-    * filter of commented activities, delivered to an injected (mockable)
-    * callback instead of a hard-wired Slack webhook. */
+    * filter of commented activities, delivered to an injected (mockable,
+    * Serializable) callback instead of a hard-wired Slack webhook.
+    * Delivery runs `foreachPartition` on the EXECUTORS — the commented
+    * subset is never collected to the driver, so a high-comment-rate batch
+    * can't blow the driver heap at scale; callbacks see bounded
+    * per-partition groups they can rate-limit individually. */
   def startNotifier(
       raw: DataFrame,
       notify: Seq[Row] => Unit,
@@ -79,8 +83,64 @@ object CdcIngest {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val rows = batch.collect().toSeq
-        if (rows.nonEmpty) notify(rows)
+        batch.foreachPartition { (it: Iterator[Row]) =>
+          val rows = it.toSeq
+          if (rows.nonEmpty) notify(rows)
+        }
+      }
+      .start()
+
+  /** CDC MERGE semantics (the reference appends the after-image for every
+    * op — `SaveDelta.scala:160` — so updates/deletes pile up as extra
+    * rows; SURVEY §7.1 names the upsert path as the natural extension):
+    * per micro-batch, keep the NEWEST event per key (ts_ms, then op, for a
+    * deterministic pick), upsert c/r/u after-images and apply d as row
+    * removal. Plain-parquet implementation rewrites the keyed table
+    * through a staging directory + rename — exactly what Delta's
+    * `MERGE INTO` does transactionally; with delta-spark on the classpath
+    * the `foreachBatch` body becomes a one-line MERGE and the streaming
+    * scaffolding is unchanged. */
+  def upsertBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key_id"))
+      .orderBy(col("ts_ms").desc, col("op").desc)
+    val latest = batch
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val rowCols = batch.columns.filterNot(Set("key_id", "op", "ts_ms")).toSeq
+    val upserts = latest.filter(col("op") =!= "d").select(rowCols.map(col): _*)
+    val touched = latest.select(col("key_id"))
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(target)) {
+        val current = spark.read.parquet(path)
+        current.join(touched, current("id") === touched("key_id"), "left_anti")
+          .unionByName(upserts)
+      } else upserts
+    val staged = new Path(path + ".staged")
+    merged.write.mode("overwrite").parquet(staged.toString)
+    fs.delete(target, true)
+    fs.rename(staged, target)
+  }
+
+  /** K1 upsert variant: decode WITH op handling and maintain the current
+    * row per key at `path` (vs [[startIngest]]'s reference-parity append).
+    * foreachBatch is at-least-once; replaying a batch is idempotent
+    * because the merge is keyed and newest-wins. */
+  def startUpsertIngest(
+      raw: DataFrame,
+      path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    Ops.decodeCdcOps(raw).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        upsertBatch(batch.toDF(), path)
       }
       .start()
 

@@ -8,6 +8,17 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpec
 import graft.domain.Fixtures
 
+/** Executor-visible delivery probe: a singleton survives closure
+  * serialization (module refs resolve to the same instance in local mode),
+  * unlike a captured local buffer. */
+object NotifierProbe {
+  private val delivered = scala.collection.mutable.ArrayBuffer.empty[Row]
+  def add(rows: Seq[Row]): Unit = delivered.synchronized { delivered ++= rows }
+  def size: Int = delivered.synchronized(delivered.size)
+  def snapshot: Seq[Row] = delivered.synchronized(delivered.toList)
+  def reset(): Unit = delivered.synchronized(delivered.clear())
+}
+
 class CdcIngestSpec extends SparkSpec {
 
   private def envelopeStrings: Seq[String] =
@@ -55,19 +66,22 @@ class CdcIngestSpec extends SparkSpec {
   test("notifier: only commented activities delivered to the callback") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val delivered = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // the callback runs on EXECUTORS (foreachPartition), so the probe must
+    // be a singleton object — a captured local buffer would be a
+    // serialized copy and never observed here
+    NotifierProbe.reset()
     val source = MemoryStream[String]
     source.addData(envelopeStrings: _*)
     val q = CdcIngest.startNotifier(
       source.toDF(),
-      rows => delivered.synchronized { delivered ++= rows },
+      rows => NotifierProbe.add(rows),
       trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
     val expected = graft.domain.Ops.decodeCdc(
       Fixtures.cdcEnvelopes(spark, 5, 20))
       .filter(col("comment").isNotNull).count()
-    assert(delivered.size.toLong === expected)
-    assert(delivered.forall(r => !r.isNullAt(r.fieldIndex("comment"))))
+    assert(NotifierProbe.size.toLong === expected)
+    assert(NotifierProbe.snapshot.forall(r => !r.isNullAt(r.fieldIndex("comment"))))
   }
 
   test("deduped pipeline: duplicated envelope delivery collapses to one row per id") {
@@ -83,6 +97,38 @@ class CdcIngestSpec extends SparkSpec {
     val out = spark.table("dedup_sink")
     assert(out.count() === (data.size - 3).toLong) // unique ids only
     assert(out.groupBy(col("id")).count().filter(col("count") > 1).count() === 0)
+  }
+
+  private def env(op: String, id: Int, sport: String, tsMs: Long): String = {
+    val row = s"""{"id":$id,"id_employee":${id * 10},"first_name":"fn","last_name":"ln",""" +
+      s""""start_datetime":1700000000000000,"sport_type":"$sport","distance":5,""" +
+      s""""activity_duration":30,"comment":null}"""
+    val (before, after) = if (op == "d") (row, "null") else ("null", row)
+    s"""{"payload":{"before":$before,"after":$after,""" +
+      s""""source":{"table":"sport_activities"},"op":"$op","ts_ms":$tsMs}}"""
+  }
+
+  test("upsert ingest: replayed updates + deletes converge to the source end-state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_upsert").toString
+    // batch 1: three inserts
+    val s1 = MemoryStream[String]
+    s1.addData(env("c", 1, "run", 1000), env("c", 2, "walk", 1001), env("c", 3, "bike", 1002))
+    CdcIngest.startUpsertIngest(s1.toDF(), s"$dir/data", s"$dir/chk1",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    assert(spark.read.parquet(s"$dir/data").count() === 3)
+    // batch 2: update id 2 (with an older stale image that must lose to the
+    // newer one inside the same batch), delete id 3, insert id 4
+    val s2 = MemoryStream[String]
+    s2.addData(env("u", 2, "stale", 1500), env("u", 2, "swim", 2000),
+      env("d", 3, "bike", 2001), env("c", 4, "hike", 2002))
+    CdcIngest.startUpsertIngest(s2.toDF(), s"$dir/data", s"$dir/chk2",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.select("id").collect().map(_.getInt(0)).toSet === Set(1, 2, 4))
+    assert(out.filter(col("id") === 2).select("sport_type").head().getString(0) === "swim")
+    assert(out.filter(col("id") === 2).select("id_employee").head().getInt(0) === 20)
   }
 
   test("metrics listener accumulates progress") {
