@@ -8,9 +8,12 @@ import graft.functions.{MinHashSignature, RollingHash}
 
 /** Session extension point: `--conf spark.sql.extensions=graft.GraftExtensions`
   * registers graft's custom Catalyst expressions in every session (SQL and
-  * DataFrame API) without per-session register() calls. */
+  * DataFrame API) without per-session register() calls, and installs the
+  * engine-enforced PII-masking analysis rule
+  * ([[graft.plans.MaskPiiRule]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(graft.plans.MaskPiiRule)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

@@ -17,9 +17,12 @@ object Tables {
       // seconds/hours with integer division. Spark `div` truncates toward
       // zero while DuckDB `//` floors — equivalent ONLY for non-negative
       // epochs (this corpus is 2024+; pre-1970 data would need a floor-div
-      // expression on the Spark side). Session-conf side effect is
-      // idempotent (always the same value).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // expression on the Spark side). nanosAsLong has no per-read option
+      // and the session is DRIVER-owned (the contract hands us a built
+      // SparkSession), so the conf must be ensured here; the guard keeps
+      // the side effect one-time and idempotent.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }

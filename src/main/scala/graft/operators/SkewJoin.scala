@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big ⋈ small` on `key`, salted into `buckets`
-    * sub-keys. Deterministic salt (hash of the whole big row's key + a
-    * per-row monotonic component would break joins — salt must only
-    * distribute, so any per-row value works; we hash the partition-local
-    * row via spark_partition_id + monotonically_increasing_id-free rand
-    * alternative: xxhash64 over all big-side columns). */
+    * sub-keys. The salt only has to distribute rows, never to reproduce, so
+    * it mixes the row content with its physical position (partition id +
+    * per-row counter): content-only hashing would send IDENTICAL duplicate
+    * rows — the common shape of a hot key in log data — to one bucket,
+    * leaving the skew unspread. Deterministic for a fixed input
+    * partitioning. */
   def saltedInnerJoin(
       big: DataFrame,
       small: DataFrame,
@@ -28,7 +29,9 @@ object SkewJoin {
       buckets: Int = 8): DataFrame = {
     val bigCols = big.columns.map(col).toSeq
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(bigCols: _*), lit(buckets)).cast("int"))
+      pmod(xxhash64(
+        (bigCols :+ spark_partition_id().cast("long") :+
+          monotonically_increasing_id()): _*), lit(buckets)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(typedLit((0 until buckets).toList)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentUser, EqualTo, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+
+/** Column-masking policy registry: table/view name → columns to NULL for a
+  * restricted user. Backing store for [[MaskPiiRule]]; names and columns
+  * compare case-insensitively (Spark's default resolution). */
+object MaskingPolicy {
+  final case class Policy(cols: Set[String], restrictedUser: String)
+
+  private val policies = scala.collection.concurrent.TrieMap.empty[String, Policy]
+
+  def protect(table: String, cols: Set[String], restrictedUser: String): Unit =
+    policies.put(table.toLowerCase, Policy(cols.map(_.toLowerCase), restrictedUser))
+
+  def unprotect(table: String): Unit = policies.remove(table.toLowerCase)
+
+  def get(table: String): Option[Policy] = policies.get(table.toLowerCase)
+}
+
+/** ENGINE-enforced PII masking (ref `init-scripts/init-db.sql:74-89`: the
+  * Postgres layer nulls PII columns for the BI role on EVERY read; an
+  * opt-in projection like `Ops.maskEmployees` can be forgotten by one
+  * caller and leak). Registered through `SparkSessionExtensions`
+  * (SURVEY §7.1's Rule[LogicalPlan] option): during analysis, any resolved
+  * read of a policy-protected relation gets a masking Project injected
+  * above it, so SQL and DataFrame paths are both covered and nothing
+  * downstream can reach the raw column.
+  *
+  * The mask is `IF(current_user() = restricted, NULL, col)` — resolved to
+  * a constant by the optimizer's ReplaceCurrentLike + constant folding, so
+  * for non-restricted users the plan is byte-identical to the unmasked one
+  * (no per-row cost), and column pruning still reaches the scan for
+  * untouched columns. A TreeNodeTag marks relations already wrapped so the
+  * fixed-point analyzer doesn't stack masks. */
+case class MaskPiiRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MaskPiiRule.Masked
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case s: SubqueryAlias if s.resolved && s.getTagValue(Masked).isEmpty &&
+        MaskingPolicy.get(s.identifier.name).isDefined =>
+      val policy = MaskingPolicy.get(s.identifier.name).get
+      s.setTagValue(Masked, true)
+      val out: Seq[NamedExpression] = s.output.map { attr =>
+        if (policy.cols.contains(attr.name.toLowerCase))
+          // keep the attribute's exprId: operators above were resolved
+          // against the alias output, so the masked column must keep its
+          // identity (same trick as Spark's char-padding rule)
+          Alias(
+            If(
+              EqualTo(CurrentUser(), Literal(policy.restrictedUser)),
+              Literal.create(null, attr.dataType),
+              attr),
+            attr.name)(exprId = attr.exprId)
+        else attr
+      }
+      Project(out, s)
+  }
+}
+
+object MaskPiiRule {
+  val Masked: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.pii.masked")
+}

@@ -47,7 +47,11 @@ object Catalog {
 
   /** As-of join (q34): align each purchase with the user's most recent
     * click at-or-before it — DuckDB's native ASOF JOIN is the oracle for
-    * [[graft.operators.AsOfJoin]]'s union+window composition. */
+    * [[graft.operators.AsOfJoin]]'s union+window composition. Clicks are
+    * first deduped to one row per (user_id, t_us) — keeping the max
+    * event_id — in BOTH engines: DuckDB's ASOF tie pick among duplicate
+    * timestamps is unspecified, so the query removes the ambiguity instead
+    * of betting the hash gate on it (round-1 ADVICE). */
   val q34AsofJoin: Q = Q(
     "q34_asof_join",
     Some("""
@@ -55,21 +59,32 @@ object Catalog {
         SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
         FROM events WHERE event_type = 'purchase'),
       c AS (
-        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
-               event_id AS click_id, value AS click_value
-        FROM events WHERE event_type = 'click')
+        SELECT user_id, t_us, click_id, click_value FROM (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                 event_id AS click_id, value AS click_value,
+                 row_number() OVER (
+                   PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+                   ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'click')
+        WHERE rn = 1)
       SELECT p.user_id, p.event_id, p.t_us,
              c.click_id AS asof_click_id, c.click_value AS asof_click_value
       FROM p ASOF LEFT JOIN c
         ON p.user_id = c.user_id AND p.t_us >= c.t_us"""),
     headline = true) { (spark, dir) =>
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, expr, row_number}
     val ev = table(spark, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
+    val w = Window.partitionBy(col("user_id"), col("t_us"))
+      .orderBy(col("click_id").desc)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), expr("ts div 1000").as("t_us"),
         col("event_id").as("click_id"), col("value").as("click_value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
     graft.operators.AsOfJoin.asofJoin(
       purchases, clicks, "user_id", "t_us", Seq("click_id", "click_value"))
   }

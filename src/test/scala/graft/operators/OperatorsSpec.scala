@@ -103,6 +103,21 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall below theory floor")
   }
 
+  test("corpus separation margin backs q19's exact oracle") {
+    // The LSH path verifies candidates exactly (no false positives) and
+    // both engines filter j < 0.5 identically, so q19 can only diverge
+    // from the exact oracle by MISSING a pair with j just above the
+    // threshold: detection probability 1-(1-j⁴)¹⁶ is ≈0.64 at j=0.5 but
+    // ≥0.99999 by j=0.85. Assert the corpus has no pairs in the risky
+    // window so a regenerated corpus fails HERE, loudly, instead of
+    // flaking the hash gate (round-1 ADVICE). This corpus: one background
+    // pair at j=0.889 (p_miss ≈ 1.5e-7), planted dups ≥ 0.9.
+    val risky = TextDedup.exactJaccardPairs(docs, minJaccard = 0.5)
+      .filter(col("jaccard") < 0.85).count()
+    assert(risky === 0,
+      s"$risky pairs in jaccard [0.5, 0.85) — q19's exact-oracle assumption no longer holds")
+  }
+
   test("minhash_signature sketch: one-buffer aggregate matches per-perm semantics") {
     graft.functions.GraftFunctions.register(spark)
     val sh = TextDedup.shingles(docs).cache()
