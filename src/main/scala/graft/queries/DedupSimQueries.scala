@@ -188,8 +188,50 @@ object DedupSimQueries {
       VectorSearch.cosineNearDups(table(spark, dir, "embeddings"), minCosine = 0.4)
   }
 
+  /** Composed embedding-dedup SCALE path (q32's production form): sign-LSH
+    * bucket candidates → exact integer-cosine verify at the near-dup
+    * threshold 0.9. The raw corpus has no pairs ≥ 0.9, so the query plants
+    * doubled copies of vec_id < 10 (x + x is IEEE-exact in float AND
+    * double, so both engines quantize identically); the DuckDB oracle runs
+    * the quadratic exact join over the same union — equality proves the
+    * bucket path loses nothing in the regime it exists for. */
+  val q38EmbeddingDedupLsh: Q = Q(
+    "q38_embedding_dedup_lsh",
+    Some("""
+      WITH src AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000 AS vec_id, list_transform(embedding, x -> x + x) AS embedding
+        FROM embeddings WHERE vec_id < 10),
+      e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS v
+        FROM src),
+      idx AS (SELECT UNNEST(range(1, 65)) AS i),
+      n AS (
+        SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS n2
+        FROM e, idx GROUP BY 1),
+      pr AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(SUM(a.v[i] * b.v[i]) AS BIGINT) AS dot
+        FROM e a, e b, idx
+        WHERE a.vec_id < b.vec_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      FROM pr JOIN n na ON pr.a_id = na.vec_id JOIN n nb ON pr.b_id = nb.vec_id
+      WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9""")) {
+    (spark, dir) =>
+      val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000).as("vec_id"),
+        expr("transform(embedding, x -> x + x)").as("embedding"))
+      VectorSearch.cosineNearDupsLsh(emb.union(planted), minCosine = 0.9)
+  }
+
   val all: Seq[Q] = Seq(
     q18NgramJaccard, q19MinhashLsh, q20Simhash, q21KnnCosine,
     q28AnnLsh, q29MediaFeatures, q30RollingFingerprint, q32EmbeddingDedup,
-    q36IvfAnn)
+    q36IvfAnn, q38EmbeddingDedupLsh)
 }
