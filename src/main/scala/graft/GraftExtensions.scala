@@ -19,6 +19,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[graft.functions.DotProductI64].getName, "dot_i64"),
+      (children: Seq[Expression]) =>
+        graft.functions.DotProductI64(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[graft.functions.DotProductF64].getName, "dot_f64"),
+      (children: Seq[Expression]) =>
+        graft.functions.DotProductF64(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sqdist_f64"),
+      new ExpressionInfo(classOf[graft.functions.SqDistF64].getName, "sqdist_f64"),
+      (children: Seq[Expression]) =>
+        graft.functions.SqDistF64(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => {

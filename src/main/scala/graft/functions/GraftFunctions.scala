@@ -14,6 +14,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head))
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotProductI64].getName, "dot_i64"),
+      (children: Seq[Expression]) => DotProductI64(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),
+      (children: Seq[Expression]) => DotProductF64(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sqdist_f64"),
+      new ExpressionInfo(classOf[SqDistF64].getName, "sqdist_f64"),
+      (children: Seq[Expression]) => SqDistF64(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => {

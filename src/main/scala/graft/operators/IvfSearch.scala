@@ -68,6 +68,9 @@ object IvfSearch {
       sampleCap: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // sqdist_f64 (codegen kernel) is referenced inside SQL lambdas below,
+    // which resolve through the function registry
+    graft.functions.GraftFunctions.register(spark)
 
     val base = VectorSearch.withNorm(emb)
       .select(col("vec_id"), expr("transform(v, x -> cast(x as double))").as("vd"), col("n2"))
@@ -92,9 +95,7 @@ object IvfSearch {
     val centsSql = centroids
       .map(_.map(v => s"${v}D").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
-    val distsSql =
-      s"transform($centsSql, c -> aggregate(zip_with(vd, c, " +
-        "(x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x))"
+    val distsSql = s"transform($centsSql, c -> sqdist_f64(vd, c))"
 
     // distributed assignment: nearest centroid per vector (ties → lowest
     // cid, matching array_position's first-occurrence semantics)
@@ -123,7 +124,7 @@ object IvfSearch {
       .filter(col("qid") =!= col("nid"))
       .dropDuplicates("qid", "nid")
       .withColumn("cosine",
-        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+        VectorSearch.dotDouble("qv", "nv")
           / (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
     cands
       .withColumn("rnk", row_number().over(

@@ -1,16 +1,24 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.{DotProductF64, DotProductI64}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Spark-first: dot products and norms are `zip_with`/`aggregate` higher-
-  * order functions (codegen'd, no UDFs). The brute-force path is the exact
-  * baseline; [[annLsh]] is the scale path — random-hyperplane LSH buckets
-  * shrink the candidate set so the join is keyed on the bucket code instead
-  * of a full cross join.
+  * Spark-first: dot products and norms run through graft's codegen'd
+  * Catalyst kernels ([[graft.functions.DotProductI64]] /
+  * [[graft.functions.DotProductF64]]) — the equivalent `aggregate(
+  * zip_with(...))` higher-order functions are INTERPRETED per element,
+  * which dominates O(pairs × dim) scoring stages. The brute-force path is
+  * the exact baseline; [[annLsh]] is the scale path — random-hyperplane
+  * LSH buckets shrink the candidate set so the join is keyed on the
+  * bucket code instead of a full cross join.
   *
   * Determinism: the oracle-checked exact path quantizes each float to a
   * scaled integer (`floor(x * 2^24)` — float→double is exact, the double
@@ -28,16 +36,22 @@ object VectorSearch {
     emb
       .withColumn("v", expr(
         s"transform($vecCol, x -> cast(floor(cast(x as double) * $Scale) as bigint))"))
-      .withColumn("n2", expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("n2", dotExact("v", "v"))
 
-  /** Exact integer dot product of two scaled-integer array columns. */
+  /** Exact integer dot product of two scaled-integer array columns —
+    * the codegen'd [[graft.functions.DotProductI64]] kernel (same result
+    * as the interpreted `aggregate(zip_with(...))` form, minus the
+    * per-element lambda interpretation that dominates O(pairs × dim)
+    * verify stages). */
   def dotExact(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)")
+    ExpressionUtils.column(DotProductI64(
+      ExpressionUtils.expression(col(a)), ExpressionUtils.expression(col(b))))
 
-  /** Plain double dot product (fast path, not oracle-exact). */
+  /** Double-accumulated dot product (approximate re-rank path) — codegen'd
+    * [[graft.functions.DotProductF64]]. */
   def dotDouble(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+    ExpressionUtils.column(DotProductF64(
+      ExpressionUtils.expression(col(a)), ExpressionUtils.expression(col(b))))
 
   /** Brute-force cosine top-k: every query row against the whole corpus.
     * Exact and deterministic; O(|Q|·|C|·dim) — the correctness baseline and
@@ -117,15 +131,16 @@ object VectorSearch {
     Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** One sign-LSH code: bits = sign(v · h_p) for the table's hyperplanes. */
+  /** One sign-LSH code: bits = sign(v · h_p) for the table's hyperplanes —
+    * the hyperplane is a plan-constant array literal fed to the codegen'd
+    * dot kernel. */
   private def lshCode(vCol: String, table: Int, bitsPerTable: Int, dim: Int): Column =
     (0 until bitsPerTable).map { b =>
-      val arrSql = hyperplane(table * 1024 + b, dim)
-        .map(v => if (v > 0) "1.0D" else "-1.0D")
-        .mkString("array(", ",", ")")
-      val proj = expr(
-        s"aggregate(zip_with($vCol, $arrSql, (x, y) -> x * y), " +
-          "cast(0 as double), (acc, x) -> acc + x)")
+      val plane = Literal.create(
+        hyperplane(table * 1024 + b, dim).toArray,
+        ArrayType(DoubleType, containsNull = false))
+      val proj = ExpressionUtils.column(
+        DotProductF64(ExpressionUtils.expression(col(vCol)), plane))
       when(proj > 0, shiftleft(lit(1), b)).otherwise(lit(0))
     }.reduce(_ + _)
 
