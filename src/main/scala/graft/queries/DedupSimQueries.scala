@@ -13,7 +13,7 @@ import graft.operators.{Multimodal, TextDedup, VectorSearch}
   */
 object DedupSimQueries {
 
-  private val exactJaccardSql = """
+  private def exactJaccardSqlAt(minJaccard: String): String = s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
               FROM tok WHERE len(w) >= 3),
@@ -30,7 +30,9 @@ object DedupSimQueries {
       FROM inter it
       JOIN sz sa ON it.a_id = sa.doc_id
       JOIN sz sb ON it.b_id = sb.doc_id
-      WHERE it.i / (sa.n + sb.n - it.i) >= 0.5"""
+      WHERE it.i / (sa.n + sb.n - it.i) >= $minJaccard"""
+
+  private val exactJaccardSql = exactJaccardSqlAt("0.5")
 
   /** Exact all-pairs word-3-gram Jaccard ≥ 0.5 (small-scale/oracle path). */
   val q18NgramJaccard: Q = Q(
@@ -230,8 +232,27 @@ object DedupSimQueries {
       VectorSearch.cosineNearDupsLsh(emb.union(planted), minCosine = 0.9)
   }
 
+  /** SimHash as a PRODUCTION dedup pipeline (candidate-generate +
+    * exact-verify, like q19's MinHash shape): banded simhash pairs at
+    * Hamming ≤ 12 are the candidates, exact Jaccard ≥ 0.9 the verdict.
+    * Oracle = exact all-pairs Jaccard at 0.9 — equality holds because
+    * banded simhash recall of j ≥ 0.9 pairs is pinned by the
+    * `exact ⊆ sim` OperatorsSpec on this corpus, and verification removes
+    * every false candidate. (q20 remains the raw simhash surface,
+    * rows-only by design.) */
+  val q39SimhashVerified: Q = Q(
+    "q39_simhash_verified",
+    Some(exactJaccardSqlAt("0.9"))) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    val cands = TextDedup.simhashPairs(docs, maxHamming = 12)
+      .select(col("a_id"), col("b_id"))
+    TextDedup.jaccardFor(cands, TextDedup.shingles(docs))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   val all: Seq[Q] = Seq(
     q18NgramJaccard, q19MinhashLsh, q20Simhash, q21KnnCosine,
     q28AnnLsh, q29MediaFeatures, q30RollingFingerprint, q32EmbeddingDedup,
-    q36IvfAnn, q38EmbeddingDedupLsh)
+    q36IvfAnn, q38EmbeddingDedupLsh, q39SimhashVerified)
 }

@@ -23,9 +23,19 @@ object IO {
   def readTable(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
     spark.read.format(format).load(path)
 
-  /** S5 file source replacing the Excel ingest
-    * (`commute_validation.py:187-209`): explicit schema, header, UTF-8 —
-    * no schema inference at scale. */
+  /** S5 Excel source (`commute_validation.py:187-209`): graft's own
+    * DataSource V2 ([[graft.sources.xlsx.XlsxDataSource]]) — every cell a
+    * nullable string (Excel serials stay raw; the domain layer owns
+    * typing), one partition per workbook file. */
+  def readExcel(spark: SparkSession, path: String, sheet: Int = 1,
+      header: Boolean = true): DataFrame =
+    spark.read.format("xlsx")
+      .option("sheet", sheet.toString)
+      .option("header", header.toString)
+      .load(path)
+
+  /** S5 CSV alternative to the Excel ingest: explicit schema, header,
+    * UTF-8 — no schema inference at scale. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("header", "true")
