@@ -67,6 +67,30 @@ object Ops {
       .withColumn("start_datetime", timestamp_micros(col("start_datetime")))
       .filter(col("key_id").isNotNull && col("op").isin("c", "r", "u", "d"))
 
+  /** S5 adapter: the reference HR workbook (read via
+    * `spark.read.format("xlsx")` — French headers, every cell a raw
+    * string) → the canonical Employee schema. Excel stores numbers as
+    * doubles ("59019.0") and dates as day serials against the 1899-12-30
+    * epoch (F13, ref `commute_validation.py:187-209` does the same
+    * conversions in pandas). */
+  def fromHrWorkbook(hr: DataFrame): DataFrame = {
+    def num(c: String) = col(c).cast("double").cast("int")
+    def serialDate(c: String) =
+      date_add(lit("1899-12-30").cast("date"), col(c).cast("double").cast("int"))
+    hr.select(
+      num("ID salarié").as("id_employee"),
+      col("Prénom").as("first_name"),
+      col("Nom").as("last_name"),
+      serialDate("Date de naissance").as("birthday"),
+      col("BU").as("business_unity"),
+      serialDate("Date d'embauche").as("hire_date"),
+      num("Salaire brut").as("gross_salary"),
+      col("Type de contrat").as("constract_type"),
+      col("Adresse du domicile").as("address"),
+      col("Moyen de déplacement").as("transport_mode"),
+      num("Nombre de jours de CP").as("paid_leaved_days"))
+  }
+
   /** A1 (ref `read_delta.py:114-127`): one row per employee — partial
     * aggregation map-side, single shuffle on id_employee. */
   def aggregateActivities(activities: DataFrame): DataFrame =

@@ -52,6 +52,38 @@ class XlsxSourceSpec extends SparkSpec {
     assert(df.count() === 161)
   }
 
+  test("reference HR workbook flows through the full domain pipeline") {
+    assume(refXlsx.nonEmpty && new java.io.File(refXlsx).exists())
+    import graft.domain.{Model, Ops}
+    import spark.implicits._
+    val employees = Ops.fromHrWorkbook(IO.readExcel(spark, refXlsx))
+    // typing holds against the canonical Employee model (real ids, serial
+    // dates decoded, XML entities like R&D resolved)
+    val typed = employees.as[Model.Employee].collect()
+    assert(typed.length === 161)
+    assert(typed.map(_.id_employee).distinct.length === 161)
+    assert(typed.forall(e => e.birthday.toLocalDate.getYear >= 1930 &&
+      e.birthday.toLocalDate.getYear <= 2010))
+    assert(typed.forall(e => e.hire_date.toLocalDate.getYear >= 2000))
+    assert(typed.exists(_.business_unity == "R&D"))
+    assert(typed.forall(_.gross_salary > 0))
+    // the reference's own transport vocabulary drives the validity rules
+    val modes = typed.map(_.transport_mode).toSet
+    assert(Model.SportyModes.subsetOf(modes), s"modes: $modes")
+    // full pipeline over the real file: validate → join → benefit report
+    val validations = Ops.validateCommutes(employees)
+    val report = Ops.benefitReport(
+      Ops.buildFinal(employees, validations,
+        graft.domain.Fixtures.activities(spark, 5, 10)))
+    val rows = report.collect()
+    assert(rows.length === 161)
+    rows.foreach { r =>
+      val valid = r.getBoolean(r.fieldIndex("commute_valid"))
+      val prime = r.getDouble(r.fieldIndex("commute_prime"))
+      assert(if (valid) prime > 0 else prime == 0.0)
+    }
+  }
+
   test("cell-reference decoding handles multi-letter columns") {
     assert(XlsxParse.colIndex("A1") === 0)
     assert(XlsxParse.colIndex("B3") === 1)
