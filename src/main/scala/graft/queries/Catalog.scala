@@ -142,10 +142,77 @@ object Catalog {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Range join (q40): purchases attributed to the clicks whose 1-hour
+    * window contains them — [[graft.operators.RangeJoin]]'s binned
+    * equi-join composition vs DuckDB's native non-equi join. The naive
+    * Spark plan for this predicate is a BroadcastNestedLoopJoin;
+    * the operator replaces it with a (user, time-bin)-keyed shuffle. */
+  val q40AttributionWindow: Q = Q(
+    "q40_attribution_window",
+    Some("""
+      WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, event_id AS click_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+            FROM events WHERE event_type = 'click')
+      SELECT c.click_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM c JOIN p ON p.user_id = c.user_id
+        AND p.t >= c.t AND p.t <= c.t + 3600000000
+      GROUP BY 1""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    val ev = table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("p_t"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("c_start"),
+        (expr("ts div 1000") + lit(3600000000L)).as("c_end"))
+    graft.operators.RangeJoin.pointInInterval(
+      purchases, clicks, "user_id", "p_t", "c_start", "c_end",
+      binWidth = 3600000000L)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
+  /** PIVOT (§2.6 extension): returnflag × linestatus contingency counts;
+    * absent combinations emitted as 0 in both engines. */
+  val q41Pivot: Q = Q(
+    "q41_pivot",
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+      FROM lineitem GROUP BY l_returnflag""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .count()
+      .na.fill(0L, Seq("F", "O"))
+  }
+
+  /** Exact interpolated quantiles (§2.5 extension): both engines implement
+    * type-7 linear interpolation; l_quantity is integer-valued, so the
+    * interpolation arithmetic is exact in IEEE doubles on both sides. */
+  val q42Quantiles: Q = Q(
+    "q42_quantiles",
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q25,
+             quantile_cont(l_quantity, 0.5) AS median,
+             quantile_cont(l_quantity, 0.75) AS q75
+      FROM lineitem GROUP BY l_returnflag""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, expr}
+    table(spark, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q75"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
-        q37AboveNationAvg)
+        q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

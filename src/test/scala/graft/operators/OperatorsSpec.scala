@@ -181,6 +181,36 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.collect().isEmpty)
   }
 
+  test("range join: binned composition == naive non-equi join; no nested-loop plan") {
+    val ev = graft.Tables.table(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("p_t"))
+    val iv = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("c_start"),
+        (expr("ts div 1000") + lit(3600000000L)).as("c_end"))
+    val naive = p.join(iv.withColumnRenamed("user_id", "iv_uid"),
+        col("user_id") === col("iv_uid") &&
+          col("p_t") >= col("c_start") && col("p_t") <= col("c_end"))
+      .select(col("event_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binnedDf = RangeJoin.pointInInterval(
+      p, iv, "user_id", "p_t", "c_start", "c_end", binWidth = 3600000000L)
+    val binned = binnedDf.select(col("event_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(binned === naive)
+    val plan = binnedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a quadratic plan:\n$plan")
+    // mis-sized bins must still be correct (intervals explode into more bins)
+    val narrow = RangeJoin.pointInInterval(
+      p, iv, "user_id", "p_t", "c_start", "c_end", binWidth = 600000000L)
+      .select(col("event_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrow === naive)
+  }
+
   test("rolling_hash: codegen result matches reference implementation") {
     graft.functions.GraftFunctions.register(spark)
     def ref(s: String): Long = {
