@@ -23,7 +23,8 @@ case class MediaFeature(
   */
 object Multimodal {
 
-  /** Stand-in media table: text bytes as the blob, source-derived modality. */
+  /** Stand-in media table: text bytes as the blob, source-derived modality
+    * (length-based so the derivation is engine-portable for the oracle). */
   def toMedia(docs: DataFrame): Dataset[MediaItem] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -31,7 +32,7 @@ object Multimodal {
       col("doc_id"),
       element_at(
         typedLit(Seq("image", "audio", "video")),
-        (pmod(xxhash64(col("source")), lit(3)) + 1).cast("int")).as("modality"),
+        (length(col("source")) % 3 + 1).cast("int")).as("modality"),
       col("n_chars"),
       col("text").cast("binary").as("bytes"))
       .as[MediaItem]

@@ -137,8 +137,33 @@ object DedupSimQueries {
       graft.operators.IvfSearch.ivfTopK(emb, k = 5, nProbe = 8), emb, minRecall = 0.5)
   }
 
-  /** Multimodal decode plumbing (stubbed codec; deterministic features). */
-  val q29MediaFeatures: Q = Q("q29_media_features", None) { (spark, dir) =>
+  /** Multimodal decode plumbing (stubbed codec; deterministic features).
+    * Even the STUB is oracle-checked: its pseudo-features derive from the
+    * Java 32-bit array-hash of the UTF-8 bytes (`h = 31h + b` with int
+    * wraparound), which DuckDB replicates with list_reduce + explicit
+    * mod-2^32 arithmetic — so the whole mapPartitions plumbing (typed
+    * Dataset, per-partition decode, schema) is verified end-to-end, and a
+    * real codec drops into `extractFeatures` without touching the query. */
+  val q29MediaFeatures: Q = Q(
+    "q29_media_features",
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               (['image','audio','video'])[(length(source) % 3) + 1] AS modality,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               list_reduce(
+                 list_prepend(CAST(1 AS BIGINT),
+                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (h, b) -> ((((h * 31 + b + 2147483648) % 4294967296) + 4294967296) % 4294967296) - 2147483648) AS h
+        FROM documents)
+      SELECT doc_id, modality, n_bytes,
+             CAST(16 + ((h % 1024) + 1024) % 1024 AS INTEGER) AS width,
+             -- Java >> floors; DuckDB integer // truncates toward zero, so
+             -- shift via exact double floor-division (powers of two ≤ 2^31
+             -- are exact in doubles)
+             CAST(16 + ((CAST(floor(h / 1024.0) AS BIGINT) % 1024) + 1024) % 1024 AS INTEGER) AS height,
+             CAST(1 + ((CAST(floor(h / 1048576.0) AS BIGINT) % 4) + 4) % 4 AS INTEGER) AS channels
+      FROM m""")) { (spark, dir) =>
     Multimodal.extractFeatures(Multimodal.toMedia(table(spark, dir, "documents"))).toDF()
   }
 
