@@ -149,7 +149,8 @@ object Catalog {
     * the operator replaces it with a (user, time-bin)-keyed shuffle. */
   val q40AttributionWindow: Q = Q(
     "q40_attribution_window",
-    Some("""
+    headline = true,
+    oracle = Some("""
       WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
                  FROM events WHERE event_type = 'purchase'),
       c AS (SELECT user_id, event_id AS click_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
@@ -209,10 +210,31 @@ object Catalog {
         expr("percentile(l_quantity, 0.75)").as("q75"))
   }
 
+  /** Approximate quantile sketch (§2.5, q31's gate pattern): Spark's
+    * percentile_approx (GK sketch) checked against the exact median —
+    * emitted as the SQL-exact value + a deterministic tolerance boolean,
+    * since sketch internals are engine-specific. */
+  val q43ApproxQuantile: Q = Q(
+    "q43_approx_quantile",
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS median_exact,
+             TRUE AS approx_ok
+      FROM lineitem GROUP BY l_returnflag""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{abs, col, expr, lit}
+    table(spark, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_exact"),
+        expr("percentile_approx(l_quantity, 0.5, 1000)").as("approx"))
+      .select(col("l_returnflag"), col("median_exact"),
+        (abs(col("approx") - col("median_exact")) <= lit(2.0)).as("approx_ok"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
-        q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles)
+        q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
+        q43ApproxQuantile)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

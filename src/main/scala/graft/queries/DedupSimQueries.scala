@@ -224,7 +224,8 @@ object DedupSimQueries {
     * bucket path loses nothing in the regime it exists for. */
   val q38EmbeddingDedupLsh: Q = Q(
     "q38_embedding_dedup_lsh",
-    Some("""
+    headline = true,
+    oracle = Some("""
       WITH src AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
@@ -254,7 +255,12 @@ object DedupSimQueries {
       val planted = emb.filter(col("vec_id") < 10).select(
         (col("vec_id") + 1000).as("vec_id"),
         expr("transform(embedding, x -> x + x)").as("embedding"))
-      VectorSearch.cosineNearDupsLsh(emb.union(planted), minCosine = 0.9)
+      // 10-bit codes: 1024 buckets/table bounds candidate pairs as the
+      // corpus grows (bits is the bucket-width knob — scale it with
+      // log2(n)); duplicate-level pairs (cos ≈ 1) have identical sign
+      // codes, so recall stays ≈ 1 at any width
+      VectorSearch.cosineNearDupsLsh(emb.union(planted), minCosine = 0.9,
+        nBits = 10, nTables = 16)
   }
 
   /** SimHash as a PRODUCTION dedup pipeline (candidate-generate +
