@@ -230,11 +230,43 @@ object Catalog {
         (abs(col("approx") - col("median_exact")) <= lit(2.0)).as("approx_ok"))
   }
 
+  /** Native session windows (q44): Spark's `session_window` operator vs a
+    * lag-based oracle. Boundary semantics: session_window's end is
+    * EXCLUSIVE (an event exactly gap-after the last starts a NEW session),
+    * so the oracle's new-session rule is `gap >= 1800s` — unlike q16's
+    * lag formulation which uses `>` (both are valid sessionizations; each
+    * query states its rule). */
+  val q44SessionWindow: Q = Q(
+    "q44_session_window",
+    Some("""
+      WITH x AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      y AS (
+        SELECT user_id,
+               CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM x)
+      SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM y GROUP BY user_id""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions._
+    table(spark, dir, "events")
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tst"))
+      .groupBy(col("user_id"), session_window(col("tst"), "30 minutes"))
+      .agg(count(lit(1)).as("n_in_session"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_in_session")).as("n_events"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
-        q43ApproxQuantile)
+        q43ApproxQuantile, q44SessionWindow)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
