@@ -60,6 +60,32 @@ class PropertySpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("range join ≡ naive non-equi join over random intervals, any bin width") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // random points and variable-length intervals, including zero-length
+    // and bin-straddling ones; three bin widths, none aligned to the data
+    val points = (1 to 800).map { i =>
+      (rnd.nextInt(20), i.toLong, rnd.nextLong(100000L))
+    }.toDF("k", "pid", "t")
+    val intervals = (1 to 300).map { i =>
+      val s = rnd.nextLong(100000L)
+      (rnd.nextInt(20), i.toLong, s, s + rnd.nextLong(5000L))
+    }.toDF("k", "iid", "s", "e")
+    val naive = points.join(intervals.withColumnRenamed("k", "ik"),
+        col("k") === col("ik") && col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    Seq(100L, 1777L, 50000L).foreach { bw =>
+      val binned = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "k", "t", "s", "e", binWidth = bw)
+        .select("pid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned === naive, s"binWidth=$bw diverged")
+    }
+  }
+
   test("salted join ≡ plain join on skewed data") {
     val spark = SparkSpec.session
     import spark.implicits._
