@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection over a (doc_id, text) corpus.
   *
@@ -19,6 +20,18 @@ import org.apache.spark.sql.functions._
   * with the exact Jaccard.
   */
 object TextDedup {
+
+  /** Materialize an intermediate relation that the pipeline consumes more
+    * than once. The shingle relation feeds the signature aggregate, BOTH
+    * sides of the verify self-join, and the set-size aggregate — four
+    * consumers whose exchanges differ, so Catalyst's ReuseExchange cannot
+    * collapse them and an unpersisted plan re-runs the tokenize + explode +
+    * distinct pipeline (the most expensive scan in the corpus) once per
+    * consumer. MEMORY_AND_DISK so oversized corpora spill instead of OOM;
+    * blocks are LRU-evicted under pressure, and callers running many
+    * pipelines back-to-back can `spark.catalog.clearCache()`. */
+  private def materialize(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** (doc_id, shingle) distinct word n-grams, computed without UDFs. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
@@ -51,7 +64,10 @@ object TextDedup {
   }
 
   /** Exact Jaccard over the given candidate (a_id, b_id) pairs. */
-  def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  def jaccardFor(pairs: DataFrame, sh0: DataFrame): DataFrame = {
+    // sh feeds sizes + both join sides; re-materializing an already-cached
+    // plan is a no-op, so callers may pass a persisted relation
+    val sh = materialize(sh0)
     val sizes = shingleSizes(sh)
     val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
     val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
@@ -72,7 +88,9 @@ object TextDedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh = maxShingleDf.fold(shingles(docs, n))(capShingleDf(shingles(docs, n), _))
+    // sh feeds sizes + both join sides — materialize once (see [[materialize]])
+    val sh = materialize(
+      maxShingleDf.fold(shingles(docs, n))(m => capShingleDf(materialize(shingles(docs, n)), m)))
     val sizes = shingleSizes(sh)
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -131,7 +149,10 @@ object TextDedup {
     // The optional DF cap applies to BOTH the signature and the verify
     // relation, so the reported Jaccard is consistently "over non-stop
     // shingles". Default off: the oracle (exact all-pairs SQL) has no cap.
-    val sh = maxShingleDf.fold(shingles(docs, n))(capShingleDf(shingles(docs, n), _))
+    // sh feeds the signature aggregate, both verify sides, and the size
+    // aggregate — materialize once (see [[materialize]]).
+    val sh = materialize(
+      maxShingleDf.fold(shingles(docs, n))(m => capShingleDf(materialize(shingles(docs, n)), m)))
     val cands = lshCandidates(
       lshBandsFromSig(minhashSignaturesSketch(sh, bands * rowsPerBand), bands, rowsPerBand))
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
@@ -159,7 +180,7 @@ object TextDedup {
   /** All-pairs SimHash comparison — O(n²) cross join, the small-corpus
     * baseline that [[simhashPairs]]' banded path is spec-checked against. */
   def simhashPairsAllPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    val s = simhash(docs)
+    val s = materialize(simhash(docs))
     val a = s.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
     val b = s.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
     a.crossJoin(b)
@@ -188,7 +209,8 @@ object TextDedup {
       s"exactness needs bands > maxHamming (got $bands <= $maxHamming)")
     val bits = 64 / bands
     val mask = (1L << bits) - 1
-    val s = simhash(docs)
+    // both band-join sides derive from s — compute the signature agg once
+    val s = materialize(simhash(docs))
     val banded = s.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(lit(mask))): _*))

@@ -31,6 +31,12 @@ object VectorSearch {
 
   private val Scale = "16777216.0" // 2^24
 
+  /** Materialize a relation consumed by several downstream plans (bucket
+    * coding + both sides of the verify re-join). MEMORY_AND_DISK: spills
+    * instead of OOM, LRU-evicted under pressure. */
+  private def materialize(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Scaled-integer embedding plus exact integer squared-norm. */
   def withNorm(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
     emb
@@ -101,23 +107,27 @@ object VectorSearch {
   def cosineNearDupsLsh(
       emb: DataFrame, minCosine: Double,
       nBits: Int = 5, nTables: Int = 16, dim: Int = 64): DataFrame = {
-    val base = withNorm(emb)
+    // base feeds the bucket codes AND both sides of the verify re-join —
+    // materialize once so the scan + quantize runs a single time.
+    val base = materialize(withNorm(emb).select(col("vec_id"), col("v"), col("n2")))
     val codeCols = (0 until nTables).map(t =>
       lshCode("v", t, nBits, dim).as(s"code_$t"))
-    val coded = base.select(
-      (Seq(col("vec_id"), col("v"), col("n2")) ++ codeCols): _*)
-    val buckets = coded.select(col("vec_id"), col("v"), col("n2"),
-      posexplode(array((0 until nTables).map(t => col(s"code_$t")): _*))
-        .as(Seq("tbl", "code")))
-    val a = buckets.select(col("tbl"), col("code"),
-      col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"))
-    val b = buckets.select(col("tbl"), col("code"),
-      col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"))
-    a.join(b, Seq("tbl", "code"))
+    // Candidates travel as bare (a_id, b_id): the bucket join and the
+    // dedup shuffle carry 16 bytes/pair instead of two dim-element vectors
+    // (~1 KB/pair at dim=64) — at 100 TB the dedup shuffle volume is
+    // |candidates| × id-width, and vectors are joined back exactly once
+    // for the verify stage.
+    val buckets = base.select(col("vec_id"),
+      posexplode(array(codeCols: _*)).as(Seq("tbl", "code")))
+    val cands = buckets.select(col("tbl"), col("code"), col("vec_id").as("a_id"))
+      .join(buckets.select(col("tbl"), col("code"), col("vec_id").as("b_id")),
+        Seq("tbl", "code"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("av"), col("an2"),
-        col("b_id"), col("bv"), col("bn2"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+    cands
+      .join(base.select(col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2")), "b_id")
       .withColumn("cosine",
         dotExact("av", "bv").cast("double")
           / (sqrt(col("an2").cast("double")) * sqrt(col("bn2").cast("double"))))
@@ -152,26 +162,25 @@ object VectorSearch {
   def annLsh(
       emb: DataFrame, k: Int, nBits: Int = 5, nTables: Int = 16,
       dim: Int = 64): DataFrame = {
-    val base = withNorm(emb)
+    // Same id-only candidate shape as [[cosineNearDupsLsh]]: dedup bare
+    // (qid, nid), re-join vectors once for the re-rank.
+    val base = materialize(withNorm(emb).select(col("vec_id"), col("v"), col("n2")))
     val codeCols = (0 until nTables).map(t =>
       lshCode("v", t, nBits, dim).as(s"code_$t"))
-    val coded = base.select(
-      (Seq(col("vec_id"), col("v"), col("n2")) ++ codeCols): _*)
-    val buckets = coded.select(col("vec_id"), col("v"), col("n2"),
-      posexplode(array((0 until nTables).map(t => col(s"code_$t")): _*))
-        .as(Seq("tbl", "code")))
-    val q = buckets.select(col("tbl"), col("code"),
-      col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-    val c = buckets.select(col("tbl"), col("code"),
-      col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2"))
-    val cands = q.join(c, Seq("tbl", "code"))
+    val buckets = base.select(col("vec_id"),
+      posexplode(array(codeCols: _*)).as(Seq("tbl", "code")))
+    val cands = buckets.select(col("tbl"), col("code"), col("vec_id").as("qid"))
+      .join(buckets.select(col("tbl"), col("code"), col("vec_id").as("nid")),
+        Seq("tbl", "code"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("qn2"),
-        col("nid"), col("nv"), col("nn2"))
+      .select(col("qid"), col("nid"))
       .dropDuplicates("qid", "nid")
-    val scored = cands.withColumn("cosine",
-      dotDouble("qv", "nv")
-        / (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+    val scored = cands
+      .join(base.select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("v").as("nv"), col("n2").as("nn2")), "nid")
+      .withColumn("cosine",
+        dotDouble("qv", "nv")
+          / (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -90,8 +90,9 @@ object DedupSimQueries {
         SELECT qid, nid, cosine,
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rnk
         FROM c)
-      SELECT qid, nid, rnk, cosine FROM r WHERE rnk <= 5"""),
-    headline = true) { (spark, dir) =>
+      SELECT qid, nid, rnk, cosine FROM r WHERE rnk <= 5""")) { (spark, dir) =>
+    // not a bench headline (round-4 swap): brute-force-by-design exact
+    // baseline — the production-shape ANN paths q28/q36 are headlined
     val emb = table(spark, dir, "embeddings")
     VectorSearch.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
   }
@@ -124,14 +125,16 @@ object DedupSimQueries {
       FROM embeddings WHERE vec_id < 100"""
 
   /** Sign-LSH-bucketed ANN (scale path), oracle-gated via the recall row. */
-  val q28AnnLsh: Q = Q("q28_ann_lsh", Some(annRecallOracle)) { (spark, dir) =>
+  val q28AnnLsh: Q = Q("q28_ann_lsh", Some(annRecallOracle),
+    headline = true) { (spark, dir) =>
     val emb = table(spark, dir, "embeddings")
     annRecallGate(VectorSearch.annLsh(emb, k = 5), emb, minRecall = 0.5)
   }
 
   /** IVF-bucketed ANN (scale path #2), oracle-gated via the recall row.
     * nProbe=8 of 16 cells: measured recall 0.83+ at the gate SFs. */
-  val q36IvfAnn: Q = Q("q36_ivf_ann", Some(annRecallOracle)) { (spark, dir) =>
+  val q36IvfAnn: Q = Q("q36_ivf_ann", Some(annRecallOracle),
+    headline = true) { (spark, dir) =>
     val emb = table(spark, dir, "embeddings")
     annRecallGate(
       graft.operators.IvfSearch.ivfTopK(emb, k = 5, nProbe = 8), emb, minRecall = 0.5)

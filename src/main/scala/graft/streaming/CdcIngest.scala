@@ -71,12 +71,15 @@ object CdcIngest {
     * Serializable) callback instead of a hard-wired Slack webhook.
     * Delivery runs `foreachPartition` on the EXECUTORS — the commented
     * subset is never collected to the driver, so a high-comment-rate batch
-    * can't blow the driver heap at scale; callbacks see bounded
-    * per-partition groups they can rate-limit individually. */
+    * can't blow the driver heap at scale — and each partition iterator is
+    * streamed to the callback in groups of `chunkSize`, so even a single
+    * huge partition never materializes in executor memory; callbacks see
+    * bounded groups they can rate-limit individually. */
   def startNotifier(
       raw: DataFrame,
       notify: Seq[Row] => Unit,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      chunkSize: Int = 500): StreamingQuery =
     pipeline(raw)
       .filter(col("comment").isNotNull)
       .writeStream
@@ -84,8 +87,9 @@ object CdcIngest {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         batch.foreachPartition { (it: Iterator[Row]) =>
-          val rows = it.toSeq
-          if (rows.nonEmpty) notify(rows)
+          it.grouped(chunkSize).foreach { rows =>
+            if (rows.nonEmpty) notify(rows)
+          }
         }
       }
       .start()
@@ -95,14 +99,23 @@ object CdcIngest {
     * rows; SURVEY §7.1 names the upsert path as the natural extension):
     * per micro-batch, keep the NEWEST event per key (ts_ms, then op, for a
     * deterministic pick), upsert c/r/u after-images and apply d as row
-    * removal. Plain-parquet implementation rewrites the keyed table
-    * through a staging directory + rename — exactly what Delta's
-    * `MERGE INTO` does transactionally; with delta-spark on the classpath
-    * the `foreachBatch` body becomes a one-line MERGE and the streaming
-    * scaffolding is unchanged. */
-  def upsertBatch(batch: DataFrame, path: String): Unit = {
+    * removal.
+    *
+    * Plain-parquet implementation is BUCKETED so the merge is O(batch),
+    * not O(table): the keyed table lives as `bucket=<pmod(xxhash64(id),
+    * nBuckets)>` partition directories; a micro-batch reads ONLY the
+    * buckets containing touched keys (partition pruning on the directory
+    * column), anti-joins the touched keys, and swaps ONLY those bucket
+    * directories via staging + per-bucket rename — untouched buckets are
+    * never read or rewritten. Size nBuckets so table/nBuckets ≈ a few
+    * hundred MB at the target scale; Delta's `MERGE INTO` (a one-line
+    * foreachBatch body with delta-spark on the classpath) is the
+    * transactional form of exactly this file-pruned rewrite. */
+  def upsertBatch(batch: DataFrame, path: String, nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     import org.apache.hadoop.fs.Path
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key_id"))
       .orderBy(col("ts_ms").desc, col("op").desc)
@@ -110,21 +123,38 @@ object CdcIngest {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+      .withColumn("bucket", bucketOf(col("key_id")))
     val rowCols = batch.columns.filterNot(Set("key_id", "op", "ts_ms")).toSeq
-    val upserts = latest.filter(col("op") =!= "d").select(rowCols.map(col): _*)
-    val touched = latest.select(col("key_id"))
+    val upserts = latest.filter(col("op") =!= "d")
+      .select((rowCols.map(col) :+ col("bucket")): _*)
+    val touched = latest.select(col("key_id"), col("bucket"))
+    // bounded by nBuckets — a tiny driver-side list, not table data
+    val touchedBuckets: Seq[Int] =
+      touched.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(target) &&
+      fs.listStatus(target).exists(_.getPath.getName.startsWith("bucket="))
     val merged =
-      if (fs.exists(target)) {
+      if (hasData) {
+        // partition pruning: only touched bucket directories are listed/read
         val current = spark.read.parquet(path)
+          .filter(col("bucket").isin(touchedBuckets: _*))
         current.join(touched, current("id") === touched("key_id"), "left_anti")
           .unionByName(upserts)
       } else upserts
     val staged = new Path(path + ".staged")
-    merged.write.mode("overwrite").parquet(staged.toString)
-    fs.delete(target, true)
-    fs.rename(staged, target)
+    fs.delete(staged, true)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(staged.toString)
+    if (!fs.exists(target)) fs.mkdirs(target)
+    touchedBuckets.foreach { b =>
+      val src = new Path(staged, s"bucket=$b")
+      val dst = new Path(target, s"bucket=$b")
+      fs.delete(dst, true)
+      // a bucket whose rows were all deleted stages no directory
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(staged, true)
   }
 
   /** K1 upsert variant: decode WITH op handling and maintain the current

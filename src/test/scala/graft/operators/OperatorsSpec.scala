@@ -118,6 +118,29 @@ class OperatorsSpec extends SparkSpec {
       s"$risky pairs in jaccard [0.5, 0.85) — q19's exact-oracle assumption no longer holds")
   }
 
+  test("corpus separation margin backs q39's exact oracle") {
+    // q39 = banded-simhash candidates (Hamming ≤ 12) verified by exact
+    // Jaccard ≥ 0.9, so it can only diverge from the exact oracle by
+    // MISSING a j ≥ 0.9 pair whose simhash Hamming exceeds the band
+    // radius. Mirror q19's guard: every qualifying pair must sit
+    // comfortably INSIDE the radius, so a regenerated corpus fails here,
+    // loudly, instead of flaking the q39 hash gate.
+    val exact = TextDedup.exactJaccardPairs(docs, minJaccard = 0.9)
+      .select(col("a_id"), col("b_id"))
+    val s = TextDedup.simhash(docs)
+    val ham = exact
+      .join(s.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
+      .select(bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+    assert(ham.count() > 0, "corpus should contain j >= 0.9 pairs")
+    // measured on this corpus: worst pair at hamming 10 (2 bits inside the
+    // radius) — hamming ≤ 12 IS the gate assumption, asserted verbatim
+    val maxH = ham.agg(max(col("hamming"))).head().getInt(0)
+    assert(maxH <= 12,
+      s"a j>=0.9 pair sits at simhash hamming $maxH > q39's band radius 12 — " +
+        "banded candidates would miss it and the q39 oracle gate would fail")
+  }
+
   test("minhash_signature sketch: one-buffer aggregate matches per-perm semantics") {
     graft.functions.GraftFunctions.register(spark)
     val sh = TextDedup.shingles(docs).cache()

@@ -13,10 +13,15 @@ import graft.domain.Fixtures
   * unlike a captured local buffer. */
 object NotifierProbe {
   private val delivered = scala.collection.mutable.ArrayBuffer.empty[Row]
-  def add(rows: Seq[Row]): Unit = delivered.synchronized { delivered ++= rows }
+  private val groups = scala.collection.mutable.ArrayBuffer.empty[Int]
+  def add(rows: Seq[Row]): Unit = delivered.synchronized {
+    delivered ++= rows
+    groups += rows.size
+  }
   def size: Int = delivered.synchronized(delivered.size)
   def snapshot: Seq[Row] = delivered.synchronized(delivered.toList)
-  def reset(): Unit = delivered.synchronized(delivered.clear())
+  def groupSizes: Seq[Int] = delivered.synchronized(groups.toList)
+  def reset(): Unit = delivered.synchronized { delivered.clear(); groups.clear() }
 }
 
 class CdcIngestSpec extends SparkSpec {
@@ -84,6 +89,28 @@ class CdcIngestSpec extends SparkSpec {
     assert(NotifierProbe.snapshot.forall(r => !r.isNullAt(r.fieldIndex("comment"))))
   }
 
+  test("notifier: partition iterators are delivered in bounded chunks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    NotifierProbe.reset()
+    val source = MemoryStream[String]
+    source.addData(envelopeStrings: _*)
+    val q = CdcIngest.startNotifier(
+      source.toDF(),
+      rows => NotifierProbe.add(rows),
+      trigger = Trigger.AvailableNow(),
+      chunkSize = 3)
+    q.awaitTermination(60000)
+    val expected = graft.domain.Ops.decodeCdc(
+      Fixtures.cdcEnvelopes(spark, 5, 20))
+      .filter(col("comment").isNotNull).count()
+    // nothing lost to chunking, and no callback ever sees more than the
+    // chunk bound — a huge partition can't materialize in executor memory
+    assert(NotifierProbe.size.toLong === expected)
+    assert(NotifierProbe.groupSizes.nonEmpty)
+    assert(NotifierProbe.groupSizes.forall(s => s > 0 && s <= 3))
+  }
+
   test("deduped pipeline: duplicated envelope delivery collapses to one row per id") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -129,6 +156,52 @@ class CdcIngestSpec extends SparkSpec {
     assert(out.select("id").collect().map(_.getInt(0)).toSet === Set(1, 2, 4))
     assert(out.filter(col("id") === 2).select("sport_type").head().getString(0) === "swim")
     assert(out.filter(col("id") === 2).select("id_employee").head().getInt(0) === 20)
+  }
+
+  test("upsert ingest: merge is O(batch) — untouched bucket files are not rewritten") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_upsert_bkt").toString
+    // batch 1: 8 inserts spread over the 16 hash buckets
+    val s1 = MemoryStream[String]
+    s1.addData((1 to 8).map(i => env("c", i, "run", 1000L + i)): _*)
+    CdcIngest.startUpsertIngest(s1.toDF(), s"$dir/data", s"$dir/chk1",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+
+    // per bucket dir: file name → mtime (parquet files only)
+    def bucketFiles(): Map[String, Map[String, Long]] = {
+      val root = new java.io.File(s"$dir/data")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> f.lastModified()).toMap
+        }.toMap
+    }
+    val before = bucketFiles()
+    assert(before.keySet.size >= 2, s"ids 1..8 must span >=2 buckets, got $before")
+
+    // the bucket id 1 hashes to, computed with the SAME expression the sink
+    // uses (int key → xxhash64 → pmod 16)
+    val b1 = Seq(1).toDF("key_id")
+      .select(pmod(xxhash64(col("key_id")), lit(16L)).cast("int")).head().getInt(0)
+    Thread.sleep(1100) // FS mtime granularity
+
+    // batch 2: update ONLY id 1
+    val s2 = MemoryStream[String]
+    s2.addData(env("u", 1, "swim", 9999))
+    CdcIngest.startUpsertIngest(s2.toDF(), s"$dir/data", s"$dir/chk2",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    val after = bucketFiles()
+
+    // touched bucket rewritten, every other bucket byte-identical on disk
+    assert(after(s"bucket=$b1") !== before(s"bucket=$b1"))
+    (before - s"bucket=$b1").foreach { case (bucket, files) =>
+      assert(after(bucket) === files, s"$bucket was rewritten by an unrelated batch")
+    }
+    // and the merge still converges
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.count() === 8)
+    assert(out.filter(col("id") === 1).select("sport_type").head().getString(0) === "swim")
   }
 
   test("metrics listener accumulates progress") {
