@@ -52,7 +52,9 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     val header = options.getBoolean("header", true)
     val sheet = options.getOrDefault("sheet", "1")
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val rows = XlsxParse.readRows(conf, paths.head, sheet)
+    // header row only — the StAX scan stops after the first row instead of
+    // materializing the whole sheet on the driver
+    val rows = XlsxParse.readRows(conf, paths.head, sheet, maxRows = 1)
     val first = rows.headOption.getOrElse(Array.empty[String])
     val names =
       if (header) first.zipWithIndex.map { case (n, i) => if (n == null || n.isEmpty) s"c$i" else n }
@@ -216,10 +218,14 @@ private[xlsx] object XlsxParse {
     acc - 1
   }
 
-  /** All rows of `xl/worksheets/sheet<sheet>.xml` as string arrays (null =
-    * missing cell). Cell types: `s` shared string, `inlineStr` inline,
-    * otherwise the raw `<v>` text (numbers, bools, dates-as-serials). */
-  def readRows(conf: Configuration, path: String, sheet: String): Seq[Array[String]] = {
+  /** Rows of `xl/worksheets/sheet<sheet>.xml` as string arrays (null =
+    * missing cell), up to `maxRows` — the scan STOPS there (schema
+    * inference reads just the header row; a data read takes everything).
+    * Cell types: `s` shared string, `inlineStr` inline, otherwise the raw
+    * `<v>` text (numbers, bools, dates-as-serials). */
+  def readRows(
+      conf: Configuration, path: String, sheet: String,
+      maxRows: Int = Int.MaxValue): Seq[Array[String]] = {
     val shared = sharedStrings(conf, path)
     openEntry(conf, path, s"xl/worksheets/sheet$sheet.xml") match {
       case None => throw new IllegalArgumentException(s"xlsx: sheet $sheet not found in $path")
@@ -233,7 +239,7 @@ private[xlsx] object XlsxParse {
           var cellType = ""
           var nextCol = 0
           var capture = false
-          while (r.hasNext) {
+          while (r.hasNext && rows.size < maxRows) {
             r.next() match {
               case XMLStreamConstants.START_ELEMENT =>
                 r.getLocalName match {

@@ -120,4 +120,58 @@ class IOAndStreamingSpec extends SparkSpec {
     assert(closed.length === 1)
     assert(closed(0).user_id === 1L && closed(0).n_events === 2L)
   }
+
+  test("event-time sessionization: out-of-order replay converges to the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Sessionize.Event]
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    val q = Sessionize.sessionsEventTime(spark, source.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("esess_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1 (in order): user 1 at 00:00 and 00:50 — provisionally TWO
+      // sessions (40 min apart > 30 min gap); user 2 at 00:00
+      source.addData(
+        Sessionize.Event(1, new Timestamp(base), "click", 1.0),
+        Sessionize.Event(1, new Timestamp(base + 50 * 60000), "click", 1.0),
+        Sessionize.Event(2, new Timestamp(base), "view", 1.0))
+      q.processAllAvailable()
+      // batch 2 (replayed OUT OF ORDER): a late 00:25 event for user 1
+      // BRIDGES the two provisional sessions into one; a far-future event
+      // pushes the watermark past every open session
+      source.addData(
+        Sessionize.Event(1, new Timestamp(base + 25 * 60000), "click", 1.0),
+        Sessionize.Event(99, new Timestamp(base + 20 * 3600000L), "flush", 0.0))
+      q.processAllAvailable()
+      // one more batch so event-time timeouts fire even if the engine
+      // skipped the watermark-advance no-data batch
+      source.addData(
+        Sessionize.Event(99, new Timestamp(base + 21 * 3600000L), "flush", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("esess_sink").as[Sessionize.SessionOut]
+        .filter(col("user_id") < 10).collect()
+        .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events))
+        .toSet
+
+      // batch truth: lag-based gap sessionization over the same event log
+      val log = Seq((1L, base), (1L, base + 50 * 60000), (2L, base), (1L, base + 25 * 60000))
+        .toDF("user_id", "ts_ms")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ms")
+      val truth = log
+        .withColumn("new_s",
+          when(col("ts_ms") - lag("ts_ms", 1).over(w) > 1800000L, 1).otherwise(0))
+        .withColumn("sid", sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_ms").as("s"), max("ts_ms").as("e"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed === truth)
+      // the bridge really happened: ONE user-1 session spanning all 3 events
+      assert(streamed.count(_._1 == 1L) === 1)
+      assert(streamed.find(_._1 == 1L).get._4 === 3L)
+    } finally q.stop()
+  }
 }

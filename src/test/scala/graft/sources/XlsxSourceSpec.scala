@@ -84,6 +84,86 @@ class XlsxSourceSpec extends SparkSpec {
     }
   }
 
+  // Minimal SpreadsheetML writer for synthetic-workbook cases: the source
+  // only needs the shared-string table + sheet grids, so that's all the
+  // zip carries.
+  private def writeWorkbook(
+      name: String,
+      sheets: Map[String, String],
+      shared: Seq[String] = Nil): String = {
+    val f = java.nio.file.Files.createTempDirectory("xlsx_syn").resolve(name)
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    def put(entry: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(entry))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    if (shared.nonEmpty)
+      put("xl/sharedStrings.xml",
+        s"""<?xml version="1.0"?><sst>${shared.map(s => s"<si><t>$s</t></si>").mkString}</sst>""")
+    sheets.foreach { case (sheet, rowsXml) =>
+      put(s"xl/worksheets/$sheet.xml",
+        s"""<?xml version="1.0"?><worksheet><sheetData>$rowsXml</sheetData></worksheet>""")
+    }
+    zos.close()
+    f.toString
+  }
+  private def inline(ref: String, v: String) =
+    s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+
+  test("synthetic workbook: inline strings and raw numbers") {
+    val p = writeWorkbook("inline.xlsx", Map("sheet1" ->
+      (s"""<row>${inline("A1", "name")}${inline("B1", "qty")}</row>""" +
+        s"""<row>${inline("A2", "ab")}<c r="B2"><v>42</v></c></row>""")))
+    val df = spark.read.format("xlsx").load(p)
+    assert(df.schema.fieldNames.toSeq === Seq("name", "qty"))
+    val r = df.collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "ab" && r(0).getString(1) === "42")
+  }
+
+  test("synthetic workbook: sparse rows keep cell positions, missing cells are null") {
+    val p = writeWorkbook("sparse.xlsx", Map("sheet1" ->
+      (s"""<row>${inline("A1", "a")}${inline("B1", "b")}${inline("C1", "c")}</row>""" +
+        s"""<row>${inline("A2", "x")}${inline("C2", "z")}</row>""" +
+        s"""<row>${inline("B3", "y")}</row>""")))
+    val rows = spark.read.format("xlsx").load(p).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(0) === "x" && rows(0).isNullAt(1) && rows(0).getString(2) === "z")
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) === "y" && rows(1).isNullAt(2))
+  }
+
+  test("synthetic workbook: sheet option selects among multiple sheets") {
+    val p = writeWorkbook("multi.xlsx", Map(
+      "sheet1" -> s"""<row>${inline("A1", "first")}</row><row>${inline("A2", "s1")}</row>""",
+      "sheet2" -> s"""<row>${inline("A1", "second")}</row><row>${inline("A2", "s2")}</row>"""))
+    val df2 = spark.read.format("xlsx").option("sheet", "2").load(p)
+    assert(df2.schema.fieldNames.toSeq === Seq("second"))
+    assert(df2.collect().map(_.getString(0)).toSeq === Seq("s2"))
+  }
+
+  test("synthetic workbook: empty header cells get generated names") {
+    val p = writeWorkbook("emptyhdr.xlsx", Map("sheet1" ->
+      (s"""<row>${inline("A1", "x")}${inline("C1", "z")}</row>""" +
+        s"""<row>${inline("A2", "1")}${inline("B2", "2")}${inline("C2", "3")}</row>""")))
+    val df = spark.read.format("xlsx").load(p)
+    assert(df.schema.fieldNames.toSeq === Seq("x", "c1", "z"))
+    assert(df.collect()(0).getString(1) === "2")
+  }
+
+  test("schema inference stops at the header row (shared strings aside, no full-sheet scan)") {
+    // a poison data row referencing shared-string index 99 (out of bounds):
+    // inference must succeed (it never reads past row 1), while a full data
+    // read must hit the poison and fail — proving the early exit is real
+    val p = writeWorkbook("poison.xlsx", Map("sheet1" ->
+      (s"""<row>${inline("A1", "h")}</row>""" +
+        s"""<row><c r="A2" t="s"><v>99</v></c></row>""")),
+      shared = Seq("only_one"))
+    val df = spark.read.format("xlsx").load(p) // triggers inferSchema
+    assert(df.schema.fieldNames.toSeq === Seq("h"))
+    intercept[Exception] { df.collect() }
+  }
+
   test("cell-reference decoding handles multi-letter columns") {
     assert(XlsxParse.colIndex("A1") === 0)
     assert(XlsxParse.colIndex("B3") === 1)
