@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: the selected set changes
+  * with partitioning, retries, and executor counts — useless for a
+  * pretraining mix that must be re-derivable (and auditable) months later.
+  * Hash-gating on a stable key makes the sample a pure function of the
+  * data: filter pushes to the scan, no shuffle, any subset of files can be
+  * sampled independently, and re-runs (or a second engine) select the
+  * SAME rows.
+  *
+  * Hash choice: [[portableHash]] is a multiplicative hash any engine with
+  * 64-bit integers reproduces exactly — the oracle-gated form. At 100 TB
+  * prefer `xxhash64(key)` (better mixing, still deterministic inside
+  * Spark) — every operator takes the hash as a Column, so it's a drop-in.
+  */
+object Sampling {
+
+  /** Portable multiplicative hash (Knuth's 2654435761 into a Mersenne-ish
+    * prime modulus): bit-identical in Spark and DuckDB. Overflow-free for
+    * keys below 2^32 (product < 2^63); for wider keys switch to
+    * `xxhash64` and give up cross-engine portability. */
+  def portableHash(key: Column): Column =
+    pmod(key * lit(2654435761L), lit(1000000007L))
+
+  /** Keep rows whose hash lands in the first `permille`/1000 of the hash
+    * ring — a deterministic, reproducible `permille`/1000 sample. */
+  def deterministicSample(df: DataFrame, hash: Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille=$permille out of [0,1000]")
+    df.filter(pmod(hash, lit(1000L)) < permille)
+  }
+
+  /** Per-stratum sampling rates (a pretraining mix: upsample rare
+    * languages/sources, downsample boilerplate-heavy ones). `rates` maps
+    * stratum value → permille; unlisted strata use `defaultPermille`.
+    * Same hash-gate semantics as [[deterministicSample]] — deterministic,
+    * shuffle-free, pushdown-friendly. */
+  def stratifiedSample(
+      df: DataFrame,
+      hash: Column,
+      stratum: Column,
+      rates: Map[String, Int],
+      defaultPermille: Int): DataFrame = {
+    (rates.values.toSeq :+ defaultPermille).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille=$p out of [0,1000]"))
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    df.filter(pmod(hash, lit(1000L)) < rate)
+  }
+}

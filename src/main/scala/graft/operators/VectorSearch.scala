@@ -1,11 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{DotProductF64, DotProductI64}
 
@@ -110,15 +108,13 @@ object VectorSearch {
     // base feeds the bucket codes AND both sides of the verify re-join —
     // materialize once so the scan + quantize runs a single time.
     val base = materialize(withNorm(emb).select(col("vec_id"), col("v"), col("n2")))
-    val codeCols = (0 until nTables).map(t =>
-      lshCode("v", t, nBits, dim).as(s"code_$t"))
     // Candidates travel as bare (a_id, b_id): the bucket join and the
     // dedup shuffle carry 16 bytes/pair instead of two dim-element vectors
     // (~1 KB/pair at dim=64) — at 100 TB the dedup shuffle volume is
     // |candidates| × id-width, and vectors are joined back exactly once
     // for the verify stage.
     val buckets = base.select(col("vec_id"),
-      posexplode(array(codeCols: _*)).as(Seq("tbl", "code")))
+      posexplode(lshCodes("v", nTables, nBits, dim)).as(Seq("tbl", "code")))
     val cands = buckets.select(col("tbl"), col("code"), col("vec_id").as("a_id"))
       .join(buckets.select(col("tbl"), col("code"), col("vec_id").as("b_id")),
         Seq("tbl", "code"))
@@ -141,18 +137,18 @@ object VectorSearch {
     Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** One sign-LSH code: bits = sign(v · h_p) for the table's hyperplanes —
-    * the hyperplane is a plan-constant array literal fed to the codegen'd
-    * dot kernel. */
-  private def lshCode(vCol: String, table: Int, bitsPerTable: Int, dim: Int): Column =
-    (0 until bitsPerTable).map { b =>
-      val plane = Literal.create(
-        hyperplane(table * 1024 + b, dim).toArray,
-        ArrayType(DoubleType, containsNull = false))
-      val proj = ExpressionUtils.column(
-        DotProductF64(ExpressionUtils.expression(col(vCol)), plane))
-      when(proj > 0, shiftleft(lit(1), b)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** All nTables sign-LSH codes at once via the codegen'd
+    * [[graft.functions.SignLshCodes]] kernel — one plan-constant hyperplane
+    * matrix instead of nTables × nBits literal-array expressions, so the
+    * analyzed plan stays O(1) in the table count. Plane (t, b) keeps the
+    * seed `t * 1024 + b`, so codes are bit-identical to the per-bit
+    * composition this replaces (the recall-gate oracles depend on that). */
+  private def lshCodes(vCol: String, nTables: Int, nBits: Int, dim: Int): Column =
+    ExpressionUtils.column(graft.functions.SignLshCodes(
+      ExpressionUtils.expression(col(vCol)),
+      Array.tabulate(nTables * nBits)(i =>
+        hyperplane((i / nBits) * 1024 + (i % nBits), dim).toArray),
+      nBits))
 
   /** ANN via multi-table sign-LSH: L independent code tables, candidates =
     * union of same-bucket pairs over tables (P(candidate) =
@@ -165,10 +161,8 @@ object VectorSearch {
     // Same id-only candidate shape as [[cosineNearDupsLsh]]: dedup bare
     // (qid, nid), re-join vectors once for the re-rank.
     val base = materialize(withNorm(emb).select(col("vec_id"), col("v"), col("n2")))
-    val codeCols = (0 until nTables).map(t =>
-      lshCode("v", t, nBits, dim).as(s"code_$t"))
     val buckets = base.select(col("vec_id"),
-      posexplode(array(codeCols: _*)).as(Seq("tbl", "code")))
+      posexplode(lshCodes("v", nTables, nBits, dim)).as(Seq("tbl", "code")))
     val cands = buckets.select(col("tbl"), col("code"), col("vec_id").as("qid"))
       .join(buckets.select(col("tbl"), col("code"), col("vec_id").as("nid")),
         Seq("tbl", "code"))

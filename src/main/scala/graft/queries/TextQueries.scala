@@ -129,7 +129,74 @@ object TextQueries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Deterministic stratified sampling (the mix knob of a pretraining
+    * pipeline): hash-gate on doc_id with per-language rates — downsample
+    * the dominant language to 10%, keep 30% of the rest. Reproducible by
+    * construction: the DuckDB oracle re-derives the identical sample from
+    * the portable hash. */
+  val q45StratifiedSample: Q = Q(
+    "q45_stratified_sample",
+    Some("""
+      SELECT doc_id, source, lang
+      FROM documents
+      WHERE ((doc_id * 2654435761) % 1000000007) % 1000 <
+            CASE WHEN lang = 'en' THEN 100 ELSE 300 END""")) { (spark, dir) =>
+    import graft.operators.Sampling
+    Sampling.stratifiedSample(
+      table(spark, dir, "documents"),
+      Sampling.portableHash(col("doc_id")), col("lang"),
+      rates = Map("en" -> 100), defaultPermille = 300)
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
+  /** The pretraining-mix pipeline END TO END: exact dedup (keep min doc_id
+    * per content hash) → token/quality metrics → quality + language gate →
+    * deterministic 20% sample. Each stage is an operator gated elsewhere
+    * (q22, q23/q24, q45); this query proves the COMPOSITION stays
+    * oracle-exact — the shape a real corpus build runs nightly. One
+    * explode-aggregate shuffle on doc_id + one content-hash aggregate;
+    * the sample gate is a scan-level filter. */
+  val q46PretrainingMix: Q = Q(
+    "q46_pretraining_mix",
+    Some("""
+      WITH kept AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        FROM documents GROUP BY md5(text)),
+      tok AS (
+        SELECT d.doc_id, d.source, UNNEST(string_split(d.text, ' ')) AS tok
+        FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+      m AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS n_the
+        FROM tok GROUP BY doc_id, source),
+      f AS (
+        SELECT doc_id, source, n_tokens FROM m
+        WHERE n_tokens BETWEEN 5 AND 10000
+          AND n_the > 0 AND n_the / n_tokens > 0.02)
+      SELECT doc_id, source, n_tokens
+      FROM f
+      WHERE ((doc_id * 2654435761) % 1000000007) % 1000 < 200""")) { (spark, dir) =>
+    import graft.operators.Sampling
+    val docs = table(spark, dir, "documents")
+    val kept = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val metrics = docs.join(kept, "doc_id")
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok") === "the", 1).otherwise(0)).as("n_the"))
+    val gated = metrics.filter(
+      col("n_tokens").between(5, 10000) &&
+        col("n_the") > 0 && col("n_the") / col("n_tokens") > 0.02)
+    Sampling.deterministicSample(
+      gated, Sampling.portableHash(col("doc_id")), permille = 200)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   val all: Seq[Q] = Seq(
     q22DedupExact, q23TextQuality, q24LangId, q25TokenCount,
-    q26Fingerprint, q27BinaryBytes)
+    q26Fingerprint, q27BinaryBytes, q45StratifiedSample, q46PretrainingMix)
 }

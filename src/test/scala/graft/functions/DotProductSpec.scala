@@ -65,4 +65,48 @@ class DotProductSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT dot_i64('a', 'b')").collect() }
     intercept[Exception] { spark.sql("SELECT sqdist_f64(1, 2)").collect() }
   }
+
+  test("sign_lsh_codes == independent per-plane projection, codegen == interpreted") {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val nBits = 5
+    val nTables = 4
+    val dim = 64
+    // the SAME seeded planes VectorSearch uses (seed = table * 1024 + bit)
+    def plane(seed: Int): Array[Double] = {
+      val rnd = new scala.util.Random(seed * 1000003L + 7)
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+    val planes = Array.tabulate(nTables * nBits)(i =>
+      plane((i / nBits) * 1024 + (i % nBits)))
+    val rows = emb.limit(50)
+      .select(col("v"),
+        CB.column(SignLshCodes(CB.expression(col("v")), planes, nBits)).as("codes"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Long](0).toArray
+      val codes = r.getSeq[Int](1)
+      assert(codes.length === nTables)
+      // reference: independent left-to-right double projection per plane
+      val expected = (0 until nTables).map { t =>
+        (0 until nBits).foldLeft(0) { (code, b) =>
+          var acc = 0.0
+          val p = planes(t * nBits + b)
+          var j = 0
+          while (j < dim) { acc += v(j).toDouble * p(j); j += 1 }
+          if (acc > 0) code | (1 << b) else code
+        }
+      }
+      assert(codes === expected)
+    }
+    // interpreted eval path (outside codegen) agrees with itself and the
+    // null/mismatch contract: null array → null; wrong length → zero codes
+    val e = SignLshCodes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1L, 2L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      planes, nBits)
+    val out = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.toIntArray().toSeq === Seq.fill(nTables)(0))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables.table
+
+/** Hash-gated sampling must be a pure function of the DATA — independent
+  * of partitioning, execution order, and reruns — with nested thresholds
+  * (a bigger sample contains every smaller one) and per-stratum rates that
+  * act exactly like the flat gate restricted to the stratum. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = table(spark, sfDir, "documents").cache()
+  private def h = Sampling.portableHash(col("doc_id"))
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  test("deterministic: identical sample across partitionings and reruns") {
+    val s1 = ids(Sampling.deterministicSample(docs, h, 100))
+    val s2 = ids(Sampling.deterministicSample(docs.repartition(7), h, 100))
+    val s3 = ids(Sampling.deterministicSample(docs.repartition(1), h, 100))
+    assert(s1.nonEmpty)
+    assert(s1 === s2)
+    assert(s1 === s3)
+    // rate lands near the target (hash-uniformity sanity, wide tolerance)
+    val n = docs.count().toDouble
+    assert(s1.size > n * 0.03 && s1.size < n * 0.25, s"10% sample got ${s1.size} of $n")
+  }
+
+  test("nested thresholds and stratified rates compose from the same gate") {
+    val p100 = ids(Sampling.deterministicSample(docs, h, 100))
+    val p300 = ids(Sampling.deterministicSample(docs, h, 300))
+    assert(p100.subsetOf(p300), "a 30% sample must contain the 10% sample")
+    val strat = Sampling.stratifiedSample(
+      docs, h, col("lang"), Map("en" -> 100), defaultPermille = 300)
+    // per stratum, the stratified gate IS the flat gate on that stratum
+    val stratEn = ids(strat.filter(col("lang") === "en"))
+    val flatEn = ids(Sampling.deterministicSample(docs.filter(col("lang") === "en"), h, 100))
+    assert(stratEn === flatEn)
+    val stratRest = ids(strat.filter(col("lang") =!= "en"))
+    val flatRest = ids(Sampling.deterministicSample(docs.filter(col("lang") =!= "en"), h, 300))
+    assert(stratRest === flatRest)
+  }
+}
