@@ -68,12 +68,13 @@ object IvfSearch {
       sampleCap: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // sqdist_f64 (codegen kernel) is referenced inside SQL lambdas below,
-    // which resolve through the function registry
-    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
 
+    // base feeds the training sample, both map-side model passes, and both
+    // sides of the verify re-join — one scan + quantize, persisted
     val base = VectorSearch.withNorm(emb)
       .select(col("vec_id"), expr("transform(v, x -> cast(x as double))").as("vd"), col("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // bounded, deterministic training sample (ordered by id, capped)
     val sample: Array[Array[Double]] = base
@@ -86,47 +87,37 @@ object IvfSearch {
     }
     val centroids = trainCentroids(sample, nClusters, trainIters)
 
-    // The trained model is tiny (nClusters × dim doubles), so it's embedded
-    // as a plan constant — assignment and probing are pure map-side
-    // projections (argmin over a literal centroid array), with NO
-    // crossJoin and NO per-vector window shuffle: at 100 TB the old
-    // crossJoin+window shape shuffled |corpus| × nClusters rows; this
-    // shuffles nothing.
-    val centsSql = centroids
-      .map(_.map(v => s"${v}D").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
-    val distsSql = s"transform($centsSql, c -> sqdist_f64(vd, c))"
+    // The trained model is tiny (nClusters × dim doubles) and rides as ONE
+    // plan-constant inside the codegen'd nearest_centroids kernel —
+    // assignment and probing are pure map-side projections: no crossJoin,
+    // no per-vector window shuffle, O(1) plan size in the cluster count.
+    def nearestCells(p: Int) = CB.column(graft.functions.NearestCentroids(
+      CB.expression(col("vd")), centroids, p))
 
-    // distributed assignment: nearest centroid per vector (ties → lowest
-    // cid, matching array_position's first-occurrence semantics)
+    // distributed assignment: nearest centroid per vector (kernel ties
+    // break toward the lower cid, as the array_position form did)
     val assigned = base
-      .withColumn("dists", expr(distsSql))
-      .withColumn("cid",
-        expr("cast(array_position(dists, array_min(dists)) as int) - 1"))
-      .select(col("vec_id"), col("vd"), col("n2"), col("cid"))
+      .select(col("vec_id"), element_at(nearestCells(1), 1).as("cid"))
 
-    // query probes: nProbe nearest cells per query vector (sort (d, cid)
-    // pairs — struct ordering breaks distance ties by cid)
+    // query probes: nProbe nearest cells per query vector
     val probes = base
-      .withColumn("dists", expr(distsSql))
-      .withColumn("cids", expr(
-        s"transform(slice(array_sort(zip_with(dists, " +
-          s"sequence(0, ${nClusters - 1}), " +
-          "(d, i) -> named_struct('d', d, 'i', i))), 1, " + nProbe +
-          "), s -> cast(s.i as int))"))
-      .select(col("vec_id").as("qid"), col("vd").as("qv"),
-        col("n2").as("qn2"), explode(col("cids")).as("cid"))
+      .select(col("vec_id").as("qid"), explode(nearestCells(nProbe)).as("cid"))
 
-    // candidates = corpus vectors in probed cells; exact cosine rerank
-    val cands = probes.join(
-      assigned.select(col("cid"), col("vec_id").as("nid"),
-        col("vd").as("nv"), col("n2").as("nn2")), "cid")
+    // candidates travel as bare (qid, nid) through the cell join and the
+    // dedup shuffle (16 bytes/pair, not two dim-element vectors); vectors
+    // re-join once for the exact rerank
+    val cands = probes
+      .join(assigned.select(col("cid"), col("vec_id").as("nid")), "cid")
       .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
       .dropDuplicates("qid", "nid")
+    val scored = cands
+      .join(base.select(col("vec_id").as("qid"), col("vd").as("qv"), col("n2").as("qn2")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("vd").as("nv"), col("n2").as("nn2")), "nid")
       .withColumn("cosine",
         VectorSearch.dotDouble("qv", "nv")
           / (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
-    cands
+    scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
       .filter(col("rnk") <= k)

@@ -109,4 +109,39 @@ class DotProductSpec extends SparkSpec {
     val out = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(out.toIntArray().toSeq === Seq.fill(nTables)(0))
   }
+
+  test("nearest_centroids == independent (distance, index) sort; ties to lower index") {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val dim = 64
+    val k = 8
+    val nProbe = 3
+    // deterministic centroids spread over the embedding space
+    val cents = Array.tabulate(k)(c =>
+      Array.tabulate(dim)(j => math.sin(c * 131 + j * 17).abs))
+    val rows = emb.limit(50)
+      .select(col("vd"),
+        CB.column(NearestCentroids(CB.expression(col("vd")), cents, nProbe)).as("cells"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0).toArray
+      val cells = r.getSeq[Int](1)
+      val expected = (0 until k).map { c =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { val d = v(j) - cents(c)(j); acc += d * d; j += 1 }
+        (acc, c)
+      }.sorted.take(nProbe).map(_._2)
+      assert(cells === expected)
+    }
+    // a centroid grid with exact ties must break toward the lower index
+    val tieCents = Array(Array.fill(dim)(0.5), Array.fill(dim)(0.5), Array.fill(dim)(9.0))
+    val e = NearestCentroids(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array.fill(dim)(0.25), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)),
+      tieCents, 2)
+    val out = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.toIntArray().toSeq === Seq(0, 1))
+  }
 }
