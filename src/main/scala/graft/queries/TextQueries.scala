@@ -196,7 +196,38 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  /** Per-document repetition ratio (1 − distinct/total word-3-grams) — the
+    * boilerplate/looping-text quality signal pretraining filters use
+    * alongside q23's length/stopword scores. Map-side gram construction
+    * (`transform`/`slice`, no explode): the n_grams/n_distinct pair needs
+    * no shuffle at all; the ratio is one double division, identical IEEE
+    * in both engines. */
+  val q47Repetition: Q = Q(
+    "q47_repetition",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram FROM pos)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+             CAST(1 AS DOUBLE) - COUNT(DISTINCT gram) / COUNT(*) AS rep_ratio
+      FROM g GROUP BY doc_id""")) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))").as("gs"))
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct") / col("n_grams"))
+  }
+
   val all: Seq[Q] = Seq(
     q22DedupExact, q23TextQuality, q24LangId, q25TokenCount,
-    q26Fingerprint, q27BinaryBytes, q45StratifiedSample, q46PretrainingMix)
+    q26Fingerprint, q27BinaryBytes, q45StratifiedSample, q46PretrainingMix,
+    q47Repetition)
 }

@@ -51,4 +51,20 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("q13_semi_join").contains("LeftSemi"))
     assert(executedPlan("q14_anti_join").contains("LeftAnti"))
   }
+
+  test("q45/q47: sampling gate and repetition score are pure map-side (zero shuffle)") {
+    // hash-gated sampling is a scan-level filter and the repetition ratio
+    // is computed per row (transform/slice, no explode, no groupBy): at
+    // 100 TB neither moves a single byte between executors
+    Seq("q45_stratified_sample", "q47_repetition").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+    }
+  }
+
+  test("q46: pipeline composition joins without cartesian/nested-loop plans") {
+    val plan = executedPlan("q46_pretraining_mix")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q46 fell back to a quadratic join:\n$plan")
+  }
 }

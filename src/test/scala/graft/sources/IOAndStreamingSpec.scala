@@ -121,6 +121,52 @@ class IOAndStreamingSpec extends SparkSpec {
     assert(closed(0).user_id === 1L && closed(0).n_events === 2L)
   }
 
+  test("stream-stream attribution join: windowed inner join matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamJoin
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val base = 1704067200000L
+    val joined = StreamJoin.attribution(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      windowSeconds = 3600)
+    val q = joined.writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    try {
+      // user 1: click 00:00 → purchase 00:30 matches (within 1 h);
+      //         purchase 02:00 does NOT (window exceeded)
+      // user 2: purchase with no click → inner join drops it
+      clicks.addData((1L, 100L, new Timestamp(base)))
+      purchases.addData(
+        (1L, 200L, new Timestamp(base + 30 * 60000)),
+        (1L, 201L, new Timestamp(base + 120 * 60000)),
+        (2L, 202L, new Timestamp(base + 10 * 60000)))
+      q.processAllAvailable()
+      // push both watermarks far past the window (disjoint users, no match)
+      clicks.addData((8L, 900L, new Timestamp(base + 10 * 3600000L)))
+      purchases.addData((9L, 901L, new Timestamp(base + 10 * 3600000L)))
+      q.processAllAvailable()
+      val got = spark.table("attr_sink")
+        .select(col("purchase_id"), col("click_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch truth over the same events with the same non-equi condition
+      val cdf = Seq((1L, 100L, base), (8L, 900L, base + 10 * 3600000L))
+        .toDF("c_uid", "click_id", "c_ms")
+      val pdf = Seq((1L, 200L, base + 30 * 60000L), (1L, 201L, base + 120 * 60000L),
+        (2L, 202L, base + 10 * 60000L), (9L, 901L, base + 10 * 3600000L))
+        .toDF("p_uid", "purchase_id", "p_ms")
+      val truth = pdf.join(cdf,
+        col("p_uid") === col("c_uid") &&
+          col("c_ms") <= col("p_ms") && col("c_ms") >= col("p_ms") - 3600000L)
+        .select(col("purchase_id"), col("click_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth === Set((200L, 100L)))
+      assert(got === truth)
+    } finally q.stop()
+  }
+
   test("event-time sessionization: out-of-order replay converges to the batch result") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
