@@ -226,8 +226,54 @@ object TextQueries {
         lit(1.0) - col("n_distinct") / col("n_grams"))
   }
 
+  /** Context-window chunking: split every document into fixed-size token
+    * windows (50 tokens, stride 40 → 10-token overlap) — how a corpus gets
+    * cut to model context length before tokenization. Map-side only
+    * (sequence + slice, the chunk list never leaves the row until the
+    * final explode); chunk identity is carried as md5 so the gate compares
+    * content without shipping text. */
+  val q48Chunking: Q = Q(
+    "q48_chunking",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      idx AS (SELECT doc_id, w,
+                     UNNEST(range(0, CAST(ceil(len(w) / 40.0) AS INT))) AS i
+              FROM tok)
+      SELECT doc_id,
+             CAST(i AS INTEGER) AS chunk_idx,
+             CAST(len(w[i * 40 + 1 : i * 40 + 50]) AS INTEGER) AS n_chunk_tokens,
+             md5(array_to_string(w[i * 40 + 1 : i * 40 + 50], ' ')) AS chunk_md5
+      FROM idx""")) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, cast(ceil(size(w) / 40.0) as int) - 1)")).as("chunk_idx"),
+        col("w"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(expr("slice(w, chunk_idx * 40 + 1, 50)")).as("n_chunk_tokens"),
+        md5(expr("concat_ws(' ', slice(w, chunk_idx * 40 + 1, 50))")).as("chunk_md5"))
+  }
+
+  /** Pattern-based PII scrubbing (the regex-redaction stage of a corpus
+    * build — emails/phones/ids drop into the same shape): digits in the
+    * customer name are masked and counted. Spark's regexp_replace is
+    * global; DuckDB needs the explicit 'g' flag — the character-class
+    * patterns themselves behave identically in Java regex and RE2. */
+  val q49PiiScrub: Q = Q(
+    "q49_pii_scrub",
+    Some("""
+      SELECT c_custkey,
+             regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+             CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INTEGER) AS n_digits
+      FROM customer""")) { (spark, dir) =>
+    table(spark, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+        length(regexp_replace(col("c_name"), "[^0-9]", "")).as("n_digits"))
+  }
+
   val all: Seq[Q] = Seq(
     q22DedupExact, q23TextQuality, q24LangId, q25TokenCount,
     q26Fingerprint, q27BinaryBytes, q45StratifiedSample, q46PretrainingMix,
-    q47Repetition)
+    q47Repetition, q48Chunking, q49PiiScrub)
 }

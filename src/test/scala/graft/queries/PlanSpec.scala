@@ -52,11 +52,13 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("q14_anti_join").contains("LeftAnti"))
   }
 
-  test("q45/q47: sampling gate and repetition score are pure map-side (zero shuffle)") {
-    // hash-gated sampling is a scan-level filter and the repetition ratio
-    // is computed per row (transform/slice, no explode, no groupBy): at
-    // 100 TB neither moves a single byte between executors
-    Seq("q45_stratified_sample", "q47_repetition").foreach { q =>
+  test("q45/q47/q48/q49: sampling, repetition, chunking, scrubbing are map-side (zero shuffle)") {
+    // hash-gated sampling is a scan-level filter; repetition/chunking
+    // stay inside the row (transform/slice/explode, no groupBy); the
+    // regex scrub is a projection: at 100 TB none of them moves a single
+    // byte between executors
+    Seq("q45_stratified_sample", "q47_repetition",
+      "q48_chunking", "q49_pii_scrub").foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
     }
