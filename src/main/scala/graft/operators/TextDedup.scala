@@ -33,15 +33,19 @@ object TextDedup {
   private def materialize(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** (doc_id, shingle) distinct word n-grams, computed without UDFs. */
+  /** (doc_id, shingle) distinct word n-grams, computed without UDFs.
+    * Dedup happens IN-ROW (`array_distinct` before the explode): the
+    * distinct set is per-document by construction, so hoisting it into the
+    * row replaces a full (doc_id, shingle) distinct SHUFFLE over the
+    * exploded corpus with zero data movement — same rows, one less
+    * exchange over the widest relation in the dedup family. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))))"))
         .as("shingle"))
-      .distinct()
 
   /** Per-doc shingle-set sizes. */
   def shingleSizes(sh: DataFrame): DataFrame =
