@@ -80,4 +80,20 @@ object IO {
     * `SaveDelta.scala:64-66`). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
+
+  /** Bucketed catalog table: rows hash-partitioned AND sorted by `key`
+    * into `numBuckets` files at WRITE time. Two tables bucketed the same
+    * way equi-join on the key with NO exchange and NO sort — the
+    * co-location that turns the one unavoidable fact⋈fact shuffle
+    * (SCALE.md, q17's lineitem⋈orders) into a zero-movement merge join
+    * at 100 TB. Requires the session catalog (`saveAsTable`); plain
+    * `.parquet(path)` writes carry no bucket metadata. */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(table)
 }

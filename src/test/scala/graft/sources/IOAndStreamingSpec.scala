@@ -121,6 +121,33 @@ class IOAndStreamingSpec extends SparkSpec {
     assert(closed(0).user_id === 1L && closed(0).n_events === 2L)
   }
 
+  test("bucketed tables co-locate the fact-fact join: zero exchange in the plan") {
+    // the one unavoidable big shuffle (lineitem⋈orders on orderkey,
+    // SCALE.md) disappears when both tables are bucketed on the key at
+    // write time — this spec proves the plan shape end-to-end
+    val orders = graft.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val items = graft.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    IO.writeBucketed(orders, "orders_bkt", "o_orderkey", 4)
+    IO.writeBucketed(items, "lineitem_bkt", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bkt").join(spark.table("lineitem_bkt"), "o_orderkey")
+      j.collect() // finalize under AQE
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // same rows as the unbucketed join
+      assert(j.count() === orders.join(items, "o_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("stream-stream attribution join: windowed inner join matches batch semantics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
