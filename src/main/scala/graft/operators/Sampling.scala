@@ -52,4 +52,27 @@ object Sampling {
     }
     df.filter(pmod(hash, lit(1000L)) < rate)
   }
+
+  /** EXACTLY `quota` rows per stratum (an eval-set builder: "50 documents
+    * per source, the same 50 forever"): rank by (hash, tiebreak) inside
+    * each stratum and keep the first `quota`. Unlike the permille gates
+    * this shuffles once — on the stratum key — because an exact count is
+    * a per-group property; memory stays bounded per group (one window
+    * pass, no global sort). The (hash, tiebreak) order makes the pick a
+    * pure function of the data, and adding rows to a stratum only
+    * displaces the highest-hash members — the rest of the quota is
+    * stable. */
+  def quotaSample(
+      df: DataFrame,
+      hash: Column,
+      stratum: Column,
+      quota: Int,
+      tiebreak: Column): DataFrame = {
+    require(quota >= 0, s"quota=$quota must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hash.asc, tiebreak.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
 }

@@ -272,8 +272,30 @@ object TextQueries {
         length(regexp_replace(col("c_name"), "[^0-9]", "")).as("n_digits"))
   }
 
+  /** Exact per-source quotas (deterministic eval-set builder): the SAME
+    * 5 documents per source on every run — rank by (portable hash,
+    * doc_id) within the stratum, keep the first 5. One shuffle on the
+    * stratum key; quota membership is stable under corpus growth except
+    * at the hash boundary. */
+  val q50QuotaSample: Q = Q(
+    "q50_quota_sample",
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, source FROM r WHERE rk <= 5""")) { (spark, dir) =>
+    import graft.operators.Sampling
+    Sampling.quotaSample(
+      table(spark, dir, "documents").select(col("doc_id"), col("source")),
+      Sampling.portableHash(col("doc_id")), col("source"),
+      quota = 5, tiebreak = col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q22DedupExact, q23TextQuality, q24LangId, q25TokenCount,
     q26Fingerprint, q27BinaryBytes, q45StratifiedSample, q46PretrainingMix,
-    q47Repetition, q48Chunking, q49PiiScrub)
+    q47Repetition, q48Chunking, q49PiiScrub, q50QuotaSample)
 }

@@ -42,4 +42,28 @@ class SamplingSpec extends SparkSpec {
     val flatRest = ids(Sampling.deterministicSample(docs.filter(col("lang") =!= "en"), h, 300))
     assert(stratRest === flatRest)
   }
+
+  test("quota sample: exactly N per stratum, deterministic, stable under growth") {
+    val q = Sampling.quotaSample(
+      docs.select(col("doc_id"), col("source")), h, col("source"),
+      quota = 5, tiebreak = col("doc_id"))
+    val perSource = q.groupBy(col("source")).count().collect()
+    assert(perSource.nonEmpty)
+    assert(perSource.forall(_.getLong(1) === 5L), "every stratum must fill its quota")
+    // partitioning-independent
+    val q2 = Sampling.quotaSample(
+      docs.repartition(7).select(col("doc_id"), col("source")), h, col("source"),
+      quota = 5, tiebreak = col("doc_id"))
+    assert(ids(q) === ids(q2))
+    // growing a stratum only displaces members at the hash boundary: the
+    // quota picked from a SUBSET of the corpus contains the full-corpus
+    // picks that survive into the subset
+    val subset = docs.filter(col("doc_id") % 2 === 0)
+    val qSub = ids(Sampling.quotaSample(
+      subset.select(col("doc_id"), col("source")), h, col("source"),
+      quota = 5, tiebreak = col("doc_id")))
+    val fullPicksInSubset = ids(q).filter(_ % 2 == 0)
+    assert(fullPicksInSubset.subsetOf(qSub),
+      "full-corpus quota members present in the subset must stay picked")
+  }
 }
