@@ -86,6 +86,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sign_lsh_codes ≡ composed per-bit DotProductF64 form over random vectors") {
+    // the fused kernel's bit-exactness contract: identical accumulation
+    // order as the nBits × nTables DotProductF64 composition it replaced
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dim = 16
+    val nBits = 4
+    val nTables = 3
+    val planes = Array.tabulate(nTables * nBits)(i =>
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val vecs = (1 to 60).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextLong(1 << 22) - (1 << 21)))
+    }.toDF("id", "v")
+    val fused = CB.column(graft.functions.SignLshCodes(
+      CB.expression(col("v")), planes, nBits))
+    val composed = (0 until nTables).map { t =>
+      (0 until nBits).map { b =>
+        val plane = Literal.create(planes(t * nBits + b),
+          ArrayType(DoubleType, containsNull = false))
+        val proj = CB.column(graft.functions.DotProductF64(
+          CB.expression(col("v")), plane))
+        when(proj > 0, shiftleft(lit(1), b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val rows = vecs.select(fused.as("k"), array(composed: _*).as("c")).collect()
+    rows.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+  }
+
+  test("nearest_centroids ≡ sqdist sort over random vectors and centroid counts") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val dim = 12
+    Seq((5, 2), (8, 8), (3, 1)).foreach { case (k, nProbe) =>
+      val cents = Array.fill(k)(Array.fill(dim)(rnd.nextDouble() * 10 - 5))
+      val vecs = (1 to 40).map { i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 10 - 5))
+      }.toDF("id", "v")
+      val got = vecs.select(col("v"),
+        CB.column(graft.functions.NearestCentroids(
+          CB.expression(col("v")), cents, nProbe)).as("cells"))
+        .collect()
+      got.foreach { r =>
+        val v = r.getSeq[Double](0).toArray
+        val expect = (0 until k).map { c =>
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { val d = v(j) - cents(c)(j); acc += d * d; j += 1 }
+          (acc, c)
+        }.sorted.take(nProbe).map(_._2)
+        assert(r.getSeq[Int](1) === expect, s"k=$k nProbe=$nProbe")
+      }
+    }
+  }
+
   test("salted join ≡ plain join on skewed data") {
     val spark = SparkSpec.session
     import spark.implicits._
