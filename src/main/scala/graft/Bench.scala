@@ -75,8 +75,11 @@ object Bench {
     val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // full pass distribution, so tail latencies are machine-readable
+    // (Locale.ROOT: a comma-decimal default locale would emit broken JSON)
     val passJson = results.map { case (k, (ts, _)) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"passes":$passJson,"sf":"$sfDir"}""")

@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * gate pins): distances accumulate `(x - c)²` left-to-right in doubles —
   * the [[SqDistF64]] op order — and ties break toward the LOWER index
   * (both `array_position(.., array_min(..))` and the `(d, i)` struct sort
-  * did the same). NULL input array, length mismatch, or a NULL element →
-  * NULL (the composed form's null-propagating dists made downstream drop
+  * did the same). NULL input array, length mismatch, a NULL element, or
+  * all-NaN distances (a NaN vector element) → NULL (the composed form's
+  * null-propagating dists / unorderable array_min made downstream drop
   * such rows; explode/element_at of NULL does too). */
 case class NearestCentroids(child: Expression, cents: Array[Array[Double]], nProbe: Int)
     extends UnaryExpression {
@@ -82,6 +83,9 @@ case class NearestCentroids(child: Expression, cents: Array[Array[Double]], nPro
         if (!used(c2) && dist(c2) < bd) { bd = dist(c2); best = c2 }
         c2 += 1
       }
+      // every remaining distance NaN (a NaN vector element) → no orderable
+      // nearest cell; yield NULL like the composed array_min form did
+      if (best < 0) return null
       used(best) = true
       out(p) = best
       p += 1
@@ -133,16 +137,22 @@ case class NearestCentroids(child: Expression, cents: Array[Array[Double]], nPro
          |  }
          |  final boolean[] $used = new boolean[$k];
          |  final int[] $out = new int[$nProbe];
-         |  for (int $p = 0; $p < $nProbe; $p++) {
+         |  for (int $p = 0; $p < $nProbe && !${ev.isNull}; $p++) {
          |    int $best = -1;
          |    double $bd = Double.POSITIVE_INFINITY;
          |    for (int $c = 0; $c < $k; $c++) {
          |      if (!$used[$c] && $dist[$c] < $bd) { $bd = $dist[$c]; $best = $c; }
          |    }
-         |    $used[$best] = true;
-         |    $out[$p] = $best;
+         |    if ($best < 0) {
+         |      ${ev.isNull} = true; // NaN distances: no orderable nearest cell
+         |    } else {
+         |      $used[$best] = true;
+         |      $out[$p] = $best;
+         |    }
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
          |}
        """.stripMargin
     })

@@ -69,10 +69,13 @@ object Sampling {
       quota: Int,
       tiebreak: Column): DataFrame = {
     require(quota >= 0, s"quota=$quota must be >= 0")
+    // working-column name chosen fresh so a caller's own __rk* survives
+    val rk = Iterator.from(0).map(i => s"__rk$i")
+      .find(n => !df.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(hash.asc, tiebreak.asc)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= quota)
-      .drop("__rk")
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= quota)
+      .drop(rk)
   }
 }

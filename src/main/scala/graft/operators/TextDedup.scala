@@ -37,12 +37,16 @@ object TextDedup {
     * Dedup happens IN-ROW (`array_distinct` before the explode): the
     * distinct set is per-document by construction, so hoisting it into the
     * row replaces a full (doc_id, shingle) distinct SHUFFLE over the
-    * exploded corpus with zero data movement — same rows, one less
-    * exchange over the widest relation in the dedup family. */
+    * exploded corpus (≈ tokens × corpus) with a far smaller one over the
+    * raw docs. The doc-level `dropDuplicates` keeps replayed/re-appended
+    * loads (identical rows delivered twice) from double-counting shingle
+    * sets; doc_id is otherwise assumed unique — two DIFFERENT texts under
+    * one id are a broken input either way. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
+      .dropDuplicates("doc_id")
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))))"))
         .as("shingle"))

@@ -79,7 +79,8 @@ object CdcIngest {
       raw: DataFrame,
       notify: Seq[Row] => Unit,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
-      chunkSize: Int = 500): StreamingQuery =
+      chunkSize: Int = 500): StreamingQuery = {
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
     pipeline(raw)
       .filter(col("comment").isNotNull)
       .writeStream
@@ -93,6 +94,7 @@ object CdcIngest {
         }
       }
       .start()
+  }
 
   /** CDC MERGE semantics (the reference appends the after-image for every
     * op — `SaveDelta.scala:160` — so updates/deletes pile up as extra
@@ -119,11 +121,15 @@ object CdcIngest {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key_id"))
       .orderBy(col("ts_ms").desc, col("op").desc)
+    // consumed by upserts, the touched-key relation, AND the bucket
+    // collect — persist for the batch, released before returning (the
+    // imperative foreachBatch context allows a clean unpersist)
     val latest = batch
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
       .withColumn("bucket", bucketOf(col("key_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowCols = batch.columns.filterNot(Set("key_id", "op", "ts_ms")).toSeq
     val upserts = latest.filter(col("op") =!= "d")
       .select((rowCols.map(col) :+ col("bucket")): _*)
@@ -133,28 +139,52 @@ object CdcIngest {
       touched.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(target) &&
-      fs.listStatus(target).exists(_.getPath.getName.startsWith("bucket="))
+    val entries =
+      if (fs.exists(target)) fs.listStatus(target).toSeq else Seq.empty
+    val hasBucketed = entries.exists(_.getPath.getName.startsWith("bucket="))
+    // a table written before bucketing (flat part-files at the root) gets a
+    // one-time O(table) migration: merge EVERYTHING and rewrite bucketed —
+    // silently ignoring legacy rows would lose updates/deletes against
+    // them and leave a mixed layout partition discovery rejects
+    val legacyFlat = entries.exists(e =>
+      e.isFile && e.getPath.getName.endsWith(".parquet"))
     val merged =
-      if (hasData) {
-        // partition pruning: only touched bucket directories are listed/read
+      if (legacyFlat) {
+        // recursiveFileLookup reads flat files AND any bucket=N leaves
+        // uniformly (the bucket column is directory-derived, not stored
+        // in the files) — recompute it from the key
+        val current = spark.read
+          .option("recursiveFileLookup", "true").parquet(path)
+        current.join(touched, current("id") === touched("key_id"), "left_anti")
+          .withColumn("bucket", bucketOf(col("id")))
+          .unionByName(upserts)
+      } else if (hasBucketed) {
+        // steady state: only touched bucket directories are listed/read
         val current = spark.read.parquet(path)
           .filter(col("bucket").isin(touchedBuckets: _*))
         current.join(touched, current("id") === touched("key_id"), "left_anti")
           .unionByName(upserts)
       } else upserts
     val staged = new Path(path + ".staged")
-    fs.delete(staged, true)
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(staged.toString)
-    if (!fs.exists(target)) fs.mkdirs(target)
-    touchedBuckets.foreach { b =>
-      val src = new Path(staged, s"bucket=$b")
-      val dst = new Path(target, s"bucket=$b")
-      fs.delete(dst, true)
-      // a bucket whose rows were all deleted stages no directory
-      if (fs.exists(src)) fs.rename(src, dst)
-    }
-    fs.delete(staged, true)
+    try {
+      fs.delete(staged, true)
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(staged.toString)
+      if (legacyFlat) {
+        // migration touches every row: swap the whole table
+        fs.delete(target, true)
+        fs.rename(staged, target)
+      } else {
+        if (!fs.exists(target)) fs.mkdirs(target)
+        touchedBuckets.foreach { b =>
+          val src = new Path(staged, s"bucket=$b")
+          val dst = new Path(target, s"bucket=$b")
+          fs.delete(dst, true)
+          // a bucket whose rows were all deleted stages no directory
+          if (fs.exists(src)) fs.rename(src, dst)
+        }
+        fs.delete(staged, true)
+      }
+    } finally latest.unpersist()
   }
 
   /** K1 upsert variant: decode WITH op handling and maintain the current

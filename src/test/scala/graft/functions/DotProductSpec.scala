@@ -143,5 +143,13 @@ class DotProductSpec extends SparkSpec {
       tieCents, 2)
     val out = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(out.toIntArray().toSeq === Seq(0, 1))
+    // a NaN vector element makes every distance NaN → NULL, not a crash
+    val nan = NearestCentroids(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array.fill(dim)(0.25).updated(0, Double.NaN),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)),
+      tieCents, 2)
+    assert(nan.eval(null) == null)
   }
 }

@@ -118,6 +118,16 @@ class OperatorsSpec extends SparkSpec {
       s"$risky pairs in jaccard [0.5, 0.85) — q19's exact-oracle assumption no longer holds")
   }
 
+  test("replayed (double-delivered) corpus yields identical dedup results") {
+    // a re-appended load duplicates every row; shingles' doc-level dedup
+    // must keep set sizes and intersections from double-counting
+    val doubled = docs.union(docs)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      TextDedup.exactJaccardPairs(d, minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(doubled) === pairs(docs.toDF()))
+  }
+
   test("corpus separation margin backs q39's exact oracle") {
     // q39 = banded-simhash candidates (Hamming ≤ 12) verified by exact
     // Jaccard ≥ 0.9, so it can only diverge from the exact oracle by

@@ -204,6 +204,37 @@ class CdcIngestSpec extends SparkSpec {
     assert(out.filter(col("id") === 1).select("sport_type").head().getString(0) === "swim")
   }
 
+  test("upsert ingest: pre-bucketing flat table is migrated, not ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_upsert_mig").toString
+    // build a table the NEW way, then flatten it to the legacy layout
+    // (plain part-files at the root, no bucket dirs)
+    val s1 = MemoryStream[String]
+    s1.addData(env("c", 1, "run", 1000), env("c", 2, "walk", 1001), env("c", 3, "bike", 1002))
+    CdcIngest.startUpsertIngest(s1.toDF(), s"$dir/tmp", s"$dir/chk1",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    spark.read.parquet(s"$dir/tmp").drop("bucket")
+      .write.parquet(s"$dir/data")
+    assert(!new java.io.File(s"$dir/data").listFiles()
+      .exists(_.getName.startsWith("bucket=")), "precondition: flat layout")
+
+    // one post-upgrade batch: update id 2, delete id 3, insert id 4 —
+    // updates/deletes against LEGACY rows must apply, and the layout must
+    // come out fully bucketed (no mixed flat+partitioned leaves)
+    val s2 = MemoryStream[String]
+    s2.addData(env("u", 2, "swim", 2000), env("d", 3, "bike", 2001), env("c", 4, "hike", 2002))
+    CdcIngest.startUpsertIngest(s2.toDF(), s"$dir/data", s"$dir/chk2",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.select("id").collect().map(_.getInt(0)).toSet === Set(1, 2, 4))
+    assert(out.filter(col("id") === 2).select("sport_type").head().getString(0) === "swim")
+    val leaves = new java.io.File(s"$dir/data").listFiles()
+    assert(!leaves.exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "legacy flat files must be gone after migration")
+    assert(leaves.exists(_.getName.startsWith("bucket=")))
+  }
+
   test("metrics listener accumulates progress") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
