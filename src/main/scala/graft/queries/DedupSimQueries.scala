@@ -113,16 +113,19 @@ object DedupSimQueries {
       ann: org.apache.spark.sql.DataFrame,
       emb: org.apache.spark.sql.DataFrame,
       minRecall: Double): org.apache.spark.sql.DataFrame = {
+    // ONE pass over the truth relation: left-join ann candidates and count
+    // evaluated queries + hits in the same aggregate (computing them as
+    // two separate aggregates re-ran the exact 100-query × corpus scoring)
     val truth = VectorSearch
       .bruteForceTopK(emb.filter(col("vec_id") < 100), emb, k = 1)
       .select(col("qid"), col("nid").as("true_nid"))
-    val nEval = truth.agg(countDistinct(col("qid")).as("n_eval"))
-    val nHits = truth.join(ann.select(col("qid"), col("nid")), Seq("qid"))
-      .filter(col("nid") === col("true_nid"))
-      .agg(countDistinct(col("qid")).as("n_hits"))
-    nEval.crossJoin(nHits).select(
-      col("n_eval"),
-      (col("n_hits") >= col("n_eval") * minRecall).as("recall_ok"))
+    truth.join(ann.select(col("qid"), col("nid")), Seq("qid"), "left")
+      .agg(
+        countDistinct(col("qid")).as("n_eval"),
+        countDistinct(when(col("nid") === col("true_nid"), col("qid"))).as("n_hits"))
+      .select(
+        col("n_eval"),
+        (col("n_hits") >= col("n_eval") * minRecall).as("recall_ok"))
   }
 
   private val annRecallOracle = """
