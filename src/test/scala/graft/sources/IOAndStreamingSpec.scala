@@ -141,6 +141,13 @@ class IOAndStreamingSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
       // same rows as the unbucketed join
       assert(j.count() === orders.join(items, "o_orderkey").count())
+      // aggregation on the bucket key is exchange-free too: partial and
+      // final aggregate collapse into the bucketed scan's partitioning
+      val a = spark.table("lineitem_bkt").groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      a.collect()
+      val aggPlan = a.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucketed agg still shuffles:\n$aggPlan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
