@@ -124,11 +124,12 @@ private[xlsx] class XlsxPartitionReader(
     path: String, schema: StructType, header: Boolean, sheet: String)
     extends PartitionReader[InternalRow] {
 
-  // executor-side: default Hadoop configuration resolves local/HDFS paths
-  private val rows: Iterator[Array[String]] = {
-    val all = XlsxParse.readRows(new Configuration(), path, sheet).iterator
-    if (header && all.hasNext) { all.next(); all } else all
-  }
+  // executor-side: default Hadoop configuration resolves local/HDFS paths.
+  // Pull-based row iterator — memory is bounded by ONE row (+ the
+  // shared-string table), not the sheet size.
+  private val rows: XlsxParse.RowIterator =
+    XlsxParse.rowIterator(new Configuration(), path, sheet)
+  if (header && rows.hasNext) rows.next()
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -147,7 +148,7 @@ private[xlsx] class XlsxPartitionReader(
     } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = rows.close()
 }
 
 /** Streaming SpreadsheetML parsing (JDK StAX over ZipInputStream — two
@@ -218,67 +219,102 @@ private[xlsx] object XlsxParse {
     acc - 1
   }
 
-  /** Rows of `xl/worksheets/sheet<sheet>.xml` as string arrays (null =
-    * missing cell), up to `maxRows` — the scan STOPS there (schema
-    * inference reads just the header row; a data read takes everything).
-    * Cell types: `s` shared string, `inlineStr` inline, otherwise the raw
-    * `<v>` text (numbers, bools, dates-as-serials). */
-  def readRows(
-      conf: Configuration, path: String, sheet: String,
-      maxRows: Int = Int.MaxValue): Seq[Array[String]] = {
-    val shared = sharedStrings(conf, path)
-    openEntry(conf, path, s"xl/worksheets/sheet$sheet.xml") match {
-      case None => throw new IllegalArgumentException(s"xlsx: sheet $sheet not found in $path")
-      case Some(is) =>
-        try {
-          val r = xmlReader(is)
-          val rows = mutable.ArrayBuffer.empty[Array[String]]
-          val cells = mutable.ArrayBuffer.empty[(Int, String)]
-          val sb = new StringBuilder
-          var cellCol = -1
-          var cellType = ""
-          var nextCol = 0
-          var capture = false
-          while (r.hasNext && rows.size < maxRows) {
-            r.next() match {
-              case XMLStreamConstants.START_ELEMENT =>
-                r.getLocalName match {
-                  case "row" =>
-                    cells.clear(); nextCol = 0
-                  case "c" =>
-                    val ref = Option(r.getAttributeValue(null, "r"))
-                    cellCol = ref.map(colIndex).getOrElse(nextCol)
-                    nextCol = cellCol + 1
-                    cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
-                    sb.clear()
-                  case "v" | "t" => capture = true
-                  case _ =>
+  /** Pull-based sheet scan: parses exactly as far as the consumer asks —
+    * memory is one in-flight row plus the shared-string table, never the
+    * sheet. `close()` is idempotent and also called automatically at
+    * end-of-sheet. */
+  final class RowIterator private[XlsxParse] (
+      shared: IndexedSeq[String], is: InputStream, r: XMLStreamReader)
+      extends Iterator[Array[String]] with AutoCloseable {
+
+    private val cells = mutable.ArrayBuffer.empty[(Int, String)]
+    private val sb = new StringBuilder
+    private var cellCol = -1
+    private var cellType = ""
+    private var nextCol = 0
+    private var capture = false
+    private var pending: Array[String] = _
+    private var closed = false
+
+    // LAZY: a row is parsed only when the consumer asks — reading N rows
+    // never parses row N+1 (the schema-inference early-exit depends on it)
+    override def hasNext: Boolean = {
+      if (pending == null && !closed) advance()
+      pending != null
+    }
+
+    override def next(): Array[String] = {
+      if (!hasNext) throw new NoSuchElementException("end of sheet")
+      val out = pending
+      pending = null
+      out
+    }
+
+    override def close(): Unit =
+      if (!closed) { closed = true; is.close() }
+
+    /** Pull StAX events until one complete non-empty row is assembled. */
+    private def advance(): Unit = {
+      while (pending == null && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" =>
+                cells.clear(); nextCol = 0
+              case "c" =>
+                val ref = Option(r.getAttributeValue(null, "r"))
+                cellCol = ref.map(colIndex).getOrElse(nextCol)
+                nextCol = cellCol + 1
+                cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                sb.clear()
+              case "v" | "t" => capture = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS if capture => sb.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" | "t" => capture = false
+              case "c" =>
+                val raw = sb.toString
+                val v = cellType match {
+                  case "s" => shared(raw.trim.toInt)
+                  case _ => raw
                 }
-              case XMLStreamConstants.CHARACTERS if capture => sb.append(r.getText)
-              case XMLStreamConstants.END_ELEMENT =>
-                r.getLocalName match {
-                  case "v" | "t" => capture = false
-                  case "c" =>
-                    val raw = sb.toString
-                    val v = cellType match {
-                      case "s" => shared(raw.trim.toInt)
-                      case _ => raw
-                    }
-                    if (v.nonEmpty) cells += ((cellCol, v))
-                  case "row" =>
-                    if (cells.nonEmpty) {
-                      val width = cells.map(_._1).max + 1
-                      val arr = new Array[String](width)
-                      cells.foreach { case (i, v) => arr(i) = v }
-                      rows += arr
-                    }
-                  case _ =>
+                if (v.nonEmpty) cells += ((cellCol, v))
+              case "row" =>
+                if (cells.nonEmpty) {
+                  val width = cells.map(_._1).max + 1
+                  val arr = new Array[String](width)
+                  cells.foreach { case (i, v) => arr(i) = v }
+                  pending = arr
                 }
               case _ =>
             }
-          }
-          rows.toSeq
-        } finally is.close()
+          case _ =>
+        }
+      }
+      if (pending == null) close() // sheet exhausted
     }
+  }
+
+  /** Open a streaming row iterator over `xl/worksheets/sheet<sheet>.xml`.
+    * Cell types: `s` shared string, `inlineStr` inline, otherwise the raw
+    * `<v>` text (numbers, bools, dates-as-serials). */
+  def rowIterator(conf: Configuration, path: String, sheet: String): RowIterator = {
+    val shared = sharedStrings(conf, path)
+    openEntry(conf, path, s"xl/worksheets/sheet$sheet.xml") match {
+      case None => throw new IllegalArgumentException(s"xlsx: sheet $sheet not found in $path")
+      case Some(is) => new RowIterator(shared, is, xmlReader(is))
+    }
+  }
+
+  /** Rows as string arrays (null = missing cell), up to `maxRows` — the
+    * scan STOPS there (schema inference reads just the header row). */
+  def readRows(
+      conf: Configuration, path: String, sheet: String,
+      maxRows: Int = Int.MaxValue): Seq[Array[String]] = {
+    val it = rowIterator(conf, path, sheet)
+    try it.take(maxRows).toVector
+    finally it.close()
   }
 }
