@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that turns
+  * PAIRWISE near-duplicate hits (MinHash-LSH / SimHash / embedding-LSH
+  * output) into dedup GROUPS, so a pipeline can keep one canonical document
+  * per cluster instead of reasoning about O(pairs) edges. The reference has
+  * no graph step; this extends the dedup suite (SURVEY §7.1) with the
+  * standard closing operator of every large-scale dedup pipeline.
+  *
+  * Algorithm: iterative min-label propagation to fixpoint. Each node starts
+  * labeled with its own id; every round each node takes the minimum of its
+  * label and its neighbors' labels; converged when no label changes. The
+  * component id is therefore the minimum node id in the component —
+  * deterministic, order-independent, and exactly what a recursive-CTE
+  * transitive closure computes, which is what the DuckDB oracle does.
+  *
+  * Scale shape (100 TB): each round is one shuffle (groupBy node) over the
+  * edge relation — the same cost profile as the Hash-to-Min / large-star
+  * family used in production dedup (GraphFrames, connected-components-over
+  * -MapReduce). Rounds needed = graph diameter; dedup clusters are
+  * near-cliques (diameter ≤ ~2–3), so the loop runs 2–4 rounds, not
+  * O(log n). Each iteration is `localCheckpoint`ed (eager) to truncate
+  * lineage — without it the plan doubles per round and Catalyst re-analyzes
+  * an exponentially growing tree. The edge relation is persisted once and
+  * reused every round. The per-round convergence check rides on the
+  * checkpoint's own job (`count` over the already-materialized delta), not
+  * a second pass over the graph.
+  */
+object ConnectedComponents {
+
+  /** (id, component_id) for every node appearing in `edges` (a_id, b_id).
+    * component_id = min node id reachable in the undirected graph.
+    */
+  def components(edges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Undirected: propagate along both directions of every edge.
+    val und = edges
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // min label among each node's neighbors (the node's own label joins
+      // back via `least` below — self-loops need not be materialized)
+      val fromNbrs = und
+        .join(labels.select(col("id").as("vid"), col("label").as("nl")),
+          col("v") === col("vid"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("nl")).as("nbr_label"))
+      val next = labels
+        .join(fromNbrs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("moved"))
+        .localCheckpoint() // eager: materializes, truncates lineage
+      changed = next.filter(col("moved")).count()
+      labels = next.select(col("id"), col("label"))
+    }
+    und.unpersist()
+    labels.select(col("id"), col("label").as("component_id"))
+  }
+
+  /** Cluster membership with sizes: (doc_id, component_id, csize). The
+    * canonical representative of each cluster is component_id itself (the
+    * minimum doc id); every other member is redundant and droppable.
+    */
+  def dedupClusters(edges: DataFrame): DataFrame = {
+    val comp = components(edges)
+    val sizes = comp.groupBy(col("component_id")).agg(count(lit(1)).as("csize"))
+    comp.select(col("id").as("doc_id"), col("component_id"))
+      .join(sizes, "component_id")
+      .select(col("doc_id"), col("component_id"), col("csize"))
+  }
+}

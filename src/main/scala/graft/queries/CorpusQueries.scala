@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.operators.{ConnectedComponents, Decontaminate, TextDedup}
+
+/** Corpus-hygiene queries (SURVEY §7.1 extension): benchmark
+  * decontamination, dedup-cluster formation, and distinctive-term
+  * extraction — the operators that close the loop from pairwise similarity
+  * hits to an actually-cleaned training corpus.
+  */
+object CorpusQueries {
+
+  /** Benchmark decontamination: the eval set is the doc_id % 10 = 7 slice
+    * of the corpus (a deterministic stand-in for a held-out benchmark);
+    * report every train doc sharing ≥ 10 distinct word-3-grams with an
+    * eval doc. On this corpus the planted near-dup pairs overlap at ≥ 21
+    * shingles while unrelated background pairs top out at 4 — the
+    * threshold sits in a wide margin, so the gate is stable across SFs.
+    */
+  val q51Decontamination: Q = Q(
+    "q51_decontamination",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      ev AS (SELECT * FROM sh WHERE doc_id % 10 = 7),
+      tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 7)
+      SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+             CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM tr JOIN ev ON tr.shingle = ev.shingle
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 10"""),
+    headline = true) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    Decontaminate.overlaps(
+      train = docs.filter(col("doc_id") % 10 =!= 7),
+      eval = docs.filter(col("doc_id") % 10 === 7),
+      n = 3, minOverlap = 10)
+  }
+
+  /** Dedup-cluster formation: near-dup edges from the production MinHash-
+    * LSH path (q19 — oracle-identical to exact all-pairs on this corpus),
+    * closed into components by iterative min-label propagation. Output is
+    * per-doc cluster membership (component id = min doc id in the cluster
+    * = the canonical survivor) plus cluster size. The DuckDB oracle
+    * computes the same closure with a recursive CTE over the exact-Jaccard
+    * edge set.
+    */
+  val q52DedupClusters: Q = Q(
+    "q52_dedup_clusters",
+    Some("""
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      e AS (
+        SELECT it.a_id, it.b_id FROM inter it
+        JOIN sz sa ON it.a_id = sa.doc_id
+        JOIN sz sb ON it.b_id = sb.doc_id
+        WHERE it.i / (sa.n + sb.n - it.i) >= 0.5),
+      und AS (SELECT a_id AS u, b_id AS v FROM e UNION SELECT b_id, a_id FROM e),
+      reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u),
+      comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id FROM reach GROUP BY u)
+      SELECT c.doc_id, c.component_id, s.csize
+      FROM comp c
+      JOIN (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS csize
+            FROM comp GROUP BY 1) s USING (component_id)"""),
+    headline = true) { (spark, dir) =>
+    val edges = TextDedup
+      .minhashPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    ConnectedComponents.dedupClusters(edges)
+  }
+
+  /** Distinctive-term extraction, integer-exact (no float idf): per doc,
+    * the top-3 terms ranked by term frequency DESC, document frequency ASC
+    * (rarer across the corpus = more distinctive), term ASC — a total
+    * order, so the result is deterministic across engines. The tf-idf
+    * SHAPE (per-doc tf join corpus-wide df) with none of the
+    * transcendental-float hazards.
+    */
+  val q53DistinctiveTerms: Q = Q(
+    "q53_distinctive_terms",
+    Some("""
+      WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+                 FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM w GROUP BY 1, 2),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      r AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(row_number() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INTEGER) AS rnk
+        FROM tf JOIN df USING (term))
+      SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 3""")) { (spark, dir) =>
+    val w = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables.table
+
+class CorpusOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val docs = table(spark, sfDir, "documents").cache()
+
+  // --- connected components -------------------------------------------------
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents
+      .components(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components: chain needs multi-round propagation, closes transitively") {
+    // 7-5-3-1 chain written so the min label (1) must travel 3 hops —
+    // exercises the fixpoint loop beyond a single round — plus a separate
+    // pair and the labels must not bleed across components.
+    val got = cc(Seq((5L, 7L), (3L, 5L), (1L, 3L), (10L, 12L)))
+    assert(got === Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L,
+      10L -> 10L, 12L -> 10L))
+  }
+
+  test("components: duplicate + reversed edges don't change the result") {
+    val got = cc(Seq((2L, 1L), (1L, 2L), (2L, 3L), (2L, 3L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("components == driver-side union-find on a random graph") {
+    // deterministic pseudo-random edges (hash-derived, no RNG)
+    val n = 200
+    val edges = (0 until 300).map { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((i, "edge"))
+      val a = math.floorMod(h, n).toLong
+      val b = math.floorMod(h >> 8, n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2)
+
+    // reference: union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    // union-find roots are path-dependent; normalize to min-id per root
+    val byRoot = want.groupBy(_._2).map { case (_, m) => m.keys.min -> m.keys.toSet }
+    val wantNorm = byRoot.flatMap { case (minId, vs) => vs.map(_ -> minId) }.toMap
+
+    assert(cc(edges) === wantNorm)
+  }
+
+  test("dedupClusters: sizes are per-component and canonical id is the min") {
+    val out = ConnectedComponents
+      .dedupClusters(Seq((4L, 9L), (9L, 2L), (30L, 40L)).toDF("a_id", "b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((2L, 2L, 3L), (4L, 2L, 3L), (9L, 2L, 3L),
+      (30L, 30L, 2L), (40L, 30L, 2L)))
+  }
+
+  // --- decontamination ------------------------------------------------------
+
+  test("decontamination finds planted cross-split near-dups with wide margin") {
+    val eval = docs.filter(col("doc_id") % 10 === 7)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val ov = Decontaminate.overlaps(train, eval, n = 3, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ov.nonEmpty)
+    // the q51 threshold (10) must sit in a corpus margin: planted dups far
+    // above, background far below — a regenerated corpus fails HERE loudly
+    // instead of flaking the hash gate (same pattern as q19/q39 guards)
+    val hits = ov.filter(_._3 >= 10)
+    assert(hits.nonEmpty, "corpus must contain cross-split planted dups")
+    assert(hits.forall(_._3 >= 20), s"hit too close to threshold: ${hits.minBy(_._3)}")
+    assert(ov.filter(_._3 < 10).forall(_._3 <= 5),
+      "background overlap crept toward the q51 threshold")
+  }
+
+  test("decontamination broadcastEval hints the eval side") {
+    val eval = docs.filter(col("doc_id") % 10 === 7)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val plan = Decontaminate
+      .overlaps(train, eval, broadcastEval = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("decontamination result matches unfiltered-jaccard cross-split slice") {
+    // cross-check: the (train,eval) overlap counts must equal the
+    // intersection counts the exact-Jaccard machinery computes for the
+    // same pairs (shared shingle-join shape, independent composition)
+    val eval = docs.filter(col("doc_id") % 10 === 7)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val got = Decontaminate.overlaps(train, eval, minOverlap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaJaccard = TextDedup.exactJaccardPairs(docs, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (t, e) => t % 10 != 7 && e % 10 == 7 }.toSet
+    assert(got === viaJaccard)
+  }
+}
