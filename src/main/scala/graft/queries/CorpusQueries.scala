@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
-import graft.operators.{ConnectedComponents, Decontaminate, TextDedup}
+import graft.operators.{ConnectedComponents, Decontaminate, ShardPack, TextDedup}
 
 /** Corpus-hygiene queries (SURVEY §7.1 extension): benchmark
   * decontamination, dedup-cluster formation, and distinctive-term
@@ -124,5 +124,83 @@ object CorpusQueries {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms)
+  /** Dedup APPLIED: the cleaned corpus after near-dup clustering — every
+    * doc survives unless it is a non-canonical member of a q52 cluster
+    * (canonical = min doc id). This is the operator a pipeline actually
+    * runs: pairs → clusters → anti-join, one linear pass over the corpus
+    * at the end. Output carries length(text) so the hash gate pins that
+    * the SURVIVING TEXTS (not just ids) match.
+    */
+  val q54DedupApply: Q = Q(
+    "q54_dedup_apply",
+    Some("""
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      e AS (
+        SELECT it.a_id, it.b_id FROM inter it
+        JOIN sz sa ON it.a_id = sa.doc_id
+        JOIN sz sb ON it.b_id = sb.doc_id
+        WHERE it.i / (sa.n + sb.n - it.i) >= 0.5),
+      und AS (SELECT a_id AS u, b_id AS v FROM e UNION SELECT b_id, a_id FROM e),
+      reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u),
+      comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id FROM reach GROUP BY u)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_kept
+      FROM documents d
+      WHERE d.doc_id NOT IN
+        (SELECT doc_id FROM comp WHERE doc_id <> component_id)""")) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    val edges = TextDedup.minhashPairs(docs, n = 3, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val redundant = ConnectedComponents.components(edges)
+      .filter(col("id") =!= col("component_id"))
+      .select(col("id").as("doc_id"))
+    docs.join(redundant, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_kept"))
+  }
+
+  /** Shard packing (q55): deterministic hash-order permutation of the
+    * corpus cut into contiguous ~10k-token shards via [[ShardPack]]'s
+    * two-phase distributed prefix sum. The DuckDB oracle computes the SAME
+    * assignment with one global window — proving the distributed
+    * decomposition is exact, not approximately equal.
+    */
+  val q55ShardPack: Q = Q(
+    "q55_shard_pack",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               (doc_id * 2654435761) % 1000000007 AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents),
+      c AS (
+        SELECT doc_id, ntok,
+               CAST(COALESCE(SUM(ntok) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM d)
+      SELECT doc_id, ntok, cum_before,
+             CAST(cum_before // 10000 AS BIGINT) AS shard
+      FROM c""")) { (spark, dir) =>
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+    ShardPack.pack(d, col("doc_id"), col("ntok"), budget = 10000L)
+      .select(col("doc_id"), col("ntok"), col("cum_before"), col("shard"))
+  }
+
+  val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
+    q54DedupApply, q55ShardPack)
 }

@@ -93,6 +93,83 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  // --- shard packing --------------------------------------------------------
+
+  test("shardPack == driver-side global prefix sum, and spans >1 bucket") {
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val got = ShardPack.pack(d, col("doc_id"), col("ntok"), budget = 2000L)
+      .select(col("doc_id"), col("cum_before"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // reference: one global in-memory pass in (portableHash, id) order
+    val rows = d.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ordered = rows.sortBy { case (id, _) =>
+      (math.floorMod(id * 2654435761L, 1000000007L), id)
+    }
+    var cum = 0L
+    val want = ordered.map { case (id, w) =>
+      val before = cum; cum += w; (id, before, before / 2000L)
+    }.toSet
+    assert(got === want)
+
+    // the decomposition must actually have been exercised: >1 hash bucket
+    val nBuckets = d.select((graft.operators.Sampling.portableHash(col("doc_id"))
+      .divide(lit(1L << 24))).cast("long")).distinct().count()
+    assert(nBuckets > 1, s"corpus landed in $nBuckets bucket(s) — two-phase path untested")
+  }
+
+  test("shardPack: shards are contiguous, budget-bounded, and never split a doc") {
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val out = ShardPack.pack(d, col("doc_id"), col("ntok"), budget = 2000L)
+      .select(col("shard"), col("ntok"))
+      .groupBy("shard").agg(
+        sum(col("ntok")).as("tot"), max(col("ntok")).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val shards = out.map(_._1).sorted
+    assert(shards.length > 2, "budget too large to test packing")
+    assert(shards === (shards.min to shards.max), "shard ids must be contiguous")
+    // every shard but the last is filled past nothing less than budget
+    // minus its largest doc (docs are atomic), and none exceeds budget
+    // by more than one doc
+    out.filter(_._1 != shards.max).foreach { case (s, tot, mx) =>
+      assert(tot + mx > 2000L, s"shard $s underfilled: tot=$tot mx=$mx")
+      assert(tot < 2000L + mx, s"shard $s overfilled: tot=$tot mx=$mx")
+    }
+  }
+
+  test("shardPack plan: per-row window is bucket-partitioned; offsets broadcast-joined") {
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val plan = ShardPack.pack(d, col("doc_id"), col("ntok"), budget = 2000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the doc-level running sum must be keyed by __bucket (parallel), not
+    // a bare global Window (single-partition sort of the corpus)
+    assert(plan.contains("windowspecdefinition(__bucket"), plan.take(3000))
+  }
+
+  // --- dedup apply ----------------------------------------------------------
+
+  test("dedupApply: survivors = all docs minus non-canonical cluster members") {
+    val edges = TextDedup.minhashPairs(docs, n = 3, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val comp = ConnectedComponents.components(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val redundant = comp.filter { case (id, c) => id != c }.map(_._1).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = graft.queries.CorpusQueries.q54DedupApply
+      .run(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(redundant.nonEmpty, "corpus must contain near-dup clusters")
+    assert(survivors === all -- redundant)
+    // every cluster keeps exactly its canonical (min-id) member
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._1).toSet.intersect(survivors) === Set(c))
+    }
+  }
+
   test("decontamination result matches unfiltered-jaccard cross-split slice") {
     // cross-check: the (train,eval) overlap counts must equal the
     // intersection counts the exact-Jaccard machinery computes for the
