@@ -22,6 +22,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // dev knob: comma-separated query names to bench in isolation
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,13 +49,20 @@ object Bench {
 
     // Untimed warmup pass: codegen compilation + file-index caches, so the
     // timed passes measure steady-state throughput (what matters at scale).
-    Catalog.headlines.foreach { q =>
+    // Same cache/GC hygiene as the timed passes — without it one query's
+    // persisted intermediates and checkpoint garbage linger into the next
+    // warmup and its time stops meaning anything (r4: a 58 s q52 warmup
+    // bled 30 s GC stalls into the q34/q40 warmups that followed).
+    val bench = only.fold(Catalog.headlines)(names => Catalog.headlines.filter(q => names(q.name)))
+    bench.foreach { q =>
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       once(q)
       System.err.println(s"[warmup] ${q.name} ${(System.nanoTime() - t0) / 1e9}")
     }
 
-    val results = Catalog.headlines.map { q =>
+    val results = bench.map { q =>
       val times = (1 to passes).map { i =>
         // clear per PASS, not per query: operators persist their own
         // intermediates (shingle relation, LSH base), so a warm cache

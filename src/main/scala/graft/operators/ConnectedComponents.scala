@@ -35,7 +35,15 @@ object ConnectedComponents {
     * component_id = min node id reachable in the undirected graph.
     */
   def components(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.storage.StorageLevel
+    // The checkpointed blocks of round i-1 are dead once round i is
+    // materialized; without explicit release they sit in the block
+    // manager until a GC + ContextCleaner pass — per-round O(|V|) debris
+    // that a long-running pipeline (or the bench harness) pays for.
+    def ckptRdds(df: DataFrame) =
+      df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }
+
     // Undirected: propagate along both directions of every edge.
     val und = edges
       .select(col("a_id").as("u"), col("b_id").as("v"))
@@ -45,6 +53,7 @@ object ConnectedComponents {
     var labels = und.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    var prev = ckptRdds(labels)
     var changed = 1L
     while (changed > 0) {
       // min label among each node's neighbors (the node's own label joins
@@ -62,6 +71,8 @@ object ConnectedComponents {
         .localCheckpoint() // eager: materializes, truncates lineage
       changed = next.filter(col("moved")).count()
       labels = next.select(col("id"), col("label"))
+      prev.foreach(_.unpersist(blocking = false))
+      prev = ckptRdds(next)
     }
     und.unpersist()
     labels.select(col("id"), col("label").as("component_id"))
