@@ -27,18 +27,38 @@ object Decontaminate {
   /** (train_id, eval_id, overlap) for train docs sharing ≥ minOverlap
     * distinct word n-grams with an eval doc. Reuses [[TextDedup.shingles]]
     * (in-row array_distinct dedup, codegen, no UDFs) on both sides.
+    *
+    * `maxShingleDf` (default off — the oracle SQL has no cap) drops
+    * shingles whose document frequency across train ∪ eval exceeds the
+    * cap, exactly like [[TextDedup.minhashPairs]]'s knob: shared
+    * boilerplate (license headers, templates) is the skew key of this
+    * join — one universal shingle pairs every train doc with every eval
+    * doc — and carries no contamination signal.
     */
   def overlaps(
       train: DataFrame,
       eval: DataFrame,
       n: Int = 3,
       minOverlap: Long = 10,
-      broadcastEval: Boolean = false): DataFrame = {
-    val trainSh = TextDedup.shingles(train, n)
-      .select(col("doc_id").as("train_id"), col("shingle"))
+      broadcastEval: Boolean = false,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val trainSh0 = TextDedup.shingles(train, n)
     val evalSh0 = TextDedup.shingles(eval, n)
-      .select(col("doc_id").as("eval_id"), col("shingle"))
-    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    val (trainSh1, evalSh1) = maxShingleDf match {
+      case None => (trainSh0, evalSh0)
+      case Some(cap) =>
+        // document frequency over BOTH corpora: boilerplate concentrated
+        // in one split must still be dropped from the join
+        val stop = trainSh0.union(evalSh0)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("shingle"))
+        (trainSh0.join(stop, Seq("shingle"), "left_anti"),
+          evalSh0.join(stop, Seq("shingle"), "left_anti"))
+    }
+    val trainSh = trainSh1.select(col("doc_id").as("train_id"), col("shingle"))
+    val evalSh2 = evalSh1.select(col("doc_id").as("eval_id"), col("shingle"))
+    val evalSh = if (broadcastEval) broadcast(evalSh2) else evalSh2
     trainSh
       .join(evalSh, "shingle")
       .groupBy(col("train_id"), col("eval_id"))

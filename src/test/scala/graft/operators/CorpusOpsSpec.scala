@@ -170,6 +170,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination DF cap drops cross-corpus boilerplate, keeps real hits") {
+    import spark.implicits._
+    // every train doc shares a 12-word template with every eval doc —
+    // uncapped, the join pairs all of them; the one real contamination is
+    // train doc 100 containing eval doc 207's exact content
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val train = ((0L until 20L).map(i => (i, s"$boiler t${i}a t${i}b")) :+
+      (100L, s"leaked benchmark question alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val eval = ((200L until 207L).map(i => (i, s"$boiler e${i}a e${i}b")) :+
+      (207L, s"leaked benchmark question alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val uncapped = Decontaminate.overlaps(train, eval, minOverlap = 5)
+    assert(uncapped.count() > 20, "boilerplate should blow up the uncapped join")
+    val capped = Decontaminate
+      .overlaps(train, eval, minOverlap = 5, maxShingleDf = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 207L)), s"capped hits: $capped")
+  }
+
   test("decontamination result matches unfiltered-jaccard cross-split slice") {
     // cross-check: the (train,eval) overlap counts must equal the
     // intersection counts the exact-Jaccard machinery computes for the

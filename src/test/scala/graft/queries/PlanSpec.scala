@@ -69,4 +69,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"q46 fell back to a quadratic join:\n$plan")
   }
+
+  test("q51/q53: document scans pruned to (doc_id, text); joins never quadratic") {
+    Seq("q51_decontamination", "q53_distinctive_terms").foreach { q =>
+      val plan = executedPlan(q)
+      // documents carries (lang, source, n_chars) these queries never
+      // touch — at 100 TB unpruned text-table columns are the whole bill
+      assert(!plan.contains("lang:string") && !plan.contains("n_chars"),
+        s"$q scan reads unused columns:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to a quadratic join:\n$plan")
+    }
+  }
+
+  test("q54: dedup applies as a LeftAnti join, no quadratic fallback") {
+    val plan = executedPlan("q54_dedup_apply")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q54 fell back to a quadratic join:\n$plan")
+  }
 }
