@@ -194,13 +194,97 @@ object CorpusQueries {
         FROM d)
       SELECT doc_id, ntok, cum_before,
              CAST(cum_before // 10000 AS BIGINT) AS shard
-      FROM c""")) { (spark, dir) =>
+      FROM c"""),
+    headline = true) { (spark, dir) =>
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
     ShardPack.pack(d, col("doc_id"), col("ntok"), budget = 10000L)
       .select(col("doc_id"), col("ntok"), col("cum_before"), col("shard"))
   }
 
+  /** The whole hygiene pipeline composed end-to-end (q56): near-dup dedup
+    * applied (q54) → benchmark decontamination against the eval slice
+    * (q51, and the eval slice itself excluded from the training corpus) →
+    * deterministic shard packing (q55). One library call per stage, one
+    * oracle for the final artifact: the shard layout of the cleaned
+    * corpus. This is the "does it compose" proof for the corpus-hygiene
+    * family, same rationale as q46 for the sampling family.
+    */
+  val q56CorpusPipeline: Q = Q(
+    "q56_corpus_pipeline",
+    Some("""
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      e AS (
+        SELECT it.a_id, it.b_id FROM inter it
+        JOIN sz sa ON it.a_id = sa.doc_id
+        JOIN sz sb ON it.b_id = sb.doc_id
+        WHERE it.i / (sa.n + sb.n - it.i) >= 0.5),
+      und AS (SELECT a_id AS u, b_id AS v FROM e UNION SELECT b_id, a_id FROM e),
+      reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u),
+      comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id FROM reach GROUP BY u),
+      tr AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 10 <> 7
+          AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)),
+      cont AS (
+        SELECT DISTINCT t.doc_id FROM (
+          SELECT a.doc_id, b.doc_id AS eval_id
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          WHERE a.doc_id IN (SELECT doc_id FROM tr) AND b.doc_id % 10 = 7
+          GROUP BY 1, 2 HAVING COUNT(*) >= 10) t),
+      d AS (
+        SELECT doc_id,
+               (doc_id * 2654435761) % 1000000007 AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM tr)
+          AND doc_id NOT IN (SELECT doc_id FROM cont)),
+      c AS (
+        SELECT doc_id, ntok,
+               CAST(COALESCE(SUM(ntok) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM d)
+      SELECT doc_id, ntok, cum_before,
+             CAST(cum_before // 10000 AS BIGINT) AS shard
+      FROM c""")) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    // stage 1: near-dup dedup, applied
+    val edges = TextDedup.minhashPairs(docs, n = 3, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val redundant = ConnectedComponents.components(edges)
+      .filter(col("id") =!= col("component_id"))
+      .select(col("id").as("doc_id"))
+    val survivors = docs.join(redundant, Seq("doc_id"), "left_anti")
+    // stage 2: decontamination — eval slice is the benchmark stand-in;
+    // the training corpus excludes it AND anything overlapping it
+    val train = survivors.filter(col("doc_id") % 10 =!= 7)
+    val eval = docs.filter(col("doc_id") % 10 === 7)
+    val contaminated = Decontaminate.overlaps(train, eval, n = 3, minOverlap = 10)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 3: deterministic shard layout of what remains
+    val d = clean.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    ShardPack.pack(d, col("doc_id"), col("ntok"), budget = 10000L)
+      .select(col("doc_id"), col("ntok"), col("cum_before"), col("shard"))
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
-    q54DedupApply, q55ShardPack)
+    q54DedupApply, q55ShardPack, q56CorpusPipeline)
 }
