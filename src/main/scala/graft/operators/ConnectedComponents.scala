@@ -50,8 +50,13 @@ object ConnectedComponents {
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = und.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Init fused with propagation round 0: every node of an undirected
+    // edge list appears as `u`, so one groupBy yields all nodes AND their
+    // first-hop min label — replacing a distinct shuffle + a full loop
+    // round. Diameter-1 components (plain duplicate pairs, the bulk of
+    // dedup output) then converge in a single verification round.
+    var labels = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
       .localCheckpoint()
     var prev = ckptRdds(labels)
     var changed = 1L
