@@ -47,14 +47,19 @@ object Decontaminate {
     val (trainSh1, evalSh1) = maxShingleDf match {
       case None => (trainSh0, evalSh0)
       case Some(cap) =>
+        // each side feeds the stop-set union AND its anti-join: persist,
+        // or the tokenize+explode pipeline runs twice per side (the q19
+        // round-3 lesson — ReuseExchange can't collapse the consumers)
+        val t = trainSh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ev = evalSh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // document frequency over BOTH corpora: boilerplate concentrated
         // in one split must still be dropped from the join
-        val stop = trainSh0.union(evalSh0)
+        val stop = t.union(ev)
           .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
           .select(col("shingle"))
-        (trainSh0.join(stop, Seq("shingle"), "left_anti"),
-          evalSh0.join(stop, Seq("shingle"), "left_anti"))
+        (t.join(stop, Seq("shingle"), "left_anti"),
+          ev.join(stop, Seq("shingle"), "left_anti"))
     }
     val trainSh = trainSh1.select(col("doc_id").as("train_id"), col("shingle"))
     val evalSh2 = evalSh1.select(col("doc_id").as("eval_id"), col("shingle"))
