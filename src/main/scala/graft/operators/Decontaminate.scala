@@ -41,9 +41,22 @@ object Decontaminate {
       n: Int = 3,
       minOverlap: Long = 10,
       broadcastEval: Boolean = false,
+      maxShingleDf: Option[Long] = None): DataFrame =
+    overlapsAgainst(TextDedup.shingles(train, n), TextDedup.shingles(eval, n),
+      minOverlap, broadcastEval, maxShingleDf)
+
+  /** [[overlaps]] against pre-computed (doc_id, shingle) relations — the
+    * form a streaming ingest uses: the benchmark's shingle relation is
+    * computed and persisted ONCE, then reused by every micro-batch
+    * ([[graft.streaming.StreamClean]]), instead of re-shingling the eval
+    * corpus per batch.
+    */
+  def overlapsAgainst(
+      trainSh0: DataFrame,
+      evalSh0: DataFrame,
+      minOverlap: Long = 10,
+      broadcastEval: Boolean = false,
       maxShingleDf: Option[Long] = None): DataFrame = {
-    val trainSh0 = TextDedup.shingles(train, n)
-    val evalSh0 = TextDedup.shingles(eval, n)
     val (trainSh1, evalSh1) = maxShingleDf match {
       case None => (trainSh0, evalSh0)
       case Some(cap) =>

@@ -190,6 +190,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(capped === Set((100L, 207L)), s"capped hits: $capped")
   }
 
+  test("streaming decontamination across micro-batches == batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamClean
+    val evalDocs = Seq(
+      (900L, "benchmark question alpha beta gamma delta epsilon zeta eta theta"),
+      (901L, "another held out prompt one two three four five six"))
+      .toDF("doc_id", "text")
+    // batch 1: one clean doc + one leak of eval 900; batch 2: a second
+    // leak (eval 901) + a clean doc — per-batch filtering must drop both
+    // leaks and keep both clean docs, independent of batch boundaries
+    val b1 = Seq(
+      (1L, "ordinary training words aa bb cc dd ee ff gg hh"),
+      (2L, "benchmark question alpha beta gamma delta epsilon zeta eta theta"))
+    val b2 = Seq(
+      (3L, "another held out prompt one two three four five six"),
+      (4L, "more ordinary training words ii jj kk ll mm nn oo pp"))
+    val out = java.nio.file.Files.createTempDirectory("clean_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("clean_ckpt").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamClean.start(
+      stream.toDF().toDF("doc_id", "text"), evalDocs, out, ckpt,
+      minOverlap = 5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchTruth = Decontaminate
+      .overlaps((b1 ++ b2).toDF("doc_id", "text"), evalDocs, minOverlap = 5)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(batchTruth === Set(2L, 3L), s"planted leaks not detected: $batchTruth")
+    assert(got === Set(1L, 4L))
+    assert(got === (b1 ++ b2).map(_._1).toSet -- batchTruth)
+  }
+
   test("decontamination result matches unfiltered-jaccard cross-split slice") {
     // cross-check: the (train,eval) overlap counts must equal the
     // intersection counts the exact-Jaccard machinery computes for the
