@@ -75,3 +75,53 @@ object CdcIngestJob {
     spark.stop()
   }
 }
+
+/** §7.1-extension corpus-hygiene main: near-dup dedup applied →
+  * benchmark decontamination → token-budget shard packing (the q56
+  * pipeline), written as shard-partitioned parquet — the layout a
+  * training loader consumes (one directory per shard, deterministic
+  * membership). Args: sfDir outDir [budget]. */
+object CorpusCleanJob {
+  import org.apache.spark.sql.SparkSession
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      budget: Long = 10000L): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.Tables.table
+    import graft.operators.{ConnectedComponents, Decontaminate, ShardPack, TextDedup}
+    val docs = table(spark, sfDir, "documents")
+    val edges = TextDedup.minhashPairs(docs, n = 3, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val redundant = ConnectedComponents.components(edges)
+      .filter(col("id") =!= col("component_id"))
+      .select(col("id").as("doc_id"))
+    val train = docs.join(redundant, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 10 =!= 7)
+    val eval = docs.filter(col("doc_id") % 10 === 7)
+    val contaminated = Decontaminate.overlaps(train, eval, n = 3, minOverlap = 10)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val packed = ShardPack.pack(
+      clean.withColumn("ntok", size(split(col("text"), " ")).cast("long")),
+      col("doc_id"), col("ntok"), budget)
+    packed.select(col("doc_id"), col("text"), col("ntok"), col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) sys.error("usage: CorpusCleanJob <sfDir> <outDir> [budget]")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = run(spark, args(0), args(1),
+      args.lift(2).map(_.toLong).getOrElse(10000L))
+    println(s"[corpus-clean] wrote $n docs to ${args(1)}")
+    spark.stop()
+  }
+}

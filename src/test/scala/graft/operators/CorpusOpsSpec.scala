@@ -228,6 +228,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === (b1 ++ b2).map(_._1).toSet -- batchTruth)
   }
 
+  test("CorpusCleanJob writes the q56 corpus as shard-partitioned parquet") {
+    val out = java.nio.file.Files.createTempDirectory("corpus_out").toString
+    val n = graft.apps.CorpusCleanJob.run(spark, sfDir, out, budget = 2000L)
+    val q56 = graft.queries.CorpusQueries.q56CorpusPipeline.run(spark, sfDir)
+      .withColumn("shard", expr("cum_before div 2000"))
+      .select(col("doc_id"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(n == q56.size)
+    // partition-column values are type-inferred on read → cast back
+    val written = spark.read.parquet(out)
+      .select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(written === q56)
+    // the on-disk layout is one directory per shard (what a loader mounts)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).toSet
+    assert(dirs === q56.map(_._2).map(s => s"shard=$s"))
+  }
+
   test("decontamination result matches unfiltered-jaccard cross-split slice") {
     // cross-check: the (train,eval) overlap counts must equal the
     // intersection counts the exact-Jaccard machinery computes for the

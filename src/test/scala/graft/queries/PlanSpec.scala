@@ -71,12 +71,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q51/q53: document scans pruned to (doc_id, text); joins never quadratic") {
+    // suites share the session: a cached documents table from another
+    // spec would hide the FileScan this test inspects
+    spark.catalog.clearCache()
     Seq("q51_decontamination", "q53_distinctive_terms").foreach { q =>
       val plan = executedPlan(q)
       // documents carries (lang, source, n_chars) these queries never
       // touch — at 100 TB unpruned text-table columns are the whole bill
       assert(!plan.contains("lang:string") && !plan.contains("n_chars"),
         s"$q scan reads unused columns:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to a quadratic join:\n$plan")
+    }
+  }
+
+  test("q52/q56: clustering and the composed pipeline never go quadratic") {
+    Seq("q52_dedup_clusters", "q56_corpus_pipeline").foreach { q =>
+      val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$q fell back to a quadratic join:\n$plan")
     }
