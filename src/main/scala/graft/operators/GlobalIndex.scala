@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Global 0-based rank over an arbitrary total order — `zipWithIndex` for
+  * DataFrames. A training pipeline needs this constantly (stable global
+  * example ids, curriculum position, "first N tokens of the sorted
+  * corpus"), and the naive form — `row_number` over an empty window — is a
+  * single-partition sort of the corpus.
+  *
+  * Scale shape: range-partition on the order key (Spark's own distributed
+  * sort machinery — sampled boundaries, same cost class as `orderBy`),
+  * rank within each partition (parallel window), then add each partition's
+  * global offset (prefix sum over ≤ #partitions counts, broadcast back).
+  * The final rank is a pure function of the data — "number of rows
+  * strictly before me in the total order" — so the (sampled,
+  * data-dependent) boundary placement cannot change the result, only the
+  * load balance. The partitioned relation is persisted so the count pass
+  * and the rank pass read the SAME materialized partitioning.
+  *
+  * Cost: two full exchanges (the range shuffle, then the window's hash
+  * shuffle on `__pid` — each range partition moves wholesale) versus
+  * `orderBy`'s one. The fully-fused alternative is `RDD.zipWithIndex`
+  * (mapPartitions + offsets), which abandons codegen and the DataFrame
+  * API; this form stays declarative and the 2× is bounded and linear.
+  *
+  * The caller's `order` must be a TOTAL order (include a tiebreak key);
+  * ties would make ranks nondeterministic in any engine.
+  */
+object GlobalIndex {
+
+  /** Adds `rank` (0-based, dense in [0, n)) following `order`. */
+  def rank(df: DataFrame, order: Column*): DataFrame = {
+    require(order.nonEmpty, "rank needs at least one ordering column")
+    val parted = df
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-partition row counts → each partition's starting offset; tiny
+    // (≤ #partitions rows), the only intentionally-global window
+    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__pid").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    parted
+      .join(broadcast(offsets), "__pid")
+      .withColumn("rank", col("__off") + row_number().over(local) - 1)
+      .drop("__pid")
+  }
+}

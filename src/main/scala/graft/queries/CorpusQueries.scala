@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
-import graft.operators.{ConnectedComponents, Decontaminate, ShardPack, TextDedup}
+import graft.operators.{ConnectedComponents, Decontaminate, GlobalIndex, ShardPack, TextDedup}
 
 /** Corpus-hygiene queries (SURVEY §7.1 extension): benchmark
   * decontamination, dedup-cluster formation, and distinctive-term
@@ -285,6 +285,28 @@ object CorpusQueries {
       .select(col("doc_id"), col("ntok"), col("cum_before"), col("shard"))
   }
 
+  /** Global 0-based index in an arbitrary total order (q57): documents
+    * ranked longest-first — stable global example ids via
+    * [[GlobalIndex]]'s range-partition + per-partition window + offset
+    * join, never a single-partition sort. The DuckDB oracle is the
+    * naive global row_number.
+    */
+  val q57GlobalIndex: Q = Q(
+    "q57_global_index",
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+                 FROM documents)
+      SELECT doc_id, ntok,
+             CAST(row_number() OVER (ORDER BY ntok DESC, doc_id) - 1
+               AS BIGINT) AS gidx
+      FROM d""")) { (spark, dir) =>
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+    GlobalIndex.rank(d, col("ntok").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("ntok"), col("rank").as("gidx"))
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
-    q54DedupApply, q55ShardPack, q56CorpusPipeline)
+    q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex)
 }

@@ -150,6 +150,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__bucket"), plan.take(3000))
   }
 
+  // --- global index ---------------------------------------------------------
+
+  test("globalIndex == driver-side sort; dense 0-based; no global row window") {
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val out = GlobalIndex.rank(d, col("ntok").desc, col("doc_id").asc)
+    out.collect() // finalize AQE before reading the plan
+    val got = out.select("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = d.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got === want)
+    // the per-row window must be keyed by __pid (parallel), and the
+    // offsets must arrive via broadcast — never a global row_number
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("globalIndex on empty input returns empty, and requires an order") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "ntok")
+    assert(GlobalIndex.rank(empty, col("ntok").asc).count() === 0L)
+    intercept[IllegalArgumentException](GlobalIndex.rank(empty))
+  }
+
   // --- dedup apply ----------------------------------------------------------
 
   test("dedupApply: survivors = all docs minus non-canonical cluster members") {
