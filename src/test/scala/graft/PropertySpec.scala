@@ -144,6 +144,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shardPack == global prefix sum over random skewed weights, several budgets") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    (1 to 3).foreach { _ =>
+      val n = 300 + rnd.nextInt(200)
+      val ids = rnd.shuffle((0 until n).toList).map(_.toLong * 3 + 1)
+      // heavy-tailed weights: a few docs dwarf the budget on purpose
+      val rows = ids.map(id =>
+        (id, if (rnd.nextInt(50) == 0) 10000L else 1L + rnd.nextInt(400)))
+      val budget = Seq(500L, 3000L)(rnd.nextInt(2))
+      val got = graft.operators.ShardPack
+        .pack(rows.toDF("doc_id", "ntok"), col("doc_id"), col("ntok"), budget)
+        .select("doc_id", "cum_before", "shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      var cum = 0L
+      val want = rows.sortBy { case (id, _) =>
+        (math.floorMod(id * 2654435761L, 1000000007L), id)
+      }.map { case (id, w) =>
+        val before = cum; cum += w; (id, before, before / budget)
+      }.toSet
+      assert(got === want, s"n=$n budget=$budget")
+    }
+  }
+
+  test("globalIndex == driver sort under duplicate order keys and both directions") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    (1 to 3).foreach { _ =>
+      val n = 200 + rnd.nextInt(200)
+      val ids = rnd.shuffle((0 until n).toList).map(_.toLong)
+      // few distinct weights → massive ties; id is the tiebreak
+      val rows = ids.map(id => (id, rnd.nextInt(5).toLong))
+      val got = graft.operators.GlobalIndex
+        .rank(rows.toDF("id", "v"), col("v").desc, col("id").asc)
+        .select("id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = rows.sortBy { case (id, v) => (-v, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+
   test("salted join ≡ plain join on skewed data") {
     val spark = SparkSpec.session
     import spark.implicits._
