@@ -58,25 +58,46 @@ object StreamDedup {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val accepted = cleanBatch(batch, readStore(spark, sigStoreDir),
-          n, minJaccard, bands, rowsPerBand)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        accepted.write.mode("overwrite").parquet(s"$outDir/batch=$id")
-        TextDedup.minhashSignaturesSketch(
-            TextDedup.shingles(accepted, n), bands * rowsPerBand)
-          .write.mode("overwrite").parquet(s"$sigStoreDir/batch=$id")
-        accepted.unpersist()
-        ()
+        processBatch(batch, id, outDir, sigStoreDir, n, minJaccard, bands, rowsPerBand)
       }
       .start()
 
+  /** One micro-batch end-to-end: dedup, write docs, write signatures.
+    * Public so the replay spec can re-drive a batch id directly. */
+  def processBatch(
+      batch: DataFrame,
+      id: Long,
+      outDir: String,
+      sigStoreDir: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val accepted = cleanBatch(batch, readStore(spark, sigStoreDir, excludeBatch = id),
+      n, minJaccard, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    accepted.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    TextDedup.minhashSignaturesSketch(
+        TextDedup.shingles(accepted, n), bands * rowsPerBand)
+      .write.mode("overwrite").parquet(s"$sigStoreDir/batch=$id")
+    accepted.unpersist()
+    ()
+  }
+
   /** The accepted-doc signature store, empty-schema-safe before the first
-    * batch commits. */
-  def readStore(spark: SparkSession, sigStoreDir: String): Option[DataFrame] =
+    * batch commits. `excludeBatch` removes the CURRENT batch's own layer:
+    * a replayed batch may have written its signatures before the failed
+    * attempt's checkpoint committed, and reading them back would make
+    * every replayed doc a "duplicate" of itself — the replay would then
+    * overwrite the batch output with an empty set. */
+  def readStore(spark: SparkSession, sigStoreDir: String,
+      excludeBatch: Long = -1L): Option[DataFrame] =
     try {
       val df = spark.read.parquet(sigStoreDir)
-      if (df.columns.contains("sig")) Some(df.select("doc_id", "sig")) else None
+      if (df.columns.contains("sig"))
+        Some(df.filter(col("batch") =!= excludeBatch).select("doc_id", "sig"))
+      else None
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** One micro-batch deduplicated within itself (exact verify + cluster

@@ -62,6 +62,26 @@ class StreamDedupSpec extends SparkSpec {
     assert(r1 === Set(21L))
   }
 
+  test("replayed batch must not see its own failed-attempt signatures") {
+    // crash-then-replay: batch 1's sigs landed but the checkpoint didn't
+    // commit, so the same (batch, id) is processed again. Without the
+    // own-layer exclusion every doc matches itself in the store and the
+    // replay overwrites the batch output with an EMPTY set.
+    val out = java.nio.file.Files.createTempDirectory("replay_out").toString
+    val sigs = java.nio.file.Files.createTempDirectory("replay_sigs").toString
+    val b0 = Seq((10L, base), (12L, other)).toDF("doc_id", "text")
+    val b1 = Seq((20L, s"$base mu"), (21L, third)).toDF("doc_id", "text")
+    StreamDedup.processBatch(b0, 0L, out, sigs)
+    StreamDedup.processBatch(b1, 1L, out, sigs) // first attempt (sigs land)
+    StreamDedup.processBatch(b1, 1L, out, sigs) // replay of the same batch
+    val accepted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(accepted === Set(10L, 12L, 21L))
+    val stored = spark.read.parquet(sigs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored === accepted)
+  }
+
   test("cleanBatch with no store reduces to batch dedup-apply semantics") {
     val b = Seq((1L, base), (2L, s"$base lambda"), (3L, other))
       .toDF("doc_id", "text")
