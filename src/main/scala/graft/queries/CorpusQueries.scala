@@ -300,7 +300,8 @@ object CorpusQueries {
       SELECT doc_id, ntok,
              CAST(row_number() OVER (ORDER BY ntok DESC, doc_id) - 1
                AS BIGINT) AS gidx
-      FROM d""")) { (spark, dir) =>
+      FROM d"""),
+    headline = true) { (spark, dir) =>
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
     GlobalIndex.rank(d, col("ntok").desc, col("doc_id").asc)
