@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — the lakehouse `OPTIMIZE ... ZORDER BY`
+  * layout operator (the reference's Delta maintenance story;
+  * `/root/reference/spark/SaveDelta.scala` writes Delta but never
+  * re-clusters). Interleaving the bits of two sort dimensions gives every
+  * output file a BOUNDED min/max range in BOTH dimensions (~1/√nFiles of
+  * the domain each), so parquet row-group statistics prune scans filtered
+  * on either column — a linear sort gives locality in its leading column
+  * only and leaves the other spanning the full domain in every file.
+  *
+  * All plain codegen built-ins (shifts + masks — the standard magic-number
+  * bit spread), so the z-value costs a few ALU ops per row and the layout
+  * pass is exactly one range exchange + local sort, the same cost class as
+  * `orderBy`.
+  */
+object ZOrder {
+
+  /** Bit-spread of the low 32 bits: b31..b0 → even bit positions. */
+  private def spread(c: Column): Column = {
+    val masks = Seq(
+      (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    masks.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (x, (s, m)) =>
+      (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
+    }
+  }
+
+  /** Morton code of two non-negative dimensions (each < 2³¹; callers
+    * bucket/quantize wider domains first — rank or hash, as with any
+    * z-order implementation). `a` occupies even bits, `b` odd. */
+  def zvalue(a: Column, b: Column): Column =
+    spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
+
+  /** Rewrites `df` into `nFiles` range partitions of the z-curve, each
+    * locally sorted — the write-side layout pass. Files then carry tight
+    * min/max bounds on BOTH `a` and `b`. */
+  def layout(df: DataFrame, a: Column, b: Column, nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"nFiles=$nFiles must be > 0")
+    val z = zvalue(a, b).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

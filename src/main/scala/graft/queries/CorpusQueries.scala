@@ -308,6 +308,46 @@ object CorpusQueries {
       .select(col("doc_id"), col("ntok"), col("rank").as("gidx"))
   }
 
+  /** Z-order clustering key (q58): the Morton interleave of (user bucket,
+    * hour bucket) over events — the value the layout pass
+    * ([[graft.operators.ZOrder.layout]]) range-partitions on. The DuckDB
+    * oracle replays the identical shift/mask bit-spread, pinning the
+    * clustering key bit-for-bit; the file-statistics locality win is
+    * spec-asserted in ZOrderSpec.
+    */
+  val q58Zorder: Q = Q(
+    "q58_zorder",
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id % 1024 AS a,
+               (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 1024 AS b
+        FROM events),
+      s1 AS (SELECT event_id, a, b,
+               (a | (a << 16)) & 281470681808895 AS xa,
+               (b | (b << 16)) & 281470681808895 AS xb FROM e),
+      s2 AS (SELECT event_id, a, b,
+               (xa | (xa << 8)) & 71777214294589695 AS xa,
+               (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+      s3 AS (SELECT event_id, a, b,
+               (xa | (xa << 4)) & 1085102592571150095 AS xa,
+               (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+      s4 AS (SELECT event_id, a, b,
+               (xa | (xa << 2)) & 3689348814741910323 AS xa,
+               (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+      s5 AS (SELECT event_id, a, b,
+               (xa | (xa << 1)) & 6148914691236517205 AS xa,
+               (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4)
+      SELECT event_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             CAST(xa | (xb << 1) AS BIGINT) AS z
+      FROM s5""")) { (spark, dir) =>
+    import graft.operators.ZOrder
+    table(spark, dir, "events")
+      .select(col("event_id"),
+        (col("user_id") % 1024).as("a"),
+        (expr("ts div 3600000000000") % 1024).as("b"))
+      .withColumn("z", ZOrder.zvalue(col("a"), col("b")))
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
-    q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex)
+    q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder)
 }
