@@ -96,4 +96,37 @@ object IO {
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction — the `OPTIMIZE` maintenance pass in plain
+    * parquet. Streaming appends (every micro-batch is ≥1 file) and
+    * bucketed upserts accrete small files until scans drown in per-file
+    * open costs; this rewrites `path` into `ceil(bytes / targetFileBytes)`
+    * files, optionally z-order-clustered ([[graft.operators.ZOrder]]) so
+    * the rewrite also buys statistics locality. Rewrite goes to a staging
+    * directory first and swaps in only after it is fully written — the
+    * same pattern as the bucketed upsert; Delta's `OPTIMIZE` is the
+    * transactional form. Returns the output file count. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20,
+      zorderBy: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = None): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes=$targetFileBytes must be > 0")
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(target).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(path)
+    val out = zorderBy match {
+      case Some((a, b)) => graft.operators.ZOrder.layout(df, a, b, n)
+      case None => df.repartition(n)
+    }
+    val staging = new Path(path + "__compact_staging")
+    fs.delete(staging, true)
+    out.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(target, true)
+    require(fs.rename(staging, target), s"compaction swap failed for $path")
+    n
+  }
 }

@@ -254,4 +254,40 @@ class IOAndStreamingSpec extends SparkSpec {
       assert(streamed.find(_._1 == 1L).get._4 === 3L)
     } finally q.stop()
   }
+
+  test("compact: many small files -> ceil(bytes/target) files, rows intact, idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (0 until 5000).map(i => (i.toLong, s"payload_$i")).toDF("id", "v")
+    df.repartition(50).write.mode("overwrite").parquet(dir)
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles === 50)
+    // huge target -> single file
+    val n1 = IO.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n1 === 1 && partFiles === 1)
+    assert(spark.read.parquet(dir).exceptAll(df).isEmpty)
+    assert(spark.read.parquet(dir).count() === 5000)
+    // re-compacting an already-compact table is a no-op shape-wise
+    assert(IO.compact(spark, dir, targetFileBytes = 1L << 30) === 1)
+    assert(partFiles === 1 && spark.read.parquet(dir).count() === 5000)
+  }
+
+  test("compact with z-order clustering preserves rows and splits to the computed count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("compactz").toString + "/t"
+    val df = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong, b.toLong)).toSeq.toDF("a", "b")
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val target = bytes / 4 + 1 // force ~4 output files
+    val n = IO.compact(spark, dir, targetFileBytes = target,
+      zorderBy = Some((col("a"), col("b"))))
+    assert(n >= 2 && n <= 8, s"n=$n")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 64L * 64)
+    assert(back.exceptAll(df).isEmpty)
+  }
 }
