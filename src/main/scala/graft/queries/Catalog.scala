@@ -262,12 +262,83 @@ object Catalog {
         sum(col("n_in_session")).as("n_events"))
   }
 
+  /** Mergeable distinct-count sketches (q59): per-group HLL sketches
+    * (Apache DataSketches via `hll_sketch_agg`) UNION-merged into a global
+    * estimate — the rescan-free rollup pattern (daily sketches → monthly
+    * estimate) that plain `approx_count_distinct` cannot express. Output
+    * is oracle-deterministic like q31: exact counts + a gate that each
+    * estimate (per-group and merged) lands within 5%.
+    */
+  val q59SketchRollup: Q = Q(
+    "q59_sketch_rollup",
+    Some("""
+      SELECT l_returnflag AS grp,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+             TRUE AS approx_ok
+      FROM lineitem GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT l_partkey) AS BIGINT), TRUE
+      FROM lineitem""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, countDistinct, expr, lit}
+    val li = table(spark, dir, "lineitem")
+    val perGroup = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+    // the merged estimate reads ONLY the partial sketches, not the table
+    val merged = perGroup
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        lit(null).cast("bigint").as("n_dummy"))
+    val globalExact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+    val gate = (est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
+      (org.apache.spark.sql.functions.abs(est - exact) <= exact * 0.05).as("approx_ok")
+    perGroup
+      .select(col("grp"), col("n_exact"),
+        gate(expr("hll_sketch_estimate(sk)"), col("n_exact")))
+      .unionAll(globalExact.crossJoin(merged)
+        .select(lit("ALL").as("grp"), col("n_exact"),
+          gate(col("est"), col("n_exact"))))
+  }
+
+  /** Time-RANGE window frame (q60): per-customer rolling 30-day spend —
+    * `RANGE BETWEEN 30 PRECEDING AND CURRENT ROW` over epoch days, the
+    * frame type q10/q16's ROWS windows don't cover. RANGE includes ALL
+    * ties of the current order key, and the decimal sum is associative,
+    * so the result is deterministic without a row tiebreak.
+    */
+  val q60RollingWindow: Q = Q(
+    "q60_rolling_window",
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               epoch(o_orderdate) // 86400 AS d,
+               o_totalprice
+        FROM orders)
+      SELECT o_orderkey, o_custkey, CAST(d AS BIGINT) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY d
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS spend_30d
+      FROM o""")) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    import org.apache.spark.sql.types.DecimalType
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("to_unix_timestamp(o_orderdate) div 86400").as("d"),
+        col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-30, Window.currentRow)
+    o.withColumn("spend_30d",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"), col("spend_30d"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
-        q43ApproxQuantile, q44SessionWindow)
+        q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
