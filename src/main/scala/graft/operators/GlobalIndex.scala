@@ -35,6 +35,8 @@ object GlobalIndex {
   /** Adds `rank` (0-based, dense in [0, n)) following `order`. */
   def rank(df: DataFrame, order: Column*): DataFrame = {
     require(order.nonEmpty, "rank needs at least one ordering column")
+    require(!df.columns.contains("rank") && !df.columns.contains("__pid"),
+      "input already has a 'rank'/'__pid' column — rename it first")
     val parted = df
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())

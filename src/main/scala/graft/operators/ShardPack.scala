@@ -47,6 +47,9 @@ object ShardPack {
     */
   def pack(df: DataFrame, key: Column, weight: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget=$budget must be > 0")
+    val reserved = Seq("cum_before", "shard", "__h", "__w", "__bucket", "__off")
+    require(!reserved.exists(df.columns.contains),
+      s"input already has one of ${reserved.mkString("/")} — rename it first")
     val bucketWidth = 1L << 24 // hash ring [0, 1e9+7) → ≤ 60 buckets
     val d = df
       .withColumn("__h", Sampling.portableHash(key))

@@ -115,6 +115,12 @@ object IO {
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a hive-partitioned root would be read WITH its partition columns and
+    // rewritten flat — silently changing the layout; compact the partition
+    // directories individually instead
+    require(!fs.listStatus(target).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("=")),
+      s"$path is hive-partitioned; compact each partition directory instead")
     val bytes = fs.getContentSummary(target).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(path)

@@ -177,6 +177,16 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GlobalIndex.rank(empty))
   }
 
+  test("shardPack and globalIndex reject reserved output-column collisions") {
+    import spark.implicits._
+    val clash1 = Seq((1L, 2L)).toDF("doc_id", "shard")
+    intercept[IllegalArgumentException](
+      ShardPack.pack(clash1, col("doc_id"), col("shard"), 10L))
+    val clash2 = Seq((1L, 2L)).toDF("doc_id", "rank")
+    intercept[IllegalArgumentException](
+      GlobalIndex.rank(clash2, col("doc_id").asc))
+  }
+
   // --- dedup apply ----------------------------------------------------------
 
   test("dedupApply: survivors = all docs minus non-canonical cluster members") {

@@ -290,4 +290,13 @@ class IOAndStreamingSpec extends SparkSpec {
     assert(back.count() === 64L * 64)
     assert(back.exceptAll(df).isEmpty)
   }
+
+  test("compact refuses a hive-partitioned root (would flatten the layout)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    Seq((1L, 0L), (2L, 1L)).toDF("id", "part")
+      .write.partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException](IO.compact(spark, dir))
+    assert(e.getMessage.contains("partition"))
+  }
 }
