@@ -21,7 +21,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // 5 passes: the host shows noisy-neighbor load swings (r4 measured
+    // 0.1→5 within minutes); min-of-5 keeps one contention spike from
+    // polluting a query's reported floor, at ~40 s extra wall-clock
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     // dev knob: comma-separated query names to bench in isolation
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val spark = SparkSession.builder()
