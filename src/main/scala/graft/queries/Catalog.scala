@@ -279,16 +279,23 @@ object Catalog {
       UNION ALL
       SELECT 'ALL', CAST(COUNT(DISTINCT l_partkey) AS BIGINT), TRUE
       FROM lineitem""")) { (spark, dir) =>
-    import org.apache.spark.sql.functions.{col, countDistinct, expr, lit}
-    val li = table(spark, dir, "lineitem")
-    val perGroup = li.groupBy(col("l_returnflag").as("grp"))
+    import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit}
+    import org.apache.spark.storage.StorageLevel
+    // ONE scan of the fact table: everything — both exact grains and the
+    // sketches — derives from the distinct (flag, partkey) relation,
+    // which is |keys|-sized, not |rows|-sized (the "two facts from one
+    // expensive relation" rule in SCALE.md)
+    val pairs = table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"), col("l_partkey"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perGroup = pairs.groupBy(col("grp"))
       .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
-        countDistinct(col("l_partkey")).as("n_exact"))
+        count(lit(1)).as("n_exact"))
     // the merged estimate reads ONLY the partial sketches, not the table
     val merged = perGroup
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
-        lit(null).cast("bigint").as("n_dummy"))
-    val globalExact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val globalExact = pairs.agg(countDistinct(col("l_partkey")).as("n_exact"))
     val gate = (est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
       (org.apache.spark.sql.functions.abs(est - exact) <= exact * 0.05).as("approx_ok")
     perGroup
