@@ -93,6 +93,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q59: both grains are served from the persisted distinct-pairs relation") {
+    spark.catalog.clearCache()
+    // the plan TEXT repeats the cached relation's build subtree per
+    // reference; the property to pin is that every consumer reads the
+    // cache (InMemoryTableScan), i.e. the fact scan materializes once
+    val plan = executedPlan("q59_sketch_rollup")
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheReads >= 2, s"grains bypass the persisted pairs relation:\n$plan")
+  }
+
+  test("q60: rolling spend is a customer-partitioned RANGE-frame window") {
+    val plan = executedPlan("q60_rolling_window")
+    assert(plan.contains("windowspecdefinition(o_custkey"), s"window not keyed:\n$plan")
+    assert(plan.contains("specifiedwindowframe(RangeFrame"), s"not a RANGE frame:\n$plan")
+  }
+
   test("q54: dedup applies as a LeftAnti join, no quadratic fallback") {
     val plan = executedPlan("q54_dedup_apply")
     assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
