@@ -36,12 +36,36 @@ object ZOrder {
   def zvalue(a: Column, b: Column): Column =
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
 
+  /** Morton code of 2–6 dimensions — the general `ZORDER BY (c1, …, ck)`
+    * form. Dimension j contributes bit b at position `b·k + j`; each
+    * dimension keeps its low `62/k` bits (inputs are masked, so wider
+    * values must be rank/hash-quantized first, as with any z-order).
+    * For k = 2 this produces exactly [[zvalue]]'s layout on in-range
+    * inputs (spec-pinned); the per-bit construction costs ~62 bitwise
+    * ops — constant-folded into codegen, still a few ALU ops per row. */
+  def zvalueN(cols: Seq[Column]): Column = {
+    val k = cols.length
+    require(k >= 2 && k <= 6, s"zvalueN supports 2-6 dims, got $k")
+    val bitsPerDim = 62 / k
+    cols.zipWithIndex.map { case (c, j) =>
+      val x = c.cast("long").bitwiseAND(lit((1L << bitsPerDim) - 1))
+      (0 until bitsPerDim).map { b =>
+        shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), b * k + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Rewrites `df` into `nFiles` range partitions of the z-curve, each
     * locally sorted — the write-side layout pass. Files then carry tight
     * min/max bounds on BOTH `a` and `b`. */
-  def layout(df: DataFrame, a: Column, b: Column, nFiles: Int): DataFrame = {
+  def layout(df: DataFrame, a: Column, b: Column, nFiles: Int): DataFrame =
+    layoutN(df, Seq(a, b), nFiles)
+
+  /** [[layout]] over 2–6 dimensions via [[zvalueN]]. */
+  def layoutN(df: DataFrame, cols: Seq[Column], nFiles: Int): DataFrame = {
     require(nFiles > 0, s"nFiles=$nFiles must be > 0")
-    val z = zvalue(a, b).as("__z")
+    val z = (if (cols.length == 2) zvalue(cols(0), cols(1))
+      else zvalueN(cols)).as("__z")
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -60,6 +60,37 @@ class ZOrderSpec extends SparkSpec {
     assert(la < 8, s"sanity: linear leading-dim width $la")
   }
 
+  /** Reference k-dim Morton: dim j's bit b lands at b·k + j. */
+  private def mortonN(vs: Seq[Long], bitsPerDim: Int): Long = {
+    val k = vs.length
+    vs.zipWithIndex.foldLeft(0L) { case (z, (v, j)) =>
+      (0 until bitsPerDim).foldLeft(z) { (acc, b) =>
+        acc | ((v >> b) & 1L) << (b * k + j)
+      }
+    }
+  }
+
+  test("zvalueN matches the k-dim reference, and agrees with zvalue at k=2") {
+    val rnd = new scala.util.Random(11)
+    val triples = (1 to 150).map(_ => (rnd.nextInt(1 << 20).toLong,
+      rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    val got3 = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        ZOrder.zvalueN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    triples.foreach { case (a, b, c) =>
+      assert(got3((a, b, c)) === mortonN(Seq(a, b, c), 62 / 3), s"($a,$b,$c)")
+    }
+    // k=2 bit layout is identical to the 2-D fast path on in-range values
+    val pairs = (1 to 100).map(_ => (rnd.nextInt(1 << 30).toLong,
+      rnd.nextInt(1 << 30).toLong))
+    val agree = pairs.toDF("a", "b")
+      .select((ZOrder.zvalueN(Seq(col("a"), col("b")))
+        === ZOrder.zvalue(col("a"), col("b"))).as("ok"))
+      .collect().forall(_.getBoolean(0))
+    assert(agree)
+  }
+
   test("layout preserves rows exactly") {
     val df = (0 until 500).map(i => (i.toLong % 37, i.toLong % 23, i.toLong))
       .toDF("a", "b", "payload")
