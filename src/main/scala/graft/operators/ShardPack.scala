@@ -45,12 +45,16 @@ object ShardPack {
     * @param key    unique non-negative integral id (hash input + tiebreak)
     * @param weight non-negative integral cost of the row (e.g. tokens)
     */
-  def pack(df: DataFrame, key: Column, weight: Column, budget: Long): DataFrame = {
+  def pack(df: DataFrame, key: Column, weight: Column, budget: Long,
+      bucketWidth: Long = 1L << 24): DataFrame = {
     require(budget > 0, s"budget=$budget must be > 0")
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be > 0")
     val reserved = Seq("cum_before", "shard", "__h", "__w", "__bucket", "__off")
     require(!reserved.exists(df.columns.contains),
       s"input already has one of ${reserved.mkString("/")} — rename it first")
-    val bucketWidth = 1L << 24 // hash ring [0, 1e9+7) → ≤ 60 buckets
+    // default: hash ring [0, 1e9+7) → ≤ 60 buckets; on a large cluster
+    // lower the width so buckets ≫ executors (offsets stay ≤ #buckets
+    // rows — thousands of buckets are still a trivial broadcast)
     val d = df
       .withColumn("__h", Sampling.portableHash(key))
       .withColumn("__w", weight.cast("long"))

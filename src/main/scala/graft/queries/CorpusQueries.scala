@@ -348,6 +348,88 @@ object CorpusQueries {
       .withColumn("z", ZOrder.zvalue(col("a"), col("b")))
   }
 
+  /** Novelty / memorization-risk metric (q61): per doc, how much of its
+    * content is UNIQUE to it — shingles with corpus document-frequency 1
+    * vs the doc's total distinct shingles. Boilerplate-heavy docs score
+    * near 0, genuinely novel content near its size. Counts, not ratios,
+    * so the gate is integer-exact.
+    */
+  val q61Novelty: Q = Q(
+    "q61_novelty",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      FROM sh JOIN df USING (shingle)
+      GROUP BY 1""")) { (spark, dir) =>
+    val sh = TextDedup.shingles(table(spark, dir, "documents"), 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+  }
+
+  /** Corpus-composition report (q62): per source, total docs and how many
+    * are redundant near-dup cluster members — the dedup-rate rollup a
+    * corpus audit reads before deciding what to crawl less of.
+    */
+  val q62DedupRate: Q = Q(
+    "q62_dedup_rate",
+    Some("""
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      e AS (
+        SELECT it.a_id, it.b_id FROM inter it
+        JOIN sz sa ON it.a_id = sa.doc_id
+        JOIN sz sb ON it.b_id = sb.doc_id
+        WHERE it.i / (sa.n + sb.n - it.i) >= 0.5),
+      und AS (SELECT a_id AS u, b_id AS v FROM e UNION SELECT b_id, a_id FROM e),
+      reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u),
+      comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id FROM reach GROUP BY u)
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_redundant
+      FROM documents d
+      LEFT JOIN (SELECT doc_id FROM comp WHERE doc_id <> component_id) c
+        USING (doc_id)
+      GROUP BY 1""")) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    val edges = TextDedup.minhashPairs(docs, n = 3, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val redundant = ConnectedComponents.components(edges)
+      .filter(col("id") =!= col("component_id"))
+      .select(col("id").as("doc_id"), lit(1L).as("red"))
+    docs.join(redundant, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("red"), lit(0L))).as("n_redundant"))
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
-    q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder)
+    q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
+    q61Novelty, q62DedupRate)
 }
