@@ -161,6 +161,21 @@ object TextDedup {
     // aggregate — materialize once (see [[materialize]]).
     val sh = materialize(
       maxShingleDf.fold(shingles(docs, n))(m => capShingleDf(materialize(shingles(docs, n)), m)))
+    minhashPairsFromShingles(sh, minJaccard, bands, rowsPerBand)
+  }
+
+  /** [[minhashPairs]] over a pre-computed (doc_id, shingle) relation — the
+    * form a multi-stage pipeline uses so ONE corpus shingle pass feeds
+    * dedup, decontamination, and any other shingle consumer (q56;
+    * mirrors [[Decontaminate.overlapsAgainst]]). Callers should pass a
+    * persisted relation; [[materialize]] on an already-cached plan is a
+    * no-op. */
+  def minhashPairsFromShingles(
+      sh0: DataFrame,
+      minJaccard: Double = 0.5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sh = materialize(sh0)
     val cands = lshCandidates(
       lshBandsFromSig(minhashSignaturesSketch(sh, bands * rowsPerBand), bands, rowsPerBand))
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)

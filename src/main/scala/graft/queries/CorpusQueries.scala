@@ -264,8 +264,13 @@ object CorpusQueries {
              CAST(cum_before // 10000 AS BIGINT) AS shard
       FROM c""")) { (spark, dir) =>
     val docs = table(spark, dir, "documents")
+    // ONE corpus shingle pass feeds every stage: shingle sets are row-
+    // local, so slicing the persisted relation by doc id IS shingling
+    // the slice (the equivalence the oracle SQL uses)
+    val sh = TextDedup.shingles(docs, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 1: near-dup dedup, applied
-    val edges = TextDedup.minhashPairs(docs, n = 3, minJaccard = 0.5)
+    val edges = TextDedup.minhashPairsFromShingles(sh, minJaccard = 0.5)
       .select(col("a_id"), col("b_id"))
     val redundant = ConnectedComponents.components(edges)
       .filter(col("id") =!= col("component_id"))
@@ -274,8 +279,9 @@ object CorpusQueries {
     // stage 2: decontamination — eval slice is the benchmark stand-in;
     // the training corpus excludes it AND anything overlapping it
     val train = survivors.filter(col("doc_id") % 10 =!= 7)
-    val eval = docs.filter(col("doc_id") % 10 === 7)
-    val contaminated = Decontaminate.overlaps(train, eval, n = 3, minOverlap = 10)
+    val trainSh = sh.join(train.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val evalSh = sh.filter(col("doc_id") % 10 === 7)
+    val contaminated = Decontaminate.overlapsAgainst(trainSh, evalSh, minOverlap = 10)
       .select(col("train_id").as("doc_id")).distinct()
     val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
     // stage 3: deterministic shard layout of what remains
