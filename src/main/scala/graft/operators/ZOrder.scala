@@ -19,20 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Bit-spread of the low 32 bits: b31..b0 → even bit positions. */
+  /** Bit-spread of the low 31 bits: b30..b0 → even bit positions. 31 and
+    * not 32 so that `b`'s top spread bit lands in bit 62, never the sign
+    * bit — an out-of-contract input degrades locality but can never flip
+    * the code negative (which would range-sort FIRST and silently
+    * scatter the curve). */
   private def spread(c: Column): Column = {
     val masks = Seq(
       (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
       (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
       (1, 0x5555555555555555L))
-    masks.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (x, (s, m)) =>
+    masks.foldLeft(c.bitwiseAND(lit(0x7FFFFFFFL))) { case (x, (s, m)) =>
       (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
     }
   }
 
-  /** Morton code of two non-negative dimensions (each < 2³¹; callers
-    * bucket/quantize wider domains first — rank or hash, as with any
-    * z-order implementation). `a` occupies even bits, `b` odd. */
+  /** Morton code of two non-negative dimensions (each < 2³¹, masked;
+    * callers bucket/quantize wider domains first — rank or hash, as with
+    * any z-order implementation). `a` occupies even bits, `b` odd. */
   def zvalue(a: Column, b: Column): Column =
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
 
@@ -64,6 +68,8 @@ object ZOrder {
   /** [[layout]] over 2–6 dimensions via [[zvalueN]]. */
   def layoutN(df: DataFrame, cols: Seq[Column], nFiles: Int): DataFrame = {
     require(nFiles > 0, s"nFiles=$nFiles must be > 0")
+    require(!df.columns.contains("__z"),
+      "input already has a '__z' column — rename it first")
     val z = (if (cols.length == 2) zvalue(cols(0), cols(1))
       else zvalueN(cols)).as("__z")
     df.withColumn("__z", z)

@@ -27,9 +27,12 @@ import graft.operators.{Decontaminate, TextDedup}
 object StreamClean {
 
   /** Start cleaning `docsStream` (doc_id, text, …) against `eval`; clean
-    * rows append to `outDir` as parquet, contaminated rows are dropped.
-    * Exactly-once delivery rides on the checkpoint + file-sink commit log
-    * like every other file-writing stream in this library.
+    * rows land under `outDir/batch=<id>/`, contaminated rows are dropped.
+    * foreachBatch is at-least-once (it does NOT go through the streaming
+    * file-sink commit log), so each batch OVERWRITES its own `batch=<id>`
+    * directory — a crash-replayed batch rewrites the same path instead of
+    * appending duplicates (the [[StreamDedup]]/[[StreamShard]] replay
+    * discipline).
     */
   def start(
       docsStream: DataFrame,
@@ -44,9 +47,10 @@ object StreamClean {
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         cleanBatch(batch, evalSh, n, minOverlap)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        ()
       }
       .start()
   }

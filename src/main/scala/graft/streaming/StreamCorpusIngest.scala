@@ -4,16 +4,18 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{ShardPack, TextDedup}
+import graft.operators.TextDedup
 
-/** The composed ingest loop — the streaming form of the q56 pipeline:
-  * every micro-batch is DECONTAMINATED against the static benchmark
-  * ([[StreamClean.cleanBatch]]), DEDUPED within itself and against all
-  * previously accepted docs ([[StreamDedup.cleanBatch]] + signature
-  * store), then PACKED into token-budget shards continuing the carried
-  * running total ([[StreamShard]] semantics). One foreachBatch, three
-  * library calls — the same operators the batch pipeline composes, so
-  * batch and stream stay semantically aligned by construction.
+/** The composed ingest loop — the streaming form of the q56 pipeline,
+  * in the SAME stage order: every micro-batch is DEDUPED within itself
+  * and against all previously dedup-accepted docs
+  * ([[StreamDedup.cleanBatchWithSigs]] + signature store), then
+  * DECONTAMINATED against the static benchmark
+  * ([[StreamClean.cleanBatch]]), then PACKED into token-budget shards
+  * continuing the carried running total ([[StreamShard.processBatch]]).
+  * One foreachBatch, three library calls — the same operators, in the
+  * same order, as the batch pipeline, so batch and stream stay
+  * semantically aligned by construction.
   *
   * All three outputs (shard-partitioned docs, signature layer, state
   * layer) write under the batch's own `batch=<id>` directories with
@@ -58,31 +60,28 @@ object StreamCorpusIngest {
       minJaccard: Double = 0.5,
       budget: Long = 10000L): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
-    // stage 1: drop anything overlapping the benchmark
-    val clean = StreamClean.cleanBatch(batch, evalSh, n, minOverlap)
-    // stage 2: drop near-dups (intra-batch exact; cross-batch vs store)
-    val accepted = StreamDedup.cleanBatch(clean,
-        StreamDedup.readStore(spark, sigStoreDir, excludeBatch = id),
-        n, minJaccard)
+    // stage 1: dedup FIRST — matching the q56 batch pipeline, where
+    // near-dup clustering runs on the raw corpus BEFORE decontamination:
+    // a near-dup of a contaminated doc is dropped as a dup either way,
+    // and the canonical copy is then removed by the decontamination
+    // stage. Running decon first would let such a dup slip through
+    // (its partner already gone, not enough eval overlap of its own).
+    val (deduped0, sigs, sh) = StreamDedup.cleanBatchWithSigs(batch,
+      StreamDedup.readStore(spark, sigStoreDir, excludeBatch = id),
+      n, minJaccard)
+    val deduped = deduped0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stage 3: pack survivors, continuing the carried token total
-    val prev = StreamShard.readCum(spark, stateDir, id)
-    val packed = ShardPack.pack(
-        accepted.withColumn("ntok", size(split(col("text"), " ")).cast("long")),
-        col("doc_id"), col("ntok"), budget)
-      .withColumn("shard", expr(s"(cum_before + ${prev}L) div ${budget}L"))
-      .drop("cum_before")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    packed.write.mode("overwrite")
-      .partitionBy("shard").parquet(s"$outDir/batch=$id")
-    TextDedup.minhashSignaturesSketch(TextDedup.shingles(accepted, n), 64)
+    // the store layer holds DEDUP survivors (pre-decontamination) so a
+    // later near-dup of a contaminated doc still finds its match —
+    // exactly the membership q56's cluster step sees
+    sigs.join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$sigStoreDir/batch=$id")
-    val total = packed.agg(coalesce(sum(col("ntok")), lit(0L)))
-      .collect()(0).getLong(0)
-    Seq(prev + total).toDF("cum")
-      .write.mode("overwrite").parquet(s"$stateDir/batch=$id")
-    packed.unpersist(); accepted.unpersist()
+    // stage 2: decontaminate the survivors against the benchmark
+    val clean = StreamClean.cleanBatch(deduped, evalSh, n, minOverlap)
+    // stage 3: pack + carry the running token total (StreamShard's own
+    // batch unit — shared code, shared replay discipline)
+    StreamShard.processBatch(clean, id, outDir, stateDir, budget)
+    deduped.unpersist(); sigs.unpersist(); sh.unpersist()
     ()
   }
 }

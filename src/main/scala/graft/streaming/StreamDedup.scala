@@ -74,14 +74,18 @@ object StreamDedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): Unit = {
     val spark = batch.sparkSession
-    val accepted = cleanBatch(batch, readStore(spark, sigStoreDir, excludeBatch = id),
+    val (accepted0, sigs, sh) = cleanBatchWithSigs(batch,
+      readStore(spark, sigStoreDir, excludeBatch = id),
       n, minJaccard, bands, rowsPerBand)
+    val accepted = accepted0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     accepted.write.mode("overwrite").parquet(s"$outDir/batch=$id")
-    TextDedup.minhashSignaturesSketch(
-        TextDedup.shingles(accepted, n), bands * rowsPerBand)
+    // accepted docs' signatures come from the SAME sketch pass the dedup
+    // used (signatures are doc-local, so a semi-join restriction IS the
+    // sketch of the accepted subset) — no re-shingle, no re-sketch
+    sigs.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$sigStoreDir/batch=$id")
-    accepted.unpersist()
+    accepted.unpersist(); sigs.unpersist(); sh.unpersist()
     ()
   }
 
@@ -109,23 +113,44 @@ object StreamDedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4): DataFrame =
+    cleanBatchWithSigs(batch, store, n, minJaccard, bands, rowsPerBand)._1
+
+  /** [[cleanBatch]] plus the batch's signature and shingle relations
+    * (both persisted) so the caller can write the store layer without
+    * re-shingling — ONE shingle + sketch pass serves intra-dedup,
+    * cross-batch compare, and the store — and release the cache entries
+    * once the batch's writes land (the imperative loop in
+    * [[processBatch]] unpersists both; a lazy caller may leave them to
+    * LRU, the [[graft.operators.TextDedup]] materialize convention). */
+  def cleanBatchWithSigs(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): (DataFrame, DataFrame, DataFrame) = {
+    val numPerms = bands * rowsPerBand
+    val sh = TextDedup.shingles(batch, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // within-batch: pairs → clusters → keep the canonical (min-id) member
-    val pairs = TextDedup.minhashPairs(batch, n, minJaccard, bands, rowsPerBand)
+    val pairs = TextDedup
+      .minhashPairsFromShingles(sh, minJaccard, bands, rowsPerBand)
       .select(col("a_id"), col("b_id"))
     val redundant = ConnectedComponents.components(pairs)
       .filter(col("id") =!= col("component_id"))
       .select(col("id").as("doc_id"))
     val intra = batch.join(redundant, Seq("doc_id"), "left_anti")
-    store match {
+    // signatures are doc-local: sketching the shingle relation restricted
+    // to surviving ids IS the sketch of the surviving docs
+    val intraSigs = TextDedup.minhashSignaturesSketch(
+        sh.join(intra.select(col("doc_id")), Seq("doc_id"), "left_semi"), numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val accepted = store match {
       case None => intra
       case Some(old) =>
-        val numPerms = bands * rowsPerBand
-        val newSigs = TextDedup.minhashSignaturesSketch(
-            TextDedup.shingles(intra, n), numPerms)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val newBands = TextDedup
-          .lshBandsFromSig(newSigs, bands, rowsPerBand)
+          .lshBandsFromSig(intraSigs, bands, rowsPerBand)
           .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
         val oldBands = TextDedup
           .lshBandsFromSig(old, bands, rowsPerBand)
@@ -134,7 +159,7 @@ object StreamDedup {
         val cands = newBands.join(oldBands, Seq("band", "band_hash"))
           .select(col("new_id"), col("old_id")).distinct()
         val dupOfOld = cands
-          .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("ns")), "new_id")
+          .join(intraSigs.select(col("doc_id").as("new_id"), col("sig").as("ns")), "new_id")
           .join(old.select(col("doc_id").as("old_id"), col("sig").as("os")), "old_id")
           .filter(
             size(filter(zip_with(col("ns"), col("os"), (x, y) => x === y),
@@ -142,5 +167,6 @@ object StreamDedup {
           .select(col("new_id").as("doc_id")).distinct()
         intra.join(dupOfOld, Seq("doc_id"), "left_anti")
     }
+    (accepted, intraSigs, sh)
   }
 }

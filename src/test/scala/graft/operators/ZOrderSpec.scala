@@ -91,6 +91,23 @@ class ZOrderSpec extends SparkSpec {
     assert(agree)
   }
 
+  test("out-of-contract inputs can degrade locality but never go negative") {
+    // bit 31 set (documented domain is < 2^31): the code must stay
+    // non-negative — a negative Morton code would range-sort FIRST and
+    // silently scatter the curve
+    val vals = Seq((1L << 31, 0L), (0L, 1L << 31), ((1L << 32) - 1, (1L << 32) - 1))
+    val zs = vals.toDF("a", "b")
+      .select(ZOrder.zvalue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.forall(_ >= 0L), zs.mkString(","))
+  }
+
+  test("layout rejects a pre-existing __z column instead of destroying it") {
+    val df = Seq((1L, 2L, 3L)).toDF("a", "b", "__z")
+    intercept[IllegalArgumentException](
+      ZOrder.layout(df, col("a"), col("b"), nFiles = 2))
+  }
+
   test("layout preserves rows exactly") {
     val df = (0 until 500).map(i => (i.toLong % 37, i.toLong % 23, i.toLong))
       .toDF("a", "b", "payload")

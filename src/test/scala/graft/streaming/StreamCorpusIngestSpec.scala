@@ -49,9 +49,35 @@ class StreamCorpusIngestSpec extends SparkSpec {
     // doc 4's shard follows the carried cumulative — floor(50/60) = 0
     assert(StreamShard.readCum(spark, st, beforeBatch = 99) === 100L)
     assert(packed(1L) === 0L && packed(4L) === 0L)
+    // the store holds DEDUP survivors (pre-decontamination): doc 2 was
+    // deduped-in then decontaminated-out, so its signature REMAINS — a
+    // later near-dup of the leak must still find its match (q56 order)
     val stored = spark.read.parquet(sigs).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(stored === Set(1L, 4L))
+    assert(stored === Set(1L, 2L, 4L))
+  }
+
+  test("stage order matches q56: a near-dup of a leaked doc is dropped too") {
+    // doc 2 = benchmark leak + filler F; doc 3 = F + own words, so
+    // jaccard(2,3) >= 0.5 but doc 3 shares nothing with the benchmark.
+    // q56 order (dedup -> decon): dedup drops 3 (non-canonical of {2,3}),
+    // decon drops 2 -> NEITHER survives. Decon-first would let 3 slip
+    // through (partner already gone, no eval overlap of its own).
+    val out = java.nio.file.Files.createTempDirectory("ord_out").toString
+    val sigs = java.nio.file.Files.createTempDirectory("ord_sigs").toString
+    val st = java.nio.file.Files.createTempDirectory("ord_state").toString
+    val eval = Seq((900L, bench)).toDF("doc_id", "text")
+    val evalSh = graft.operators.TextDedup.shingles(eval, 3)
+    val filler = (0 until 30).map(w => s"f$w").mkString(" ")
+    val b = Seq(
+      uniq(1, 40),
+      (2L, s"$bench $filler"),
+      (3L, s"$filler own3a own3b")).toDF("doc_id", "text")
+    StreamCorpusIngest.processBatch(b, 0L, evalSh, out, sigs, st,
+      minOverlap = 5, minJaccard = 0.5, budget = 60L)
+    val packed = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(packed === Set(1L), s"got $packed")
   }
 
   test("composed ingest batch replay is fully idempotent across all three outputs") {
@@ -76,6 +102,7 @@ class StreamCorpusIngestSpec extends SparkSpec {
       minOverlap = 5, budget = 60L) // replay
     assert(snapshot() === first)
     assert(first._1 === Set((1L, 0L), (2L, 1L))) // 70 tok → doc2 starts shard 1
+    assert(first._2 === Set(1L, 2L, 3L)) // store keeps the leaked doc's sig
     assert(first._3 === 140L)
   }
 }
