@@ -37,5 +37,18 @@ object GraftFunctions {
           children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "bloom_agg(keyHash BIGINT, numBits INT literal, numHashes INT literal) takes exactly 3 arguments")
+        require(children(1).foldable && children(2).foldable,
+          "bloom_agg: numBits and numHashes must be literals")
+        BloomFilterAgg(
+          children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())
+      })
   }
 }

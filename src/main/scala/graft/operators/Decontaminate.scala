@@ -2,6 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge => CB}
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{BloomFilterAgg, BloomHits}
 
 /** Benchmark decontamination: find training documents that share n-gram
   * content with an evaluation/benchmark set.
@@ -82,5 +86,53 @@ object Decontaminate {
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
+  }
+
+  /** [[overlaps]] with a Bloom prefilter gating the training-side scan —
+    * result is EXACTLY equal, by the filter's no-false-negative property:
+    * a train doc's overlap with any single eval doc is bounded by its
+    * distinct-shingle hit count against the whole eval set's Bloom filter
+    * (shared shingles ⊆ eval shingles ⊆ Bloom positives), so every doc the
+    * gate drops had < minOverlap overlap with EVERY eval doc. False
+    * positives only widen the candidate set; the exact shingle-join verify
+    * then reproduces [[overlaps]] on the survivors.
+    *
+    * Scale shape (100 TB): the eval set is fixed-size, so its filter is a
+    * compile-once plan constant (numBits/8 bytes — 128 KB at the default
+    * 2^20 bits, ~0.2% fp at 100k eval shingles with 4 hashes) evaluated
+    * map-side inside whole-stage codegen: the corpus scan shuffles NOTHING
+    * — not even doc ids — until a doc actually clears the gate. The
+    * shingle-join verify, the only shuffle-bearing stage, then runs over
+    * the contaminated fraction (~0 of the corpus) instead of all of it.
+    * This is the standard web-scale decontamination structure (Bloom
+    * prefilter + exact verify).
+    *
+    * Cap-free by design: `maxShingleDf`'s stop set is a function of the
+    * full train∪eval corpus, which a gated scan no longer sees — compose
+    * the cap via [[overlapsAgainst]] on the ungated relation instead.
+    */
+  def bloomOverlaps(
+      train: DataFrame,
+      eval: DataFrame,
+      n: Int = 3,
+      minOverlap: Long = 10,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 4,
+      broadcastEval: Boolean = false): DataFrame = {
+    // eval shingles feed the filter build AND the verify join — persist,
+    // or the tokenize+explode pipeline runs twice (the q19 lesson)
+    val evalSh = TextDedup.shingles(eval, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val bloom: Array[Long] = evalSh
+      .agg(CB.column(
+        BloomFilterAgg(CB.expression(xxhash64(col("shingle"))), numBits, numHashes)
+          .toAggregateExpression()).as("bloom"))
+      .head().getSeq[Long](0).toArray
+    val gated = train
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .filter(CB.column(BloomHits(
+        CB.expression(expr(TextDedup.shingleArrayExpr(n))), bloom, numHashes)) >= minOverlap)
+      .drop("w")
+    overlapsAgainst(TextDedup.shingles(gated, n), evalSh, minOverlap, broadcastEval)
   }
 }

@@ -47,9 +47,14 @@ object TextDedup {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .dropDuplicates("doc_id")
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))))"))
-        .as("shingle"))
+      .select(col("doc_id"), explode(expr(shingleArrayExpr(n))).as("shingle"))
+
+  /** The in-row distinct shingle array over a pre-split word column `w` —
+    * the un-exploded form of [[shingles]]. Exposed so scan-level gates
+    * (e.g. [[Decontaminate.bloomOverlaps]]) can inspect a document's
+    * shingle set without paying the explode. */
+  private[operators] def shingleArrayExpr(n: Int): String =
+    s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))))"
 
   /** Per-doc shingle-set sizes. */
   def shingleSizes(sh: DataFrame): DataFrame =

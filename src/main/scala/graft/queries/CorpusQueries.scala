@@ -20,9 +20,10 @@ object CorpusQueries {
     * shingles while unrelated background pairs top out at 4 — the
     * threshold sits in a wide margin, so the gate is stable across SFs.
     */
-  val q51Decontamination: Q = Q(
-    "q51_decontamination",
-    Some("""
+  /** Shared by q51 and q63: the two operators are proven to produce the
+    * SAME rows (the Bloom gate has no false negatives), so they share one
+    * oracle query. */
+  private val decontaminationOracle: String = """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
               FROM tok WHERE len(w) >= 3),
@@ -35,10 +36,33 @@ object CorpusQueries {
              CAST(COUNT(*) AS BIGINT) AS overlap
       FROM tr JOIN ev ON tr.shingle = ev.shingle
       GROUP BY 1, 2
-      HAVING COUNT(*) >= 10"""),
+      HAVING COUNT(*) >= 10"""
+
+  val q51Decontamination: Q = Q(
+    "q51_decontamination",
+    Some(decontaminationOracle),
     headline = true) { (spark, dir) =>
     val docs = table(spark, dir, "documents")
     Decontaminate.overlaps(
+      train = docs.filter(col("doc_id") % 10 =!= 7),
+      eval = docs.filter(col("doc_id") % 10 === 7),
+      n = 3, minOverlap = 10)
+  }
+
+  /** Bloom-gated decontamination (q63): q51's exact result via a
+    * scan-level prefilter. The eval set's shingles build a Bloom filter
+    * (one aggregate pass, bitwise-OR mergeable) that rides the training
+    * scan as a plan constant inside whole-stage codegen; only docs whose
+    * in-row distinct-shingle hit count could reach the overlap threshold
+    * enter the shingle-join verify. No false negatives (Bloom property),
+    * so the oracle is the SAME query as q51 — the gate is pure pruning.
+    */
+  val q63BloomDecontamination: Q = Q(
+    "q63_bloom_decontamination",
+    Some(decontaminationOracle),
+    headline = true) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    Decontaminate.bloomOverlaps(
       train = docs.filter(col("doc_id") % 10 =!= 7),
       eval = docs.filter(col("doc_id") % 10 === 7),
       n = 3, minOverlap = 10)
@@ -437,5 +461,5 @@ object CorpusQueries {
 
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
     q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
-    q61Novelty, q62DedupRate)
+    q61Novelty, q62DedupRate, q63BloomDecontamination)
 }
