@@ -58,5 +58,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].intValue())
       }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[graft.functions.FreqItemsSketch].getName, "freq_items"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "freq_items(item STRING, capacity INT literal) takes exactly 2 arguments")
+        require(children(1).foldable, "freq_items: capacity must be a literal")
+        graft.functions.FreqItemsSketch(
+          children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

@@ -50,5 +50,16 @@ object GraftFunctions {
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].intValue())
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItemsSketch].getName, "freq_items"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "freq_items(item STRING, capacity INT literal) takes exactly 2 arguments")
+        require(children(1).foldable, "freq_items: capacity must be a literal")
+        FreqItemsSketch(
+          children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      })
   }
 }

@@ -294,8 +294,46 @@ object TextQueries {
       quota = 5, tiebreak = col("doc_id"))
   }
 
+  /** Heavy-hitter word bigrams (q64) via the mergeable Misra–Gries
+    * summary ([[graft.functions.FreqItemsSketch]]). The exact group-by
+    * alternative shuffles every bigram occurrence (|tokens| rows at
+    * corpus scale); the sketch shuffles ≤ capacity counters per map
+    * partition. At capacity 4096 ≫ the corpus's distinct-bigram count the
+    * summary is provably exact (no eviction ever fires), which is what
+    * makes the DuckDB oracle a hash gate rather than a tolerance check —
+    * the approximate regime is spec-tested separately against the MG
+    * error bound. Ties at the top-k boundary break on the bigram text in
+    * both engines. */
+  val q64HeavyHitters: Q = Q(
+    "q64_heavy_hitters",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w))) AS i
+              FROM tok WHERE len(w) >= 2),
+      bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram FROM pos)
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY 1
+      ORDER BY cnt DESC, bigram LIMIT 20"""),
+    headline = true) { (spark, dir) =>
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val bigrams = table(spark, dir, "documents")
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+        .as("bigram"))
+    bigrams
+      .agg(CB.column(graft.functions.FreqItemsSketch(
+        CB.expression(col("bigram")), capacity = 4096)
+        .toAggregateExpression()).as("f"))
+      .select(explode(col("f")).as("e"))
+      .select(col("e.item").as("bigram"), col("e.cnt").as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q22DedupExact, q23TextQuality, q24LangId, q25TokenCount,
     q26Fingerprint, q27BinaryBytes, q45StratifiedSample, q46PretrainingMix,
-    q47Repetition, q48Chunking, q49PiiScrub, q50QuotaSample)
+    q47Repetition, q48Chunking, q49PiiScrub, q50QuotaSample, q64HeavyHitters)
 }
