@@ -187,6 +187,63 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate JOIN: (left_id, right_id, jaccard) for
+    * pairs ACROSS two relations — the incremental-ingest question "which
+    * docs in the new crawl near-duplicate the existing corpus?" asked in
+    * batch form ([[graft.streaming.StreamDedup]] is the per-batch
+    * incarnation of the same shape). Candidates come from cross-corpus
+    * LSH band buckets (signatures computed per side, ONE aggregate pass
+    * each; the bucket join is keyed on (band, band_hash), linear in both
+    * corpus sizes for bounded bucket width), then exact Jaccard verifies
+    * each candidate — same no-false-positive structure as
+    * [[minhashPairs]], so on margin-separated corpora the output equals
+    * the exact cross-relation all-pairs join. */
+  def minhashJoin(
+      left: DataFrame,
+      right: DataFrame,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    minhashJoinFromShingles(shingles(left, n), shingles(right, n),
+      minJaccard, bands, rowsPerBand)
+
+  /** [[minhashJoin]] over pre-computed (doc_id, shingle) relations —
+    * callers sharing one corpus shingle pass should pass persisted
+    * relations (see [[materialize]]). */
+  def minhashJoinFromShingles(
+      leftSh0: DataFrame,
+      rightSh0: DataFrame,
+      minJaccard: Double = 0.5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    // each side feeds its signature aggregate, the verify join, and the
+    // size aggregate — materialize once per side (see [[materialize]])
+    val lsh = materialize(leftSh0)
+    val rsh = materialize(rightSh0)
+    val numPerms = bands * rowsPerBand
+    val lb = lshBandsFromSig(minhashSignaturesSketch(lsh, numPerms), bands, rowsPerBand)
+    val rb = lshBandsFromSig(minhashSignaturesSketch(rsh, numPerms), bands, rowsPerBand)
+    // candidates travel as bare id pairs (the q38 lesson): the bucket
+    // join and the distinct shuffle carry 16 bytes/pair
+    val cands = lb.select(col("band"), col("band_hash"), col("doc_id").as("left_id"))
+      .join(rb.select(col("band"), col("band_hash"), col("doc_id").as("right_id")),
+        Seq("band", "band_hash"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    val inter = cands
+      .join(lsh.select(col("doc_id").as("left_id"), col("shingle")), "left_id")
+      .join(rsh.select(col("doc_id").as("right_id"), col("shingle")),
+        Seq("right_id", "shingle"))
+      .groupBy(col("left_id"), col("right_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(shingleSizes(lsh).select(col("doc_id").as("left_id"), col("n").as("nl")), "left_id")
+      .join(shingleSizes(rsh).select(col("doc_id").as("right_id"), col("n").as("nr")), "right_id")
+      .withColumn("jaccard", col("i") / (col("nl") + col("nr") - col("i")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   /** 64-bit SimHash per doc over distinct word-3-gram shingles: per-bit
     * signed vote, assembled into one BIGINT. Shingle features (not raw
     * tokens) so that corpora sharing a small vocabulary still separate —

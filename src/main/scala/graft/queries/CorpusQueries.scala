@@ -459,7 +459,47 @@ object CorpusQueries {
         sum(coalesce(col("red"), lit(0L))).as("n_redundant"))
   }
 
+  /** Cross-corpus fuzzy join (q65): near-dup pairs between the "new
+    * crawl" (the doc_id % 10 = 7 slice) and the existing corpus — the
+    * batch form of incremental-ingest dedup. Candidates from cross-corpus
+    * MinHash-LSH band buckets, exact-Jaccard verified, so the oracle is
+    * the exact cross-relation all-pairs join: no false positives by
+    * construction, and no misses because the corpus margin (pinned in
+    * OperatorsSpec) keeps every j ≥ 0.5 pair above j = 0.85, where
+    * detection probability is ≥ 0.99999. */
+  val q65FuzzyJoin: Q = Q(
+    "q65_fuzzy_join",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      l AS (SELECT * FROM sh WHERE doc_id % 10 = 7),
+      r AS (SELECT * FROM sh WHERE doc_id % 10 <> 7),
+      lsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1),
+      rsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1),
+      inter AS (
+        SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM l JOIN r ON l.shingle = r.shingle
+        GROUP BY 1, 2)
+      SELECT it.left_id, it.right_id,
+             it.i / (sl.n + sr.n - it.i) AS jaccard
+      FROM inter it
+      JOIN lsz sl ON it.left_id = sl.doc_id
+      JOIN rsz sr ON it.right_id = sr.doc_id
+      WHERE it.i / (sl.n + sr.n - it.i) >= 0.5"""),
+    headline = true) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    TextDedup.minhashJoin(
+      left = docs.filter(col("doc_id") % 10 === 7),
+      right = docs.filter(col("doc_id") % 10 =!= 7),
+      n = 3, minJaccard = 0.5)
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
     q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
-    q61Novelty, q62DedupRate, q63BloomDecontamination)
+    q61Novelty, q62DedupRate, q63BloomDecontamination, q65FuzzyJoin)
 }

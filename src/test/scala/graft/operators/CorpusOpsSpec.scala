@@ -284,6 +284,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dirs === q56.map(_._2).map(s => s"shard=$s"))
   }
 
+  // --- cross-corpus fuzzy join ----------------------------------------------
+
+  test("minhashJoin == exact cross-split all-pairs (q65's oracle shape)") {
+    val left = docs.filter(col("doc_id") % 10 === 7)
+    val right = docs.filter(col("doc_id") % 10 =!= 7)
+    val got = TextDedup.minhashJoin(left, right, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // truth from the independent single-corpus exact path, restricted to
+    // cross-split pairs (both orientations — minhashJoin keys sides, not a<b)
+    val want = TextDedup.exactJaccardPairs(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (l, r, _) => l % 10 == 7 && r % 10 != 7 }.toSet
+    assert(want.nonEmpty, "corpus must contain cross-split near-dups")
+    assert(got === want)
+  }
+
+  test("minhashJoin on disjoint-content tables is empty; identical doc pairs at 1.0") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val b = Seq((2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    assert(TextDedup.minhashJoin(a, b, minJaccard = 0.1).count() === 0L)
+    val dup = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val hit = TextDedup.minhashJoin(a, dup, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hit.toSeq === Seq((1L, 9L, 1.0)))
+  }
+
   test("decontamination result matches unfiltered-jaccard cross-split slice") {
     // cross-check: the (train,eval) overlap counts must equal the
     // intersection counts the exact-Jaccard machinery computes for the
