@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.domain.Ops
+
+/** Incremental maintenance of a grouped aggregate — a live materialized
+  * view (e.g. total distance + activity count per sport) kept current from
+  * the CDC stream without ever re-scanning the base table.
+  *
+  * Sum/count aggregates are self-maintainable under insert/update/delete:
+  * an insert adds the after-image's contribution, a delete subtracts the
+  * before-image's, an update does both (which also handles rows MOVING
+  * between groups). So each micro-batch reduces to a grouped DELTA that is
+  * O(|groups touched by the batch|), independent of table size — the view
+  * maintenance a lakehouse engine would run as an incremental MV refresh.
+  *
+  * Storage is LSM-shaped, like [[StreamDedup]]/[[StreamShard]]: each batch
+  * OVERWRITES its own `batch=<id>` layer (a pure function of the batch →
+  * at-least-once foreachBatch replays are idempotent with no transaction
+  * log), the view is the fold over layers, and [[compact]] bounds the
+  * layer count by folding fully-committed layers into one. avg/min/max
+  * derive from (sum, count) / are NOT self-maintainable under deletes
+  * respectively — min/max need the full re-aggregate path, documented
+  * rather than faked here.
+  */
+object IncrementalAgg {
+
+  /** Full-image CDC decode: (op, before, after) structs — updates/deletes
+    * must carry before-images (Debezium's default) for subtraction. */
+  def decodeImages(raw: DataFrame): DataFrame =
+    raw
+      .selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), Ops.cdcEnvelopeSchema).as("env"))
+      .select(
+        col("env.payload.op").as("op"),
+        col("env.payload.before").as("before"),
+        col("env.payload.after").as("after"))
+      .filter(col("op").isin("c", "r", "u", "d"))
+
+  /** One batch's grouped delta: (group, d_sum, d_cnt). A `u` event with a
+    * NULL before-image degrades to an insert (nothing to subtract) — an
+    * upstream misconfiguration (`REPLICA IDENTITY` not FULL) that loses
+    * information no consumer can recover. */
+  def batchDelta(events: DataFrame, groupCol: String, measureCol: String): DataFrame = {
+    val plus = events
+      .filter(col("op").isin("c", "r", "u") && col(s"after.$groupCol").isNotNull)
+      .select(
+        col(s"after.$groupCol").as(groupCol),
+        coalesce(col(s"after.$measureCol").cast("long"), lit(0L)).as("m"),
+        lit(1L).as("c"))
+    val minus = events
+      .filter(col("op").isin("u", "d") && col(s"before.$groupCol").isNotNull)
+      .select(
+        col(s"before.$groupCol").as(groupCol),
+        (-coalesce(col(s"before.$measureCol").cast("long"), lit(0L))).as("m"),
+        lit(-1L).as("c"))
+    plus.unionByName(minus)
+      .groupBy(col(groupCol))
+      .agg(sum(col("m")).as("d_sum"), sum(col("c")).as("d_cnt"))
+  }
+
+  /** Write one batch's delta as its own layer. Overwrite of a
+    * deterministic directory → replaying the batch converges. */
+  def applyBatch(delta: DataFrame, path: String, batchId: Long): Unit =
+    delta.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** The current view: fold every layer. Groups whose row count folded to
+    * zero (all contributing rows deleted) disappear, like a re-aggregate
+    * would make them. */
+  def view(spark: SparkSession, path: String, groupCol: String): DataFrame = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(groupCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("sum_m",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+    } else {
+      spark.read.parquet(path)
+        .groupBy(col(groupCol))
+        .agg(sum(col("d_sum")).as("sum_m"), sum(col("d_cnt")).as("cnt"))
+        .filter(col("cnt") > 0)
+    }
+  }
+
+  /** Fold all layers STRICTLY BELOW the newest into one, bounding what
+    * [[view]] reads. The newest layer is left alone because it is the only
+    * one the streaming checkpoint can ever replay (an uncommitted batch
+    * re-fires; committed ones never do) — folding it would let a replay
+    * overwrite merged history. Layout stays `batch=<id>`, so readers are
+    * oblivious to whether compaction ever ran. */
+  def compact(spark: SparkSession, path: String, groupCol: String): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) return
+    val layers = fs.listStatus(target).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
+    if (layers.length <= 2) return
+    val folded = layers.init
+    val combined = spark.read.parquet(folded.map(b => s"$path/batch=$b"): _*)
+      .groupBy(col(groupCol))
+      .agg(sum(col("d_sum")).as("d_sum"), sum(col("d_cnt")).as("d_cnt"))
+    val staged = new Path(path + ".compact.staged")
+    fs.delete(staged, true)
+    combined.write.mode("overwrite").parquet(staged.toString)
+    folded.foreach(b => fs.delete(new Path(target, s"batch=$b"), true))
+    fs.rename(staged, new Path(target, s"batch=${folded.max}"))
+  }
+
+  /** The always-on form: decode → per-batch delta → idempotent layer
+    * write. */
+  def start(
+      raw: DataFrame,
+      path: String,
+      checkpoint: String,
+      groupCol: String = "sport_type",
+      measureCol: String = "distance",
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    decodeImages(raw).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyBatch(batchDelta(batch.toDF(), groupCol, measureCol), path, batchId)
+      }
+      .start()
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class IncrementalAggSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Debezium-ish envelope with FULL images (REPLICA IDENTITY FULL):
+    * inserts carry after, deletes carry before, updates carry both. */
+  private def env(
+      op: String,
+      id: Int,
+      before: Option[(String, Int)],
+      after: Option[(String, Int)],
+      tsMs: Long): String = {
+    def img(v: Option[(String, Int)]): String = v.fold("null") { case (sport, dist) =>
+      s"""{"id":$id,"id_employee":${id * 10},"first_name":"fn","last_name":"ln",""" +
+        s""""start_datetime":1700000000000000,"sport_type":"$sport","distance":$dist,""" +
+        s""""activity_duration":30,"comment":null}"""
+    }
+    s"""{"payload":{"before":${img(before)},"after":${img(after)},""" +
+      s""""source":{"table":"sport_activities"},"op":"$op","ts_ms":$tsMs}}"""
+  }
+
+  private def readView(path: String): Map[String, (Long, Long)] =
+    IncrementalAgg.view(spark, path, "sport_type")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("view tracks inserts, measure updates, group-moving updates, deletes") {
+    val dir = java.nio.file.Files.createTempDirectory("incagg").toString
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[String]
+    val q = IncrementalAgg.start(s.toDF(), s"$dir/state", s"$dir/chk",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: three inserts across two groups
+      s.addData(
+        env("c", 1, None, Some(("run", 5)), 1000),
+        env("c", 2, None, Some(("run", 7)), 1001),
+        env("c", 3, None, Some(("bike", 20)), 1002))
+      q.processAllAvailable()
+      assert(readView(s"$dir/state") ===
+        Map("run" -> ((12L, 2L)), "bike" -> ((20L, 1L))))
+      // batch 2: measure update in place, update that MOVES groups
+      // (run→swim), and a delete that empties nothing yet
+      s.addData(
+        env("u", 1, Some(("run", 5)), Some(("run", 9)), 2000),
+        env("u", 2, Some(("run", 7)), Some(("swim", 7)), 2001),
+        env("d", 3, Some(("bike", 20)), None, 2002))
+      q.processAllAvailable()
+      assert(readView(s"$dir/state") ===
+        Map("run" -> ((9L, 1L)), "swim" -> ((7L, 1L))))
+      // batch 3: delete the last run row — the group must disappear,
+      // exactly as a re-aggregate over the remaining table would show
+      s.addData(env("d", 1, Some(("run", 9)), None, 3000))
+      q.processAllAvailable()
+      assert(readView(s"$dir/state") === Map("swim" -> ((7L, 1L))))
+    } finally q.stop()
+  }
+
+  test("view == batch re-aggregate over the upsert sink's end state") {
+    // the same event stream drives BOTH consumers: the keyed upsert table
+    // (current rows) and the incremental view; the view must equal the
+    // groupBy over the table — the MV-consistency contract
+    val dir = java.nio.file.Files.createTempDirectory("incagg2").toString
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      env("c", 1, None, Some(("run", 5)), 1000),
+      env("c", 2, None, Some(("walk", 3)), 1001),
+      env("c", 3, None, Some(("run", 8)), 1002),
+      env("u", 2, Some(("walk", 3)), Some(("run", 4)), 2000),
+      env("d", 3, Some(("run", 8)), None, 2001),
+      env("c", 4, None, Some(("bike", 15)), 2002))
+    val s1 = MemoryStream[String]
+    s1.addData(events: _*)
+    IncrementalAgg.start(s1.toDF(), s"$dir/state", s"$dir/chk_v",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    val s2 = MemoryStream[String]
+    s2.addData(events: _*)
+    CdcIngest.startUpsertIngest(s2.toDF(), s"$dir/table", s"$dir/chk_t",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    val fromTable = spark.read.parquet(s"$dir/table")
+      .groupBy("sport_type")
+      .agg(org.apache.spark.sql.functions.sum("distance").as("sum_m"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(readView(s"$dir/state") === fromTable)
+    assert(fromTable.keySet === Set("run", "bike"))
+  }
+
+  test("replaying a batch layer is idempotent; compaction preserves the view") {
+    val dir = java.nio.file.Files.createTempDirectory("incagg3").toString
+    val path = s"$dir/state"
+    def delta(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("sport_type", "d_sum", "d_cnt")
+    IncrementalAgg.applyBatch(delta(Seq(("run", 10L, 2L))), path, 0L)
+    IncrementalAgg.applyBatch(delta(Seq(("run", 5L, 1L), ("bike", 9L, 1L))), path, 1L)
+    IncrementalAgg.applyBatch(delta(Seq(("bike", -9L, -1L))), path, 2L)
+    val want = Map("run" -> ((15L, 3L)))
+    assert(readView(path) === want)
+    // at-least-once replay: the same batch id re-applies its own layer
+    IncrementalAgg.applyBatch(delta(Seq(("bike", -9L, -1L))), path, 2L)
+    assert(readView(path) === want)
+    // compaction folds committed layers; the newest stays replayable
+    IncrementalAgg.compact(spark, path, "sport_type")
+    assert(readView(path) === want)
+    val layers = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(layers.toSeq === Seq("batch=1", "batch=2"))
+    // replaying the newest AFTER compaction still converges
+    IncrementalAgg.applyBatch(delta(Seq(("bike", -9L, -1L))), path, 2L)
+    assert(readView(path) === want)
+  }
+}
