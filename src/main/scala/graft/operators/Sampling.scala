@@ -78,4 +78,38 @@ object Sampling {
       .filter(col(rk) <= quota)
       .drop(rk)
   }
+
+  /** Leakage-free train/val/test split: hash-gate on the near-dup CLUSTER
+    * canonical id, not the doc id, so near-duplicates always land in the
+    * SAME split — the eval-contamination failure mode of naive per-doc
+    * splitting (a train doc's near-twin in the test set) is impossible by
+    * construction. Docs in no cluster are their own canonical. Same
+    * determinism properties as [[deterministicSample]]: the assignment is
+    * a pure function of the data, stable under repartitioning, retries,
+    * and corpus growth outside the cluster.
+    *
+    * Scale shape: `components` is |clustered docs| (orders of magnitude
+    * below |docs|) — the left join broadcasts in practice; the gate
+    * itself is map-side arithmetic. One line per split boundary:
+    * bucket < testPermille → test, < test+val → val, else train.
+    */
+  def leakFreeSplit(
+      docs: DataFrame,
+      components: DataFrame,
+      valPermille: Int,
+      testPermille: Int,
+      docId: String = "doc_id"): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"val=$valPermille test=$testPermille must be >= 0 and sum <= 1000")
+    val canon = docs
+      .join(components.select(col(docId), col("component_id")), Seq(docId), "left")
+      .withColumn("canon", coalesce(col("component_id"), col(docId)))
+      .drop("component_id")
+    val bucket = pmod(portableHash(col("canon")), lit(1000L))
+    canon.withColumn("split",
+      when(bucket < testPermille, "test")
+        .when(bucket < testPermille + valPermille, "val")
+        .otherwise("train"))
+  }
 }

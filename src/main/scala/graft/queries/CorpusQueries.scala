@@ -499,7 +499,61 @@ object CorpusQueries {
       n = 3, minJaccard = 0.5)
   }
 
+  /** Leakage-free train/val/test split (q66): the split gate hashes the
+    * near-dup CLUSTER canonical (q52's component id; unclustered docs are
+    * their own canonical), so a document and its near-twin can never
+    * straddle splits — the standard benchmark-leakage defence a per-doc
+    * hash split lacks. Oracle = q52's recursive-CTE closure composed with
+    * q45's portable-hash gate, entirely in SQL. 10% test / 10% val. */
+  val q66LeakFreeSplit: Q = Q(
+    "q66_leakfree_split",
+    Some("""
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      e AS (
+        SELECT it.a_id, it.b_id FROM inter it
+        JOIN sz sa ON it.a_id = sa.doc_id
+        JOIN sz sb ON it.b_id = sb.doc_id
+        WHERE it.i / (sa.n + sb.n - it.i) >= 0.5),
+      und AS (SELECT a_id AS u, b_id AS v FROM e UNION SELECT b_id, a_id FROM e),
+      reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u),
+      comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id FROM reach GROUP BY u),
+      canon AS (
+        SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS canon
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      SELECT doc_id, canon,
+             CASE WHEN ((canon * 2654435761) % 1000000007) % 1000 < 100 THEN 'test'
+                  WHEN ((canon * 2654435761) % 1000000007) % 1000 < 200 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM canon"""),
+    headline = true) { (spark, dir) =>
+    import graft.operators.Sampling
+    val docs = table(spark, dir, "documents")
+    val edges = TextDedup.minhashPairs(docs, n = 3, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    Sampling.leakFreeSplit(
+      docs.select(col("doc_id")),
+      ConnectedComponents.components(edges)
+        .select(col("id").as("doc_id"), col("component_id")),
+      valPermille = 100, testPermille = 100)
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
     q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
-    q61Novelty, q62DedupRate, q63BloomDecontamination, q65FuzzyJoin)
+    q61Novelty, q62DedupRate, q63BloomDecontamination, q65FuzzyJoin,
+    q66LeakFreeSplit)
 }

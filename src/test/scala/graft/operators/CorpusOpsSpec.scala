@@ -284,6 +284,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dirs === q56.map(_._2).map(s => s"shard=$s"))
   }
 
+  // --- leakage-free split ---------------------------------------------------
+
+  test("leakFreeSplit: near-dup clusters never straddle splits; gate is canonical-hashed") {
+    import graft.operators.Sampling
+    val edges = TextDedup.minhashPairs(docs, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val comp = ConnectedComponents.components(edges)
+      .select(col("id").as("doc_id"), col("component_id"))
+    val out = Sampling.leakFreeSplit(docs.select(col("doc_id")), comp,
+      valPermille = 100, testPermille = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === docs.count())
+    // the leakage invariant: one split per cluster
+    val byCanon = out.groupBy(_._2)
+    byCanon.foreach { case (canon, members) =>
+      assert(members.map(_._3).toSet.size === 1,
+        s"cluster $canon straddles splits: ${members.toSeq}")
+    }
+    assert(byCanon.exists(_._2.length > 1), "corpus must contain real clusters")
+    // all three splits occupied, and assignment matches the hash formula
+    assert(out.map(_._3).toSet === Set("train", "val", "test"))
+    out.foreach { case (_, canon, split) =>
+      val b = math.floorMod(canon * 2654435761L, 1000000007L) % 1000
+      val want = if (b < 100) "test" else if (b < 200) "val" else "train"
+      assert(split === want)
+    }
+  }
+
+  test("leakFreeSplit rejects out-of-range fractions") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val d = Seq(1L).toDF("doc_id")
+    val c = Seq.empty[(Long, Long)].toDF("doc_id", "component_id")
+    intercept[IllegalArgumentException](Sampling.leakFreeSplit(d, c, 600, 600))
+  }
+
   // --- cross-corpus fuzzy join ----------------------------------------------
 
   test("minhashJoin == exact cross-split all-pairs (q65's oracle shape)") {
