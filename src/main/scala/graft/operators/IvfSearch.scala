@@ -58,14 +58,64 @@ object IvfSearch {
     centroids
   }
 
-  /** Top-k cosine neighbors via IVF cells. */
+  /** Distributed Lloyd refinement over the FULL corpus: each iteration is
+    * one aggregate job — map-side nearest-centroid assignment (the
+    * codegen [[graft.functions.NearestCentroids]] kernel, current model a
+    * plan constant) feeding per-cell elementwise vector sums via
+    * [[graft.functions.VectorSumAgg]] (ONE buffer of dim doubles per
+    * cell; map-side combine makes the shuffle k × (dim+1) doubles per
+    * partition, independent of corpus size). New centroid = sum/count,
+    * computed on the driver from the k collected rows; empty cells keep
+    * their centroid (FAISS behavior). This is the standard scale path
+    * when the sample-trained model should see every vector: the sample
+    * bootstraps, the corpus refines.
+    *
+    * Determinism: assignment ties break toward the lower cell id (kernel
+    * contract), and on integer-valued embeddings (this corpus — the
+    * exact-cosine path relies on the same property) the double sums are
+    * order-exact, so refined centroids are bit-identical across
+    * partitionings and retries. */
+  def refineCentroids(
+      base: DataFrame,
+      init: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    var cents = init
+    val dim = init.head.length
+    (0 until iters).foreach { _ =>
+      val assigned = base.select(
+        col("vd"),
+        element_at(CB.column(graft.functions.NearestCentroids(
+          CB.expression(col("vd")), cents, 1)), 1).as("cid"))
+      val stats = assigned.groupBy(col("cid"))
+        .agg(
+          CB.column(graft.functions.VectorSumAgg(CB.expression(col("vd")), dim)
+            .toAggregateExpression()).as("s"),
+          count(lit(1)).as("c"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        val cid = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val c = r.getLong(2)
+        next(cid) = Array.tabulate(dim)(i => s(i) / c)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Top-k cosine neighbors via IVF cells. `refineIters > 0` runs that
+    * many distributed Lloyd passes over the full corpus after the
+    * sample bootstrap ([[refineCentroids]]). */
   def ivfTopK(
       emb: DataFrame,
       k: Int,
       nClusters: Int = 16,
       nProbe: Int = 4,
       trainIters: Int = 5,
-      sampleCap: Int = 4096): DataFrame = {
+      sampleCap: Int = 4096,
+      refineIters: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graft.{ColumnBridge => CB}
@@ -85,7 +135,10 @@ object IvfSearch {
       return base.select(col("vec_id").as("qid"), col("vec_id").as("nid"),
         lit(1).as("rnk"), lit(0.0).as("cosine")).limit(0)
     }
-    val centroids = trainCentroids(sample, nClusters, trainIters)
+    val centroids0 = trainCentroids(sample, nClusters, trainIters)
+    val centroids =
+      if (refineIters > 0) refineCentroids(base.select(col("vd")), centroids0, refineIters)
+      else centroids0
 
     // The trained model is tiny (nClusters × dim doubles) and rides as ONE
     // plan-constant inside the codegen'd nearest_centroids kernel —
