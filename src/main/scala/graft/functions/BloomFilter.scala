@@ -208,3 +208,59 @@ case class BloomHits(child: Expression, bloom: Array[Long], numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): BloomHits =
     copy(child = newChild)
 }
+
+/** `bloom_contains(keyHash) → boolean`: membership probe of a single
+  * BIGINT key hash against a plan-constant Bloom filter — the scalar
+  * sibling of [[BloomHits]], used for runtime-filter semi-join reduction
+  * ([[graft.operators.RuntimeFilter]]). Same double-hashing scheme as
+  * [[BloomFilterAgg]]; feed it the same `xxhash64(key)` the build side
+  * aggregated. NULL → NULL (a NULL key joins nothing). */
+case class BloomContains(child: Expression, bloom: Array[Long], numHashes: Int)
+    extends UnaryExpression {
+
+  require(bloom.nonEmpty && (bloom.length & (bloom.length - 1)) == 0,
+    s"bloom_contains: filter word count must be a power of two, got ${bloom.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT key hash, got ${child.dataType.catalogString}")
+
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  override def nullSafeEval(v: Any): Any =
+    Bloom.mightContain(bloom, v.asInstanceOf[Long], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val words = ctx.addReferenceObj("bloomWords", bloom, "long[]")
+    nullSafeCodeGen(ctx, ev, h => {
+      val k = ctx.freshName("k")
+      val z = ctx.freshName("z")
+      val h2 = ctx.freshName("h2")
+      val bit = ctx.freshName("bit")
+      val mask = ctx.freshName("mask")
+      val hit = ctx.freshName("hit")
+      s"""
+         |final long $mask = (((long) $words.length) << 6) - 1L;
+         |long $z = $h;
+         |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+         |final long $h2 = ($z ^ ($z >>> 31)) | 1L;
+         |boolean $hit = true;
+         |for (int $k = 0; $k < $numHashes; $k++) {
+         |  final long $bit = ($h + ((long) $k) * $h2) & $mask;
+         |  if (($words[(int) ($bit >>> 6)] & (1L << ($bit & 63L))) == 0L) {
+         |    $hit = false;
+         |    break;
+         |  }
+         |}
+         |${ev.value} = $hit;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContains =
+    copy(child = newChild)
+}

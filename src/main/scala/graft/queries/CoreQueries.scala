@@ -417,9 +417,41 @@ object CoreQueries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
   }
 
+  /** q17 with CASCADED runtime-filter semi-join reduction (q68): a Bloom
+    * filter over the BUILDING customers' keys gates the orders scan, and
+    * a second Bloom over the surviving orderkeys gates the lineitem scan
+    * — fact rows that cannot match never enter either join's shuffle
+    * (the classic TPC-H Q3 reduction; at 100 TB the lineitem exchange
+    * shrinks by the segment's selectivity). Row-identical to q17 by the
+    * no-false-negative property — the two queries share one oracle. */
+  val q68RuntimeFiltered: Q = Q(
+    "q68_runtime_filtered",
+    q17RevenueTop.oracle,
+    headline = true) { (spark, dir) =>
+    import graft.operators.RuntimeFilter
+    val c = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val custBloom = RuntimeFilter.forKeys(c, col("c_custkey"))
+    val o = table(spark, dir, "orders")
+      .filter(custBloom.gate(col("o_custkey")))
+    val orderBloom = RuntimeFilter.forKeys(o, col("o_orderkey"))
+    val l = table(spark, dir, "lineitem")
+      .filter(orderBloom.gate(col("l_orderkey")))
+    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(disc).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02TopkSource, q03JsonDecode, q04CustOrderStats,
     q05RegionRollup, q06BenefitReport, q07Masking, q08Validity,
     q09QualityChecks, q10TopkPerGroup, q11DistinctAgg, q12SetOps,
-    q13SemiJoin, q14AntiJoin, q15HourlyEvents, q16Sessionize, q17RevenueTop)
+    q13SemiJoin, q14AntiJoin, q15HourlyEvents, q16Sessionize, q17RevenueTop,
+    q68RuntimeFiltered)
 }

@@ -106,4 +106,36 @@ class BloomFilterSpec extends SparkSpec {
       trainSide, evalSide.filter(lit(false)), minOverlap = 1)
     assert(got.count() === 0L)
   }
+
+  // --- runtime-filter semi-join reduction ------------------------------------
+
+  test("bloomSemiReduce keeps every matching row and actually prunes") {
+    import graft.operators.RuntimeFilter
+    val orders = table(spark, sfDir, "orders")
+    val lineitem = table(spark, sfDir, "lineitem")
+    val dim = orders.filter(col("o_orderkey") % 50 === 0)
+    val reduced = RuntimeFilter.bloomSemiReduce(
+      lineitem, col("l_orderkey"), dim, col("o_orderkey"))
+    // no false negatives: the reduced join equals the unreduced join
+    val want = lineitem.join(dim, lineitem("l_orderkey") === dim("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber")).collect().toSet
+    val got = reduced.join(dim, reduced("l_orderkey") === dim("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber")).collect().toSet
+    assert(want.nonEmpty && got === want)
+    // and the gate genuinely prunes the fact side (~2% survives + fp)
+    val full = lineitem.count()
+    val kept = reduced.count()
+    assert(kept < full / 10, s"gate barely pruned: $kept of $full")
+  }
+
+  test("q68 (runtime-filtered) == q17 row-for-row; empty dim rejects all") {
+    import graft.operators.RuntimeFilter
+    val a = graft.queries.Catalog.byName("q17_revenue_top").run(spark, sfDir).collect().toSeq
+    val b = graft.queries.Catalog.byName("q68_runtime_filtered").run(spark, sfDir).collect().toSeq
+    assert(a.nonEmpty && a === b)
+    val none = RuntimeFilter.bloomSemiReduce(
+      table(spark, sfDir, "lineitem"), col("l_orderkey"),
+      table(spark, sfDir, "orders").filter(lit(false)), col("o_orderkey"))
+    assert(none.count() === 0L)
+  }
 }
