@@ -552,8 +552,40 @@ object CorpusQueries {
       valPermille = 100, testPermille = 100)
   }
 
+  /** Curriculum binning (q69): docs ranked by a difficulty proxy (token
+    * count) in a deterministic total order and cut into 4 equal-depth
+    * bins — the "short-to-long curriculum" a training scheduler consumes.
+    * A naive `ntile(4) OVER (ORDER BY ...)` is a SINGLE-PARTITION global
+    * sort; here the rank comes from [[GlobalIndex]] (range partition +
+    * per-partition window + broadcast offsets — both exchanges linear)
+    * and the bin is pure arithmetic on (rank, N), which equals ntile's
+    * equal-depth cut exactly when 4 divides N and differs at most in the
+    * boundary rounding rule otherwise — the oracle computes the SAME
+    * floor(rank·4/N) rule, so the gate is exact either way. */
+  val q69CurriculumBins: Q = Q(
+    "q69_curriculum_bins",
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+                 FROM documents),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+      r AS (SELECT doc_id, ntok,
+                   CAST(row_number() OVER (ORDER BY ntok, doc_id) - 1 AS BIGINT) AS rank
+            FROM d)
+      SELECT r.doc_id, r.ntok, r.rank,
+             CAST((r.rank * 4) // n.n AS BIGINT) AS bin
+      FROM r, n"""),
+    headline = false) { (spark, dir) =>
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+    val n = d.count()
+    GlobalIndex.rank(d, col("ntok").asc, col("doc_id").asc)
+      .withColumn("bin", expr(s"(rank * 4L) div ${n}L"))
+      .select(col("doc_id"), col("ntok"), col("rank"), col("bin"))
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
     q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
     q61Novelty, q62DedupRate, q63BloomDecontamination, q65FuzzyJoin,
-    q66LeakFreeSplit)
+    q66LeakFreeSplit, q69CurriculumBins)
 }

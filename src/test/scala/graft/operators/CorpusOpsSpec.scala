@@ -320,6 +320,27 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.leakFreeSplit(d, c, 600, 600))
   }
 
+  test("curriculum bins are equal-depth, monotone in the order, and plan-parallel") {
+    val out = graft.queries.CorpusQueries.q69CurriculumBins.run(spark, sfDir)
+    out.collect() // finalize AQE before reading the plan
+    val rows = out.select("rank", "bin", "ntok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(n > 100)
+    // equal depth within 1 (floor-rounding) and 4 occupied bins
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1, s"depths: $sizes")
+    // bin is monotone in rank, and rank order respects the difficulty proxy
+    rows.sortBy(_._1).foldLeft((-1L, -1L)) { case ((pb, pt), (_, b, t)) =>
+      assert(b >= pb && t >= pt); (b, t)
+    }
+    // the rank must come from the parallel GlobalIndex shape, not a
+    // single-partition ntile window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(3000))
+  }
+
   // --- cross-corpus fuzzy join ----------------------------------------------
 
   test("minhashJoin == exact cross-split all-pairs (q65's oracle shape)") {
