@@ -448,10 +448,39 @@ object CoreQueries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
   }
 
+  /** Cohort retention (q70): users grouped by first-seen day, activity
+    * bucketed by days-since-cohort — the classic retention triangle. Two
+    * shuffles: the per-user min-day aggregate (whose user_id partitioning
+    * the join then reuses) and the (cohort, offset) cell aggregate.
+    * Day arithmetic stays in integer nanos-epoch space on both engines —
+    * no timezone/rounding hazards. */
+  val q70CohortRetention: Q = Q(
+    "q70_cohort_retention",
+    Some("""
+      WITH e AS (SELECT user_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+                 FROM events),
+      f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+      SELECT f.cohort_day, e.day - f.cohort_day AS days_since,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM e JOIN f ON e.user_id = f.user_id
+      GROUP BY 1, 2"""),
+    headline = false) { (spark, dir) =>
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val f = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(f, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("days_since"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02TopkSource, q03JsonDecode, q04CustOrderStats,
     q05RegionRollup, q06BenefitReport, q07Masking, q08Validity,
     q09QualityChecks, q10TopkPerGroup, q11DistinctAgg, q12SetOps,
     q13SemiJoin, q14AntiJoin, q15HourlyEvents, q16Sessionize, q17RevenueTop,
-    q68RuntimeFiltered)
+    q68RuntimeFiltered, q70CohortRetention)
 }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge => CB}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.FreqItemsSketch
+
+/** Streaming heavy hitters: the ingest-time form of q64. Each micro-batch
+  * folds its items into a Misra–Gries summary (ONE aggregate pass,
+  * [[FreqItemsSketch]]) and writes the ≤ capacity counters as a
+  * `batch=<id>` layer — the [[IncrementalAgg]]/[[StreamDedup]] idempotent
+  * overwrite scheme, so at-least-once replays converge without a
+  * transaction log. State per batch is O(capacity), never O(stream).
+  *
+  * The read-side fold (groupBy item, sum counts) is itself a valid
+  * mergeable-summaries combine (it is the Agarwal et al. merge WITHOUT
+  * the final truncation — strictly more accurate): folded counts
+  * undershoot true frequencies by at most N/(capacity+1) in total, and
+  * when capacity covers each batch's distinct items the result is EXACT
+  * — equal to running batch `freq_items` over the concatenated stream.
+  */
+object StreamFreq {
+
+  /** Per-batch Misra–Gries summary as (item, cnt) rows. */
+  def batchSummary(items: DataFrame, itemCol: String, capacity: Int): DataFrame =
+    items
+      .agg(CB.column(FreqItemsSketch(CB.expression(col(itemCol)), capacity)
+        .toAggregateExpression()).as("f"))
+      .select(explode(col("f")).as("e"))
+      .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+
+  /** Idempotent layer write (same scheme as [[IncrementalAgg.applyBatch]]). */
+  def applyBatch(summary: DataFrame, path: String, batchId: Long): Unit =
+    summary.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Fold every layer into the current top-k, ties broken on the item. */
+  def topK(spark: SparkSession, path: String, k: Int): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("item"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .orderBy(desc("cnt"), asc("item"))
+      .limit(k)
+
+  /** The always-on form: item stream → per-batch summary layers. */
+  def start(
+      items: DataFrame,
+      itemCol: String,
+      path: String,
+      checkpoint: String,
+      capacity: Int = 4096,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    items.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyBatch(batchSummary(batch.toDF(), itemCol, capacity), path, batchId)
+      }
+      .start()
+}

@@ -93,6 +93,34 @@ class IncrementalAggSpec extends SparkSpec {
     assert(fromTable.keySet === Set("run", "bike"))
   }
 
+  test("streaming heavy hitters across batches == batch freq_items; replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("sfreq").toString
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq("a", "b", "a", "c", "a")
+    val b2 = Seq("b", "b", "d", "a")
+    val s = MemoryStream[String]
+    val q = StreamFreq.start(s.toDF().toDF("item"), "item",
+      s"$dir/state", s"$dir/chk", capacity = 100,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      s.addData(b1: _*); q.processAllAvailable()
+      s.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamFreq.topK(spark, s"$dir/state", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // capacity >= distinct per batch → exact == full-stream group-by
+    val truth = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (i, c) => (-c, i) }
+    assert(got === truth)
+    assert(got.head === (("a", 4L)))
+    // at-least-once replay: re-applying batch 1's summary converges
+    StreamFreq.applyBatch(
+      StreamFreq.batchSummary(b2.toDF("item"), "item", 100), s"$dir/state", 1L)
+    val replayed = StreamFreq.topK(spark, s"$dir/state", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(replayed === truth)
+  }
+
   test("replaying a batch layer is idempotent; compaction preserves the view") {
     val dir = java.nio.file.Files.createTempDirectory("incagg3").toString
     val path = s"$dir/state"
