@@ -92,29 +92,11 @@ object IncrementalAgg {
     }
   }
 
-  /** Fold all layers STRICTLY BELOW the newest into one, bounding what
-    * [[view]] reads. The newest layer is left alone because it is the only
-    * one the streaming checkpoint can ever replay (an uncommitted batch
-    * re-fires; committed ones never do) — folding it would let a replay
-    * overwrite merged history. Layout stays `batch=<id>`, so readers are
-    * oblivious to whether compaction ever ran. */
-  def compact(spark: SparkSession, path: String, groupCol: String): Unit = {
-    val target = new Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(target)) return
-    val layers = fs.listStatus(target).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
-    if (layers.length <= 2) return
-    val folded = layers.init
-    val combined = spark.read.parquet(folded.map(b => s"$path/batch=$b"): _*)
-      .groupBy(col(groupCol))
-      .agg(sum(col("d_sum")).as("d_sum"), sum(col("d_cnt")).as("d_cnt"))
-    val staged = new Path(path + ".compact.staged")
-    fs.delete(staged, true)
-    combined.write.mode("overwrite").parquet(staged.toString)
-    folded.foreach(b => fs.delete(new Path(target, s"batch=$b"), true))
-    fs.rename(staged, new Path(target, s"batch=${folded.max}"))
-  }
+  /** Fold all committed layers into one ([[LayerStore.compact]]),
+    * bounding what [[view]] reads; layout stays `batch=<id>`, so readers
+    * are oblivious to whether compaction ever ran. */
+  def compact(spark: SparkSession, path: String, groupCol: String): Unit =
+    LayerStore.compact(spark, path, groupCol, Seq("d_sum", "d_cnt"))
 
   /** The always-on form: decode → per-batch delta → idempotent layer
     * write. */

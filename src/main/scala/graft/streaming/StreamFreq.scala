@@ -43,6 +43,11 @@ object StreamFreq {
       .orderBy(desc("cnt"), asc("item"))
       .limit(k)
 
+  /** Fold committed summary layers into one ([[LayerStore.compact]]) so
+    * [[topK]]'s fold width stays bounded on a long-running stream. */
+  def compact(spark: SparkSession, path: String): Unit =
+    LayerStore.compact(spark, path, "item", Seq("cnt"))
+
   /** The always-on form: item stream → per-batch summary layers. */
   def start(
       items: DataFrame,

@@ -119,6 +119,19 @@ class IncrementalAggSpec extends SparkSpec {
     val replayed = StreamFreq.topK(spark, s"$dir/state", 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(replayed === truth)
+    // add a third layer, compact: result unchanged, fold width bounded
+    StreamFreq.applyBatch(
+      StreamFreq.batchSummary(Seq("d", "d").toDF("item"), "item", 100),
+      s"$dir/state", 2L)
+    StreamFreq.compact(spark, s"$dir/state")
+    val layers = new java.io.File(s"$dir/state").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(layers.toSeq === Seq("batch=1", "batch=2"))
+    val after = StreamFreq.topK(spark, s"$dir/state", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val truth2 = (b1 ++ b2 ++ Seq("d", "d")).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy { case (i, c) => (-c, i) }
+    assert(after === truth2)
   }
 
   test("replaying a batch layer is idempotent; compaction preserves the view") {
