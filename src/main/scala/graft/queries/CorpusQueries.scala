@@ -584,8 +584,32 @@ object CorpusQueries {
       .select(col("doc_id"), col("ntok"), col("rank"), col("bin"))
   }
 
+  /** One-pass per-column profile of `documents` (q71): the trust-a-new-
+    * drop report — counts, nulls, exact distincts, lexicographic min/max
+    * — via in-row `stack` unpivot + one grouped aggregate. */
+  val q71Profile: Q = Q(
+    "q71_profile",
+    Some("""
+      WITH s AS (
+        SELECT 'doc_id' AS "column", CAST(doc_id AS VARCHAR) AS value FROM documents
+        UNION ALL SELECT 'text', text FROM documents
+        UNION ALL SELECT 'lang', lang FROM documents
+        UNION ALL SELECT 'source', source FROM documents
+        UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+      SELECT "column",
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(value) AS BIGINT) AS n_non_null,
+             CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value
+      FROM s GROUP BY 1""")) { (spark, dir) =>
+    graft.operators.Profile.profile(
+      table(spark, dir, "documents"),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
     q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
     q61Novelty, q62DedupRate, q63BloomDecontamination, q65FuzzyJoin,
-    q66LeakFreeSplit, q69CurriculumBins)
+    q66LeakFreeSplit, q69CurriculumBins, q71Profile)
 }

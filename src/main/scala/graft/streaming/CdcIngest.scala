@@ -96,6 +96,43 @@ object CdcIngest {
       .start()
   }
 
+  /** [[startIngest]] with a DEAD-LETTER QUEUE: rows whose envelope fails
+    * to parse or lacks a usable key are not silently dropped (what
+    * `decodeCdc`'s filter — and the reference pipeline — does) but land
+    * at `dlqPath` with their RAW payload and batch id, so a poisoned
+    * producer is observable and replayable instead of invisible. Both
+    * sinks write `batch=<id>` layers (overwrite → at-least-once replays
+    * idempotent), the decoded side partitioned the same way so exactly-
+    * once composes without the file-sink commit log. */
+  def startIngestWithDlq(
+      raw: DataFrame,
+      path: String,
+      dlqPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val parsed = batch.toDF()
+          .selectExpr("CAST(value AS STRING) AS value")
+          .withColumn("env", from_json(col("value"), Ops.cdcEnvelopeSchema))
+          // valid = decodeCdc's acceptance predicate, applied to the
+          // parsed struct so the decision and the decode can't drift
+          .withColumn("ok", col("env.payload.after.id").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          parsed.filter(col("ok"))
+            .select(col("env.payload.after.*"))
+            .withColumn("start_datetime", timestamp_micros(col("start_datetime")))
+            .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+          parsed.filter(!col("ok"))
+            .select(col("value").as("raw"))
+            .write.mode("overwrite").parquet(s"$dlqPath/batch=$batchId")
+        } finally parsed.unpersist()
+      }
+      .start()
+
   /** CDC MERGE semantics (the reference appends the after-image for every
     * op — `SaveDelta.scala:160` — so updates/deletes pile up as extra
     * rows; SURVEY §7.1 names the upsert path as the natural extension):

@@ -134,6 +134,27 @@ class IncrementalAggSpec extends SparkSpec {
     assert(after === truth2)
   }
 
+  test("DLQ ingest: malformed envelopes land in the DLQ, valid rows decode; replay converges") {
+    val dir = java.nio.file.Files.createTempDirectory("dlq").toString
+    implicit val sqlCtx = spark.sqlContext
+    val good = env("c", 1, None, Some(("run", 5)), 1000)
+    val noKey = """{"payload":{"before":null,"after":{"id":null},"op":"c","ts_ms":1}}"""
+    val garbage = "not json at all {{{"
+    val s = MemoryStream[String]
+    s.addData(good, noKey, garbage)
+    val q = CdcIngest.startIngestWithDlq(s.toDF(), s"$dir/data", s"$dir/dlq",
+      s"$dir/chk", trigger = Trigger.ProcessingTime(0))
+    try { q.processAllAvailable() } finally q.stop()
+    val rows = spark.read.parquet(s"$dir/data")
+      .select("id", "sport_type").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1, "run")))
+    val dead = spark.read.parquet(s"$dir/dlq").select("raw")
+      .collect().map(_.getString(0)).toSet
+    assert(dead === Set(noKey, garbage))
+    // nothing silently vanished: every input is in exactly one sink
+    assert(rows.length + dead.size === 3)
+  }
+
   test("replaying a batch layer is idempotent; compaction preserves the view") {
     val dir = java.nio.file.Files.createTempDirectory("incagg3").toString
     val path = s"$dir/state"
