@@ -115,4 +115,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"q54 fell back to a quadratic join:\n$plan")
   }
+
+  test("q64: the sketch aggregates partially map-side (ObjectHashAggregate)") {
+    // a TypedImperativeAggregate without partial combine would ship every
+    // bigram occurrence to one reducer — the exact thing the sketch exists
+    // to avoid
+    val plan = executedPlan("q64_heavy_hitters")
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_freq_items"), s"no map-side partial in:\n$plan")
+  }
+
+  test("q65: cross-corpus join is band-bucketed, never quadratic") {
+    val plan = executedPlan("q65_fuzzy_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q65 fell back to a quadratic join:\n$plan")
+  }
+
+  test("q68: bloom gates sit in the fact scans' stages, below every join") {
+    val plan = executedPlan("q68_runtime_filtered")
+    val gates = "bloom_contains".r.findAllIn(plan).size
+    assert(gates >= 2, s"expected cascaded bloom gates, found $gates:\n$plan")
+    val lastJoin = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .map(plan.lastIndexOf).max
+    assert(plan.lastIndexOf("bloom_contains") > lastJoin,
+      s"bloom gate not below the joins:\n$plan")
+  }
+
+  test("q66: the components relation joins broadcast-side; split gate is arithmetic") {
+    val plan = executedPlan("q66_leakfree_split")
+    assert(plan.contains("BroadcastHashJoin"), s"components join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q66 fell back to a quadratic join:\n$plan")
+  }
 }
