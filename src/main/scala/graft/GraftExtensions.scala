@@ -59,6 +59,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(2).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
+      FunctionIdentifier("vector_sum"),
+      new ExpressionInfo(classOf[graft.functions.VectorSumAgg].getName, "vector_sum"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "vector_sum(v ARRAY<DOUBLE>, dim INT literal) takes exactly 2 arguments")
+        require(children(1).foldable, "vector_sum: dim must be a literal")
+        graft.functions.VectorSumAgg(
+          children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
       FunctionIdentifier("freq_items"),
       new ExpressionInfo(classOf[graft.functions.FreqItemsSketch].getName, "freq_items"),
       (children: Seq[Expression]) => {

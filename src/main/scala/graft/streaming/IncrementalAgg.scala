@@ -92,6 +92,29 @@ object IncrementalAgg {
     }
   }
 
+  /** Point-in-time view: fold only layers `batch <= asOfBatch` — the
+    * layer store's transaction history doubles as time travel (what Delta
+    * exposes as VERSION AS OF), for free, because layers are immutable
+    * once their batch commits. Note [[compact]] folds committed history
+    * into the highest folded id: time travel below the compaction
+    * horizon degrades to the horizon itself — same contract as Delta
+    * with VACUUM'd history. */
+  def viewAt(spark: SparkSession, path: String, groupCol: String, asOfBatch: Long): DataFrame = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val layers =
+      if (!fs.exists(target)) Seq.empty
+      else fs.listStatus(target).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .filter(_ <= asOfBatch).toSeq
+    if (layers.isEmpty) view(spark, path + "/__nonexistent__", groupCol)
+    else
+      spark.read.parquet(layers.map(b => s"$path/batch=$b"): _*)
+        .groupBy(col(groupCol))
+        .agg(sum(col("d_sum")).as("sum_m"), sum(col("d_cnt")).as("cnt"))
+        .filter(col("cnt") > 0)
+  }
+
   /** Fold all committed layers into one ([[LayerStore.compact]]),
     * bounding what [[view]] reads; layout stays `batch=<id>`, so readers
     * are oblivious to whether compaction ever ran. */

@@ -23,6 +23,14 @@ class VectorSumSpec extends SparkSpec {
     assert(vsum(rows, 3, parts = 8) === want)
   }
 
+  test("vector_sum is SQL-registered via the session extension") {
+    Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).map(Tuple1(_)).toDF("v")
+      .createOrReplaceTempView("vs_in")
+    val got = spark.sql("SELECT vector_sum(v, 2) AS s FROM vs_in")
+      .head().getSeq[Double](0)
+    assert(got === Seq(4.0, 6.0))
+  }
+
   test("null rows are skipped; wrong-length vectors fail loudly") {
     val withNull = Seq(Some(Seq(1.0, 2.0)), None, Some(Seq(3.0, 4.0))).toDF("v")
       .agg(CB.column(VectorSumAgg(CB.expression(col("v")), 2)

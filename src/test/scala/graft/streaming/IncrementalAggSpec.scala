@@ -178,4 +178,24 @@ class IncrementalAggSpec extends SparkSpec {
     IncrementalAgg.applyBatch(delta(Seq(("bike", -9L, -1L))), path, 2L)
     assert(readView(path) === want)
   }
+
+  test("viewAt time-travels to any committed batch; degrades to the compaction horizon") {
+    val dir = java.nio.file.Files.createTempDirectory("incagg4").toString
+    val path = s"$dir/state"
+    def delta(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("sport_type", "d_sum", "d_cnt")
+    def at(b: Long) = IncrementalAgg.viewAt(spark, path, "sport_type", b)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    IncrementalAgg.applyBatch(delta(Seq(("run", 10L, 2L))), path, 0L)
+    IncrementalAgg.applyBatch(delta(Seq(("run", 5L, 1L), ("bike", 9L, 1L))), path, 1L)
+    IncrementalAgg.applyBatch(delta(Seq(("run", -15L, -3L))), path, 2L)
+    assert(at(0L) === Map("run" -> ((10L, 2L))))
+    assert(at(1L) === Map("run" -> ((15L, 3L)), "bike" -> ((9L, 1L))))
+    assert(at(2L) === Map("bike" -> ((9L, 1L))))
+    assert(at(2L) === readView(path))
+    // below the compaction horizon, history folds to the horizon
+    IncrementalAgg.compact(spark, path, "sport_type")
+    assert(at(1L) === Map("run" -> ((15L, 3L)), "bike" -> ((9L, 1L))))
+    assert(at(2L) === readView(path))
+  }
 }
