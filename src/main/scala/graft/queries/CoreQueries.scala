@@ -477,10 +477,58 @@ object CoreQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Dashboard tiles (q72): the reference's Superset charts (slices 1-5,
+    * `superset/superset_data/superset.db` — total salary with prime,
+    * current salary, annual prime, share of valid/active members) as ONE
+    * single-row rollup over the q06 relation. All money sums run in
+    * DECIMAL and cast to double only at the edge (the q15 dsum pattern),
+    * so the tiles are bit-identical cross-engine; the distribution tiles
+    * (pie by validity, treemap by type) are q08/q02. One pass: the
+    * orders pre-aggregate plus one customer scan. */
+  val q72DashboardTiles: Q = Q(
+    "q72_dashboard_tiles",
+    Some("""
+      WITH stats AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS count_orders
+        FROM orders GROUP BY o_custkey
+      ),
+      b AS (
+        SELECT c.c_acctbal,
+               CASE WHEN c.c_acctbal > 0
+                    THEN ROUND(CAST(c.c_acctbal AS DECIMAL(18,2)) * CAST(0.04 AS DECIMAL(3,2)), 2)
+                    ELSE CAST(0 AS DECIMAL(18,2)) END AS prime_dec,
+               CASE WHEN s.count_orders >= 15 THEN 1 ELSE 0 END AS active
+        FROM customer c
+        LEFT JOIN stats s ON c.c_custkey = s.o_custkey)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(active) AS BIGINT) AS n_active,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_balance,
+             CAST(SUM(prime_dec) AS DOUBLE) AS sum_prime,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) + SUM(prime_dec) AS DOUBLE) AS sum_total
+      FROM b""")) { (spark, dir) =>
+    val c = table(spark, dir, "customer")
+    val stats = table(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("count_orders"))
+    val primeDec = when(col("c_acctbal") > 0,
+      (col("c_acctbal").cast(DecimalType(18, 2)) * lit(BigDecimal("0.04")))
+        .cast(DecimalType(18, 2)))
+      .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2)))
+    c.join(stats, c("c_custkey") === stats("o_custkey"), "left")
+      .select(col("c_acctbal"), primeDec.as("prime_dec"),
+        when(col("count_orders") >= 15, 1).otherwise(0).as("active"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("active")).cast("long").as("n_active"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_balance"),
+        sum(col("prime_dec")).cast("double").as("sum_prime"),
+        (sum(col("c_acctbal").cast(DecimalType(18, 2))) + sum(col("prime_dec")))
+          .cast("double").as("sum_total"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02TopkSource, q03JsonDecode, q04CustOrderStats,
     q05RegionRollup, q06BenefitReport, q07Masking, q08Validity,
     q09QualityChecks, q10TopkPerGroup, q11DistinctAgg, q12SetOps,
     q13SemiJoin, q14AntiJoin, q15HourlyEvents, q16Sessionize, q17RevenueTop,
-    q68RuntimeFiltered, q70CohortRetention)
+    q68RuntimeFiltered, q70CohortRetention, q72DashboardTiles)
 }
