@@ -608,8 +608,47 @@ object CorpusQueries {
       Seq("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  /** Drift report (q74): the q71 profile computed for two corpus drops
+    * (the doc_id parity halves stand in for yesterday/today) and joined
+    * per column — the check a pipeline runs before accepting a new drop:
+    * did null rates or cardinalities move? All-integer output, so the
+    * gate is exact; at scale this is two profile passes + a |columns|-row
+    * join. */
+  val q74ProfileDrift: Q = Q(
+    "q74_profile_drift",
+    Some("""
+      WITH sa AS (
+        SELECT 'lang' AS "column", lang AS value FROM documents WHERE doc_id % 2 = 0
+        UNION ALL SELECT 'source', source FROM documents WHERE doc_id % 2 = 0
+        UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents WHERE doc_id % 2 = 0),
+      sb AS (
+        SELECT 'lang' AS "column", lang AS value FROM documents WHERE doc_id % 2 = 1
+        UNION ALL SELECT 'source', source FROM documents WHERE doc_id % 2 = 1
+        UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents WHERE doc_id % 2 = 1),
+      pa AS (SELECT "column", CAST(COUNT(*) AS BIGINT) AS n_a,
+                    CAST(COUNT(DISTINCT value) AS BIGINT) AS nd_a
+             FROM sa GROUP BY 1),
+      pb AS (SELECT "column", CAST(COUNT(*) AS BIGINT) AS n_b,
+                    CAST(COUNT(DISTINCT value) AS BIGINT) AS nd_b
+             FROM sb GROUP BY 1)
+      SELECT pa."column", pa.n_a, pb.n_b, pa.nd_a, pb.nd_b,
+             pa.nd_a - pb.nd_b AS distinct_drift
+      FROM pa JOIN pb ON pa."column" = pb."column""""),
+    headline = false) { (spark, dir) =>
+    import graft.operators.Profile
+    val docs = table(spark, dir, "documents")
+    val cols = Seq("lang", "source", "n_chars")
+    val a = Profile.profile(docs.filter(pmod(col("doc_id"), lit(2)) === 0), cols)
+      .select(col("column"), col("n_rows").as("n_a"), col("n_distinct").as("nd_a"))
+    val b = Profile.profile(docs.filter(pmod(col("doc_id"), lit(2)) === 1), cols)
+      .select(col("column"), col("n_rows").as("n_b"), col("n_distinct").as("nd_b"))
+    a.join(b, "column")
+      .select(col("column"), col("n_a"), col("n_b"), col("nd_a"), col("nd_b"),
+        (col("nd_a") - col("nd_b")).as("distinct_drift"))
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
     q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
     q61Novelty, q62DedupRate, q63BloomDecontamination, q65FuzzyJoin,
-    q66LeakFreeSplit, q69CurriculumBins, q71Profile)
+    q66LeakFreeSplit, q69CurriculumBins, q71Profile, q74ProfileDrift)
 }

@@ -332,8 +332,37 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Inverted index build (q73): term → document-frequency + the sorted
+    * posting list — the search-engine primitive (and the exact shape a
+    * data-curation "which docs contain X" lookup joins against). One
+    * distinct (term, doc) shuffle + one term-keyed aggregate; postings
+    * serialize as comma-joined sorted ids so the cross-engine compare is
+    * bytewise. Stopword terms make postings long, not the plan quadratic
+    * — the skew knob at 100 TB is the same df cap as the shingle
+    * operators (drop terms above a df ceiling before materializing). */
+  val q73InvertedIndex: Q = Q(
+    "q73_inverted_index",
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents)
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      FROM pairs GROUP BY term""")) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        expr("array_join(transform(sort_array(collect_set(doc_id)), x -> cast(x as string)), ',')")
+          .as("postings"))
+  }
+
   val all: Seq[Q] = Seq(
     q22DedupExact, q23TextQuality, q24LangId, q25TokenCount,
     q26Fingerprint, q27BinaryBytes, q45StratifiedSample, q46PretrainingMix,
-    q47Repetition, q48Chunking, q49PiiScrub, q50QuotaSample, q64HeavyHitters)
+    q47Repetition, q48Chunking, q49PiiScrub, q50QuotaSample, q64HeavyHitters,
+    q73InvertedIndex)
 }
