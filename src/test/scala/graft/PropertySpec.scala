@@ -198,4 +198,72 @@ class PropertySpec extends AnyFunSuite {
     assert(salted.select("k", "payload", "dim")
       .exceptAll(plain.select("k", "payload", "dim")).isEmpty)
   }
+
+  test("bloom filter never false-negatives over random key sets and sizings") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    (1 to 5).foreach { round =>
+      val n = 50 + rnd.nextInt(2000)
+      val numBits = 1 << (6 + rnd.nextInt(10)) // 64 .. 32768 bits
+      val numHashes = 1 + rnd.nextInt(6)
+      val keys = (0 until n).map(_ => rnd.nextLong())
+      val bloom = keys.toDF("k")
+        .agg(CB.column(graft.functions.BloomFilterAgg(
+          CB.expression(xxhash64(col("k"))), numBits, numHashes)
+          .toAggregateExpression()).as("b"))
+        .head().getSeq[Long](0).toArray
+      val misses = keys.toDF("k").repartition(7)
+        .filter(!CB.column(graft.functions.BloomContains(
+          CB.expression(xxhash64(col("k"))), bloom, numHashes)))
+        .count()
+      assert(misses === 0L,
+        s"round $round: $misses false negatives at bits=$numBits k=$numHashes n=$n")
+    }
+  }
+
+  test("freq_items: MG bounds hold over random zipf-ish streams and capacities") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    (1 to 5).foreach { round =>
+      val n = 2000 + rnd.nextInt(3000)
+      // zipf-ish: item id = floor(sqrt(uniform)) concentrates low ids
+      val data = (0 until n).map(_ => s"i${math.sqrt(rnd.nextInt(900)).toInt}")
+      val truth = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val k = 4 + rnd.nextInt(40)
+      val got = data.toDF("s").repartition(1 + rnd.nextInt(8))
+        .agg(CB.column(graft.functions.FreqItemsSketch(
+          CB.expression(col("s")), k).toAggregateExpression()).as("f"))
+        .select(explode(col("f")).as("e"))
+        .select(col("e.item"), col("e.cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got.size <= k)
+      got.foreach { case (item, cnt) =>
+        val t = truth.getOrElse(item, 0L)
+        assert(cnt <= t && cnt >= t - n / (k + 1),
+          s"round $round: $item cnt=$cnt true=$t n=$n k=$k")
+      }
+      truth.filter(_._2 > n / (k + 1)).keys.foreach(hh =>
+        assert(got.contains(hh), s"round $round: heavy hitter $hh evicted (k=$k)"))
+    }
+  }
+
+  test("vector_sum invariant to partitioning over random vectors") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val dim = 16
+    // integer-valued doubles: sums are order-exact, so repartitioning
+    // must be bit-invisible
+    val rows = (0 until 800).map(_ => Seq.fill(dim)(rnd.nextInt(1000).toDouble))
+    def total(parts: Int): Seq[Double] = rows.map(Tuple1(_)).toDF("v")
+      .repartition(parts)
+      .agg(CB.column(graft.functions.VectorSumAgg(CB.expression(col("v")), dim)
+        .toAggregateExpression()).as("s"))
+      .head().getSeq[Double](0)
+    val want = (0 until dim).map(d => rows.map(_(d)).sum)
+    assert(total(1) === want)
+    assert(total(13) === want)
+  }
 }
