@@ -76,6 +76,44 @@ object IO {
   def writeJdbc(df: DataFrame, url: String, table: String, props: Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
 
+  /** K3 upsert variant: exactly-once JDBC MERGE. The batch lands in a
+    * staging table (distributed append, overwritten per call), then ONE
+    * driver-side `MERGE INTO` applies it transactionally — matched keys
+    * update, new keys insert — so re-running the same batch converges
+    * instead of duplicating rows (the property [[writeJdbc]]'s plain
+    * append lacks, and what a foreachBatch sink needs under at-least-once
+    * delivery). Works on any MERGE-capable target (Derby 10.11+,
+    * Postgres 15+); the data path stays distributed — only the MERGE
+    * statement, not the rows, goes through the driver connection. */
+  def upsertJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      props: Properties): Unit = {
+    require(keyCols.nonEmpty, "upsertJdbc: need at least one key column")
+    val cols = df.columns.toSeq
+    keyCols.foreach(k => require(cols.contains(k), s"upsertJdbc: no key column `$k`"))
+    val staging = table + "_staging"
+    df.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
+    // Spark's JDBC writer quotes COLUMN identifiers (case-exact) but
+    // leaves TABLE names to the database's case folding; the MERGE must
+    // match both conventions or Derby/Postgres resolve non-existent names
+    def q(id: String) = "\"" + id + "\""
+    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val setCols = cols.filterNot(keyCols.contains)
+    val merge = s"MERGE INTO $table t USING $staging s ON $on " +
+      (if (setCols.nonEmpty)
+        s"WHEN MATCHED THEN UPDATE SET ${setCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")} "
+      else "") +
+      s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try conn.createStatement().executeUpdate(merge)
+    finally conn.close()
+  }
+
   /** K4 CSV write (the reference's storage smoke probe,
     * `SaveDelta.scala:64-66`). */
   def writeCsv(df: DataFrame, path: String): Unit =

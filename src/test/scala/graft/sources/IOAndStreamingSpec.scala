@@ -64,6 +64,26 @@ class IOAndStreamingSpec extends SparkSpec {
     assert(IO.readJdbc(spark, url, "customer_t", props, None).count() === 2 * df.count())
   }
 
+  test("jdbc upsert MERGEs transactionally and re-applying a batch converges") {
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("jdbc_merge").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties
+    props.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    IO.writeJdbc(Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "name", "bal"),
+      url, "acct", props)
+    // batch: update id 2, insert id 3
+    val batch = Seq((2, "b2", 25.0), (3, "c", 30.0)).toDF("id", "name", "bal")
+    IO.upsertJdbc(batch, url, "acct", Seq("id"), props)
+    def state() = IO.readJdbc(spark, url, "acct", props, None)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    val want = Set((1, "a", 10.0), (2, "b2", 25.0), (3, "c", 30.0))
+    assert(state() === want)
+    // at-least-once replay: the same MERGE converges, append would not
+    IO.upsertJdbc(batch, url, "acct", Seq("id"), props)
+    assert(state() === want)
+  }
+
   test("extensions class applies cleanly and its builder evaluates correctly") {
     // getOrCreate would reuse the shared test session (ignoring the
     // extensions conf), so validate the injection wiring directly plus the
