@@ -51,6 +51,17 @@ object GraftFunctions {
           children(2).eval().asInstanceOf[Number].intValue())
       })
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vector_sum"),
+      new ExpressionInfo(classOf[VectorSumAgg].getName, "vector_sum"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "vector_sum(v ARRAY<DOUBLE>, dim INT literal) takes exactly 2 arguments")
+        require(children(1).foldable, "vector_sum: dim must be a literal")
+        VectorSumAgg(
+          children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      })
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("freq_items"),
       new ExpressionInfo(classOf[FreqItemsSketch].getName, "freq_items"),
       (children: Seq[Expression]) => {

@@ -84,18 +84,29 @@ object IO {
     * append lacks, and what a foreachBatch sink needs under at-least-once
     * delivery). Works on any MERGE-capable target (Derby 10.11+,
     * Postgres 15+); the data path stays distributed — only the MERGE
-    * statement, not the rows, goes through the driver connection. */
+    * statement, not the rows, goes through the driver connection.
+    *
+    * The staging table is uniquely named per call and dropped afterwards,
+    * so concurrent upserts to one target serialize at the database's
+    * MERGE transaction instead of clobbering each other's staging rows.
+    *
+    * String KEY columns on Derby need `createTableColumnTypes` (e.g.
+    * `"name VARCHAR(255)"`): Spark's Derby dialect maps StringType to
+    * CLOB, and Derby cannot compare CLOBs in a MERGE ON clause. */
   def upsertJdbc(
       df: DataFrame,
       url: String,
       table: String,
       keyCols: Seq[String],
-      props: Properties): Unit = {
+      props: Properties,
+      createTableColumnTypes: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "upsertJdbc: need at least one key column")
     val cols = df.columns.toSeq
     keyCols.foreach(k => require(cols.contains(k), s"upsertJdbc: no key column `$k`"))
-    val staging = table + "_staging"
-    df.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
+    val staging = table + "_staging_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val writer = df.write.mode(SaveMode.Overwrite)
+    createTableColumnTypes.foreach(t => writer.option("createTableColumnTypes", t))
+    writer.jdbc(url, staging, props)
     // Spark's JDBC writer quotes COLUMN identifiers (case-exact) but
     // leaves TABLE names to the database's case folding; the MERGE must
     // match both conventions or Derby/Postgres resolve non-existent names
@@ -110,8 +121,10 @@ object IO {
       s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
     Option(props.getProperty("driver")).foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(url, props)
-    try conn.createStatement().executeUpdate(merge)
-    finally conn.close()
+    try {
+      conn.createStatement().executeUpdate(merge)
+      conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+    } finally conn.close()
   }
 
   /** K4 CSV write (the reference's storage smoke probe,

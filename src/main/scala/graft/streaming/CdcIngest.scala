@@ -103,7 +103,15 @@ object CdcIngest {
     * producer is observable and replayable instead of invisible. Both
     * sinks write `batch=<id>` layers (overwrite → at-least-once replays
     * idempotent), the decoded side partitioned the same way so exactly-
-    * once composes without the file-sink commit log. */
+    * once composes without the file-sink commit log.
+    *
+    * Three-way routing, matching [[graft.domain.Ops.decodeCdcOps]]'s
+    * acceptance rule: a WELL-FORMED envelope resolves a key from after
+    * (c/r/u) or before (d) and carries a known op. Well-formed c/r/u
+    * rows decode to the data sink; well-formed DELETES are consumed
+    * (this is the reference-parity append pipeline — an upsert sink is
+    * [[startUpsertIngest]]) but are NOT dead letters; only envelopes
+    * that parse to nothing usable reach the DLQ. */
   def startIngestWithDlq(
       raw: DataFrame,
       path: String,
@@ -117,16 +125,17 @@ object CdcIngest {
         val parsed = batch.toDF()
           .selectExpr("CAST(value AS STRING) AS value")
           .withColumn("env", from_json(col("value"), Ops.cdcEnvelopeSchema))
-          // valid = decodeCdc's acceptance predicate, applied to the
-          // parsed struct so the decision and the decode can't drift
-          .withColumn("ok", col("env.payload.after.id").isNotNull)
+          .withColumn("well_formed",
+            coalesce(col("env.payload.after.id"), col("env.payload.before.id")).isNotNull
+              && col("env.payload.op").isin("c", "r", "u", "d"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          parsed.filter(col("ok"))
+          parsed
+            .filter(col("well_formed") && col("env.payload.after.id").isNotNull)
             .select(col("env.payload.after.*"))
             .withColumn("start_datetime", timestamp_micros(col("start_datetime")))
             .write.mode("overwrite").parquet(s"$path/batch=$batchId")
-          parsed.filter(!col("ok"))
+          parsed.filter(!col("well_formed"))
             .select(col("value").as("raw"))
             .write.mode("overwrite").parquet(s"$dlqPath/batch=$batchId")
         } finally parsed.unpersist()

@@ -41,19 +41,22 @@ object IncrementalAgg {
         col("env.payload.after").as("after"))
       .filter(col("op").isin("c", "r", "u", "d"))
 
-  /** One batch's grouped delta: (group, d_sum, d_cnt). A `u` event with a
-    * NULL before-image degrades to an insert (nothing to subtract) — an
-    * upstream misconfiguration (`REPLICA IDENTITY` not FULL) that loses
-    * information no consumer can recover. */
+  /** One batch's grouped delta: (group, d_sum, d_cnt). Image PRESENCE is
+    * what gates contribution (`before`/`after` struct non-null), not the
+    * group value — a row whose group column is NULL still counts, in the
+    * NULL group, exactly as a batch `GROUP BY` would place it. A `u`
+    * event with a NULL before-IMAGE degrades to an insert (nothing to
+    * subtract) — an upstream misconfiguration (`REPLICA IDENTITY` not
+    * FULL) that loses information no consumer can recover. */
   def batchDelta(events: DataFrame, groupCol: String, measureCol: String): DataFrame = {
     val plus = events
-      .filter(col("op").isin("c", "r", "u") && col(s"after.$groupCol").isNotNull)
+      .filter(col("op").isin("c", "r", "u") && col("after").isNotNull)
       .select(
         col(s"after.$groupCol").as(groupCol),
         coalesce(col(s"after.$measureCol").cast("long"), lit(0L)).as("m"),
         lit(1L).as("c"))
     val minus = events
-      .filter(col("op").isin("u", "d") && col(s"before.$groupCol").isNotNull)
+      .filter(col("op").isin("u", "d") && col("before").isNotNull)
       .select(
         col(s"before.$groupCol").as(groupCol),
         (-coalesce(col(s"before.$measureCol").cast("long"), lit(0L))).as("m"),
@@ -70,21 +73,28 @@ object IncrementalAgg {
 
   /** The current view: fold every layer. Groups whose row count folded to
     * zero (all contributing rows deleted) disappear, like a re-aggregate
-    * would make them. */
-  def view(spark: SparkSession, path: String, groupCol: String): DataFrame = {
+    * would make them. `groupType` fixes the empty-store schema so a
+    * downstream union/join sees ONE shape whether or not a layer exists
+    * yet (pass the group key's real type for non-string keys). */
+  def view(
+      spark: SparkSession,
+      path: String,
+      groupCol: String,
+      groupType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType): DataFrame = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(groupCol,
-            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(groupCol, groupType),
           org.apache.spark.sql.types.StructField("sum_m",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("cnt",
             org.apache.spark.sql.types.LongType))))
     } else {
+      LayerStore.recover(spark, path)
       spark.read.parquet(path)
         .groupBy(col(groupCol))
         .agg(sum(col("d_sum")).as("sum_m"), sum(col("d_cnt")).as("cnt"))
@@ -99,15 +109,22 @@ object IncrementalAgg {
     * into the highest folded id: time travel below the compaction
     * horizon degrades to the horizon itself — same contract as Delta
     * with VACUUM'd history. */
-  def viewAt(spark: SparkSession, path: String, groupCol: String, asOfBatch: Long): DataFrame = {
+  def viewAt(
+      spark: SparkSession,
+      path: String,
+      groupCol: String,
+      asOfBatch: Long,
+      groupType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType): DataFrame = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) LayerStore.recover(spark, path)
     val layers =
       if (!fs.exists(target)) Seq.empty
       else fs.listStatus(target).map(_.getPath.getName)
         .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
         .filter(_ <= asOfBatch).toSeq
-    if (layers.isEmpty) view(spark, path + "/__nonexistent__", groupCol)
+    if (layers.isEmpty) view(spark, path + "/__nonexistent__", groupCol, groupType)
     else
       spark.read.parquet(layers.map(b => s"$path/batch=$b"): _*)
         .groupBy(col(groupCol))

@@ -11,13 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object LayerStore {
 
+  private def markerPath(path: String) = new Path(path + ".compact.pending")
+  private def stagedPath(path: String) = new Path(path + ".compact.staged")
+
   /** Fold all layers STRICTLY BELOW the newest into one by summing
     * `sumCols` per `groupCol` — additive summaries (grouped deltas, MG
     * counters) compose by exactly this fold, so compaction is invisible
     * to readers. The newest layer stays untouched: it is the only one
     * the streaming checkpoint can replay (an uncommitted batch re-fires,
     * committed ones never do), and folding it would let a replay
-    * overwrite merged history. */
+    * overwrite merged history.
+    *
+    * Crash safety: the swap (delete folded layers, rename the staged
+    * fold into place) is guarded by a pending-marker written AFTER the
+    * staged fold is durable and listing exactly the folded ids. A crash
+    * anywhere inside the swap leaves marker + staged fold on disk, and
+    * [[recover]] — invoked by every reader entry point — completes the
+    * swap deterministically; a crash before the marker exists leaves the
+    * store untouched (the orphan staged dir is overwritten next run).
+    */
   def compact(
       spark: SparkSession,
       path: String,
@@ -26,6 +38,7 @@ object LayerStore {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) return
+    recover(spark, path)
     val layers = fs.listStatus(target).map(_.getPath.getName)
       .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
     if (layers.length <= 2) return
@@ -34,10 +47,50 @@ object LayerStore {
       .groupBy(col(groupCol))
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-    val staged = new Path(path + ".compact.staged")
+    val staged = stagedPath(path)
     fs.delete(staged, true)
     combined.write.mode("overwrite").parquet(staged.toString)
-    folded.foreach(b => fs.delete(new Path(target, s"batch=$b"), true))
-    fs.rename(staged, new Path(target, s"batch=${folded.max}"))
+    // point of no return: marker names the folded ids; from here recover()
+    // can always finish the swap
+    val out = fs.create(markerPath(path), true)
+    out.write(folded.mkString(",").getBytes("UTF-8"))
+    out.close()
+    finishSwap(fs, path, folded)
+  }
+
+  /** Complete an interrupted [[compact]] swap, if one is pending. Cheap
+    * (one existence check) when nothing is pending; every reader calls
+    * this before listing layers. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = markerPath(path)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val folded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    finally in.close()
+    finishSwap(fs, path, folded)
+  }
+
+  /** Swap order matters for crash-safe re-entry: the non-destination
+    * folded layers go first (idempotent deletes), and the destination
+    * `batch=<folded.max>` is only deleted when the staged fold still
+    * exists to replace it — if a previous attempt already renamed the
+    * fold into place (staged gone), the destination IS the fold and must
+    * survive. Every interleaving of crash + recover converges to the
+    * compacted state. */
+  private def finishSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, folded: Seq[Long]): Unit = {
+    val target = new Path(path)
+    val staged = stagedPath(path)
+    val dst = new Path(target, s"batch=${folded.max}")
+    folded.filter(_ != folded.max)
+      .foreach(b => fs.delete(new Path(target, s"batch=$b"), true))
+    if (fs.exists(staged)) {
+      fs.delete(dst, true)
+      require(fs.rename(staged, dst), s"compaction rename failed: $staged -> $dst")
+    }
+    fs.delete(markerPath(path), true)
   }
 }

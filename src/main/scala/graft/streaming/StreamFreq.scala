@@ -35,13 +35,23 @@ object StreamFreq {
   def applyBatch(summary: DataFrame, path: String, batchId: Long): Unit =
     summary.write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
-  /** Fold every layer into the current top-k, ties broken on the item. */
-  def topK(spark: SparkSession, path: String, k: Int): DataFrame =
+  /** Fold every layer into the current top-k, ties broken on the item.
+    * Before the first layer commits (fresh deployment, stream started
+    * but not yet triggered) the top-k is simply empty, not an error. */
+  def topK(spark: SparkSession, path: String, k: Int): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      import spark.implicits._
+      return Seq.empty[(String, Long)].toDF("item", "cnt")
+    }
+    LayerStore.recover(spark, path)
     spark.read.parquet(path)
       .groupBy(col("item"))
       .agg(sum(col("cnt")).as("cnt"))
       .orderBy(desc("cnt"), asc("item"))
       .limit(k)
+  }
 
   /** Fold committed summary layers into one ([[LayerStore.compact]]) so
     * [[topK]]'s fold width stays bounded on a long-running stream. */

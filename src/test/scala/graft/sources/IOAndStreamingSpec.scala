@@ -82,6 +82,29 @@ class IOAndStreamingSpec extends SparkSpec {
     // at-least-once replay: the same MERGE converges, append would not
     IO.upsertJdbc(batch, url, "acct", Seq("id"), props)
     assert(state() === want)
+    // the per-call staging table is dropped after the MERGE
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%STAGING%", null)
+      assert(!rs.next(), "staging table leaked past the MERGE")
+    } finally conn.close()
+  }
+
+  test("jdbc upsert with a STRING key needs VARCHAR override on Derby (CLOB caveat)") {
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("jdbc_mkey").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties
+    props.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val types = "name VARCHAR(64), bal DOUBLE"
+    val init = Seq(("a", 10.0), ("b", 20.0)).toDF("name", "bal")
+    // target created with comparable (non-CLOB) key column
+    init.write.option("createTableColumnTypes", types).jdbc(url, "kv", props)
+    IO.upsertJdbc(Seq(("b", 25.0), ("c", 30.0)).toDF("name", "bal"),
+      url, "kv", Seq("name"), props, createTableColumnTypes = Some(types))
+    val got = IO.readJdbc(spark, url, "kv", props, None)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got === Set(("a", 10.0), ("b", 25.0), ("c", 30.0)))
   }
 
   test("extensions class applies cleanly and its builder evaluates correctly") {

@@ -138,10 +138,15 @@ class IncrementalAggSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("dlq").toString
     implicit val sqlCtx = spark.sqlContext
     val good = env("c", 1, None, Some(("run", 5)), 1000)
+    // a routine delete (before set, after null) is VALID — it must be
+    // consumed by the append pipeline, not buried in the DLQ
+    val del = env("d", 1, Some(("run", 5)), None, 2000)
     val noKey = """{"payload":{"before":null,"after":{"id":null},"op":"c","ts_ms":1}}"""
+    val badOp = env("c", 2, None, Some(("walk", 3)), 1001)
+      .replace(""""op":"c"""", """"op":"x"""")
     val garbage = "not json at all {{{"
     val s = MemoryStream[String]
-    s.addData(good, noKey, garbage)
+    s.addData(good, del, noKey, badOp, garbage)
     val q = CdcIngest.startIngestWithDlq(s.toDF(), s"$dir/data", s"$dir/dlq",
       s"$dir/chk", trigger = Trigger.ProcessingTime(0))
     try { q.processAllAvailable() } finally q.stop()
@@ -150,9 +155,52 @@ class IncrementalAggSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1, "run")))
     val dead = spark.read.parquet(s"$dir/dlq").select("raw")
       .collect().map(_.getString(0)).toSet
-    assert(dead === Set(noKey, garbage))
-    // nothing silently vanished: every input is in exactly one sink
-    assert(rows.length + dead.size === 3)
+    assert(dead === Set(noKey, badOp, garbage), s"DLQ contents: $dead")
+  }
+
+  test("batchDelta: NULL group values aggregate in the NULL group, like GROUP BY") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      env("c", 1, None, Some(("run", 5)), 1000),
+      // null sport_type: image present, group value null
+      """{"payload":{"before":null,"after":{"id":2,"sport_type":null,"distance":7},""" +
+        """"op":"c","ts_ms":1001}}""").toDF("value")
+    val delta = IncrementalAgg
+      .batchDelta(IncrementalAgg.decodeImages(events), "sport_type", "distance")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(delta === Set((Some("run"), 5L, 1L), (None, 7L, 1L)))
+  }
+
+  test("topK on a store with no layers yet is empty, not an error") {
+    assert(StreamFreq.topK(spark,
+      java.nio.file.Files.createTempDirectory("nofreq").toString + "/never",
+      5).count() === 0L)
+  }
+
+  test("compaction interrupted mid-swap recovers losslessly at the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("crash").toString
+    val path = s"$dir/state"
+    def delta(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("sport_type", "d_sum", "d_cnt")
+    IncrementalAgg.applyBatch(delta(Seq(("run", 10L, 2L))), path, 0L)
+    IncrementalAgg.applyBatch(delta(Seq(("bike", 9L, 1L))), path, 1L)
+    IncrementalAgg.applyBatch(delta(Seq(("run", 5L, 1L))), path, 2L)
+    val want = readView(path)
+    // simulate a compaction that crashed right after the point of no
+    // return: staged fold durable + pending marker written, swap not run
+    delta(Seq(("run", 10L, 2L), ("bike", 9L, 1L)))
+      .withColumnRenamed("d_sum", "d_sum").write.mode("overwrite")
+      .parquet(s"$path.compact.staged")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path.compact.pending"), true)
+    out.write("0,1".getBytes("UTF-8")); out.close()
+    // the next reader completes the swap: same view, folded layout
+    assert(readView(path) === want)
+    val layers = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(layers.toSeq === Seq("batch=1", "batch=2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.compact.pending")))
   }
 
   test("replaying a batch layer is idempotent; compaction preserves the view") {
