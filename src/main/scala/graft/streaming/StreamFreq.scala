@@ -73,4 +73,68 @@ object StreamFreq {
         applyBatch(batchSummary(batch.toDF(), itemCol, capacity), path, batchId)
       }
       .start()
+
+  // --- event-time trending ---------------------------------------------------
+
+  /** Per-EVENT-TIME-WINDOW Misra–Gries summaries for one batch:
+    * (win_start, item, cnt) rows, one sketch per window the batch
+    * touches. Grouped [[FreqItemsSketch]] runs as a normal batch
+    * ObjectHashAggregate inside foreachBatch — no streaming state store,
+    * so capacity bounds memory per (window × partition). */
+  def windowedSummary(
+      events: DataFrame, tsCol: String, itemCol: String,
+      windowDuration: String, capacity: Int): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDuration).as("w"))
+      .agg(CB.column(FreqItemsSketch(CB.expression(col(itemCol)), capacity)
+        .toAggregateExpression()).as("f"))
+      .select(col("w.start").as("win_start"), explode(col("f")).as("e"))
+      .select(col("win_start"), col("e.item").as("item"), col("e.cnt").as("cnt"))
+
+  /** Trending view: top-k per window across every layer. Late events that
+    * arrived in later batches fold additively into their window — no
+    * watermark is needed for correctness, only for bounding how far back
+    * layers keep receiving contributions (drop late rows upstream with
+    * `withWatermark` if the business rule demands finality). */
+  def trending(spark: SparkSession, path: String, k: Int): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      import spark.implicits._
+      return Seq.empty[(java.sql.Timestamp, String, Long)]
+        .toDF("win_start", "item", "cnt")
+    }
+    LayerStore.recover(spark, path)
+    val folded = spark.read.parquet(path)
+      .groupBy(col("win_start"), col("item"))
+      .agg(sum(col("cnt")).as("cnt"))
+    folded
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("win_start"))
+          .orderBy(desc("cnt"), asc("item"))))
+      .filter(col("rnk") <= k)
+      .select(col("win_start"), col("item"), col("cnt"))
+  }
+
+  /** The always-on trending form: (ts, item) stream → per-batch windowed
+    * summary layers. */
+  def startWindowed(
+      events: DataFrame,
+      tsCol: String,
+      itemCol: String,
+      path: String,
+      checkpoint: String,
+      windowDuration: String = "1 hour",
+      capacity: Int = 4096,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyBatch(
+          windowedSummary(batch.toDF(), tsCol, itemCol, windowDuration, capacity),
+          path, batchId)
+      }
+      .start()
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -169,6 +170,40 @@ class IncrementalAggSpec extends SparkSpec {
       .batchDelta(IncrementalAgg.decodeImages(events), "sport_type", "distance")
       .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
     assert(delta === Set((Some("run"), 5L, 1L), (None, 7L, 1L)))
+  }
+
+  test("windowed trending across batches == batch truth, late events included") {
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // batch 1: window 10:00 gets a×2, b×1; window 11:00 gets c×1
+    val b1 = Seq((t(5), "a"), (t(10), "a"), (t(20), "b"), (t(59), "c"))
+    // batch 2: a LATE event for window 10:00 (b), plus 11:00 traffic —
+    // the late row must fold into its own window, not the arrival batch's
+    val b2 = Seq((t(30), "b"), (t(59), "c"))
+    val s = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamFreq.startWindowed(
+      s.toDF().toDF("ts", "item"), "ts", "item",
+      s"$dir/state", s"$dir/chk", windowDuration = "50 minutes",
+      capacity = 100, trigger = Trigger.ProcessingTime(0))
+    try {
+      s.addData(b1: _*); q.processAllAvailable()
+      s.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamFreq.trending(spark, s"$dir/state", k = 2)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // batch truth over the full stream with the same 50-min windows
+    val truth = (b1 ++ b2).toDF("ts", "item")
+      .groupBy(window(col("ts"), "50 minutes").as("w"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+          .orderBy(col("cnt").desc, col("item").asc)))
+      .filter(col("rnk") <= 2)
+      .select(col("w.start"), col("item"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === truth)
+    assert(got.map(_._1).size > 1, "stream must span multiple windows")
   }
 
   test("topK on a store with no layers yet is empty, not an error") {
