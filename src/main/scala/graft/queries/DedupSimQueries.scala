@@ -254,7 +254,7 @@ object DedupSimQueries {
       WITH src AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
-        SELECT vec_id + 1000 AS vec_id, list_transform(embedding, x -> x + x) AS embedding
+        SELECT -(vec_id + 1) AS vec_id, list_transform(embedding, x -> x + x) AS embedding
         FROM embeddings WHERE vec_id < 10),
       e AS (
         SELECT vec_id,
@@ -277,8 +277,12 @@ object DedupSimQueries {
       WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9""")) {
     (spark, dir) =>
       val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // planted ids are NEGATIVE (-(id+1)) so they can never collide with
+      // real vec_ids at ANY scale factor — `vec_id + 1000` collided with
+      // genuine rows once the table passed 1000 ids (sf0.1), silently
+      // merging two different vectors under one key on both engines
       val planted = emb.filter(col("vec_id") < 10).select(
-        (col("vec_id") + 1000).as("vec_id"),
+        (-(col("vec_id") + 1)).as("vec_id"),
         expr("transform(embedding, x -> x + x)").as("embedding"))
       // 10-bit codes: 1024 buckets/table bounds candidate pairs as the
       // corpus grows (bits is the bucket-width knob — scale it with

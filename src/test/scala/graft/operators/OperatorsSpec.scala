@@ -74,7 +74,7 @@ class OperatorsSpec extends SparkSpec {
     // plant near-dups: copies of vec 0..9 (scaled ×1.02 — same direction,
     // different quantization) so the ≥0.9 band is non-empty in this corpus
     val planted = emb.filter(col("vec_id") < 10).select(
-      (col("vec_id") + 1000).as("vec_id"),
+      (-(col("vec_id") + 1)).as("vec_id"),
       expr("transform(embedding, x -> x * cast(1.02 as float))").as("embedding"))
     val corpus = emb.select(col("vec_id"), col("embedding")).union(planted)
     val quad = VectorSearch.cosineNearDups(corpus, minCosine = 0.9)
