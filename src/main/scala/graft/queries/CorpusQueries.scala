@@ -647,8 +647,43 @@ object CorpusQueries {
         (col("nd_a") - col("nd_b")).as("distinct_drift"))
   }
 
+  /** Token-budget mix building (q75): per source, keep documents in the
+    * deterministic portable-hash order until a TOKEN budget is filled —
+    * how a pretraining mix is actually specified ("3k tokens of each
+    * source"), vs q50's row-count quota. One shuffle keyed on source;
+    * the running sum is a per-stratum ROWS window (bounded per group —
+    * for giant strata decompose like ShardPack). The same-hash-order
+    * property as the other gates: adding documents to a source only
+    * displaces the highest-hash tail, the selected prefix is stable. */
+  val q75TokenBudgetMix: Q = Q(
+    "q75_token_budget_mix",
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                        ((doc_id * 2654435761) % 1000000007) AS h
+                 FROM documents),
+      c AS (SELECT doc_id, source, ntok,
+                   SUM(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM d)
+      SELECT doc_id, source, ntok, cum_tokens
+      FROM c WHERE cum_tokens <= 3000""")) { (spark, dir) =>
+    import graft.operators.Sampling
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"),
+        Sampling.portableHash(col("doc_id")).as("h"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum(col("ntok")).over(w))
+      .filter(col("cum_tokens") <= 3000)
+      .select(col("doc_id"), col("source"), col("ntok"), col("cum_tokens"))
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
     q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
     q61Novelty, q62DedupRate, q63BloomDecontamination, q65FuzzyJoin,
-    q66LeakFreeSplit, q69CurriculumBins, q71Profile, q74ProfileDrift)
+    q66LeakFreeSplit, q69CurriculumBins, q71Profile, q74ProfileDrift,
+    q75TokenBudgetMix)
 }
