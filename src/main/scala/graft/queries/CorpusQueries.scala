@@ -605,7 +605,8 @@ object CorpusQueries {
       FROM s GROUP BY 1""")) { (spark, dir) =>
     graft.operators.Profile.profile(
       table(spark, dir, "documents"),
-      Seq("doc_id", "text", "lang", "source", "n_chars"))
+      Seq("doc_id", "text", "lang", "source", "n_chars"),
+      exactDistinct = true)
   }
 
   /** Drift report (q74): the q71 profile computed for two corpus drops
@@ -638,9 +639,11 @@ object CorpusQueries {
     import graft.operators.Profile
     val docs = table(spark, dir, "documents")
     val cols = Seq("lang", "source", "n_chars")
-    val a = Profile.profile(docs.filter(pmod(col("doc_id"), lit(2)) === 0), cols)
+    val a = Profile.profile(docs.filter(pmod(col("doc_id"), lit(2)) === 0), cols,
+        exactDistinct = true)
       .select(col("column"), col("n_rows").as("n_a"), col("n_distinct").as("nd_a"))
-    val b = Profile.profile(docs.filter(pmod(col("doc_id"), lit(2)) === 1), cols)
+    val b = Profile.profile(docs.filter(pmod(col("doc_id"), lit(2)) === 1), cols,
+        exactDistinct = true)
       .select(col("column"), col("n_rows").as("n_b"), col("n_distinct").as("nd_b"))
     a.join(b, "column")
       .select(col("column"), col("n_a"), col("n_b"), col("nd_a"), col("nd_b"),
@@ -649,8 +652,10 @@ object CorpusQueries {
 
   /** Token-budget mix building (q75): per source, keep documents in the
     * deterministic portable-hash order until a TOKEN budget is filled —
-    * how a pretraining mix is actually specified ("3k tokens of each
-    * source"), vs q50's row-count quota. One shuffle keyed on source;
+    * how a pretraining mix is actually specified ("800 tokens of each
+    * source"), vs q50's row-count quota — the budget is small enough
+    * that the cutoff actually filters at sf0.01, so the oracle catches
+    * cumsum-order bugs. One shuffle keyed on source;
     * the running sum is a per-stratum ROWS window (bounded per group —
     * for giant strata decompose like ShardPack). The same-hash-order
     * property as the other gates: adding documents to a source only
@@ -663,11 +668,12 @@ object CorpusQueries {
                         ((doc_id * 2654435761) % 1000000007) AS h
                  FROM documents),
       c AS (SELECT doc_id, source, ntok,
-                   SUM(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                   CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_tokens
             FROM d)
       SELECT doc_id, source, ntok, cum_tokens
-      FROM c WHERE cum_tokens <= 3000""")) { (spark, dir) =>
+      FROM c WHERE cum_tokens <= 800""")) { (spark, dir) =>
     import graft.operators.Sampling
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -677,7 +683,7 @@ object CorpusQueries {
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("cum_tokens", sum(col("ntok")).over(w))
-      .filter(col("cum_tokens") <= 3000)
+      .filter(col("cum_tokens") <= 800)
       .select(col("doc_id"), col("source"), col("ntok"), col("cum_tokens"))
   }
 
