@@ -244,18 +244,32 @@ object TextDedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per doc over distinct word-3-gram shingles: per-bit
-    * signed vote, assembled into one BIGINT. Shingle features (not raw
-    * tokens) so that corpora sharing a small vocabulary still separate —
-    * token-frequency simhash collapses when every doc contains every word.
-    * All columnar aggregates — one shuffle on doc_id. */
-  def simhash(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n).withColumn("h", xxhash64(col("shingle")))
-    val votes = (0 until 64).map { b =>
+  /** DuckDB-replicable 60-bit shingle hash: the first 15 hex chars of
+    * `md5(shingle)` parsed as an integer (< 2^60, so it stays positive in
+    * a signed BIGINT on both engines). Exists so q20's oracle can rebuild
+    * the IDENTICAL simhash signature in pure SQL — md5 is the one 64-bit+
+    * hash both Spark and DuckDB compute byte-identically. The engine
+    * default stays [[org.apache.spark.sql.functions.xxhash64]] (faster:
+    * one codegen'd hash vs md5 + hex parse). */
+  val md5Hash60: Column => Column =
+    c => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SimHash per doc over distinct word-3-gram shingles: per-bit signed
+    * vote over the low `widthBits` bits of `hash(shingle)`, assembled into
+    * one BIGINT. Shingle features (not raw tokens) so that corpora sharing
+    * a small vocabulary still separate — token-frequency simhash collapses
+    * when every doc contains every word. All columnar aggregates — one
+    * shuffle on doc_id. */
+  def simhash(docs: DataFrame, n: Int = 3,
+              hash: Column => Column = xxhash64(_),
+              widthBits: Int = 64): DataFrame = {
+    require(widthBits >= 1 && widthBits <= 64, s"widthBits=$widthBits out of range")
+    val sh = shingles(docs, n).withColumn("h", hash(col("shingle")))
+    val votes = (0 until widthBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v$b")
     }
-    val sig = (0 until 64)
+    val sig = (0 until widthBits)
       .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_ + _)
     sh.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
@@ -264,8 +278,10 @@ object TextDedup {
 
   /** All-pairs SimHash comparison — O(n²) cross join, the small-corpus
     * baseline that [[simhashPairs]]' banded path is spec-checked against. */
-  def simhashPairsAllPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    val s = materialize(simhash(docs))
+  def simhashPairsAllPairs(docs: DataFrame, maxHamming: Int = 12,
+                           hash: Column => Column = xxhash64(_),
+                           widthBits: Int = 64): DataFrame = {
+    val s = materialize(simhash(docs, hash = hash, widthBits = widthBits))
     val a = s.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
     val b = s.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
     a.crossJoin(b)
@@ -288,14 +304,16 @@ object TextDedup {
     * bucket width, no CartesianProduct anywhere in the plan. Fewer bands
     * (wider slices) shrink buckets but lower the guaranteed radius —
     * bands=16 × 4 bits covers maxHamming ≤ 15. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 12, bands: Int = 16): DataFrame = {
-    require(64 % bands == 0, s"bands=$bands must divide 64")
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12, bands: Int = 16,
+                   hash: Column => Column = xxhash64(_),
+                   widthBits: Int = 64): DataFrame = {
+    require(widthBits % bands == 0, s"bands=$bands must divide widthBits=$widthBits")
     require(bands > maxHamming,
       s"exactness needs bands > maxHamming (got $bands <= $maxHamming)")
-    val bits = 64 / bands
+    val bits = widthBits / bands
     val mask = (1L << bits) - 1
     // both band-join sides derive from s — compute the signature agg once
-    val s = materialize(simhash(docs))
+    val s = materialize(simhash(docs, hash = hash, widthBits = widthBits))
     val banded = s.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(lit(mask))): _*))

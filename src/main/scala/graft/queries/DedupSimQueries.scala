@@ -54,11 +54,46 @@ object DedupSimQueries {
     TextDedup.minhashPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
   }
 
-  /** SimHash (shingle features) near-dup pairs, Hamming ≤ 12 (no SQL
-    * oracle: engine-specific 64-bit hashing; correctness pinned by
-    * ScalaTest against the exact-Jaccard pair set). */
-  val q20Simhash: Q = Q("q20_simhash", None) { (spark, dir) =>
-    TextDedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 12)
+  /** SimHash (shingle features) near-dup pairs, Hamming ≤ 12. The oracle
+    * rebuilds the ENTIRE signature in DuckDB SQL: the shingle hash is
+    * [[TextDedup.md5Hash60]] (first 15 hex chars of md5 → 60-bit int —
+    * md5 is the one wide hash both engines compute byte-identically), the
+    * per-bit votes and sign assembly are plain aggregates, and the
+    * all-pairs Hamming join is affordable at oracle SF. The engine side
+    * runs the banded production path (15 bands × 4 bits, exact for
+    * Hamming ≤ 14 by pigeonhole), so the oracle ALSO proves the banding
+    * loses no pairs. xxhash64 remains the engine default elsewhere. */
+  val q20Simhash: Q = Q(
+    "q20_simhash",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      hs AS (SELECT doc_id,
+                    list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(
+                          string_split(substring(md5(shingle), 1, 15), ''),
+                          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                      (a, d) -> a * 16 + d) AS h
+             FROM sh),
+      bits AS (SELECT UNNEST(range(0, 60)) AS b),
+      votes AS (SELECT doc_id, b,
+                       SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM hs, bits GROUP BY 1, 2),
+      sig AS (SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s
+              FROM votes GROUP BY 1)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 12""")) { (spark, dir) =>
+    TextDedup.simhashPairs(table(spark, dir, "documents"), maxHamming = 12,
+      bands = 15, hash = TextDedup.md5Hash60, widthBits = 60)
   }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 20 — the exact ANN
