@@ -122,8 +122,14 @@ object IO {
     Option(props.getProperty("driver")).foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      conn.createStatement().executeUpdate(merge)
-      conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+      try conn.createStatement().executeUpdate(merge)
+      finally {
+        // drop staging even when the MERGE throws — otherwise every failed
+        // call leaks one uniquely-named orphan table in the target DB; a
+        // failed drop must not mask the MERGE's own exception
+        try conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => () }
+      }
     } finally conn.close()
   }
 

@@ -125,9 +125,15 @@ object CdcIngest {
         val parsed = batch.toDF()
           .selectExpr("CAST(value AS STRING) AS value")
           .withColumn("env", from_json(col("value"), Ops.cdcEnvelopeSchema))
+          // null-proof: isin is SQL NULL when op is NULL/missing, and
+          // TRUE && NULL = NULL fails BOTH the data filter and the
+          // !well_formed DLQ filter — the one silent-drop path this sink
+          // exists to close. coalesce pins the tri-state to false.
           .withColumn("well_formed",
-            coalesce(col("env.payload.after.id"), col("env.payload.before.id")).isNotNull
-              && col("env.payload.op").isin("c", "r", "u", "d"))
+            coalesce(
+              coalesce(col("env.payload.after.id"), col("env.payload.before.id")).isNotNull
+                && col("env.payload.op").isin("c", "r", "u", "d"),
+              lit(false)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           parsed

@@ -33,8 +33,9 @@ object LayerStore {
   def compact(
       spark: SparkSession,
       path: String,
-      groupCol: String,
+      groupCols: Seq[String],
       sumCols: Seq[String]): Unit = {
+    require(groupCols.nonEmpty, "compact: need at least one group column")
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) return
@@ -44,12 +45,20 @@ object LayerStore {
     if (layers.length <= 2) return
     val folded = layers.init
     val combined = spark.read.parquet(folded.map(b => s"$path/batch=$b"): _*)
-      .groupBy(col(groupCol))
+    // refuse to fold with a group column missing (e.g. an "item"-only
+    // compact of a windowed (win_start, item, cnt) store): it would merge
+    // counts across the dropped dimension AND mix schemas with the
+    // untouched newest layer — silent corruption, not compaction
+    require(combined.columns.toSet == (groupCols ++ sumCols).toSet,
+      s"compact: layer schema ${combined.columns.mkString("(", ",", ")")} does not " +
+        s"match groupCols=$groupCols + sumCols=$sumCols")
+    val compacted = combined
+      .groupBy(groupCols.map(col): _*)
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
     val staged = stagedPath(path)
     fs.delete(staged, true)
-    combined.write.mode("overwrite").parquet(staged.toString)
+    compacted.write.mode("overwrite").parquet(staged.toString)
     // point of no return: marker names the folded ids; from here recover()
     // can always finish the swap
     val out = fs.create(markerPath(path), true)
@@ -57,6 +66,14 @@ object LayerStore {
     out.close()
     finishSwap(fs, path, folded)
   }
+
+  /** Single-group-column form (the common ungrouped-by-window stores). */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      groupCol: String,
+      sumCols: Seq[String]): Unit =
+    compact(spark, path, Seq(groupCol), sumCols)
 
   /** Complete an interrupted [[compact]] swap, if one is pending. Cheap
     * (one existence check) when nothing is pending; every reader calls

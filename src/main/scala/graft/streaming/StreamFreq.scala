@@ -54,9 +54,18 @@ object StreamFreq {
   }
 
   /** Fold committed summary layers into one ([[LayerStore.compact]]) so
-    * [[topK]]'s fold width stays bounded on a long-running stream. */
+    * [[topK]]'s fold width stays bounded on a long-running stream. Guarded:
+    * applied to a WINDOWED store it would merge counts across windows —
+    * [[LayerStore.compact]]'s schema check rejects it; use
+    * [[compactWindowed]] there. */
   def compact(spark: SparkSession, path: String): Unit =
     LayerStore.compact(spark, path, "item", Seq("cnt"))
+
+  /** Compaction for [[startWindowed]] stores: the window start is part of
+    * the group key, so layers fold WITHIN each event-time window and the
+    * (win_start, item, cnt) schema is preserved. */
+  def compactWindowed(spark: SparkSession, path: String): Unit =
+    LayerStore.compact(spark, path, Seq("win_start", "item"), Seq("cnt"))
 
   /** The always-on form: item stream → per-batch summary layers. */
   def start(

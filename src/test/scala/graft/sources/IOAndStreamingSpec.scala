@@ -107,6 +107,69 @@ class IOAndStreamingSpec extends SparkSpec {
     assert(got === Set(("a", 10.0), ("b", 25.0), ("c", 30.0)))
   }
 
+  test("jdbc upsert quoting: mixed-case and keyword column names survive the MERGE") {
+    // the MERGE is built from hand-quoted identifiers; the contract it must
+    // match is Spark's JDBC writer (columns quoted case-exact, table name
+    // left to the DB's folding). A keyword column (`order`) and a
+    // mixed-case column (`Bal`) break any unquoted or wrongly-folded path.
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("jdbc_quote").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties
+    props.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    IO.writeJdbc(Seq((1, 5, 10.0)).toDF("id", "order", "Bal"), url, "q_t", props)
+    IO.upsertJdbc(Seq((1, 6, 11.0), (2, 7, 20.0)).toDF("id", "order", "Bal"),
+      url, "q_t", Seq("id"), props)
+    val got = IO.readJdbc(spark, url, "q_t", props, None)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got === Set((1, 6, 11.0), (2, 7, 20.0)))
+  }
+
+  test("jdbc upsert drops its staging table even when the MERGE fails") {
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("jdbc_fail").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties
+    props.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // bootstrap the database, then MERGE into a table that doesn't exist:
+    // the staged write succeeds, the MERGE throws
+    IO.writeJdbc(Seq((1, 1.0)).toDF("id", "bal"), url, "exists_t", props)
+    intercept[java.sql.SQLException] {
+      IO.upsertJdbc(Seq((1, 2.0)).toDF("id", "bal"), url, "missing_t",
+        Seq("id"), props)
+    }
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%STAGING%", null)
+      assert(!rs.next(), "staging table leaked after a failed MERGE")
+    } finally conn.close()
+  }
+
+  test("concurrent jdbc upserts to one target serialize at the MERGE") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dbDir = java.nio.file.Files.createTempDirectory("jdbc_conc").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties
+    props.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    IO.writeJdbc(Seq((1, 0.0)).toDF("id", "bal"), url, "c_t", props)
+    // both contest key 1; each also inserts its own key
+    val f1 = Future(IO.upsertJdbc(Seq((1, 10.0), (2, 2.0)).toDF("id", "bal"),
+      url, "c_t", Seq("id"), props))
+    val f2 = Future(IO.upsertJdbc(Seq((1, 20.0), (3, 3.0)).toDF("id", "bal"),
+      url, "c_t", Seq("id"), props))
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    val got = IO.readJdbc(spark, url, "c_t", props, None)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(got.keySet === Set(1, 2, 3))
+    assert(got(2) === 2.0 && got(3) === 3.0)
+    // the contested key holds whichever MERGE committed last — never a
+    // torn/other value
+    assert(got(1) === 10.0 || got(1) === 20.0)
+  }
+
   test("extensions class applies cleanly and its builder evaluates correctly") {
     // getOrCreate would reuse the shared test session (ignoring the
     // extensions conf), so validate the injection wiring directly plus the

@@ -145,9 +145,13 @@ class IncrementalAggSpec extends SparkSpec {
     val noKey = """{"payload":{"before":null,"after":{"id":null},"op":"c","ts_ms":1}}"""
     val badOp = env("c", 2, None, Some(("walk", 3)), 1001)
       .replace(""""op":"c"""", """"op":"x"""")
+    // valid id but NO op field: isin(null) is SQL NULL, and an un-coalesced
+    // well_formed would fail both routes — the silent-drop regression
+    // (ADVICE r4). Must be a dead letter, not invisible.
+    val noOp = """{"payload":{"before":null,"after":{"id":3,"sport_type":"run","distance":2},"ts_ms":1002}}"""
     val garbage = "not json at all {{{"
     val s = MemoryStream[String]
-    s.addData(good, del, noKey, badOp, garbage)
+    s.addData(good, del, noKey, badOp, noOp, garbage)
     val q = CdcIngest.startIngestWithDlq(s.toDF(), s"$dir/data", s"$dir/dlq",
       s"$dir/chk", trigger = Trigger.ProcessingTime(0))
     try { q.processAllAvailable() } finally q.stop()
@@ -156,7 +160,7 @@ class IncrementalAggSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1, "run")))
     val dead = spark.read.parquet(s"$dir/dlq").select("raw")
       .collect().map(_.getString(0)).toSet
-    assert(dead === Set(noKey, badOp, garbage), s"DLQ contents: $dead")
+    assert(dead === Set(noKey, badOp, noOp, garbage), s"DLQ contents: $dead")
   }
 
   test("batchDelta: NULL group values aggregate in the NULL group, like GROUP BY") {
@@ -204,6 +208,26 @@ class IncrementalAggSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(got === truth)
     assert(got.map(_._1).size > 1, "stream must span multiple windows")
+    // a third layer makes the store compactable (newest layer is never
+    // folded); the windowed compact folds WITHIN windows → same trending
+    StreamFreq.applyBatch(
+      StreamFreq.windowedSummary(Seq((t(7), "a")).toDF("ts", "item"),
+        "ts", "item", "50 minutes", 100), s"$dir/state", 2L)
+    val want = StreamFreq.trending(spark, s"$dir/state", k = 2)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // the UNWINDOWED compact would sum counts across windows and mix
+    // schemas with the remaining layers — the schema guard must refuse
+    val ex = intercept[IllegalArgumentException] {
+      StreamFreq.compact(spark, s"$dir/state")
+    }
+    assert(ex.getMessage.contains("schema"), ex.getMessage)
+    StreamFreq.compactWindowed(spark, s"$dir/state")
+    val layers = new java.io.File(s"$dir/state").listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(layers.toSeq === Seq("batch=1", "batch=2"))
+    val after = StreamFreq.trending(spark, s"$dir/state", k = 2)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(after === want)
   }
 
   test("topK on a store with no layers yet is empty, not an error") {
