@@ -33,21 +33,40 @@ import org.apache.spark.storage.StorageLevel
 object GlobalIndex {
 
   /** Adds `rank` (0-based, dense in [0, n)) following `order`. */
-  def rank(df: DataFrame, order: Column*): DataFrame = {
+  def rank(df: DataFrame, order: Column*): DataFrame =
+    ranked(df, withTotal = false, order)
+
+  /** As [[rank]], plus a `total` column (the row count n, identical in
+    * every row) derived from the SAME per-partition counts the offsets
+    * come from — consumers that bin by relative position (rank/total,
+    * curriculum quartiles) get n without a second pass over the data,
+    * where a separate `df.count()` would re-run the whole upstream plan
+    * as its own job. */
+  def rankWithTotal(df: DataFrame, order: Column*): DataFrame =
+    ranked(df, withTotal = true, order)
+
+  private def ranked(df: DataFrame, withTotal: Boolean, order: Seq[Column]): DataFrame = {
     require(order.nonEmpty, "rank needs at least one ordering column")
     require(!df.columns.contains("rank") && !df.columns.contains("__pid"),
       "input already has a 'rank'/'__pid' column — rename it first")
+    require(!withTotal || !df.columns.contains("total"),
+      "input already has a 'total' column — rename it first")
     val parted = df
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     // per-partition row counts → each partition's starting offset; tiny
     // (≤ #partitions rows), the only intentionally-global window
-    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__pid").asc)
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
-        sum(col("__n")).over(Window.orderBy(col("__pid").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
+        sum(col("__n")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets =
+      if (withTotal) counts
+        .withColumn("total", sum(col("__n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("__pid"), col("__off"), col("total"))
+      else counts.select(col("__pid"), col("__off"))
     val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
     parted
       .join(broadcast(offsets), "__pid")

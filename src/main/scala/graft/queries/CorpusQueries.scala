@@ -578,9 +578,10 @@ object CorpusQueries {
     headline = false) { (spark, dir) =>
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
-    val n = d.count()
-    GlobalIndex.rank(d, col("ntok").asc, col("doc_id").asc)
-      .withColumn("bin", expr(s"(rank * 4L) div ${n}L"))
+    // total N rides along from GlobalIndex's own per-partition counts —
+    // no separate d.count() job re-running the scan
+    GlobalIndex.rankWithTotal(d, col("ntok").asc, col("doc_id").asc)
+      .withColumn("bin", expr("(rank * 4L) div total"))
       .select(col("doc_id"), col("ntok"), col("rank"), col("bin"))
   }
 

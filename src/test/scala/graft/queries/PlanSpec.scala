@@ -141,6 +141,25 @@ class PlanSpec extends SparkSpec {
       s"bloom gate not below the joins:\n$plan")
   }
 
+  test("q69: rank comes from range partition + per-partition window, not a global sort") {
+    // the regression to guard: ntile/row_number over an empty window spec
+    // = every row through ONE partition. The GlobalIndex shape leaves
+    // range partitioning + a __pid-keyed window + broadcast offsets in
+    // the plan; a global-sort rewrite has none of them.
+    val plan = executedPlan("q69_curriculum_bins")
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"no range partitioning in:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"window not keyed by partition id:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$plan")
+  }
+
+  test("q75: the token-budget cumsum window is keyed by source, not global") {
+    val plan = executedPlan("q75_token_budget_mix")
+    assert(plan.contains("windowspecdefinition(source"),
+      s"window not partitioned by source:\n$plan")
+  }
+
   test("q66: the components relation joins broadcast-side; split gate is arithmetic") {
     val plan = executedPlan("q66_leakfree_split")
     assert(plan.contains("BroadcastHashJoin"), s"components join not broadcast:\n$plan")
