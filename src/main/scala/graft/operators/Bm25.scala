@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25-family ranked retrieval over a (doc_id, text) corpus for a fixed
+  * bag of query terms — the scoring side of the inverted index (q73):
+  * "which documents should a training-data curator look at for these
+  * keywords".
+  *
+  * Scoring: per term, the classic BM25 term-frequency saturation
+  * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with k1 = 1.2, b = 0.75,
+  * multiplied by an inverse-document-frequency weight, summed over the
+  * query terms. The IDF here is the RATIONAL odds form
+  * `(N − df + ½)/(df + ½)` — i.e. exp(idf_BM25) — rather than the
+  * logarithm: every input is an exact integer, so each per-term score is
+  * ONE integer-ratio division and one multiply, and the final score is a
+  * fixed-order sum — a sequence of correctly-rounded IEEE-754 ops that
+  * DuckDB reproduces bit-for-bit (ln carries no such guarantee across
+  * libm implementations, and a hash-compared gate cannot tolerate 1-ulp
+  * drift). The log form compresses the same ordering per term; swapping
+  * it in is a one-line change where cross-engine bit-equality is not a
+  * requirement.
+  *
+  * Scale shape: term frequencies and document length are map-side
+  * higher-order functions over the split text (no shuffle); corpus
+  * statistics (N, total tokens, per-term document frequencies) are ONE
+  * single-row aggregate broadcast back; scoring is a map-side projection
+  * and the top-k is TakeOrderedAndProject — one scan end to end, no
+  * data-sized shuffle at any size.
+  */
+object Bm25 {
+
+  // k1 = K1N/K1D = 1.2, b = BN/BD = 0.75, kept rational so the saturation
+  // denominator clears to one exact integer ratio (see scaladoc)
+  private val K1N = 6L; private val K1D = 5L
+  private val BN = 3L; private val BD = 4L
+
+  /** Top-k docs by summed rational-IDF BM25 score for `terms`.
+    * Output: (doc_id, score, rnk), rnk 1-based by (score desc, doc_id). */
+  def topK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    require(terms.distinct.size == terms.size, "bm25: duplicate query terms")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("w"), x => x === lit(t))).cast("long").as(s"tf$i")
+    }
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +: tfCols: _*)
+    val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("t") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = d.agg(statCols.head, statCols.tail: _*)
+    val scored0 = d.crossJoin(broadcast(stats))
+    // per-term: idf = (2(N-df)+1)/(2df+1); satTF cleared to the exact
+    // integer ratio  (K1N+K1D)·BD·T·tf / (K1D·BD·T·tf + K1N·(BD−BN)·T + K1N·BN·dl·N)
+    val termScores: Seq[Column] = terms.indices.map { i =>
+      val tf = col(s"tf$i"); val df = col(s"df$i")
+      val idf = (lit(2L) * (col("n") - df) + lit(1L)).cast("double") /
+        (lit(2L) * df + lit(1L)).cast("double")
+      val num = (lit((K1N + K1D) * BD) * col("t") * tf).cast("double")
+      val den = (lit(K1D * BD) * col("t") * tf + lit(K1N * (BD - BN)) * col("t") +
+        lit(K1N * BN) * col("dl") * col("n")).cast("double")
+      idf * (num / den)
+    }
+    // fixed left-fold addition order — the one float-sum order both
+    // engines share
+    val score = termScores.reduceLeft(_ + _)
+    val top = scored0.withColumn("score", score)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("score"), col("rnk"))
+  }
+}

@@ -79,6 +79,36 @@ object Sampling {
       .drop(rk)
   }
 
+  /** Temperature-τ source rebalancing at τ = ½: keep source s with
+    * probability ∝ sqrt(1/w_s), i.e. the effective mix ∝ sqrt(w_s) —
+    * the standard pretraining knob for flattening over-represented
+    * sources (multilingual/multi-corpus mixing à la the T5/mBERT
+    * exponent-smoothing recipes), with the rarest source kept whole.
+    * τ is FIXED at ½ because sqrt is a correctly-rounded IEEE-754 op in
+    * every engine: the per-source threshold (sqrt of a ratio of exact
+    * integer weights, one multiply, one floor) is bit-identical in Spark
+    * and DuckDB, which a pow-based general τ cannot promise — and a
+    * reproducible mix is the whole point of hash-gated sampling.
+    *
+    * `weight` is summed per source (use token counts, not doc counts —
+    * the budget a mix is actually specified in). Shape: one |sources|-row
+    * aggregate broadcast back; the gate itself is map-side `hash < thr`,
+    * so nothing data-sized shuffles. `hash` must be uniform on
+    * [0, 1000000007) — [[portableHash]]'s range. */
+  def temperatureMixSqrt(
+      df: DataFrame, hash: Column, source: Column, weight: Column): DataFrame = {
+    val totals = df.groupBy(source.as("__src")).agg(sum(weight).as("__w"))
+    val minW = totals.agg(min(col("__w")).as("__wmin"))
+    val thr = totals.crossJoin(broadcast(minW))
+      .withColumn("__thr",
+        floor(sqrt(col("__wmin").cast("double") / col("__w").cast("double"))
+          * lit(1000000007.0)).cast("long"))
+      .select(col("__src"), col("__thr"))
+    df.join(broadcast(thr), source === col("__src"))
+      .filter(hash < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
   /** Leakage-free train/val/test split: hash-gate on the near-dup CLUSTER
     * canonical id, not the doc id, so near-duplicates always land in the
     * SAME split — the eval-contamination failure mode of naive per-doc

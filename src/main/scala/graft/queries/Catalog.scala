@@ -342,7 +342,7 @@ object Catalog {
 
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
-      CorpusQueries.all ++
+      CorpusQueries.all ++ RetrievalQueries.all ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

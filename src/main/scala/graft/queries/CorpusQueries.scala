@@ -688,9 +688,39 @@ object CorpusQueries {
       .select(col("doc_id"), col("source"), col("ntok"), col("cum_tokens"))
   }
 
+  /** Temperature-½ source rebalancing (q78): the pretraining mix knob —
+    * keep-rate per source ∝ sqrt(1/source token total), rarest source
+    * kept whole ([[Sampling.temperatureMixSqrt]]). Deterministic: the
+    * portable-hash gate + sqrt/floor threshold are bit-identical across
+    * engines, so the selected set is re-derivable anywhere. */
+  val q78TemperatureMix: Q = Q(
+    "q78_temperature_mix",
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                        ((doc_id * 2654435761) % 1000000007) AS h
+                 FROM documents),
+      t AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS w FROM d GROUP BY 1),
+      mn AS (SELECT CAST(MIN(w) AS BIGINT) AS wmin FROM t),
+      th AS (SELECT source,
+                    CAST(FLOOR(sqrt(CAST(mn.wmin AS DOUBLE) / CAST(w AS DOUBLE))
+                               * 1000000007.0) AS BIGINT) AS thr
+             FROM t, mn)
+      SELECT d.doc_id, d.source, d.ntok
+      FROM d JOIN th ON d.source = th.source
+      WHERE d.h < th.thr""")) { (spark, dir) =>
+    import graft.operators.Sampling
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"),
+        Sampling.portableHash(col("doc_id")).as("h"))
+    Sampling.temperatureMixSqrt(d, col("h"), col("source"), col("ntok"))
+      .select(col("doc_id"), col("source"), col("ntok"))
+  }
+
   val all: Seq[Q] = Seq(q51Decontamination, q52DedupClusters, q53DistinctiveTerms,
     q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
     q61Novelty, q62DedupRate, q63BloomDecontamination, q65FuzzyJoin,
     q66LeakFreeSplit, q69CurriculumBins, q71Profile, q74ProfileDrift,
-    q75TokenBudgetMix)
+    q75TokenBudgetMix, q78TemperatureMix)
 }

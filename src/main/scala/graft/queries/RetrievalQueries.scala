@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.operators.{Bm25, PqSearch}
+
+/** Retrieval extension queries: BM25 ranked search over the documents
+  * corpus (the scoring side of q73's inverted index) and
+  * product-quantization ANN over the embeddings table (the compression
+  * tier between q21's brute force and q36's IVF cells).
+  */
+object RetrievalQueries {
+
+  /** BM25 (rational-IDF form, [[graft.operators.Bm25]]) top-10 for a fixed
+    * 3-term query. The oracle replays the identical exact-integer-ratio
+    * arithmetic in DuckDB, so the double scores hash bit-for-bit. */
+  val q76Bm25: Q = Q(
+    "q76_bm25_topk",
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                   CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf0,
+                   CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf1,
+                   CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf2
+            FROM d),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t,
+                   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+            FROM f),
+      sc AS (SELECT f.doc_id,
+                    (((CAST(2*(s.n - s.df0) + 1 AS DOUBLE) / CAST(2*s.df0 + 1 AS DOUBLE))
+                       * (CAST(44*s.t*f.tf0 AS DOUBLE)
+                          / CAST(20*s.t*f.tf0 + 6*s.t + 18*f.dl*s.n AS DOUBLE))
+                     + (CAST(2*(s.n - s.df1) + 1 AS DOUBLE) / CAST(2*s.df1 + 1 AS DOUBLE))
+                       * (CAST(44*s.t*f.tf1 AS DOUBLE)
+                          / CAST(20*s.t*f.tf1 + 6*s.t + 18*f.dl*s.n AS DOUBLE)))
+                     + (CAST(2*(s.n - s.df2) + 1 AS DOUBLE) / CAST(2*s.df2 + 1 AS DOUBLE))
+                       * (CAST(44*s.t*f.tf2 AS DOUBLE)
+                          / CAST(20*s.t*f.tf2 + 6*s.t + 18*f.dl*s.n AS DOUBLE))) AS score
+             FROM f, s),
+      r AS (SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+            FROM sc)
+      SELECT doc_id, score, rnk FROM r WHERE rnk <= 10""")) { (spark, dir) =>
+    Bm25.topK(table(spark, dir, "documents"),
+      Seq("merge", "window", "scan"), k = 10)
+  }
+
+  /** PQ asymmetric-distance ANN ([[graft.operators.PqSearch]]): queries
+    * vec_id < 10, top-5 by exact-integer approximate squared distance.
+    * The oracle rebuilds codebook, codes, and ADC tables in SQL — all
+    * integer arithmetic, so the gate is exact (and proves the Spark
+    * side's argmin tie-breaking and table lookups, not just row counts). */
+  val q77PqAnn: Q = Q(
+    "q77_pq_ann",
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS v
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      js AS (SELECT UNNEST(range(0, 8)) AS j),
+      ix AS (SELECT UNNEST(range(1, 9)) AS i),
+      d2 AS (SELECT e.vec_id AS nid, js.j, c.cid,
+                    CAST(SUM((e.v[js.j*8 + ix.i] - c.cv[js.j*8 + ix.i])
+                             * (e.v[js.j*8 + ix.i] - c.cv[js.j*8 + ix.i])) AS BIGINT) AS d2
+             FROM e, js, c, ix
+             GROUP BY 1, 2, 3),
+      codes AS (SELECT nid, j, cid AS code
+                FROM (SELECT nid, j, cid,
+                             row_number() OVER (PARTITION BY nid, j ORDER BY d2, cid) AS rn
+                      FROM d2)
+                WHERE rn = 1),
+      qd AS (SELECT nid AS qid, j, cid, d2 FROM d2 WHERE nid < 10),
+      ad AS (SELECT qd.qid, codes.nid, CAST(SUM(qd.d2) AS BIGINT) AS ad2
+             FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.cid
+             WHERE qd.qid <> codes.nid
+             GROUP BY 1, 2),
+      r AS (SELECT qid, nid, ad2,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY ad2, nid) AS INTEGER) AS rnk
+            FROM ad)
+      SELECT qid, nid, rnk, ad2 FROM r WHERE rnk <= 5""")) { (spark, dir) =>
+    val emb = table(spark, dir, "embeddings")
+    PqSearch.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+  }
+
+  val all: Seq[Q] = Seq(q76Bm25, q77PqAnn)
+}
