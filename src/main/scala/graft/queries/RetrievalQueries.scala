@@ -43,7 +43,8 @@ object RetrievalQueries {
       r AS (SELECT doc_id, score,
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
             FROM sc)
-      SELECT doc_id, score, rnk FROM r WHERE rnk <= 10""")) { (spark, dir) =>
+      SELECT doc_id, score, rnk FROM r WHERE rnk <= 10"""),
+    headline = true) { (spark, dir) =>
     Bm25.topK(table(spark, dir, "documents"),
       Seq("merge", "window", "scan"), k = 10)
   }
@@ -82,7 +83,8 @@ object RetrievalQueries {
       r AS (SELECT qid, nid, ad2,
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY ad2, nid) AS INTEGER) AS rnk
             FROM ad)
-      SELECT qid, nid, rnk, ad2 FROM r WHERE rnk <= 5""")) { (spark, dir) =>
+      SELECT qid, nid, rnk, ad2 FROM r WHERE rnk <= 5"""),
+    headline = true) { (spark, dir) =>
     val emb = table(spark, dir, "embeddings")
     PqSearch.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
   }
