@@ -66,11 +66,23 @@ object IO {
     }
 
   /** K2 batch overwrite (`read_delta.py:219-222`), schema evolution
-    * allowed like the reference's overwriteSchema. */
+    * allowed like the reference's overwriteSchema. `format = "delta"`
+    * routes to the from-scratch protocol implementation
+    * ([[graft.sources.delta.DeltaTable]]) — an atomic remove+add commit,
+    * exactly the reference's `mode("overwrite")` Delta hop — since the
+    * delta-spark provider jars are absent here. */
   def writeTable(
       df: DataFrame, path: String, format: String = "parquet",
       mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.format(format).mode(mode).save(path)
+    if (format == "delta") graft.sources.delta.DeltaTable.write(df, path, mode)
+    else df.write.format(format).mode(mode).save(path)
+
+  /** S3 batch scan of a Delta table (`read_delta.py:87-103`), optional
+    * `VERSION AS OF` time travel — served by the from-scratch log
+    * reader. */
+  def readDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+                versionAsOf: Option[Long] = None): DataFrame =
+    graft.sources.delta.DeltaTable.read(spark, path, versionAsOf)
 
   /** K3 JDBC bulk append (`sql_manipulation.py:119-124`). */
   def writeJdbc(df: DataFrame, url: String, table: String, props: Properties): Unit =

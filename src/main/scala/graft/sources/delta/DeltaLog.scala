@@ -1,0 +1,182 @@
+package graft.sources.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Minimal from-scratch implementation of the PUBLIC Delta Lake
+  * transaction-log protocol (delta.io PROTOCOL.md; the reference's
+  * lakehouse format — `/root/reference/spark/SaveDelta.scala:157-163`
+  * streams into it via the delta-core jars, which this container lacks):
+  * a `_delta_log/` directory of JSON-line commit files named
+  * `%020d.json`, each holding `add` / `remove` / `metaData` / `txn` /
+  * `protocol` actions; the table state at version V is the log replayed
+  * through V.
+  *
+  * Scope (the subset the engine exercises, stated honestly):
+  * unpartitioned parquet tables, reader/writer protocol 1/2, JSON-only
+  * log (no parquet checkpoints — readers per protocol must work from
+  * JSON alone; checkpoints are a replay-cost optimization), and
+  * local/HDFS-semantics commit atomicity: a commit is one
+  * create-fail-if-exists of the next version file, the same "first
+  * writer wins, loser re-reads and retries" optimistic concurrency the
+  * real LogStore implements per storage backend (object stores need a
+  * CAS/rename service there — same caveat as upstream Delta's
+  * S3SingleDriverLogStore).
+  *
+  * Why from scratch: S3/K1 were the two coverage rows blocked on absent
+  * jars; the protocol itself is public and small, so the executed
+  * semantics — atomic multi-file commits, REPLACE via remove+add, time
+  * travel by version, exactly-once streaming appends via `txn` appIds —
+  * are all testable without the dependency.
+  */
+object DeltaLog {
+
+  /** One live data file in a snapshot. */
+  final case class AddFile(path: String, size: Long)
+
+  /** Replayed table state at a version. */
+  final case class Snapshot(
+      version: Long,
+      files: Seq[AddFile],
+      schemaJson: Option[String],
+      txns: Map[String, Long]) {
+    def isEmpty: Boolean = version < 0
+  }
+
+  private[delta] def logDir(table: Path) = new Path(table, "_delta_log")
+  private[delta] def logFile(table: Path, v: Long) =
+    new Path(logDir(table), f"$v%020d.json")
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed versions, ascending. */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = logDir(new Path(table))
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong).sorted.toSeq
+  }
+
+  /** Replay the log through `asOf` (or to the head). Version -1 = no
+    * commits yet (empty snapshot). */
+  def snapshot(spark: SparkSession, table: String,
+               asOf: Option[Long] = None): Snapshot = {
+    val tbl = new Path(table)
+    val f = fs(spark, tbl)
+    val vs = versions(spark, table).filter(v => asOf.forall(v <= _))
+    asOf.foreach(a => require(vs.nonEmpty || a < 0,
+      s"delta: no committed version <= $a at $table"))
+    var files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    var schemaJson: Option[String] = None
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    vs.foreach { v =>
+      val in = f.open(logFile(tbl, v))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "add") match {
+          case JObject(_) =>
+            val p = (j \ "add" \ "path").values.toString
+            val size = (j \ "add" \ "size") match {
+              case JInt(n) => n.toLong
+              case JLong(n) => n
+              case _ => 0L
+            }
+            files += p -> AddFile(p, size)
+          case _ => ()
+        }
+        (j \ "remove" \ "path") match {
+          case JString(p) => files -= p
+          case _ => ()
+        }
+        (j \ "metaData" \ "schemaString") match {
+          case JString(s) => schemaJson = Some(s)
+          case _ => ()
+        }
+        ((j \ "txn" \ "appId"), (j \ "txn" \ "version")) match {
+          case (JString(app), JInt(tv)) => txns += app -> tv.toLong
+          case (JString(app), JLong(tv)) => txns += app -> tv
+          case _ => ()
+        }
+      }
+    }
+    Snapshot(vs.lastOption.getOrElse(-1L), files.values.toSeq, schemaJson,
+      txns.toMap)
+  }
+
+  /** Atomically commit `actions` as version `v`. Returns false when v
+    * already exists (another writer won — re-read the snapshot and
+    * retry), true on success. Local-filesystem commits use an atomic
+    * hard link (link(2) fails if the destination exists, closing the
+    * check-then-create race); other filesystems use
+    * create(overwrite=false), HDFS-atomic per the protocol's LogStore
+    * contract. */
+  def commit(spark: SparkSession, table: String, v: Long,
+             actions: Seq[JValue]): Boolean = {
+    val tbl = new Path(table)
+    val f = fs(spark, tbl)
+    f.mkdirs(logDir(tbl))
+    val dst = logFile(tbl, v)
+    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    if (f.getScheme == "file") {
+      val tmp = new Path(logDir(tbl), s".tmp-${java.util.UUID.randomUUID()}.json")
+      val out = f.create(tmp, true)
+      try { out.write(body) } finally out.close()
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally f.delete(tmp, false)
+    } else {
+      if (f.exists(dst)) return false
+      try {
+        val out = f.create(dst, false)
+        try { out.write(body) } finally out.close()
+        true
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
+  // --- action builders (protocol JSON shapes) -------------------------------
+
+  def protocolAction: JValue =
+    JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+
+  def metaDataAction(schemaJson: String): JValue =
+    JObject("metaData" -> JObject(
+      "id" -> JString(java.util.UUID.randomUUID().toString),
+      "format" -> JObject("provider" -> JString("parquet"),
+        "options" -> JObject()),
+      "schemaString" -> JString(schemaJson),
+      "partitionColumns" -> JArray(Nil),
+      "configuration" -> JObject()))
+
+  def addAction(path: String, size: Long, modificationTime: Long): JValue =
+    JObject("add" -> JObject(
+      "path" -> JString(path),
+      "partitionValues" -> JObject(),
+      "size" -> JLong(size),
+      "modificationTime" -> JLong(modificationTime),
+      "dataChange" -> JBool(true)))
+
+  def removeAction(path: String, deletionTimestamp: Long): JValue =
+    JObject("remove" -> JObject(
+      "path" -> JString(path),
+      "deletionTimestamp" -> JLong(deletionTimestamp),
+      "dataChange" -> JBool(true)))
+
+  def txnAction(appId: String, version: Long): JValue =
+    JObject("txn" -> JObject(
+      "appId" -> JString(appId), "version" -> JLong(version)))
+}

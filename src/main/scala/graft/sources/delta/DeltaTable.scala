@@ -1,0 +1,140 @@
+package graft.sources.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import DeltaLog._
+
+/** Table-level API over [[DeltaLog]] — the executed form of the
+  * reference's Delta hops (streaming append `SaveDelta.scala:157-163`,
+  * batch overwrite `read_delta.py:219-222`, Trino/`versionAsOf` reads).
+  *
+  * Data files are written DISTRIBUTED (a normal parquet write into a
+  * staging directory, then per-file renames into the table root under
+  * fresh UUID names — renames are per-file metadata ops, no data moves);
+  * only the commit — a few KB of JSON — is a driver-side action, exactly
+  * the Delta architecture. A crashed writer leaves orphan data files that
+  * NO snapshot references (invisible to readers, reclaimable by a vacuum
+  * walk) and never a torn table.
+  */
+object DeltaTable {
+
+  /** Read the table (optionally `VERSION AS OF`). Schema comes from the
+    * log's metaData action, so an empty snapshot still has a schema. */
+  def read(spark: SparkSession, table: String,
+           versionAsOf: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, table, versionAsOf)
+    require(!s.isEmpty, s"delta: $table has no commits")
+    val schema = s.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(s"delta: $table missing metaData"))
+    if (s.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(s.files.map(f => new Path(table, f.path).toString): _*)
+  }
+
+  /** Latest committed `txn` version for a streaming appId, if any. */
+  def latestTxnVersion(spark: SparkSession, table: String,
+                       appId: String): Option[Long] =
+    snapshot(spark, table).txns.get(appId)
+
+  /** Append or overwrite. Overwrite issues `remove` for every live file
+    * plus the new `add`s in ONE commit — the atomic REPLACE readers see
+    * as a single version hop. Concurrent writers: optimistic retry on
+    * commit conflict (append re-adds against the new head; overwrite
+    * recomputes its removes). */
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    writeInternal(df, table, mode, txn = None)
+
+  /** Exactly-once streaming append: the batch commits together with a
+    * `txn` action recording (appId, txnVersion); a replayed batch whose
+    * txnVersion is <= the recorded one is SKIPPED (returns false) — the
+    * foreachBatch idempotence contract, via the log instead of layer
+    * directories. */
+  def appendWithTxn(df: DataFrame, table: String, appId: String,
+                    txnVersion: Long): Boolean =
+    writeInternal(df, table, SaveMode.Append, txn = Some(appId -> txnVersion))
+
+  private def writeInternal(df: DataFrame, table: String, mode: SaveMode,
+                            txn: Option[(String, Long)]): Boolean = {
+    require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
+      s"delta: unsupported mode $mode")
+    val spark = df.sparkSession
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // distributed data write into a staging dir, then per-file rename
+    // into the table root under collision-free names
+    val staging = new Path(tbl, s".staging-${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .filter(s => s.getPath.getName.startsWith("part-"))
+    val adds = parts.map { p =>
+      val name = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
+      val dst = new Path(tbl, name)
+      require(fs.rename(p.getPath, dst), s"delta: rename failed for $dst")
+      val st = fs.getFileStatus(dst)
+      addAction(name, st.getLen, st.getModificationTime)
+    }.toSeq
+    fs.delete(staging, true)
+
+    val schemaJson = df.schema.json
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 50, s"delta: gave up after $attempts commit conflicts")
+      val head = snapshot(spark, table)
+      // idempotence gate: a replayed streaming batch must not double-append
+      if (txn.exists { case (app, v) => head.txns.get(app).exists(_ >= v) }) {
+        adds.foreach { a =>
+          val p = (a \ "add" \ "path").values.toString
+          fs.delete(new Path(tbl, p), false)
+        }
+        return false
+      }
+      val now = System.currentTimeMillis()
+      val removes =
+        if (mode == SaveMode.Overwrite) head.files.map(f => removeAction(f.path, now))
+        else Seq.empty
+      val meta =
+        if (head.isEmpty) Seq(protocolAction, metaDataAction(schemaJson))
+        else Seq.empty
+      val txns = txn.toSeq.map { case (app, v) => txnAction(app, v) }
+      committed = commit(spark, table, head.version + 1,
+        meta ++ txns ++ removes ++ adds)
+    }
+    true
+  }
+
+  /** Version history as (version, n_adds, n_removes) — the debugging /
+    * audit view (`DESCRIBE HISTORY`'s skeleton). */
+  def history(spark: SparkSession, table: String): Seq[(Long, Int, Int)] = {
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions(spark, table).map { v =>
+      val in = fs.open(logFile(tbl, v))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      (v, lines.count(_.contains("\"add\"")), lines.count(_.contains("\"remove\"")))
+    }
+  }
+
+  /** Delete data files no live-or-historical snapshot references (the
+    * crash-orphan reclaim half of VACUUM; age-based retention of REMOVED
+    * files is a policy knob on top). */
+  def vacuumOrphans(spark: SparkSession, table: String): Int = {
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = versions(spark, table).flatMap { v =>
+      snapshot(spark, table, Some(v)).files.map(_.path)
+    }.toSet
+    val orphans = fs.listStatus(tbl)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .filterNot(s => referenced.contains(s.getPath.getName))
+    orphans.foreach(s => fs.delete(s.getPath, false))
+    orphans.length
+  }
+}

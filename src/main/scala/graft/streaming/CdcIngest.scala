@@ -66,6 +66,30 @@ object CdcIngest {
       .trigger(trigger)
       .start()
 
+  /** K1 on the from-scratch Delta log ([[graft.sources.delta.DeltaTable]]):
+    * the reference's actual sink semantics — `writeStream.format("delta")
+    * .outputMode("append")` (`SaveDelta.scala:157-163`) — executed against
+    * the protocol implementation instead of the absent jars. Each
+    * micro-batch appends in ONE atomic log commit carrying a `txn`
+    * (appId, batchId) action, so an at-least-once replay of a committed
+    * batch is SKIPPED — exactly-once table contents from the log itself,
+    * the same mechanism delta-spark's streaming sink uses. */
+  def startIngestDelta(
+      raw: DataFrame,
+      table: String,
+      checkpoint: String,
+      appId: String = "graft-cdc-ingest",
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.sources.delta.DeltaTable.appendWithTxn(
+          Ops.decodeCdc(batch.toDF()), table, appId, batchId)
+        ()
+      }
+      .start()
+
   /** K5 notifier port (ref `slack_notification.py:37-132`): per-batch
     * filter of commented activities, delivered to an injected (mockable,
     * Serializable) callback instead of a hard-wired Slack webhook.

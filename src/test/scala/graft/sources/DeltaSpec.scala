@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.delta.{DeltaLog, DeltaTable}
+
+class DeltaSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("delta").toString + "/t"
+
+  test("append commits are versioned; reads see the union") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    val got = DeltaTable.read(spark, t)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === Set((1, "a"), (2, "b"), (3, "c")))
+    assert(DeltaLog.versions(spark, t) === Seq(0L, 1L))
+  }
+
+  test("overwrite is one atomic remove+add commit; time travel reads history") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "old")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.write(Seq((2, "new"), (3, "new")).toDF("id", "s"), t, SaveMode.Overwrite)
+    assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet === Set(2, 3))
+    // VERSION AS OF 0 still sees the pre-overwrite table
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(0L))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet === Set((1, "old")))
+    val (v1, adds, removes) = DeltaTable.history(spark, t).last
+    assert(v1 === 1L && removes >= 1 && adds >= 1,
+      "overwrite must carry removes and adds in one commit")
+  }
+
+  test("log files follow the protocol shape: %020d.json of JSON-line actions") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)
+    val dir = new java.io.File(s"$t/_delta_log")
+    val names = dir.listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(names.head === "00000000000000000000.json")
+    val lines = scala.io.Source.fromFile(new java.io.File(dir, names.head))
+      .getLines().toList
+    // commit 0 must declare protocol + metaData (schemaString) + the adds
+    assert(lines.exists(_.contains("\"protocol\"")))
+    assert(lines.exists(_.contains("\"schemaString\"")))
+    assert(lines.exists(_.contains("\"add\"")))
+    // every line parses as JSON
+    lines.foreach(l => org.json4s.jackson.JsonMethods.parse(l))
+  }
+
+  test("empty-after-overwrite table still reads with the log's schema") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.write(Seq.empty[(Int, String)].toDF("id", "s"), t, SaveMode.Overwrite)
+    val df = DeltaTable.read(spark, t)
+    assert(df.count() === 0L)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "s"))
+  }
+
+  test("appendWithTxn: a replayed (appId, version) batch is skipped, not doubled") {
+    val t = tmp()
+    val batch = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    assert(DeltaTable.appendWithTxn(batch, t, "app", 0L) === true)
+    assert(DeltaTable.appendWithTxn(batch, t, "app", 0L) === false)
+    assert(DeltaTable.read(spark, t).count() === 2L)
+    // a NEWER txn version appends; the recorded high-water mark advances
+    assert(DeltaTable.appendWithTxn(batch, t, "app", 1L) === true)
+    assert(DeltaTable.read(spark, t).count() === 4L)
+    assert(DeltaTable.latestTxnVersion(spark, t, "app") === Some(1L))
+    // the skipped replay left no orphan data files behind
+    assert(DeltaTable.vacuumOrphans(spark, t) === 0)
+  }
+
+  test("concurrent appends: optimistic retry, both land, no lost update") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp()
+    DeltaTable.write(Seq((0, "seed")).toDF("id", "s"), t, SaveMode.Append)
+    val fs = (1 to 4).map { i =>
+      Future(DeltaTable.write(Seq((i, s"w$i")).toDF("id", "s"), t, SaveMode.Append))
+    }
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet ===
+      Set(0, 1, 2, 3, 4))
+    // versions are contiguous: every loser re-read and recommitted
+    assert(DeltaLog.versions(spark, t) === (0L to 4L))
+  }
+
+  test("a crashed writer's staged files are invisible and reclaimable") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)
+    // simulate a writer that moved data files in but died before commit
+    val orphan = new java.io.File(s"$t/part-${java.util.UUID.randomUUID()}.snappy.parquet")
+    Seq((99, "ghost")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(orphan.getParent + "/.ghost")
+    val part = new java.io.File(orphan.getParent + "/.ghost").listFiles()
+      .find(_.getName.startsWith("part-")).get
+    assert(part.renameTo(orphan))
+    // readers replay the log, not the directory: the ghost row is invisible
+    assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet === Set(1))
+    assert(DeltaTable.vacuumOrphans(spark, t) === 1)
+    assert(!orphan.exists())
+  }
+
+  test("streaming CDC ingest into delta: exactly-once via txn actions") {
+    val dir = java.nio.file.Files.createTempDirectory("deltastream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[String]
+    def env(id: Int, sport: String, ts: Long) =
+      s"""{"payload":{"before":null,"after":{"id":$id,"sport_type":"$sport","distance":5,"start_datetime":${ts}000000},"op":"c","ts_ms":$ts}}"""
+    s.addData(env(1, "run", 1000), env(2, "bike", 2000))
+    val q = graft.streaming.CdcIngest.startIngestDelta(
+      s.toDF(), s"$dir/table", s"$dir/chk", trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      s.addData(env(3, "swim", 3000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = DeltaTable.read(spark, s"$dir/table")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(got === Set(1, 2, 3))
+    // restarting from the same checkpoint replays nothing new: contents stable
+    val q2 = graft.streaming.CdcIngest.startIngestDelta(
+      s.toDF(), s"$dir/table", s"$dir/chk", trigger = Trigger.ProcessingTime(0))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(DeltaTable.read(spark, s"$dir/table").count() === 3L)
+  }
+
+  test("IO.writeTable/readDelta route the delta format through the log") {
+    val t = tmp()
+    IO.writeTable(Seq((1, 2.0)).toDF("k", "v"), t, format = "delta")
+    IO.writeTable(Seq((9, 9.0)).toDF("k", "v"), t, format = "delta")
+    // writeTable defaults to Overwrite — latest version holds only the new row
+    assert(IO.readDelta(spark, t).collect().map(_.getInt(0)).toSeq === Seq(9))
+    assert(IO.readDelta(spark, t, Some(0L)).collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+}
