@@ -33,8 +33,16 @@ import org.json4s.jackson.JsonMethods
   */
 object DeltaLog {
 
-  /** One live data file in a snapshot. */
-  final case class AddFile(path: String, size: Long)
+  /** One live data file in a snapshot, with the protocol's optional
+    * per-file `stats` (numRecords + min/maxValues) used for data
+    * skipping. */
+  final case class AddFile(path: String, size: Long,
+                           stats: Option[FileStats] = None)
+
+  /** Parsed subset of the protocol's per-file statistics JSON. */
+  final case class FileStats(numRecords: Long,
+                             minValues: Map[String, Long],
+                             maxValues: Map[String, Long])
 
   /** Replayed table state at a version. */
   final case class Snapshot(
@@ -88,7 +96,12 @@ object DeltaLog {
               case JLong(n) => n
               case _ => 0L
             }
-            files += p -> AddFile(p, size)
+            // stats ride as a JSON STRING per the protocol
+            val stats = (j \ "add" \ "stats") match {
+              case JString(s) => parseStats(s)
+              case _ => None
+            }
+            files += p -> AddFile(p, size, stats)
           case _ => ()
         }
         (j \ "remove" \ "path") match {
@@ -162,13 +175,44 @@ object DeltaLog {
       "partitionColumns" -> JArray(Nil),
       "configuration" -> JObject()))
 
-  def addAction(path: String, size: Long, modificationTime: Long): JValue =
-    JObject("add" -> JObject(
+  def addAction(path: String, size: Long, modificationTime: Long,
+                stats: Option[FileStats] = None): JValue = {
+    val base = List(
       "path" -> JString(path),
       "partitionValues" -> JObject(),
       "size" -> JLong(size),
       "modificationTime" -> JLong(modificationTime),
-      "dataChange" -> JBool(true)))
+      "dataChange" -> JBool(true))
+    val withStats = stats match {
+      case Some(s) => base :+ ("stats" -> JString(renderStats(s)))
+      case None => base
+    }
+    JObject("add" -> JObject(withStats: _*))
+  }
+
+  private def renderStats(s: FileStats): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "numRecords" -> JLong(s.numRecords),
+      "minValues" -> JObject(s.minValues.toList.map { case (k, v) => k -> JLong(v) }),
+      "maxValues" -> JObject(s.maxValues.toList.map { case (k, v) => k -> JLong(v) }))))
+
+  private def parseStats(s: String): Option[FileStats] =
+    try {
+      val j = JsonMethods.parse(s)
+      def longs(v: JValue): Map[String, Long] = v match {
+        case JObject(fields) => fields.collect {
+          case (k, JInt(n)) => k -> n.toLong
+          case (k, JLong(n)) => k -> n
+        }.toMap
+        case _ => Map.empty
+      }
+      val n = (j \ "numRecords") match {
+        case JInt(x) => x.toLong
+        case JLong(x) => x
+        case _ => return None
+      }
+      Some(FileStats(n, longs(j \ "minValues"), longs(j \ "maxValues")))
+    } catch { case _: Exception => None }
 
   def removeAction(path: String, deletionTimestamp: Long): JValue =
     JObject("remove" -> JObject(

@@ -58,17 +58,16 @@ object DeltaTable {
                     txnVersion: Long): Boolean =
     writeInternal(df, table, SaveMode.Append, txn = Some(appId -> txnVersion))
 
-  private def writeInternal(df: DataFrame, table: String, mode: SaveMode,
-                            txn: Option[(String, Long)]): Boolean = {
-    require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
-      s"delta: unsupported mode $mode")
-    val spark = df.sparkSession
-    val tbl = new Path(table)
-    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // distributed data write into a staging dir, then per-file rename
-    // into the table root under collision-free names
+  /** Distributed data write into a staging dir, then per-file renames
+    * into the table root under collision-free names. Each file's `add`
+    * action carries the protocol's per-file stats (numRecords + min/max
+    * of the integer columns, read from the parquet FOOTER — metadata IO,
+    * no data scan) — what [[merge]] / [[readRange]] data-skip on. */
+  private def stageData(df: DataFrame, tbl: Path,
+                        fs: org.apache.hadoop.fs.FileSystem): Seq[org.json4s.JValue] = {
     val staging = new Path(tbl, s".staging-${java.util.UUID.randomUUID()}")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val parts = fs.listStatus(staging)
       .filter(s => s.getPath.getName.startsWith("part-"))
     val adds = parts.map { p =>
@@ -76,9 +75,54 @@ object DeltaTable {
       val dst = new Path(tbl, name)
       require(fs.rename(p.getPath, dst), s"delta: rename failed for $dst")
       val st = fs.getFileStatus(dst)
-      addAction(name, st.getLen, st.getModificationTime)
+      addAction(name, st.getLen, st.getModificationTime, footerStats(dst, conf))
     }.toSeq
     fs.delete(staging, true)
+    adds
+  }
+
+  /** Per-file min/max/count for INT32/INT64 columns from the parquet
+    * footer. */
+  private def footerStats(file: Path,
+                          conf: org.apache.hadoop.conf.Configuration): Option[FileStats] =
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        var n = 0L
+        val mins = scala.collection.mutable.Map.empty[String, Long]
+        val maxs = scala.collection.mutable.Map.empty[String, Long]
+        blocks.asScala.foreach { b =>
+          n += b.getRowCount
+          b.getColumns.asScala.foreach { c =>
+            val t = c.getPrimitiveType.getPrimitiveTypeName
+            val isInt =
+              t == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 ||
+                t == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+            val s = c.getStatistics
+            if (isInt && s != null && s.hasNonNullValue) {
+              val name = c.getPath.toDotString
+              val mn = s.genericGetMin.asInstanceOf[Number].longValue()
+              val mx = s.genericGetMax.asInstanceOf[Number].longValue()
+              mins += name -> math.min(mn, mins.getOrElse(name, mn))
+              maxs += name -> math.max(mx, maxs.getOrElse(name, mx))
+            }
+          }
+        }
+        Some(FileStats(n, mins.toMap, maxs.toMap))
+      } finally reader.close()
+    } catch { case _: Exception => None }
+
+  private def writeInternal(df: DataFrame, table: String, mode: SaveMode,
+                            txn: Option[(String, Long)]): Boolean = {
+    require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
+      s"delta: unsupported mode $mode")
+    val spark = df.sparkSession
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = stageData(df, tbl, fs)
 
     val schemaJson = df.schema.json
     var committed = false
@@ -107,6 +151,77 @@ object DeltaTable {
         meta ++ txns ++ removes ++ adds)
     }
     true
+  }
+
+  private def logSchema(s: DeltaLog.Snapshot, table: String): StructType =
+    s.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(s"delta: $table missing metaData"))
+
+  private def overlaps(f: AddFile, keyCol: String, lo: Long, hi: Long): Boolean =
+    f.stats.flatMap(s =>
+      for { mn <- s.minValues.get(keyCol); mx <- s.maxValues.get(keyCol) }
+        yield !(mx < lo || mn > hi)
+    ).getOrElse(true) // no stats → conservatively in range
+
+  /** MERGE (upsert by key) through the log — the Delta operation the
+    * reference's CDC-upsert pipeline maps to (`MERGE INTO` in
+    * delta-spark). Data skipping: only files whose add-action key STATS
+    * overlap the batch's [min, max] (plus stats-less files,
+    * conservatively) are read and rewritten; untouched files carry over
+    * with NO action — the commit is remove(touched) + add(rewritten ∪
+    * inserts), atomic, O(touched files) not O(table). Matched keys are
+    * replaced by their update row, unmatched update keys insert.
+    * Conflicting concurrent writers lose the commit race, clean up their
+    * staged files, and recompute against the new head. */
+  def merge(updates: DataFrame, table: String, keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val spark = updates.sparkSession
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val range = updates.agg(
+      min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
+    if (range.isNullAt(0)) return // empty batch: nothing to merge
+    val (umin, umax) = (range.getLong(0), range.getLong(1))
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: merge gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      if (head.isEmpty) { write(updates, table, SaveMode.Append); return }
+      val (touched, _) = head.files.partition(overlaps(_, keyCol, umin, umax))
+      val merged =
+        if (touched.isEmpty) updates
+        else spark.read.schema(logSchema(head, table))
+          .parquet(touched.map(f => new Path(tbl, f.path).toString): _*)
+          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      val adds = stageData(merged, tbl, fs)
+      val now = System.currentTimeMillis()
+      val removes = touched.map(f => removeAction(f.path, now))
+      done = commit(spark, table, head.version + 1, removes ++ adds)
+      if (!done) adds.foreach { a =>
+        fs.delete(new Path(tbl, (a \ "add" \ "path").values.toString), false)
+      }
+    }
+  }
+
+  /** Data-skipping range read: files whose stats exclude [lo, hi] are
+    * never opened (stats-less files read conservatively); the row-level
+    * residual filter still applies. */
+  def readRange(spark: SparkSession, table: String, keyCol: String,
+                lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val s = snapshot(spark, table)
+    require(!s.isEmpty, s"delta: $table has no commits")
+    val schema = logSchema(s, table)
+    val files = s.files.filter(overlaps(_, keyCol, lo, hi))
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(f => new Path(table, f.path).toString): _*)
+    df.filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
   /** Version history as (version, n_adds, n_removes) — the debugging /

@@ -132,6 +132,56 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, s"$dir/table").count() === 3L)
   }
 
+  test("merge upserts by key and data-skips: disjoint-range files survive untouched") {
+    val t = tmp()
+    // two appends with disjoint key ranges → two files with disjoint stats
+    DeltaTable.write((1 to 100).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1), t, SaveMode.Append)
+    DeltaTable.write((1000 to 1100).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1), t, SaveMode.Append)
+    val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    assert(before.size === 2)
+    // merge touches only the low range: update id 50, insert id 101
+    DeltaTable.merge(Seq((50, "updated"), (101, "inserted")).toDF("id", "s"),
+      t, "id")
+    val after = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    // the high-range file is carried over BY NAME — never rewritten
+    val highFile = before.filter(after.contains)
+    assert(highFile.size === 1, s"exactly one file must survive: $before -> $after")
+    val got = DeltaTable.read(spark, t)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(got.size === 202)
+    assert(got(50) === "updated" && got(101) === "inserted" && got(1) === "v1"
+      && got(1000) === "v1000")
+    // re-merging the same batch converges (idempotent upsert semantics)
+    DeltaTable.merge(Seq((50, "updated"), (101, "inserted")).toDF("id", "s"),
+      t, "id")
+    assert(DeltaTable.read(spark, t).count() === 202L)
+  }
+
+  test("merge into an empty table is a plain bootstrap append") {
+    val t = tmp()
+    DeltaTable.merge(Seq((1, "a")).toDF("id", "s"), t, "id")
+    assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("add actions carry protocol-shaped stats; readRange skips excluded files") {
+    val t = tmp()
+    DeltaTable.write((1 to 100).map(i => (i, i.toLong * 2)).toDF("id", "v")
+      .coalesce(1), t, SaveMode.Append)
+    DeltaTable.write((1000 to 1100).map(i => (i, i.toLong * 2)).toDF("id", "v")
+      .coalesce(1), t, SaveMode.Append)
+    val files = DeltaLog.snapshot(spark, t).files
+    assert(files.forall(_.stats.isDefined), "adds must carry stats")
+    val lo = files.flatMap(_.stats).map(_.minValues("id")).min
+    assert(lo === 1L)
+    // range read of the low file only: correct rows, and the pruned scan
+    // must reference exactly one data file
+    val df = DeltaTable.readRange(spark, t, "id", 10L, 20L)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq === (10 to 20).toSeq)
+    assert(df.inputFiles.length === 1, "stats pruning must skip the high file")
+  }
+
   test("IO.writeTable/readDelta route the delta format through the log") {
     val t = tmp()
     IO.writeTable(Seq((1, 2.0)).toDF("k", "v"), t, format = "delta")
