@@ -49,6 +49,7 @@ object PqSearch {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, kc: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
     val base = VectorSearch.withNorm(corpus).select(col("vec_id"), col("v"))
     val q = VectorSearch.withNorm(queries).select(col("vec_id"), col("v"))
 
@@ -59,39 +60,27 @@ object PqSearch {
     val dim = seeds.head.length
     require(dim % m == 0, s"pqTopK: m=$m must divide dim=$dim")
     val dsub = dim / m
-    // cents(j)(c)(i): subspace j, centroid c, component i — a plan constant
+    // cents(j)(c)(i): subspace j, centroid c, component i — rides as ONE
+    // plan-constant reference object inside the codegen kernels
+    // ([[graft.functions.PqEncode]]/[[graft.functions.PqAdcLut]]/
+    // [[graft.functions.PqAdcScore]]): the interpreted higher-order-
+    // function forms cost m × kc × dsub lambda evals per vector on the
+    // O(corpus) encode scan and m per pair on the O(queries × corpus)
+    // scoring scan — the kernels are flat primitive loops with identical
+    // exact-integer, first-min semantics (the oracle contract)
     val cents = Array.tabulate(m, kc, dsub)((j, c, i) => seeds(c)(j * dsub + i))
-    val centsLit = typedLit(cents.map(_.map(_.toSeq).toSeq).toSeq)
 
-    // exact integer squared distance between v's subspace j and centroid cv
-    def subDist(v: Column, j: Column, cv: Column): Column =
-      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
-        (acc, i) => {
-          val d = element_at(v, (j * dsub + i + 1).cast("int")) -
-            element_at(cv, (i + 1).cast("int"))
-          acc + d * d
-        })
-
-    // per-subspace distances to every centroid: array<long> of length kc
-    def distRow(v: Column, j: Column): Column =
-      transform(element_at(centsLit, j + 1), cv => subDist(v, j, cv))
-
-    // encode: argmin per subspace; array_position returns the FIRST
-    // minimum ⇒ ties break toward the lower centroid id
     val codes = base.select(col("vec_id").as("nid"),
-      transform(sequence(lit(0), lit(m - 1)), j =>
-        (array_position(distRow(col("v"), j), array_min(distRow(col("v"), j))) - 1)
-          .cast("int")).as("codes"))
+      CB.column(graft.functions.PqEncode(CB.expression(col("v")), cents)).as("codes"))
 
     // per-query ADC lookup tables: m × kc longs, broadcast to the scan
     val luts = q.select(col("vec_id").as("qid"),
-      transform(sequence(lit(0), lit(m - 1)), j => distRow(col("v"), j)).as("luts"))
+      CB.column(graft.functions.PqAdcLut(CB.expression(col("v")), cents)).as("luts"))
 
     val scored = codes
       .join(broadcast(luts), col("qid") =!= col("nid"))
-      .withColumn("ad2",
-        aggregate(zip_with(col("luts"), col("codes"),
-          (l, c) => element_at(l, c + 1)), lit(0L), (acc, x) => acc + x))
+      .withColumn("ad2", CB.column(graft.functions.PqAdcScore(
+        CB.expression(col("codes")), CB.expression(col("luts")))))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ad2").asc, col("nid").asc)))
