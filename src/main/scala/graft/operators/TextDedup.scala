@@ -118,6 +118,30 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Verbatim-span overlap between doc pairs: how many distinct n-token
+    * windows (n LARGE — default 20; the span-level exact-substring dedup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, at this corpus's doc lengths) two documents
+    * share word-for-word. A different modality from Jaccard near-dup
+    * (q18/q19, whole-document similarity): a doc embedding one long
+    * quoted block inside otherwise-novel text scores near-zero Jaccard
+    * but a large shared-span count — the partial-crawl / license-block
+    * case a dedup cascade treats by stripping the span, not dropping
+    * the doc. Same shuffle shape as the shingle intersect (join keyed
+    * on the window, linear for bounded bucket width); at 100 TB hash
+    * the window (`xxhash64`) before the join so 8-byte keys shuffle
+    * instead of 20-token strings, and cap degenerate hot windows with
+    * [[capShingleDf]]. */
+  def verbatimSpans(docs: DataFrame, n: Int = 20, minSpans: Long = 1): DataFrame = {
+    val sh = materialize(shingles(docs, n))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .filter(col("shared_spans") >= minSpans)
+  }
+
   /** Sketch-based signature: ONE custom TypedImperativeAggregate
     * ([[graft.functions.MinHashSignature]]) maintaining all numPerms minima
     * in a single buffer — numPerms× fewer aggregate expressions than the

@@ -96,6 +96,26 @@ object DedupSimQueries {
       bands = 15, hash = TextDedup.md5Hash60, widthBits = 60)
   }
 
+  /** Verbatim-span overlap (q79): doc pairs sharing 20-token windows
+    * word-for-word — span-level exact-substring dedup, the modality
+    * Jaccard misses ([[graft.operators.TextDedup.verbatimSpans]]). */
+  val q79VerbatimSpans: Q = Q(
+    "q79_verbatim_spans",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 18)) AS i
+              FROM tok WHERE len(w) >= 20),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+19], ' ') AS shingle
+             FROM pos),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(COUNT(*) AS BIGINT) AS shared_spans
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT a_id, b_id, shared_spans FROM p WHERE shared_spans >= 1""")) {
+    (spark, dir) =>
+      TextDedup.verbatimSpans(table(spark, dir, "documents"), n = 20, minSpans = 1)
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 20 — the exact ANN
     * baseline, decimal-exact so it oracle-matches DuckDB bit-for-bit. */
   val q21KnnCosine: Q = Q(
@@ -349,5 +369,6 @@ object DedupSimQueries {
   val all: Seq[Q] = Seq(
     q18NgramJaccard, q19MinhashLsh, q20Simhash, q21KnnCosine,
     q28AnnLsh, q29MediaFeatures, q30RollingFingerprint, q32EmbeddingDedup,
-    q36IvfAnn, q38EmbeddingDedupLsh, q39SimhashVerified, q67IvfRefined)
+    q36IvfAnn, q38EmbeddingDedupLsh, q39SimhashVerified, q67IvfRefined,
+    q79VerbatimSpans)
 }
