@@ -46,6 +46,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("verbatim spans catch a quoted block that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 embeds doc 1's 25-token block inside 75 tokens of novel text:
+    // whole-doc Jaccard is low (the near-dup gate at 0.5 never fires) but
+    // the span overlap is exactly block_len - n + 1 windows
+    val block = (1 to 25).map(i => s"quoted$i").mkString(" ")
+    val novel = (1 to 75).map(i => s"novel$i").mkString(" ")
+    val other = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, block), (2L, s"$novel $block"), (3L, other))
+      .toDF("doc_id", "text")
+    val spans = TextDedup.verbatimSpans(docs, n = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(spans === Map((1L, 2L) -> 6L), s"got $spans") // 25 - 20 + 1
+    val jac = TextDedup.exactJaccardPairs(docs, minJaccard = 0.5)
+    assert(jac.count() === 0L, "the Jaccard gate must miss the embedded block")
+  }
+
   test("stop-shingle DF cap bounds candidates under adversarial boilerplate") {
     import spark.implicits._
     // 30 docs: 10 shared boilerplate words + 2 unique words each → every
