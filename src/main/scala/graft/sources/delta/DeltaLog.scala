@@ -35,9 +35,11 @@ object DeltaLog {
 
   /** One live data file in a snapshot, with the protocol's optional
     * per-file `stats` (numRecords + min/maxValues) used for data
-    * skipping. */
+    * skipping and its `partitionValues` (Hive-style, stringly-typed per
+    * the protocol). */
   final case class AddFile(path: String, size: Long,
-                           stats: Option[FileStats] = None)
+                           stats: Option[FileStats] = None,
+                           partitionValues: Map[String, String] = Map.empty)
 
   /** Parsed subset of the protocol's per-file statistics JSON. */
   final case class FileStats(numRecords: Long,
@@ -49,7 +51,8 @@ object DeltaLog {
       version: Long,
       files: Seq[AddFile],
       schemaJson: Option[String],
-      txns: Map[String, Long]) {
+      txns: Map[String, Long],
+      partitionColumns: Seq[String] = Seq.empty) {
     def isEmpty: Boolean = version < 0
   }
 
@@ -81,6 +84,7 @@ object DeltaLog {
       s"delta: no committed version <= $a at $table"))
     var files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Seq.empty
     val txns = scala.collection.mutable.Map.empty[String, Long]
     vs.foreach { v =>
       val in = f.open(logFile(tbl, v))
@@ -101,7 +105,13 @@ object DeltaLog {
               case JString(s) => parseStats(s)
               case _ => None
             }
-            files += p -> AddFile(p, size, stats)
+            val pvals = (j \ "add" \ "partitionValues") match {
+              case JObject(fields) => fields.collect {
+                case (k, JString(v)) => k -> v
+              }.toMap
+              case _ => Map.empty[String, String]
+            }
+            files += p -> AddFile(p, size, stats, pvals)
           case _ => ()
         }
         (j \ "remove" \ "path") match {
@@ -112,6 +122,11 @@ object DeltaLog {
           case JString(s) => schemaJson = Some(s)
           case _ => ()
         }
+        (j \ "metaData" \ "partitionColumns") match {
+          case JArray(cols) =>
+            partCols = cols.collect { case JString(c) => c }
+          case _ => ()
+        }
         ((j \ "txn" \ "appId"), (j \ "txn" \ "version")) match {
           case (JString(app), JInt(tv)) => txns += app -> tv.toLong
           case (JString(app), JLong(tv)) => txns += app -> tv
@@ -120,7 +135,7 @@ object DeltaLog {
       }
     }
     Snapshot(vs.lastOption.getOrElse(-1L), files.values.toSeq, schemaJson,
-      txns.toMap)
+      txns.toMap, partCols)
   }
 
   /** Atomically commit `actions` as version `v`. Returns false when v
@@ -166,20 +181,23 @@ object DeltaLog {
     JObject("protocol" -> JObject(
       "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
 
-  def metaDataAction(schemaJson: String): JValue =
+  def metaDataAction(schemaJson: String,
+                     partitionColumns: Seq[String] = Seq.empty): JValue =
     JObject("metaData" -> JObject(
       "id" -> JString(java.util.UUID.randomUUID().toString),
       "format" -> JObject("provider" -> JString("parquet"),
         "options" -> JObject()),
       "schemaString" -> JString(schemaJson),
-      "partitionColumns" -> JArray(Nil),
+      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
       "configuration" -> JObject()))
 
   def addAction(path: String, size: Long, modificationTime: Long,
-                stats: Option[FileStats] = None): JValue = {
+                stats: Option[FileStats] = None,
+                partitionValues: Map[String, String] = Map.empty): JValue = {
     val base = List(
       "path" -> JString(path),
-      "partitionValues" -> JObject(),
+      "partitionValues" -> JObject(
+        partitionValues.toList.map { case (k, v) => k -> JString(v) }: _*),
       "size" -> JLong(size),
       "modificationTime" -> JLong(modificationTime),
       "dataChange" -> JBool(true))

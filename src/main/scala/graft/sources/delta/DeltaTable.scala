@@ -21,19 +21,42 @@ import DeltaLog._
 object DeltaTable {
 
   /** Read the table (optionally `VERSION AS OF`). Schema comes from the
-    * log's metaData action, so an empty snapshot still has a schema. */
+    * log's metaData action, so an empty snapshot still has a schema;
+    * partitioned tables read through `basePath` so Spark re-derives the
+    * partition columns from the Hive-style dirs, reordered back to the
+    * log schema's column order. */
   def read(spark: SparkSession, table: String,
            versionAsOf: Option[Long] = None): DataFrame = {
     val s = snapshot(spark, table, versionAsOf)
     require(!s.isEmpty, s"delta: $table has no commits")
-    val schema = s.schemaJson
-      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-      .getOrElse(throw new IllegalStateException(s"delta: $table missing metaData"))
-    if (s.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
-        .parquet(s.files.map(f => new Path(table, f.path).toString): _*)
+    readFiles(spark, table, logSchema(s, table), s.partitionColumns, s.files)
+  }
+
+  private def readFiles(spark: SparkSession, table: String, schema: StructType,
+                        partCols: Seq[String], files: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val paths = files.map(f => new Path(table, f.path).toString)
+    if (partCols.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+    else spark.read.schema(schema).option("basePath", table)
+      .parquet(paths: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Partition-pruned read: only files whose `partitionValues` match
+    * every (column → value) in `filter` are opened — the log IS the
+    * partition index, no directory listing of pruned partitions. */
+  def readPartitions(spark: SparkSession, table: String,
+                     filter: Map[String, String]): DataFrame = {
+    val s = snapshot(spark, table)
+    require(!s.isEmpty, s"delta: $table has no commits")
+    require(filter.keySet.subsetOf(s.partitionColumns.toSet),
+      s"delta: ${filter.keySet} not all partition columns ${s.partitionColumns}")
+    val files = s.files.filter(f =>
+      filter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+    readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
   }
 
   /** Latest committed `txn` version for a streaming appId, if any. */
@@ -45,9 +68,14 @@ object DeltaTable {
     * plus the new `add`s in ONE commit — the atomic REPLACE readers see
     * as a single version hop. Concurrent writers: optimistic retry on
     * commit conflict (append re-adds against the new head; overwrite
-    * recomputes its removes). */
-  def write(df: DataFrame, table: String, mode: SaveMode): Unit =
-    writeInternal(df, table, mode, txn = None)
+    * recomputes its removes). `partitionBy` Hive-partitions the data
+    * files (recorded as metaData partitionColumns + per-add
+    * partitionValues); appends to an existing partitioned table adopt
+    * its partitioning when `partitionBy` is omitted and refuse a
+    * conflicting one. */
+  def write(df: DataFrame, table: String, mode: SaveMode,
+            partitionBy: Seq[String] = Seq.empty): Unit =
+    writeInternal(df, table, mode, txn = None, partitionBy = partitionBy)
 
   /** Exactly-once streaming append: the batch commits together with a
     * `txn` action recording (appId, txnVersion); a replayed batch whose
@@ -64,19 +92,37 @@ object DeltaTable {
     * of the integer columns, read from the parquet FOOTER — metadata IO,
     * no data scan) — what [[merge]] / [[readRange]] data-skip on. */
   private def stageData(df: DataFrame, tbl: Path,
-                        fs: org.apache.hadoop.fs.FileSystem): Seq[org.json4s.JValue] = {
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        partitionBy: Seq[String] = Seq.empty): Seq[org.json4s.JValue] = {
     val staging = new Path(tbl, s".staging-${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staging.toString)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    val parts = fs.listStatus(staging)
-      .filter(s => s.getPath.getName.startsWith("part-"))
-    val adds = parts.map { p =>
+    // partitioned stages nest Hive-style `col=val/` dirs; walk them and
+    // keep the relative dir as the add path prefix + partitionValues
+    def walk(dir: Path, rel: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        if (s.isDirectory && s.getPath.getName.contains("="))
+          walk(s.getPath,
+            (if (rel.isEmpty) "" else rel + "/") + s.getPath.getName)
+        else if (s.isFile && s.getPath.getName.startsWith("part-")) Seq((rel, s))
+        else Seq.empty
+      }
+    val adds = walk(staging, "").map { case (rel, p) =>
       val name = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
-      val dst = new Path(tbl, name)
+      val dstDir = if (rel.isEmpty) tbl else new Path(tbl, rel)
+      fs.mkdirs(dstDir)
+      val dst = new Path(dstDir, name)
       require(fs.rename(p.getPath, dst), s"delta: rename failed for $dst")
       val st = fs.getFileStatus(dst)
-      addAction(name, st.getLen, st.getModificationTime, footerStats(dst, conf))
-    }.toSeq
+      val pvals = rel.split("/").filter(_.nonEmpty).map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) -> seg.substring(i + 1)
+      }.toMap
+      addAction(if (rel.isEmpty) name else s"$rel/$name",
+        st.getLen, st.getModificationTime, footerStats(dst, conf), pvals)
+    }
     fs.delete(staging, true)
     adds
   }
@@ -116,13 +162,23 @@ object DeltaTable {
     } catch { case _: Exception => None }
 
   private def writeInternal(df: DataFrame, table: String, mode: SaveMode,
-                            txn: Option[(String, Long)]): Boolean = {
+                            txn: Option[(String, Long)],
+                            partitionBy: Seq[String] = Seq.empty): Boolean = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"delta: unsupported mode $mode")
     val spark = df.sparkSession
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val adds = stageData(df, tbl, fs)
+    // adopt an existing table's partitioning; refuse a conflicting one
+    val existingParts = snapshot(spark, table).partitionColumns
+    val parts =
+      if (partitionBy.isEmpty) existingParts
+      else {
+        require(existingParts.isEmpty || existingParts == partitionBy,
+          s"delta: table is partitioned by $existingParts, not $partitionBy")
+        partitionBy
+      }
+    val adds = stageData(df, tbl, fs, parts)
 
     val schemaJson = df.schema.json
     var committed = false
@@ -131,6 +187,8 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: gave up after $attempts commit conflicts")
       val head = snapshot(spark, table)
+      require(head.partitionColumns == parts || head.isEmpty,
+        s"delta: concurrent writer changed partitioning to ${head.partitionColumns}")
       // idempotence gate: a replayed streaming batch must not double-append
       if (txn.exists { case (app, v) => head.txns.get(app).exists(_ >= v) }) {
         adds.foreach { a =>
@@ -144,7 +202,7 @@ object DeltaTable {
         if (mode == SaveMode.Overwrite) head.files.map(f => removeAction(f.path, now))
         else Seq.empty
       val meta =
-        if (head.isEmpty) Seq(protocolAction, metaDataAction(schemaJson))
+        if (head.isEmpty) Seq(protocolAction, metaDataAction(schemaJson, parts))
         else Seq.empty
       val txns = txn.toSeq.map { case (app, v) => txnAction(app, v) }
       committed = commit(spark, table, head.version + 1,
@@ -189,6 +247,9 @@ object DeltaTable {
       require(attempts <= 50, s"delta: merge gave up after $attempts conflicts")
       val head = snapshot(spark, table)
       if (head.isEmpty) { write(updates, table, SaveMode.Append); return }
+      require(head.partitionColumns.isEmpty,
+        "delta: merge on partitioned tables is not supported — " +
+          "rewritten rows would need partition-aware re-staging")
       val (touched, _) = head.files.partition(overlaps(_, keyCol, umin, umax))
       val merged =
         if (touched.isEmpty) updates
@@ -214,14 +275,9 @@ object DeltaTable {
     import org.apache.spark.sql.functions.col
     val s = snapshot(spark, table)
     require(!s.isEmpty, s"delta: $table has no commits")
-    val schema = logSchema(s, table)
     val files = s.files.filter(overlaps(_, keyCol, lo, hi))
-    val df =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(f => new Path(table, f.path).toString): _*)
-    df.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
   /** Version history as (version, n_adds, n_removes) — the debugging /
@@ -246,10 +302,20 @@ object DeltaTable {
     val referenced = versions(spark, table).flatMap { v =>
       snapshot(spark, table, Some(v)).files.map(_.path)
     }.toSet
-    val orphans = fs.listStatus(tbl)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .filterNot(s => referenced.contains(s.getPath.getName))
-    orphans.foreach(s => fs.delete(s.getPath, false))
-    orphans.length
+    val base = tbl.toUri.getPath
+    val it = fs.listFiles(tbl, true) // recursive: partitioned layouts nest
+    var removed = 0
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      val inLogOrStaging =
+        rel.startsWith("_delta_log") || rel.startsWith(".staging-")
+      if (!inLogOrStaging && s.getPath.getName.startsWith("part-")
+          && !referenced.contains(rel)) {
+        fs.delete(s.getPath, false)
+        removed += 1
+      }
+    }
+    removed
   }
 }

@@ -182,6 +182,37 @@ class DeltaSpec extends SparkSpec {
     assert(df.inputFiles.length === 1, "stats pruning must skip the high file")
   }
 
+  test("partitioned table: hive layout, adopted partitioning, pruned reads") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "fr", 1.0), (2, "de", 2.0), (3, "fr", 3.0))
+      .toDF("id", "lang", "v"), t, SaveMode.Append, partitionBy = Seq("lang"))
+    // append WITHOUT restating partitioning: adopted from the log
+    DeltaTable.write(Seq((4, "de", 4.0)).toDF("id", "lang", "v"), t, SaveMode.Append)
+    // files live under Hive-style dirs and carry partitionValues
+    val s = DeltaLog.snapshot(spark, t)
+    assert(s.partitionColumns === Seq("lang"))
+    assert(s.files.forall(f => f.path.startsWith("lang=")
+      && f.partitionValues.get("lang").isDefined))
+    // full read restores the partition column in log-schema order
+    val got = DeltaTable.read(spark, t)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1, "fr", 1.0), (2, "de", 2.0), (3, "fr", 3.0), (4, "de", 4.0)))
+    // pruned read opens ONLY the fr files
+    val fr = DeltaTable.readPartitions(spark, t, Map("lang" -> "fr"))
+    assert(fr.collect().map(_.getInt(0)).toSet === Set(1, 3))
+    assert(fr.inputFiles.forall(_.contains("lang=fr")),
+      "pruned read must not touch other partitions")
+    // conflicting partitioning refused
+    intercept[IllegalArgumentException] {
+      DeltaTable.write(Seq((5, "es", 5.0)).toDF("id", "lang", "v"), t,
+        SaveMode.Append, partitionBy = Seq("id"))
+    }
+    // merge declared unsupported on partitioned tables (honest scope)
+    intercept[IllegalArgumentException] {
+      DeltaTable.merge(Seq((1, "fr", 9.0)).toDF("id", "lang", "v"), t, "id")
+    }
+  }
+
   test("IO.writeTable/readDelta route the delta format through the log") {
     val t = tmp()
     IO.writeTable(Seq((1, 2.0)).toDF("k", "v"), t, format = "delta")
