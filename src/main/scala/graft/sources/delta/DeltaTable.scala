@@ -280,6 +280,53 @@ object DeltaTable {
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
+  /** Incremental tail read — the consuming half of a Delta-to-Delta
+    * pipeline (delta-spark's streaming source reads exactly this: files
+    * ADDED after the reader's last seen version). Returns the rows of
+    * every add in versions (`sinceVersion`, head] plus the head version
+    * to record as the new cursor; append-only consumption, so files
+    * later removed by an overwrite still appear in the window where
+    * they were added (the protocol's source semantics — overwrites
+    * require the reader to opt into ignoreChanges upstream, surfaced
+    * here as a plain require). */
+  def changesSince(spark: SparkSession, table: String,
+                   sinceVersion: Long): (DataFrame, Long) = {
+    val head = snapshot(spark, table)
+    require(!head.isEmpty, s"delta: $table has no commits")
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newVersions = versions(spark, table).filter(_ > sinceVersion)
+    val added = scala.collection.mutable.ListBuffer.empty[AddFile]
+    var sawRemove = false
+    newVersions.foreach { v =>
+      val in = fs.open(logFile(tbl, v))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).foreach { line =>
+        val j = org.json4s.jackson.JsonMethods.parse(line)
+        (j \ "remove" \ "path") match {
+          case org.json4s.JString(_) => sawRemove = true
+          case _ => ()
+        }
+        (j \ "add" \ "path") match {
+          case org.json4s.JString(p) =>
+            val size = (j \ "add" \ "size") match {
+              case org.json4s.JInt(n) => n.toLong
+              case org.json4s.JLong(n) => n
+              case _ => 0L
+            }
+            added += AddFile(p, size)
+          case _ => ()
+        }
+      }
+    }
+    require(!sawRemove,
+      s"delta: $table was overwritten/merged inside ($sinceVersion, ${head.version}] — " +
+        "append-only tailing cannot represent removes; re-read the full snapshot")
+    (readFiles(spark, table, logSchema(head, table), head.partitionColumns,
+      added.toSeq), head.version)
+  }
+
   /** Version history as (version, n_adds, n_removes) — the debugging /
     * audit view (`DESCRIBE HISTORY`'s skeleton). */
   def history(spark: SparkSession, table: String): Seq[(Long, Int, Int)] = {

@@ -213,6 +213,24 @@ class DeltaSpec extends SparkSpec {
     }
   }
 
+  test("changesSince tails appended files only; overwrites force a re-read") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)   // v0
+    DeltaTable.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)   // v1
+    DeltaTable.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)   // v2
+    val (delta, cursor) = DeltaTable.changesSince(spark, t, sinceVersion = 0L)
+    assert(delta.collect().map(_.getInt(0)).toSet === Set(2, 3))
+    assert(cursor === 2L)
+    // caught up: empty tail from the cursor
+    val (empty, c2) = DeltaTable.changesSince(spark, t, cursor)
+    assert(empty.count() === 0L && c2 === 2L)
+    // an overwrite in the window cannot be represented as appends
+    DeltaTable.write(Seq((9, "z")).toDF("id", "s"), t, SaveMode.Overwrite)
+    intercept[IllegalArgumentException] {
+      DeltaTable.changesSince(spark, t, cursor)
+    }
+  }
+
   test("IO.writeTable/readDelta route the delta format through the log") {
     val t = tmp()
     IO.writeTable(Seq((1, 2.0)).toDF("k", "v"), t, format = "delta")
