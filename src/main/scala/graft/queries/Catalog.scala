@@ -340,9 +340,36 @@ object Catalog {
       .select(col("o_orderkey"), col("o_custkey"), col("d"), col("spend_30d"))
   }
 
+  /** Delta-log roundtrip (q80): `documents` written to a Hive-partitioned
+    * Delta table in TWO versioned appends (the parity halves), read back
+    * through the log (basePath partition recovery, log-schema column
+    * order), aggregated per lang. The oracle aggregates the raw table —
+    * so the gate proves the from-scratch log loses nothing and the
+    * partition columns round-trip exactly. Fresh temp table per run;
+    * not a bench headline (it measures tmpfs writes, not query speed). */
+  val q80DeltaRoundtrip: Q = Q(
+    "q80_delta_roundtrip",
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.DeltaTable
+    val t = java.nio.file.Files.createTempDirectory("graft_q80").toString + "/docs"
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(2)) === 0), t,
+      SaveMode.Append, partitionBy = Seq("lang"))
+    DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(2)) === 1), t,
+      SaveMode.Append)
+    DeltaTable.read(spark, t)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
-      CorpusQueries.all ++ RetrievalQueries.all ++
+      CorpusQueries.all ++ RetrievalQueries.all ++ Seq(q80DeltaRoundtrip) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
