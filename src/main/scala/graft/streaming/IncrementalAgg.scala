@@ -138,6 +138,66 @@ object IncrementalAgg {
   def compact(spark: SparkSession, path: String, groupCol: String): Unit =
     LayerStore.compact(spark, path, groupCol, Seq("d_sum", "d_cnt"))
 
+  // --- Delta-log-backed store ------------------------------------------------
+  //
+  // The same grouped-delta MV with graft's from-scratch Delta log
+  // (graft.sources.delta.DeltaTable) as the transaction layer instead of
+  // `batch=` directories: `txn` actions make batch application
+  // exactly-once (a replayed micro-batch is REFUSED by the log, not
+  // merely overwritten in place), snapshots define the fold set, VERSION
+  // AS OF is the time-travel surface, and compaction is one atomic
+  // overwrite commit. Crucially the txn high-water mark lives in the LOG
+  // HISTORY, so it survives compaction — a replayed pre-compaction batch
+  // is still skipped, which the directory scheme can only promise while
+  // the layer it would overwrite still exists.
+
+  private val DeltaAppId = "graft-incr-agg"
+
+  private def fold(layers: DataFrame, groupCol: String): DataFrame =
+    layers.groupBy(col(groupCol))
+      .agg(sum(col("d_sum")).as("sum_m"), sum(col("d_cnt")).as("cnt"))
+      .filter(col("cnt") > 0)
+
+  /** Apply one batch's delta exactly once; false = already applied. */
+  def applyBatchDelta(delta: DataFrame, table: String, batchId: Long): Boolean =
+    graft.sources.delta.DeltaTable.appendWithTxn(delta, table, DeltaAppId, batchId)
+
+  /** Current view from the Delta store (empty-schema before the first
+    * commit, like [[view]]). */
+  def viewDelta(
+      spark: SparkSession,
+      table: String,
+      groupCol: String,
+      groupType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType): DataFrame =
+    if (graft.sources.delta.DeltaLog.versions(spark, table).isEmpty)
+      view(spark, table + "/__nonexistent__", groupCol, groupType)
+    else fold(graft.sources.delta.DeltaTable.read(spark, table), groupCol)
+
+  /** Point-in-time view via the log's `VERSION AS OF`. */
+  def viewDeltaAt(
+      spark: SparkSession,
+      table: String,
+      groupCol: String,
+      version: Long): DataFrame =
+    fold(graft.sources.delta.DeltaTable.read(spark, table, Some(version)), groupCol)
+
+  /** Compact the Delta store: one atomic overwrite commit holding the
+    * folded deltas. Readers see either the old layer set or the folded
+    * one, never both; txn high-water marks ride in older commits and
+    * keep refusing replays. Single-writer maintenance op: the folded
+    * data is computed BEFORE the commit race, so run it from the stream's
+    * own foreachBatch (or any point where no concurrent appendBatchDelta
+    * is in flight) — the same contract upstream Delta gives an OPTIMIZE
+    * that would conflict with a concurrent write. */
+  def compactDelta(spark: SparkSession, table: String, groupCol: String): Unit = {
+    val folded = graft.sources.delta.DeltaTable.read(spark, table)
+      .groupBy(col(groupCol))
+      .agg(sum(col("d_sum")).as("d_sum"), sum(col("d_cnt")).as("d_cnt"))
+    graft.sources.delta.DeltaTable.write(folded, table,
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
   /** The always-on form: decode → per-batch delta → idempotent layer
     * write. */
   def start(

@@ -231,6 +231,35 @@ class DeltaSpec extends SparkSpec {
     }
   }
 
+  test("incremental MV on the Delta log: exactly-once, time travel, compaction-proof replays") {
+    import graft.streaming.IncrementalAgg
+    val t = tmp()
+    def delta(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("sport_type", "d_sum", "d_cnt")
+    def state() = IncrementalAgg.viewDelta(spark, t, "sport_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state() === Set.empty, "empty store must read as empty, not throw")
+    assert(IncrementalAgg.applyBatchDelta(delta(Seq(("run", 10L, 2L))), t, 0L))
+    assert(IncrementalAgg.applyBatchDelta(delta(Seq(("bike", 9L, 1L), ("run", 5L, 1L))), t, 1L))
+    assert(state() === Set(("run", 15L, 3L), ("bike", 9L, 1L)))
+    // exactly-once: the log refuses the replayed batch outright
+    assert(!IncrementalAgg.applyBatchDelta(delta(Seq(("run", 999L, 9L))), t, 1L))
+    assert(state() === Set(("run", 15L, 3L), ("bike", 9L, 1L)))
+    // time travel: version 0 = first batch only
+    assert(IncrementalAgg.viewDeltaAt(spark, t, "sport_type", 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set(("run", 10L, 2L)))
+    // a delete-delta that zeroes a group removes it from the view
+    assert(IncrementalAgg.applyBatchDelta(delta(Seq(("bike", -9L, -1L))), t, 2L))
+    assert(state() === Set(("run", 15L, 3L)))
+    // compaction: atomic overwrite; view unchanged; the txn high-water
+    // mark lives in log HISTORY, so pre-compaction replays STILL skip
+    IncrementalAgg.compactDelta(spark, t, "sport_type")
+    assert(state() === Set(("run", 15L, 3L)))
+    assert(!IncrementalAgg.applyBatchDelta(delta(Seq(("run", 777L, 7L))), t, 2L))
+    assert(state() === Set(("run", 15L, 3L)))
+  }
+
   test("IO.writeTable/readDelta route the delta format through the log") {
     val t = tmp()
     IO.writeTable(Seq((1, 2.0)).toDF("k", "v"), t, format = "delta")
