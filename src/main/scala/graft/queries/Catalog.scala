@@ -367,9 +367,64 @@ object Catalog {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Declarative expectation suite (q81): the reference's Great
+    * Expectations DAG re-expressed as graft's one-pass
+    * [[graft.operators.Expectations]] operator
+    * (`data_validation_dag.py:306-319` — not-null + non-negative-between
+    * with GE's missing-ignored semantics), run on `orders` with the
+    * widened checks (uniqueness, value set with a permille threshold,
+    * referential integrity). Exact integer pass/fail arithmetic, so the
+    * whole report oracle-hashes. */
+  val q81Expectations: Q = Q(
+    "q81_expectations",
+    Some("""
+      WITH nn AS (
+        SELECT 'not_null' AS expectation, 'o_custkey' AS "column",
+               CAST(COUNT(*) AS BIGINT) AS n_evaluated,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders),
+      bt AS (
+        SELECT 'between', 'o_totalprice',
+               CAST(COUNT(o_totalprice) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders),
+      uq AS (
+        SELECT 'unique', 'o_orderkey',
+               CAST(COUNT(o_orderkey) AS BIGINT),
+               CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders),
+      ins AS (
+        SELECT 'in_set', 'o_orderstatus',
+               CAST(COUNT(o_orderstatus) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders),
+      fk AS (
+        SELECT 'foreign_key', 'o_custkey',
+               CAST(COUNT(o_custkey) AS BIGINT),
+               CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders LEFT JOIN customer c ON orders.o_custkey = c.c_custkey),
+      m AS (
+        SELECT *, CAST(1000 AS BIGINT) AS mostly FROM nn
+        UNION ALL SELECT *, 1000 FROM bt
+        UNION ALL SELECT *, 1000 FROM uq
+        UNION ALL SELECT *, 950 FROM ins
+        UNION ALL SELECT *, 1000 FROM fk)
+      SELECT expectation, "column", n_evaluated, n_violations,
+             n_violations * 1000 <= (1000 - mostly) * n_evaluated AS passed
+      FROM m""")) { (spark, dir) =>
+    import graft.operators.Expectations._
+    validate(table(spark, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      Between("o_totalprice", min = Some(0.0)),
+      Unique("o_orderkey"),
+      InSet("o_orderstatus", Seq("O", "F"), mostlyPermille = 950),
+      ForeignKey("o_custkey", table(spark, dir, "customer"), "c_custkey")))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
-      CorpusQueries.all ++ RetrievalQueries.all ++ Seq(q80DeltaRoundtrip) ++
+      CorpusQueries.all ++ RetrievalQueries.all ++
+      Seq(q80DeltaRoundtrip, q81Expectations) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
