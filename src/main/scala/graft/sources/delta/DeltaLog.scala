@@ -73,19 +73,49 @@ object DeltaLog {
       .map(_.stripSuffix(".json").toLong).sorted.toSeq
   }
 
-  /** Replay the log through `asOf` (or to the head). Version -1 = no
-    * commits yet (empty snapshot). */
+  /** Replay the log through `asOf` (or to the head): seed from the
+    * newest usable parquet CHECKPOINT if one exists (protocol
+    * `_last_checkpoint` + `%020d.checkpoint.parquet` — the replay-cost
+    * cap for long-lived tables), then apply the JSON commits after it.
+    * Time travel BELOW the checkpoint falls back to pure JSON replay —
+    * this implementation never deletes JSON commits, so the full
+    * history stays readable. Version -1 = no commits yet. */
   def snapshot(spark: SparkSession, table: String,
                asOf: Option[Long] = None): Snapshot = {
     val tbl = new Path(table)
     val f = fs(spark, tbl)
-    val vs = versions(spark, table).filter(v => asOf.forall(v <= _))
-    asOf.foreach(a => require(vs.nonEmpty || a < 0,
+    val cp = lastCheckpointVersion(spark, table)
+      .filter(cpV => asOf.forall(cpV <= _))
+    val allVs = versions(spark, table)
+    val vs = allVs.filter(v => asOf.forall(v <= _))
+      .filter(v => cp.forall(v > _))
+    asOf.foreach(a => require(vs.nonEmpty || cp.nonEmpty || a < 0,
       s"delta: no committed version <= $a at $table"))
     var files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    cp.foreach { cpV =>
+      import org.apache.spark.sql.Row
+      spark.read.parquet(checkpointFile(tbl, cpV).toString).collect().foreach { r =>
+        def struct(name: String): Option[Row] =
+          if (r.isNullAt(r.fieldIndex(name))) None
+          else Some(r.getStruct(r.fieldIndex(name)))
+        struct("add").foreach { a =>
+          val stats = Option(a.getAs[String]("stats")).flatMap(parseStats)
+          val pvals = Option(a.getAs[Map[String, String]]("partitionValues"))
+            .getOrElse(Map.empty)
+          files += a.getAs[String]("path") ->
+            AddFile(a.getAs[String]("path"), a.getAs[Long]("size"), stats, pvals)
+        }
+        struct("metaData").foreach { m =>
+          schemaJson = Some(m.getAs[String]("schemaString"))
+          partCols = m.getSeq[String](m.fieldIndex("partitionColumns")).toList
+        }
+        struct("txn").foreach(t =>
+          txns += t.getAs[String]("appId") -> t.getAs[Long]("version"))
+      }
+    }
     vs.foreach { v =>
       val in = f.open(logFile(tbl, v))
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -134,8 +164,83 @@ object DeltaLog {
         }
       }
     }
-    Snapshot(vs.lastOption.getOrElse(-1L), files.values.toSeq, schemaJson,
-      txns.toMap, partCols)
+    Snapshot(vs.lastOption.orElse(cp).getOrElse(-1L), files.values.toSeq,
+      schemaJson, txns.toMap, partCols)
+  }
+
+  // --- parquet checkpoints ---------------------------------------------------
+
+  private[delta] def checkpointFile(table: Path, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint.parquet")
+  private def lastCheckpointPath(table: Path) =
+    new Path(logDir(table), "_last_checkpoint")
+
+  /** Newest checkpoint version per `_last_checkpoint`, if present. */
+  def lastCheckpointVersion(spark: SparkSession, table: String): Option[Long] = {
+    val tbl = new Path(table)
+    val f = fs(spark, tbl)
+    val p = lastCheckpointPath(tbl)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    (JsonMethods.parse(body) \ "version") match {
+      case JInt(v) => Some(v.toLong)
+      case JLong(v) => Some(v)
+      case _ => None
+    }
+  }
+
+  private case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private case class CpMetaData(id: String, schemaString: String,
+                                partitionColumns: Seq[String])
+  private case class CpTxn(appId: String, version: Long)
+  private case class CpAdd(path: String, partitionValues: Map[String, String],
+                           size: Long, dataChange: Boolean, stats: String)
+  private case class CpRow(protocol: Option[CpProtocol],
+                           metaData: Option[CpMetaData],
+                           txn: Option[CpTxn],
+                           add: Option[CpAdd])
+
+  /** Write a parquet checkpoint of the CURRENT head: one row per action
+    * (protocol, metaData, every txn high-water mark, every live add) plus
+    * `_last_checkpoint` — after which snapshot construction replays only
+    * the JSON commits past it. JSON history is kept, so time travel below
+    * the checkpoint still works (production retention would clean it on a
+    * policy; that knob is deliberately not implemented). */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    import spark.implicits._
+    val head = snapshot(spark, table)
+    require(!head.isEmpty, s"delta: $table has no commits to checkpoint")
+    val tbl = new Path(table)
+    val f = fs(spark, tbl)
+    val rows =
+      CpRow(Some(CpProtocol(1, 2)), None, None, None) +:
+        CpRow(None, Some(CpMetaData(java.util.UUID.randomUUID().toString,
+          head.schemaJson.getOrElse(""), head.partitionColumns)), None, None) +:
+        (head.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          CpRow(None, None, Some(CpTxn(app, v)), None)
+        } ++ head.files.map { a =>
+          CpRow(None, None, None, Some(CpAdd(a.path, a.partitionValues, a.size,
+            dataChange = false,
+            a.stats.map(renderStats).orNull)))
+        })
+    val tmp = new Path(logDir(tbl), s".cp-tmp-${java.util.UUID.randomUUID()}")
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = f.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException("delta: checkpoint write produced no file"))
+    val dst = checkpointFile(tbl, head.version)
+    f.delete(dst, false)
+    require(f.rename(part, dst), s"delta: checkpoint rename failed: $dst")
+    f.delete(tmp, true)
+    // _last_checkpoint last: readers either see the old pointer (and
+    // replay JSON) or the new one (and find the checkpoint durable)
+    val out = f.create(lastCheckpointPath(tbl), true)
+    try out.write(
+      s"""{"version":${head.version},"size":${rows.length}}""".getBytes("UTF-8"))
+    finally out.close()
+    head.version
   }
 
   /** Atomically commit `actions` as version `v`. Returns false when v

@@ -260,6 +260,42 @@ class DeltaSpec extends SparkSpec {
     assert(state() === Set(("run", 15L, 3L)))
   }
 
+  test("checkpoint: seeds the snapshot, JSON replays on top, txns + time travel survive") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)       // v0
+    assert(DeltaTable.appendWithTxn(Seq((2, "b")).toDF("id", "s"), t, "app", 5L)) // v1
+    val cpV = DeltaLog.checkpoint(spark, t)
+    assert(cpV === 1L)
+    assert(DeltaLog.lastCheckpointVersion(spark, t) === Some(1L))
+    // the protocol file shape: %020d.checkpoint.parquet + _last_checkpoint
+    val logDir = new java.io.File(s"$t/_delta_log")
+    assert(logDir.listFiles().map(_.getName).toSet
+      .contains("00000000000000000001.checkpoint.parquet"))
+    // snapshot from checkpoint == pre-checkpoint state
+    assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet === Set(1, 2))
+    // txn high-water mark came through the checkpoint: replay still refused
+    assert(!DeltaTable.appendWithTxn(Seq((9, "x")).toDF("id", "s"), t, "app", 5L))
+    // new JSON commits replay on top of the checkpoint seed
+    DeltaTable.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)       // v2
+    assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet === Set(1, 2, 3))
+    // time travel BELOW the checkpoint still works (JSON history kept)
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(0L))
+      .collect().map(_.getInt(0)).toSet === Set(1))
+  }
+
+  test("checkpoint on a partitioned table preserves partitionValues and pruning") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "fr", 1.0), (2, "de", 2.0)).toDF("id", "lang", "v"),
+      t, SaveMode.Append, partitionBy = Seq("lang"))
+    DeltaLog.checkpoint(spark, t)
+    val s = DeltaLog.snapshot(spark, t)
+    assert(s.partitionColumns === Seq("lang"))
+    assert(s.files.forall(_.partitionValues.contains("lang")))
+    val fr = DeltaTable.readPartitions(spark, t, Map("lang" -> "fr"))
+    assert(fr.collect().map(_.getInt(0)).toSeq === Seq(1))
+    assert(fr.inputFiles.forall(_.contains("lang=fr")))
+  }
+
   test("IO.writeTable/readDelta route the delta format through the log") {
     val t = tmp()
     IO.writeTable(Seq((1, 2.0)).toDF("k", "v"), t, format = "delta")
