@@ -327,6 +327,25 @@ object DeltaTable {
       added.toSeq), head.version)
   }
 
+  /** OPTIMIZE ZORDER BY on the log: rewrite the table's data files along
+    * the z-curve of `zorderBy` ([[graft.operators.ZOrder.layoutN]]) in
+    * ONE atomic overwrite commit. Each rewritten file then carries TIGHT
+    * add-action min/max stats on every z-order column, so [[readRange]] /
+    * [[merge]] skip aggressively on any of them — delta-spark's
+    * `OPTIMIZE ... ZORDER BY`, executed on the from-scratch log. Readers
+    * see either the old layout or the new one, never a mix; time travel
+    * below the optimize still reads the original files. Single-writer
+    * maintenance op (same contract as upstream OPTIMIZE vs concurrent
+    * writers; compaction of layer count is the nFiles knob). */
+  def optimize(spark: SparkSession, table: String, zorderBy: Seq[String],
+               nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(zorderBy.size >= 2, "optimize: z-order needs >= 2 columns")
+    val df = read(spark, table)
+    write(graft.operators.ZOrder.layoutN(df, zorderBy.map(col), nFiles),
+      table, SaveMode.Overwrite)
+  }
+
   /** Version history as (version, n_adds, n_removes) — the debugging /
     * audit view (`DESCRIBE HISTORY`'s skeleton). */
   def history(spark: SparkSession, table: String): Seq[(Long, Int, Int)] = {

@@ -296,6 +296,27 @@ class DeltaSpec extends SparkSpec {
     assert(fr.inputFiles.forall(_.contains("lang=fr")))
   }
 
+  test("optimize zorder: one atomic rewrite, tight stats, sharper skipping") {
+    val t = tmp()
+    // interleaved keys so the incoming two files BOTH span the full range
+    val rows = (0 until 400).map(i => (i % 97, (i * 31) % 89, s"r$i"))
+    DeltaTable.write(rows.take(200).toDF("x", "y", "s").coalesce(1), t, SaveMode.Append)
+    DeltaTable.write(rows.drop(200).toDF("x", "y", "s").coalesce(1), t, SaveMode.Append)
+    val preFiles = DeltaTable.readRange(spark, t, "x", 0L, 5L).inputFiles.length
+    assert(preFiles === 2, "pre-optimize: every file spans the x range")
+    DeltaTable.optimize(spark, t, Seq("x", "y"), nFiles = 8)
+    // contents identical, laid out as nFiles z-ordered files
+    val got = DeltaTable.read(spark, t)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === rows.toSet)
+    assert(DeltaLog.snapshot(spark, t).files.size === 8)
+    // stats are now tight on x: a narrow range opens a strict subset
+    val postFiles = DeltaTable.readRange(spark, t, "x", 0L, 5L).inputFiles.length
+    assert(postFiles < 8, s"z-order must skip files, opened $postFiles of 8")
+    // time travel below the optimize reads the original layout
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(1L)).count() === 400L)
+  }
+
   test("IO.writeTable/readDelta route the delta format through the log") {
     val t = tmp()
     IO.writeTable(Seq((1, 2.0)).toDF("k", "v"), t, format = "delta")
