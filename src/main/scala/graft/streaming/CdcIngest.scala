@@ -90,6 +90,53 @@ object CdcIngest {
       }
       .start()
 
+  /** VALIDATED ingest: the reference's Great-Expectations check
+    * (`data_validation_dag.py:306-319`) moved from Airflow cadence to
+    * INGEST cadence. Each micro-batch decodes, runs the declarative
+    * [[graft.operators.Expectations]] suite (one aggregate pass), and
+    * routes atomically: a batch whose suite PASSES commits to the main
+    * Delta table; a failing batch lands WHOLE in the quarantine table,
+    * stamped with the failed report as JSON — bad upstream data stops
+    * propagating at the door without stalling the stream, and both
+    * routes are exactly-once (txn per batch id per table). Batch-level
+    * routing is deliberate: a failing check means the BATCH is suspect
+    * (schema drift, upstream misconfig) and humans replay it after the
+    * fix — the row-level variant is [[startIngestWithDlq]]. */
+  def startValidatedIngest(
+      raw: DataFrame,
+      table: String,
+      quarantine: String,
+      checkpoint: String,
+      suite: Seq[graft.operators.Expectations.Expectation],
+      appId: String = "graft-validated-ingest",
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val decoded = Ops.decodeCdc(batch.toDF())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val report = graft.operators.Expectations.validate(decoded, suite)
+            .collect() // |suite| rows
+          if (report.forall(_.getBoolean(4))) {
+            graft.sources.delta.DeltaTable.appendWithTxn(
+              decoded, table, appId, batchId)
+          } else {
+            val json = report.map { r =>
+              s"""{"expectation":"${r.getString(0)}","column":"${r.getString(1)}",""" +
+                s""""n_evaluated":${r.getLong(2)},"n_violations":${r.getLong(3)},""" +
+                s""""passed":${r.getBoolean(4)}}"""
+            }.mkString("[", ",", "]")
+            graft.sources.delta.DeltaTable.appendWithTxn(
+              decoded.withColumn("failed_expectations", lit(json)),
+              quarantine, appId, batchId)
+          }
+          ()
+        } finally decoded.unpersist()
+      }
+      .start()
+
   /** K5 notifier port (ref `slack_notification.py:37-132`): per-batch
     * filter of commented activities, delivered to an injected (mockable,
     * Serializable) callback instead of a hard-wired Slack webhook.

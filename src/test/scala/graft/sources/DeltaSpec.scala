@@ -317,6 +317,44 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t, versionAsOf = Some(1L)).count() === 400L)
   }
 
+  test("validated ingest: passing batches commit, failing batches quarantine whole") {
+    import graft.operators.Expectations._
+    val dir = java.nio.file.Files.createTempDirectory("vingest").toString
+    implicit val sqlCtx = spark.sqlContext
+    def env(id: Int, sport: String, dist: Int, ts: Long) = {
+      val s = if (sport == null) "null" else s""""$sport""""
+      s"""{"payload":{"before":null,"after":{"id":$id,"sport_type":$s,"distance":$dist,"start_datetime":${ts}000000},"op":"c","ts_ms":$ts}}"""
+    }
+    val suite = Seq(NotNull("sport_type"), Between("distance", min = Some(0.0)))
+    val s = MemoryStream[String]
+    val q = graft.streaming.CdcIngest.startValidatedIngest(
+      s.toDF(), s"$dir/main", s"$dir/quarantine", s"$dir/chk", suite,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: clean -> main
+      s.addData(env(1, "run", 5, 1000), env(2, "bike", 7, 2000))
+      q.processAllAvailable()
+      // batch 2: one NULL sport_type -> the WHOLE batch quarantines
+      s.addData(env(3, "swim", 3, 3000), env(4, null, 2, 4000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val main = DeltaTable.read(spark, s"$dir/main")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(main === Set(1, 2), "only the clean batch reaches the main table")
+    val quar = DeltaTable.read(spark, s"$dir/quarantine")
+    assert(quar.select("id").collect().map(_.getInt(0)).toSet === Set(3, 4))
+    val report = quar.select("failed_expectations").head().getString(0)
+    assert(report.contains("\"not_null\"") && report.contains("\"passed\":false"),
+      s"quarantine rows must carry the failing report: $report")
+    // restart from the checkpoint: txn marks make both routes idempotent
+    val q2 = graft.streaming.CdcIngest.startValidatedIngest(
+      s.toDF(), s"$dir/main", s"$dir/quarantine", s"$dir/chk", suite,
+      trigger = Trigger.ProcessingTime(0))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(DeltaTable.read(spark, s"$dir/main").count() === 2L)
+    assert(DeltaTable.read(spark, s"$dir/quarantine").count() === 2L)
+  }
+
   test("IO.writeTable/readDelta route the delta format through the log") {
     val t = tmp()
     IO.writeTable(Seq((1, 2.0)).toDF("k", "v"), t, format = "delta")
