@@ -59,6 +59,13 @@ object DeltaTable {
     readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
   }
 
+  /** Register the table as a temp view so `spark.sql` can query it —
+    * the engine-side equivalent of the reference's Trino
+    * `CALL delta.system.register_table(...)` hop (`README.md:114-122`). */
+  def registerView(spark: SparkSession, name: String, table: String,
+                   versionAsOf: Option[Long] = None): Unit =
+    read(spark, table, versionAsOf).createOrReplaceTempView(name)
+
   /** Latest committed `txn` version for a streaming appId, if any. */
   def latestTxnVersion(spark: SparkSession, table: String,
                        appId: String): Option[Long] =
@@ -230,7 +237,10 @@ object DeltaTable {
     * inserts), atomic, O(touched files) not O(table). Matched keys are
     * replaced by their update row, unmatched update keys insert.
     * Conflicting concurrent writers lose the commit race, clean up their
-    * staged files, and recompute against the new head. */
+    * staged files, and recompute against the new head. `updates` must be
+    * key-unique (dedup upstream — e.g. newest-per-key, as the CDC
+    * pipeline does), matching MERGE's source-uniqueness requirement;
+    * duplicate source keys would all insert. */
   def merge(updates: DataFrame, table: String, keyCol: String): Unit = {
     import org.apache.spark.sql.functions.{col, max, min}
     val spark = updates.sparkSession

@@ -14,7 +14,7 @@ class DeltaSpec extends SparkSpec {
   private def tmp() =
     java.nio.file.Files.createTempDirectory("delta").toString + "/t"
 
-  test("append commits are versioned; reads see the union") {
+  test("append commits are versioned; reads see the union; SQL via registerView") {
     val t = tmp()
     DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, SaveMode.Append)
     DeltaTable.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
@@ -22,6 +22,9 @@ class DeltaSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(got === Set((1, "a"), (2, "b"), (3, "c")))
     assert(DeltaLog.versions(spark, t) === Seq(0L, 1L))
+    // the Trino register_table hop: plain SQL over the log-backed table
+    DeltaTable.registerView(spark, "delta_t", t)
+    assert(spark.sql("SELECT count(*) FROM delta_t WHERE id > 1").head().getLong(0) === 2L)
   }
 
   test("overwrite is one atomic remove+add commit; time travel reads history") {
