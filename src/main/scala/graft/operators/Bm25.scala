@@ -53,14 +53,22 @@ object Bm25 {
     val stats = d.agg(statCols.head, statCols.tail: _*)
     val scored0 = d.crossJoin(broadcast(stats))
     // per-term: idf = (2(N-df)+1)/(2df+1); satTF cleared to the exact
-    // integer ratio  (K1N+K1D)·BD·T·tf / (K1D·BD·T·tf + K1N·(BD−BN)·T + K1N·BN·dl·N)
+    // integer ratio  (K1N+K1D)·BD·T·tf / (K1D·BD·T·tf + K1N·(BD−BN)·T + K1N·BN·dl·N).
+    // The cleared products are computed in DECIMAL(38,0) (oracle:
+    // HUGEINT): 44·T·tf wraps a 64-bit long once T·tf exceeds ~2·10^17 —
+    // a 100 TB corpus with a term-stuffed doc gets there — and a wrapped
+    // long would corrupt the ranking silently. Decimal keeps the integer
+    // exact; the final cast to double is the same correctly-rounded
+    // conversion in both engines.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val termScores: Seq[Column] = terms.indices.map { i =>
       val tf = col(s"tf$i"); val df = col(s"df$i")
+      val t38 = col("t").cast(dec)
       val idf = (lit(2L) * (col("n") - df) + lit(1L)).cast("double") /
         (lit(2L) * df + lit(1L)).cast("double")
-      val num = (lit((K1N + K1D) * BD) * col("t") * tf).cast("double")
-      val den = (lit(K1D * BD) * col("t") * tf + lit(K1N * (BD - BN)) * col("t") +
-        lit(K1N * BN) * col("dl") * col("n")).cast("double")
+      val num = (lit((K1N + K1D) * BD) * t38 * tf).cast("double")
+      val den = (lit(K1D * BD) * t38 * tf + lit(K1N * (BD - BN)) * t38 +
+        lit(K1N * BN) * col("dl").cast(dec) * col("n")).cast("double")
       idf * (num / den)
     }
     // fixed left-fold addition order — the one float-sum order both

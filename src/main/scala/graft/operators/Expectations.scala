@@ -80,14 +80,16 @@ object Expectations {
       s"expectations: no column `${e.column}`"))
     val spark = df.sparkSession
 
-    val rowExps = suite.filter(!_.isInstanceOf[ForeignKey])
-    val fkExps = suite.collect { case f: ForeignKey => f }
+    val indexed = suite.zipWithIndex
+    val rowExps = indexed.filterNot(_._1.isInstanceOf[ForeignKey])
+      .map { case (e, p) => (e, p) }
+    val fkExps = indexed.collect { case (f: ForeignKey, p) => (f, p) }
 
     // one aggregate pass: per expectation an (evaluated, violations) pair
     val rowReport: Option[DataFrame] =
       if (rowExps.isEmpty) None
       else {
-        val aggs: Seq[Column] = rowExps.zipWithIndex.flatMap { case (e, i) =>
+        val aggs: Seq[Column] = rowExps.map(_._1).zipWithIndex.flatMap { case (e, i) =>
           val c = col(e.column)
           // coalesce: sums are NULL on an empty table, and a NULL
           // violation count would make `passed` NULL instead of true
@@ -110,17 +112,17 @@ object Expectations {
           Seq(evalCnt.as(s"e$i"), violCnt.as(s"v$i"))
         }
         val one = df.agg(aggs.head, aggs.tail: _*)
-        val rows = rowExps.zipWithIndex.map { case (e, i) =>
+        val rows = rowExps.zipWithIndex.map { case ((e, pos), i) =>
           struct(lit(e.label).as("expectation"), lit(e.column).as("column"),
             col(s"e$i").as("n_evaluated"), col(s"v$i").as("n_violations"),
             (col(s"v$i") * 1000 <= lit(1000L - mostlyOf(e)) * col(s"e$i"))
-              .as("passed"))
+              .as("passed"), lit(pos).as("__pos"))
         }
         Some(one.select(explode(array(rows: _*)).as("r")).select(col("r.*")))
       }
 
     // each FK: one aggregate over a left join against the reference side
-    val fkReports = fkExps.map { f =>
+    val fkReports = fkExps.map { case (f, pos) =>
       val refVals = f.refTable.select(col(f.refColumn).as("__ref")).distinct()
       df.select(col(f.column).as("__v"))
         .join(refVals, col("__v") === col("__ref"), "left")
@@ -130,9 +132,13 @@ object Expectations {
             .otherwise(0L)), lit(0L)).as("n_violations"))
         .select(lit(f.label).as("expectation"), lit(f.column).as("column"),
           col("n_evaluated"), col("n_violations"),
-          (col("n_violations") === 0L).as("passed"))
+          (col("n_violations") === 0L).as("passed"), lit(pos).as("__pos"))
     }
 
+    // suite order is part of the contract: a consumer zipping the report
+    // against its suite must never pair the wrong counts (the union puts
+    // FK rows last otherwise)
     (rowReport.toSeq ++ fkReports).reduce(_ unionByName _)
+      .orderBy(col("__pos")).drop("__pos")
   }
 }

@@ -50,8 +50,8 @@ object PqSearch {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, kc: Int = 16): DataFrame = {
     import org.apache.spark.sql.graft.{ColumnBridge => CB}
-    val base = VectorSearch.withNorm(corpus).select(col("vec_id"), col("v"))
-    val q = VectorSearch.withNorm(queries).select(col("vec_id"), col("v"))
+    val base = VectorSearch.quantized(corpus).select(col("vec_id"), col("v"))
+    val q = VectorSearch.quantized(queries).select(col("vec_id"), col("v"))
 
     // bounded deterministic codebook read: kc rows × dim longs
     val seeds = base.orderBy(col("vec_id")).limit(kc)

@@ -35,12 +35,16 @@ object VectorSearch {
   private def materialize(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Scaled-integer embedding only — for consumers that never use the
+    * norm (PQ encodes against a codebook): the per-row `dotExact` would
+    * be dim multiplies of dead work on an O(corpus) scan. */
+  def quantized(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("v", expr(
+      s"transform($vecCol, x -> cast(floor(cast(x as double) * $Scale) as bigint))"))
+
   /** Scaled-integer embedding plus exact integer squared-norm. */
   def withNorm(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
-    emb
-      .withColumn("v", expr(
-        s"transform($vecCol, x -> cast(floor(cast(x as double) * $Scale) as bigint))"))
-      .withColumn("n2", dotExact("v", "v"))
+    quantized(emb, vecCol).withColumn("n2", dotExact("v", "v"))
 
   /** Exact integer dot product of two scaled-integer array columns —
     * the codegen'd [[graft.functions.DotProductI64]] kernel (same result

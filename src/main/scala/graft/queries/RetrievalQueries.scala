@@ -31,14 +31,14 @@ object RetrievalQueries {
             FROM f),
       sc AS (SELECT f.doc_id,
                     (((CAST(2*(s.n - s.df0) + 1 AS DOUBLE) / CAST(2*s.df0 + 1 AS DOUBLE))
-                       * (CAST(44*s.t*f.tf0 AS DOUBLE)
-                          / CAST(20*s.t*f.tf0 + 6*s.t + 18*f.dl*s.n AS DOUBLE))
+                       * (CAST(44*CAST(s.t AS HUGEINT)*f.tf0 AS DOUBLE)
+                          / CAST(20*CAST(s.t AS HUGEINT)*f.tf0 + 6*CAST(s.t AS HUGEINT) + 18*CAST(f.dl AS HUGEINT)*s.n AS DOUBLE))
                      + (CAST(2*(s.n - s.df1) + 1 AS DOUBLE) / CAST(2*s.df1 + 1 AS DOUBLE))
-                       * (CAST(44*s.t*f.tf1 AS DOUBLE)
-                          / CAST(20*s.t*f.tf1 + 6*s.t + 18*f.dl*s.n AS DOUBLE)))
+                       * (CAST(44*CAST(s.t AS HUGEINT)*f.tf1 AS DOUBLE)
+                          / CAST(20*CAST(s.t AS HUGEINT)*f.tf1 + 6*CAST(s.t AS HUGEINT) + 18*CAST(f.dl AS HUGEINT)*s.n AS DOUBLE)))
                      + (CAST(2*(s.n - s.df2) + 1 AS DOUBLE) / CAST(2*s.df2 + 1 AS DOUBLE))
-                       * (CAST(44*s.t*f.tf2 AS DOUBLE)
-                          / CAST(20*s.t*f.tf2 + 6*s.t + 18*f.dl*s.n AS DOUBLE))) AS score
+                       * (CAST(44*CAST(s.t AS HUGEINT)*f.tf2 AS DOUBLE)
+                          / CAST(20*CAST(s.t AS HUGEINT)*f.tf2 + 6*CAST(s.t AS HUGEINT) + 18*CAST(f.dl AS HUGEINT)*s.n AS DOUBLE))) AS score
              FROM f, s),
       r AS (SELECT doc_id, score,
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk

@@ -73,20 +73,92 @@ object DeltaLog {
       .map(_.stripSuffix(".json").toLong).sorted.toSeq
   }
 
+  /** One JSON commit's parsed actions (the shared shape [[snapshot]],
+    * [[DeltaTable.changesSince]], and [[DeltaTable.history]] consume —
+    * one parser, one place to track the protocol). */
+  private[delta] final case class CommitActions(
+      adds: Seq[AddFile],
+      removes: Seq[String],
+      schemaJson: Option[String],
+      partitionColumns: Option[Seq[String]],
+      txns: Map[String, Long])
+
+  private[delta] def readCommit(spark: SparkSession, table: String,
+                                v: Long): CommitActions = {
+    val tbl = new Path(table)
+    val f = fs(spark, tbl)
+    val in = f.open(logFile(tbl, v))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val adds = scala.collection.mutable.ListBuffer.empty[AddFile]
+    val removes = scala.collection.mutable.ListBuffer.empty[String]
+    var schemaJson: Option[String] = None
+    var partCols: Option[Seq[String]] = None
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    lines.filter(_.nonEmpty).foreach { line =>
+      val j = JsonMethods.parse(line)
+      (j \ "add") match {
+        case JObject(_) =>
+          val p = (j \ "add" \ "path").values.toString
+          val size = (j \ "add" \ "size") match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case _ => 0L
+          }
+          // stats ride as a JSON STRING per the protocol
+          val stats = (j \ "add" \ "stats") match {
+            case JString(s) => parseStats(s)
+            case _ => None
+          }
+          val pvals = (j \ "add" \ "partitionValues") match {
+            case JObject(fields) => fields.collect {
+              case (k, JString(v0)) => k -> v0
+            }.toMap
+            case _ => Map.empty[String, String]
+          }
+          adds += AddFile(p, size, stats, pvals)
+        case _ => ()
+      }
+      (j \ "remove" \ "path") match {
+        case JString(p) => removes += p
+        case _ => ()
+      }
+      (j \ "metaData" \ "schemaString") match {
+        case JString(s) => schemaJson = Some(s)
+        case _ => ()
+      }
+      (j \ "metaData" \ "partitionColumns") match {
+        case JArray(cols) =>
+          partCols = Some(cols.collect { case JString(c) => c })
+        case _ => ()
+      }
+      ((j \ "txn" \ "appId"), (j \ "txn" \ "version")) match {
+        case (JString(app), JInt(tv)) => txns += app -> tv.toLong
+        case (JString(app), JLong(tv)) => txns += app -> tv
+        case _ => ()
+      }
+    }
+    CommitActions(adds.toSeq, removes.toSeq, schemaJson, partCols, txns.toMap)
+  }
+
   /** Replay the log through `asOf` (or to the head): seed from the
     * newest usable parquet CHECKPOINT if one exists (protocol
     * `_last_checkpoint` + `%020d.checkpoint.parquet` — the replay-cost
     * cap for long-lived tables), then apply the JSON commits after it.
     * Time travel BELOW the checkpoint falls back to pure JSON replay —
     * this implementation never deletes JSON commits, so the full
-    * history stays readable. Version -1 = no commits yet. */
+    * history stays readable. Version -1 = no commits yet; `asOf` above
+    * the head is an error (upstream's VersionNotFoundException), never a
+    * silent read of newer data. */
   def snapshot(spark: SparkSession, table: String,
                asOf: Option[Long] = None): Snapshot = {
     val tbl = new Path(table)
-    val f = fs(spark, tbl)
     val cp = lastCheckpointVersion(spark, table)
       .filter(cpV => asOf.forall(cpV <= _))
     val allVs = versions(spark, table)
+    asOf.foreach(a => require(a < 0 || (allVs.nonEmpty && a <= allVs.max),
+      s"delta: version $a does not exist at $table " +
+        s"(head: ${if (allVs.isEmpty) "none" else allVs.max.toString})"))
     val vs = allVs.filter(v => asOf.forall(v <= _))
       .filter(v => cp.forall(v > _))
     asOf.foreach(a => require(vs.nonEmpty || cp.nonEmpty || a < 0,
@@ -117,52 +189,12 @@ object DeltaLog {
       }
     }
     vs.foreach { v =>
-      val in = f.open(logFile(tbl, v))
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.filter(_.nonEmpty).foreach { line =>
-        val j = JsonMethods.parse(line)
-        (j \ "add") match {
-          case JObject(_) =>
-            val p = (j \ "add" \ "path").values.toString
-            val size = (j \ "add" \ "size") match {
-              case JInt(n) => n.toLong
-              case JLong(n) => n
-              case _ => 0L
-            }
-            // stats ride as a JSON STRING per the protocol
-            val stats = (j \ "add" \ "stats") match {
-              case JString(s) => parseStats(s)
-              case _ => None
-            }
-            val pvals = (j \ "add" \ "partitionValues") match {
-              case JObject(fields) => fields.collect {
-                case (k, JString(v)) => k -> v
-              }.toMap
-              case _ => Map.empty[String, String]
-            }
-            files += p -> AddFile(p, size, stats, pvals)
-          case _ => ()
-        }
-        (j \ "remove" \ "path") match {
-          case JString(p) => files -= p
-          case _ => ()
-        }
-        (j \ "metaData" \ "schemaString") match {
-          case JString(s) => schemaJson = Some(s)
-          case _ => ()
-        }
-        (j \ "metaData" \ "partitionColumns") match {
-          case JArray(cols) =>
-            partCols = cols.collect { case JString(c) => c }
-          case _ => ()
-        }
-        ((j \ "txn" \ "appId"), (j \ "txn" \ "version")) match {
-          case (JString(app), JInt(tv)) => txns += app -> tv.toLong
-          case (JString(app), JLong(tv)) => txns += app -> tv
-          case _ => ()
-        }
-      }
+      val c = readCommit(spark, table, v)
+      c.adds.foreach(a => files += a.path -> a)
+      c.removes.foreach(files -= _)
+      c.schemaJson.foreach(s => schemaJson = Some(s))
+      c.partitionColumns.foreach(p => partCols = p)
+      txns ++= c.txns
     }
     Snapshot(vs.lastOption.orElse(cp).getOrElse(-1L), files.values.toSeq,
       schemaJson, txns.toMap, partCols)

@@ -208,9 +208,23 @@ object DeltaTable {
       val removes =
         if (mode == SaveMode.Overwrite) head.files.map(f => removeAction(f.path, now))
         else Seq.empty
+      // schema contract: appends must match the table schema (silent
+      // NULL-poisoning otherwise — the reader applies the LOG's schema to
+      // the files); overwrite MAY change it and must then re-emit
+      // metaData, or readers would keep applying the replaced schema
+      // (catalogString: names + types, nullability-insensitive)
+      val sameSchema = head.schemaJson.forall(existing =>
+        DataType.fromJson(existing).asInstanceOf[StructType].catalogString ==
+          df.schema.catalogString)
       val meta =
         if (head.isEmpty) Seq(protocolAction, metaDataAction(schemaJson, parts))
-        else Seq.empty
+        else if (!sameSchema) {
+          require(mode == SaveMode.Overwrite,
+            s"delta: append schema ${df.schema.catalogString} does not match " +
+              s"the table schema — appends enforce schema (overwriteSchema is " +
+              s"the Overwrite path, `read_delta.py:219-222`)")
+          Seq(metaDataAction(schemaJson, parts))
+        } else Seq.empty
       val txns = txn.toSeq.map { case (app, v) => txnAction(app, v) }
       committed = commit(spark, table, head.version + 1,
         meta ++ txns ++ removes ++ adds)
@@ -303,38 +317,18 @@ object DeltaTable {
                    sinceVersion: Long): (DataFrame, Long) = {
     val head = snapshot(spark, table)
     require(!head.isEmpty, s"delta: $table has no commits")
-    val tbl = new Path(table)
-    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val newVersions = versions(spark, table).filter(_ > sinceVersion)
-    val added = scala.collection.mutable.ListBuffer.empty[AddFile]
-    var sawRemove = false
-    newVersions.foreach { v =>
-      val in = fs.open(logFile(tbl, v))
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.filter(_.nonEmpty).foreach { line =>
-        val j = org.json4s.jackson.JsonMethods.parse(line)
-        (j \ "remove" \ "path") match {
-          case org.json4s.JString(_) => sawRemove = true
-          case _ => ()
-        }
-        (j \ "add" \ "path") match {
-          case org.json4s.JString(p) =>
-            val size = (j \ "add" \ "size") match {
-              case org.json4s.JInt(n) => n.toLong
-              case org.json4s.JLong(n) => n
-              case _ => 0L
-            }
-            added += AddFile(p, size)
-          case _ => ()
-        }
-      }
-    }
-    require(!sawRemove,
+    // bound the window by the HEAD we return as the cursor — a commit
+    // landing between the snapshot and the log listing must wait for the
+    // next poll, or its rows would be delivered now AND re-delivered
+    // after the stale cursor (duplicate ingestion)
+    val newVersions = versions(spark, table)
+      .filter(v => v > sinceVersion && v <= head.version)
+    val commits = newVersions.map(DeltaLog.readCommit(spark, table, _))
+    require(commits.forall(_.removes.isEmpty),
       s"delta: $table was overwritten/merged inside ($sinceVersion, ${head.version}] — " +
         "append-only tailing cannot represent removes; re-read the full snapshot")
     (readFiles(spark, table, logSchema(head, table), head.partitionColumns,
-      added.toSeq), head.version)
+      commits.flatMap(_.adds)), head.version)
   }
 
   /** OPTIMIZE ZORDER BY on the log: rewrite the table's data files along
@@ -358,21 +352,22 @@ object DeltaTable {
 
   /** Version history as (version, n_adds, n_removes) — the debugging /
     * audit view (`DESCRIBE HISTORY`'s skeleton). */
-  def history(spark: SparkSession, table: String): Seq[(Long, Int, Int)] = {
-    val tbl = new Path(table)
-    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def history(spark: SparkSession, table: String): Seq[(Long, Int, Int)] =
     versions(spark, table).map { v =>
-      val in = fs.open(logFile(tbl, v))
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      (v, lines.count(_.contains("\"add\"")), lines.count(_.contains("\"remove\"")))
+      val c = DeltaLog.readCommit(spark, table, v)
+      (v, c.adds.size, c.removes.size)
     }
-  }
 
   /** Delete data files no live-or-historical snapshot references (the
     * crash-orphan reclaim half of VACUUM; age-based retention of REMOVED
-    * files is a policy knob on top). */
-  def vacuumOrphans(spark: SparkSession, table: String): Int = {
+    * files is a policy knob on top). `olderThanMs` is the in-flight-writer
+    * guard: a concurrent writer renames its data files into the table
+    * root BEFORE committing, and those look exactly like orphans until
+    * the commit lands — upstream VACUUM's retention window exists for
+    * this gap. Only pass 0 when no writer can be mid-commit (tests,
+    * single-writer maintenance windows). */
+  def vacuumOrphans(spark: SparkSession, table: String,
+                    olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val referenced = versions(spark, table).flatMap { v =>
@@ -386,8 +381,10 @@ object DeltaTable {
       val rel = s.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
       val inLogOrStaging =
         rel.startsWith("_delta_log") || rel.startsWith(".staging-")
+      val oldEnough =
+        s.getModificationTime <= System.currentTimeMillis() - olderThanMs
       if (!inLogOrStaging && s.getPath.getName.startsWith("part-")
-          && !referenced.contains(rel)) {
+          && !referenced.contains(rel) && oldEnough) {
         fs.delete(s.getPath, false)
         removed += 1
       }

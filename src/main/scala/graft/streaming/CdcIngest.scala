@@ -123,11 +123,17 @@ object CdcIngest {
             graft.sources.delta.DeltaTable.appendWithTxn(
               decoded, table, appId, batchId)
           } else {
-            val json = report.map { r =>
-              s"""{"expectation":"${r.getString(0)}","column":"${r.getString(1)}",""" +
-                s""""n_evaluated":${r.getLong(2)},"n_violations":${r.getLong(3)},""" +
-                s""""passed":${r.getBoolean(4)}}"""
-            }.mkString("[", ",", "]")
+            import org.json4s._
+            import org.json4s.jackson.JsonMethods
+            // build through json4s, not string splicing — a column named
+            // `o"brien` must not produce malformed report JSON
+            val json = JsonMethods.compact(JsonMethods.render(JArray(
+              report.toList.map(r => JObject(
+                "expectation" -> JString(r.getString(0)),
+                "column" -> JString(r.getString(1)),
+                "n_evaluated" -> JLong(r.getLong(2)),
+                "n_violations" -> JLong(r.getLong(3)),
+                "passed" -> JBool(r.getBoolean(4)))))))
             graft.sources.delta.DeltaTable.appendWithTxn(
               decoded.withColumn("failed_expectations", lit(json)),
               quarantine, appId, batchId)

@@ -44,6 +44,15 @@ class ExpectationsSpec extends SparkSpec {
     assert(clean(("foreign_key", "ref_id")) === ((2L, 0L, true)))
   }
 
+  test("report rows come back in suite order, FK interleaved included") {
+    val facts = Seq((1, 10)).toDF("id", "ref_id")
+    val dim = Seq(10).toDF("k")
+    val labels = validate(facts, Seq(
+      NotNull("id"), ForeignKey("ref_id", dim, "k"), Unique("id")))
+      .collect().map(_.getString(0)).toSeq
+    assert(labels === Seq("not_null", "foreign_key", "unique"))
+  }
+
   test("empty table: everything passes with zero counts, no NULL poisoning") {
     val df = Seq.empty[(Option[Int], String)].toDF("id", "s")
     val got = report(df, Seq(NotNull("id"), Between("id", min = Some(0.0)),

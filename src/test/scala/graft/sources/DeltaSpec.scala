@@ -76,7 +76,7 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 4L)
     assert(DeltaTable.latestTxnVersion(spark, t, "app") === Some(1L))
     // the skipped replay left no orphan data files behind
-    assert(DeltaTable.vacuumOrphans(spark, t) === 0)
+    assert(DeltaTable.vacuumOrphans(spark, t, olderThanMs = 0L) === 0)
   }
 
   test("concurrent appends: optimistic retry, both land, no lost update") {
@@ -107,7 +107,7 @@ class DeltaSpec extends SparkSpec {
     assert(part.renameTo(orphan))
     // readers replay the log, not the directory: the ghost row is invisible
     assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet === Set(1))
-    assert(DeltaTable.vacuumOrphans(spark, t) === 1)
+    assert(DeltaTable.vacuumOrphans(spark, t, olderThanMs = 0L) === 1)
     assert(!orphan.exists())
   }
 
