@@ -90,8 +90,10 @@ object DeltaTable {
     * foreachBatch idempotence contract, via the log instead of layer
     * directories. */
   def appendWithTxn(df: DataFrame, table: String, appId: String,
-                    txnVersion: Long): Boolean =
-    writeInternal(df, table, SaveMode.Append, txn = Some(appId -> txnVersion))
+                    txnVersion: Long,
+                    partitionBy: Seq[String] = Seq.empty): Boolean =
+    writeInternal(df, table, SaveMode.Append, txn = Some(appId -> txnVersion),
+      partitionBy = partitionBy)
 
   /** Distributed data write into a staging dir, then per-file renames
     * into the table root under collision-free names. Each file's `add`

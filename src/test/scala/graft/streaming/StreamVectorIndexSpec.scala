@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.delta.DeltaLog
+
+class StreamVectorIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // four well-separated centroids in the scaled-integer space (2^24 × the
+  // float corners), dim 4
+  private val S = 16777216.0
+  private val cents: Array[Array[Double]] = Array(
+    Array(S, 0, 0, 0), Array(0, S, 0, 0), Array(0, 0, S, 0), Array(0, 0, 0, S))
+
+  private def vec(x: Float, y: Float, z: Float, w: Float) = Seq(x, y, z, w)
+
+  test("streamed vectors index into cells; search probes only those cells") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex").toString
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Long, Seq[Float])]
+    val q = StreamVectorIndex.start(
+      s.toDF().toDF("vec_id", "embedding"), s"$dir/idx", s"$dir/chk",
+      cents, trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: two vectors near corner 0, one near corner 1
+      s.addData((1L, vec(1f, 0.1f, 0, 0)), (2L, vec(0.9f, 0, 0.1f, 0)),
+        (3L, vec(0.1f, 1f, 0, 0)))
+      q.processAllAvailable()
+      // batch 2: another corner-0 vector arrives later — index stays fresh
+      s.addData((4L, vec(0.95f, 0.05f, 0, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the index is Hive-partitioned by cell with txn-committed versions
+    val snap = DeltaLog.snapshot(spark, s"$dir/idx")
+    assert(snap.partitionColumns === Seq("cell"))
+    assert(snap.files.map(_.partitionValues("cell")).toSet === Set("0", "1"))
+    // search near corner 0: the probe reads ONLY cell 0's partition and
+    // finds the true nearest among the streamed vectors, batch 2 included
+    val got = StreamVectorIndex.search(spark, s"$dir/idx",
+      Array(1f, 0f, 0f, 0f), cents, k = 3, nProbe = 1)
+    val ids = got.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(ids.keySet === Set(1L, 2L, 4L), s"cell-0 members only, got $ids")
+    assert(got.inputFiles.forall(_.contains("cell=0")),
+      "search must not open unprobed cells")
+    // restart from the checkpoint: txn marks keep the index exactly-once
+    val s2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamVectorIndex.start(
+      s2.toDF().toDF("vec_id", "embedding"), s"$dir/idx", s"$dir/chk",
+      cents, trigger = Trigger.ProcessingTime(0))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.sources.delta.DeltaTable.read(spark, s"$dir/idx").count() === 4L)
+  }
+
+  test("probing more cells widens the candidate set to other corners") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex2").toString
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Long, Seq[Float])]
+    val q = StreamVectorIndex.start(
+      s.toDF().toDF("vec_id", "embedding"), s"$dir/idx", s"$dir/chk",
+      cents, trigger = Trigger.ProcessingTime(0))
+    try {
+      s.addData((1L, vec(1f, 0, 0, 0)), (2L, vec(0, 1f, 0, 0)),
+        (3L, vec(0, 0, 1f, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val narrow = StreamVectorIndex.search(spark, s"$dir/idx",
+      Array(0.7f, 0.7f, 0f, 0f), cents, k = 3, nProbe = 1)
+    val wide = StreamVectorIndex.search(spark, s"$dir/idx",
+      Array(0.7f, 0.7f, 0f, 0f), cents, k = 3, nProbe = 2)
+    assert(narrow.count() === 1L)
+    assert(wide.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+}
