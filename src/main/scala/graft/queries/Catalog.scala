@@ -421,10 +421,48 @@ object Catalog {
       ForeignKey("o_custkey", table(spark, dir, "customer"), "c_custkey")))
   }
 
+  /** Windowed conversion funnel (q82): first view → first click within
+    * 2 days → first purchase within 7 days of that click, per user —
+    * strict ordering, first occurrence per stage, NULL where the user
+    * dropped off ([[graft.operators.Funnel]]). All epoch-micros integer
+    * arithmetic, so the per-user timestamps oracle-hash exactly. */
+  val q82Funnel: Q = Q(
+    "q82_funnel",
+    Some("""
+      WITH e AS (SELECT user_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                 FROM events),
+      a AS (SELECT user_id, CAST(MIN(t) AS BIGINT) AS t_view
+            FROM e WHERE event_type = 'view' GROUP BY 1),
+      b AS (SELECT e.user_id, CAST(MIN(e.t) AS BIGINT) AS t_click
+            FROM e JOIN a ON e.user_id = a.user_id
+              AND e.t > a.t_view
+              AND e.t <= a.t_view + CAST(172800 AS BIGINT) * 1000000
+            WHERE e.event_type = 'click' GROUP BY 1),
+      c AS (SELECT e.user_id, CAST(MIN(e.t) AS BIGINT) AS t_purchase
+            FROM e JOIN b ON e.user_id = b.user_id
+              AND e.t > b.t_click
+              AND e.t <= b.t_click + CAST(604800 AS BIGINT) * 1000000
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT a.user_id, a.t_view, b.t_click, c.t_purchase
+      FROM a
+      LEFT JOIN b ON a.user_id = b.user_id
+      LEFT JOIN c ON a.user_id = c.user_id""")) { (spark, dir) =>
+    import graft.operators.Funnel
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t")) // nanos → micros
+    Funnel.funnel(e, "user_id", "event_type", "t", Seq(
+      ("view", 0L),
+      ("click", 172800L * 1000000),   // 2 days
+      ("purchase", 604800L * 1000000) // 7 days
+    ))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
-      Seq(q80DeltaRoundtrip, q81Expectations) ++
+      Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
