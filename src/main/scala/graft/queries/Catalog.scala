@@ -459,10 +459,40 @@ object Catalog {
     ))
   }
 
+  /** Event-transition matrix (q83): per user, consecutive event pairs in
+    * time order (ties broken on event_id), counted per (src, dst) — the
+    * user-journey / Markov-chain surface next to q82's funnel. One
+    * user-partitioned window (lead), one count aggregate; nothing
+    * global. */
+  val q83Transitions: Q = Q(
+    "q83_transitions",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS t
+                 FROM events),
+      s AS (SELECT user_id, event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY t, event_id) AS dst
+            FROM e)
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE dst IS NOT NULL
+      GROUP BY 1, 2""")) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("t"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
-      Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel) ++
+      Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

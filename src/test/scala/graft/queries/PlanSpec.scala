@@ -160,6 +160,15 @@ class PlanSpec extends SparkSpec {
       s"window not partitioned by source:\n$plan")
   }
 
+  test("q82/q83: journey analytics stay user-keyed — no global window, no quadratic join") {
+    val funnel = executedPlan("q82_funnel")
+    assert(!funnel.contains("CartesianProduct") && !funnel.contains("BroadcastNestedLoopJoin"),
+      s"q82 fell back to a quadratic join:\n$funnel")
+    val trans = executedPlan("q83_transitions")
+    assert(trans.contains("windowspecdefinition(user_id"),
+      s"q83 window not keyed by user:\n$trans")
+  }
+
   test("q66: the components relation joins broadcast-side; split gate is arithmetic") {
     val plan = executedPlan("q66_leakfree_split")
     assert(plan.contains("BroadcastHashJoin"), s"components join not broadcast:\n$plan")
