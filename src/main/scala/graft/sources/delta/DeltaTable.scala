@@ -333,6 +333,40 @@ object DeltaTable {
       commits.flatMap(_.adds)), head.version)
   }
 
+  /** OPTIMIZE (small-file compaction) on the log: coalesce ONLY the data
+    * files below `smallerThanBytes` into `targetFiles` new files in one
+    * atomic remove+add commit — large files carry over with no action,
+    * so the cost is O(small files), not O(table): exactly what a
+    * micro-batch-append table needs periodically (every 30 s commit
+    * leaves one small file; a day leaves ~3k). Readers see either
+    * layout, never a mix; time travel keeps the old files. Single-writer
+    * maintenance op like [[optimize]]. */
+  def compactFiles(spark: SparkSession, table: String,
+                   smallerThanBytes: Long, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"compactFiles: targetFiles=$targetFiles")
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = snapshot(spark, table)
+    if (head.isEmpty) return
+    require(head.partitionColumns.isEmpty,
+      "delta: compactFiles on partitioned tables is not supported — " +
+        "compact per partition via readPartitions + overwrite")
+    val small = head.files.filter(_.size < smallerThanBytes)
+    if (small.size <= 1) return // nothing to gain
+    val df = readFiles(spark, table, logSchema(head, table),
+      head.partitionColumns, small).coalesce(targetFiles)
+    val adds = stageData(df, tbl, fs)
+    val now = System.currentTimeMillis()
+    val removes = small.map(f => removeAction(f.path, now))
+    if (!commit(spark, table, head.version + 1, removes ++ adds)) {
+      // maintenance op lost the race: drop the staged rewrite, caller
+      // reruns at the next maintenance tick
+      adds.foreach { a =>
+        fs.delete(new Path(tbl, (a \ "add" \ "path").values.toString), false)
+      }
+    }
+  }
+
   /** OPTIMIZE ZORDER BY on the log: rewrite the table's data files along
     * the z-curve of `zorderBy` ([[graft.operators.ZOrder.layoutN]]) in
     * ONE atomic overwrite commit. Each rewritten file then carries TIGHT

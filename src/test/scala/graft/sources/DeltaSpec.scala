@@ -299,6 +299,28 @@ class DeltaSpec extends SparkSpec {
     assert(fr.inputFiles.forall(_.contains("lang=fr")))
   }
 
+  test("compactFiles folds only the small files; big ones carry over by name") {
+    val t = tmp()
+    // three appends: two tiny files + one big one
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s").coalesce(1), t, SaveMode.Append)
+    DeltaTable.write(Seq((2, "b")).toDF("id", "s").coalesce(1), t, SaveMode.Append)
+    DeltaTable.write((100 to 5000).map(i => (i, "x" * 50)).toDF("id", "s")
+      .coalesce(1), t, SaveMode.Append)
+    val before = DeltaLog.snapshot(spark, t).files
+    val big = before.maxBy(_.size)
+    DeltaTable.compactFiles(spark, t, smallerThanBytes = big.size, targetFiles = 1)
+    val after = DeltaLog.snapshot(spark, t).files
+    assert(after.size === 2, s"2 files expected: ${after.map(_.path)}")
+    assert(after.exists(_.path == big.path), "the big file must survive by name")
+    assert(DeltaTable.read(spark, t).count() === 2L + 4901L)
+    // time travel still sees the pre-compaction layout
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(2L)).count() === 2L + 4901L)
+    // compacting again is a no-op (one small file left at most)
+    val v = DeltaLog.snapshot(spark, t).version
+    DeltaTable.compactFiles(spark, t, smallerThanBytes = big.size)
+    assert(DeltaLog.snapshot(spark, t).version === v)
+  }
+
   test("optimize zorder: one atomic rewrite, tight stats, sharper skipping") {
     val t = tmp()
     // interleaved keys so the incoming two files BOTH span the full range
