@@ -35,11 +35,14 @@ object DeltaLog {
 
   /** One live data file in a snapshot, with the protocol's optional
     * per-file `stats` (numRecords + min/maxValues) used for data
-    * skipping and its `partitionValues` (Hive-style, stringly-typed per
-    * the protocol). */
+    * skipping, its `partitionValues` (Hive-style, stringly-typed per the
+    * protocol), and the action's `dataChange` flag — false marks a
+    * REARRANGEMENT (compaction/optimize) whose rows incremental
+    * consumers must NOT re-deliver. */
   final case class AddFile(path: String, size: Long,
                            stats: Option[FileStats] = None,
-                           partitionValues: Map[String, String] = Map.empty)
+                           partitionValues: Map[String, String] = Map.empty,
+                           dataChange: Boolean = true)
 
   /** Parsed subset of the protocol's per-file statistics JSON. */
   final case class FileStats(numRecords: Long,
@@ -81,7 +84,11 @@ object DeltaLog {
       removes: Seq[String],
       schemaJson: Option[String],
       partitionColumns: Option[Seq[String]],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      // removes carrying dataChange=true — an overwrite/merge, which an
+      // append-only tailer cannot represent (a compaction's
+      // dataChange=false removes it simply skips)
+      dataChangingRemoves: Int)
 
   private[delta] def readCommit(spark: SparkSession, table: String,
                                 v: Long): CommitActions = {
@@ -95,6 +102,11 @@ object DeltaLog {
     var schemaJson: Option[String] = None
     var partCols: Option[Seq[String]] = None
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    var dataChangingRemoves = 0
+    def dataChangeOf(j: JValue): Boolean = j match {
+      case JBool(b) => b
+      case _ => true // protocol default when absent
+    }
     lines.filter(_.nonEmpty).foreach { line =>
       val j = JsonMethods.parse(line)
       (j \ "add") match {
@@ -116,11 +128,14 @@ object DeltaLog {
             }.toMap
             case _ => Map.empty[String, String]
           }
-          adds += AddFile(p, size, stats, pvals)
+          adds += AddFile(p, size, stats, pvals,
+            dataChangeOf(j \ "add" \ "dataChange"))
         case _ => ()
       }
       (j \ "remove" \ "path") match {
-        case JString(p) => removes += p
+        case JString(p) =>
+          removes += p
+          if (dataChangeOf(j \ "remove" \ "dataChange")) dataChangingRemoves += 1
         case _ => ()
       }
       (j \ "metaData" \ "schemaString") match {
@@ -138,7 +153,8 @@ object DeltaLog {
         case _ => ()
       }
     }
-    CommitActions(adds.toSeq, removes.toSeq, schemaJson, partCols, txns.toMap)
+    CommitActions(adds.toSeq, removes.toSeq, schemaJson, partCols, txns.toMap,
+      dataChangingRemoves)
   }
 
   /** Replay the log through `asOf` (or to the head): seed from the
@@ -330,14 +346,15 @@ object DeltaLog {
 
   def addAction(path: String, size: Long, modificationTime: Long,
                 stats: Option[FileStats] = None,
-                partitionValues: Map[String, String] = Map.empty): JValue = {
+                partitionValues: Map[String, String] = Map.empty,
+                dataChange: Boolean = true): JValue = {
     val base = List(
       "path" -> JString(path),
       "partitionValues" -> JObject(
         partitionValues.toList.map { case (k, v) => k -> JString(v) }: _*),
       "size" -> JLong(size),
       "modificationTime" -> JLong(modificationTime),
-      "dataChange" -> JBool(true))
+      "dataChange" -> JBool(dataChange))
     val withStats = stats match {
       case Some(s) => base :+ ("stats" -> JString(renderStats(s)))
       case None => base
@@ -369,11 +386,12 @@ object DeltaLog {
       Some(FileStats(n, longs(j \ "minValues"), longs(j \ "maxValues")))
     } catch { case _: Exception => None }
 
-  def removeAction(path: String, deletionTimestamp: Long): JValue =
+  def removeAction(path: String, deletionTimestamp: Long,
+                   dataChange: Boolean = true): JValue =
     JObject("remove" -> JObject(
       "path" -> JString(path),
       "deletionTimestamp" -> JLong(deletionTimestamp),
-      "dataChange" -> JBool(true)))
+      "dataChange" -> JBool(dataChange)))
 
   def txnAction(appId: String, version: Long): JValue =
     JObject("txn" -> JObject(

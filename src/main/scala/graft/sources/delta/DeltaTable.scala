@@ -102,7 +102,8 @@ object DeltaTable {
     * no data scan) — what [[merge]] / [[readRange]] data-skip on. */
   private def stageData(df: DataFrame, tbl: Path,
                         fs: org.apache.hadoop.fs.FileSystem,
-                        partitionBy: Seq[String] = Seq.empty): Seq[org.json4s.JValue] = {
+                        partitionBy: Seq[String] = Seq.empty,
+                        dataChange: Boolean = true): Seq[org.json4s.JValue] = {
     val staging = new Path(tbl, s".staging-${java.util.UUID.randomUUID()}")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -130,7 +131,8 @@ object DeltaTable {
         seg.substring(0, i) -> seg.substring(i + 1)
       }.toMap
       addAction(if (rel.isEmpty) name else s"$rel/$name",
-        st.getLen, st.getModificationTime, footerStats(dst, conf), pvals)
+        st.getLen, st.getModificationTime, footerStats(dst, conf), pvals,
+        dataChange)
     }
     fs.delete(staging, true)
     adds
@@ -293,6 +295,20 @@ object DeltaTable {
     }
   }
 
+  /** [[readPartitions]] over a SET of values of one partition column —
+    * one snapshot (one log replay) for the whole probe set, where a
+    * per-value loop would replay the log once per value. */
+  def readPartitionsIn(spark: SparkSession, table: String,
+                       keyCol: String, values: Seq[String]): DataFrame = {
+    val s = snapshot(spark, table)
+    require(!s.isEmpty, s"delta: $table has no commits")
+    require(s.partitionColumns.contains(keyCol),
+      s"delta: $keyCol is not a partition column of ${s.partitionColumns}")
+    val vs = values.toSet
+    val files = s.files.filter(f => f.partitionValues.get(keyCol).exists(vs))
+    readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+  }
+
   /** Data-skipping range read: files whose stats exclude [lo, hi] are
     * never opened (stats-less files read conservatively); the row-level
     * residual filter still applies. */
@@ -309,12 +325,13 @@ object DeltaTable {
   /** Incremental tail read — the consuming half of a Delta-to-Delta
     * pipeline (delta-spark's streaming source reads exactly this: files
     * ADDED after the reader's last seen version). Returns the rows of
-    * every add in versions (`sinceVersion`, head] plus the head version
-    * to record as the new cursor; append-only consumption, so files
-    * later removed by an overwrite still appear in the window where
-    * they were added (the protocol's source semantics — overwrites
-    * require the reader to opt into ignoreChanges upstream, surfaced
-    * here as a plain require). */
+    * every DATA-CHANGING add in versions (`sinceVersion`, head] plus the
+    * head version to record as the new cursor. Maintenance commits
+    * ([[compactFiles]]/[[optimize]]: dataChange=false adds + removes)
+    * are SKIPPED — their rows were already delivered from the files they
+    * rearranged. Data-changing removes (overwrite/merge) cannot be
+    * represented as appends and raise (the reader must re-read the full
+    * snapshot — upstream's ignoreChanges opt-in). */
   def changesSince(spark: SparkSession, table: String,
                    sinceVersion: Long): (DataFrame, Long) = {
     val head = snapshot(spark, table)
@@ -326,64 +343,77 @@ object DeltaTable {
     val newVersions = versions(spark, table)
       .filter(v => v > sinceVersion && v <= head.version)
     val commits = newVersions.map(DeltaLog.readCommit(spark, table, _))
-    require(commits.forall(_.removes.isEmpty),
+    require(commits.forall(_.dataChangingRemoves == 0),
       s"delta: $table was overwritten/merged inside ($sinceVersion, ${head.version}] — " +
         "append-only tailing cannot represent removes; re-read the full snapshot")
     (readFiles(spark, table, logSchema(head, table), head.partitionColumns,
-      commits.flatMap(_.adds)), head.version)
+      commits.flatMap(_.adds).filter(_.dataChange)), head.version)
   }
 
-  /** OPTIMIZE (small-file compaction) on the log: coalesce ONLY the data
-    * files below `smallerThanBytes` into `targetFiles` new files in one
-    * atomic remove+add commit — large files carry over with no action,
-    * so the cost is O(small files), not O(table): exactly what a
-    * micro-batch-append table needs periodically (every 30 s commit
-    * leaves one small file; a day leaves ~3k). Readers see either
-    * layout, never a mix; time travel keeps the old files. Single-writer
-    * maintenance op like [[optimize]]. */
-  def compactFiles(spark: SparkSession, table: String,
-                   smallerThanBytes: Long, targetFiles: Int = 1): Unit = {
-    require(targetFiles >= 1, s"compactFiles: targetFiles=$targetFiles")
+  /** A maintenance rewrite: remove `olds`, add the staged rewrite of
+    * `df`, all actions dataChange=false — the protocol's marker that the
+    * commit REARRANGES rows without changing them, which is what lets
+    * [[changesSince]] tailers skip it instead of wedging (upstream
+    * OPTIMIZE does exactly this). Losing the commit race drops the
+    * staged files and defers to the caller's next maintenance tick. */
+  private def maintenanceRewrite(spark: SparkSession, table: String,
+                                 head: DeltaLog.Snapshot, df: DataFrame,
+                                 olds: Seq[AddFile]): Unit = {
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val head = snapshot(spark, table)
-    if (head.isEmpty) return
-    require(head.partitionColumns.isEmpty,
-      "delta: compactFiles on partitioned tables is not supported — " +
-        "compact per partition via readPartitions + overwrite")
-    val small = head.files.filter(_.size < smallerThanBytes)
-    if (small.size <= 1) return // nothing to gain
-    val df = readFiles(spark, table, logSchema(head, table),
-      head.partitionColumns, small).coalesce(targetFiles)
-    val adds = stageData(df, tbl, fs)
+    val adds = stageData(df, tbl, fs, partitionBy = head.partitionColumns,
+      dataChange = false)
     val now = System.currentTimeMillis()
-    val removes = small.map(f => removeAction(f.path, now))
+    val removes = olds.map(f => removeAction(f.path, now, dataChange = false))
     if (!commit(spark, table, head.version + 1, removes ++ adds)) {
-      // maintenance op lost the race: drop the staged rewrite, caller
-      // reruns at the next maintenance tick
       adds.foreach { a =>
         fs.delete(new Path(tbl, (a \ "add" \ "path").values.toString), false)
       }
     }
   }
 
+  /** OPTIMIZE (small-file compaction) on the log: coalesce ONLY the data
+    * files below `smallerThanBytes` into `targetFiles` new files (per
+    * partition value, on partitioned tables — the stage re-splits rows
+    * into their Hive dirs) in one atomic remove+add commit — large files
+    * carry over with no action, so the cost is O(small files), not
+    * O(table): exactly what a micro-batch-append table needs periodically
+    * (every 30 s commit leaves one small file; a day leaves ~3k). All
+    * actions are dataChange=false, so [[changesSince]] tailers skip the
+    * commit. Readers see either layout, never a mix; time travel keeps
+    * the old files. Single-writer maintenance op like [[optimize]]. */
+  def compactFiles(spark: SparkSession, table: String,
+                   smallerThanBytes: Long, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"compactFiles: targetFiles=$targetFiles")
+    val head = snapshot(spark, table)
+    if (head.isEmpty) return
+    val small = head.files.filter(_.size < smallerThanBytes)
+    if (small.size <= 1) return // nothing to gain
+    val df = readFiles(spark, table, logSchema(head, table),
+      head.partitionColumns, small).coalesce(targetFiles)
+    maintenanceRewrite(spark, table, head, df, small)
+  }
+
   /** OPTIMIZE ZORDER BY on the log: rewrite the table's data files along
     * the z-curve of `zorderBy` ([[graft.operators.ZOrder.layoutN]]) in
-    * ONE atomic overwrite commit. Each rewritten file then carries TIGHT
-    * add-action min/max stats on every z-order column, so [[readRange]] /
-    * [[merge]] skip aggressively on any of them — delta-spark's
-    * `OPTIMIZE ... ZORDER BY`, executed on the from-scratch log. Readers
-    * see either the old layout or the new one, never a mix; time travel
-    * below the optimize still reads the original files. Single-writer
-    * maintenance op (same contract as upstream OPTIMIZE vs concurrent
-    * writers; compaction of layer count is the nFiles knob). */
+    * ONE atomic remove+add commit, all actions dataChange=false
+    * ([[changesSince]] tailers skip it). Each rewritten file then carries
+    * TIGHT add-action min/max stats on every z-order column, so
+    * [[readRange]] / [[merge]] skip aggressively on any of them —
+    * delta-spark's `OPTIMIZE ... ZORDER BY`, executed on the from-scratch
+    * log. Readers see either the old layout or the new one, never a mix;
+    * time travel below the optimize still reads the original files.
+    * Single-writer maintenance op (same contract as upstream OPTIMIZE vs
+    * concurrent writers). */
   def optimize(spark: SparkSession, table: String, zorderBy: Seq[String],
                nFiles: Int): Unit = {
     import org.apache.spark.sql.functions.col
     require(zorderBy.size >= 2, "optimize: z-order needs >= 2 columns")
-    val df = read(spark, table)
-    write(graft.operators.ZOrder.layoutN(df, zorderBy.map(col), nFiles),
-      table, SaveMode.Overwrite)
+    val head = snapshot(spark, table)
+    require(!head.isEmpty, s"delta: $table has no commits")
+    val laid = graft.operators.ZOrder.layoutN(
+      read(spark, table), zorderBy.map(col), nFiles)
+    maintenanceRewrite(spark, table, head, laid, head.files)
   }
 
   /** Version history as (version, n_adds, n_removes) — the debugging /

@@ -33,7 +33,24 @@ object StreamVectorIndex {
     element_at(CB.column(graft.functions.NearestCentroids(
       CB.expression(v), cents, 1)), 1)
 
-  /** Start indexing `vectors` (streaming, `vec_id` + `embedding`). */
+  /** The quarantine cell for vectors whose assignment is NULL (wrong
+    * dimension, NaN element): they stay IN the index table — countable,
+    * auditable, never silently dropped — but no search probes them
+    * (searches probe integer cell names only). Without this they would
+    * land in Hive's default partition and silently diverge index
+    * contents from search coverage. */
+  val InvalidCell = "__invalid"
+
+  /** Start indexing `vectors` (streaming, `vec_id` + `embedding`).
+    *
+    * `appId` and `checkpoint` live and die TOGETHER (delta-spark's
+    * streaming-sink contract): the log's txn mark for `appId` is what
+    * makes checkpoint-replayed batches exactly-once, so deleting the
+    * checkpoint while keeping the appId makes the restarted stream's
+    * batchIds (0, 1, …) look like replays and they will be refused —
+    * reset BOTH (fresh checkpoint + fresh appId) or neither. Two
+    * independent streams writing one index path must use distinct
+    * appIds for the same reason. */
   def start(
       vectors: DataFrame,
       indexPath: String,
@@ -49,7 +66,9 @@ object StreamVectorIndex {
         // `centroids` live in the same scaled-integer space (IvfSearch's
         // training convention)
         val assigned = VectorSearch.quantized(batch.toDF())
-          .withColumn("cell", cellOf(centroids)(col("v")).cast("string"))
+          .withColumn("cell",
+            coalesce(cellOf(centroids)(col("v")).cast("string"),
+              lit(InvalidCell)))
           .select(col("cell"), col("vec_id"), col("embedding"))
         DeltaTable.appendWithTxn(assigned, indexPath, appId, batchId,
           partitionBy = Seq("cell"))
@@ -58,7 +77,10 @@ object StreamVectorIndex {
       .start()
 
   /** Top-k exact-cosine neighbors of `query` among the vectors indexed
-    * so far, reading only the `nProbe` nearest cell partitions. */
+    * so far, reading only the `nProbe` nearest cell partitions (ONE log
+    * snapshot for the whole probe set). The query is scored as a plan
+    * constant — no sentinel id, so a corpus vector with ANY `vec_id`
+    * (including negatives) can be returned. */
   def search(
       spark: SparkSession,
       indexPath: String,
@@ -66,22 +88,30 @@ object StreamVectorIndex {
       centroids: Array[Array[Double]],
       k: Int,
       nProbe: Int = 4): DataFrame = {
-    import spark.implicits._
     // nProbe nearest cells: k × dim driver-side flops on the tiny model
-    val qd = query.map(x => math.floor(x.toDouble * 16777216.0))
+    val qv = query.map(x => math.floor(x.toDouble * 16777216.0).toLong)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       var s = 0.0
       var j = 0
-      while (j < c.length) { val d = qd(j) - c(j); s += d * d; j += 1 }
+      while (j < c.length) { val d = qv(j).toDouble - c(j); s += d * d; j += 1 }
       (s, i)
     }.sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
     // only the probed cell partitions are opened (log-indexed pruning)
-    val candidates = cells.map(c =>
-      DeltaTable.readPartitions(spark, indexPath, Map("cell" -> c.toString)))
-      .reduce(_ unionByName _)
+    val candidates = DeltaTable.readPartitionsIn(
+      spark, indexPath, "cell", cells.map(_.toString).toSeq)
       .select(col("vec_id"), col("embedding"))
-    val queries = Seq((-1L, query.toSeq)).toDF("vec_id", "embedding")
-    VectorSearch.bruteForceTopK(queries, candidates, k)
-      .select(col("nid"), col("rnk"), col("cosine"))
+    val qn2 = qv.map(x => x * x).sum // 64 elems < 2^52: exact in a long
+    val scored = VectorSearch.withNorm(candidates)
+      .withColumn("dot", CB.column(graft.functions.DotProductI64(
+        CB.expression(col("v")), CB.expression(typedLit(qv.toSeq)))))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(lit(qn2).cast("double")) * sqrt(col("n2").cast("double"))))
+    scored
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("nid"), col("rnk"), col("cosine"))
   }
 }

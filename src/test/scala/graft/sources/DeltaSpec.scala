@@ -227,10 +227,19 @@ class DeltaSpec extends SparkSpec {
     // caught up: empty tail from the cursor
     val (empty, c2) = DeltaTable.changesSince(spark, t, cursor)
     assert(empty.count() === 0L && c2 === 2L)
+    // a COMPACTION in the window is dataChange=false: the tailer skips it
+    // (its rows were already delivered) instead of wedging or re-reading
+    DeltaTable.compactFiles(spark, t, smallerThanBytes = Long.MaxValue)
+    val (afterCompact, c3) = DeltaTable.changesSince(spark, t, cursor)
+    assert(afterCompact.count() === 0L, "compaction rows must not re-deliver")
+    assert(c3 === 3L)
+    DeltaTable.write(Seq((4, "d")).toDF("id", "s"), t, SaveMode.Append)
+    val (fresh, _) = DeltaTable.changesSince(spark, t, c3)
+    assert(fresh.collect().map(_.getInt(0)).toSeq === Seq(4))
     // an overwrite in the window cannot be represented as appends
     DeltaTable.write(Seq((9, "z")).toDF("id", "s"), t, SaveMode.Overwrite)
     intercept[IllegalArgumentException] {
-      DeltaTable.changesSince(spark, t, cursor)
+      DeltaTable.changesSince(spark, t, c3)
     }
   }
 
@@ -297,6 +306,22 @@ class DeltaSpec extends SparkSpec {
     val fr = DeltaTable.readPartitions(spark, t, Map("lang" -> "fr"))
     assert(fr.collect().map(_.getInt(0)).toSeq === Seq(1))
     assert(fr.inputFiles.forall(_.contains("lang=fr")))
+  }
+
+  test("compactFiles on a partitioned table folds within partition dirs") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "fr"), (2, "de")).toDF("id", "lang"), t,
+      SaveMode.Append, partitionBy = Seq("lang"))
+    DeltaTable.write(Seq((3, "fr"), (4, "de")).toDF("id", "lang"), t,
+      SaveMode.Append)
+    assert(DeltaLog.snapshot(spark, t).files.size === 4)
+    DeltaTable.compactFiles(spark, t, smallerThanBytes = Long.MaxValue,
+      targetFiles = 1)
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.files.size === 2, s"one file per lang: ${after.files.map(_.path)}")
+    assert(after.files.map(_.partitionValues("lang")).toSet === Set("fr", "de"))
+    val fr = DeltaTable.readPartitions(spark, t, Map("lang" -> "fr"))
+    assert(fr.collect().map(_.getInt(0)).toSet === Set(1, 3))
   }
 
   test("compactFiles folds only the small files; big ones carry over by name") {

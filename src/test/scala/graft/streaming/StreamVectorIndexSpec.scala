@@ -55,6 +55,45 @@ class StreamVectorIndexSpec extends SparkSpec {
     assert(graft.sources.delta.DeltaTable.read(spark, s"$dir/idx").count() === 4L)
   }
 
+  test("malformed vectors quarantine in the invalid cell, never searched, never lost") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex3").toString
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Long, Seq[Float])]
+    val q = StreamVectorIndex.start(
+      s.toDF().toDF("vec_id", "embedding"), s"$dir/idx", s"$dir/chk",
+      cents, trigger = Trigger.ProcessingTime(0))
+    try {
+      // a wrong-dimension vector (3 elems in a 4-dim index) + a good one
+      s.addData((1L, Seq(1f, 0f, 0f)), (2L, vec(1f, 0, 0, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cells = graft.sources.delta.DeltaLog.snapshot(spark, s"$dir/idx")
+      .files.map(_.partitionValues("cell")).toSet
+    assert(cells === Set("0", StreamVectorIndex.InvalidCell))
+    // still counted in the table (auditable), never returned by a search
+    assert(graft.sources.delta.DeltaTable.read(spark, s"$dir/idx").count() === 2L)
+    val got = StreamVectorIndex.search(spark, s"$dir/idx",
+      Array(1f, 0f, 0f, 0f), cents, k = 5, nProbe = 4)
+    assert(got.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("negative vec_ids are searchable (no sentinel-id exclusion)") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex4").toString
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Long, Seq[Float])]
+    val q = StreamVectorIndex.start(
+      s.toDF().toDF("vec_id", "embedding"), s"$dir/idx", s"$dir/chk",
+      cents, trigger = Trigger.ProcessingTime(0))
+    try {
+      s.addData((-1L, vec(1f, 0, 0, 0)), (7L, vec(0.8f, 0.2f, 0, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamVectorIndex.search(spark, s"$dir/idx",
+      Array(1f, 0f, 0f, 0f), cents, k = 1, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).head
+    assert(got === ((-1L, 1)), s"the true nearest (-1) must be returned: $got")
+  }
+
   test("probing more cells widens the candidate set to other corners") {
     val dir = java.nio.file.Files.createTempDirectory("vindex2").toString
     implicit val sqlCtx = spark.sqlContext
