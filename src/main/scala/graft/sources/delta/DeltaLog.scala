@@ -15,9 +15,10 @@ import org.json4s.jackson.JsonMethods
   * through V.
   *
   * Scope (the subset the engine exercises, stated honestly):
-  * unpartitioned parquet tables, reader/writer protocol 1/2, JSON-only
-  * log (no parquet checkpoints — readers per protocol must work from
-  * JSON alone; checkpoints are a replay-cost optimization), and
+  * parquet tables (optionally Hive-partitioned with log-indexed
+  * pruning), reader/writer protocol 1/2, JSON log + parquet checkpoints
+  * (`_last_checkpoint`-discovered; protocol-complete rows — stable
+  * metaData id, add modificationTime, remove tombstones), and
   * local/HDFS-semantics commit atomicity: a commit is one
   * create-fail-if-exists of the next version file, the same "first
   * writer wins, loser re-reads and retries" optimistic concurrency the
@@ -42,20 +43,33 @@ object DeltaLog {
   final case class AddFile(path: String, size: Long,
                            stats: Option[FileStats] = None,
                            partitionValues: Map[String, String] = Map.empty,
-                           dataChange: Boolean = true)
+                           dataChange: Boolean = true,
+                           modificationTime: Long = 0L)
+
+  /** A `remove` action: the protocol's tombstone (VACUUM's retention
+    * input; checkpoints must carry recent ones so readers of a
+    * checkpoint-seeded snapshot still see them). */
+  final case class RemoveFile(path: String, deletionTimestamp: Long,
+                              dataChange: Boolean = true)
 
   /** Parsed subset of the protocol's per-file statistics JSON. */
   final case class FileStats(numRecords: Long,
                              minValues: Map[String, Long],
                              maxValues: Map[String, Long])
 
-  /** Replayed table state at a version. */
+  /** Replayed table state at a version. `metaDataId` is the table's
+    * STABLE protocol id (first metaData action wins; later schema
+    * evolutions must carry it forward). `tombstones` are the removed
+    * paths still inside the retention window — what a protocol-complete
+    * checkpoint must persist. */
   final case class Snapshot(
       version: Long,
       files: Seq[AddFile],
       schemaJson: Option[String],
       txns: Map[String, Long],
-      partitionColumns: Seq[String] = Seq.empty) {
+      partitionColumns: Seq[String] = Seq.empty,
+      metaDataId: Option[String] = None,
+      tombstones: Map[String, Long] = Map.empty) {
     def isEmpty: Boolean = version < 0
   }
 
@@ -81,14 +95,16 @@ object DeltaLog {
     * one parser, one place to track the protocol). */
   private[delta] final case class CommitActions(
       adds: Seq[AddFile],
-      removes: Seq[String],
+      removes: Seq[RemoveFile],
       schemaJson: Option[String],
       partitionColumns: Option[Seq[String]],
       txns: Map[String, Long],
-      // removes carrying dataChange=true — an overwrite/merge, which an
-      // append-only tailer cannot represent (a compaction's
-      // dataChange=false removes it simply skips)
-      dataChangingRemoves: Int)
+      metaDataId: Option[String]) {
+    // removes carrying dataChange=true — an overwrite/merge, which an
+    // append-only tailer cannot represent (a compaction's
+    // dataChange=false removes it simply skips)
+    def dataChangingRemoves: Int = removes.count(_.dataChange)
+  }
 
   private[delta] def readCommit(spark: SparkSession, table: String,
                                 v: Long): CommitActions = {
@@ -98,25 +114,26 @@ object DeltaLog {
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     val adds = scala.collection.mutable.ListBuffer.empty[AddFile]
-    val removes = scala.collection.mutable.ListBuffer.empty[String]
+    val removes = scala.collection.mutable.ListBuffer.empty[RemoveFile]
     var schemaJson: Option[String] = None
     var partCols: Option[Seq[String]] = None
     val txns = scala.collection.mutable.Map.empty[String, Long]
-    var dataChangingRemoves = 0
+    var metaId: Option[String] = None
     def dataChangeOf(j: JValue): Boolean = j match {
       case JBool(b) => b
       case _ => true // protocol default when absent
+    }
+    def longOf(j: JValue, dflt: Long = 0L): Long = j match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => dflt
     }
     lines.filter(_.nonEmpty).foreach { line =>
       val j = JsonMethods.parse(line)
       (j \ "add") match {
         case JObject(_) =>
           val p = (j \ "add" \ "path").values.toString
-          val size = (j \ "add" \ "size") match {
-            case JInt(n) => n.toLong
-            case JLong(n) => n
-            case _ => 0L
-          }
+          val size = longOf(j \ "add" \ "size")
           // stats ride as a JSON STRING per the protocol
           val stats = (j \ "add" \ "stats") match {
             case JString(s) => parseStats(s)
@@ -129,17 +146,22 @@ object DeltaLog {
             case _ => Map.empty[String, String]
           }
           adds += AddFile(p, size, stats, pvals,
-            dataChangeOf(j \ "add" \ "dataChange"))
+            dataChangeOf(j \ "add" \ "dataChange"),
+            longOf(j \ "add" \ "modificationTime"))
         case _ => ()
       }
       (j \ "remove" \ "path") match {
         case JString(p) =>
-          removes += p
-          if (dataChangeOf(j \ "remove" \ "dataChange")) dataChangingRemoves += 1
+          removes += RemoveFile(p, longOf(j \ "remove" \ "deletionTimestamp"),
+            dataChangeOf(j \ "remove" \ "dataChange"))
         case _ => ()
       }
       (j \ "metaData" \ "schemaString") match {
         case JString(s) => schemaJson = Some(s)
+        case _ => ()
+      }
+      (j \ "metaData" \ "id") match {
+        case JString(id) => metaId = Some(id)
         case _ => ()
       }
       (j \ "metaData" \ "partitionColumns") match {
@@ -154,7 +176,7 @@ object DeltaLog {
       }
     }
     CommitActions(adds.toSeq, removes.toSeq, schemaJson, partCols, txns.toMap,
-      dataChangingRemoves)
+      metaId)
   }
 
   /** Replay the log through `asOf` (or to the head): seed from the
@@ -183,22 +205,35 @@ object DeltaLog {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    var metaId: Option[String] = None
+    val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     cp.foreach { cpV =>
       import org.apache.spark.sql.Row
       spark.read.parquet(checkpointFile(tbl, cpV).toString).collect().foreach { r =>
+        // fieldNames guard: checkpoints written before a column existed
+        // (e.g. `remove`) stay readable
         def struct(name: String): Option[Row] =
-          if (r.isNullAt(r.fieldIndex(name))) None
+          if (!r.schema.fieldNames.contains(name) || r.isNullAt(r.fieldIndex(name))) None
           else Some(r.getStruct(r.fieldIndex(name)))
+        def longField(s: Row, name: String, dflt: Long = 0L): Long =
+          if (!s.schema.fieldNames.contains(name) || s.isNullAt(s.fieldIndex(name))) dflt
+          else s.getLong(s.fieldIndex(name))
         struct("add").foreach { a =>
           val stats = Option(a.getAs[String]("stats")).flatMap(parseStats)
           val pvals = Option(a.getAs[Map[String, String]]("partitionValues"))
             .getOrElse(Map.empty)
           files += a.getAs[String]("path") ->
-            AddFile(a.getAs[String]("path"), a.getAs[Long]("size"), stats, pvals)
+            AddFile(a.getAs[String]("path"), a.getAs[Long]("size"), stats, pvals,
+              dataChange = true, modificationTime = longField(a, "modificationTime"))
+        }
+        struct("remove").foreach { rm =>
+          tombstones += rm.getAs[String]("path") ->
+            longField(rm, "deletionTimestamp")
         }
         struct("metaData").foreach { m =>
           schemaJson = Some(m.getAs[String]("schemaString"))
           partCols = m.getSeq[String](m.fieldIndex("partitionColumns")).toList
+          metaId = Option(m.getAs[String]("id"))
         }
         struct("txn").foreach(t =>
           txns += t.getAs[String]("appId") -> t.getAs[Long]("version"))
@@ -206,14 +241,76 @@ object DeltaLog {
     }
     vs.foreach { v =>
       val c = readCommit(spark, table, v)
-      c.adds.foreach(a => files += a.path -> a)
-      c.removes.foreach(files -= _)
+      c.adds.foreach { a => files += a.path -> a; tombstones -= a.path }
+      c.removes.foreach { r => files -= r.path; tombstones += r.path -> r.deletionTimestamp }
       c.schemaJson.foreach(s => schemaJson = Some(s))
       c.partitionColumns.foreach(p => partCols = p)
+      if (metaId.isEmpty) metaId = c.metaDataId
       txns ++= c.txns
     }
     Snapshot(vs.lastOption.orElse(cp).getOrElse(-1L), files.values.toSeq,
-      schemaJson, txns.toMap, partCols)
+      schemaJson, txns.toMap, partCols, metaId, tombstones.toMap)
+  }
+
+  /** Driver-bounded partition-pruned file listing — the documented
+    * escape hatch for SCALE.md's snapshot driver-memory ceiling (a 100 TB
+    * table at small-file granularity has millions of add entries; a full
+    * driver replay holds them all). Here the CHECKPOINT side of the
+    * snapshot stays a DataFrame: partition predicates and the (small, by
+    * construction — checkpoints bound it) post-checkpoint JSON tail's
+    * removes apply BEFORE collection, so the driver materializes only the
+    * PRUNED file list. Tables without a checkpoint fall back to the
+    * driver replay — correct at every scale, optimal below the ceiling.
+    *
+    * Semantics match `snapshot(...).files` filtered by `partitionFilter`
+    * exactly (spec-pinned): the JSON tail replays in order driver-side
+    * (it is O(commits-since-checkpoint), not O(files)), distinguishing
+    * removes of tail-added files from removes of checkpointed files.
+    */
+  def prunedFiles(spark: SparkSession, table: String,
+                  partitionFilter: Map[String, String]): Seq[AddFile] = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, not}
+    val cp = lastCheckpointVersion(spark, table)
+    cp match {
+      case None =>
+        snapshot(spark, table).files.filter(f =>
+          partitionFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+      case Some(cpV) =>
+        val tbl = new Path(table)
+        // replay the JSON tail driver-side: live tail adds + removes that
+        // reach back into the checkpoint
+        val tailLive = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+        val removedFromCp = scala.collection.mutable.Set.empty[String]
+        versions(spark, table).filter(_ > cpV).foreach { v =>
+          val c = readCommit(spark, table, v)
+          c.adds.foreach(a => tailLive += a.path -> a)
+          c.removes.foreach { r =>
+            if (tailLive.contains(r.path)) tailLive -= r.path
+            else removedFromCp += r.path
+          }
+        }
+        val cpAdds0 = spark.read.parquet(checkpointFile(tbl, cpV).toString)
+          .where(col("add").isNotNull).select(col("add.*"))
+        // partition predicates + tombstone anti-filter BEFORE collect
+        val pruned = partitionFilter.foldLeft(cpAdds0) { case (df, (k, v)) =>
+          df.where(element_at(col("partitionValues"), k) === lit(v))
+        }.where(
+          if (removedFromCp.isEmpty) lit(true)
+          else not(col("path").isin(removedFromCp.toSeq: _*)))
+        val cpFiles = pruned
+          .select(col("path"), col("size"), col("partitionValues"), col("stats"),
+            col("modificationTime"))
+          .collect().map { r =>
+            AddFile(r.getString(0), r.getLong(1),
+              Option(r.getAs[String]("stats")).flatMap(parseStats),
+              Option(r.getAs[Map[String, String]]("partitionValues"))
+                .getOrElse(Map.empty),
+              dataChange = true,
+              modificationTime = r.getLong(4))
+          }.toSeq
+        cpFiles ++ tailLive.values.filter(f =>
+          partitionFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+    }
   }
 
   // --- parquet checkpoints ---------------------------------------------------
@@ -239,16 +336,25 @@ object DeltaLog {
     }
   }
 
-  private case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
-  private case class CpMetaData(id: String, schemaString: String,
-                                partitionColumns: Seq[String])
-  private case class CpTxn(appId: String, version: Long)
-  private case class CpAdd(path: String, partitionValues: Map[String, String],
-                           size: Long, dataChange: Boolean, stats: String)
-  private case class CpRow(protocol: Option[CpProtocol],
-                           metaData: Option[CpMetaData],
-                           txn: Option[CpTxn],
-                           add: Option[CpAdd])
+  // private[delta], NOT private: Spark's encoder emits codegen that
+  // constructs/reads these from generated Java, which cannot see
+  // object-private classes (it silently falls back to the interpreted
+  // path with a per-checkpoint "Expr codegen error" warning — a per-row
+  // slowdown at millions of add entries)
+  private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private[delta] case class CpMetaData(id: String, schemaString: String,
+                                       partitionColumns: Seq[String])
+  private[delta] case class CpTxn(appId: String, version: Long)
+  private[delta] case class CpAdd(path: String, partitionValues: Map[String, String],
+                                  size: Long, modificationTime: Long,
+                                  dataChange: Boolean, stats: String)
+  private[delta] case class CpRemove(path: String, deletionTimestamp: Long,
+                                     dataChange: Boolean)
+  private[delta] case class CpRow(protocol: Option[CpProtocol],
+                                  metaData: Option[CpMetaData],
+                                  txn: Option[CpTxn],
+                                  add: Option[CpAdd],
+                                  remove: Option[CpRemove])
 
   /** Write a parquet checkpoint of the CURRENT head: one row per action
     * (protocol, metaData, every txn high-water mark, every live add) plus
@@ -263,15 +369,22 @@ object DeltaLog {
     val tbl = new Path(table)
     val f = fs(spark, tbl)
     val rows =
-      CpRow(Some(CpProtocol(1, 2)), None, None, None) +:
-        CpRow(None, Some(CpMetaData(java.util.UUID.randomUUID().toString,
-          head.schemaJson.getOrElse(""), head.partitionColumns)), None, None) +:
+      CpRow(Some(CpProtocol(1, 2)), None, None, None, None) +:
+        // the table's STABLE id carries through (PROTOCOL.md: metaData.id
+        // is fixed at table creation); pre-id logs get one minted here
+        CpRow(None, Some(CpMetaData(
+          head.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
+          head.schemaJson.getOrElse(""), head.partitionColumns)), None, None, None) +:
         (head.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          CpRow(None, None, Some(CpTxn(app, v)), None)
+          CpRow(None, None, Some(CpTxn(app, v)), None, None)
         } ++ head.files.map { a =>
           CpRow(None, None, None, Some(CpAdd(a.path, a.partitionValues, a.size,
-            dataChange = false,
-            a.stats.map(renderStats).orNull)))
+            a.modificationTime, dataChange = false,
+            a.stats.map(renderStats).orNull)), None)
+        } ++ head.tombstones.toSeq.sortBy(_._1).map { case (p, ts) =>
+          // remove tombstones persist through checkpoints so a
+          // checkpoint-seeded reader (or VACUUM) still sees them
+          CpRow(None, None, None, None, Some(CpRemove(p, ts, dataChange = false)))
         })
     val tmp = new Path(logDir(tbl), s".cp-tmp-${java.util.UUID.randomUUID()}")
     rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -335,9 +448,12 @@ object DeltaLog {
       "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
 
   def metaDataAction(schemaJson: String,
-                     partitionColumns: Seq[String] = Seq.empty): JValue =
+                     partitionColumns: Seq[String] = Seq.empty,
+                     id: Option[String] = None): JValue =
     JObject("metaData" -> JObject(
-      "id" -> JString(java.util.UUID.randomUUID().toString),
+      // schema evolution re-emits metaData and must pass the TABLE's id —
+      // PROTOCOL.md fixes it at creation; a fresh UUID is creation only
+      "id" -> JString(id.getOrElse(java.util.UUID.randomUUID().toString)),
       "format" -> JObject("provider" -> JString("parquet"),
         "options" -> JObject()),
       "schemaString" -> JString(schemaJson),

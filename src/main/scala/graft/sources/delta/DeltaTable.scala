@@ -227,7 +227,7 @@ object DeltaTable {
             s"delta: append schema ${df.schema.catalogString} does not match " +
               s"the table schema — appends enforce schema (overwriteSchema is " +
               s"the Overwrite path, `read_delta.py:219-222`)")
-          Seq(metaDataAction(schemaJson, parts))
+          Seq(metaDataAction(schemaJson, parts, head.metaDataId))
         } else Seq.empty
       val txns = txn.toSeq.map { case (app, v) => txnAction(app, v) }
       committed = commit(spark, table, head.version + 1,
@@ -278,6 +278,13 @@ object DeltaTable {
       require(head.partitionColumns.isEmpty,
         "delta: merge on partitioned tables is not supported — " +
           "rewritten rows would need partition-aware re-staging")
+      // schema contract BEFORE staging, on every path: when data skipping
+      // leaves `touched` empty the union below never runs, and a drifted
+      // `updates` schema would otherwise commit files the reader silently
+      // NULL-poisons under the log's schema (same guard as append's)
+      require(logSchema(head, table).catalogString == updates.schema.catalogString,
+        s"delta: merge schema ${updates.schema.catalogString} does not match " +
+          s"the table schema ${logSchema(head, table).catalogString}")
       val (touched, _) = head.files.partition(overlaps(_, keyCol, umin, umax))
       val merged =
         if (touched.isEmpty) updates
@@ -292,6 +299,47 @@ object DeltaTable {
       if (!done) adds.foreach { a =>
         fs.delete(new Path(tbl, (a \ "add" \ "path").values.toString), false)
       }
+    }
+  }
+
+  /** [[readPartitions]] for tables past SCALE.md's snapshot
+    * driver-memory ceiling: partition pruning happens ON the checkpoint
+    * DataFrame ([[DeltaLog.prunedFiles]]) so the driver holds only the
+    * pruned file list, never the full add set. Result-identical to
+    * [[readPartitions]] (spec-pinned); prefer the plain form below a few
+    * hundred thousand live files — it skips the pruning job. */
+  def readPartitionsDistributed(spark: SparkSession, table: String,
+                                filter: Map[String, String]): DataFrame = {
+    val s = snapshotMeta(spark, table)
+    require(filter.keySet.subsetOf(s.partitionColumns.toSet),
+      s"delta: ${filter.keySet} not all partition columns ${s.partitionColumns}")
+    readFiles(spark, table, logSchema(s, table), s.partitionColumns,
+      DeltaLog.prunedFiles(spark, table, filter))
+  }
+
+  /** Schema/partitioning metadata without materializing the file list —
+    * checkpoint metaData row + JSON tail, O(commits), not O(files). */
+  private def snapshotMeta(spark: SparkSession,
+                           table: String): DeltaLog.Snapshot = {
+    val cp = DeltaLog.lastCheckpointVersion(spark, table)
+    cp match {
+      case None => snapshot(spark, table)
+      case Some(cpV) =>
+        val row = spark.read.parquet(
+            DeltaLog.checkpointFile(new Path(table), cpV).toString)
+          .where(org.apache.spark.sql.functions.col("metaData").isNotNull)
+          .select("metaData.id", "metaData.schemaString", "metaData.partitionColumns")
+          .head()
+        var schemaJson = Option(row.getString(1)).filter(_.nonEmpty)
+        var partCols: Seq[String] = row.getSeq[String](2).toList
+        var metaId = Option(row.getString(0))
+        DeltaLog.versions(spark, table).filter(_ > cpV).foreach { v =>
+          val c = DeltaLog.readCommit(spark, table, v)
+          c.schemaJson.foreach(s => schemaJson = Some(s))
+          c.partitionColumns.foreach(p => partCols = p)
+          if (metaId.isEmpty) metaId = c.metaDataId
+        }
+        DeltaLog.Snapshot(cpV, Seq.empty, schemaJson, Map.empty, partCols, metaId)
     }
   }
 

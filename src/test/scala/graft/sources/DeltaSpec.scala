@@ -413,4 +413,114 @@ class DeltaSpec extends SparkSpec {
     assert(IO.readDelta(spark, t).collect().map(_.getInt(0)).toSeq === Seq(9))
     assert(IO.readDelta(spark, t, Some(0L)).collect().map(_.getInt(0)).toSeq === Seq(1))
   }
+
+  test("merge races a concurrent appender: retries, loses no rows") {
+    // upstream's ConcurrentDeleteRead class of hazard: a merge whose
+    // remove-set was computed on a stale snapshot must NOT commit over an
+    // interleaved append — here the version-file CAS forces the loser to
+    // recompute against the new head, so every appended row and every
+    // merged value must survive the race
+    val t = tmp()
+    DeltaTable.write((0 until 60).map(i => (i.toLong, 0L)).toDF("k", "v"),
+      t, SaveMode.Append)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val merges = Future {
+      (1 to 4).foreach { i =>
+        DeltaTable.merge(
+          (0 until 10).map(j => (j.toLong, i.toLong)).toDF("k", "v"), t, "k")
+      }
+    }
+    val appends = Future {
+      (0 until 4).foreach { i =>
+        DeltaTable.write(Seq((100L + i, -1L)).toDF("k", "v"), t, SaveMode.Append)
+      }
+    }
+    try Await.result(Future.sequence(Seq(merges, appends)),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    val rows = DeltaTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantKeys = (0 until 60).map(_.toLong).toSet ++ (0 until 4).map(100L + _)
+    assert(rows.map(_._1).toSet === wantKeys,
+      s"lost rows: ${wantKeys.diff(rows.map(_._1).toSet)}")
+    assert(rows.length === 64, s"duplicated rows: ${rows.length}")
+    // the merge thread is serial, so merged keys end at its LAST value
+    assert(rows.filter(_._1 < 10).forall(_._2 == 4L), "merged values lost")
+    assert(rows.filter(r => r._1 >= 10 && r._1 < 60).forall(_._2 == 0L))
+    assert(rows.filter(_._1 >= 100).forall(_._2 == -1L))
+  }
+
+  test("merge refuses a schema-drifted batch even when data skipping leaves it untouched") {
+    val t = tmp()
+    // files whose k-stats are far from the updates' range → touched empty
+    DeltaTable.write(Seq((1000L, 1L)).toDF("k", "v"), t, SaveMode.Append)
+    val drifted = Seq((1L, "oops")).toDF("k", "v") // v: string, table has long
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.merge(drifted, t, "k")
+    }
+    assert(e.getMessage.contains("schema"),
+      s"must fail the schema contract, not NULL-poison: ${e.getMessage}")
+  }
+
+  test("checkpoint rows are protocol-complete: stable id, modificationTime, tombstones") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append) // v0
+    val id0 = DeltaLog.snapshot(spark, t).metaDataId.get
+    DeltaTable.write(Seq((2L, "b")).toDF("k", "s"), t, SaveMode.Overwrite) // v1
+    DeltaLog.checkpoint(spark, t)
+    val cp = spark.read.parquet(
+      s"$t/_delta_log/00000000000000000001.checkpoint.parquet")
+    // the table id carries through — PROTOCOL.md fixes it at creation
+    val ids = cp.select("metaData.id").na.drop().collect().map(_.getString(0))
+    assert(ids.toSeq === Seq(id0), "checkpoint must not re-randomize the table id")
+    // add entries carry the required modificationTime
+    val mts = cp.select("add.modificationTime").na.drop().collect().map(_.getLong(0))
+    assert(mts.nonEmpty && mts.forall(_ > 0L), s"missing modificationTime: ${mts.toSeq}")
+    // the overwritten file's remove tombstone is persisted
+    val tombs = cp.select("remove.path").na.drop().collect().map(_.getString(0))
+    assert(tombs.length === 1, s"expected the v0 tombstone, got ${tombs.toSeq}")
+    // and a checkpoint-seeded snapshot still sees id + tombstone
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.metaDataId === Some(id0))
+    assert(snap.tombstones.keySet === tombs.toSet)
+    assert(DeltaTable.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("distributed pruned read == driver pruned read, across checkpoint + tail") {
+    val t = tmp()
+    // checkpointed history: two partitioned appends, then a checkpoint,
+    // then a tail append AND a tail compaction (removes reaching back
+    // into the checkpoint) — the shapes prunedFiles must replay
+    def df(ids: Range, p: String) =
+      ids.map(i => (i.toLong, p)).toDF("id", "p")
+    DeltaTable.write(df(0 until 10, "a"), t, SaveMode.Append, partitionBy = Seq("p"))
+    DeltaTable.write(df(10 until 20, "b"), t, SaveMode.Append)
+    DeltaLog.checkpoint(spark, t)
+    DeltaTable.write(df(20 until 30, "a"), t, SaveMode.Append)
+    DeltaTable.compactFiles(spark, t, smallerThanBytes = Long.MaxValue)
+    for (part <- Seq("a", "b")) {
+      val driver = DeltaTable.readPartitions(spark, t, Map("p" -> part))
+        .collect().map(_.getLong(0)).toSet
+      val dist = DeltaTable.readPartitionsDistributed(spark, t, Map("p" -> part))
+        .collect().map(_.getLong(0)).toSet
+      assert(dist === driver, s"partition $part diverged")
+    }
+    assert(DeltaTable.readPartitionsDistributed(spark, t, Map("p" -> "a"))
+      .inputFiles.forall(_.contains("p=a")), "pruning must not open other partitions")
+  }
+
+  test("schema evolution re-emits metaData with the TABLE's id, not a fresh one") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append)
+    val id0 = DeltaLog.snapshot(spark, t).metaDataId.get
+    DeltaTable.write(Seq((2L, "b", 9L)).toDF("k", "s", "extra"), t, SaveMode.Overwrite)
+    // read the evolution commit's raw JSON: its metaData.id must be id0
+    val lines = scala.io.Source.fromFile(
+      new java.io.File(s"$t/_delta_log/00000000000000000001.json")).getLines().toList
+    val metaLine = lines.find(_.contains("\"metaData\"")).get
+    assert(metaLine.contains(s""""id":"$id0""""),
+      s"evolution minted a new table id: $metaLine")
+  }
 }

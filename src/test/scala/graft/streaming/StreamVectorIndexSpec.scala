@@ -94,6 +94,38 @@ class StreamVectorIndexSpec extends SparkSpec {
     assert(got === ((-1L, 1)), s"the true nearest (-1) must be returned: $got")
   }
 
+  test("search freshness under concurrent ingest: monotone growth, no torn reads") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex5").toString
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Long, Seq[Float])]
+    val q = StreamVectorIndex.start(
+      s.toDF().toDF("vec_id", "embedding"), s"$dir/idx", s"$dir/chk",
+      cents, trigger = Trigger.ProcessingTime(0))
+    try {
+      s.addData((1L, vec(1f, 0.1f, 0, 0)), (2L, vec(0.9f, 0, 0.1f, 0)))
+      q.processAllAvailable()
+      // a search PLANNED against the 2-vector index pins one log snapshot
+      val search1 = StreamVectorIndex.search(spark, s"$dir/idx",
+        Array(1f, 0f, 0f, 0f), cents, k = 10, nProbe = 1)
+      val r1 = search1.collect().map(_.getLong(0)).toSet
+      assert(r1 === Set(1L, 2L))
+      // a batch commits BETWEEN two searches
+      s.addData((4L, vec(0.95f, 0.05f, 0, 0)), (5L, vec(0.85f, 0.15f, 0, 0)))
+      q.processAllAvailable()
+      // no torn read: the pre-commit snapshot re-collects to exactly its
+      // own rows (data files are immutable; the pinned file list cannot
+      // see half a commit)
+      assert(search1.collect().map(_.getLong(0)).toSet === r1,
+        "a pinned snapshot must not shift under a concurrent commit")
+      // a fresh search sees strictly more: monotone result growth
+      val r2 = StreamVectorIndex.search(spark, s"$dir/idx",
+        Array(1f, 0f, 0f, 0f), cents, k = 10, nProbe = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(r1.subsetOf(r2), s"results went backwards: $r1 -> $r2")
+      assert(r2 === Set(1L, 2L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("probing more cells widens the candidate set to other corners") {
     val dir = java.nio.file.Files.createTempDirectory("vindex2").toString
     implicit val sqlCtx = spark.sqlContext
