@@ -82,4 +82,86 @@ object Bm25 {
         Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("doc_id"), col("score"), col("rnk"))
   }
+
+  /** Multi-query top-k: the retrieval shape a curation pipeline actually
+    * runs — a `(query_id, terms array<string>)` RELATION of queries,
+    * scored against the corpus in ONE pass, per-query top-k out.
+    *
+    * Shape: query terms explode to a tiny (query_id, pos, term) relation
+    * that BROADCAST-joins the exploded corpus tokens (map-side — no
+    * data-sized shuffle to get per-query term frequencies), then one
+    * (query_id, doc_id) aggregate pivots the matched positions into
+    * fixed tf-slots. Candidates are docs sharing ≥ 1 term with the query
+    * (the inverted-index retrieval contract — a doc matching no term
+    * scores 0 and is not a result), so the aggregate and the per-query
+    * top-k window run over |matching (query, doc) pairs|, not
+    * |queries| × |corpus|.
+    *
+    * Exactness: per-term scores live in FIXED position slots
+    * (0 until maxTerms) and sum by a left fold in slot order — the same
+    * deterministic float-addition sequence as [[topK]]'s column fold, so
+    * the scores hash bit-for-bit against an oracle replay. Slots past a
+    * query's term count contribute exactly +0.0 (tf = 0 zeroes the
+    * saturation numerator).
+    *
+    * @param queries  (query_id, terms) — terms must be per-query
+    *                 distinct, at most `maxTerms` of them
+    * @param maxTerms slot count; compile-time-fixed score expression
+    *                 width, NOT a corpus-side cost (empty slots are +0.0)
+    * @return (query_id, doc_id, score, rnk), rnk 1-based per query by
+    *         (score desc, doc_id)
+    */
+  def topKMulti(docs: DataFrame, queries: DataFrame, k: Int,
+                maxTerms: Int = 8): DataFrame = {
+    val qt = queries.select(col("query_id"),
+      posexplode(col("terms")).as(Seq("pos", "term")))
+    // one driver check over the tiny query relation: slot bound +
+    // per-query term uniqueness (a duplicated term would double-count
+    // its tf slots — same contract as topK's distinct require)
+    val chk = qt.agg(max(col("pos")).as("mx"), count(lit(1)).as("n"),
+      countDistinct(col("query_id"), col("term")).as("nd")).head()
+    require(!chk.isNullAt(0), "bm25: empty query relation")
+    require(chk.getInt(0) < maxTerms,
+      s"bm25: a query has ${chk.getInt(0) + 1} terms, maxTerms=$maxTerms")
+    require(chk.getLong(1) == chk.getLong(2),
+      "bm25: duplicate terms within a query")
+
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
+    val stats = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val toks = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+
+    val tfCols = (0 until maxTerms).map(i =>
+      sum(when(col("pos") === i, 1L).otherwise(0L)).as(s"tf$i"))
+    val tf = toks.join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      // min, not first: constant per doc, deterministic in every engine
+      .agg(min(col("dl")).as("dl"), tfCols: _*)
+    val dfCols = (0 until maxTerms).map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val dfs = tf.groupBy(col("query_id")).agg(dfCols.head, dfCols.tail: _*)
+
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scored0 = tf.join(broadcast(dfs), Seq("query_id"))
+      .crossJoin(broadcast(stats))
+    // identical per-term arithmetic to topK (see its scaladoc for the
+    // cleared-ratio derivation and the DECIMAL(38,0) overflow guard)
+    val termScores: Seq[Column] = (0 until maxTerms).map { i =>
+      val tfc = col(s"tf$i"); val dfc = col(s"df$i")
+      val t38 = col("t").cast(dec)
+      val idf = (lit(2L) * (col("n") - dfc) + lit(1L)).cast("double") /
+        (lit(2L) * dfc + lit(1L)).cast("double")
+      val num = (lit((K1N + K1D) * BD) * t38 * tfc).cast("double")
+      val den = (lit(K1D * BD) * t38 * tfc + lit(K1N * (BD - BN)) * t38 +
+        lit(K1N * BN) * col("dl").cast(dec) * col("n")).cast("double")
+      idf * (num / den)
+    }
+    val score = termScores.reduceLeft(_ + _)
+    scored0.withColumn("score", score)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
+  }
 }

@@ -49,10 +49,7 @@ object PqSearch {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, kc: Int = 16): DataFrame = {
-    import org.apache.spark.sql.graft.{ColumnBridge => CB}
     val base = VectorSearch.quantized(corpus).select(col("vec_id"), col("v"))
-    val q = VectorSearch.quantized(queries).select(col("vec_id"), col("v"))
-
     // bounded deterministic codebook read: kc rows × dim longs
     val seeds = base.orderBy(col("vec_id")).limit(kc)
       .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
@@ -69,6 +66,102 @@ object PqSearch {
     // scoring scan — the kernels are flat primitive loops with identical
     // exact-integer, first-min semantics (the oracle contract)
     val cents = Array.tabulate(m, kc, dsub)((j, c, i) => seeds(c)(j * dsub + i))
+    pqTopKWith(queries, corpus, k, cents)
+  }
+
+  /** [[pqTopK]] with a k-means++-trained codebook: the production recall
+    * path, where codebook quality should not be tied to id order. The
+    * trainer ([[trainCodebook]]) is seeded and fully deterministic, so
+    * results are stable across runs/partitionings — but its centroids
+    * are data-dependent means, which no closed-form SQL oracle replays;
+    * the oracle-gated query (q77) keeps the seed-pick codebook, and the
+    * recall spec gates this path against exact search instead. */
+  def pqTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                    m: Int = 8, kc: Int = 16, iters: Int = 5,
+                    sampleCap: Int = 4096, seed: Long = 42L): DataFrame =
+    pqTopKWith(queries, corpus, k,
+      trainCodebook(corpus, m, kc, iters, sampleCap, seed))
+
+  /** Train the PQ codebook with per-subspace seeded k-means++ and Lloyd
+    * iterations on a bounded deterministic sample (FAISS trains PQ on a
+    * sample the same way). Determinism: the D²-weighted inits draw from
+    * a splitmix64 stream seeded by (`seed`, subspace), ties in
+    * assignment break toward the lower centroid id, and the final means
+    * round to integers so the ADC kernels keep their exact-integer
+    * arithmetic. Returns cents(j)(c)(i) in [[pqTopKWith]]'s layout. */
+  def trainCodebook(corpus: DataFrame, m: Int = 8, kc: Int = 16,
+                    iters: Int = 5, sampleCap: Int = 4096,
+                    seed: Long = 42L): Array[Array[Array[Long]]] = {
+    import graft.functions.Bloom.mix
+    val sample = VectorSearch.quantized(corpus)
+      .orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
+    require(sample.nonEmpty, "trainCodebook: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainCodebook: m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val n = sample.length
+
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    Array.tabulate(m) { j =>
+      val pts = sample.map { v =>
+        Array.tabulate(dsub)(i => v(j * dsub + i).toDouble)
+      }
+      // splitmix64 stream per subspace → doubles in [0, 1)
+      var state = mix(seed + 0x632be59bd9b4e019L * (j + 1))
+      def nextDouble(): Double = {
+        state = mix(state + 0x9e3779b97f4a7c15L)
+        (state >>> 11).toDouble / (1L << 53).toDouble
+      }
+      // k-means++ init: first pick uniform, rest D²-weighted
+      val init = scala.collection.mutable.ArrayBuffer(
+        pts(((nextDouble() * n).toInt min (n - 1))).clone())
+      while (init.length < kc) {
+        val d2 = pts.map(p => init.map(c => sq(p, c)).min)
+        val total = d2.sum
+        if (total == 0.0) init += pts(((nextDouble() * n).toInt min (n - 1))).clone()
+        else {
+          val r = nextDouble() * total
+          var acc = 0.0; var pick = 0
+          var i = 0
+          while (i < n && acc + d2(i) < r) { acc += d2(i); pick = i + 1; i += 1 }
+          init += pts(pick min (n - 1)).clone()
+        }
+      }
+      var cents = init.toArray
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(kc)(new Array[Double](dsub))
+        val counts = new Array[Long](kc)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < kc) { // strict < : ties keep the LOWER centroid id
+            val d = sq(p, cents(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(kc)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents.map(_.map(x => math.rint(x).toLong))
+    }
+  }
+
+  /** Shared ADC scorer: encode the corpus against `cents`, broadcast
+    * per-query lookup tables, score, rank. */
+  private def pqTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                         cents: Array[Array[Array[Long]]]): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val base = VectorSearch.quantized(corpus).select(col("vec_id"), col("v"))
+    val q = VectorSearch.quantized(queries).select(col("vec_id"), col("v"))
 
     val codes = base.select(col("vec_id").as("nid"),
       CB.column(graft.functions.PqEncode(CB.expression(col("v")), cents)).as("codes"))
@@ -77,13 +170,19 @@ object PqSearch {
     val luts = q.select(col("vec_id").as("qid"),
       CB.column(graft.functions.PqAdcLut(CB.expression(col("v")), cents)).as("luts"))
 
-    val scored = codes
+    // malformed corpus vectors (wrong dimension / null elements) encode to
+    // NULL codes — drop them here, matching the other ANN tiers (brute
+    // force sorts them out via desc-nulls-last; StreamVectorIndex
+    // quarantines them); without this, ascending-nulls-FIRST ranking
+    // would put a NULL ad2 at rnk=1 of every query's top-k
+    val scored = codes.filter(col("codes").isNotNull)
       .join(broadcast(luts), col("qid") =!= col("nid"))
       .withColumn("ad2", CB.column(graft.functions.PqAdcScore(
         CB.expression(col("codes")), CB.expression(col("luts")))))
     scored
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("ad2").asc, col("nid").asc)))
+        Window.partitionBy(col("qid")).orderBy(
+          col("ad2").asc_nulls_last, col("nid").asc)))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk"), col("ad2"))
   }

@@ -36,6 +36,26 @@ object RuntimeFilter {
       CB.column(BloomContains(CB.expression(xxhash64(key)), words, numHashes))
   }
 
+  /** Smallest power-of-two filter size for an expected dim-side key
+    * count: ~16 bits/key at the default 4 hashes gives fpp ≈ 0.24%
+    * ((1 − e^(−4/16))^4). The 2^20 default gates well up to ~65k keys;
+    * when the caller knows the dim cardinality class (a dimension table's
+    * row count is usually a catalog fact, no counting job needed), sizing
+    * down shrinks the plan-constant broadcast and sizing up preserves the
+    * false-positive rate — a saturated Bloom passes everything and the
+    * gate silently stops reducing the shuffle. */
+  def numBitsFor(expectedKeys: Long, bitsPerKey: Int = 16): Int = {
+    require(expectedKeys > 0 && bitsPerKey > 0,
+      s"numBitsFor: expectedKeys=$expectedKeys bitsPerKey=$bitsPerKey")
+    val want = math.max(1L << 10, expectedKeys * bitsPerKey)
+    require(want <= (1L << 30),
+      s"numBitsFor: $expectedKeys keys × $bitsPerKey bits/key exceeds the " +
+        "1 Gib plan-constant budget — partition the build or accept a " +
+        "higher fpp with fewer bits/key")
+    val bits = java.lang.Long.highestOneBit(want)
+    (if (bits == want) bits else bits << 1).toInt
+  }
+
   /** Aggregate the (already-filtered) key column into a Bloom filter.
     * One job; the result is driver-held and broadcast into codegen as a
     * plan constant. Empty input yields the all-zero filter, whose gate

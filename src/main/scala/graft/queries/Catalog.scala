@@ -345,8 +345,11 @@ object Catalog {
     * through the log (basePath partition recovery, log-schema column
     * order), aggregated per lang. The oracle aggregates the raw table —
     * so the gate proves the from-scratch log loses nothing and the
-    * partition columns round-trip exactly. Fresh temp table per run;
-    * not a bench headline (it measures tmpfs writes, not query speed). */
+    * partition columns round-trip exactly. Fresh temp table per run,
+    * materialized eagerly (5 rows) so the scratch table can be deleted
+    * before returning — repeated correctness/bench runs don't accumulate
+    * table copies under the system temp dir; not a bench headline (it
+    * measures tmpfs writes, not query speed). */
   val q80DeltaRoundtrip: Q = Q(
     "q80_delta_roundtrip",
     Some("""
@@ -355,16 +358,26 @@ object Catalog {
       FROM documents GROUP BY lang""")) { (spark, dir) =>
     import org.apache.spark.sql.SaveMode
     import graft.sources.delta.DeltaTable
-    val t = java.nio.file.Files.createTempDirectory("graft_q80").toString + "/docs"
-    val docs = table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-    DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(2)) === 0), t,
-      SaveMode.Append, partitionBy = Seq("lang"))
-    DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(2)) === 1), t,
-      SaveMode.Append)
-    DeltaTable.read(spark, t)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q80")
+    val t = scratch.toString + "/docs"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(2)) === 0), t,
+        SaveMode.Append, partitionBy = Seq("lang"))
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(2)) === 1), t,
+        SaveMode.Append)
+      val agg = DeltaTable.read(spark, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Declarative expectation suite (q81): the reference's Great

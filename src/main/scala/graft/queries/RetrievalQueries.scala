@@ -89,5 +89,66 @@ object RetrievalQueries {
     PqSearch.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
   }
 
-  val all: Seq[Q] = Seq(q76Bm25, q77PqAnn)
+  /** Multi-query BM25 ([[graft.operators.Bm25.topKMulti]]): three query
+    * term-bags scored against the corpus in one pass, top-10 each. The
+    * oracle replays the slot-pivoted arithmetic — same rational-IDF
+    * integer ratios as q76, candidates restricted to docs sharing ≥ 1
+    * term (the inverted-index contract), per-term scores summed in slot
+    * order — so all three queries' double scores hash bit-for-bit. */
+  val q84Bm25Multi: Q = Q(
+    "q84_bm25_multi",
+    Some("""
+      WITH q AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, terms
+        FROM (VALUES (0, ['merge', 'window', 'scan']),
+                     (1, ['filter', 'join']),
+                     (2, ['vector'])) AS t(query_id, terms)),
+      qt AS (SELECT query_id, CAST(i AS INTEGER) - 1 AS pos,
+                    terms[CAST(i AS INTEGER)] AS term
+             FROM q, (SELECT UNNEST(range(1, 4)) AS i) ix
+             WHERE i <= len(terms)),
+      d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+      tok AS (SELECT doc_id, dl, UNNEST(w) AS term FROM f),
+      tf AS (SELECT qt.query_id, tok.doc_id, MIN(tok.dl) AS dl,
+                    CAST(SUM(CASE WHEN qt.pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+                    CAST(SUM(CASE WHEN qt.pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+                    CAST(SUM(CASE WHEN qt.pos = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+             FROM tok JOIN qt ON tok.term = qt.term
+             GROUP BY 1, 2),
+      dfs AS (SELECT query_id,
+                     CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                     CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                     CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+              FROM tf GROUP BY 1),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM f),
+      sc AS (SELECT tf.query_id, tf.doc_id,
+                ((
+                  (CAST(2*(s.n - dfs.df0) + 1 AS DOUBLE) / CAST(2*dfs.df0 + 1 AS DOUBLE))
+                    * (CAST(44*CAST(s.t AS HUGEINT)*tf.tf0 AS DOUBLE)
+                       / CAST(20*CAST(s.t AS HUGEINT)*tf.tf0 + 6*CAST(s.t AS HUGEINT) + 18*CAST(tf.dl AS HUGEINT)*s.n AS DOUBLE))
+                 ) + (
+                  (CAST(2*(s.n - dfs.df1) + 1 AS DOUBLE) / CAST(2*dfs.df1 + 1 AS DOUBLE))
+                    * (CAST(44*CAST(s.t AS HUGEINT)*tf.tf1 AS DOUBLE)
+                       / CAST(20*CAST(s.t AS HUGEINT)*tf.tf1 + 6*CAST(s.t AS HUGEINT) + 18*CAST(tf.dl AS HUGEINT)*s.n AS DOUBLE))
+                 )) + (
+                  (CAST(2*(s.n - dfs.df2) + 1 AS DOUBLE) / CAST(2*dfs.df2 + 1 AS DOUBLE))
+                    * (CAST(44*CAST(s.t AS HUGEINT)*tf.tf2 AS DOUBLE)
+                       / CAST(20*CAST(s.t AS HUGEINT)*tf.tf2 + 6*CAST(s.t AS HUGEINT) + 18*CAST(tf.dl AS HUGEINT)*s.n AS DOUBLE))
+                 ) AS score
+             FROM tf JOIN dfs USING (query_id), s),
+      r AS (SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+            FROM sc)
+      SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10"""),
+    headline = true) { (spark, dir) =>
+    import spark.implicits._
+    val qs = Seq(
+      (0L, Seq("merge", "window", "scan")),
+      (1L, Seq("filter", "join")),
+      (2L, Seq("vector"))).toDF("query_id", "terms")
+    Bm25.topKMulti(table(spark, dir, "documents"), qs, k = 10, maxTerms = 3)
+  }
+
+  val all: Seq[Q] = Seq(q76Bm25, q77PqAnn, q84Bm25Multi)
 }
