@@ -362,12 +362,19 @@ object DeltaLog {
     * the JSON commits past it. JSON history is kept, so time travel below
     * the checkpoint still works (production retention would clean it on a
     * policy; that knob is deliberately not implemented). */
-  def checkpoint(spark: SparkSession, table: String): Long = {
+  /** @param tombstoneRetainMs how far back remove tombstones persist in
+    *        the checkpoint (upstream's tombstone retention, default 7 d):
+    *        older ones have served their VACUUM purpose and dropping them
+    *        keeps checkpoint size O(live files + recent removes) instead
+    *        of growing with every rewrite the table ever did. */
+  def checkpoint(spark: SparkSession, table: String,
+                 tombstoneRetainMs: Long = 7L * 24 * 3600 * 1000): Long = {
     import spark.implicits._
     val head = snapshot(spark, table)
     require(!head.isEmpty, s"delta: $table has no commits to checkpoint")
     val tbl = new Path(table)
     val f = fs(spark, tbl)
+    val tombCutoff = System.currentTimeMillis() - tombstoneRetainMs
     val rows =
       CpRow(Some(CpProtocol(1, 2)), None, None, None, None) +:
         // the table's STABLE id carries through (PROTOCOL.md: metaData.id
@@ -381,11 +388,12 @@ object DeltaLog {
           CpRow(None, None, None, Some(CpAdd(a.path, a.partitionValues, a.size,
             a.modificationTime, dataChange = false,
             a.stats.map(renderStats).orNull)), None)
-        } ++ head.tombstones.toSeq.sortBy(_._1).map { case (p, ts) =>
-          // remove tombstones persist through checkpoints so a
-          // checkpoint-seeded reader (or VACUUM) still sees them
-          CpRow(None, None, None, None, Some(CpRemove(p, ts, dataChange = false)))
-        })
+        } ++ head.tombstones.toSeq.filter(_._2 > tombCutoff)
+          .sortBy(_._1).map { case (p, ts) =>
+            // remove tombstones persist through checkpoints so a
+            // checkpoint-seeded reader (or VACUUM) still sees them
+            CpRow(None, None, None, None, Some(CpRemove(p, ts, dataChange = false)))
+          })
     val tmp = new Path(logDir(tbl), s".cp-tmp-${java.util.UUID.randomUUID()}")
     rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = f.listStatus(tmp).map(_.getPath)
@@ -402,6 +410,29 @@ object DeltaLog {
       s"""{"version":${head.version},"size":${rows.length}}""".getBytes("UTF-8"))
     finally out.close()
     head.version
+  }
+
+  /** Log-retention cleaning (upstream's `delta.logRetentionDuration`):
+    * delete JSON commit files STRICTLY BELOW the newest checkpoint once
+    * they are older than `retainMs` — the checkpoint already carries
+    * their cumulative state, so head reads and incremental tails are
+    * unaffected; only time travel below the horizon is given up (the
+    * same promise VACUUM's retention makes for data files). Never
+    * touches commits at or above the checkpoint version: those are the
+    * replay tail. Returns the number of files deleted. */
+  def cleanLog(spark: SparkSession, table: String,
+               retainMs: Long = 30L * 24 * 3600 * 1000): Int = {
+    val tbl = new Path(table)
+    val f = fs(spark, tbl)
+    val cp = lastCheckpointVersion(spark, table).getOrElse(return 0)
+    val cutoff = System.currentTimeMillis() - retainMs
+    var removed = 0
+    versions(spark, table).filter(_ < cp).foreach { v =>
+      val p = logFile(tbl, v)
+      if (f.getFileStatus(p).getModificationTime <= cutoff && f.delete(p, false))
+        removed += 1
+    }
+    removed
   }
 
   /** Atomically commit `actions` as version `v`. Returns false when v

@@ -388,7 +388,15 @@ object DeltaTable {
     // landing between the snapshot and the log listing must wait for the
     // next poll, or its rows would be delivered now AND re-delivered
     // after the stale cursor (duplicate ingestion)
-    val newVersions = versions(spark, table)
+    val allVs = versions(spark, table)
+    // versions are DENSE sequential integers, so a gap above the cursor
+    // means log-retention cleaning (DeltaLog.cleanLog) deleted commits
+    // this tailer never read — raise, never silently skip their rows
+    require(allVs.isEmpty || sinceVersion >= allVs.min - 1,
+      s"delta: $table's log was cleaned past version $sinceVersion " +
+        s"(oldest retained commit: ${allVs.min}) — this cursor's unread " +
+        "commits are gone; re-read the full snapshot")
+    val newVersions = allVs
       .filter(v => v > sinceVersion && v <= head.version)
     val commits = newVersions.map(DeltaLog.readCommit(spark, table, _))
     require(commits.forall(_.dataChangingRemoves == 0),
@@ -480,6 +488,32 @@ object DeltaTable {
     * the commit lands — upstream VACUUM's retention window exists for
     * this gap. Only pass 0 when no writer can be mid-commit (tests,
     * single-writer maintenance windows). */
+  /** The RETENTION half of VACUUM ([[vacuumOrphans]] is the crash-orphan
+    * half): delete data files whose remove tombstones are older than
+    * `retainMs`. Time travel to versions that referenced them stops
+    * working — the upstream Delta contract (`VACUUM ... RETAIN`, default
+    * 7 days, exists precisely to bound how far back that guarantee
+    * holds). Reads the snapshot's tombstone map (checkpoint-persisted),
+    * not a log walk, so the cost is O(tombstones inside retention), not
+    * O(versions × files). Returns the number of files deleted. */
+  def vacuumRemoved(spark: SparkSession, table: String,
+                    retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = snapshot(spark, table)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val live = head.files.map(_.path).toSet
+    var removed = 0
+    head.tombstones.foreach { case (p, ts) =>
+      // the live check is belt-and-braces: a re-added path drops its
+      // tombstone during replay, but a vacuum must never delete a file
+      // the HEAD references
+      if (ts <= cutoff && !live(p) && fs.delete(new Path(tbl, p), false))
+        removed += 1
+    }
+    removed
+  }
+
   def vacuumOrphans(spark: SparkSession, table: String,
                     olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val tbl = new Path(table)

@@ -511,6 +511,69 @@ class DeltaSpec extends SparkSpec {
       .inputFiles.forall(_.contains("p=a")), "pruning must not open other partitions")
   }
 
+  test("vacuumRemoved reclaims tombstoned files after retention; head reads survive") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "old")).toDF("k", "s"), t, SaveMode.Append) // v0
+    val oldFile = DeltaLog.snapshot(spark, t).files.head.path
+    DeltaTable.write(Seq((2L, "new")).toDF("k", "s"), t, SaveMode.Overwrite) // v1
+    assert(new java.io.File(s"$t/$oldFile").exists(), "tombstoned file still on disk")
+    // inside the retention window: nothing reclaimed, time travel works
+    assert(DeltaTable.vacuumRemoved(spark, t) === 0)
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(0L)).count() === 1L)
+    // retention 0: the tombstoned file goes; head unaffected — and time
+    // travel BELOW the vacuum horizon now fails (the upstream contract)
+    assert(DeltaTable.vacuumRemoved(spark, t, retainMs = 0L) === 1)
+    assert(!new java.io.File(s"$t/$oldFile").exists())
+    assert(DeltaTable.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    intercept[Exception] {
+      DeltaTable.read(spark, t, versionAsOf = Some(0L)).collect()
+    }
+    // idempotent: a second vacuum finds nothing
+    assert(DeltaTable.vacuumRemoved(spark, t, retainMs = 0L) === 0)
+  }
+
+  test("checkpoint tombstone retention bounds checkpoint size") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append)
+    DeltaTable.write(Seq((2L, "b")).toDF("k", "s"), t, SaveMode.Overwrite)
+    // retention 0 drops the (just-written, so younger-than-any-positive-
+    // retention) tombstone from the checkpoint; the default keeps it
+    DeltaLog.checkpoint(spark, t, tombstoneRetainMs = 0L)
+    val cp = spark.read.parquet(s"$t/_delta_log/00000000000000000001.checkpoint.parquet")
+    assert(cp.select("remove.path").na.drop().count() === 0L,
+      "expired tombstones must not accumulate in checkpoints")
+    // the table itself still reads fine from the checkpoint seed
+    assert(DeltaTable.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("cleanLog drops pre-checkpoint JSON after retention; tailers below the horizon fail loudly") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append) // v0
+    DeltaTable.write(Seq((2L, "b")).toDF("k", "s"), t, SaveMode.Append) // v1
+    DeltaLog.checkpoint(spark, t)                                       // cp@1
+    DeltaTable.write(Seq((3L, "c")).toDF("k", "s"), t, SaveMode.Append) // v2
+    // inside retention: nothing deleted
+    assert(DeltaLog.cleanLog(spark, t) === 0)
+    // retention 0: v0 goes (strictly below the checkpoint), v1/v2 stay
+    assert(DeltaLog.cleanLog(spark, t, retainMs = 0L) === 1)
+    assert(DeltaLog.versions(spark, t) === Seq(1L, 2L))
+    // head reads seed from the checkpoint, unaffected
+    assert(DeltaTable.read(spark, t).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+    // time travel below the horizon fails loudly
+    intercept[IllegalArgumentException] {
+      DeltaTable.read(spark, t, versionAsOf = Some(0L))
+    }
+    // a tailer whose cursor predates the horizon must raise, not skip:
+    // commits (cursor, min-retained) are gone and their rows unreadable
+    intercept[IllegalArgumentException] {
+      DeltaTable.changesSince(spark, t, sinceVersion = -1L)
+    }
+    // a tailer at or past the horizon still works
+    val (delta, v) = DeltaTable.changesSince(spark, t, sinceVersion = 1L)
+    assert(v === 2L && delta.collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("schema evolution re-emits metaData with the TABLE's id, not a fresh one") {
     val t = tmp()
     DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append)
