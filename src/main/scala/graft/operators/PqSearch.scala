@@ -93,11 +93,20 @@ object PqSearch {
                     iters: Int = 5, sampleCap: Int = 4096,
                     seed: Long = 42L): Array[Array[Array[Long]]] = {
     import graft.functions.Bloom.mix
-    val sample = VectorSearch.quantized(corpus)
+    // null-element vectors are dropped at the scan (they'd NPE the
+    // unboxing); wrong-DIMENSION vectors survive to the modal-length
+    // filter below — the encode/score path NULL-drops the same rows, so
+    // training tolerating them keeps pqTopKTrained total on any corpus
+    // pqTopK accepts
+    val raw = VectorSearch.quantized(corpus)
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
       .orderBy(col("vec_id")).limit(sampleCap)
       .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
-    require(sample.nonEmpty, "trainCodebook: empty corpus")
-    val dim = sample.head.length
+    require(raw.nonEmpty, "trainCodebook: empty corpus")
+    // train on the majority dimension (ties break to the smaller — any
+    // deterministic rule works; malformed strays must not pick the dim)
+    val dim = raw.groupBy(_.length).maxBy { case (l, g) => (g.length, -l) }._1
+    val sample = raw.filter(_.length == dim)
     require(dim % m == 0, s"trainCodebook: m=$m must divide dim=$dim")
     val dsub = dim / m
     val n = sample.length
@@ -166,9 +175,13 @@ object PqSearch {
     val codes = base.select(col("vec_id").as("nid"),
       CB.column(graft.functions.PqEncode(CB.expression(col("v")), cents)).as("codes"))
 
-    // per-query ADC lookup tables: m × kc longs, broadcast to the scan
+    // per-query ADC lookup tables: m × kc longs, broadcast to the scan.
+    // A malformed QUERY vector yields NULL luts and is dropped like its
+    // corpus counterpart below — otherwise every one of its candidates
+    // scores NULL and row_number would still hand out rnk 1..k
     val luts = q.select(col("vec_id").as("qid"),
       CB.column(graft.functions.PqAdcLut(CB.expression(col("v")), cents)).as("luts"))
+      .filter(col("luts").isNotNull)
 
     // malformed corpus vectors (wrong dimension / null elements) encode to
     // NULL codes — drop them here, matching the other ANN tiers (brute

@@ -47,11 +47,15 @@ object RuntimeFilter {
   def numBitsFor(expectedKeys: Long, bitsPerKey: Int = 16): Int = {
     require(expectedKeys > 0 && bitsPerKey > 0,
       s"numBitsFor: expectedKeys=$expectedKeys bitsPerKey=$bitsPerKey")
-    val want = math.max(1L << 10, expectedKeys * bitsPerKey)
-    require(want <= (1L << 30),
+    // bound BEFORE multiplying: a Long-overflowing product would wrap
+    // negative, sail past the budget check, and hand back a tiny
+    // saturated filter — the silent pass-everything failure this
+    // function exists to prevent
+    require(expectedKeys <= (1L << 30) / bitsPerKey,
       s"numBitsFor: $expectedKeys keys × $bitsPerKey bits/key exceeds the " +
         "1 Gib plan-constant budget — partition the build or accept a " +
         "higher fpp with fewer bits/key")
+    val want = math.max(1L << 10, expectedKeys * bitsPerKey)
     val bits = java.lang.Long.highestOneBit(want)
     (if (bits == want) bits else bits << 1).toInt
   }

@@ -375,8 +375,12 @@ object Catalog {
         spark.sparkContext.parallelize(rows, 1), agg.schema)
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+      // Files.walk holds open directory streams until closed — leaking
+      // it would bleed file descriptors across repeated runs
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 

@@ -183,11 +183,14 @@ object DeltaLog {
     * newest usable parquet CHECKPOINT if one exists (protocol
     * `_last_checkpoint` + `%020d.checkpoint.parquet` — the replay-cost
     * cap for long-lived tables), then apply the JSON commits after it.
-    * Time travel BELOW the checkpoint falls back to pure JSON replay —
-    * this implementation never deletes JSON commits, so the full
-    * history stays readable. Version -1 = no commits yet; `asOf` above
-    * the head is an error (upstream's VersionNotFoundException), never a
-    * silent read of newer data. */
+    * Time travel BELOW the checkpoint falls back to pure JSON replay,
+    * which works for the full history until [[cleanLog]] retires
+    * pre-checkpoint commits — a replay that cannot be ROOTED (at
+    * version 0 or a covering checkpoint) or that would span a version
+    * gap raises instead of silently reconstructing partial state.
+    * Version -1 = no commits yet; `asOf` above the head is an error
+    * (upstream's VersionNotFoundException), never a silent read of
+    * newer data. */
   def snapshot(spark: SparkSession, table: String,
                asOf: Option[Long] = None): Snapshot = {
     val tbl = new Path(table)
@@ -201,6 +204,21 @@ object DeltaLog {
       .filter(v => cp.forall(v > _))
     asOf.foreach(a => require(vs.nonEmpty || cp.nonEmpty || a < 0,
       s"delta: no committed version <= $a at $table"))
+    // reconstruction guards: without a checkpoint seed the JSON replay
+    // must start at version 0, and either way the replayed range must be
+    // DENSE (versions are sequential integers by construction) — a
+    // cleaned or damaged log fails loudly, never as partial state
+    require(cp.nonEmpty || vs.isEmpty || vs.head == 0L,
+      s"delta: $table's log starts at version ${vs.head} with no covering " +
+        s"checkpoint${asOf.fold("")(a => s" for asOf=$a")} — cleaned below " +
+        "the retention horizon; this state is no longer reconstructible")
+    require(vs.isEmpty || vs.size.toLong == vs.last - vs.head + 1,
+      s"delta: $table's log has a gap in versions ${vs.head}..${vs.last} — " +
+        "refusing to replay partial state")
+    require(vs.isEmpty || cp.forall(_ + 1 == vs.head),
+      s"delta: $table's log is missing versions ${cp.get + 1}..${vs.head - 1} " +
+        "between the checkpoint and the retained tail — refusing to replay " +
+        "partial state")
     var files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
@@ -268,31 +286,62 @@ object DeltaLog {
     * removes of tail-added files from removes of checkpointed files.
     */
   def prunedFiles(spark: SparkSession, table: String,
-                  partitionFilter: Map[String, String]): Seq[AddFile] = {
+                  partitionFilter: Map[String, String]): Seq[AddFile] =
+    prunedSnapshot(spark, table, partitionFilter).files
+
+  /** [[prunedFiles]] plus the schema/partitioning metadata, in ONE pass:
+    * the JSON tail is parsed once and the checkpoint parquet opened once
+    * for both the metaData row and the pruned add collection — a long
+    * post-checkpoint tail (the regime this API exists for) is not read
+    * twice. `txns` is left empty: exactly-once writers need the full
+    * [[snapshot]], not a pruned read. */
+  def prunedSnapshot(spark: SparkSession, table: String,
+                     partitionFilter: Map[String, String]): Snapshot = {
     import org.apache.spark.sql.functions.{col, element_at, lit, not}
-    val cp = lastCheckpointVersion(spark, table)
-    cp match {
+    def keep(f: AddFile): Boolean =
+      partitionFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) }
+    lastCheckpointVersion(spark, table) match {
       case None =>
-        snapshot(spark, table).files.filter(f =>
-          partitionFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+        val s = snapshot(spark, table)
+        s.copy(files = s.files.filter(keep))
       case Some(cpV) =>
         val tbl = new Path(table)
-        // replay the JSON tail driver-side: live tail adds + removes that
-        // reach back into the checkpoint
+        // replay the JSON tail driver-side ONCE: live tail adds, removes
+        // that reach back into the checkpoint, metadata overrides
         val tailLive = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
         val removedFromCp = scala.collection.mutable.Set.empty[String]
+        var schemaJson: Option[String] = None
+        var partCols: Option[Seq[String]] = None
+        var metaId: Option[String] = None
+        var headV = cpV
         versions(spark, table).filter(_ > cpV).foreach { v =>
+          headV = v
           val c = readCommit(spark, table, v)
           c.adds.foreach(a => tailLive += a.path -> a)
           c.removes.foreach { r =>
             if (tailLive.contains(r.path)) tailLive -= r.path
             else removedFromCp += r.path
           }
+          c.schemaJson.foreach(s => schemaJson = Some(s))
+          c.partitionColumns.foreach(p => partCols = Some(p))
+          if (metaId.isEmpty) metaId = c.metaDataId
         }
-        val cpAdds0 = spark.read.parquet(checkpointFile(tbl, cpV).toString)
-          .where(col("add").isNotNull).select(col("add.*"))
-        // partition predicates + tombstone anti-filter BEFORE collect
-        val pruned = partitionFilter.foldLeft(cpAdds0) { case (df, (k, v)) =>
+        val cpDf = spark.read.parquet(checkpointFile(tbl, cpV).toString)
+        val metaRow = cpDf.where(col("metaData").isNotNull)
+          .select(col("metaData.id"), col("metaData.schemaString"),
+            col("metaData.partitionColumns"))
+          .head()
+        if (schemaJson.isEmpty)
+          schemaJson = Option(metaRow.getString(1)).filter(_.nonEmpty)
+        if (metaId.isEmpty) metaId = Option(metaRow.getString(0))
+        val parts = partCols.getOrElse(metaRow.getSeq[String](2).toList)
+        // partition predicates + tombstone anti-filter BEFORE collect;
+        // legacy checkpoints (no modificationTime column) read as 0
+        val cpAdds0 = cpDf.where(col("add").isNotNull).select(col("add.*"))
+        val withMt =
+          if (cpAdds0.columns.contains("modificationTime")) cpAdds0
+          else cpAdds0.withColumn("modificationTime", lit(0L))
+        val pruned = partitionFilter.foldLeft(withMt) { case (df, (k, v)) =>
           df.where(element_at(col("partitionValues"), k) === lit(v))
         }.where(
           if (removedFromCp.isEmpty) lit(true)
@@ -308,8 +357,12 @@ object DeltaLog {
               dataChange = true,
               modificationTime = r.getLong(4))
           }.toSeq
-        cpFiles ++ tailLive.values.filter(f =>
-          partitionFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+        // keyed by path like snapshot(): a tail re-add of a checkpointed
+        // path supersedes the checkpoint row, never duplicates it
+        val all = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+        cpFiles.foreach(f => all += f.path -> f)
+        tailLive.values.filter(keep).foreach(f => all += f.path -> f)
+        Snapshot(headV, all.values.toSeq, schemaJson, Map.empty, parts, metaId)
     }
   }
 
@@ -359,14 +412,20 @@ object DeltaLog {
   /** Write a parquet checkpoint of the CURRENT head: one row per action
     * (protocol, metaData, every txn high-water mark, every live add) plus
     * `_last_checkpoint` — after which snapshot construction replays only
-    * the JSON commits past it. JSON history is kept, so time travel below
-    * the checkpoint still works (production retention would clean it on a
-    * policy; that knob is deliberately not implemented). */
-  /** @param tombstoneRetainMs how far back remove tombstones persist in
-    *        the checkpoint (upstream's tombstone retention, default 7 d):
-    *        older ones have served their VACUUM purpose and dropping them
-    *        keeps checkpoint size O(live files + recent removes) instead
-    *        of growing with every rewrite the table ever did. */
+    * the JSON commits past it. JSON history is kept by the checkpoint
+    * itself, so time travel below it still works until [[cleanLog]]
+    * retires pre-checkpoint commits on its retention policy.
+    *
+    * @param tombstoneRetainMs how far back remove tombstones persist in
+    *        the checkpoint (upstream's tombstone retention, default 7 d),
+    *        keeping checkpoint size O(live files + recent removes)
+    *        instead of growing with every rewrite the table ever did.
+    *        A tombstone past retention is dropped ONLY once its data
+    *        file is actually gone (one existence probe per expired
+    *        tombstone): dropping it earlier would orphan the file from
+    *        [[graft.sources.delta.DeltaTable.vacuumRemoved]]'s view
+    *        forever if checkpointing happened to run before the vacuum
+    *        cycle — the two maintenance ops stay order-independent. */
   def checkpoint(spark: SparkSession, table: String,
                  tombstoneRetainMs: Long = 7L * 24 * 3600 * 1000): Long = {
     import spark.implicits._
@@ -388,7 +447,8 @@ object DeltaLog {
           CpRow(None, None, None, Some(CpAdd(a.path, a.partitionValues, a.size,
             a.modificationTime, dataChange = false,
             a.stats.map(renderStats).orNull)), None)
-        } ++ head.tombstones.toSeq.filter(_._2 > tombCutoff)
+        } ++ head.tombstones.toSeq
+          .filter { case (p, ts) => ts > tombCutoff || f.exists(new Path(tbl, p)) }
           .sortBy(_._1).map { case (p, ts) =>
             // remove tombstones persist through checkpoints so a
             // checkpoint-seeded reader (or VACUUM) still sees them
@@ -419,7 +479,10 @@ object DeltaLog {
     * unaffected; only time travel below the horizon is given up (the
     * same promise VACUUM's retention makes for data files). Never
     * touches commits at or above the checkpoint version: those are the
-    * replay tail. Returns the number of files deleted. */
+    * replay tail. Deletes a PREFIX only — it stops at the first commit
+    * that is too young or fails to delete, so the retained range stays
+    * dense and [[snapshot]]'s gap guard never trips on a half-cleaned
+    * log. Returns the number of files deleted. */
   def cleanLog(spark: SparkSession, table: String,
                retainMs: Long = 30L * 24 * 3600 * 1000): Int = {
     val tbl = new Path(table)
@@ -427,10 +490,12 @@ object DeltaLog {
     val cp = lastCheckpointVersion(spark, table).getOrElse(return 0)
     val cutoff = System.currentTimeMillis() - retainMs
     var removed = 0
-    versions(spark, table).filter(_ < cp).foreach { v =>
-      val p = logFile(tbl, v)
-      if (f.getFileStatus(p).getModificationTime <= cutoff && f.delete(p, false))
-        removed += 1
+    val it = versions(spark, table).filter(_ < cp).iterator
+    var continue = true
+    while (continue && it.hasNext) {
+      val p = logFile(tbl, it.next())
+      continue = f.getFileStatus(p).getModificationTime <= cutoff && f.delete(p, false)
+      if (continue) removed += 1
     }
     removed
   }

@@ -310,37 +310,10 @@ object DeltaTable {
     * hundred thousand live files — it skips the pruning job. */
   def readPartitionsDistributed(spark: SparkSession, table: String,
                                 filter: Map[String, String]): DataFrame = {
-    val s = snapshotMeta(spark, table)
+    val s = DeltaLog.prunedSnapshot(spark, table, filter)
     require(filter.keySet.subsetOf(s.partitionColumns.toSet),
       s"delta: ${filter.keySet} not all partition columns ${s.partitionColumns}")
-    readFiles(spark, table, logSchema(s, table), s.partitionColumns,
-      DeltaLog.prunedFiles(spark, table, filter))
-  }
-
-  /** Schema/partitioning metadata without materializing the file list —
-    * checkpoint metaData row + JSON tail, O(commits), not O(files). */
-  private def snapshotMeta(spark: SparkSession,
-                           table: String): DeltaLog.Snapshot = {
-    val cp = DeltaLog.lastCheckpointVersion(spark, table)
-    cp match {
-      case None => snapshot(spark, table)
-      case Some(cpV) =>
-        val row = spark.read.parquet(
-            DeltaLog.checkpointFile(new Path(table), cpV).toString)
-          .where(org.apache.spark.sql.functions.col("metaData").isNotNull)
-          .select("metaData.id", "metaData.schemaString", "metaData.partitionColumns")
-          .head()
-        var schemaJson = Option(row.getString(1)).filter(_.nonEmpty)
-        var partCols: Seq[String] = row.getSeq[String](2).toList
-        var metaId = Option(row.getString(0))
-        DeltaLog.versions(spark, table).filter(_ > cpV).foreach { v =>
-          val c = DeltaLog.readCommit(spark, table, v)
-          c.schemaJson.foreach(s => schemaJson = Some(s))
-          c.partitionColumns.foreach(p => partCols = p)
-          if (metaId.isEmpty) metaId = c.metaDataId
-        }
-        DeltaLog.Snapshot(cpV, Seq.empty, schemaJson, Map.empty, partCols, metaId)
-    }
+    readFiles(spark, table, logSchema(s, table), s.partitionColumns, s.files)
   }
 
   /** [[readPartitions]] over a SET of values of one partition column —
@@ -389,15 +362,16 @@ object DeltaTable {
     // next poll, or its rows would be delivered now AND re-delivered
     // after the stale cursor (duplicate ingestion)
     val allVs = versions(spark, table)
-    // versions are DENSE sequential integers, so a gap above the cursor
-    // means log-retention cleaning (DeltaLog.cleanLog) deleted commits
-    // this tailer never read — raise, never silently skip their rows
-    require(allVs.isEmpty || sinceVersion >= allVs.min - 1,
-      s"delta: $table's log was cleaned past version $sinceVersion " +
-        s"(oldest retained commit: ${allVs.min}) — this cursor's unread " +
-        "commits are gone; re-read the full snapshot")
     val newVersions = allVs
       .filter(v => v > sinceVersion && v <= head.version)
+    // versions are DENSE sequential integers, so the tail this cursor
+    // must read is exactly (sinceVersion, head]; anything missing from
+    // it — log-retention cleaning past the cursor, a damaged log —
+    // means unread commits are gone: raise, never silently skip rows
+    require(newVersions == (sinceVersion + 1 to head.version),
+      s"delta: $table's log is missing commits in ($sinceVersion, " +
+        s"${head.version}] (retained: $newVersions) — this cursor's " +
+        "unread commits are gone; re-read the full snapshot")
     val commits = newVersions.map(DeltaLog.readCommit(spark, table, _))
     require(commits.forall(_.dataChangingRemoves == 0),
       s"delta: $table was overwritten/merged inside ($sinceVersion, ${head.version}] — " +
@@ -480,14 +454,6 @@ object DeltaTable {
       (v, c.adds.size, c.removes.size)
     }
 
-  /** Delete data files no live-or-historical snapshot references (the
-    * crash-orphan reclaim half of VACUUM; age-based retention of REMOVED
-    * files is a policy knob on top). `olderThanMs` is the in-flight-writer
-    * guard: a concurrent writer renames its data files into the table
-    * root BEFORE committing, and those look exactly like orphans until
-    * the commit lands — upstream VACUUM's retention window exists for
-    * this gap. Only pass 0 when no writer can be mid-commit (tests,
-    * single-writer maintenance windows). */
   /** The RETENTION half of VACUUM ([[vacuumOrphans]] is the crash-orphan
     * half): delete data files whose remove tombstones are older than
     * `retainMs`. Time travel to versions that referenced them stops
@@ -514,13 +480,43 @@ object DeltaTable {
     removed
   }
 
+  /** Delete data files no retained log artifact references (the
+    * crash-orphan reclaim half of VACUUM; [[vacuumRemoved]] is the
+    * retention half). The referenced set is every path the RETAINED log
+    * mentions — adds AND removes of every JSON commit, adds and
+    * tombstones of every checkpoint file — O(log artifacts), no
+    * per-version snapshot replays, so it stays correct on a
+    * [[DeltaLog.cleanLog]]-cleaned history (whose below-horizon versions
+    * can no longer be reconstructed) and never touches a tombstoned file
+    * whose retention clock belongs to [[vacuumRemoved]]. A crashed
+    * writer's staged files appear in NO artifact, which is exactly what
+    * makes them orphans. `olderThanMs` is the in-flight-writer guard: a
+    * concurrent writer renames its data files into the table root
+    * BEFORE committing, and those look exactly like orphans until the
+    * commit lands — upstream VACUUM's retention window exists for this
+    * gap. Only pass 0 when no writer can be mid-commit (tests,
+    * single-writer maintenance windows). */
   def vacuumOrphans(spark: SparkSession, table: String,
                     olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val referenced = versions(spark, table).flatMap { v =>
-      snapshot(spark, table, Some(v)).files.map(_.path)
-    }.toSet
+    val referenced = scala.collection.mutable.Set.empty[String]
+    versions(spark, table).foreach { v =>
+      val c = DeltaLog.readCommit(spark, table, v)
+      c.adds.foreach(a => referenced += a.path)
+      c.removes.foreach(r => referenced += r.path)
+    }
+    val logD = DeltaLog.logDir(tbl)
+    if (fs.exists(logD)) fs.listStatus(logD)
+      .filter(_.getPath.getName.endsWith(".checkpoint.parquet"))
+      .foreach { st =>
+        val cpDf = spark.read.parquet(st.getPath.toString)
+        val cols = Seq("add.path") ++
+          (if (cpDf.columns.contains("remove")) Seq("remove.path") else Seq.empty)
+        cpDf.select(cols.head, cols.tail: _*).collect().foreach { r =>
+          (0 until r.length).foreach(i => if (!r.isNullAt(i)) referenced += r.getString(i))
+        }
+      }
     val base = tbl.toUri.getPath
     val it = fs.listFiles(tbl, true) // recursive: partitioned layouts nest
     var removed = 0

@@ -200,6 +200,29 @@ class RetrievalSpec extends SparkSpec {
       .collect()
     assert(got.forall(!_.isNullAt(3)), "NULL ad2 leaked into the ranking")
     assert(!got.exists(_.getLong(1) == 7777L), "malformed vector in top-k")
+    // a malformed QUERY drops out entirely (NULL luts) instead of
+    // emitting k NULL-distance rows; well-formed queries are unaffected
+    val got2 = PqSearch.pqTopK(
+      corpus.filter(col("vec_id") < 2 || col("vec_id") === 7777L), corpus, k = 5)
+      .collect()
+    assert(got2.map(_.getLong(0)).toSet === Set(0L, 1L),
+      "malformed query must vanish, not rank NULLs")
+    assert(got2.forall(!_.isNullAt(3)))
+    // and the trained path tolerates the same corpus (the malformed
+    // vector is filtered out of the training sample, not crashed on)
+    val trained = PqSearch.pqTopKTrained(
+      corpus.filter(col("vec_id") < 2), corpus, k = 3)
+    assert(trained.collect().length === 6)
+  }
+
+  test("runtime filter sizing: power-of-two, floored, overflow-guarded") {
+    import graft.operators.RuntimeFilter.numBitsFor
+    assert(numBitsFor(1) === 1 << 10)          // floor
+    assert(numBitsFor(65536) === 1 << 20)      // exact power of two
+    assert(numBitsFor(65537) === 1 << 21)      // rounds UP, never down
+    intercept[IllegalArgumentException](numBitsFor(0))
+    // a Long-overflowing product must raise, not wrap into a tiny filter
+    intercept[IllegalArgumentException](numBitsFor(Long.MaxValue / 2))
   }
 
   // --- temperature mix ------------------------------------------------------

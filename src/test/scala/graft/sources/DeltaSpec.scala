@@ -532,18 +532,63 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.vacuumRemoved(spark, t, retainMs = 0L) === 0)
   }
 
-  test("checkpoint tombstone retention bounds checkpoint size") {
+  test("checkpoint tombstone retention bounds checkpoint size — once the file is reclaimed") {
     val t = tmp()
     DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append)
     DeltaTable.write(Seq((2L, "b")).toDF("k", "s"), t, SaveMode.Overwrite)
-    // retention 0 drops the (just-written, so younger-than-any-positive-
-    // retention) tombstone from the checkpoint; the default keeps it
+    val cpFile = s"$t/_delta_log/00000000000000000001.checkpoint.parquet"
+    // expired tombstone but the data file still exists: the checkpoint
+    // must KEEP it — dropping it would orphan the file from
+    // vacuumRemoved's view if checkpointing ran before the vacuum cycle
     DeltaLog.checkpoint(spark, t, tombstoneRetainMs = 0L)
-    val cp = spark.read.parquet(s"$t/_delta_log/00000000000000000001.checkpoint.parquet")
-    assert(cp.select("remove.path").na.drop().count() === 0L,
-      "expired tombstones must not accumulate in checkpoints")
+    assert(spark.read.parquet(cpFile).select("remove.path").na.drop().count() === 1L,
+      "an expired tombstone whose file still exists must persist")
+    // after the vacuum reclaims the file, the next checkpoint drops it
+    assert(DeltaTable.vacuumRemoved(spark, t, retainMs = 0L) === 1)
+    DeltaLog.checkpoint(spark, t, tombstoneRetainMs = 0L)
+    assert(spark.read.parquet(cpFile).select("remove.path").na.drop().count() === 0L,
+      "reclaimed tombstones must not accumulate in checkpoints")
     // the table itself still reads fine from the checkpoint seed
     assert(DeltaTable.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("vacuumOrphans never touches tombstoned files (vacuumRemoved's clock) or breaks on cleaned logs") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append)  // v0
+    val oldFile = DeltaLog.snapshot(spark, t).files.head.path
+    DeltaTable.write(Seq((2L, "b")).toDF("k", "s"), t, SaveMode.Overwrite) // v1
+    // a true crash orphan: staged-looking file no artifact references
+    val orphan = new java.io.File(s"$t/part-orphan.snappy.parquet")
+    java.nio.file.Files.writeString(orphan.toPath, "junk")
+    assert(DeltaTable.vacuumOrphans(spark, t, olderThanMs = 0L) === 1,
+      "exactly the orphan goes; the tombstoned file belongs to vacuumRemoved")
+    assert(!orphan.exists())
+    assert(new java.io.File(s"$t/$oldFile").exists(),
+      "tombstoned file must survive vacuumOrphans")
+    // and on a cleaned log (v0 JSON gone below the checkpoint) it still
+    // runs off retained artifacts instead of replaying dead versions
+    DeltaTable.write(Seq((3L, "c")).toDF("k", "s"), t, SaveMode.Append) // v2
+    DeltaLog.checkpoint(spark, t)
+    DeltaLog.cleanLog(spark, t, retainMs = 0L)
+    assert(DeltaTable.vacuumOrphans(spark, t, olderThanMs = 0L) === 0)
+    assert(DeltaTable.read(spark, t).collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
+  test("a log cleaned mid-history refuses partial time travel") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append) // v0
+    DeltaTable.write(Seq((2L, "b")).toDF("k", "s"), t, SaveMode.Append) // v1
+    DeltaTable.write(Seq((3L, "c")).toDF("k", "s"), t, SaveMode.Append) // v2
+    DeltaLog.checkpoint(spark, t) // cp@2
+    // simulate a partial clean that removed only v0 (e.g. mtime-uneven
+    // retention): asOf=1 has no covering checkpoint and no v0 root —
+    // replaying just v1 would silently drop v0's rows
+    assert(new java.io.File(s"$t/_delta_log/00000000000000000000.json").delete())
+    intercept[IllegalArgumentException] {
+      DeltaLog.snapshot(spark, t, asOf = Some(1L))
+    }
+    // the head still reads via the checkpoint
+    assert(DeltaTable.read(spark, t).count() === 3L)
   }
 
   test("cleanLog drops pre-checkpoint JSON after retention; tailers below the horizon fail loudly") {
