@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.SparkSpec
+import graft.sources.delta.DeltaTable
+
+class DeltaStreamSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("graft-delta source: incremental tail, maintenance-transparent, exactly-once restart") {
+    val root = java.nio.file.Files.createTempDirectory("dstream").toString
+    val t = s"$root/t"; val outp = s"$root/out"; val chk = s"$root/chk"
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "p"), t, SaveMode.Append,
+      partitionBy = Seq("p"))
+    def readOut() = spark.read.parquet(outp)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("p"))).toSet
+    def start() = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("parquet").option("path", outp)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q = start()
+    try {
+      // initial offset -1: the existing table arrives as the first batch,
+      // partition column restored from the add-action's partitionValues
+      q.processAllAvailable()
+      assert(readOut() === Set((1L, "a")))
+      // appends stream in incrementally
+      DeltaTable.write(Seq((2L, "a"), (3L, "b")).toDF("k", "p"), t, SaveMode.Append)
+      q.processAllAvailable()
+      assert(readOut() === Set((1L, "a"), (2L, "a"), (3L, "b")))
+      // a dataChange=false compaction advances the offset but re-delivers
+      // NOTHING — its rows already arrived from the files it rearranged
+      DeltaTable.compactFiles(spark, t, smallerThanBytes = Long.MaxValue)
+      q.processAllAvailable()
+      assert(readOut().size === 3, "maintenance rewrite must not re-deliver rows")
+    } finally q.stop()
+    // restart from the checkpoint: offsets resume, nothing re-delivered
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(readOut().size === 3, "restart must not re-deliver")
+      DeltaTable.write(Seq((4L, "b")).toDF("k", "p"), t, SaveMode.Append)
+      q2.processAllAvailable()
+      assert(readOut() === Set((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")))
+    } finally q2.stop()
+  }
+
+  test("graft-delta source refuses a data-changing overwrite mid-stream") {
+    val root = java.nio.file.Files.createTempDirectory("dstream2").toString
+    val t = s"$root/t"
+    DeltaTable.write(Seq((1L, 10L)).toDF("k", "v"), t, SaveMode.Append)
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      DeltaTable.write(Seq((2L, 20L)).toDF("k", "v"), t, SaveMode.Overwrite)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("overwritten") || e.getCause.getMessage.contains("overwritten"),
+        s"must fail the append-only contract loudly: ${e.getMessage}")
+    } finally q.stop()
+  }
+
+  test("startingVersion=latest tails only NEW commits — the overwritten-history escape hatch") {
+    val root = java.nio.file.Files.createTempDirectory("dstream4").toString
+    val t = s"$root/t"
+    DeltaTable.write(Seq((1L, 10L)).toDF("k", "v"), t, SaveMode.Append)
+    DeltaTable.write(Seq((2L, 20L)).toDF("k", "v"), t, SaveMode.Overwrite)
+    // history contains a data-changing remove → earliest would fail; a
+    // latest-anchored stream skips history and tails cleanly
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "latest").load(t)
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      DeltaTable.write(Seq((3L, 30L)).toDF("k", "v"), t, SaveMode.Append)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$root/out")
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+      assert(got === Set((3L, 30L)), s"latest must skip history, got $got")
+    } finally q.stop()
+  }
+
+  test("graft-delta source rejects nested column types at plan time") {
+    val root = java.nio.file.Files.createTempDirectory("dstream3").toString
+    val t = s"$root/t"
+    DeltaTable.write(Seq((1L, Seq(1, 2))).toDF("k", "xs"), t, SaveMode.Append)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-delta").load(t)
+    }
+    assert(e.getMessage.contains("unsupported column type"))
+  }
+}
