@@ -87,6 +87,42 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta-to-delta pipeline: source offsets + txn sink compose end-to-end exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("d2d").toString
+    val src = s"$root/src"; val dst = s"$root/dst"; val chk = s"$root/chk"
+    DeltaTable.write(Seq((1L, 5L), (2L, 4L)).toDF("k", "v"), src, SaveMode.Append)
+    def start() = spark.readStream.format("graft-delta").load(src)
+      .filter(col("v") % 2 === 1)
+      .select(col("k"), (col("v") * 2).as("v2"))
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        DeltaTable.appendWithTxn(df, dst, appId = "d2d", txnVersion = id); ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def readDst() = DeltaTable.read(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(readDst() === Set((1L, 10L)))
+      DeltaTable.write(Seq((3L, 7L), (4L, 8L)).toDF("k", "v"), src, SaveMode.Append)
+      q.processAllAvailable()
+      assert(readDst() === Set((1L, 10L), (3L, 14L)))
+    } finally q.stop()
+    // restart: the source resumes from the checkpointed offset AND the
+    // sink's txn high-water mark refuses any replayed batch — two
+    // independent exactly-once layers, both exercised
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(readDst() === Set((1L, 10L), (3L, 14L)), "restart duplicated rows")
+      DeltaTable.write(Seq((5L, 9L)).toDF("k", "v"), src, SaveMode.Append)
+      q2.processAllAvailable()
+      assert(readDst() === Set((1L, 10L), (3L, 14L), (5L, 18L)))
+    } finally q2.stop()
+  }
+
   test("graft-delta source rejects nested column types at plan time") {
     val root = java.nio.file.Files.createTempDirectory("dstream3").toString
     val t = s"$root/t"
