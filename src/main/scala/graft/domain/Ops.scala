@@ -32,7 +32,12 @@ object Ops {
     StructField("payload", StructType(Seq(
       StructField("before", cdcRowSchema),
       StructField("after", cdcRowSchema),
-      StructField("source", StructType(Seq(StructField("table", StringType)))),
+      StructField("source", StructType(Seq(
+        StructField("table", StringType),
+        // Debezium's per-connector sequence (Postgres LSN): the only
+        // intra-millisecond order signal the envelope carries — ts_ms
+        // alone cannot order a same-ms delete+re-create
+        StructField("lsn", LongType)))),
       StructField("op", StringType),
       StructField("ts_ms", LongType))))))
 
@@ -63,6 +68,7 @@ object Ops {
         coalesce(col("env.payload.after.id"), col("env.payload.before.id")).as("key_id"),
         col("env.payload.op").as("op"),
         col("env.payload.ts_ms").as("ts_ms"),
+        col("env.payload.source.lsn").as("seq"),
         col("env.payload.after.*"))
       .withColumn("start_datetime", timestamp_micros(col("start_datetime")))
       .filter(col("key_id").isNotNull && col("op").isin("c", "r", "u", "d"))

@@ -206,15 +206,21 @@ object CdcIngest {
           // TRUE && NULL = NULL fails BOTH the data filter and the
           // !well_formed DLQ filter — the one silent-drop path this sink
           // exists to close. coalesce pins the tri-state to false.
+          // Well-formed = the OP-APPROPRIATE image resolves a key:
+          // after.id for c/r/u, before.id for d — an either-image rule
+          // would bless a u-with-null-after (vanishes from both sinks)
+          // and ingest a d-with-after as an insert.
           .withColumn("well_formed",
             coalesce(
-              coalesce(col("env.payload.after.id"), col("env.payload.before.id")).isNotNull
-                && col("env.payload.op").isin("c", "r", "u", "d"),
+              (col("env.payload.op").isin("c", "r", "u")
+                && col("env.payload.after.id").isNotNull)
+                || (col("env.payload.op") === "d"
+                  && col("env.payload.before.id").isNotNull),
               lit(false)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           parsed
-            .filter(col("well_formed") && col("env.payload.after.id").isNotNull)
+            .filter(col("well_formed") && col("env.payload.op").isin("c", "r", "u"))
             .select(col("env.payload.after.*"))
             .withColumn("start_datetime", timestamp_micros(col("start_datetime")))
             .write.mode("overwrite").parquet(s"$path/batch=$batchId")
@@ -245,11 +251,23 @@ object CdcIngest {
   def upsertBatch(batch: DataFrame, path: String, nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     import org.apache.hadoop.fs.Path
+    val fsEarly = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // complete any interrupted swap BEFORE reading current state: a
+    // replay against a half-swapped table would merge against missing
+    // buckets and persist the loss
+    recoverUpsert(fsEarly, path)
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
+    // newest-per-key pick: ts_ms, then the connector SEQUENCE (Debezium
+    // lsn — the only intra-millisecond order signal; a same-ms
+    // delete+re-create is unordered by ts_ms alone), then op as the
+    // deterministic last resort for sequence-less envelopes
+    val seqOrd =
+      if (batch.columns.contains("seq")) col("seq").desc_nulls_last else lit(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key_id"))
-      .orderBy(col("ts_ms").desc, col("op").desc)
+      .orderBy(col("ts_ms").desc, seqOrd, col("op").desc)
     // consumed by upserts, the touched-key relation, AND the bucket
     // collect — persist for the batch, released before returning (the
     // imperative foreachBatch context allows a clean unpersist)
@@ -259,7 +277,7 @@ object CdcIngest {
       .drop("rn")
       .withColumn("bucket", bucketOf(col("key_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rowCols = batch.columns.filterNot(Set("key_id", "op", "ts_ms")).toSeq
+    val rowCols = batch.columns.filterNot(Set("key_id", "op", "ts_ms", "seq")).toSeq
     val upserts = latest.filter(col("op") =!= "d")
       .select((rowCols.map(col) :+ col("bucket")): _*)
     val touched = latest.select(col("key_id"), col("bucket"))
@@ -298,22 +316,74 @@ object CdcIngest {
     try {
       fs.delete(staged, true)
       merged.write.mode("overwrite").partitionBy("bucket").parquet(staged.toString)
-      if (legacyFlat) {
-        // migration touches every row: swap the whole table
-        fs.delete(target, true)
-        fs.rename(staged, target)
-      } else {
-        if (!fs.exists(target)) fs.mkdirs(target)
-        touchedBuckets.foreach { b =>
-          val src = new Path(staged, s"bucket=$b")
-          val dst = new Path(target, s"bucket=$b")
-          fs.delete(dst, true)
-          // a bucket whose rows were all deleted stages no directory
-          if (fs.exists(src)) fs.rename(src, dst)
-        }
-        fs.delete(staged, true)
-      }
+      // pending marker AFTER the staged table is durable: the point of no
+      // return — a crash anywhere inside the swap leaves marker + staged,
+      // and recoverUpsert redoes the swap forward from the durable stage
+      // (the LayerStore protocol; without it, a crash in any
+      // delete-then-rename window loses the bucket/table permanently and
+      // the replay persists the loss). Single-writer per table, like
+      // every upsert sink.
+      val plan =
+        if (legacyFlat) "full"
+        else touchedBuckets.map { b =>
+          val kind =
+            if (fs.exists(new Path(staged, s"bucket=$b"))) "swap"
+            else "drop" // bucket whose rows were all deleted stages no dir
+          s"$b=$kind"
+        }.mkString(",")
+      val out = fs.create(upsertMarker(path), true)
+      try out.write(plan.getBytes("UTF-8")) finally out.close()
+      finishUpsertSwap(fs, path, plan)
     } finally latest.unpersist()
+  }
+
+  private def upsertMarker(path: String) =
+    new org.apache.hadoop.fs.Path(path + ".upsert.pending")
+
+  /** Complete an interrupted [[upsertBatch]] swap, if one is pending —
+    * called at every upsertBatch entry (the single writer), so a crashed
+    * swap heals on the next batch/replay instead of merging against a
+    * half-swapped table. */
+  private[streaming] def recoverUpsert(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val marker = upsertMarker(path)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val plan = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    finishUpsertSwap(fs, path, plan)
+  }
+
+  /** Forward-redo swap: the marker is written only after the staged table
+    * is fully durable, so every step re-executes idempotently — a staged
+    * dir that is gone was already renamed into place. */
+  private def finishUpsertSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, plan: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(path + ".staged")
+    if (plan == "full") {
+      if (fs.exists(staged)) {
+        fs.delete(target, true)
+        require(fs.rename(staged, target), s"upsert swap rename failed: $target")
+      }
+    } else {
+      if (!fs.exists(target)) fs.mkdirs(target)
+      plan.split(",").filter(_.nonEmpty).foreach { ent =>
+        val Array(b, kind) = ent.split("=")
+        val src = new org.apache.hadoop.fs.Path(staged, s"bucket=$b")
+        val dst = new org.apache.hadoop.fs.Path(target, s"bucket=$b")
+        kind match {
+          case "swap" =>
+            if (fs.exists(src)) { // gone = a prior attempt already swapped
+              fs.delete(dst, true)
+              require(fs.rename(src, dst), s"upsert swap rename failed: $dst")
+            }
+          case "drop" => fs.delete(dst, true)
+        }
+      }
+      fs.delete(staged, true)
+    }
+    fs.delete(upsertMarker(path), true)
   }
 
   /** K1 upsert variant: decode WITH op handling and maintain the current

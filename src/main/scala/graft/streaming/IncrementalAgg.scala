@@ -47,7 +47,11 @@ object IncrementalAgg {
     * NULL group, exactly as a batch `GROUP BY` would place it. A `u`
     * event with a NULL before-IMAGE degrades to an insert (nothing to
     * subtract) — an upstream misconfiguration (`REPLICA IDENTITY` not
-    * FULL) that loses information no consumer can recover. */
+    * FULL) that loses information no consumer can recover. The mirror
+    * malformation — a `u` with a NULL AFTER-image — degrades to a NO-OP,
+    * not a phantom delete: subtracting the before-image of a row that
+    * still exists in the source would silently drift the view's count
+    * below the base table's. */
   def batchDelta(events: DataFrame, groupCol: String, measureCol: String): DataFrame = {
     val plus = events
       .filter(col("op").isin("c", "r", "u") && col("after").isNotNull)
@@ -56,7 +60,8 @@ object IncrementalAgg {
         coalesce(col(s"after.$measureCol").cast("long"), lit(0L)).as("m"),
         lit(1L).as("c"))
     val minus = events
-      .filter(col("op").isin("u", "d") && col("before").isNotNull)
+      .filter((col("op") === "d" && col("before").isNotNull)
+        || (col("op") === "u" && col("before").isNotNull && col("after").isNotNull))
       .select(
         col(s"before.$groupCol").as(groupCol),
         (-coalesce(col(s"before.$measureCol").cast("long"), lit(0L))).as("m"),

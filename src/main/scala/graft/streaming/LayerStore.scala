@@ -90,24 +90,38 @@ object LayerStore {
     finishSwap(fs, path, folded)
   }
 
-  /** Swap order matters for crash-safe re-entry: the non-destination
-    * folded layers go first (idempotent deletes), and the destination
-    * `batch=<folded.max>` is only deleted when the staged fold still
-    * exists to replace it — if a previous attempt already renamed the
-    * fold into place (staged gone), the destination IS the fold and must
-    * survive. Every interleaving of crash + recover converges to the
-    * compacted state. */
+  /** Swap order matters for crash-safe re-entry AND for concurrent
+    * completion (the compactor and any reader's [[recover]] may finish
+    * the same swap at once — recover runs on every reader entry, so a
+    * query during a live compaction is in-contract): the non-destination
+    * folded layers go first (idempotent deletes); then the destination
+    * `batch=<folded.max>` is moved ASIDE (an atomic rename only one
+    * completer can win) and the staged fold renamed into place (atomic,
+    * single winner again) — there is no delete-then-rename window in
+    * which a second completer can destroy the just-installed fold, which
+    * the previous delete(dst)+rename shape allowed (the loser deleted
+    * the winner's installed fold and then failed its own rename, losing
+    * all folded history). Cleanup (aside dir + marker) runs only once
+    * the fold is verifiably in place. Every interleaving of crash,
+    * recover, and concurrent completion converges to the compacted
+    * state. */
   private def finishSwap(
       fs: org.apache.hadoop.fs.FileSystem, path: String, folded: Seq[Long]): Unit = {
     val target = new Path(path)
     val staged = stagedPath(path)
     val dst = new Path(target, s"batch=${folded.max}")
+    val aside = new Path(path + ".compact.replaced")
     folded.filter(_ != folded.max)
       .foreach(b => fs.delete(new Path(target, s"batch=$b"), true))
     if (fs.exists(staged)) {
-      fs.delete(dst, true)
-      require(fs.rename(staged, dst), s"compaction rename failed: $staged -> $dst")
+      // move the pre-fold destination aside (atomic; losers no-op) so the
+      // staged fold can rename in without any destructive delete
+      if (fs.exists(dst) && !fs.exists(aside)) fs.rename(dst, aside)
+      fs.rename(staged, dst) // atomic: exactly one completer wins
     }
-    fs.delete(markerPath(path), true)
+    if (fs.exists(dst)) {
+      fs.delete(aside, true)
+      fs.delete(markerPath(path), true)
+    }
   }
 }

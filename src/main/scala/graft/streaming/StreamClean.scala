@@ -61,9 +61,22 @@ object StreamClean {
       batch: DataFrame,
       evalSh: DataFrame,
       n: Int = 3,
+      minOverlap: Long = 10): DataFrame =
+    cleanBatchFromShingles(batch, TextDedup.shingles(batch, n), evalSh,
+      minOverlap)
+
+  /** [[cleanBatch]] with the batch's shingle relation precomputed — the
+    * composed pipeline ([[StreamCorpusIngest]]) already holds a persisted
+    * shingle pass from its dedup stage, and re-tokenizing the survivors
+    * would double the per-batch shingling CPU (the q19/q56 one-shingle-
+    * pass lesson, applied across stages). */
+  def cleanBatchFromShingles(
+      batch: DataFrame,
+      batchSh: DataFrame,
+      evalSh: DataFrame,
       minOverlap: Long = 10): DataFrame = {
     val contaminated = Decontaminate
-      .overlapsAgainst(TextDedup.shingles(batch, n), evalSh,
+      .overlapsAgainst(batchSh, evalSh,
         minOverlap = minOverlap, broadcastEval = true)
       .select(col("train_id").as("doc_id")).distinct()
     batch.join(contaminated, Seq("doc_id"), "left_anti")

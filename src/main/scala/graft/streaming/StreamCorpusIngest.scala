@@ -76,8 +76,13 @@ object StreamCorpusIngest {
     // exactly the membership q56's cluster step sees
     sigs.join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$sigStoreDir/batch=$id")
-    // stage 2: decontaminate the survivors against the benchmark
-    val clean = StreamClean.cleanBatch(deduped, evalSh, n, minOverlap)
+    // stage 2: decontaminate the survivors against the benchmark —
+    // restricting the ALREADY-persisted batch shingle relation to the
+    // dedup survivors instead of re-tokenizing their text (one shingle
+    // pass serves dedup, the sig store, and decontamination)
+    val clean = StreamClean.cleanBatchFromShingles(deduped,
+      sh.join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      evalSh, minOverlap)
     // stage 3: pack + carry the running token total (StreamShard's own
     // batch unit — shared code, shared replay discipline)
     StreamShard.processBatch(clean, id, outDir, stateDir, budget)

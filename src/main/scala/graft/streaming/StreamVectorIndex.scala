@@ -6,7 +6,7 @@ import org.apache.spark.sql.graft.{ColumnBridge => CB}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.VectorSearch
-import graft.sources.delta.DeltaTable
+import graft.sources.delta.{DeltaLog, DeltaTable}
 
 /** Incrementally-maintained ANN index over an embedding STREAM — the
   * ingest-time form of [[graft.operators.IvfSearch]]: each micro-batch
@@ -96,6 +96,13 @@ object StreamVectorIndex {
       while (j < c.length) { val d = qv(j).toDouble - c(j); s += d * d; j += 1 }
       (s, i)
     }.sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
+    // an index with no commits yet (stream started, first batch pending)
+    // has zero vectors indexed so far — an empty top-k, not a crash (the
+    // contract every other reader in this package already keeps)
+    if (DeltaLog.snapshot(spark, indexPath).isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Double)].toDF("nid", "rnk", "cosine")
+    }
     // only the probed cell partitions are opened (log-indexed pruning)
     val candidates = DeltaTable.readPartitionsIn(
       spark, indexPath, "cell", cells.map(_.toString).toSeq)

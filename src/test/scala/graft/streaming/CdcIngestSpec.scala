@@ -135,6 +135,73 @@ class CdcIngestSpec extends SparkSpec {
       s""""source":{"table":"sport_activities"},"op":"$op","ts_ms":$tsMs}}"""
   }
 
+  private def envLsn(op: String, id: Int, sport: String, tsMs: Long,
+                     lsn: Long): String = {
+    val row = s"""{"id":$id,"id_employee":${id * 10},"first_name":"fn","last_name":"ln",""" +
+      s""""start_datetime":1700000000000000,"sport_type":"$sport","distance":5,""" +
+      s""""activity_duration":30,"comment":null}"""
+    val (before, after) = if (op == "d") (row, "null") else ("null", row)
+    s"""{"payload":{"before":$before,"after":$after,""" +
+      s""""source":{"table":"sport_activities","lsn":$lsn},"op":"$op","ts_ms":$tsMs}}"""
+  }
+
+  test("upsert ingest: connector sequence orders same-millisecond events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_lsn").toString
+    val s = MemoryStream[String]
+    s.addData(
+      envLsn("c", 1, "run", 1000, 1),
+      // id 1: delete then RE-CREATE inside one millisecond — only the
+      // lsn orders them; an op-letter tiebreak would pick the delete
+      // and lose a row that exists in the source
+      envLsn("d", 1, "run", 2000, 2), envLsn("c", 1, "swim", 2000, 3),
+      // id 2: create then delete at one ts — newest-by-lsn is the delete
+      envLsn("c", 2, "walk", 1000, 1),
+      envLsn("c", 2, "hike", 2000, 4), envLsn("d", 2, "hike", 2000, 5))
+    CdcIngest.startUpsertIngest(s.toDF(), s"$dir/data", s"$dir/chk",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.select("id").collect().map(_.getInt(0)).toSet === Set(1))
+    assert(out.filter(col("id") === 1).select("sport_type").head().getString(0)
+      === "swim", "the re-created row must win the same-ms tie via lsn")
+  }
+
+  test("upsert ingest: an interrupted bucket swap heals at the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_crash").toString
+    val s1 = MemoryStream[String]
+    s1.addData((1 to 8).map(i => env("c", i, "run", 1000L + i)): _*)
+    CdcIngest.startUpsertIngest(s1.toDF(), s"$dir/data", s"$dir/chk1",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    // simulate the mid-swap crash: id-1's bucket renamed into the staged
+    // tree (durable), destination deleted, pending marker on disk — the
+    // state a kill between delete(dst) and rename(src, dst) leaves
+    val b1 = Seq(1).toDF("key_id")
+      .select(pmod(xxhash64(col("key_id")), lit(16L)).cast("int")).head().getInt(0)
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/data")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data.staged"))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/data/bucket=$b1"),
+      new org.apache.hadoop.fs.Path(s"$dir/data.staged/bucket=$b1")))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/data.upsert.pending"), true)
+    out.write(s"$b1=swap".getBytes("UTF-8")); out.close()
+    // next batch recovers BEFORE merging — without it, the replay would
+    // read the missing bucket as empty and persist the loss
+    val s2 = MemoryStream[String]
+    s2.addData(env("u", 2, "swim", 9999))
+    CdcIngest.startUpsertIngest(s2.toDF(), s"$dir/data", s"$dir/chk2",
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    val rows = spark.read.parquet(s"$dir/data")
+    assert(rows.select("id").collect().map(_.getInt(0)).toSet === (1 to 8).toSet,
+      "the interrupted bucket's rows must survive")
+    assert(rows.filter(col("id") === 2).select("sport_type").head().getString(0) === "swim")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data.upsert.pending")))
+  }
+
   test("upsert ingest: replayed updates + deletes converge to the source end-state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

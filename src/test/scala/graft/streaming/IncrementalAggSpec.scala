@@ -150,17 +150,33 @@ class IncrementalAggSpec extends SparkSpec {
     // (ADVICE r4). Must be a dead letter, not invisible.
     val noOp = """{"payload":{"before":null,"after":{"id":3,"sport_type":"run","distance":2},"ts_ms":1002}}"""
     val garbage = "not json at all {{{"
+    // op-appropriate image rule: an update with NO after-image can
+    // neither be applied nor keyed for the append sink — it must be a
+    // dead letter, not vanish between both filters (an either-image
+    // well_formed blessed it into limbo)
+    val uNoAfter = env("u", 4, Some(("run", 5)), None, 3000)
+    // and a delete wrongly CARRYING an after-image must not be ingested
+    // as an insert: before present = well-formed consumed delete
+    val dWithAfter = {
+      val img = """{"id":5,"id_employee":50,"first_name":"fn","last_name":"ln",""" +
+        """"start_datetime":1700000000000000,"sport_type":"run","distance":5,""" +
+        """"activity_duration":30,"comment":null}"""
+      s"""{"payload":{"before":$img,"after":$img,""" +
+        s""""source":{"table":"sport_activities"},"op":"d","ts_ms":3001}}"""
+    }
     val s = MemoryStream[String]
-    s.addData(good, del, noKey, badOp, noOp, garbage)
+    s.addData(good, del, noKey, badOp, noOp, garbage, uNoAfter, dWithAfter)
     val q = CdcIngest.startIngestWithDlq(s.toDF(), s"$dir/data", s"$dir/dlq",
       s"$dir/chk", trigger = Trigger.ProcessingTime(0))
     try { q.processAllAvailable() } finally q.stop()
     val rows = spark.read.parquet(s"$dir/data")
       .select("id", "sport_type").collect().map(r => (r.getInt(0), r.getString(1)))
-    assert(rows.toSeq === Seq((1, "run")))
+    assert(rows.toSeq === Seq((1, "run")),
+      "neither the after-less update nor the after-carrying delete may be ingested")
     val dead = spark.read.parquet(s"$dir/dlq").select("raw")
       .collect().map(_.getString(0)).toSet
-    assert(dead === Set(noKey, badOp, noOp, garbage), s"DLQ contents: $dead")
+    assert(dead === Set(noKey, badOp, noOp, garbage, uNoAfter),
+      s"DLQ contents: $dead")
   }
 
   test("batchDelta: NULL group values aggregate in the NULL group, like GROUP BY") {
@@ -260,6 +276,70 @@ class IncrementalAggSpec extends SparkSpec {
       .filter(_.startsWith("batch=")).sorted
     assert(layers.toSeq === Seq("batch=1", "batch=2"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.compact.pending")))
+  }
+
+  test("a u-event with a null after-image is a no-op, not a phantom delete") {
+    val dir = java.nio.file.Files.createTempDirectory("incagg_nullafter").toString
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[String]
+    val q = IncrementalAgg.start(s.toDF(), s"$dir/state", s"$dir/chk",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      s.addData(env("c", 1, None, Some(("run", 5)), 1000))
+      q.processAllAvailable()
+      // producer bug / partial envelope: an update carrying only the
+      // before-image. Subtracting it would drift the view's count below
+      // the base table (the row still exists in the source).
+      s.addData(env("u", 1, Some(("run", 5)), None, 2000))
+      q.processAllAvailable()
+      assert(readView(s"$dir/state") === Map("run" -> ((5L, 1L))))
+    } finally q.stop()
+  }
+
+  test("compaction swap states with the destination moved aside recover losslessly") {
+    def delta(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("sport_type", "d_sum", "d_cnt")
+    val fsOf = (p: String) => new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def marker(path: String): Unit = {
+      val out = fsOf(path).create(
+        new org.apache.hadoop.fs.Path(s"$path.compact.pending"), true)
+      out.write("0,1".getBytes("UTF-8")); out.close()
+    }
+    // state A: crash between the two atomic renames — destination moved
+    // aside, staged fold not yet installed
+    val pathA = java.nio.file.Files.createTempDirectory("crashA").toString + "/state"
+    IncrementalAgg.applyBatch(delta(Seq(("run", 10L, 2L))), pathA, 0L)
+    IncrementalAgg.applyBatch(delta(Seq(("bike", 9L, 1L))), pathA, 1L)
+    IncrementalAgg.applyBatch(delta(Seq(("run", 5L, 1L))), pathA, 2L)
+    val want = readView(pathA)
+    delta(Seq(("run", 10L, 2L), ("bike", 9L, 1L)))
+      .write.mode("overwrite").parquet(s"$pathA.compact.staged")
+    val fsA = fsOf(pathA)
+    assert(fsA.rename(new org.apache.hadoop.fs.Path(s"$pathA/batch=1"),
+      new org.apache.hadoop.fs.Path(s"$pathA.compact.replaced")))
+    fsA.delete(new org.apache.hadoop.fs.Path(s"$pathA/batch=0"), true)
+    marker(pathA)
+    assert(readView(pathA) === want)
+    assert(!fsA.exists(new org.apache.hadoop.fs.Path(s"$pathA.compact.replaced")))
+    assert(!fsA.exists(new org.apache.hadoop.fs.Path(s"$pathA.compact.pending")))
+    // state B: crash during cleanup — fold installed, aside + marker
+    // linger; recovery must NOT destroy the installed fold
+    val pathB = java.nio.file.Files.createTempDirectory("crashB").toString + "/state"
+    IncrementalAgg.applyBatch(delta(Seq(("run", 10L, 2L))), pathB, 0L)
+    IncrementalAgg.applyBatch(delta(Seq(("bike", 9L, 1L))), pathB, 1L)
+    IncrementalAgg.applyBatch(delta(Seq(("run", 5L, 1L))), pathB, 2L)
+    val wantB = readView(pathB)
+    val fsB = fsOf(pathB)
+    assert(fsB.rename(new org.apache.hadoop.fs.Path(s"$pathB/batch=1"),
+      new org.apache.hadoop.fs.Path(s"$pathB.compact.replaced")))
+    delta(Seq(("run", 10L, 2L), ("bike", 9L, 1L)))
+      .write.mode("overwrite").parquet(s"$pathB/batch=1") // the installed fold
+    fsB.delete(new org.apache.hadoop.fs.Path(s"$pathB/batch=0"), true)
+    marker(pathB)
+    assert(readView(pathB) === wantB)
+    assert(!fsB.exists(new org.apache.hadoop.fs.Path(s"$pathB.compact.replaced")))
+    assert(!fsB.exists(new org.apache.hadoop.fs.Path(s"$pathB.compact.pending")))
   }
 
   test("replaying a batch layer is idempotent; compaction preserves the view") {

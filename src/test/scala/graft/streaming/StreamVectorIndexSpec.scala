@@ -94,6 +94,14 @@ class StreamVectorIndexSpec extends SparkSpec {
     assert(got === ((-1L, 1)), s"the true nearest (-1) must be returned: $got")
   }
 
+  test("search on an index with no commits yet is empty, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("vindex_empty").toString
+    val got = StreamVectorIndex.search(spark, s"$dir/idx",
+      Array(1f, 0f, 0f, 0f), cents, k = 3, nProbe = 2)
+    assert(got.collect().isEmpty)
+    assert(got.columns.toSeq === Seq("nid", "rnk", "cosine"))
+  }
+
   test("search freshness under concurrent ingest: monotone growth, no torn reads") {
     val dir = java.nio.file.Files.createTempDirectory("vindex5").toString
     implicit val sqlCtx = spark.sqlContext
