@@ -27,6 +27,10 @@ case class MinHashSignature(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  require(numPerms >= 1 && numPerms <= 4096,
+    s"minhash_signature: numPerms must be in [1, 4096], got $numPerms — " +
+      "0 would make every band hash equal (LSH degenerates to one bucket)")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -45,7 +45,11 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(payloadType))
       .withColumn("__tb", lit(0L))
-    val rSide0 = right.select(
+    // a NULL right time matches NOTHING (DuckDB: l.t >= NULL is never
+    // true) — unfiltered it would sort NULLS-FIRST ahead of every real
+    // row and be carried as the as-of match; NULL LEFT times then get a
+    // NULL payload for free (they sort before all remaining right rows)
+    val rSide0 = right.filter(col(time).isNotNull).select(
       col(key), col(time), lit(0).as("__side"),
       struct(payloads.map(col): _*).as("__r"),
       // deterministic winner among right rows tied on (key, time)

@@ -113,8 +113,11 @@ object Bm25 {
     */
   def topKMulti(docs: DataFrame, queries: DataFrame, k: Int,
                 maxTerms: Int = 8): DataFrame = {
+    // tiny, consumed twice (the validation head() + the broadcast join):
+    // persisted so the queries relation's upstream plan runs once
     val qt = queries.select(col("query_id"),
       posexplode(col("terms")).as(Seq("pos", "term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one driver check over the tiny query relation: slot bound +
     // per-query term uniqueness (a duplicated term would double-count
     // its tf slots — same contract as topK's distinct require)

@@ -78,11 +78,9 @@ object Expectations {
     require(suite.nonEmpty, "expectations: empty suite")
     suite.foreach(e => require(df.columns.contains(e.column),
       s"expectations: no column `${e.column}`"))
-    val spark = df.sparkSession
 
     val indexed = suite.zipWithIndex
     val rowExps = indexed.filterNot(_._1.isInstanceOf[ForeignKey])
-      .map { case (e, p) => (e, p) }
     val fkExps = indexed.collect { case (f: ForeignKey, p) => (f, p) }
 
     // one aggregate pass: per expectation an (evaluated, violations) pair

@@ -21,42 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object IvfSearch {
 
-  private def sq(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0
-    var i = 0
-    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-    s
-  }
-
-  /** Deterministic Lloyd k-means on a driver-side sample. */
+  /** Deterministic Lloyd k-means on a driver-side sample ([[Kmeans]]
+    * carries the shared tie/empty-cell contract; init is evenly strided
+    * sample points). */
   private[operators] def trainCentroids(
-      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
-    val dim = sample.head.length
-    // deterministic init: evenly strided sample points
-    var centroids = Array.tabulate(k)(i => sample((i * sample.length / k) % sample.length).clone())
-    (0 until iters).foreach { _ =>
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      sample.foreach { v =>
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          val d = sq(v, centroids(c))
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
-      }
-      centroids = Array.tabulate(k) { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }
-    }
-    centroids
-  }
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] =
+    Kmeans.lloyd(sample,
+      Array.tabulate(k)(i => sample((i * sample.length / k) % sample.length).clone()),
+      iters)
 
   /** Distributed Lloyd refinement over the FULL corpus: each iteration is
     * one aggregate job — map-side nearest-centroid assignment (the
@@ -87,6 +59,7 @@ object IvfSearch {
         col("vd"),
         element_at(CB.column(graft.functions.NearestCentroids(
           CB.expression(col("vd")), cents, 1)), 1).as("cid"))
+        .filter(col("cid").isNotNull) // malformed vectors refine nothing
       val stats = assigned.groupBy(col("cid"))
         .agg(
           CB.column(graft.functions.VectorSumAgg(CB.expression(col("vd")), dim)
@@ -126,10 +99,16 @@ object IvfSearch {
       .select(col("vec_id"), expr("transform(v, x -> cast(x as double))").as("vd"), col("n2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // bounded, deterministic training sample (ordered by id, capped)
-    val sample: Array[Array[Double]] = base
+    // bounded, deterministic training sample (ordered by id, capped).
+    // Malformed vectors — null elements (would NPE the Seq[Double]
+    // unboxing) or stray dimensions (would over-run the distance
+    // kernels) — are filtered like [[PqSearch.trainCodebook]] does;
+    // downstream they assign to a NULL cell (kernel contract) and drop
+    // out of the candidate join, matching the other ANN tiers
+    val sample: Array[Array[Double]] = Kmeans.modalDim(base
+      .filter(col("vd").isNotNull && !exists(col("vd"), _.isNull))
       .orderBy(col("vec_id")).limit(sampleCap)
-      .select(col("vd")).as[Seq[Double]].collect().map(_.toArray)
+      .select(col("vd")).as[Seq[Double]].collect().map(_.toArray))
     if (sample.isEmpty) {
       // empty corpus → empty result with the output schema (no crash)
       return base.select(col("vec_id").as("qid"), col("vec_id").as("nid"),
@@ -148,9 +127,11 @@ object IvfSearch {
       CB.expression(col("vd")), centroids, p))
 
     // distributed assignment: nearest centroid per vector (kernel ties
-    // break toward the lower cid, as the array_position form did)
+    // break toward the lower cid, as the array_position form did);
+    // malformed vectors assign NULL and are excluded from the index
     val assigned = base
       .select(col("vec_id"), element_at(nearestCells(1), 1).as("cid"))
+      .filter(col("cid").isNotNull)
 
     // query probes: nProbe nearest cells per query vector
     val probes = base

@@ -50,9 +50,17 @@ object PqSearch {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, kc: Int = 16): DataFrame = {
     val base = VectorSearch.quantized(corpus).select(col("vec_id"), col("v"))
-    // bounded deterministic codebook read: kc rows × dim longs
-    val seeds = base.orderBy(col("vec_id")).limit(kc)
+    // bounded deterministic codebook read: kc rows × dim longs. The
+    // null-element filter + modal-dimension pass keep a malformed vector
+    // among the lowest ids from crashing the seed read (the scoring path
+    // NULL-drops the same rows); for a clean corpus the seeds are exactly
+    // the kc lowest ids — the oracle contract. A small over-read gives
+    // the modal filter slack to replace malformed strays.
+    val seeds0 = base
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+      .orderBy(col("vec_id")).limit(kc + 8)
       .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
+    val seeds = Kmeans.modalDim(seeds0).take(kc)
     require(seeds.length == kc, s"pqTopK: corpus smaller than kc=$kc")
     val dim = seeds.head.length
     require(dim % m == 0, s"pqTopK: m=$m must divide dim=$dim")
@@ -103,19 +111,14 @@ object PqSearch {
       .orderBy(col("vec_id")).limit(sampleCap)
       .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
     require(raw.nonEmpty, "trainCodebook: empty corpus")
-    // train on the majority dimension (ties break to the smaller — any
-    // deterministic rule works; malformed strays must not pick the dim)
-    val dim = raw.groupBy(_.length).maxBy { case (l, g) => (g.length, -l) }._1
-    val sample = raw.filter(_.length == dim)
+    // train on the majority dimension (malformed strays must not pick
+    // the dim — [[Kmeans.modalDim]]'s deterministic rule)
+    val sample = Kmeans.modalDim(raw)
+    val dim = sample.head.length
     require(dim % m == 0, s"trainCodebook: m=$m must divide dim=$dim")
     val dsub = dim / m
     val n = sample.length
-
-    def sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
+    import Kmeans.sq
 
     Array.tabulate(m) { j =>
       val pts = sample.map { v =>
@@ -142,25 +145,8 @@ object PqSearch {
           init += pts(pick min (n - 1)).clone()
         }
       }
-      var cents = init.toArray
-      (0 until iters).foreach { _ =>
-        val sums = Array.fill(kc)(new Array[Double](dsub))
-        val counts = new Array[Long](kc)
-        pts.foreach { p =>
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < kc) { // strict < : ties keep the LOWER centroid id
-            val d = sq(p, cents(c))
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
-        }
-        cents = Array.tabulate(kc)(c =>
-          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
-      }
-      cents.map(_.map(x => math.rint(x).toLong))
+      Kmeans.lloyd(pts, init.toArray, iters)
+        .map(_.map(x => math.rint(x).toLong))
     }
   }
 

@@ -21,11 +21,19 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Portable multiplicative hash (Knuth's 2654435761 into a Mersenne-ish
-    * prime modulus): bit-identical in Spark and DuckDB. Overflow-free for
-    * keys below 2^32 (product < 2^63); for wider keys switch to
-    * `xxhash64` and give up cross-engine portability. */
-  def portableHash(key: Column): Column =
-    pmod(key * lit(2654435761L), lit(1000000007L))
+    * prime modulus): bit-identical in Spark and DuckDB for the FULL
+    * non-negative 64-bit key range. The product is computed in
+    * DECIMAL(38,0) (oracle: HUGEINT — the q76 convention): a bare
+    * long multiply wraps once keys pass ~3.5e9 — well inside a
+    * 100 TB corpus's id space — and a wrapped product either throws
+    * under ANSI mode or silently selects DIFFERENT rows than the
+    * oracle, breaking the reproducibility contract this function
+    * exists for. */
+  def portableHash(key: Column): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    pmod(key.cast(dec) * lit(2654435761L).cast(dec),
+      lit(1000000007L).cast(dec)).cast("long")
+  }
 
   /** Keep rows whose hash lands in the first `permille`/1000 of the hash
     * ring — a deterministic, reproducible `permille`/1000 sample. */
@@ -104,7 +112,10 @@ object Sampling {
         floor(sqrt(col("__wmin").cast("double") / col("__w").cast("double"))
           * lit(1000000007.0)).cast("long"))
       .select(col("__src"), col("__thr"))
-    df.join(broadcast(thr), source === col("__src"))
+    // null-safe equality: a NULL source is a stratum like any other (it
+    // got its own __w total above) — a plain === would never match it
+    // and silently drop the whole stratum from the mix
+    df.join(broadcast(thr), source <=> col("__src"))
       .filter(hash < col("__thr"))
       .drop("__src", "__thr")
   }

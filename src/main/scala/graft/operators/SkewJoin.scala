@@ -16,22 +16,23 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big ⋈ small` on `key`, salted into `buckets`
-    * sub-keys. The salt only has to distribute rows, never to reproduce, so
-    * it mixes the row content with its physical position (partition id +
-    * per-row counter): content-only hashing would send IDENTICAL duplicate
-    * rows — the common shape of a hot key in log data — to one bucket,
-    * leaving the skew unspread. Deterministic for a fixed input
-    * partitioning. */
+    * sub-keys. The salt only has to distribute rows, never to reproduce,
+    * so it is POSITION-only (per-partition row counter): content-derived
+    * salts would send IDENTICAL duplicate rows — the common shape of a
+    * hot key in log data — to one bucket, leaving the skew unspread,
+    * and hashing every row column costs hundreds of bytes of hashing
+    * per fact row at 100 TB for no better distribution. Deterministic
+    * for a fixed input partitioning. */
   def saltedInnerJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
       buckets: Int = 8): DataFrame = {
-    val bigCols = big.columns.map(col).toSeq
+    // monotonically_increasing_id embeds the partition id in its high
+    // bits; its low bits are the per-partition counter, so consecutive
+    // rows of one partition round-robin the buckets
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(
-        (bigCols :+ spark_partition_id().cast("long") :+
-          monotonically_increasing_id()): _*), lit(buckets)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(typedLit((0 until buckets).toList)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -207,7 +207,7 @@ object CorpusQueries {
     Some("""
       WITH d AS (
         SELECT doc_id,
-               (doc_id * 2654435761) % 1000000007 AS h,
+               (CAST(doc_id AS HUGEINT) * 2654435761) % 1000000007 AS h,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
         FROM documents),
       c AS (
@@ -273,7 +273,7 @@ object CorpusQueries {
           GROUP BY 1, 2 HAVING COUNT(*) >= 10) t),
       d AS (
         SELECT doc_id,
-               (doc_id * 2654435761) % 1000000007 AS h,
+               (CAST(doc_id AS HUGEINT) * 2654435761) % 1000000007 AS h,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
         FROM documents
         WHERE doc_id IN (SELECT doc_id FROM tr)
@@ -536,8 +536,8 @@ object CorpusQueries {
         SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS canon
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
       SELECT doc_id, canon,
-             CASE WHEN ((canon * 2654435761) % 1000000007) % 1000 < 100 THEN 'test'
-                  WHEN ((canon * 2654435761) % 1000000007) % 1000 < 200 THEN 'val'
+             CASE WHEN ((CAST(canon AS HUGEINT) * 2654435761) % 1000000007) % 1000 < 100 THEN 'test'
+                  WHEN ((CAST(canon AS HUGEINT) * 2654435761) % 1000000007) % 1000 < 200 THEN 'val'
                   ELSE 'train' END AS split
       FROM canon"""),
     headline = true) { (spark, dir) =>
@@ -666,7 +666,7 @@ object CorpusQueries {
     Some("""
       WITH d AS (SELECT doc_id, source,
                         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
-                        ((doc_id * 2654435761) % 1000000007) AS h
+                        ((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000007) AS h
                  FROM documents),
       c AS (SELECT doc_id, source, ntok,
                    CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
@@ -698,7 +698,7 @@ object CorpusQueries {
     Some("""
       WITH d AS (SELECT doc_id, source,
                         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
-                        ((doc_id * 2654435761) % 1000000007) AS h
+                        ((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000007) AS h
                  FROM documents),
       t AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS w FROM d GROUP BY 1),
       mn AS (SELECT CAST(MIN(w) AS BIGINT) AS wmin FROM t),

@@ -139,7 +139,7 @@ object TextQueries {
     Some("""
       SELECT doc_id, source, lang
       FROM documents
-      WHERE ((doc_id * 2654435761) % 1000000007) % 1000 <
+      WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000007) % 1000 <
             CASE WHEN lang = 'en' THEN 100 ELSE 300 END""")) { (spark, dir) =>
     import graft.operators.Sampling
     Sampling.stratifiedSample(
@@ -176,7 +176,7 @@ object TextQueries {
           AND n_the > 0 AND n_the / n_tokens > 0.02)
       SELECT doc_id, source, n_tokens
       FROM f
-      WHERE ((doc_id * 2654435761) % 1000000007) % 1000 < 200""")) { (spark, dir) =>
+      WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000007) % 1000 < 200""")) { (spark, dir) =>
     import graft.operators.Sampling
     val docs = table(spark, dir, "documents")
     val kept = docs.groupBy(md5(col("text")).as("fp"))
@@ -284,7 +284,7 @@ object TextQueries {
         SELECT doc_id, source,
                row_number() OVER (
                  PARTITION BY source
-                 ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+                 ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 1000000007, doc_id) AS rk
         FROM documents)
       SELECT doc_id, source FROM r WHERE rk <= 5""")) { (spark, dir) =>
     import graft.operators.Sampling

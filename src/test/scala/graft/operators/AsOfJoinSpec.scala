@@ -32,6 +32,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
   }
 
+  test("asofJoin: NULL times match nothing — not everything") {
+    import spark.implicits._
+    // a NULL right time would sort NULLS-FIRST ahead of every real row
+    // and be carried as the as-of match for all of them; DuckDB's ASOF
+    // (l.t >= NULL never true) matches nothing
+    val left = Seq((1L, 5L, "p1"), (1L, 2L, "p2")).toDF("k", "t", "pl")
+    val right = Seq(
+      (1L, Option.empty[Long], "ghost"),
+      (1L, Some(4L), "real")).toDF("k", "t", "v")
+    val got = AsOfJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect().map(r => (r.getString(2), Option(r.getString(3)))).toMap
+    assert(got("p1") === Some("real"), "t=5 must match the real t=4 row")
+    assert(got("p2") === None,
+      "t=2 precedes every real right row — the NULL-time ghost must not match")
+    // and a NULL LEFT time gets a NULL payload, not the ghost
+    val left2 = Seq((1L, Option.empty[Long], "pn")).toDF("k", "t", "pl")
+    val got2 = AsOfJoin.asofJoin(left2, right, "k", "t", Seq("v")).collect()
+    assert(got2.length === 1 && got2.head.isNullAt(3))
+  }
+
   test("asofJoin: purchases before any click get NULLs; inclusive tie matches") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (1L, 101L, 20L), (2L, 200L, 5L))

@@ -222,6 +222,35 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("ivf ann: malformed vectors are excluded, not crashed on") {
+    import spark.implicits._
+    // wrong-dimension + null-element vectors: both previously crashed the
+    // driver-side sample decode / Lloyd kernels; the kernel contract
+    // (NULL cell for malformed input) must carry through end to end
+    val wrongDim = Seq((7777L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val nullElem = Seq((8888L,
+      Seq[Option[Float]](Some(1f), None) ++ Seq.fill(62)(Some(0f))))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(wrongDim).unionByName(nullElem)
+    val got = IvfSearch.ivfTopK(corpus, k = 1, refineIters = 1)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getLong(1) == 7777L || r.getLong(1) == 8888L),
+      "malformed vectors leaked into the candidate set")
+    assert(!rows.exists(r => r.getLong(0) == 7777L || r.getLong(0) == 8888L),
+      "malformed vectors leaked in as queries")
+  }
+
+  test("minhash_signature rejects degenerate permutation counts at construction") {
+    intercept[IllegalArgumentException] {
+      graft.functions.MinHashSignature(null, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.MinHashSignature(null, -4)
+    }
+  }
+
   test("ivf ann: assignment is map-side (no crossJoin/window shuffle); empty input ok") {
     val plan = IvfSearch.ivfTopK(emb, k = 1).queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join Cross"), s"IVF assignment still cross-joins:\n$plan")

@@ -28,6 +28,32 @@ class SamplingSpec extends SparkSpec {
     assert(s1.size > n * 0.03 && s1.size < n * 0.25, s"10% sample got ${s1.size} of $n")
   }
 
+  test("portableHash is exact for the full key range (no silent 64-bit wrap)") {
+    import spark.implicits._
+    // keys past ~3.5e9 overflow a bare long multiply; the decimal form
+    // must match exact big-integer arithmetic (what the DuckDB oracle's
+    // HUGEINT computes) everywhere
+    val keys = Seq(0L, 1L, 4000000000L, 123456789012345L, Long.MaxValue / 3)
+    val got = keys.toDF("k")
+      .select(Sampling.portableHash(col("k")))
+      .collect().map(_.getLong(0))
+    val want = keys.map(k =>
+      ((BigInt(k) * BigInt(2654435761L)) mod BigInt(1000000007L)).toLong)
+    assert(got.toSeq === want)
+  }
+
+  test("temperature mix: a NULL source is a stratum, not silently dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("a"), 10L), (2L, Option("a"), 10L),
+      (3L, Option.empty[String], 10L)).toDF("doc_id", "source", "ntok")
+    val got = Sampling.temperatureMixSqrt(
+      docs, Sampling.portableHash(col("doc_id")), col("source"), col("ntok"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the NULL stratum is the RAREST (10 tokens vs 20) → kept whole
+    assert(got.contains(3L), "the NULL-source stratum vanished from the mix")
+  }
+
   test("nested thresholds and stratified rates compose from the same gate") {
     val p100 = ids(Sampling.deterministicSample(docs, h, 100))
     val p300 = ids(Sampling.deterministicSample(docs, h, 300))
