@@ -227,11 +227,14 @@ object Ops {
     * aggregate over activities + an FK check (left-anti count). Returns
     * (ruleName → violationCount); all-zero = pass. */
   def qualityChecks(activities: DataFrame, employees: DataFrame): Map[String, Long] = {
+    // coalesce: SUM over ZERO rows is SQL NULL — an empty ingest window
+    // (exactly when a quality gate first runs) must report zeros, not NPE
+    def cnt(c: org.apache.spark.sql.Column) = coalesce(sum(c), lit(0L))
     val row = activities.agg(
-      sum(when(col("start_datetime").isNull, 1).otherwise(0)).as("null_start_datetime"),
-      sum(when(col("sport_type").isNull, 1).otherwise(0)).as("null_sport_type"),
-      sum(when(col("activity_duration") < 0, 1).otherwise(0)).as("negative_duration"),
-      sum(when(col("distance").isNotNull && col("distance") < 0, 1).otherwise(0))
+      cnt(when(col("start_datetime").isNull, 1L).otherwise(0L)).as("null_start_datetime"),
+      cnt(when(col("sport_type").isNull, 1L).otherwise(0L)).as("null_sport_type"),
+      cnt(when(col("activity_duration") < 0, 1L).otherwise(0L)).as("negative_duration"),
+      cnt(when(col("distance").isNotNull && col("distance") < 0, 1L).otherwise(0L))
         .as("negative_distance"))
       .collect()(0)
     val orphans = activities

@@ -36,7 +36,17 @@ object MaskingPolicy {
   * for non-restricted users the plan is byte-identical to the unmasked one
   * (no per-row cost), and column pruning still reaches the scan for
   * untouched columns. A TreeNodeTag marks relations already wrapped so the
-  * fixed-point analyzer doesn't stack masks. */
+  * fixed-point analyzer doesn't stack masks.
+  *
+  * Matching scope (stated honestly): policies match by NAME — any
+  * SubqueryAlias carrying a protected name is masked, including a CTE or
+  * derived table that merely shares it (fail-CLOSED: a name collision
+  * over-masks rather than risking a protected read slipping through an
+  * alias). The converse limit: a direct `spark.read.parquet(path)` of
+  * the protected data has no alias at all and bypasses the rule —
+  * name-based policies need reads to go through the registered name
+  * (view/catalog), the same contract as the reference's Postgres-role
+  * masking. */
 case class MaskPiiRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import MaskPiiRule.Masked
 
@@ -47,15 +57,17 @@ case class MaskPiiRule(spark: SparkSession) extends Rule[LogicalPlan] {
       s.setTagValue(Masked, true)
       val out: Seq[NamedExpression] = s.output.map { attr =>
         if (policy.cols.contains(attr.name.toLowerCase))
-          // keep the attribute's exprId: operators above were resolved
-          // against the alias output, so the masked column must keep its
-          // identity (same trick as Spark's char-padding rule)
+          // keep the attribute's exprId AND qualifier: operators above
+          // were resolved against the alias output, so the masked column
+          // must keep its identity (the char-padding-rule trick), and a
+          // later-iteration qualified reference (`employees.first_name`)
+          // must still resolve against the injected Project
           Alias(
             If(
               EqualTo(CurrentUser(), Literal(policy.restrictedUser)),
               Literal.create(null, attr.dataType),
               attr),
-            attr.name)(exprId = attr.exprId)
+            attr.name)(exprId = attr.exprId, qualifier = attr.qualifier)
         else attr
       }
       Project(out, s)

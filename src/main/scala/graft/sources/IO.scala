@@ -198,10 +198,17 @@ object IO {
       case None => df.repartition(n)
     }
     val staging = new Path(path + "__compact_staging")
+    val old = new Path(path + "__compact_old")
     fs.delete(staging, true)
+    fs.delete(old, true)
     out.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(target, true)
+    // aside-then-install: the live dataset is never deleted before its
+    // replacement is one rename away — a crash leaves either the
+    // original (possibly under the __compact_old name, recoverable by a
+    // rename) or the compacted result, never nothing
+    require(fs.rename(target, old), s"compaction aside-rename failed for $path")
     require(fs.rename(staging, target), s"compaction swap failed for $path")
+    fs.delete(old, true)
     n
   }
 }

@@ -307,20 +307,31 @@ object DeltaLog {
       case Some(cpV) =>
         val tbl = new Path(table)
         // replay the JSON tail driver-side ONCE: live tail adds, removes
-        // that reach back into the checkpoint, metadata overrides
+        // that reach back into the checkpoint, metadata overrides. Same
+        // density guard as snapshot(): a gap in the tail is partial
+        // state, never silently skipped.
+        val tailVs = versions(spark, table).filter(_ > cpV)
+        require(tailVs.isEmpty || tailVs == (cpV + 1 to tailVs.last),
+          s"delta: $table's log is missing commits in ($cpV, " +
+            s"${tailVs.lastOption.getOrElse(cpV)}] (retained: $tailVs) — " +
+            "refusing to replay partial state")
         val tailLive = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
         val removedFromCp = scala.collection.mutable.Set.empty[String]
         var schemaJson: Option[String] = None
         var partCols: Option[Seq[String]] = None
         var metaId: Option[String] = None
         var headV = cpV
-        versions(spark, table).filter(_ > cpV).foreach { v =>
+        tailVs.foreach { v =>
           headV = v
           val c = readCommit(spark, table, v)
           c.adds.foreach(a => tailLive += a.path -> a)
           c.removes.foreach { r =>
-            if (tailLive.contains(r.path)) tailLive -= r.path
-            else removedFromCp += r.path
+            // ALWAYS tombstone against the checkpoint: a path re-added at
+            // v6 and removed at v7 must not resurrect via its (stale)
+            // checkpoint row — a later tail re-add supersedes through the
+            // keyed `all` map below either way
+            tailLive -= r.path
+            removedFromCp += r.path
           }
           c.schemaJson.foreach(s => schemaJson = Some(s))
           c.partitionColumns.foreach(p => partCols = Some(p))
@@ -373,7 +384,12 @@ object DeltaLog {
   private def lastCheckpointPath(table: Path) =
     new Path(logDir(table), "_last_checkpoint")
 
-  /** Newest checkpoint version per `_last_checkpoint`, if present. */
+  /** Newest checkpoint version per `_last_checkpoint`, if present. A
+    * torn/empty pointer (crash mid-write before the atomic-rename
+    * protocol existed, external damage) degrades to None — pure JSON
+    * replay is always correct while the JSON history exists, and a
+    * cleaned history then fails [[snapshot]]'s root guard loudly rather
+    * than wedging every read on a parse error. */
   def lastCheckpointVersion(spark: SparkSession, table: String): Option[Long] = {
     val tbl = new Path(table)
     val f = fs(spark, tbl)
@@ -382,11 +398,11 @@ object DeltaLog {
     val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    (JsonMethods.parse(body) \ "version") match {
+    try (JsonMethods.parse(body) \ "version") match {
       case JInt(v) => Some(v.toLong)
       case JLong(v) => Some(v)
       case _ => None
-    }
+    } catch { case _: Exception => None }
   }
 
   // private[delta], NOT private: Spark's encoder emits codegen that
@@ -454,22 +470,42 @@ object DeltaLog {
             // checkpoint-seeded reader (or VACUUM) still sees them
             CpRow(None, None, None, None, Some(CpRemove(p, ts, dataChange = false)))
           })
+    val dst = checkpointFile(tbl, head.version)
+    // idempotent re-checkpoint: a checkpoint for this exact version is
+    // already durable (periodic maintenance with no new commits) — only
+    // refresh the pointer. Deleting-and-rewriting it would open a window
+    // where the pointer names a missing file and no read self-heals.
+    if (f.exists(dst)) {
+      writePointer(f, tbl, head.version,
+        spark.read.parquet(dst.toString).count())
+      return head.version
+    }
     val tmp = new Path(logDir(tbl), s".cp-tmp-${java.util.UUID.randomUUID()}")
     rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = f.listStatus(tmp).map(_.getPath)
       .find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException("delta: checkpoint write produced no file"))
-    val dst = checkpointFile(tbl, head.version)
-    f.delete(dst, false)
     require(f.rename(part, dst), s"delta: checkpoint rename failed: $dst")
     f.delete(tmp, true)
     // _last_checkpoint last: readers either see the old pointer (and
     // replay JSON) or the new one (and find the checkpoint durable)
-    val out = f.create(lastCheckpointPath(tbl), true)
-    try out.write(
-      s"""{"version":${head.version},"size":${rows.length}}""".getBytes("UTF-8"))
-    finally out.close()
+    writePointer(f, tbl, head.version, rows.length.toLong)
     head.version
+  }
+
+  /** Pointer update with no TORN state: the body lands in a temp file
+    * first, then swaps in (a crash can leave the pointer briefly absent —
+    * which degrades to JSON replay — but never half-written, which used
+    * to wedge every read on a parse error until manual repair). */
+  private def writePointer(f: FileSystem, tbl: Path, version: Long,
+                           size: Long): Unit = {
+    val dst = lastCheckpointPath(tbl)
+    val tmp = new Path(logDir(tbl), s".lcp-tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(s"""{"version":$version,"size":$size}""".getBytes("UTF-8"))
+    finally out.close()
+    f.delete(dst, false)
+    require(f.rename(tmp, dst), s"delta: _last_checkpoint update failed at $dst")
   }
 
   /** Log-retention cleaning (upstream's `delta.logRetentionDuration`):

@@ -180,8 +180,12 @@ object DeltaTable {
     val spark = df.sparkSession
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE log replay on the happy path: the pre-staging snapshot both
+    // answers the partition-adoption check and serves as the first
+    // commit attempt's head; only a lost commit race re-reads
+    var head = snapshot(spark, table)
     // adopt an existing table's partitioning; refuse a conflicting one
-    val existingParts = snapshot(spark, table).partitionColumns
+    val existingParts = head.partitionColumns
     val parts =
       if (partitionBy.isEmpty) existingParts
       else {
@@ -197,7 +201,7 @@ object DeltaTable {
     while (!committed) {
       attempts += 1
       require(attempts <= 50, s"delta: gave up after $attempts commit conflicts")
-      val head = snapshot(spark, table)
+      if (attempts > 1) head = snapshot(spark, table)
       require(head.partitionColumns == parts || head.isEmpty,
         s"delta: concurrent writer changed partitioning to ${head.partitionColumns}")
       // idempotence gate: a replayed streaming batch must not double-append
@@ -261,9 +265,19 @@ object DeltaTable {
     * duplicate source keys would all insert. */
   def merge(updates: DataFrame, table: String, keyCol: String): Unit = {
     import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = updates.sparkSession
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // integral keys only: stats-based skipping works on the add-action
+    // min/max longs. A looser cast("long") would turn a string/UUID key
+    // into NULL bounds and the empty-batch check below would silently
+    // discard the whole batch — loud beats lost.
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+        .contains(updates.schema(keyCol).dataType),
+      s"delta: merge key `$keyCol` must be an integral type for stats " +
+        s"skipping, got ${updates.schema(keyCol).dataType.catalogString}")
     val range = updates.agg(
       min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
     if (range.isNullAt(0)) return // empty batch: nothing to merge

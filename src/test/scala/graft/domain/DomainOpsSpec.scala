@@ -87,6 +87,13 @@ class DomainOpsSpec extends SparkSpec {
     assert(report.values.forall(_ === 0L), s"violations: $report")
   }
 
+  test("qualityChecks: an empty ingest window reports zeros, not a crash") {
+    // SUM over zero rows is SQL NULL — the first run of a quality gate
+    // sees exactly this shape and must pass with all-zero counts
+    val report = Ops.qualityChecks(activities.limit(0), employees)
+    assert(report.values.forall(_ === 0L), s"violations: $report")
+  }
+
   test("cdc decode: drops malformed envelopes, keeps typed inserts") {
     val envelopes = Fixtures.cdcEnvelopes(spark, nEmployees = 10, days = 30).cache()
     val decoded = Ops.decodeCdc(envelopes).cache()

@@ -543,13 +543,17 @@ class DeltaSpec extends SparkSpec {
     DeltaLog.checkpoint(spark, t, tombstoneRetainMs = 0L)
     assert(spark.read.parquet(cpFile).select("remove.path").na.drop().count() === 1L,
       "an expired tombstone whose file still exists must persist")
-    // after the vacuum reclaims the file, the next checkpoint drops it
+    // after the vacuum reclaims the file, the next checkpoint (at the
+    // next commit — re-checkpointing an UNCHANGED version is an
+    // idempotent no-op by design, it reuses the durable file) drops it
     assert(DeltaTable.vacuumRemoved(spark, t, retainMs = 0L) === 1)
+    DeltaTable.write(Seq((3L, "c")).toDF("k", "s"), t, SaveMode.Append)
     DeltaLog.checkpoint(spark, t, tombstoneRetainMs = 0L)
-    assert(spark.read.parquet(cpFile).select("remove.path").na.drop().count() === 0L,
+    val cpFile2 = s"$t/_delta_log/00000000000000000002.checkpoint.parquet"
+    assert(spark.read.parquet(cpFile2).select("remove.path").na.drop().count() === 0L,
       "reclaimed tombstones must not accumulate in checkpoints")
     // the table itself still reads fine from the checkpoint seed
-    assert(DeltaTable.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(DeltaTable.read(spark, t).collect().map(_.getLong(0)).toSet === Set(2L, 3L))
   }
 
   test("vacuumOrphans never touches tombstoned files (vacuumRemoved's clock) or breaks on cleaned logs") {
@@ -617,6 +621,59 @@ class DeltaSpec extends SparkSpec {
     // a tailer at or past the horizon still works
     val (delta, v) = DeltaTable.changesSince(spark, t, sinceVersion = 1L)
     assert(v === 2L && delta.collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("merge refuses a non-integral key column instead of silently dropping the batch") {
+    val t = tmp()
+    DeltaTable.write(Seq(("a", 1L)).toDF("k", "v"), t, SaveMode.Append)
+    // a string key casts its min/max to NULL long bounds — which the
+    // empty-batch check would swallow, losing every upsert silently
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.merge(Seq(("b", 2L)).toDF("k", "v"), t, "k")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    assert(DeltaTable.read(spark, t).count() === 1L)
+  }
+
+  test("a torn _last_checkpoint degrades to JSON replay, not a wedged table") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append)
+    DeltaLog.checkpoint(spark, t)
+    DeltaTable.write(Seq((2L, "b")).toDF("k", "s"), t, SaveMode.Append)
+    // simulate the pre-atomic-write crash artifact: zero-byte pointer
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$t/_delta_log/_last_checkpoint"),
+      true).close()
+    assert(DeltaLog.lastCheckpointVersion(spark, t) === None)
+    assert(DeltaTable.read(spark, t).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L), "JSON history must carry reads through a torn pointer")
+    // a fresh checkpoint call repairs the pointer (idempotent re-use of
+    // the durable checkpoint file, atomic pointer rewrite)
+    DeltaLog.checkpoint(spark, t)
+    assert(DeltaLog.lastCheckpointVersion(spark, t) === Some(1L))
+  }
+
+  test("prunedSnapshot: a checkpointed path re-added then removed in the tail stays dead") {
+    val t = tmp()
+    DeltaTable.write((0 until 4).map(i => (i.toLong, s"p${i % 2}")).toDF("k", "p"),
+      t, SaveMode.Append, partitionBy = Seq("p"))
+    DeltaLog.checkpoint(spark, t)
+    val head = DeltaLog.snapshot(spark, t)
+    val victim = head.files.head
+    // tail: re-ADD the checkpointed path (v), then REMOVE it (v+1) — the
+    // stale checkpoint row must not resurrect the file
+    assert(DeltaLog.commit(spark, t, head.version + 1, Seq(
+      DeltaLog.addAction(victim.path, victim.size, 1L,
+        partitionValues = victim.partitionValues))))
+    assert(DeltaLog.commit(spark, t, head.version + 2, Seq(
+      DeltaLog.removeAction(victim.path, 2L))))
+    val part = victim.partitionValues("p")
+    val driver = DeltaTable.readPartitions(spark, t, Map("p" -> part))
+      .collect().map(_.getLong(0)).toSet
+    val dist = DeltaTable.readPartitionsDistributed(spark, t, Map("p" -> part))
+      .collect().map(_.getLong(0)).toSet
+    assert(dist === driver, s"resurrected rows: ${dist.diff(driver)}")
   }
 
   test("schema evolution re-emits metaData with the TABLE's id, not a fresh one") {
