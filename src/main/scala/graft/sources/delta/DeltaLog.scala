@@ -99,7 +99,9 @@ object DeltaLog {
       schemaJson: Option[String],
       partitionColumns: Option[Seq[String]],
       txns: Map[String, Long],
-      metaDataId: Option[String]) {
+      metaDataId: Option[String],
+      operation: Option[String] = None,
+      timestampMs: Long = 0L) {
     // removes carrying dataChange=true — an overwrite/merge, which an
     // append-only tailer cannot represent (a compaction's
     // dataChange=false removes it simply skips)
@@ -119,6 +121,8 @@ object DeltaLog {
     var partCols: Option[Seq[String]] = None
     val txns = scala.collection.mutable.Map.empty[String, Long]
     var metaId: Option[String] = None
+    var operation: Option[String] = None
+    var timestamp = 0L
     def dataChangeOf(j: JValue): Boolean = j match {
       case JBool(b) => b
       case _ => true // protocol default when absent
@@ -174,9 +178,15 @@ object DeltaLog {
         case (JString(app), JLong(tv)) => txns += app -> tv
         case _ => ()
       }
+      (j \ "commitInfo" \ "operation") match {
+        case JString(op) =>
+          operation = Some(op)
+          timestamp = longOf(j \ "commitInfo" \ "timestamp")
+        case _ => ()
+      }
     }
     CommitActions(adds.toSeq, removes.toSeq, schemaJson, partCols, txns.toMap,
-      metaId)
+      metaId, operation, timestamp)
   }
 
   /** Replay the log through `asOf` (or to the head): seed from the
@@ -644,4 +654,13 @@ object DeltaLog {
   def txnAction(appId: String, version: Long): JValue =
     JObject("txn" -> JObject(
       "appId" -> JString(appId), "version" -> JLong(version)))
+
+  /** The protocol's optional `commitInfo` action (first line of a commit
+    * by convention): operation name + timestamp — what DESCRIBE HISTORY
+    * surfaces. Purely informational; replay ignores it. */
+  def commitInfoAction(operation: String,
+                       timestampMs: Long = System.currentTimeMillis()): JValue =
+    JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(timestampMs),
+      "operation" -> JString(operation)))
 }

@@ -234,8 +234,11 @@ object DeltaTable {
           Seq(metaDataAction(schemaJson, parts, head.metaDataId))
         } else Seq.empty
       val txns = txn.toSeq.map { case (app, v) => txnAction(app, v) }
+      val op = commitInfoAction(
+        if (mode == SaveMode.Overwrite) "WRITE OVERWRITE"
+        else if (txn.isDefined) "STREAMING UPDATE" else "WRITE APPEND")
       committed = commit(spark, table, head.version + 1,
-        meta ++ txns ++ removes ++ adds)
+        op +: (meta ++ txns ++ removes ++ adds))
     }
     true
   }
@@ -309,7 +312,8 @@ object DeltaTable {
       val adds = stageData(merged, tbl, fs)
       val now = System.currentTimeMillis()
       val removes = touched.map(f => removeAction(f.path, now))
-      done = commit(spark, table, head.version + 1, removes ++ adds)
+      done = commit(spark, table, head.version + 1,
+        commitInfoAction("MERGE", now) +: (removes ++ adds))
       if (!done) adds.foreach { a =>
         fs.delete(new Path(tbl, (a \ "add" \ "path").values.toString), false)
       }
@@ -409,7 +413,8 @@ object DeltaTable {
       dataChange = false)
     val now = System.currentTimeMillis()
     val removes = olds.map(f => removeAction(f.path, now, dataChange = false))
-    if (!commit(spark, table, head.version + 1, removes ++ adds)) {
+    if (!commit(spark, table, head.version + 1,
+        commitInfoAction("OPTIMIZE", now) +: (removes ++ adds))) {
       adds.foreach { a =>
         fs.delete(new Path(tbl, (a \ "add" \ "path").values.toString), false)
       }
@@ -461,12 +466,28 @@ object DeltaTable {
   }
 
   /** Version history as (version, n_adds, n_removes) — the debugging /
-    * audit view (`DESCRIBE HISTORY`'s skeleton). */
+    * audit view (`DESCRIBE HISTORY`'s skeleton; [[describeHistory]] is
+    * the full form). */
   def history(spark: SparkSession, table: String): Seq[(Long, Int, Int)] =
     versions(spark, table).map { v =>
       val c = DeltaLog.readCommit(spark, table, v)
       (v, c.adds.size, c.removes.size)
     }
+
+  /** One history row per retained commit. */
+  final case class HistoryEntry(version: Long, operation: String,
+                                timestampMs: Long, nAdds: Int, nRemoves: Int)
+
+  /** `DESCRIBE HISTORY`: version, operation name + timestamp (from the
+    * commit's `commitInfo` action — commits from before the action was
+    * emitted surface as "UNKNOWN"), add/remove counts. Newest first,
+    * like upstream. */
+  def describeHistory(spark: SparkSession, table: String): Seq[HistoryEntry] =
+    versions(spark, table).map { v =>
+      val c = DeltaLog.readCommit(spark, table, v)
+      HistoryEntry(v, c.operation.getOrElse("UNKNOWN"), c.timestampMs,
+        c.adds.size, c.removes.size)
+    }.reverse
 
   /** The RETENTION half of VACUUM ([[vacuumOrphans]] is the crash-orphan
     * half): delete data files whose remove tombstones are older than

@@ -623,6 +623,23 @@ class DeltaSpec extends SparkSpec {
     assert(v === 2L && delta.collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("describeHistory surfaces commitInfo operations, newest first") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, 1L)).toDF("k", "v"), t, SaveMode.Append)
+    DeltaTable.merge(Seq((1L, 2L)).toDF("k", "v"), t, "k")
+    DeltaTable.write(Seq((9L, 9L), (10L, 10L)).toDF("k", "v").repartition(2),
+      t, SaveMode.Overwrite)
+    DeltaTable.compactFiles(spark, t, smallerThanBytes = Long.MaxValue)
+    val h = DeltaTable.describeHistory(spark, t)
+    assert(h.map(_.version) === h.map(_.version).sorted.reverse, "newest first")
+    assert(h.map(_.operation).reverse ===
+      Seq("WRITE APPEND", "MERGE", "WRITE OVERWRITE", "OPTIMIZE"))
+    assert(h.forall(_.timestampMs > 0L))
+    // the streaming-append path records its own operation
+    assert(DeltaTable.appendWithTxn(Seq((2L, 2L)).toDF("k", "v"), t, "app", 1L))
+    assert(DeltaTable.describeHistory(spark, t).head.operation === "STREAMING UPDATE")
+  }
+
   test("merge refuses a non-integral key column instead of silently dropping the batch") {
     val t = tmp()
     DeltaTable.write(Seq(("a", 1L)).toDF("k", "v"), t, SaveMode.Append)
