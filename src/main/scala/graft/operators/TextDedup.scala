@@ -286,9 +286,18 @@ object TextDedup {
     * shuffle on doc_id. */
   def simhash(docs: DataFrame, n: Int = 3,
               hash: Column => Column = xxhash64(_),
-              widthBits: Int = 64): DataFrame = {
+              widthBits: Int = 64): DataFrame =
+    simhashFromShingles(shingles(docs, n), hash, widthBits)
+
+  /** [[simhash]] over a precomputed (doc_id, shingle) relation — the
+    * shared-shingle-pass form ([[minhashPairsFromShingles]]'s sibling):
+    * a pipeline that also verifies candidates by Jaccard (q39) computes
+    * the corpus shingle relation ONCE and feeds both stages. */
+  def simhashFromShingles(sh0: DataFrame,
+                          hash: Column => Column = xxhash64(_),
+                          widthBits: Int = 64): DataFrame = {
     require(widthBits >= 1 && widthBits <= 64, s"widthBits=$widthBits out of range")
-    val sh = shingles(docs, n).withColumn("h", hash(col("shingle")))
+    val sh = sh0.withColumn("h", hash(col("shingle")))
     val votes = (0 until widthBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v$b")
@@ -330,14 +339,23 @@ object TextDedup {
     * bands=16 × 4 bits covers maxHamming ≤ 15. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12, bands: Int = 16,
                    hash: Column => Column = xxhash64(_),
-                   widthBits: Int = 64): DataFrame = {
+                   widthBits: Int = 64): DataFrame =
+    simhashPairsFromShingles(shingles(docs, 3), maxHamming, bands, hash,
+      widthBits)
+
+  /** [[simhashPairs]] over a precomputed shingle relation (see
+    * [[simhashFromShingles]]). */
+  def simhashPairsFromShingles(sh: DataFrame, maxHamming: Int = 12,
+                               bands: Int = 16,
+                               hash: Column => Column = xxhash64(_),
+                               widthBits: Int = 64): DataFrame = {
     require(widthBits % bands == 0, s"bands=$bands must divide widthBits=$widthBits")
     require(bands > maxHamming,
       s"exactness needs bands > maxHamming (got $bands <= $maxHamming)")
     val bits = widthBits / bands
     val mask = (1L << bits) - 1
     // both band-join sides derive from s — compute the signature agg once
-    val s = materialize(simhash(docs, hash = hash, widthBits = widthBits))
+    val s = materialize(simhashFromShingles(sh, hash = hash, widthBits = widthBits))
     val banded = s.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("simhash"), b * bits).bitwiseAND(lit(mask))): _*))

@@ -160,15 +160,8 @@ object CoreQueries {
       FROM customer c
       LEFT JOIN stats s ON c.c_custkey = s.o_custkey""")) { (spark, dir) =>
     val c = table(spark, dir, "customer")
-    val stats = table(spark, dir, "orders")
-      .groupBy(col("o_custkey")).agg(count(lit(1)).as("count_orders"))
-    // Rate 0.04 (not the reference's 0.05): cents*4 never ends in ...50, so
-    // the ROUND-to-cents never hits a half-up(Spark)/half-even(DuckDB)
-    // midpoint — the CASE/ROUND operator semantics are what's under test.
-    val prime = when(col("c_acctbal") > 0,
-      (col("c_acctbal").cast(DecimalType(18, 2)) * lit(BigDecimal("0.04")))
-        .cast(DecimalType(18, 2)).cast("double"))
-      .otherwise(lit(0.0))
+    val stats = orderStats(spark, dir)
+    val prime = primeDec.cast("double")
     c.join(stats, c("c_custkey") === stats("o_custkey"), "left")
       .select(
         col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
@@ -176,6 +169,25 @@ object CoreQueries {
         when(col("count_orders") >= 15, lit(true)).otherwise(lit(false)).as("is_active"),
         (col("c_acctbal") + prime).as("total_balance"))
   }
+
+  /** Per-customer order counts — the pre-aggregate q06's report and
+    * q72's tile rollup both ride; one definition keeps the rollup
+    * consistent with the per-row report it summarizes. */
+  private def orderStats(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("count_orders"))
+
+  /** The prime-benefit DECIMAL expression shared by q06 and q72. Rate
+    * 0.04 (not the reference's 0.05): cents*4 never ends in ...50, so
+    * the ROUND-to-cents never hits a half-up(Spark)/half-even(DuckDB)
+    * midpoint — the CASE/ROUND operator semantics are what's under
+    * test. */
+  private def primeDec: org.apache.spark.sql.Column =
+    when(col("c_acctbal") > 0,
+      (col("c_acctbal").cast(DecimalType(18, 2)) * lit(BigDecimal("0.04")))
+        .cast(DecimalType(18, 2)))
+      .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2)))
 
   /** P5 column-level masking projection (ref `init-scripts/init-db.sql:74-89`)
     * — data-driven condition stands in for `current_user`. */
@@ -402,11 +414,20 @@ object CoreQueries {
     val c = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = table(spark, dir, "orders")
     val l = table(spark, dir, "lineitem")
-    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
     // No broadcast hint on customer: it grows with SF (forced broadcast =
     // OOM at 100×). AQE picks broadcast from runtime stats when the
     // filtered side is actually small.
+    revenueTop10(c, o, l)
+  }
+
+  /** The q17/q68 shared pipeline — the two queries are row-identical BY
+    * CONSTRUCTION (q68 wraps the inputs in Bloom gates, which have no
+    * false negatives) and share one oracle; one body keeps an edit to
+    * either from silently breaking that invariant. */
+  private def revenueTop10(c: DataFrame, o: DataFrame,
+                           l: DataFrame): DataFrame = {
+    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -436,16 +457,7 @@ object CoreQueries {
     val orderBloom = RuntimeFilter.forKeys(o, col("o_orderkey"))
     val l = table(spark, dir, "lineitem")
       .filter(orderBloom.gate(col("l_orderkey")))
-    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(disc).cast("double").as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
-      .limit(10)
-      .select(col("l_orderkey"), col("revenue"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    revenueTop10(c, o, l)
   }
 
   /** Cohort retention (q70): users grouped by first-seen day, activity
@@ -467,8 +479,12 @@ object CoreQueries {
       FROM e JOIN f ON e.user_id = f.user_id
       GROUP BY 1, 2"""),
     headline = false) { (spark, dir) =>
+    // e feeds the cohort min-aggregate AND the join's left side — two
+    // consumers with different exchanges ReuseExchange can't collapse;
+    // persisted, the events scan + projection runs once
     val e = table(spark, dir, "events")
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val f = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     e.join(f, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("days_since"))
@@ -507,12 +523,7 @@ object CoreQueries {
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) + SUM(prime_dec) AS DOUBLE) AS sum_total
       FROM b""")) { (spark, dir) =>
     val c = table(spark, dir, "customer")
-    val stats = table(spark, dir, "orders")
-      .groupBy(col("o_custkey")).agg(count(lit(1)).as("count_orders"))
-    val primeDec = when(col("c_acctbal") > 0,
-      (col("c_acctbal").cast(DecimalType(18, 2)) * lit(BigDecimal("0.04")))
-        .cast(DecimalType(18, 2)))
-      .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2)))
+    val stats = orderStats(spark, dir)
     c.join(stats, c("c_custkey") === stats("o_custkey"), "left")
       .select(col("c_acctbal"), primeDec.as("prime_dec"),
         when(col("count_orders") >= 15, 1).otherwise(0).as("active"))

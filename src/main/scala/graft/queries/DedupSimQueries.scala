@@ -359,9 +359,14 @@ object DedupSimQueries {
     "q39_simhash_verified",
     Some(exactJaccardSqlAt("0.9"))) { (spark, dir) =>
     val docs = table(spark, dir, "documents")
-    val cands = TextDedup.simhashPairs(docs, maxHamming = 12)
+    // ONE corpus shingle pass feeds both the simhash signatures and the
+    // Jaccard verify (the q56 shared-pass pattern — unshared, the
+    // tokenize+shingle scan ran twice per execution)
+    val sh = TextDedup.shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = TextDedup.simhashPairsFromShingles(sh, maxHamming = 12)
       .select(col("a_id"), col("b_id"))
-    TextDedup.jaccardFor(cands, TextDedup.shingles(docs))
+    TextDedup.jaccardFor(cands, sh)
       .filter(col("jaccard") >= 0.9)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
