@@ -103,8 +103,11 @@ object LayerStore {
     * the winner's installed fold and then failed its own rename, losing
     * all folded history). Cleanup (aside dir + marker) runs only once
     * the fold is verifiably in place. Every interleaving of crash,
-    * recover, and concurrent completion converges to the compacted
-    * state. */
+    * recover, and concurrent completion of ONE generation converges to
+    * the compacted state; the single-compactor contract (one streaming
+    * query owns the store) is what rules out a reader completing a
+    * STALE marker against a newer compaction's stage — the standing
+    * assumption of every layer-store maintenance op. */
   private def finishSwap(
       fs: org.apache.hadoop.fs.FileSystem, path: String, folded: Seq[Long]): Unit = {
     val target = new Path(path)
