@@ -123,6 +123,20 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("graft-delta source runs under Trigger.AvailableNow (drain-and-stop)") {
+    val root = java.nio.file.Files.createTempDirectory("dstream5").toString
+    val t = s"$root/t"
+    DeltaTable.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t, SaveMode.Append)
+    DeltaTable.write(Seq((3L, 30L)).toDF("k", "v"), t, SaveMode.Append)
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$root/out")
+      .collect().map(_.getAs[Long]("k")).toSet === Set(1L, 2L, 3L))
+  }
+
   test("graft-delta source rejects nested column types at plan time") {
     val root = java.nio.file.Files.createTempDirectory("dstream3").toString
     val t = s"$root/t"
