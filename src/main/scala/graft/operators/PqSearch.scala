@@ -54,14 +54,23 @@ object PqSearch {
     // null-element filter + modal-dimension pass keep a malformed vector
     // among the lowest ids from crashing the seed read (the scoring path
     // NULL-drops the same rows); for a clean corpus the seeds are exactly
-    // the kc lowest ids — the oracle contract. A small over-read gives
-    // the modal filter slack to replace malformed strays.
-    val seeds0 = base
-      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-      .orderBy(col("vec_id")).limit(kc + 8)
-      .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
-    val seeds = Kmeans.modalDim(seeds0).take(kc)
-    require(seeds.length == kc, s"pqTopK: corpus smaller than kc=$kc")
+    // the kc lowest ids — the oracle contract. The read window widens
+    // deterministically until kc modal-dimension rows are found, so a
+    // burst of malformed low-id rows cannot starve a corpus that has
+    // ample clean vectors.
+    val cleanBase = base.filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    var lim = kc + 8
+    var seeds: Array[Array[Long]] = Array.empty
+    var exhausted = false
+    while (seeds.length < kc && !exhausted) {
+      val batch = cleanBase.orderBy(col("vec_id")).limit(lim)
+        .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
+      exhausted = batch.length < lim
+      seeds = Kmeans.modalDim(batch).take(kc)
+      lim *= 4
+    }
+    require(seeds.length == kc,
+      s"pqTopK: fewer than kc=$kc well-formed vectors in the corpus")
     val dim = seeds.head.length
     require(dim % m == 0, s"pqTopK: m=$m must divide dim=$dim")
     val dsub = dim / m

@@ -28,11 +28,15 @@ object SkewJoin {
       small: DataFrame,
       key: String,
       buckets: Int = 8): DataFrame = {
-    // monotonically_increasing_id embeds the partition id in its high
-    // bits; its low bits are the per-partition counter, so consecutive
-    // rows of one partition round-robin the buckets
+    // monotonically_increasing_id's low bits are the per-partition row
+    // counter, so consecutive rows round-robin the buckets — but its
+    // partition-id HIGH bits are ≡ 0 mod any power-of-two bucket count
+    // (counter starts at pid·2^33), so every partition would start its
+    // cycle at salt 0 and short partitions would over-fill the low
+    // buckets; adding the partition id de-phases the cycles
     val salted = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+      pmod(monotonically_increasing_id() + spark_partition_id().cast("long"),
+        lit(buckets.toLong)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(typedLit((0 until buckets).toList)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

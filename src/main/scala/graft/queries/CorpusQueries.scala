@@ -707,7 +707,7 @@ object CorpusQueries {
                                * 1000000007.0) AS BIGINT) AS thr
              FROM t, mn)
       SELECT d.doc_id, d.source, d.ntok
-      FROM d JOIN th ON d.source = th.source
+      FROM d JOIN th ON d.source IS NOT DISTINCT FROM th.source
       WHERE d.h < th.thr""")) { (spark, dir) =>
     import graft.operators.Sampling
     val d = table(spark, dir, "documents")

@@ -459,6 +459,18 @@ object DeltaLog {
     require(!head.isEmpty, s"delta: $table has no commits to checkpoint")
     val tbl = new Path(table)
     val f = fs(spark, tbl)
+    val dst = checkpointFile(tbl, head.version)
+    // idempotent re-checkpoint, decided BEFORE any row building (the row
+    // pass probes the filesystem once per expired tombstone — wasted
+    // work when the checkpoint for this exact version is already
+    // durable): a current pointer means nothing to do at all; a stale
+    // one is refreshed from the existing file
+    if (f.exists(dst)) {
+      if (!lastCheckpointVersion(spark, table).contains(head.version))
+        writePointer(f, tbl, head.version,
+          spark.read.parquet(dst.toString).count())
+      return head.version
+    }
     val tombCutoff = System.currentTimeMillis() - tombstoneRetainMs
     val rows =
       CpRow(Some(CpProtocol(1, 2)), None, None, None, None) +:
@@ -480,16 +492,6 @@ object DeltaLog {
             // checkpoint-seeded reader (or VACUUM) still sees them
             CpRow(None, None, None, None, Some(CpRemove(p, ts, dataChange = false)))
           })
-    val dst = checkpointFile(tbl, head.version)
-    // idempotent re-checkpoint: a checkpoint for this exact version is
-    // already durable (periodic maintenance with no new commits) — only
-    // refresh the pointer. Deleting-and-rewriting it would open a window
-    // where the pointer names a missing file and no read self-heals.
-    if (f.exists(dst)) {
-      writePointer(f, tbl, head.version,
-        spark.read.parquet(dst.toString).count())
-      return head.version
-    }
     val tmp = new Path(logDir(tbl), s".cp-tmp-${java.util.UUID.randomUUID()}")
     rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = f.listStatus(tmp).map(_.getPath)
