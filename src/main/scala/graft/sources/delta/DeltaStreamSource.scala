@@ -36,9 +36,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-batch file sets are micro-batch-sized); the BATCH read path
   * stays [[DeltaTable.read]], which drives Spark's vectorized parquet
   * scan. Supported column types: the primitive lattice (boolean, int,
-  * long, float, double, string) plus Hive-partition columns restored
-  * from the add-action's `partitionValues` — nested types raise at
-  * plan time rather than corrupting silently. */
+  * long, float, double, string) plus TIMESTAMP (INT96 or INT64
+  * millis/micros/nanos), DATE and DECIMAL (int32/int64/binary
+  * physical) — the types the engine's own CDC decode produces
+  * (`Ops.decodeEnvelope`'s TimestampType, `commuteValid`'s
+  * DecimalType(10,2)), so `graft-delta` can tail its own CDC sink
+  * tables. Hive-partition columns restore from the add-action's
+  * `partitionValues` (path-unescaped, session-timezone timestamps) —
+  * nested types raise at plan time rather than corrupting silently. */
 class DeltaStreamDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
@@ -69,8 +74,8 @@ private[delta] object DeltaStreamDataSource {
     schema.fields.foreach { f =>
       require(DeltaRowReader.supported(f.dataType),
         s"graft-delta: unsupported column type ${f.dataType.catalogString} " +
-          s"for ${f.name} — the streaming reader handles the primitive " +
-          "lattice (boolean/int/long/float/double/string)")
+          s"for ${f.name} — the streaming reader handles " +
+          "boolean/int/long/float/double/string/timestamp/date/decimal")
     }
     schema
   }
@@ -159,7 +164,13 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DeltaReaderFactory(schema, partCols)
+    // capture the SESSION Hadoop conf + timezone at planning time: the
+    // executor-side reader must see the same fs settings/credentials the
+    // batch path (DeltaTable.read) gets from Spark's parquet source, and
+    // partition-path timestamps round-trip in the session zone
+    DeltaReaderFactory(schema, partCols,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      spark.sessionState.conf.sessionLocalTimeZone)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -168,12 +179,30 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
 private[delta] case class DeltaFilePartition(
     file: String, partitionValues: Map[String, String]) extends InputPartition
 
+/** Hadoop `Configuration` is not `Serializable`; ship it via its own
+  * `write`/`readFields` wire format (the same trick Spark's internal
+  * `SerializableConfiguration` uses — that class is `private[spark]`). */
+private[delta] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[delta] case class DeltaReaderFactory(
-    schema: StructType, partitionColumns: Array[String])
+    schema: StructType, partitionColumns: Array[String],
+    conf: SerializableHadoopConf, sessionTimeZone: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DeltaFilePartition]
-    new DeltaRowReader(p.file, schema, partitionColumns.toSet, p.partitionValues)
+    new DeltaRowReader(p.file, schema, partitionColumns.toSet, p.partitionValues,
+      conf.value, java.time.ZoneId.of(sessionTimeZone))
   }
 }
 
@@ -186,7 +215,9 @@ private[delta] case class DeltaReaderFactory(
   * the log schema applied. */
 private[delta] class DeltaRowReader(
     file: String, schema: StructType, partCols: Set[String],
-    partitionValues: Map[String, String])
+    partitionValues: Map[String, String],
+    hadoopConf: Configuration = new Configuration(),
+    zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
     extends PartitionReader[InternalRow] {
 
   import org.apache.parquet.hadoop.ParquetReader
@@ -195,13 +226,13 @@ private[delta] class DeltaRowReader(
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(new Configuration()).build()
+      .withConf(hadoopConf).build()
   private var current: InternalRow = _
 
   // precomputed per-field plan: partition constant, or group-field name
   private val partConst: Array[Any] = schema.fields.map { f =>
     if (partCols.contains(f.name))
-      DeltaRowReader.parsePartition(partitionValues.get(f.name).orNull, f.dataType)
+      DeltaRowReader.parsePartition(partitionValues.get(f.name).orNull, f.dataType, zone)
     else null
   }
   private val isPart: Array[Boolean] = schema.fields.map(f => partCols.contains(f.name))
@@ -231,33 +262,129 @@ private[delta] class DeltaRowReader(
   override def close(): Unit = reader.close()
 }
 
-private[delta] object DeltaRowReader {
+private[sources] object DeltaRowReader {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+  import org.apache.parquet.schema.LogicalTypeAnnotation.{DecimalLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
   def supported(t: DataType): Boolean = t match {
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
-         StringType => true
+         StringType | TimestampType | DateType => true
+    case _: DecimalType => true
     case _ => false
   }
 
-  def readField(g: org.apache.parquet.example.data.Group, idx: Int,
-                t: DataType): Any = t match {
+  /** Gregorian epoch day of Julian day 0 — the INT96 timestamp encoding
+    * counts days from 4714 BC (parquet-format's DataTypes.md). */
+  private val JulianDayOfEpoch = 2440588L
+  private val MicrosPerDay = 86400000000L
+
+  def readField(g: Group, idx: Int, t: DataType): Any = t match {
     case BooleanType => g.getBoolean(idx, 0)
     case IntegerType => g.getInteger(idx, 0)
     case LongType => g.getLong(idx, 0)
     case FloatType => g.getFloat(idx, 0)
     case DoubleType => g.getDouble(idx, 0)
     case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case DateType => g.getInteger(idx, 0) // parquet DATE: days since epoch
+    case TimestampType => readTimestampMicros(g, idx)
+    case d: DecimalType => readDecimal(g, idx, d)
     case other => throw new IllegalStateException(s"graft-delta: $other")
   }
 
-  def parsePartition(v: String, t: DataType): Any =
-    if (v == null) null
-    else t match {
-      case BooleanType => v.toBoolean
-      case IntegerType => v.toInt
-      case LongType => v.toLong
-      case FloatType => v.toFloat
-      case DoubleType => v.toDouble
-      case StringType => UTF8String.fromString(v)
-      case other => throw new IllegalStateException(s"graft-delta: $other")
+  /** Catalyst micros-since-epoch from whichever physical shape the writer
+    * chose: INT96 (legacy Julian-day + nanos-of-day), or INT64 annotated
+    * MILLIS/MICROS/NANOS. */
+  private def readTimestampMicros(g: Group, idx: Int): Long = {
+    val pt = g.getType.getType(idx).asPrimitiveType()
+    pt.getPrimitiveTypeName match {
+      case INT96 =>
+        val b = g.getInt96(idx, 0).toByteBuffer
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = b.getLong
+        val julianDay = b.getInt
+        Math.addExact(
+          Math.multiplyExact(julianDay - JulianDayOfEpoch, MicrosPerDay),
+          nanosOfDay / 1000L)
+      case INT64 =>
+        val v = g.getLong(idx, 0)
+        pt.getLogicalTypeAnnotation match {
+          case ts: TimestampLogicalTypeAnnotation => ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
+            case LogicalTypeAnnotation.TimeUnit.MICROS => v
+            case LogicalTypeAnnotation.TimeUnit.NANOS => Math.floorDiv(v, 1000L)
+          }
+          case _ => v // unannotated INT64 under a timestamp schema: micros
+        }
+      case other => throw new IllegalStateException(
+        s"graft-delta: timestamp column stored as $other")
+    }
+  }
+
+  /** Decimal from any of parquet's three physical encodings (int32 for
+    * precision ≤9, int64 ≤18, binary/fixed beyond — plus the legacy
+    * all-binary format), rescaled from the FILE's declared scale to the
+    * log schema's. */
+  private def readDecimal(g: Group, idx: Int, d: DecimalType): Decimal = {
+    val pt = g.getType.getType(idx).asPrimitiveType()
+    val fileScale = pt.getLogicalTypeAnnotation match {
+      case dec: DecimalLogicalTypeAnnotation => dec.getScale
+      case _ => d.scale
+    }
+    val bd = pt.getPrimitiveTypeName match {
+      case INT32 => java.math.BigDecimal.valueOf(g.getInteger(idx, 0).toLong, fileScale)
+      case INT64 => java.math.BigDecimal.valueOf(g.getLong(idx, 0), fileScale)
+      case BINARY | FIXED_LEN_BYTE_ARRAY =>
+        new java.math.BigDecimal(
+          new java.math.BigInteger(g.getBinary(idx, 0).getBytes), fileScale)
+      case other => throw new IllegalStateException(
+        s"graft-delta: decimal column stored as $other")
+    }
+    Decimal(BigDecimal(bd), d.precision, d.scale)
+  }
+
+  /** Hive-path percent-escaping, undone — the batch path gets this from
+    * Spark's partition discovery; the stream reader must match it so
+    * `ts=2024-01-01 00%3A00%3A00` round-trips. */
+  private[delta] def unescapePathName(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def parsePartition(raw: String, t: DataType,
+                     zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Any =
+    if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") null
+    else {
+      val v = unescapePathName(raw)
+      t match {
+        case BooleanType => v.toBoolean
+        case IntegerType => v.toInt
+        case LongType => v.toLong
+        case FloatType => v.toFloat
+        case DoubleType => v.toDouble
+        case StringType => UTF8String.fromString(v)
+        case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+        case TimestampType =>
+          // Hive path format `yyyy-MM-dd HH:mm:ss[.f…]`, session zone
+          val ldt = java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+          val inst = ldt.atZone(zone).toInstant
+          Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+            inst.getNano / 1000L)
+        case d: DecimalType =>
+          Decimal(BigDecimal(new java.math.BigDecimal(v)), d.precision, d.scale)
+        case other => throw new IllegalStateException(s"graft-delta: $other")
+      }
     }
 }
