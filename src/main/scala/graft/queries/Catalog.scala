@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.table
 
@@ -506,10 +508,108 @@ object Catalog {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming Delta-to-Delta pipeline (q85): the composed flagship —
+    * `documents` (plus TYPED columns: an epoch-µs timestamp and a
+    * DECIMAL(10,2), the schema the engine's CDC decode produces) written
+    * to a source Delta table in two versioned appends, tailed by the
+    * `graft-delta` Structured Streaming source, filtered + extended
+    * in-flight, exactly-once-appended (`txn`) into a sink Delta table,
+    * and read back through the log. The oracle aggregates the raw table
+    * under the same filter — so the gate proves the stream lost nothing,
+    * duplicated nothing, and every typed value (µs timestamps, decimals)
+    * survived the row-reader → parquet → log round-trip bit-exactly.
+    * Drains under a single AvailableNow-style batch; scratch tables are
+    * deleted before returning (q80 convention). */
+  val q85DeltaPipeline: Q = Q(
+    "q85_delta_stream_pipeline",
+    Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(MAX(doc_id * 1000000) AS BIGINT) AS max_ts_us,
+             CAST(SUM(CAST(CAST(n_chars AS DECIMAL(10,2)) * 2 AS DECIMAL(12,2))) AS DOUBLE) AS sum_charged
+      FROM documents
+      WHERE doc_id % 3 <> 0
+      GROUP BY lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.delta.DeltaTable
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q85")
+    val src = s"$scratch/src"; val dst = s"$scratch/dst"; val chk = s"$scratch/chk"
+    try {
+      val docs = table(spark, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        expr("timestamp_micros(doc_id * 1000000)").as("ts"),
+        col("n_chars").cast(DecimalType(10, 2)).as("chars_dec"))
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(2)) === 0), src,
+        SaveMode.Append, partitionBy = Seq("lang"))
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(2)) === 1), src,
+        SaveMode.Append)
+      val q = spark.readStream.format("graft-delta").load(src)
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .withColumn("charged", (col("chars_dec") * lit(2)).cast(DecimalType(12, 2)))
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          DeltaTable.appendWithTxn(df, dst, appId = "q85", txnVersion = id); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val agg = DeltaTable.read(spark, dst)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          expr("unix_micros(max(ts))").as("max_ts_us"),
+          sum(col("charged")).cast("double").as("sum_charged"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Salted skew join (q86): [[graft.operators.SkewJoin.saltedInnerJoin]]
+    * under its oracle — the ONE operator that previously had only a
+    * property spec. The big side is `lineitem` with a deliberately
+    * power-law key (≈80% of rows remapped onto supplier 1 — the hot-key
+    * shape AQE's skew handling may miss when one key floods a single
+    * task); the small side is `supplier`. The oracle is the PLAIN inner
+    * join of the same relations, so the gate proves salting is
+    * semantics-preserving row-for-row: salt+replicate changes the
+    * physical distribution, never the result set. PlanSpec additionally
+    * pins that the join runs on (key, __salt) and the big side is never
+    * the broadcast build. */
+  val q86SkewJoin: Q = Q(
+    "q86_skew_join",
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_partkey % 5 <> 0 THEN CAST(1 AS BIGINT)
+                    ELSE l_suppkey END AS l_suppkey
+        FROM lineitem)
+      SELECT b.l_orderkey, b.l_linenumber, b.l_suppkey, s.s_name
+      FROM big b JOIN supplier s ON b.l_suppkey = s.s_suppkey""")) { (spark, dir) =>
+    import graft.operators.SkewJoin
+    val big = table(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(pmod(col("l_partkey"), lit(5)) =!= 0, lit(1L))
+        .otherwise(col("l_suppkey")).as("l_suppkey"))
+    val small = table(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    SkewJoin.saltedInnerJoin(big, small, "l_suppkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("s_name"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
-      Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions) ++
+      Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
+        q85DeltaPipeline, q86SkewJoin) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

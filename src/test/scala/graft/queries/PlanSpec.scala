@@ -169,6 +169,25 @@ class PlanSpec extends SparkSpec {
       s"q83 window not keyed by user:\n$trans")
   }
 
+  test("q86: join runs on (key, __salt); the skewed big side is never the broadcast build") {
+    val df = Catalog.byName("q86_skew_join").run(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(root.toString.contains("__salt"),
+      s"join not salted — __salt missing from:\n$root")
+    // a broadcast of the replicated SMALL side is the intended shape; a
+    // broadcast build of the fact side would OOM at 100 TB
+    root.collect { case b: BroadcastExchangeLike => b }.foreach { b =>
+      assert(!b.toString.contains("lineitem"),
+        s"big side under a BroadcastExchange:\n$b")
+    }
+  }
+
   test("q66: the components relation joins broadcast-side; split gate is arithmetic") {
     val plan = executedPlan("q66_leakfree_split")
     assert(plan.contains("BroadcastHashJoin"), s"components join not broadcast:\n$plan")
