@@ -113,21 +113,26 @@ object Bm25 {
     */
   def topKMulti(docs: DataFrame, queries: DataFrame, k: Int,
                 maxTerms: Int = 8): DataFrame = {
-    // tiny, consumed twice (the validation head() + the broadcast join):
-    // persisted so the queries relation's upstream plan runs once
-    val qt = queries.select(col("query_id"),
+    // tiny, consumed twice (validation + the broadcast join), and bounded
+    // by the documented queries-per-pass knob: collected ONCE to the
+    // driver and re-localized, so the upstream plan runs a single time
+    // and nothing stays persisted after the call (a persist here leaked
+    // one cached relation per invocation in long-lived sessions)
+    val qtPlan = queries.select(col("query_id"),
       posexplode(col("terms")).as(Seq("pos", "term")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one driver check over the tiny query relation: slot bound +
-    // per-query term uniqueness (a duplicated term would double-count
-    // its tf slots — same contract as topK's distinct require)
-    val chk = qt.agg(max(col("pos")).as("mx"), count(lit(1)).as("n"),
-      countDistinct(col("query_id"), col("term")).as("nd")).head()
-    require(!chk.isNullAt(0), "bm25: empty query relation")
-    require(chk.getInt(0) < maxTerms,
-      s"bm25: a query has ${chk.getInt(0) + 1} terms, maxTerms=$maxTerms")
-    require(chk.getLong(1) == chk.getLong(2),
+    val qtRows = qtPlan.collect()
+    // driver checks over the tiny query relation: slot bound + per-query
+    // term uniqueness (a duplicated term would double-count its tf slots
+    // — same contract as topK's distinct require)
+    require(qtRows.nonEmpty, "bm25: empty query relation")
+    val maxPos = qtRows.iterator.map(_.getInt(1)).max
+    require(maxPos < maxTerms,
+      s"bm25: a query has ${maxPos + 1} terms, maxTerms=$maxTerms")
+    require(qtRows.iterator.map(r => (r.get(0), r.get(2))).toSet.size == qtRows.length,
       "bm25: duplicate terms within a query")
+    val spark = queries.sparkSession
+    val qt = spark.createDataFrame(
+      spark.sparkContext.parallelize(qtRows.toSeq, 1), qtPlan.schema)
 
     val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))

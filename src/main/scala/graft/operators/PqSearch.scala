@@ -59,6 +59,16 @@ object PqSearch {
     // burst of malformed low-id rows cannot starve a corpus that has
     // ample clean vectors.
     val cleanBase = base.filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    // the corpus dimension is decided over a LARGER fixed sample (the
+    // trainCodebook sampleCap convention), NOT per probe window: ≥kc
+    // same-wrong-dimension malformed rows at the lowest vec_ids would
+    // otherwise win the window's modal vote and lock the codebook onto
+    // the malformed dimension — every real vector then encodes to NULL
+    // and only the malformed rows rank
+    val dimSample = cleanBase.orderBy(col("vec_id")).limit(4096)
+      .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
+    require(dimSample.nonEmpty, "pqTopK: no well-formed vectors in the corpus")
+    val targetDim = Kmeans.modalDim(dimSample).head.length
     var lim = kc + 8
     var seeds: Array[Array[Long]] = Array.empty
     var exhausted = false
@@ -66,7 +76,7 @@ object PqSearch {
       val batch = cleanBase.orderBy(col("vec_id")).limit(lim)
         .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
       exhausted = batch.length < lim
-      seeds = Kmeans.modalDim(batch).take(kc)
+      seeds = batch.filter(_.length == targetDim).take(kc)
       lim *= 4
     }
     require(seeds.length == kc,

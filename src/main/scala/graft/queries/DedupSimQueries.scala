@@ -361,9 +361,11 @@ object DedupSimQueries {
     val docs = table(spark, dir, "documents")
     // ONE corpus shingle pass feeds both the simhash signatures and the
     // Jaccard verify (the q56 shared-pass pattern — unshared, the
-    // tokenize+shingle scan ran twice per execution)
-    val sh = TextDedup.shingles(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tokenize+shingle scan ran twice per execution). localCheckpoint,
+    // NOT persist: a persist with no unpersist leaked one cached relation
+    // per invocation in long-lived sessions; checkpoint blocks are
+    // released by the ContextCleaner once the result is dereferenced
+    val sh = TextDedup.shingles(docs).localCheckpoint()
     val cands = TextDedup.simhashPairsFromShingles(sh, maxHamming = 12)
       .select(col("a_id"), col("b_id"))
     TextDedup.jaccardFor(cands, sh)

@@ -331,8 +331,7 @@ object CdcIngest {
             else "drop" // bucket whose rows were all deleted stages no dir
           s"$b=$kind"
         }.mkString(",")
-      val out = fs.create(upsertMarker(path), true)
-      try out.write(plan.getBytes("UTF-8")) finally out.close()
+      LayerStore.writeMarkerAtomic(fs, upsertMarker(path), plan)
       finishUpsertSwap(fs, path, plan)
     } finally latest.unpersist()
   }

@@ -14,6 +14,22 @@ object LayerStore {
   private def markerPath(path: String) = new Path(path + ".compact.pending")
   private def stagedPath(path: String) = new Path(path + ".compact.staged")
 
+  /** Torn-proof marker write (the DeltaLog.writePointer pattern): the body
+    * lands in a temp sibling first, then renames in atomically. A bare
+    * create+write can crash mid-body and leave a half-written plan that
+    * wedges every recovery parse until manual repair; with the rename the
+    * marker is either absent (recovery no-ops, the staged dir is orphan)
+    * or complete. Shared by [[compact]] and CdcIngest's upsert swap. */
+  private[streaming] def writeMarkerAtomic(
+      fs: org.apache.hadoop.fs.FileSystem, marker: Path, body: String): Unit = {
+    val tmp = new Path(marker.getParent,
+      s".${marker.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(marker, false)
+    require(fs.rename(tmp, marker), s"marker write failed: $marker")
+  }
+
   /** Fold all layers STRICTLY BELOW the newest into one by summing
     * `sumCols` per `groupCol` — additive summaries (grouped deltas, MG
     * counters) compose by exactly this fold, so compaction is invisible
@@ -61,9 +77,7 @@ object LayerStore {
     compacted.write.mode("overwrite").parquet(staged.toString)
     // point of no return: marker names the folded ids; from here recover()
     // can always finish the swap
-    val out = fs.create(markerPath(path), true)
-    out.write(folded.mkString(",").getBytes("UTF-8"))
-    out.close()
+    writeMarkerAtomic(fs, markerPath(path), folded.mkString(","))
     finishSwap(fs, path, folded)
   }
 
@@ -122,6 +136,17 @@ object LayerStore {
       if (fs.exists(dst) && !fs.exists(aside)) fs.rename(dst, aside)
       fs.rename(staged, dst) // atomic: exactly one completer wins
     }
+    // restore step: a completer that stalled between its exists(dst)
+    // check and its aside-rename can strand the just-INSTALLED fold
+    // aside after a faster completer already finished (its own
+    // rename(staged, dst) then fails — staged is gone). Whoever reaches
+    // here with dst missing and the aside present puts the fold back, so
+    // that interleaving converges instead of silently dropping the
+    // folded layers from every reader's fold.
+    if (!fs.exists(dst) && fs.exists(aside))
+      require(fs.rename(aside, dst),
+        s"layer-store: failed to restore stranded fold $aside -> $dst")
+    // cleanup only once the fold is verifiably in place
     if (fs.exists(dst)) {
       fs.delete(aside, true)
       fs.delete(markerPath(path), true)

@@ -340,6 +340,27 @@ class IncrementalAggSpec extends SparkSpec {
     assert(readView(pathB) === wantB)
     assert(!fsB.exists(new org.apache.hadoop.fs.Path(s"$pathB.compact.replaced")))
     assert(!fsB.exists(new org.apache.hadoop.fs.Path(s"$pathB.compact.pending")))
+    // state C: a STALLED second completer moved the already-installed fold
+    // aside after the fast completer finished (its own staged-rename then
+    // failed — staged was gone): destination missing, fold stranded in the
+    // aside, staged absent, marker still pending. The restore step must
+    // put the fold back rather than leave every reader folding nothing.
+    val pathC = java.nio.file.Files.createTempDirectory("crashC").toString + "/state"
+    IncrementalAgg.applyBatch(delta(Seq(("run", 10L, 2L))), pathC, 0L)
+    IncrementalAgg.applyBatch(delta(Seq(("bike", 9L, 1L))), pathC, 1L)
+    IncrementalAgg.applyBatch(delta(Seq(("run", 5L, 1L))), pathC, 2L)
+    val wantC = readView(pathC)
+    val fsC = fsOf(pathC)
+    delta(Seq(("run", 10L, 2L), ("bike", 9L, 1L)))
+      .write.mode("overwrite").parquet(s"$pathC/batch=1") // the installed fold
+    fsC.delete(new org.apache.hadoop.fs.Path(s"$pathC/batch=0"), true)
+    // the stalled loser's destructive rename: installed fold → aside
+    assert(fsC.rename(new org.apache.hadoop.fs.Path(s"$pathC/batch=1"),
+      new org.apache.hadoop.fs.Path(s"$pathC.compact.replaced")))
+    marker(pathC)
+    assert(readView(pathC) === wantC)
+    assert(!fsC.exists(new org.apache.hadoop.fs.Path(s"$pathC.compact.replaced")))
+    assert(!fsC.exists(new org.apache.hadoop.fs.Path(s"$pathC.compact.pending")))
   }
 
   test("replaying a batch layer is idempotent; compaction preserves the view") {
