@@ -22,9 +22,11 @@ import org.json4s.jackson.JsonMethods
   * local/HDFS-semantics commit atomicity: a commit is one
   * create-fail-if-exists of the next version file, the same "first
   * writer wins, loser re-reads and retries" optimistic concurrency the
-  * real LogStore implements per storage backend (object stores need a
-  * CAS/rename service there — same caveat as upstream Delta's
-  * S3SingleDriverLogStore).
+  * real LogStore implements per storage backend. That primitive (plus
+  * the pointer overwrite) is pluggable via the [[LogStore]] trait —
+  * object stores supply a CAS-backed implementation through
+  * `spark.graft.delta.logStore`, the same seam as upstream Delta's
+  * `io.delta.storage.LogStore`; the default keeps local/HDFS semantics.
   *
   * Why from scratch: S3/K1 were the two coverage rows blocked on absent
   * jars; the protocol itself is public and small, so the executed
@@ -467,7 +469,7 @@ object DeltaLog {
     // one is refreshed from the existing file
     if (f.exists(dst)) {
       if (!lastCheckpointVersion(spark, table).contains(head.version))
-        writePointer(f, tbl, head.version,
+        writePointer(spark, f, tbl, head.version,
           spark.read.parquet(dst.toString).count())
       return head.version
     }
@@ -501,24 +503,19 @@ object DeltaLog {
     f.delete(tmp, true)
     // _last_checkpoint last: readers either see the old pointer (and
     // replay JSON) or the new one (and find the checkpoint durable)
-    writePointer(f, tbl, head.version, rows.length.toLong)
+    writePointer(spark, f, tbl, head.version, rows.length.toLong)
     head.version
   }
 
-  /** Pointer update with no TORN state: the body lands in a temp file
-    * first, then swaps in (a crash can leave the pointer briefly absent —
-    * which degrades to JSON replay — but never half-written, which used
-    * to wedge every read on a parse error until manual repair). */
-  private def writePointer(f: FileSystem, tbl: Path, version: Long,
-                           size: Long): Unit = {
-    val dst = lastCheckpointPath(tbl)
-    val tmp = new Path(logDir(tbl), s".lcp-tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(s"""{"version":$version,"size":$size}""".getBytes("UTF-8"))
-    finally out.close()
-    f.delete(dst, false)
-    require(f.rename(tmp, dst), s"delta: _last_checkpoint update failed at $dst")
-  }
+  /** Pointer update with no TORN state: delegated to the session store's
+    * [[LogStore.overwrite]] (default: temp file + atomic rename — a
+    * crash can leave the pointer briefly absent, which degrades to JSON
+    * replay, but never half-written, which used to wedge every read on a
+    * parse error until manual repair). */
+  private def writePointer(spark: SparkSession, f: FileSystem, tbl: Path,
+                           version: Long, size: Long): Unit =
+    LogStore.forSession(spark).overwrite(f, lastCheckpointPath(tbl),
+      s"""{"version":$version,"size":$size}""".getBytes("UTF-8"))
 
   /** Log-retention cleaning (upstream's `delta.logRetentionDuration`):
     * delete JSON commit files STRICTLY BELOW the newest checkpoint once
@@ -550,39 +547,18 @@ object DeltaLog {
 
   /** Atomically commit `actions` as version `v`. Returns false when v
     * already exists (another writer won — re-read the snapshot and
-    * retry), true on success. Local-filesystem commits use an atomic
-    * hard link (link(2) fails if the destination exists, closing the
-    * check-then-create race); other filesystems use
-    * create(overwrite=false), HDFS-atomic per the protocol's LogStore
-    * contract. */
+    * retry), true on success. The atomic create-if-absent is the
+    * session's [[LogStore]] ([[LogStore.Hadoop]] by default: local
+    * hard-link / HDFS create-no-overwrite; object stores plug a
+    * CAS-backed store in via `spark.graft.delta.logStore`). */
   def commit(spark: SparkSession, table: String, v: Long,
              actions: Seq[JValue]): Boolean = {
     val tbl = new Path(table)
     val f = fs(spark, tbl)
     f.mkdirs(logDir(tbl))
-    val dst = logFile(tbl, v)
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n").getBytes("UTF-8")
-    if (f.getScheme == "file") {
-      val tmp = new Path(logDir(tbl), s".tmp-${java.util.UUID.randomUUID()}.json")
-      val out = f.create(tmp, true)
-      try { out.write(body) } finally out.close()
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally f.delete(tmp, false)
-    } else {
-      if (f.exists(dst)) return false
-      try {
-        val out = f.create(dst, false)
-        try { out.write(body) } finally out.close()
-        true
-      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-    }
+    LogStore.forSession(spark).putIfAbsent(f, logFile(tbl, v), body)
   }
 
   // --- action builders (protocol JSON shapes) -------------------------------

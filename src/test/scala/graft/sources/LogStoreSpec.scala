@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.SparkSpec
+import graft.sources.delta.{DeltaLog, DeltaTable, LogStore}
+
+/** A deliberately NON-atomic store (the object-store shape: no native
+  * create-if-absent) that still honors the [[LogStore]] contract by
+  * write-then-verify: after writing, it reads the destination back and
+  * reports a lost commit when another writer's body is there. The spec
+  * drives a concurrent overwrite into the race window via [[betweenHook]]
+  * and proves the log DETECTS the conflict instead of silently losing a
+  * commit — the testable design the local-only caveat was promoted to. */
+class NonAtomicVerifyingLogStore extends LogStore {
+  override def putIfAbsent(fs: FileSystem, dst: Path, body: Array[Byte]): Boolean = {
+    if (fs.exists(dst)) return false
+    val out = fs.create(dst, true) // non-atomic overwrite: the object-store hazard
+    try out.write(body) finally out.close()
+    NonAtomicVerifyingLogStore.betweenHook(dst) // racing writer lands here
+    val in = fs.open(dst)
+    val got = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toByteArray
+    } finally in.close()
+    // verify: someone else's body at dst = lost the race, observably
+    java.util.Arrays.equals(got, body)
+  }
+
+  override def overwrite(fs: FileSystem, dst: Path, body: Array[Byte]): Unit = {
+    val out = fs.create(dst, true)
+    try out.write(body) finally out.close()
+  }
+}
+
+object NonAtomicVerifyingLogStore {
+  @volatile var betweenHook: Path => Unit = _ => ()
+}
+
+class LogStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fsOf(p: String) = new Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("default store preserves behavior: hard-link commit, loser sees false") {
+    val t = java.nio.file.Files.createTempDirectory("lstore0").toString + "/t"
+    assert(DeltaLog.commit(spark, t, 0L, Seq(DeltaLog.protocolAction)))
+    // same version again = lost race, observable, nothing overwritten
+    assert(!DeltaLog.commit(spark, t, 0L, Seq(DeltaLog.protocolAction)))
+    assert(DeltaLog.versions(spark, t) === Seq(0L))
+  }
+
+  test("a non-atomic store still DETECTS the lost-commit conflict (write-then-verify)") {
+    spark.conf.set("spark.graft.delta.logStore",
+      classOf[NonAtomicVerifyingLogStore].getName)
+    try {
+      val t = java.nio.file.Files.createTempDirectory("lstore1").toString + "/t"
+      assert(DeltaLog.commit(spark, t, 0L, Seq(DeltaLog.protocolAction)),
+        "uncontended commit must succeed through the pluggable store")
+      // contended commit: a competing writer overwrites version 1 inside
+      // this writer's race window (after its write, before its verify) —
+      // exactly the interleaving a non-atomic create cannot exclude
+      val competing = "{\"commitInfo\":{\"operation\":\"COMPETING\"}}\n"
+        .getBytes("UTF-8")
+      NonAtomicVerifyingLogStore.betweenHook = { dst =>
+        NonAtomicVerifyingLogStore.betweenHook = _ => () // fire once
+        val fs = fsOf(t)
+        val out = fs.create(dst, true)
+        try out.write(competing) finally out.close()
+      }
+      val won = DeltaLog.commit(spark, t, 1L,
+        Seq(DeltaLog.commitInfoAction("LOSER")))
+      assert(!won, "the overwritten writer must observe the lost commit")
+      // the competing writer's body stands; the loser's was never
+      // silently installed — the log's linear history is intact
+      val kept = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_delta_log",
+          f"${1L}%020d.json")), "UTF-8")
+      assert(kept === new String(competing, "UTF-8"))
+      // the loser retries at the next version, as the commit contract says
+      assert(DeltaLog.commit(spark, t, 2L,
+        Seq(DeltaLog.commitInfoAction("RETRY"))))
+      assert(DeltaLog.versions(spark, t) === Seq(0L, 1L, 2L))
+    } finally {
+      spark.conf.unset("spark.graft.delta.logStore")
+      NonAtomicVerifyingLogStore.betweenHook = _ => ()
+    }
+  }
+
+  test("the full write path runs unchanged through a pluggable store") {
+    spark.conf.set("spark.graft.delta.logStore",
+      classOf[NonAtomicVerifyingLogStore].getName)
+    try {
+      val t = java.nio.file.Files.createTempDirectory("lstore2").toString + "/t"
+      DeltaTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "p"), t,
+        org.apache.spark.sql.SaveMode.Append)
+      DeltaTable.write(Seq((3L, "c")).toDF("k", "p"), t,
+        org.apache.spark.sql.SaveMode.Append)
+      // checkpoint exercises the pointer-overwrite primitive
+      DeltaLog.checkpoint(spark, t)
+      assert(DeltaTable.read(spark, t).count() === 3)
+      assert(DeltaLog.lastCheckpointVersion(spark, t) === Some(1L))
+    } finally spark.conf.unset("spark.graft.delta.logStore")
+  }
+}
