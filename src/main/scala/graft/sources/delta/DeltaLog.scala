@@ -402,7 +402,17 @@ object DeltaLog {
     * replay is always correct while the JSON history exists, and a
     * cleaned history then fails [[snapshot]]'s root guard loudly rather
     * than wedging every read on a parse error. */
-  def lastCheckpointVersion(spark: SparkSession, table: String): Option[Long] = {
+  def lastCheckpointVersion(spark: SparkSession, table: String): Option[Long] =
+    lastCheckpointInfo(spark, table).map(_._1)
+
+  /** (version, row count) from `_last_checkpoint`. The `size` field IS
+    * the checkpoint's row count (written by [[checkpoint]]), i.e. an
+    * upper bound on live files at the checkpoint — the metadata-only
+    * signal [[checkpointRows]] uses to pick driver vs distributed
+    * replay. A pointer predating the size field reports the count from
+    * the checkpoint parquet's FOOTER instead (metadata IO, no data
+    * scan). */
+  def lastCheckpointInfo(spark: SparkSession, table: String): Option[(Long, Long)] = {
     val tbl = new Path(table)
     val f = fs(spark, tbl)
     val p = lastCheckpointPath(tbl)
@@ -410,11 +420,36 @@ object DeltaLog {
     val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    try (JsonMethods.parse(body) \ "version") match {
-      case JInt(v) => Some(v.toLong)
-      case JLong(v) => Some(v)
-      case _ => None
+    try {
+      val parsed = JsonMethods.parse(body)
+      val version = (parsed \ "version") match {
+        case JInt(v) => Some(v.toLong)
+        case JLong(v) => Some(v)
+        case _ => None
+      }
+      version.map { v =>
+        val size = (parsed \ "size") match {
+          case JInt(s) => s.toLong
+          case JLong(s) => s
+          case _ => footerRowCount(spark, checkpointFile(tbl, v))
+        }
+        (v, size)
+      }
     } catch { case _: Exception => None }
+  }
+
+  /** Live-file upper bound for the newest checkpoint (its row count),
+    * None when the table has no checkpoint. */
+  def checkpointRows(spark: SparkSession, table: String): Option[Long] =
+    lastCheckpointInfo(spark, table).map(_._2)
+
+  private def footerRowCount(spark: SparkSession, file: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        file, spark.sparkContext.hadoopConfiguration))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
   }
 
   // private[delta], NOT private: Spark's encoder emits codegen that

@@ -47,16 +47,43 @@ object DeltaTable {
 
   /** Partition-pruned read: only files whose `partitionValues` match
     * every (column → value) in `filter` are opened — the log IS the
-    * partition index, no directory listing of pruned partitions. */
+    * partition index, no directory listing of pruned partitions.
+    *
+    * Replay strategy is DATA-DRIVEN: past
+    * `spark.graft.delta.distributedReplayThreshold` checkpoint rows
+    * (default 200k — SCALE.md's "a few hundred thousand live files"
+    * driver-memory guidance) the read routes through
+    * [[readPartitionsDistributed]], whose pruning runs on the checkpoint
+    * DataFrame so the driver materializes only the pruned list; below it,
+    * the driver replay skips the pruning job. The row count comes from
+    * `_last_checkpoint`'s size field (metadata-only) — a 1M-file table
+    * picks the distributed path without a code change. Both paths are
+    * spec-pinned result-identical. */
   def readPartitions(spark: SparkSession, table: String,
-                     filter: Map[String, String]): DataFrame = {
-    val s = snapshot(spark, table)
-    require(!s.isEmpty, s"delta: $table has no commits")
-    require(filter.keySet.subsetOf(s.partitionColumns.toSet),
-      s"delta: ${filter.keySet} not all partition columns ${s.partitionColumns}")
-    val files = s.files.filter(f =>
-      filter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
-    readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+                     filter: Map[String, String]): DataFrame =
+    if (chooseDistributedReplay(spark, table))
+      readPartitionsDistributed(spark, table, filter)
+    else {
+      val s = snapshot(spark, table)
+      require(!s.isEmpty, s"delta: $table has no commits")
+      require(filter.keySet.subsetOf(s.partitionColumns.toSet),
+        s"delta: ${filter.keySet} not all partition columns ${s.partitionColumns}")
+      val files = s.files.filter(f =>
+        filter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+      readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+    }
+
+  /** True when the newest checkpoint's row count exceeds the
+    * session's distributed-replay threshold — the crossing is spec-pinned
+    * from both sides. Tables without a checkpoint always replay
+    * driver-side (the JSON log is small by construction: [[checkpoint]]
+    * caps it). */
+  private[sources] def chooseDistributedReplay(spark: SparkSession,
+                                               table: String): Boolean = {
+    val threshold = spark.conf
+      .getOption("spark.graft.delta.distributedReplayThreshold")
+      .map(_.toLong).getOrElse(200000L)
+    DeltaLog.checkpointRows(spark, table).exists(_ > threshold)
   }
 
   /** Register the table as a temp view so `spark.sql` can query it —

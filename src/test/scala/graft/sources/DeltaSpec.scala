@@ -511,6 +511,35 @@ class DeltaSpec extends SparkSpec {
       .inputFiles.forall(_.contains("p=a")), "pruning must not open other partitions")
   }
 
+  test("replay strategy is data-driven: checkpoint row count vs the threshold, both sides") {
+    val t = tmp()
+    def df(ids: Range, p: String) =
+      ids.map(i => (i.toLong, p)).toDF("id", "p")
+    DeltaTable.write(df(0 until 10, "a"), t, SaveMode.Append, partitionBy = Seq("p"))
+    // no checkpoint yet: driver replay regardless of threshold (the JSON
+    // log is small by construction)
+    spark.conf.set("spark.graft.delta.distributedReplayThreshold", "0")
+    try {
+      assert(!DeltaTable.chooseDistributedReplay(spark, t),
+        "no checkpoint must mean driver replay")
+      DeltaTable.write(df(10 until 20, "b"), t, SaveMode.Append)
+      DeltaLog.checkpoint(spark, t)
+      val rows = DeltaLog.checkpointRows(spark, t).get
+      assert(rows > 0)
+      // BELOW the crossing: rows <= threshold keeps the driver path
+      spark.conf.set("spark.graft.delta.distributedReplayThreshold", rows.toString)
+      assert(!DeltaTable.chooseDistributedReplay(spark, t))
+      // ABOVE the crossing: rows > threshold picks the distributed path,
+      // and the routed readPartitions stays result-identical
+      spark.conf.set("spark.graft.delta.distributedReplayThreshold", (rows - 1).toString)
+      assert(DeltaTable.chooseDistributedReplay(spark, t))
+      assert(DeltaTable.readPartitions(spark, t, Map("p" -> "a"))
+        .collect().map(_.getLong(0)).toSet === (0 until 10).map(_.toLong).toSet)
+    } finally spark.conf.unset("spark.graft.delta.distributedReplayThreshold")
+    // default threshold (200k): this small table stays driver-side
+    assert(!DeltaTable.chooseDistributedReplay(spark, t))
+  }
+
   test("vacuumRemoved reclaims tombstoned files after retention; head reads survive") {
     val t = tmp()
     DeltaTable.write(Seq((1L, "old")).toDF("k", "s"), t, SaveMode.Append) // v0
