@@ -111,8 +111,16 @@ object Bm25 {
     * @return (query_id, doc_id, score, rnk), rnk 1-based per query by
     *         (score desc, doc_id)
     */
+  /** @param broadcastQueries hint the query-terms relation (and the
+    *        per-query df aggregates) for broadcast — right while a pass
+    *        carries up to a few thousand terms (SCALE.md's batching
+    *        knob). `false` drops the hint so the planner may shuffle
+    *        both sides instead — the fallback once a single pass carries
+    *        enough terms that replicating them to every task costs more
+    *        than hash-partitioning the token stream; results are
+    *        identical either way (spec-pinned). */
   def topKMulti(docs: DataFrame, queries: DataFrame, k: Int,
-                maxTerms: Int = 8): DataFrame = {
+                maxTerms: Int = 8, broadcastQueries: Boolean = true): DataFrame = {
     // tiny, consumed twice (validation + the broadcast join), and bounded
     // by the documented queries-per-pass knob: collected ONCE to the
     // driver and re-localized, so the upstream plan runs a single time
@@ -139,9 +147,10 @@ object Bm25 {
     val stats = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
     val toks = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
 
+    def hinted(df: DataFrame) = if (broadcastQueries) broadcast(df) else df
     val tfCols = (0 until maxTerms).map(i =>
       sum(when(col("pos") === i, 1L).otherwise(0L)).as(s"tf$i"))
-    val tf = toks.join(broadcast(qt), Seq("term"))
+    val tf = toks.join(hinted(qt), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       // min, not first: constant per doc, deterministic in every engine
       .agg(min(col("dl")).as("dl"), tfCols: _*)
@@ -150,8 +159,8 @@ object Bm25 {
     val dfs = tf.groupBy(col("query_id")).agg(dfCols.head, dfCols.tail: _*)
 
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val scored0 = tf.join(broadcast(dfs), Seq("query_id"))
-      .crossJoin(broadcast(stats))
+    val scored0 = tf.join(hinted(dfs), Seq("query_id"))
+      .crossJoin(broadcast(stats)) // single-row stats: always broadcast
     // identical per-term arithmetic to topK (see its scaladoc for the
     // cleared-ratio derivation and the DECIMAL(38,0) overflow guard)
     val termScores: Seq[Column] = (0 until maxTerms).map { i =>

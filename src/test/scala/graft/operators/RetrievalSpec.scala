@@ -113,6 +113,34 @@ class RetrievalSpec extends SparkSpec {
       s"query terms must broadcast to the token scan:\n$plan")
   }
 
+  test("bm25 multi: shuffled fallback (broadcastQueries=false) is bit-identical") {
+    // the SCALE.md batching knob's other side: thousands of terms per
+    // pass would want a shuffled join — same results either way
+    val docs = table(spark, sfDir, "documents")
+    val qs = Seq((0L, Seq("merge", "window")), (1L, Seq("scan", "filter")),
+      (2L, Seq("delta"))).toDF("query_id", "terms")
+    def run(bc: Boolean) = {
+      val df = Bm25.topKMulti(docs, qs, k = 10, maxTerms = 2,
+        broadcastQueries = bc)
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    }
+    val viaBroadcast = run(bc = true)
+    // forbid the planner from broadcasting on its own so the fallback
+    // path genuinely exercises a shuffled join
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    val viaShuffle = try run(bc = false)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    assert(viaShuffle === viaBroadcast) // bit-equal doubles included
+    assert(viaBroadcast.nonEmpty)
+  }
+
   // --- PQ ANN ---------------------------------------------------------------
 
   test("pq: self-distance through own codes is the subspace-quantization floor") {
