@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -36,14 +36,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-batch file sets are micro-batch-sized); the BATCH read path
   * stays [[DeltaTable.read]], which drives Spark's vectorized parquet
   * scan. Supported column types: the primitive lattice (boolean, int,
-  * long, float, double, string) plus TIMESTAMP (INT96 or INT64
+  * long, float, double, string), BINARY (opaque media columns — the
+  * multimodal pipeline's payload type), TIMESTAMP (INT96 or INT64
   * millis/micros/nanos), DATE and DECIMAL (int32/int64/binary
   * physical) — the types the engine's own CDC decode produces
   * (`Ops.decodeEnvelope`'s TimestampType, `commuteValid`'s
   * DecimalType(10,2)), so `graft-delta` can tail its own CDC sink
   * tables. Hive-partition columns restore from the add-action's
   * `partitionValues` (path-unescaped, session-timezone timestamps) —
-  * nested types raise at plan time rather than corrupting silently. */
+  * nested types raise at plan time rather than corrupting silently.
+  *
+  * Backlog admission: `maxFilesPerTrigger` bounds each batch's planned
+  * files, and Trigger.AvailableNow is first-class (end offset pinned at
+  * start, rate limit honored, clean stop) — see
+  * [[DeltaMicroBatchStream]]. */
 class DeltaStreamDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
@@ -75,7 +81,7 @@ private[delta] object DeltaStreamDataSource {
       require(DeltaRowReader.supported(f.dataType),
         s"graft-delta: unsupported column type ${f.dataType.catalogString} " +
           s"for ${f.name} — the streaming reader handles " +
-          "boolean/int/long/float/double/string/timestamp/date/decimal")
+          "boolean/int/long/float/double/string/binary/timestamp/date/decimal")
     }
     schema
   }
@@ -99,7 +105,8 @@ private[delta] class DeltaStreamScan(
   override def readSchema(): StructType = schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new DeltaMicroBatchStream(DeltaStreamDataSource.tablePath(options), schema,
-      Option(options.get("startingVersion")).getOrElse("earliest"))
+      Option(options.get("startingVersion")).getOrElse("earliest"),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
 /** `{"version":N}` — the committed log version this cursor has fully
@@ -108,11 +115,58 @@ private[delta] case class DeltaOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
+/** Micro-batch planner with ADMISSION CONTROL: `maxFilesPerTrigger`
+  * caps how many add-files a single batch plans (a 100 TB backlog table
+  * must drain as bounded batches, not one giant catch-up batch — the
+  * upstream `maxFilesPerTrigger` contract; versions are atomic units,
+  * so a single over-cap commit still delivers whole), and
+  * Trigger.AvailableNow is first-class: the end offset is pinned at
+  * stream start ([[prepareForTriggerAvailableNow]]), batches respect the
+  * rate limit, and the query stops at the pinned end instead of falling
+  * back to one unbounded batch. */
 private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
-                                           startingVersion: String = "earliest")
-    extends MicroBatchStream {
+                                           startingVersion: String = "earliest",
+                                           maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  // Trigger.AvailableNow: versions committed after this pin arrive in a
+  // LATER run of the query, exactly like upstream's available-now sources
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(DeltaLog.versions(spark, table).lastOption.getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled head: admit whole versions in order until the
+    * file cap is met — always at least one version (progress), a
+    * single over-cap commit delivers whole (versions are atomic). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val sv = start.asInstanceOf[DeltaOffset].version
+    val head = cappedHead()
+    limit match {
+      case mf: ReadMaxFiles if head > sv =>
+        val vs = DeltaLog.versions(spark, table).filter(v => v > sv && v <= head)
+        var end = sv
+        var files = 0
+        for (v <- vs if end == sv || files < mf.maxFiles()) {
+          files += DeltaLog.readCommit(spark, table, v)
+            .adds.count(_.dataChange)
+          end = v
+        }
+        DeltaOffset(end)
+      case _ => DeltaOffset(head)
+    }
+  }
+
+  private def cappedHead(): Long = {
+    val head = DeltaLog.versions(spark, table).lastOption.getOrElse(-1L)
+    availableNowCap.fold(head)(math.min(head, _))
+  }
 
   // fixed for the stream's lifetime (writeInternal refuses a partitioning
   // change), so one metadata read instead of a snapshot replay per batch
@@ -129,8 +183,7 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
     case v => DeltaOffset(v.toLong)
   }
 
-  override def latestOffset(): Offset =
-    DeltaOffset(DeltaLog.versions(spark, table).lastOption.getOrElse(-1L))
+  override def latestOffset(): Offset = DeltaOffset(cappedHead())
 
   override def deserializeOffset(json: String): Offset = {
     import org.json4s._
@@ -270,7 +323,7 @@ private[sources] object DeltaRowReader {
 
   def supported(t: DataType): Boolean = t match {
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
-         StringType | TimestampType | DateType => true
+         StringType | TimestampType | DateType | BinaryType => true
     case _: DecimalType => true
     case _ => false
   }
@@ -287,6 +340,7 @@ private[sources] object DeltaRowReader {
     case FloatType => g.getFloat(idx, 0)
     case DoubleType => g.getDouble(idx, 0)
     case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType => g.getBinary(idx, 0).getBytes // opaque media columns
     case DateType => g.getInteger(idx, 0) // parquet DATE: days since epoch
     case TimestampType => readTimestampMicros(g, idx)
     case d: DecimalType => readDecimal(g, idx, d)

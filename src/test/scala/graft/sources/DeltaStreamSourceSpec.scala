@@ -137,6 +137,64 @@ class DeltaStreamSourceSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("k")).toSet === Set(1L, 2L, 3L))
   }
 
+  test("maxFilesPerTrigger bounds each batch; the backlog drains across batches") {
+    val root = java.nio.file.Files.createTempDirectory("dstream8").toString
+    val t = s"$root/t"
+    // three separate commits = three add-files of backlog
+    (1 to 3).foreach(i =>
+      DeltaTable.write(Seq((i.toLong, i * 10L)).toDF("k", "v"), t, SaveMode.Append))
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1").load(t)
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$root/out")
+        .collect().map(_.getAs[Long]("k")).toSet === Set(1L, 2L, 3L),
+        "rate-limited drain must still deliver everything")
+      // the backlog was segmented: >1 batch carried rows (one unbounded
+      // catch-up batch is exactly what admission control forbids)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, s"expected >=3 rate-limited batches, got $dataBatches")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow honors the rate limit: bounded batches, then a clean stop") {
+    val root = java.nio.file.Files.createTempDirectory("dstream9").toString
+    val t = s"$root/t"
+    (1 to 3).foreach(i =>
+      DeltaTable.write(Seq((i.toLong, i * 10L)).toDF("k", "v"), t, SaveMode.Append))
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1").load(t)
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "available-now query must terminate")
+    assert(spark.read.parquet(s"$root/out")
+      .collect().map(_.getAs[Long]("k")).toSet === Set(1L, 2L, 3L))
+    // with SupportsTriggerAvailableNow the drain is SEGMENTED (the old
+    // fallback collapsed it into one unbounded batch)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"expected segmented available-now drain, got $dataBatches")
+  }
+
+  test("binary columns (multimodal payloads) stream byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("dstream10").toString
+    val t = s"$root/t"
+    val payload = Array[Byte](0, 1, -1, 127, -128, 42)
+    DeltaTable.write(Seq((1L, payload), (2L, Array.emptyByteArray))
+      .toDF("k", "media"), t, SaveMode.Append)
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(s"$root/out").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Array[Byte]]("media").toSeq).toMap
+    assert(got === Map(1L -> payload.toSeq, 2L -> Seq.empty))
+  }
+
   test("graft-delta streams the engine's own CDC-sink types: timestamp, decimal, date") {
     // the shape Ops.decodeCdc/commuteValid write (TimestampType,
     // DecimalType(10,2)) — round 6's reader refused these at plan time,
@@ -217,8 +275,9 @@ class DeltaStreamSourceSpec extends SparkSpec {
     assert(DeltaRowReader.parsePartition("__HIVE_DEFAULT_PARTITION__", TimestampType, utc) === null)
     assert(DeltaRowReader.parsePartition(null, DateType, utc) === null)
     assert(DeltaRowReader.supported(TimestampType) && DeltaRowReader.supported(DateType)
-      && DeltaRowReader.supported(DecimalType(38, 6)))
-    assert(!DeltaRowReader.supported(BinaryType))
+      && DeltaRowReader.supported(DecimalType(38, 6)) && DeltaRowReader.supported(BinaryType))
+    assert(!DeltaRowReader.supported(ArrayType(LongType)) &&
+      !DeltaRowReader.supported(MapType(StringType, LongType)))
   }
 
   test("graft-delta source rejects nested column types at plan time") {
