@@ -35,16 +35,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * The streaming reader is row-based (parquet-hadoop's Group API — the
   * per-batch file sets are micro-batch-sized); the BATCH read path
   * stays [[DeltaTable.read]], which drives Spark's vectorized parquet
-  * scan. Supported column types: the primitive lattice (boolean, int,
-  * long, float, double, string), BINARY (opaque media columns — the
-  * multimodal pipeline's payload type), TIMESTAMP (INT96 or INT64
-  * millis/micros/nanos), DATE and DECIMAL (int32/int64/binary
-  * physical) — the types the engine's own CDC decode produces
-  * (`Ops.decodeEnvelope`'s TimestampType, `commuteValid`'s
-  * DecimalType(10,2)), so `graft-delta` can tail its own CDC sink
-  * tables. Hive-partition columns restore from the add-action's
-  * `partitionValues` (path-unescaped, session-timezone timestamps) —
-  * nested types raise at plan time rather than corrupting silently.
+  * scan. Supported column types: the scalar lattice (boolean, byte,
+  * short, int, long, float, double, string), BINARY (opaque media
+  * columns — the multimodal pipeline's payload type), TIMESTAMP /
+  * TIMESTAMP_NTZ (INT96 or INT64 millis/micros/nanos), DATE, DECIMAL
+  * (int32/int64/binary physical) — the types the engine's own CDC
+  * decode produces (`Ops.decodeEnvelope`'s TimestampType,
+  * `commuteValid`'s DecimalType(10,2)), so `graft-delta` can tail its
+  * own CDC sink tables — plus NESTED array/map/struct over the lattice
+  * (both parquet list encodings), so `embeddings`-shaped tables
+  * (`array<float>` vectors) stream too. Hive-partition columns restore
+  * from the add-action's `partitionValues` (path-unescaped,
+  * session-timezone timestamps); a genuinely unreadable type raises at
+  * plan time rather than corrupting silently.
   *
   * Backlog admission: `maxFilesPerTrigger` bounds each batch's planned
   * files, and Trigger.AvailableNow is first-class (end offset pinned at
@@ -80,8 +83,10 @@ private[delta] object DeltaStreamDataSource {
     schema.fields.foreach { f =>
       require(DeltaRowReader.supported(f.dataType),
         s"graft-delta: unsupported column type ${f.dataType.catalogString} " +
-          s"for ${f.name} — the streaming reader handles " +
-          "boolean/int/long/float/double/string/binary/timestamp/date/decimal")
+          s"for ${f.name} — the streaming reader handles the scalar " +
+          "lattice (boolean/byte/short/int/long/float/double/string/" +
+          "binary/timestamp/timestamp_ntz/date/decimal) and " +
+          "array/map/struct over it")
     }
     schema
   }
@@ -320,11 +325,22 @@ private[sources] object DeltaRowReader {
   import org.apache.parquet.schema.LogicalTypeAnnotation
   import org.apache.parquet.schema.LogicalTypeAnnotation.{DecimalLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 
+  /** The full parquet-writable lattice: every scalar type the engine's
+    * tables carry plus NESTED types (array/map/struct, recursively) —
+    * `embeddings.vec` is `array<float>`, so the vector table streams
+    * through `graft-delta` like any other. Nested types cannot be Hive
+    * PARTITION columns (Spark refuses them at write time), so
+    * [[parsePartition]] keeps its scalar-only domain. */
   def supported(t: DataType): Boolean = t match {
-    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
-         StringType | TimestampType | DateType | BinaryType => true
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | TimestampType |
+         TimestampNTZType | DateType | BinaryType => true
     case _: DecimalType => true
+    case ArrayType(et, _) => supported(et)
+    case MapType(kt, vt, _) => supported(kt) && supported(vt)
+    case st: StructType => st.fields.forall(f => supported(f.dataType))
     case _ => false
   }
 
@@ -333,28 +349,108 @@ private[sources] object DeltaRowReader {
   private val JulianDayOfEpoch = 2440588L
   private val MicrosPerDay = 86400000000L
 
-  def readField(g: Group, idx: Int, t: DataType): Any = t match {
-    case BooleanType => g.getBoolean(idx, 0)
-    case IntegerType => g.getInteger(idx, 0)
-    case LongType => g.getLong(idx, 0)
-    case FloatType => g.getFloat(idx, 0)
-    case DoubleType => g.getDouble(idx, 0)
-    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-    case BinaryType => g.getBinary(idx, 0).getBytes // opaque media columns
-    case DateType => g.getInteger(idx, 0) // parquet DATE: days since epoch
-    case TimestampType => readTimestampMicros(g, idx)
-    case d: DecimalType => readDecimal(g, idx, d)
+  def readField(g: Group, idx: Int, t: DataType): Any = readValue(g, idx, 0, t)
+
+  /** One value at (fieldIndex, occurrence) — occurrence > 0 only inside
+    * repeated (LIST/MAP) groups. */
+  private def readValue(g: Group, idx: Int, occ: Int, t: DataType): Any = t match {
+    case BooleanType => g.getBoolean(idx, occ)
+    case ByteType => g.getInteger(idx, occ).toByte
+    case ShortType => g.getInteger(idx, occ).toShort
+    case IntegerType => g.getInteger(idx, occ)
+    case LongType => g.getLong(idx, occ)
+    case FloatType => g.getFloat(idx, occ)
+    case DoubleType => g.getDouble(idx, occ)
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, occ).getBytes)
+    case BinaryType => g.getBinary(idx, occ).getBytes // opaque media columns
+    case DateType => g.getInteger(idx, occ) // parquet DATE: days since epoch
+    case TimestampType | TimestampNTZType => readTimestampMicros(g, idx, occ)
+    case d: DecimalType => readDecimal(g, idx, occ, d)
+    case ArrayType(et, _) => readList(g.getGroup(idx, occ), et)
+    case MapType(kt, vt, _) => readMap(g.getGroup(idx, occ), kt, vt)
+    case st: StructType => readStruct(g.getGroup(idx, occ), st)
     case other => throw new IllegalStateException(s"graft-delta: $other")
+  }
+
+  /** Parquet LIST group → Catalyst array. Handles BOTH layouts the spec
+    * admits (LogicalTypes.md "Lists"): the standard 3-level
+    * `repeated group list { <element> }` (element nullable per its own
+    * repetition) and the legacy 2-level `repeated <element>` directly
+    * under the LIST annotation (elements required by construction). A
+    * NULL array never reaches here — the caller maps an absent outer
+    * group to null; an empty LIST group yields an empty array. */
+  private def readList(lg: Group, et: DataType): GenericArrayData = {
+    val n = lg.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    val repeated = lg.getType.getType(0)
+    // parquet-mr's isElementType backward-compat rule (LogicalTypes.md
+    // "Lists"): the repeated field IS the element (2-level) when it is
+    // primitive, a multi-field group, or carries the legacy names;
+    // otherwise it is the 3-level `list` wrapper around `element`
+    val twoLevel = repeated.isPrimitive ||
+      repeated.asGroupType().getFieldCount > 1 ||
+      repeated.getName == "array" ||
+      repeated.getName == lg.getType.getName + "_tuple"
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (twoLevel) readValue(lg, 0, i, et)
+        else {
+          val eg = lg.getGroup(0, i)
+          if (eg.getFieldRepetitionCount(0) == 0) null // null element
+          else readValue(eg, 0, 0, et)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Parquet MAP group (`repeated group key_value { key; value }`) →
+    * Catalyst map. Keys are required per the spec; values nullable. */
+  private def readMap(mg: Group, kt: DataType, vt: DataType): ArrayBasedMapData = {
+    val n = mg.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val kv = mg.getGroup(0, i)
+      val ki = kv.getType.getFieldIndex("key")
+      val vi = kv.getType.getFieldIndex("value")
+      keys(i) = readValue(kv, ki, 0, kt)
+      vals(i) = if (kv.getFieldRepetitionCount(vi) == 0) null
+                else readValue(kv, vi, 0, vt)
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  /** Nested struct group → InternalRow, with the same missing-field →
+    * NULL schema-evolution semantics as the top-level row loop. */
+  private def readStruct(sg: Group, st: StructType): InternalRow = {
+    val values = new Array[Any](st.length)
+    var i = 0
+    while (i < st.length) {
+      val f = st.fields(i)
+      values(i) =
+        if (!sg.getType.containsField(f.name)) null // pre-evolution file
+        else {
+          val idx = sg.getType.getFieldIndex(f.name)
+          if (sg.getFieldRepetitionCount(idx) == 0) null
+          else readValue(sg, idx, 0, f.dataType)
+        }
+      i += 1
+    }
+    new GenericInternalRow(values)
   }
 
   /** Catalyst micros-since-epoch from whichever physical shape the writer
     * chose: INT96 (legacy Julian-day + nanos-of-day), or INT64 annotated
     * MILLIS/MICROS/NANOS. */
-  private def readTimestampMicros(g: Group, idx: Int): Long = {
+  private def readTimestampMicros(g: Group, idx: Int, occ: Int): Long = {
     val pt = g.getType.getType(idx).asPrimitiveType()
     pt.getPrimitiveTypeName match {
       case INT96 =>
-        val b = g.getInt96(idx, 0).toByteBuffer
+        val b = g.getInt96(idx, occ).toByteBuffer
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val nanosOfDay = b.getLong
         val julianDay = b.getInt
@@ -362,7 +458,7 @@ private[sources] object DeltaRowReader {
           Math.multiplyExact(julianDay - JulianDayOfEpoch, MicrosPerDay),
           nanosOfDay / 1000L)
       case INT64 =>
-        val v = g.getLong(idx, 0)
+        val v = g.getLong(idx, occ)
         pt.getLogicalTypeAnnotation match {
           case ts: TimestampLogicalTypeAnnotation => ts.getUnit match {
             case LogicalTypeAnnotation.TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
@@ -380,18 +476,18 @@ private[sources] object DeltaRowReader {
     * precision ≤9, int64 ≤18, binary/fixed beyond — plus the legacy
     * all-binary format), rescaled from the FILE's declared scale to the
     * log schema's. */
-  private def readDecimal(g: Group, idx: Int, d: DecimalType): Decimal = {
+  private def readDecimal(g: Group, idx: Int, occ: Int, d: DecimalType): Decimal = {
     val pt = g.getType.getType(idx).asPrimitiveType()
     val fileScale = pt.getLogicalTypeAnnotation match {
       case dec: DecimalLogicalTypeAnnotation => dec.getScale
       case _ => d.scale
     }
     val bd = pt.getPrimitiveTypeName match {
-      case INT32 => java.math.BigDecimal.valueOf(g.getInteger(idx, 0).toLong, fileScale)
-      case INT64 => java.math.BigDecimal.valueOf(g.getLong(idx, 0), fileScale)
+      case INT32 => java.math.BigDecimal.valueOf(g.getInteger(idx, occ).toLong, fileScale)
+      case INT64 => java.math.BigDecimal.valueOf(g.getLong(idx, occ), fileScale)
       case BINARY | FIXED_LEN_BYTE_ARRAY =>
         new java.math.BigDecimal(
-          new java.math.BigInteger(g.getBinary(idx, 0).getBytes), fileScale)
+          new java.math.BigInteger(g.getBinary(idx, occ).getBytes), fileScale)
       case other => throw new IllegalStateException(
         s"graft-delta: decimal column stored as $other")
     }

@@ -276,17 +276,44 @@ class DeltaStreamSourceSpec extends SparkSpec {
     assert(DeltaRowReader.parsePartition(null, DateType, utc) === null)
     assert(DeltaRowReader.supported(TimestampType) && DeltaRowReader.supported(DateType)
       && DeltaRowReader.supported(DecimalType(38, 6)) && DeltaRowReader.supported(BinaryType))
-    assert(!DeltaRowReader.supported(ArrayType(LongType)) &&
-      !DeltaRowReader.supported(MapType(StringType, LongType)))
+    // nested types over the scalar lattice are IN (recursively); a
+    // nested unreadable leaf still poisons the whole column
+    assert(DeltaRowReader.supported(ArrayType(FloatType)) &&
+      DeltaRowReader.supported(MapType(StringType, LongType)) &&
+      DeltaRowReader.supported(StructType(Seq(
+        StructField("a", ArrayType(ArrayType(ShortType))),
+        StructField("b", MapType(StringType, TimestampNTZType))))))
+    assert(!DeltaRowReader.supported(CalendarIntervalType) &&
+      !DeltaRowReader.supported(ArrayType(CalendarIntervalType)) &&
+      !DeltaRowReader.supported(MapType(StringType, NullType)))
   }
 
-  test("graft-delta source rejects nested column types at plan time") {
+  test("nested columns stream: array<float> vectors, array null/empty, map, struct, array<array>") {
     val root = java.nio.file.Files.createTempDirectory("dstream3").toString
-    val t = s"$root/t"
-    DeltaTable.write(Seq((1L, Seq(1, 2))).toDF("k", "xs"), t, SaveMode.Append)
-    val e = intercept[IllegalArgumentException] {
-      spark.readStream.format("graft-delta").load(t)
-    }
-    assert(e.getMessage.contains("unsupported column type"))
+    val t = s"$root/t"; val outp = s"$root/out"
+    // the embeddings-table shape (array<float> vec) plus every nested
+    // edge: empty array, NULL array, null element, map, struct with a
+    // null field, array-of-array
+    val df = spark.range(4).selectExpr(
+      "id AS k",
+      """CASE WHEN id = 1 THEN array()
+              WHEN id = 2 THEN CAST(NULL AS array<float>)
+              WHEN id = 3 THEN array(CAST(0.5 AS float), CAST(NULL AS float))
+              ELSE array(CAST(id AS float), CAST(id * 2 AS float)) END AS vec""",
+      "map(concat('k', id), id * 10, 'z', CAST(NULL AS bigint)) AS m",
+      "named_struct('a', id + 1, 'b', IF(id = 0, CAST(NULL AS string), concat('s', id))) AS st",
+      "array(array(id), array(id, id + 1)) AS aa")
+    DeltaTable.write(df, t, SaveMode.Append)
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("parquet").option("path", outp)
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    def normalize(dfx: org.apache.spark.sql.DataFrame) =
+      dfx.selectExpr("k", "to_json(named_struct('vec', vec, 'm', m, 'st', st, 'aa', aa))")
+        .collect().map(_.toSeq).toSet
+    assert(normalize(spark.read.parquet(outp)) === normalize(DeltaTable.read(spark, t)))
+    assert(spark.read.parquet(outp).schema("vec").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
   }
 }
