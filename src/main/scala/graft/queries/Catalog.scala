@@ -605,11 +605,58 @@ object Catalog {
         col("s_name"))
   }
 
+  /** Schema evolution through the Delta log (q87): half of `documents`
+    * is written under a NARROW (doc_id, lang) schema, the other half
+    * mergeSchema-appended with `n_chars` — the union-schema commit — and
+    * the table read back through the log, where pre-evolution rows
+    * NULL-fill the new column. The oracle reproduces the NULL-fill with
+    * a CASE over the same parity split, so the gate proves additive
+    * evolution loses no rows, poisons no values, and NULLs exactly the
+    * pre-evolution half. Scratch table deleted before returning (q80
+    * convention). */
+  val q87SchemaEvolution: Q = Q(
+    "q87_schema_evolution",
+    Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS n_evolved,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.DeltaTable
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q87")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+      DeltaTable.write(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("doc_id"), col("lang")),
+        t, SaveMode.Append)
+      DeltaTable.write(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        t, SaveMode.Append, mergeSchema = true)
+      val agg = DeltaTable.read(spark, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_evolved"),
+          sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
-        q85DeltaPipeline, q86SkewJoin) ++
+        q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

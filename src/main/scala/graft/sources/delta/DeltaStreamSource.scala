@@ -216,6 +216,24 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
         s"graft-delta: $table was overwritten/merged at version $v — " +
           "append-only tailing cannot represent removes; restart the " +
           "stream from the current snapshot")
+      // schema-evolution guard: a commit whose metaData carries a column
+      // this stream's PINNED schema lacks (mergeSchema append landed
+      // mid-stream) would have that column silently DROPPED from every
+      // row we deliver — refuse loudly instead. Historic schemas that
+      // are subsets of the pinned one (evolution before stream start)
+      // read fine: the row reader NULL-fills missing fields.
+      c.schemaJson.foreach { sj =>
+        val cs = DataType.fromJson(sj).asInstanceOf[StructType]
+        cs.fields.foreach { f =>
+          val compatible = schema.fields.find(_.name == f.name)
+            .exists(_.dataType.catalogString == f.dataType.catalogString)
+          require(compatible,
+            s"graft-delta: $table's schema evolved at version $v " +
+              s"(column `${f.name}`: ${f.dataType.catalogString} is not in " +
+              "this stream's schema) — restart the stream to adopt it; " +
+              "offsets resume from the checkpoint, nothing is re-delivered")
+        }
+      }
       c.adds.filter(_.dataChange).map(a =>
         DeltaFilePartition(new Path(table, a.path).toString, a.partitionValues))
     }.toArray

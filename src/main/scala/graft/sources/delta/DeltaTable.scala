@@ -106,10 +106,40 @@ object DeltaTable {
     * files (recorded as metaData partitionColumns + per-add
     * partitionValues); appends to an existing partitioned table adopt
     * its partitioning when `partitionBy` is omitted and refuse a
-    * conflicting one. */
+    * conflicting one.
+    *
+    * `mergeSchema` (delta-spark's `option("mergeSchema","true")`): an
+    * APPEND whose schema differs may ADD nullable columns — the commit
+    * re-emits `metaData` with the union schema (existing column order
+    * kept, new columns appended) and every reader NULL-fills them for
+    * pre-evolution files. Type CHANGES are refused either way: the
+    * reader applies the log's schema to every live file, so a changed
+    * type would mis-read history (that's Overwrite's job). */
   def write(df: DataFrame, table: String, mode: SaveMode,
-            partitionBy: Seq[String] = Seq.empty): Unit =
-    writeInternal(df, table, mode, txn = None, partitionBy = partitionBy)
+            partitionBy: Seq[String] = Seq.empty,
+            mergeSchema: Boolean = false): Unit =
+    writeInternal(df, table, mode, txn = None, partitionBy = partitionBy,
+      mergeSchema = mergeSchema)
+
+  /** [[write]]'s union-schema rule: shared columns keep the EXISTING
+    * order and must type-match exactly; incoming-only columns append as
+    * nullable (pre-evolution files have no values for them). Existing
+    * columns absent from the incoming batch stay — their rows in the
+    * new files read as NULL under the log schema. */
+  private[delta] def mergeSchemas(existing: StructType,
+                                  incoming: StructType): StructType = {
+    val have = existing.fieldNames.toSet
+    incoming.fields.filter(f => have.contains(f.name)).foreach { f =>
+      val e = existing(f.name)
+      require(e.dataType.catalogString == f.dataType.catalogString,
+        s"delta: mergeSchema cannot change `${f.name}` from " +
+          s"${e.dataType.catalogString} to ${f.dataType.catalogString} — " +
+          "type changes require Overwrite")
+    }
+    StructType(existing.fields ++
+      incoming.fields.filterNot(f => have.contains(f.name))
+        .map(_.copy(nullable = true)))
+  }
 
   /** Exactly-once streaming append: the batch commits together with a
     * `txn` action recording (appId, txnVersion); a replayed batch whose
@@ -201,7 +231,8 @@ object DeltaTable {
 
   private def writeInternal(df: DataFrame, table: String, mode: SaveMode,
                             txn: Option[(String, Long)],
-                            partitionBy: Seq[String] = Seq.empty): Boolean = {
+                            partitionBy: Seq[String] = Seq.empty,
+                            mergeSchema: Boolean = false): Boolean = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"delta: unsupported mode $mode")
     val spark = df.sparkSession
@@ -254,11 +285,21 @@ object DeltaTable {
       val meta =
         if (head.isEmpty) Seq(protocolAction, metaDataAction(schemaJson, parts))
         else if (!sameSchema) {
-          require(mode == SaveMode.Overwrite,
-            s"delta: append schema ${df.schema.catalogString} does not match " +
-              s"the table schema — appends enforce schema (overwriteSchema is " +
-              s"the Overwrite path, `read_delta.py:219-222`)")
-          Seq(metaDataAction(schemaJson, parts, head.metaDataId))
+          if (mode == SaveMode.Append && mergeSchema) {
+            // union schema: only re-emit metaData when it actually GREW
+            // (a subset-schema append under the same columns is a no-op)
+            val merged = mergeSchemas(logSchema(head, table), df.schema)
+            if (merged.catalogString == logSchema(head, table).catalogString)
+              Seq.empty
+            else Seq(metaDataAction(merged.json, parts, head.metaDataId))
+          } else {
+            require(mode == SaveMode.Overwrite,
+              s"delta: append schema ${df.schema.catalogString} does not match " +
+                s"the table schema — appends enforce schema (overwriteSchema is " +
+                s"the Overwrite path, `read_delta.py:219-222`; additive columns " +
+                s"may opt in via mergeSchema)")
+            Seq(metaDataAction(schemaJson, parts, head.metaDataId))
+          }
         } else Seq.empty
       val txns = txn.toSeq.map { case (app, v) => txnAction(app, v) }
       val op = commitInfoAction(

@@ -734,4 +734,50 @@ class DeltaSpec extends SparkSpec {
     assert(metaLine.contains(s""""id":"$id0""""),
       s"evolution minted a new table id: $metaLine")
   }
+
+  test("mergeSchema append: new columns land nullable, history NULL-fills, time travel keeps the old schema") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append)
+    // additive evolution: new column appended, union schema committed
+    DeltaTable.write(Seq((2L, "b", 10L)).toDF("k", "s", "extra"), t,
+      SaveMode.Append, mergeSchema = true)
+    val df = DeltaTable.read(spark, t)
+    assert(df.schema.fieldNames.toSeq === Seq("k", "s", "extra"),
+      "existing column order must be kept, new columns appended")
+    assert(df.schema("extra").nullable, "evolved columns must be nullable")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got === Set((1L, "a", -1L), (2L, "b", 10L)),
+      "pre-evolution rows must NULL-fill the new column")
+    // VERSION AS OF 0 reads under the ORIGINAL two-column schema
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(0L))
+      .schema.fieldNames.toSeq === Seq("k", "s"))
+    // a SUBSET-schema append under mergeSchema: fine, absent column NULLs,
+    // and no metaData is re-emitted (the schema did not grow)
+    val metasBefore = DeltaLog.snapshot(spark, t).version
+    DeltaTable.write(Seq((3L, "c")).toDF("k", "s"), t,
+      SaveMode.Append, mergeSchema = true)
+    val lines = scala.io.Source.fromFile(new java.io.File(
+      f"$t/_delta_log/${metasBefore + 1}%020d.json")).getLines().toList
+    assert(!lines.exists(_.contains("\"metaData\"")),
+      "a non-growing mergeSchema append must not re-emit metaData")
+    assert(DeltaTable.read(spark, t).filter("k = 3").head().isNullAt(2))
+  }
+
+  test("mergeSchema refuses type changes; plain append still refuses new columns") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaTable.write(Seq((2L, 7L)).toDF("k", "s"), t,
+        SaveMode.Append, mergeSchema = true)
+    }
+    assert(e1.getMessage.contains("cannot change `s`"),
+      s"type change must be refused: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.write(Seq((2L, "b", 1L)).toDF("k", "s", "extra"), t, SaveMode.Append)
+    }
+    assert(e2.getMessage.contains("mergeSchema"),
+      s"the refusal must point at the opt-in: ${e2.getMessage}")
+  }
 }

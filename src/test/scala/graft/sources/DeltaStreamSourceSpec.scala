@@ -288,6 +288,39 @@ class DeltaStreamSourceSpec extends SparkSpec {
       !DeltaRowReader.supported(MapType(StringType, NullType)))
   }
 
+  test("mid-stream mergeSchema evolution refuses loudly; restart adopts the new schema exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("dstream11").toString
+    val t = s"$root/t"; val outp = s"$root/out"; val chk = s"$root/chk"
+    DeltaTable.write(Seq((1L, "a")).toDF("k", "s"), t, SaveMode.Append)
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("parquet").option("path", outp)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      // a mergeSchema append lands a column this stream's pinned schema
+      // lacks — delivering it would silently DROP the new column's data
+      DeltaTable.write(Seq((2L, "b", 10L)).toDF("k", "s", "extra"), t,
+        SaveMode.Append, mergeSchema = true)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert((e.getMessage + e.getCause.getMessage).contains("schema evolved"),
+        s"must refuse mid-stream evolution loudly: ${e.getMessage}")
+    } finally q.stop()
+    // restart against the SAME sink+checkpoint: the re-inferred schema
+    // carries the new column; offsets resume from the checkpoint so v0's
+    // row is NOT re-delivered, only the unread evolved commit lands
+    val q2 = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("parquet").option("path", outp)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val got = spark.read.option("mergeSchema", "true").parquet(outp).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        Option(r.getAs[Any]("extra")))).toSet
+    assert(got === Set((1L, "a", None), (2L, "b", Some(10L))),
+      s"restart must deliver exactly the unread evolved commit, got $got")
+  }
+
   test("nested columns stream: array<float> vectors, array null/empty, map, struct, array<array>") {
     val root = java.nio.file.Files.createTempDirectory("dstream3").toString
     val t = s"$root/t"; val outp = s"$root/out"
