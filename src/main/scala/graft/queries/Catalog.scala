@@ -652,11 +652,51 @@ object Catalog {
     }
   }
 
+  /** String data skipping (q88): `documents` written to a scratch Delta
+    * table range-partitioned by `source` (so each file's add-action
+    * carries tight STRING bounds), then read back via
+    * [[graft.sources.delta.DeltaTable.readRangeString]] over a range
+    * that string-sorts AROUND the numeric suffixes ('src0' <= s <=
+    * 'src12' covers src0, src1, src10..src12 — not src2..src9), and
+    * aggregated. The oracle applies the same predicate to the raw
+    * table, so the gate proves skipping drops FILES, never rows, under
+    * the byte-lexicographic order both engines share. */
+  val q88StringSkipping: Q = Q(
+    "q88_string_skipping",
+    Some("""
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE source >= 'src0' AND source <= 'src12'
+      GROUP BY source""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.DeltaTable
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q88")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      DeltaTable.write(docs.repartitionByRange(4, col("source")), t, SaveMode.Append)
+      val agg = DeltaTable.readRangeString(spark, t, "source", "src0", "src12")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
-        q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution) ++
+        q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

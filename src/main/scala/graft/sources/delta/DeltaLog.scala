@@ -54,10 +54,20 @@ object DeltaLog {
   final case class RemoveFile(path: String, deletionTimestamp: Long,
                               dataChange: Boolean = true)
 
-  /** Parsed subset of the protocol's per-file statistics JSON. */
+  /** Parsed subset of the protocol's per-file statistics JSON.
+    * `minValues`/`maxValues` carry the INTEGRAL columns (INT32/INT64
+    * physical — int, long, date, timestamp-as-micros, small decimals'
+    * unscaled longs); `minStrings`/`maxStrings` carry STRING columns
+    * (UTF8-annotated BINARY), rendered into the SAME protocol
+    * `minValues`/`maxValues` JSON objects with native JSON types and
+    * split back apart on parse. String order is parquet's: unsigned
+    * byte-lexicographic over UTF-8 — the order Spark's string
+    * comparisons use, so skipping bounds agree with query predicates. */
   final case class FileStats(numRecords: Long,
                              minValues: Map[String, Long],
-                             maxValues: Map[String, Long])
+                             maxValues: Map[String, Long],
+                             minStrings: Map[String, String] = Map.empty,
+                             maxStrings: Map[String, String] = Map.empty)
 
   /** Replayed table state at a version. `metaDataId` is the table's
     * STABLE protocol id (first metaData action wins; later schema
@@ -636,8 +646,12 @@ object DeltaLog {
   private def renderStats(s: FileStats): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       "numRecords" -> JLong(s.numRecords),
-      "minValues" -> JObject(s.minValues.toList.map { case (k, v) => k -> JLong(v) }),
-      "maxValues" -> JObject(s.maxValues.toList.map { case (k, v) => k -> JLong(v) }))))
+      "minValues" -> JObject(
+        s.minValues.toList.map { case (k, v) => k -> (JLong(v): JValue) } ++
+          s.minStrings.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "maxValues" -> JObject(
+        s.maxValues.toList.map { case (k, v) => k -> (JLong(v): JValue) } ++
+          s.maxStrings.toList.map { case (k, v) => k -> (JString(v): JValue) }))))
 
   private def parseStats(s: String): Option[FileStats] =
     try {
@@ -649,12 +663,19 @@ object DeltaLog {
         }.toMap
         case _ => Map.empty
       }
+      def strings(v: JValue): Map[String, String] = v match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(x)) => k -> x
+        }.toMap
+        case _ => Map.empty
+      }
       val n = (j \ "numRecords") match {
         case JInt(x) => x.toLong
         case JLong(x) => x
         case _ => return None
       }
-      Some(FileStats(n, longs(j \ "minValues"), longs(j \ "maxValues")))
+      Some(FileStats(n, longs(j \ "minValues"), longs(j \ "maxValues"),
+        strings(j \ "minValues"), strings(j \ "maxValues")))
     } catch { case _: Exception => None }
 
   def removeAction(path: String, deletionTimestamp: Long,

@@ -195,8 +195,18 @@ object DeltaTable {
     adds
   }
 
-  /** Per-file min/max/count for INT32/INT64 columns from the parquet
-    * footer. */
+  /** Longest string the stats record verbatim. Past it the column's
+    * string stats are DROPPED for that file (conservative: stats-less
+    * columns always read) — bounded add-action size without the
+    * truncate-and-increment upper-bound dance delta-spark does. */
+  private val MaxStatsStringLen = 64
+
+  /** Per-file min/max/count from the parquet footer — metadata IO, no
+    * data scan. INT32/INT64 columns record long bounds (covers int,
+    * long, date, timestamp micros, and small decimals' unscaled longs);
+    * UTF8-annotated BINARY columns record string bounds (parquet's
+    * byte-lexicographic order — the same order Spark compares strings
+    * in, so [[readRangeString]] bounds agree with predicates). */
   private def footerStats(file: Path,
                           conf: org.apache.hadoop.conf.Configuration): Option[FileStats] =
     try {
@@ -208,26 +218,58 @@ object DeltaTable {
         var n = 0L
         val mins = scala.collection.mutable.Map.empty[String, Long]
         val maxs = scala.collection.mutable.Map.empty[String, Long]
+        val smins = scala.collection.mutable.Map.empty[String, String]
+        val smaxs = scala.collection.mutable.Map.empty[String, String]
+        // a block with unusable string stats poisons the whole column:
+        // a per-file bound built from SOME blocks would be wrong
+        val sdrop = scala.collection.mutable.Set.empty[String]
         blocks.asScala.foreach { b =>
           n += b.getRowCount
           b.getColumns.asScala.foreach { c =>
-            val t = c.getPrimitiveType.getPrimitiveTypeName
+            val pt = c.getPrimitiveType
+            val t = pt.getPrimitiveTypeName
             val isInt =
               t == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 ||
                 t == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+            val isString =
+              t == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY &&
+                pt.getLogicalTypeAnnotation.isInstanceOf[
+                  org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
             val s = c.getStatistics
+            val name = c.getPath.toDotString
             if (isInt && s != null && s.hasNonNullValue) {
-              val name = c.getPath.toDotString
               val mn = s.genericGetMin.asInstanceOf[Number].longValue()
               val mx = s.genericGetMax.asInstanceOf[Number].longValue()
               mins += name -> math.min(mn, mins.getOrElse(name, mn))
               maxs += name -> math.max(mx, maxs.getOrElse(name, mx))
+            } else if (isString) {
+              if (s == null || !s.hasNonNullValue) sdrop += name
+              else {
+                val mn = s.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val mx = s.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                if (mn.length > MaxStatsStringLen || mx.length > MaxStatsStringLen)
+                  sdrop += name
+                else {
+                  smins += name -> smins.get(name).filter(utf8Lte(_, mn)).getOrElse(mn)
+                  smaxs += name -> smaxs.get(name).filter(utf8Lte(mx, _)).getOrElse(mx)
+                }
+              }
             }
           }
         }
-        Some(FileStats(n, mins.toMap, maxs.toMap))
+        sdrop.foreach { k => smins -= k; smaxs -= k }
+        Some(FileStats(n, mins.toMap, maxs.toMap, smins.toMap, smaxs.toMap))
       } finally reader.close()
     } catch { case _: Exception => None }
+
+  /** a <= b in unsigned UTF-8 byte order — parquet's and Spark's shared
+    * string order (UTF-16 `String.compareTo` disagrees past the BMP). */
+  private def utf8Lte(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0
 
   private def writeInternal(df: DataFrame, table: String, mode: SaveMode,
                             txn: Option[(String, Long)],
@@ -427,6 +469,25 @@ object DeltaTable {
     val files = s.files.filter(overlaps(_, keyCol, lo, hi))
     readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** [[readRange]] over a STRING key: files whose string stats exclude
+    * [lo, hi] (UTF-8 byte order — the order Spark's `>=`/`<=` on
+    * strings uses) are never opened; stats-less files, including those
+    * whose bounds exceeded the recording cap at write time, read
+    * conservatively. The row-level residual filter still applies. */
+  def readRangeString(spark: SparkSession, table: String, keyCol: String,
+                      lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = snapshot(spark, table)
+    require(!s.isEmpty, s"delta: $table has no commits")
+    val files = s.files.filter(f =>
+      f.stats.flatMap(st =>
+        for { mn <- st.minStrings.get(keyCol); mx <- st.maxStrings.get(keyCol) }
+          yield utf8Lte(lo, mx) && utf8Lte(mn, hi)
+      ).getOrElse(true)) // no stats → conservatively in range
+    readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
 
   /** Incremental tail read — the consuming half of a Delta-to-Delta

@@ -185,6 +185,44 @@ class DeltaSpec extends SparkSpec {
     assert(df.inputFiles.length === 1, "stats pruning must skip the high file")
   }
 
+  test("string stats: add actions carry string bounds; readRangeString skips excluded files") {
+    val t = tmp()
+    DeltaTable.write((1 to 50).map(i => (i, f"src_a$i%02d")).toDF("id", "src")
+      .coalesce(1), t, SaveMode.Append)
+    DeltaTable.write((1 to 50).map(i => (i, f"src_m$i%02d")).toDF("id", "src")
+      .coalesce(1), t, SaveMode.Append)
+    val files = DeltaLog.snapshot(spark, t).files
+    assert(files.forall(_.stats.exists(_.minStrings.contains("src"))),
+      "adds must carry string bounds")
+    val df = DeltaTable.readRangeString(spark, t, "src", "src_a10", "src_a20")
+    assert(df.collect().map(_.getString(1)).sorted.toSeq ===
+      (10 to 20).map(i => f"src_a$i%02d"))
+    assert(df.inputFiles.length === 1, "string stats pruning must skip the m-file")
+    // checkpoint round-trip: string bounds survive the parquet checkpoint
+    DeltaLog.checkpoint(spark, t)
+    val fromCp = DeltaLog.snapshot(spark, t).files
+    assert(fromCp.forall(_.stats.exists(_.maxStrings.contains("src"))),
+      "string bounds must survive checkpoint replay")
+  }
+
+  test("over-cap string values drop that column's bounds; reads stay conservative and correct") {
+    val t = tmp()
+    val long1 = "a" * 100; val long2 = "z" * 100
+    DeltaTable.write(Seq((1, long1), (2, "short")).toDF("id", "s").coalesce(1),
+      t, SaveMode.Append)
+    DeltaTable.write(Seq((3, long2)).toDF("id", "s").coalesce(1), t, SaveMode.Append)
+    val files = DeltaLog.snapshot(spark, t).files
+    assert(files.forall(_.stats.exists(st =>
+      !st.minStrings.contains("s") && !st.maxStrings.contains("s"))),
+      "bounds past the recording cap must be dropped, not truncated unsafely")
+    assert(files.forall(_.stats.exists(_.minValues.contains("id"))),
+      "the integral column keeps its bounds")
+    // stats-less string column: every file reads, the residual filter decides
+    val got = DeltaTable.readRangeString(spark, t, "s", "a", "b")
+    assert(got.collect().map(_.getInt(0)).toSeq === Seq(1))
+    assert(got.inputFiles.length === 2, "no bounds -> conservative full read")
+  }
+
   test("partitioned table: hive layout, adopted partitioning, pruned reads") {
     val t = tmp()
     DeltaTable.write(Seq((1, "fr", 1.0), (2, "de", 2.0), (3, "fr", 3.0))
