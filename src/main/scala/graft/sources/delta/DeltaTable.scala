@@ -382,19 +382,32 @@ object DeltaTable {
     val spark = updates.sparkSession
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // integral keys only: stats-based skipping works on the add-action
-    // min/max longs. A looser cast("long") would turn a string/UUID key
-    // into NULL bounds and the empty-batch check below would silently
-    // discard the whole batch — loud beats lost.
-    require(Set[org.apache.spark.sql.types.DataType](
-        ByteType, ShortType, IntegerType, LongType)
-        .contains(updates.schema(keyCol).dataType),
-      s"delta: merge key `$keyCol` must be an integral type for stats " +
-        s"skipping, got ${updates.schema(keyCol).dataType.catalogString}")
-    val range = updates.agg(
-      min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
-    if (range.isNullAt(0)) return // empty batch: nothing to merge
-    val (umin, umax) = (range.getLong(0), range.getLong(1))
+    // keys must have add-action stats to skip on: integral types use the
+    // long bounds, strings (UUID/natural CDC keys) the string bounds. A
+    // looser cast("long") would turn a string key into NULL bounds and
+    // the empty-batch check below would silently discard the whole
+    // batch — loud beats lost.
+    val keyType = updates.schema(keyCol).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType).contains(keyType)
+    require(integral || keyType == org.apache.spark.sql.types.StringType,
+      s"delta: merge key `$keyCol` must be an integral or string type for " +
+        s"stats skipping, got ${keyType.catalogString}")
+    val fileOverlaps: AddFile => Boolean =
+      if (integral) {
+        val range = updates.agg(
+          min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
+        if (range.isNullAt(0)) return // empty batch: nothing to merge
+        overlaps(_, keyCol, range.getLong(0), range.getLong(1))
+      } else {
+        val range = updates.agg(min(col(keyCol)), max(col(keyCol))).head()
+        if (range.isNullAt(0)) return
+        val (slo, shi) = (range.getString(0), range.getString(1))
+        f => f.stats.flatMap(st =>
+          for { mn <- st.minStrings.get(keyCol); mx <- st.maxStrings.get(keyCol) }
+            yield utf8Lte(slo, mx) && utf8Lte(mn, shi)
+        ).getOrElse(true) // no stats → conservatively touched
+      }
     var attempts = 0
     var done = false
     while (!done) {
@@ -412,7 +425,7 @@ object DeltaTable {
       require(logSchema(head, table).catalogString == updates.schema.catalogString,
         s"delta: merge schema ${updates.schema.catalogString} does not match " +
           s"the table schema ${logSchema(head, table).catalogString}")
-      val (touched, _) = head.files.partition(overlaps(_, keyCol, umin, umax))
+      val (touched, _) = head.files.partition(fileOverlaps)
       val merged =
         if (touched.isEmpty) updates
         else spark.read.schema(logSchema(head, table))

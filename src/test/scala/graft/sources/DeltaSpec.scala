@@ -707,16 +707,37 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.describeHistory(spark, t).head.operation === "STREAMING UPDATE")
   }
 
-  test("merge refuses a non-integral key column instead of silently dropping the batch") {
+  test("merge refuses an unstatted key type instead of silently dropping the batch") {
     val t = tmp()
-    DeltaTable.write(Seq(("a", 1L)).toDF("k", "v"), t, SaveMode.Append)
-    // a string key casts its min/max to NULL long bounds — which the
-    // empty-batch check would swallow, losing every upsert silently
+    DeltaTable.write(Seq((1.5, 1L)).toDF("k", "v"), t, SaveMode.Append)
+    // doubles have neither long nor string bounds in the add stats — a
+    // silent fallback would lose every upsert to the empty-batch check
     val e = intercept[IllegalArgumentException] {
-      DeltaTable.merge(Seq(("b", 2L)).toDF("k", "v"), t, "k")
+      DeltaTable.merge(Seq((2.5, 2L)).toDF("k", "v"), t, "k")
     }
-    assert(e.getMessage.contains("integral"), e.getMessage)
+    assert(e.getMessage.contains("integral or string"), e.getMessage)
     assert(DeltaTable.read(spark, t).count() === 1L)
+  }
+
+  test("merge on a STRING key upserts and data-skips on string bounds") {
+    val t = tmp()
+    // two files with disjoint string key ranges
+    DeltaTable.write((1 to 50).map(i => (f"a$i%02d", i.toLong)).toDF("k", "v")
+      .coalesce(1), t, SaveMode.Append)
+    DeltaTable.write((1 to 50).map(i => (f"m$i%02d", i.toLong + 100)).toDF("k", "v")
+      .coalesce(1), t, SaveMode.Append)
+    val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    // updates confined to the a-range: the m-file must survive UNTOUCHED
+    DeltaTable.merge(Seq(("a10", 999L), ("a99", 777L)).toDF("k", "v"), t, "k")
+    val after = DeltaLog.snapshot(spark, t)
+    val mFile = before.filter(p => after.files.map(_.path).contains(p))
+    assert(mFile.size === 1, s"the disjoint-range file must carry over by name")
+    val got = DeltaTable.read(spark, t).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("a10") === 999L, "matched key must update")
+    assert(got("a99") === 777L, "unmatched key must insert")
+    assert(got("a11") === 11L && got("m10") === 110L, "others untouched")
+    assert(got.size === 101)
   }
 
   test("a torn _last_checkpoint degrades to JSON replay, not a wedged table") {
