@@ -54,6 +54,13 @@ object DeltaLog {
   final case class RemoveFile(path: String, deletionTimestamp: Long,
                               dataChange: Boolean = true)
 
+  /** A `cdc` action: one Change Data Feed file under `_change_data/`,
+    * holding the commit's row-level changes with a `_change_type`
+    * column. Snapshot replay ignores these (they are NOT data files and
+    * never enter checkpoints — the protocol scopes them to their
+    * commit); only [[DeltaTable.readChangeFeed]] reads them. */
+  final case class CdcFile(path: String, size: Long)
+
   /** Parsed subset of the protocol's per-file statistics JSON.
     * `minValues`/`maxValues` carry the INTEGRAL columns (INT32/INT64
     * physical — int, long, date, timestamp-as-micros, small decimals'
@@ -62,12 +69,17 @@ object DeltaLog {
     * `minValues`/`maxValues` JSON objects with native JSON types and
     * split back apart on parse. String order is parquet's: unsigned
     * byte-lexicographic over UTF-8 — the order Spark's string
-    * comparisons use, so skipping bounds agree with query predicates. */
+    * comparisons use, so skipping bounds agree with query predicates.
+    * `nullCounts` is the protocol's `nullCount` object — present only
+    * for columns whose every row group reported a valid null count; it
+    * is what makes `IS [NOT] NULL` file skipping SOUND (min/max alone
+    * say nothing about nulls). */
   final case class FileStats(numRecords: Long,
                              minValues: Map[String, Long],
                              maxValues: Map[String, Long],
                              minStrings: Map[String, String] = Map.empty,
-                             maxStrings: Map[String, String] = Map.empty)
+                             maxStrings: Map[String, String] = Map.empty,
+                             nullCounts: Map[String, Long] = Map.empty)
 
   /** Replayed table state at a version. `metaDataId` is the table's
     * STABLE protocol id (first metaData action wins; later schema
@@ -113,7 +125,8 @@ object DeltaLog {
       txns: Map[String, Long],
       metaDataId: Option[String],
       operation: Option[String] = None,
-      timestampMs: Long = 0L) {
+      timestampMs: Long = 0L,
+      cdcFiles: Seq[CdcFile] = Seq.empty) {
     // removes carrying dataChange=true — an overwrite/merge, which an
     // append-only tailer cannot represent (a compaction's
     // dataChange=false removes it simply skips)
@@ -129,6 +142,7 @@ object DeltaLog {
       finally in.close()
     val adds = scala.collection.mutable.ListBuffer.empty[AddFile]
     val removes = scala.collection.mutable.ListBuffer.empty[RemoveFile]
+    val cdcs = scala.collection.mutable.ListBuffer.empty[CdcFile]
     var schemaJson: Option[String] = None
     var partCols: Option[Seq[String]] = None
     val txns = scala.collection.mutable.Map.empty[String, Long]
@@ -172,6 +186,10 @@ object DeltaLog {
             dataChangeOf(j \ "remove" \ "dataChange"))
         case _ => ()
       }
+      (j \ "cdc" \ "path") match {
+        case JString(p) => cdcs += CdcFile(p, longOf(j \ "cdc" \ "size"))
+        case _ => ()
+      }
       (j \ "metaData" \ "schemaString") match {
         case JString(s) => schemaJson = Some(s)
         case _ => ()
@@ -198,7 +216,7 @@ object DeltaLog {
       }
     }
     CommitActions(adds.toSeq, removes.toSeq, schemaJson, partCols, txns.toMap,
-      metaId, operation, timestamp)
+      metaId, operation, timestamp, cdcs.toSeq)
   }
 
   /** Replay the log through `asOf` (or to the head): seed from the
@@ -651,9 +669,11 @@ object DeltaLog {
           s.minStrings.toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "maxValues" -> JObject(
         s.maxValues.toList.map { case (k, v) => k -> (JLong(v): JValue) } ++
-          s.maxStrings.toList.map { case (k, v) => k -> (JString(v): JValue) }))))
+          s.maxStrings.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "nullCount" -> JObject(
+        s.nullCounts.toList.map { case (k, v) => k -> (JLong(v): JValue) }))))
 
-  private def parseStats(s: String): Option[FileStats] =
+  private[delta] def parseStats(s: String): Option[FileStats] =
     try {
       val j = JsonMethods.parse(s)
       def longs(v: JValue): Map[String, Long] = v match {
@@ -675,8 +695,18 @@ object DeltaLog {
         case _ => return None
       }
       Some(FileStats(n, longs(j \ "minValues"), longs(j \ "maxValues"),
-        strings(j \ "minValues"), strings(j \ "maxValues")))
+        strings(j \ "minValues"), strings(j \ "maxValues"),
+        longs(j \ "nullCount")))
     } catch { case _: Exception => None }
+
+  /** The protocol's `cdc` action. `dataChange=false` always: CDF files
+    * describe row changes, they never change table contents. */
+  def cdcAction(path: String, size: Long): JValue =
+    JObject("cdc" -> JObject(
+      "path" -> JString(path),
+      "partitionValues" -> JObject(),
+      "size" -> JLong(size),
+      "dataChange" -> JBool(false)))
 
   def removeAction(path: String, deletionTimestamp: Long,
                    dataChange: Boolean = true): JValue =

@@ -1,7 +1,7 @@
 package graft.sources.delta
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import DeltaLog._
@@ -220,9 +220,13 @@ object DeltaTable {
         val maxs = scala.collection.mutable.Map.empty[String, Long]
         val smins = scala.collection.mutable.Map.empty[String, String]
         val smaxs = scala.collection.mutable.Map.empty[String, String]
+        val nulls = scala.collection.mutable.Map.empty[String, Long]
         // a block with unusable string stats poisons the whole column:
         // a per-file bound built from SOME blocks would be wrong
         val sdrop = scala.collection.mutable.Set.empty[String]
+        // same for null counts: one row group without a count makes the
+        // per-file sum meaningless (IS NULL skipping must stay sound)
+        val ndrop = scala.collection.mutable.Set.empty[String]
         blocks.asScala.foreach { b =>
           n += b.getRowCount
           b.getColumns.asScala.foreach { c =>
@@ -237,6 +241,9 @@ object DeltaTable {
                   org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
             val s = c.getStatistics
             val name = c.getPath.toDotString
+            if (s != null && s.isNumNullsSet && s.getNumNulls >= 0)
+              nulls += name -> (nulls.getOrElse(name, 0L) + s.getNumNulls)
+            else ndrop += name
             if (isInt && s != null && s.hasNonNullValue) {
               val mn = s.genericGetMin.asInstanceOf[Number].longValue()
               val mx = s.genericGetMax.asInstanceOf[Number].longValue()
@@ -260,7 +267,9 @@ object DeltaTable {
           }
         }
         sdrop.foreach { k => smins -= k; smaxs -= k }
-        Some(FileStats(n, mins.toMap, maxs.toMap, smins.toMap, smaxs.toMap))
+        ndrop.foreach { k => nulls -= k }
+        Some(FileStats(n, mins.toMap, maxs.toMap, smins.toMap, smaxs.toMap,
+          nulls.toMap))
       } finally reader.close()
     } catch { case _: Exception => None }
 
@@ -440,6 +449,247 @@ object DeltaTable {
       if (!done) adds.foreach { a =>
         fs.delete(new Path(tbl, (a \ "add" \ "path").values.toString), false)
       }
+    }
+  }
+
+  /** Is row-level Change Data Feed capture on for this session?
+    * Mirrors delta-spark's `delta.enableChangeDataFeed` table property
+    * as a session conf: when true, [[delete]]/[[update]] stage
+    * precise row-change files under `_change_data/` alongside their
+    * commit. When false, [[readChangeFeed]] still derives file-level
+    * changes (adds → inserts, removes → deletes) — correct as a change
+    * SET, but rewrite commits then surface untouched rewritten rows as
+    * delete+insert pairs. */
+  private def changeFeedEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.delta.changeDataFeed")
+      .exists(_.toBoolean)
+
+  /** DELETE WHERE `predicate`, through the log. Candidate files come
+    * from [[DataSkipping.mayMatch]] over the add-action stats — files
+    * whose bounds PROVE no row matches carry over with no action, no
+    * read, no write; the commit is O(files whose bounds straddle the
+    * predicate), not O(table). Candidates are then read once to check
+    * for real matches (stats are conservative): a DELETE that touches
+    * nothing commits nothing. Rows where the predicate evaluates NULL
+    * are kept, per SQL DELETE semantics. Partitioned tables re-stage
+    * rewritten rows into their Hive dirs. With
+    * `spark.graft.delta.changeDataFeed=true` the deleted rows are also
+    * staged as a CDF file (`_change_type='delete'`) and committed as a
+    * `cdc` action. Optimistic-concurrency retry like [[merge]]. */
+  def delete(spark: SparkSession, table: String, predicate: Column): Unit =
+    dml(spark, table, predicate, None)
+
+  /** UPDATE SET `set` WHERE `predicate`, through the log. Same
+    * stats-pruned candidate selection, rewrite, CDF capture
+    * (`update_preimage`/`update_postimage`) and retry protocol as
+    * [[delete]]. Assignments may reference any table column; each value
+    * is cast to its column's declared type (schema never drifts).
+    * Partition columns cannot be assigned — that would move rows across
+    * Hive dirs (delete+insert is the honest spelling). */
+  def update(spark: SparkSession, table: String, predicate: Column,
+             set: Map[String, Column]): Unit = {
+    require(set.nonEmpty, "delta: update needs at least one assignment")
+    dml(spark, table, predicate, Some(set))
+  }
+
+  private def dml(spark: SparkSession, table: String, predicate: Column,
+                  set: Option[Map[String, Column]]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: dml gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      if (head.isEmpty) return
+      val schema = logSchema(head, table)
+      set.foreach { s =>
+        val unknown = s.keySet -- schema.fieldNames
+        require(unknown.isEmpty, s"delta: update assigns unknown columns $unknown")
+        val parts = s.keySet.filter(head.partitionColumns.contains)
+        require(parts.isEmpty,
+          s"delta: update cannot assign partition columns $parts")
+      }
+      // resolved per attempt: a concurrent mergeSchema commit between
+      // retries changes the schema the predicate resolves against
+      val predExpr = DataSkipping.resolvePredicate(spark, schema, predicate)
+      val candidates = head.files.filter(f => DataSkipping.mayMatch(f, predExpr))
+      if (candidates.isEmpty) return
+      val df = readFiles(spark, table, schema, head.partitionColumns, candidates)
+      // predicate NULL → row neither deleted nor updated (SQL DML truth)
+      val cond = coalesce(predicate, lit(false))
+      val matched = df.filter(cond)
+      if (matched.isEmpty) return // stats false positives only: no commit
+      def applySet(src: DataFrame, s: Map[String, Column],
+                   unconditional: Boolean): DataFrame =
+        src.select(schema.fieldNames.toSeq.map { n =>
+          s.get(n) match {
+            case Some(c) =>
+              val v = c.cast(schema(n).dataType)
+              (if (unconditional) v else when(cond, v).otherwise(col(n))).as(n)
+            case None => col(n)
+          }
+        }: _*)
+      val rewritten = set match {
+        case None => df.filter(not(cond))
+        case Some(s) => applySet(df, s, unconditional = false)
+      }
+      val cdc =
+        if (!changeFeedEnabled(spark)) Seq.empty
+        else stageChangeData(set match {
+          case None => matched.withColumn("_change_type", lit("delete"))
+          case Some(s) =>
+            matched.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(applySet(matched, s, unconditional = true)
+                .withColumn("_change_type", lit("update_postimage")))
+        }, tbl, fs)
+      val adds = stageData(rewritten, tbl, fs, partitionBy = head.partitionColumns)
+        .filter { a =>
+          val keep = addedRecords(a) != 0L
+          if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
+          keep // a candidate fully deleted needs no empty replacement file
+        }
+      val now = System.currentTimeMillis()
+      val removes = candidates.map(f => removeAction(f.path, now))
+      done = commit(spark, table, head.version + 1,
+        commitInfoAction(if (set.isEmpty) "DELETE" else "UPDATE", now) +:
+          (cdc ++ removes ++ adds))
+      if (!done) (cdc ++ adds).foreach { a =>
+        fs.delete(new Path(tbl, actionPath(a)), false)
+      }
+    }
+  }
+
+  private def addedPath(a: org.json4s.JValue): String =
+    (a \ "add" \ "path").values.toString
+
+  private def actionPath(a: org.json4s.JValue): String =
+    (a \ "add" \ "path") match {
+      case org.json4s.JString(p) => p
+      case _ => (a \ "cdc" \ "path").values.toString
+    }
+
+  /** numRecords of a staged add action, from its stats; -1 if the file
+    * carries no stats (conservatively kept). */
+  private def addedRecords(a: org.json4s.JValue): Long =
+    (a \ "add" \ "stats") match {
+      case org.json4s.JString(s) =>
+        DeltaLog.parseStats(s).map(_.numRecords).getOrElse(-1L)
+      case _ => -1L
+    }
+
+  /** Stage a DataFrame of row changes (table columns + `_change_type`)
+    * as parquet under `_change_data/`, returning the `cdc` actions.
+    * Change files are written FLAT (partition columns as ordinary data
+    * columns) — CDF consumers read by commit, not by partition. Empty
+    * part files (the input's empty partitions) are dropped. */
+  private def stageChangeData(df: DataFrame, tbl: Path,
+                              fs: org.apache.hadoop.fs.FileSystem): Seq[org.json4s.JValue] = {
+    val staging = new Path(tbl, s".staging-cdc-${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new Path(tbl, "_change_data")
+    fs.mkdirs(dir)
+    val actions = fs.listStatus(staging).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .flatMap { p =>
+        if (footerStats(p.getPath, conf).exists(_.numRecords == 0L)) None
+        else {
+          val name = s"cdc-${java.util.UUID.randomUUID()}.snappy.parquet"
+          val dst = new Path(dir, name)
+          require(fs.rename(p.getPath, dst), s"delta: rename failed for $dst")
+          Some(DeltaLog.cdcAction(s"_change_data/$name", fs.getFileStatus(dst).getLen))
+        }
+      }
+    fs.delete(staging, true)
+    actions
+  }
+
+  /** Read the table's row-level Change Data Feed for versions
+    * [`fromVersion`, `toVersion` (default head)] — delta-spark's
+    * `table_changes(...)`, on the from-scratch log. Each commit
+    * contributes, in order of preference:
+    *   - its `cdc` files verbatim (precise row changes, written by
+    *     [[delete]]/[[update]]/[[merge]] under the CDF flag);
+    *   - otherwise, derived file-level changes: dataChange adds as
+    *     `insert` rows and dataChange removes as `delete` rows (read
+    *     from the still-retained removed files — upstream's CDCReader
+    *     does exactly this for commits without cdc actions). A rewrite
+    *     commit without cdc files therefore surfaces untouched
+    *     rewritten rows as delete+insert pairs; enable
+    *     `spark.graft.delta.changeDataFeed` before the write for
+    *     precise feeds.
+    * Maintenance commits (all actions dataChange=false) contribute
+    * nothing. Every row carries `_change_type`, `_commit_version`,
+    * `_commit_timestamp`. Schema evolution inside the range NULL-fills
+    * older commits' missing columns. Raises if the range is no longer
+    * fully retained (log cleaned) or a derived read needs a vacuumed
+    * file — never silently drops changes. */
+  def readChangeFeed(spark: SparkSession, table: String,
+                     fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    val head = snapshot(spark, table)
+    require(!head.isEmpty, s"delta: $table has no commits")
+    val to = toVersion.getOrElse(head.version)
+    require(0 <= fromVersion && fromVersion <= to && to <= head.version,
+      s"delta: change feed range [$fromVersion, $to] outside [0, ${head.version}]")
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(spark, table).filter(v => v >= fromVersion && v <= to)
+    require(vs == (fromVersion to to),
+      s"delta: $table's log retains only $vs of [$fromVersion, $to] — " +
+        "cleaned commits' changes are gone")
+    // schema tracking: base state at fromVersion, then each commit's own
+    // metaData (schema evolution mid-range re-widens from that version on)
+    var schema = logSchema(snapshot(spark, table, Some(fromVersion)), table)
+    var partCols = head.partitionColumns
+    val parts: Seq[DataFrame] = vs.flatMap { v =>
+      val c = DeltaLog.readCommit(spark, table, v)
+      c.schemaJson.foreach(j =>
+        schema = DataType.fromJson(j).asInstanceOf[StructType])
+      c.partitionColumns.foreach(p => partCols = p)
+      def stamp(df: DataFrame): DataFrame = df
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(c.timestampMs)))
+      if (c.cdcFiles.nonEmpty) {
+        val paths = c.cdcFiles.map(f => new Path(tbl, f.path))
+        paths.foreach(p => require(fs.exists(p),
+          s"delta: change file $p vacuumed — feed no longer readable at v$v"))
+        Seq(stamp(spark.read.parquet(paths.map(_.toString): _*)))
+      } else {
+        val dAdds = c.adds.filter(_.dataChange)
+        val dRems = c.removes.filter(_.dataChange)
+        // an ADDED file can be gone too: removed by a later commit and
+        // then reclaimed by vacuum — refuse loudly, same as removes
+        (dAdds.map(_.path) ++ dRems.map(_.path)).foreach(p =>
+          require(fs.exists(new Path(tbl, p)),
+            s"delta: file $p vacuumed — derived change feed " +
+              s"no longer readable at v$v"))
+        val ins =
+          if (dAdds.isEmpty) None
+          else Some(readFiles(spark, table, schema, partCols, dAdds)
+            .withColumn("_change_type", lit("insert")))
+        val del =
+          if (dRems.isEmpty) None
+          else Some(readFiles(spark, table, schema, partCols,
+            dRems.map(r => AddFile(r.path, 0L)))
+            .withColumn("_change_type", lit("delete")))
+        (del.toSeq ++ ins.toSeq).map(stamp)
+      }
+    }
+    parts match {
+      case Seq() =>
+        val outSchema = schema
+          .add("_change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.LongType)
+          .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      case ps => ps.reduce(_.unionByName(_, allowMissingColumns = true))
+        .select((schema.fieldNames.toSeq ++
+          Seq("_change_type", "_commit_version", "_commit_timestamp")).map(col): _*)
     }
   }
 

@@ -1,0 +1,283 @@
+package graft.sources.delta
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.{col, concat, length, lit, upper}
+
+import graft.SparkSpec
+import graft.sources.delta.DeltaLog.{AddFile, FileStats}
+
+/** Row-level DML (DELETE / UPDATE) and the Change Data Feed over the
+  * from-scratch Delta log, plus the generic predicate-vs-stats skipping
+  * engine behind their candidate selection. The reference consumes CDC
+  * (Debezium envelopes, `SaveDelta.scala`); these close the loop by
+  * PRODUCING row-level change feeds from the table side. */
+class DeltaDmlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("delta_dml").toString + "/t"
+
+  private def rows(t: String): Set[(Int, String)] =
+    DeltaTable.read(spark, t).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+
+  /** Run `body` with the session CDF flag on, restoring it after —
+    * the spec session is shared across suites. */
+  private def withCdf[A](body: => A): A =
+    try { spark.conf.set("spark.graft.delta.changeDataFeed", "true"); body }
+    finally spark.conf.unset("spark.graft.delta.changeDataFeed")
+
+  // ---------------------------------------------------------------- DML
+
+  test("delete rewrites only files whose stats straddle the predicate") {
+    val t = tmp()
+    // two appends → two disjoint-range files
+    DeltaTable.write((1 to 5).map(i => (i, s"a$i")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.write((100 to 105).map(i => (i, s"b$i")).toDF("id", "s"), t, SaveMode.Append)
+    val before = DeltaLog.snapshot(spark, t)
+    val lowFiles = before.files.filter(_.stats.exists(_.maxValues("id") < 100L))
+      .map(_.path).toSet
+    assert(lowFiles.nonEmpty, "low-range files must carry id stats")
+    DeltaTable.delete(spark, t, col("id") >= 100)
+    assert(rows(t) === (1 to 5).map(i => (i, s"a$i")).toSet)
+    // the low-range files were provably unaffected: same paths survive
+    // in the new snapshot, and the DELETE commit never removed them
+    val after = DeltaLog.snapshot(spark, t)
+    assert(lowFiles.subsetOf(after.files.map(_.path).toSet),
+      "stats-pruned files must carry over untouched, not be rewritten")
+    val dmlCommit = DeltaLog.readCommit(spark, t, after.version)
+    assert(dmlCommit.removes.map(_.path).toSet.intersect(lowFiles).isEmpty)
+    assert(dmlCommit.operation.contains("DELETE"))
+  }
+
+  test("delete keeps rows where the predicate evaluates NULL (SQL DML truth)") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "keep"), (2, null), (3, "drop")).toDF("id", "s"),
+      t, SaveMode.Append)
+    DeltaTable.delete(spark, t, col("s") === "drop")
+    // row 2's predicate is NULL === 'drop' → NULL → NOT deleted
+    assert(rows(t) === Set((1, "keep"), (2, null)))
+  }
+
+  test("a delete that matches nothing commits nothing") {
+    val t = tmp()
+    DeltaTable.write((1 to 10).map(i => (i, "x")).toDF("id", "s"), t, SaveMode.Append)
+    val v0 = DeltaLog.snapshot(spark, t).version
+    // stats-provably-empty: every file's bounds exclude the range
+    DeltaTable.delete(spark, t, col("id") > 1000)
+    assert(DeltaLog.snapshot(spark, t).version === v0, "skipped via stats")
+    // stats-conservative but truly empty: unknown predicate shape forces
+    // a read; zero matches must still commit nothing
+    DeltaTable.delete(spark, t, col("id") % 20 === 15)
+    assert(DeltaLog.snapshot(spark, t).version === v0, "no-op after read")
+    assert(rows(t).size === 10)
+  }
+
+  test("update rewrites matched rows, casts values, leaves the schema fixed") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"),
+      t, SaveMode.Append)
+    DeltaTable.update(spark, t, col("id") >= 2,
+      Map("s" -> upper(concat(col("s"), lit("!"))), "id" -> (col("id") + 100)))
+    assert(rows(t) === Set((1, "a"), (102, "B!"), (103, "C!")))
+    // value column casts to the DECLARED type: long expr → int column
+    val sch = DeltaTable.read(spark, t).schema
+    assert(sch("id").dataType.catalogString === "int")
+    assert(DeltaLog.readCommit(spark, t,
+      DeltaLog.snapshot(spark, t).version).operation.contains("UPDATE"))
+  }
+
+  test("update refuses unknown and partition-column assignments") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a", "p1")).toDF("id", "s", "p"), t,
+      SaveMode.Append, partitionBy = Seq("p"))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaTable.update(spark, t, col("id") === 1, Map("nope" -> lit(1)))
+    }
+    assert(e1.getMessage.contains("unknown columns"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.update(spark, t, col("id") === 1, Map("p" -> lit("p2")))
+    }
+    assert(e2.getMessage.contains("partition columns"))
+    intercept[IllegalArgumentException] {
+      DeltaTable.update(spark, t, col("id") === 1, Map.empty)
+    }
+  }
+
+  test("DML on a partitioned table re-stages rewrites into their hive dirs") {
+    val t = tmp()
+    val df = (1 to 20).map(i => (i, s"v$i", s"p${i % 2}")).toDF("id", "s", "p")
+    DeltaTable.write(df, t, SaveMode.Append, partitionBy = Seq("p"))
+    DeltaTable.delete(spark, t, col("id") <= 4)
+    DeltaTable.update(spark, t, col("id") === 5, Map("s" -> lit("five")))
+    val got = DeltaTable.read(spark, t).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    val want = (5 to 20).map(i =>
+      (i, if (i == 5) "five" else s"v$i", s"p${i % 2}")).toSet
+    assert(got === want)
+    // partition pruning still works over the rewritten files
+    val p1 = DeltaTable.readPartitions(spark, t, Map("p" -> "p1")).collect()
+      .map(_.getInt(0)).toSet
+    assert(p1 === (5 to 19 by 2).toSet)
+  }
+
+  // ---------------------------------------------------- change data feed
+
+  test("CDF delete: precise deleted rows under the flag, by commit version") {
+    val t = tmp()
+    DeltaTable.write((1 to 6).map(i => (i, s"r$i")).toDF("id", "s"), t, SaveMode.Append)
+    withCdf { DeltaTable.delete(spark, t, col("id") % 2 === 0) }
+    val v = DeltaLog.snapshot(spark, t).version
+    val feed = DeltaTable.readChangeFeed(spark, t, v, Some(v)).collect()
+    assert(feed.map(r => (r.getAs[Int]("id"), r.getAs[String]("_change_type"),
+      r.getAs[Long]("_commit_version"))).toSet ===
+      Set((2, "delete", v), (4, "delete", v), (6, "delete", v)))
+    // ONLY the deleted rows — survivors of the rewritten file don't leak
+    assert(feed.length === 3)
+    // the cdc files never pollute snapshot reads
+    assert(rows(t) === Set((1, "r1"), (3, "r3"), (5, "r5")))
+  }
+
+  test("CDF update: preimage and postimage rows pair up per key") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "old1"), (2, "old2"), (3, "same")).toDF("id", "s"),
+      t, SaveMode.Append)
+    withCdf {
+      DeltaTable.update(spark, t, col("id") <= 2, Map("s" -> upper(col("s"))))
+    }
+    val v = DeltaLog.snapshot(spark, t).version
+    val feed = DeltaTable.readChangeFeed(spark, t, v).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("s"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(feed === Set(
+      (1, "old1", "update_preimage"), (1, "OLD1", "update_postimage"),
+      (2, "old2", "update_preimage"), (2, "OLD2", "update_postimage")))
+  }
+
+  test("CDF without the flag derives file-level changes; maintenance commits are silent") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    // maintenance: compaction is dataChange=false on both sides
+    DeltaTable.compactFiles(spark, t, smallerThanBytes = Long.MaxValue)
+    val feed = DeltaTable.readChangeFeed(spark, t, 0).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(feed === Set((1, "insert", 0L), (2, "insert", 0L), (3, "insert", 1L)),
+      "appends derive inserts; the compaction commit contributes nothing")
+    // an overwrite without the flag surfaces as delete+insert of the sets
+    DeltaTable.write(Seq((9, "z")).toDF("id", "s"), t, SaveMode.Overwrite)
+    val v = DeltaLog.snapshot(spark, t).version
+    val ow = DeltaTable.readChangeFeed(spark, t, v).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("_change_type"))).toSet
+    assert(ow === Set((1, "delete"), (2, "delete"), (3, "delete"), (9, "insert")))
+  }
+
+  test("CDF refuses ranges the log or vacuum no longer retains — never drops changes") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Overwrite)
+    intercept[IllegalArgumentException] {
+      DeltaTable.readChangeFeed(spark, t, 0, Some(99)) // beyond head
+    }
+    // before vacuum the whole range derives fine
+    assert(DeltaTable.readChangeFeed(spark, t, 0).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("_change_type"))).toSet ===
+      Set((1, "insert"), (1, "delete"), (2, "insert")))
+    // reclaim v0's file (tombstoned by the overwrite): BOTH its derived
+    // insert (v0) and its derived delete (v1) are now unreadable
+    assert(DeltaTable.vacuumRemoved(spark, t, retainMs = 0L) >= 1)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.readChangeFeed(spark, t, 1, Some(1))
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    intercept[IllegalArgumentException] {
+      DeltaTable.readChangeFeed(spark, t, 0, Some(0))
+    }
+  }
+
+  test("CDF NULL-fills across a mergeSchema evolution inside the range") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.write(Seq((2, "b", 7L)).toDF("id", "s", "extra"), t,
+      SaveMode.Append, mergeSchema = true)
+    val feed = DeltaTable.readChangeFeed(spark, t, 0).collect()
+      .map(r => (r.getAs[Int]("id"),
+        Option(r.getAs[java.lang.Long]("extra")).map(_.toLong))).toSet
+    assert(feed === Set((1, None), (2, Some(7L))))
+  }
+
+  // -------------------------------------------------- skipping evaluator
+
+  private val stats = FileStats(numRecords = 10L,
+    minValues = Map("id" -> 5L), maxValues = Map("id" -> 20L),
+    minStrings = Map("s" -> "bb"), maxStrings = Map("s" -> "dd"),
+    nullCounts = Map("id" -> 0L, "s" -> 3L, "t" -> 10L))
+  private val file = AddFile("f.parquet", 1L, stats = Some(stats))
+
+  // the table schema skipping predicates resolve against; `id` is LONG
+  // so integer literals exercise the cast-folding in resolvePredicate
+  private val skipSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "id BIGINT, s STRING, t STRING, u INT, k BIGINT")
+
+  private def may(c: org.apache.spark.sql.Column): Boolean =
+    DataSkipping.mayMatch(file,
+      DataSkipping.resolvePredicate(spark, skipSchema, c))
+
+  test("skipping: comparison bounds over the long domain") {
+    assert(!may(col("id") === 4) && may(col("id") === 5) && may(col("id") === 13))
+    assert(!may(col("id") < 5) && may(col("id") < 6))
+    assert(!may(col("id") > 20) && may(col("id") >= 20))
+    assert(!may(lit(21) <= col("id")) && may(lit(20) <= col("id")),
+      "literal-on-the-left normalizes")
+    assert(!may(col("id") === 4 || col("id") > 30) && may(col("id") === 4 || col("id") > 10))
+    assert(may(col("id") > 10 && col("id") < 15))
+    assert(!may(col("id") > 25 && col("id") < 15), "one provably-empty AND leg skips")
+    assert(!may(col("id").isin(1, 2, 3)) && may(col("id").isin(1, 2, 13)))
+  }
+
+  test("skipping: string bounds, byte order, prefixes") {
+    assert(!may(col("s") === "aa") && may(col("s") === "cc") && !may(col("s") === "ee"))
+    assert(!may(col("s") < "bb") && may(col("s") <= "bb"))
+    assert(may(col("s").startsWith("b")) && may(col("s").startsWith("d")))
+    assert(!may(col("s").startsWith("a")) && !may(col("s").startsWith("e")),
+      "prefix interval wholly outside [min,max] skips")
+    assert(may(col("s").startsWith("bb")) && !may(col("s").startsWith("dd~")),
+      "startsWith longer than max can still skip")
+  }
+
+  test("skipping: IS NULL soundness rides on recorded null counts") {
+    assert(!may(col("id").isNull), "0 recorded nulls proves no NULL row")
+    assert(may(col("s").isNull) && may(col("s").isNotNull))
+    assert(!may(col("t").isNotNull), "all-null column proves no non-NULL row")
+    // a column with NO recorded null count is always conservative
+    assert(may(col("u").isNull) && may(col("u").isNotNull))
+  }
+
+  test("skipping: NOT pushes through by operator negation") {
+    assert(!may(!(col("id") >= 5)), "NOT(id>=5) ≡ id<5 — provably empty")
+    assert(!may(!(col("id") <= 30 && col("id") >= 0)),
+      "De Morgan: NOT(AND) → OR of provably-empty halves")
+    assert(may(!(col("id") === 13)), "some value may differ")
+    val allSame = AddFile("g.parquet", 1L, stats = Some(FileStats(5L,
+      Map("k" -> 7L), Map("k" -> 7L))))
+    assert(!DataSkipping.mayMatch(allSame,
+      DataSkipping.resolvePredicate(spark, skipSchema, !(col("k") === 7))),
+      "min==max==v proves every non-null value equals v")
+  }
+
+  test("skipping: unknown shapes, stat-less columns, and NULL literals stay conservative") {
+    assert(may(col("id") % 2 === 0), "arithmetic on the column: no bounds reasoning")
+    assert(may(length(col("s")) > 1))
+    assert(may(col("u") === 5), "no stats for the column")
+    assert(may(upper(col("s")) === "CC"))
+    assert(!may(col("id") === lit(null)), "= NULL matches nothing")
+    assert(may(col("s") <=> lit(null)), "null-safe eq vs recorded nulls")
+    assert(!may(col("id") <=> lit(null)), "0 nulls → <=> NULL provably empty")
+    val statless = AddFile("h.parquet", 1L, stats = None)
+    assert(DataSkipping.mayMatch(statless,
+      org.apache.spark.sql.graft.ColumnBridge.expression(col("id") === -1)),
+      "a stats-less file is always a candidate")
+  }
+}
