@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md). */
 object Tables {
@@ -12,20 +12,38 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as a
-      // timestamp; read it as BIGINT nanoseconds (exact) and derive
-      // seconds/hours with integer division. Spark `div` truncates toward
-      // zero while DuckDB `//` floors — equivalent ONLY for non-negative
-      // epochs (this corpus is 2024+; pre-1970 data would need a floor-div
-      // expression on the Spark side). nanosAsLong has no per-read option
-      // and the session is DRIVER-owned (the contract hands us a built
-      // SparkSession), so the conf must be ensured here; the guard keeps
-      // the side effect one-time and idempotent.
+      // events.ts is TIMESTAMP(NANOS) parquet. Every consumer in the engine
+      // expects BIGINT epoch-nanoseconds and derives seconds/hours with
+      // integer division (`ts div 1000…`). Two runtime behaviors exist:
+      //   * older Spark 4 honors spark.sql.legacy.parquet.nanosAsLong and
+      //     resolves the column as BIGINT nanos directly (exact);
+      //   * newer runtimes ignore the conf and resolve TIMESTAMP_NTZ with
+      //     sub-µs truncated — the same truncation DuckDB applies on
+      //     CAST(ts AS TIMESTAMP), and invisible to consumers because all
+      //     of them divide by ≥1000 (nanos → µs or coarser).
+      // Attempt the conf (no per-read option; session is driver-owned, so
+      // the guarded set keeps the side effect one-time and idempotent)…
       if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(spark, df) else df
   }
+
+  /** …then adapt to whatever schema the runtime actually produced: if `ts`
+    * resolved as a timestamp type, rebuild BIGINT nanos from its µs value.
+    * NTZ→LTZ interpretation uses the session time zone, so UTC is ensured
+    * first (every engine entrypoint already pins it; this guards sessions
+    * we don't build). Spark `div` truncates toward zero vs DuckDB's floor
+    * `//` — equivalent for the non-negative epochs in this corpus. */
+  private def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   /** Register every table as a temp view (for spark.sql parity paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =
