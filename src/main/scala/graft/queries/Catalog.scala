@@ -692,11 +692,77 @@ object Catalog {
     }
   }
 
+  /** Partitioned MERGE through the Delta log (q89): `documents` written
+    * to a scratch Delta table Hive-partitioned by `lang`, then ONE merge
+    * batch that exercises every upsert shape at once — in-place updates
+    * (doc_id % 7, n_chars bumped), cross-partition MOVES (doc_id % 21
+    * additionally re-langs to 'xx', so the row must leave its old Hive
+    * dir and land in a new one inside the same atomic commit), and
+    * inserts into a brand-new partition (shifted keys under lang 'new').
+    * The oracle replays the same merge relationally (anti-join ∪
+    * updates), so the gate proves the two-phase candidate selection
+    * (partition+stats pruning, then the contains-a-key probe) and the
+    * partition-aware re-staging lose no rows, duplicate no keys, and
+    * leave every row in the partition its lang says it belongs to.
+    * Scratch table deleted before returning (q80 convention). */
+  val q89PartitionedMerge: Q = Q(
+    "q89_partitioned_merge",
+    Some("""
+      WITH updates AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 21 = 0 THEN 'xx' ELSE lang END AS lang,
+               n_chars + 1000 AS n_chars
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'new', CAST(500 AS BIGINT)
+        FROM documents WHERE doc_id % 11 = 0),
+      merged AS (
+        SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+        UNION ALL
+        SELECT * FROM updates)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM merged
+      GROUP BY lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.DeltaTable
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q89")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      DeltaTable.write(docs, t, SaveMode.Append, partitionBy = Seq("lang"))
+      val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(21)) === 0, lit("xx"))
+            .otherwise(col("lang")).as("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("new").as("lang"), lit(500L).as("n_chars")))
+      DeltaTable.merge(updates, t, "doc_id")
+      val agg = DeltaTable.read(spark, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
-        q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping) ++
+        q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping,
+        q89PartitionedMerge) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

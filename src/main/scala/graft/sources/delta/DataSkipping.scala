@@ -44,6 +44,48 @@ object DataSkipping {
   def mayMatch(f: AddFile, pred: Expression): Boolean =
     f.stats.forall(st => eval(st, pred))
 
+  /** [[mayMatch]] plus PARTITION pruning: a Hive partition value is an
+    * EXACT per-file value, so it enters the bounds evaluation as a
+    * min==max stat (typed via the table schema — the protocol stores
+    * partitionValues stringly). A DELETE/UPDATE/MERGE keyed on a
+    * partition column — the most common DML shape — then skips every
+    * non-matching partition without footer stats or data IO, exactly
+    * like delta-spark's partition filter split. Files lacking footer
+    * stats still prune on their partition values alone; unparseable or
+    * unsupported-type values stay conservative (no bounds → candidate). */
+  def mayMatchWithPartitions(f: AddFile, pred: Expression,
+                             schema: StructType): Boolean = {
+    if (f.partitionValues.isEmpty) return mayMatch(f, pred)
+    // stats-less file: synthesize a 1-row carrier so the evaluator has a
+    // numRecords for null reasoning; data columns stay bound-less
+    // (conservative) either way
+    val base = f.stats.getOrElse(FileStats(1L, Map.empty, Map.empty))
+    var mins = base.minValues; var maxs = base.maxValues
+    var smins = base.minStrings; var smaxs = base.maxStrings
+    var nulls = base.nullCounts
+    f.partitionValues.foreach { case (k, v) =>
+      if (v == null || v == "__HIVE_DEFAULT_PARTITION__")
+        nulls += k -> base.numRecords // every row's k is NULL in this file
+      else {
+        nulls += k -> 0L
+        schema.find(_.name == k).map(_.dataType) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) =>
+            scala.util.Try(v.toLong).foreach { n =>
+              mins += k -> n; maxs += k -> n
+            }
+          case Some(DateType) => // Literal(DateType) carries epoch days
+            scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).foreach { d =>
+              mins += k -> d; maxs += k -> d
+            }
+          case Some(StringType) => smins += k -> v; smaxs += k -> v
+          case _ => () // float/decimal/… partition: no bounds, conservative
+        }
+      }
+    }
+    eval(base.copy(minValues = mins, maxValues = maxs, minStrings = smins,
+      maxStrings = smaxs, nullCounts = nulls), pred)
+  }
+
   /** Resolve a user `Column` predicate against `schema` into the
     * structural Catalyst form [[mayMatch]] reasons over. The public
     * `Column` carries a lazily-converted node tree (not `EqualTo`/...),
@@ -166,6 +208,9 @@ object DataSkipping {
     if (l.value == null)
       // = / < vs NULL never match; <=> NULL matches null rows only
       return op == "<=>" && st.nullCounts.get(c).forall(_ > 0)
+    // every row NULL (e.g. a hive __HIVE_DEFAULT_PARTITION__ file): no
+    // non-null value exists for ANY comparison to match
+    if (st.nullCounts.get(c).contains(st.numRecords)) return false
     longValue(l) match {
       case Some(v) =>
         (for { lo <- st.minValues.get(c); hi <- st.maxValues.get(c) }
@@ -216,6 +261,7 @@ object DataSkipping {
     * past every such string (lo > p and lo does not itself carry the
     * prefix), above-hi only if hi < p. */
   private def startsWithMayMatch(st: FileStats, c: String, p: String): Boolean =
+    !st.nullCounts.get(c).contains(st.numRecords) && // all-NULL: no match
     (for { lo <- st.minStrings.get(c); hi <- st.maxStrings.get(c) } yield {
       val hiBelow = utf8Lte(hi, p) && hi != p
       val loAbove = !utf8Lte(lo, p) && !lo.startsWith(p)

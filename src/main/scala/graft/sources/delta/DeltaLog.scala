@@ -58,8 +58,13 @@ object DeltaLog {
     * holding the commit's row-level changes with a `_change_type`
     * column. Snapshot replay ignores these (they are NOT data files and
     * never enter checkpoints — the protocol scopes them to their
-    * commit); only [[DeltaTable.readChangeFeed]] reads them. */
-  final case class CdcFile(path: String, size: Long)
+    * commit); only [[DeltaTable.readChangeFeed]] reads them. On
+    * partitioned tables the file lives under a Hive dir and
+    * `partitionValues` carries the partition-column values, exactly
+    * like an add action — cross-engine CDF readers take the partition
+    * columns from the ACTION, not the file body. */
+  final case class CdcFile(path: String, size: Long,
+                           partitionValues: Map[String, String] = Map.empty)
 
   /** Parsed subset of the protocol's per-file statistics JSON.
     * `minValues`/`maxValues` carry the INTEGRAL columns (INT32/INT64
@@ -93,7 +98,8 @@ object DeltaLog {
       txns: Map[String, Long],
       partitionColumns: Seq[String] = Seq.empty,
       metaDataId: Option[String] = None,
-      tombstones: Map[String, Long] = Map.empty) {
+      tombstones: Map[String, Long] = Map.empty,
+      configuration: Map[String, String] = Map.empty) {
     def isEmpty: Boolean = version < 0
   }
 
@@ -126,7 +132,8 @@ object DeltaLog {
       metaDataId: Option[String],
       operation: Option[String] = None,
       timestampMs: Long = 0L,
-      cdcFiles: Seq[CdcFile] = Seq.empty) {
+      cdcFiles: Seq[CdcFile] = Seq.empty,
+      configuration: Option[Map[String, String]] = None) {
     // removes carrying dataChange=true — an overwrite/merge, which an
     // append-only tailer cannot represent (a compaction's
     // dataChange=false removes it simply skips)
@@ -149,6 +156,7 @@ object DeltaLog {
     var metaId: Option[String] = None
     var operation: Option[String] = None
     var timestamp = 0L
+    var configuration: Option[Map[String, String]] = None
     def dataChangeOf(j: JValue): Boolean = j match {
       case JBool(b) => b
       case _ => true // protocol default when absent
@@ -187,7 +195,14 @@ object DeltaLog {
         case _ => ()
       }
       (j \ "cdc" \ "path") match {
-        case JString(p) => cdcs += CdcFile(p, longOf(j \ "cdc" \ "size"))
+        case JString(p) =>
+          val pvals = (j \ "cdc" \ "partitionValues") match {
+            case JObject(fields) => fields.collect {
+              case (k, JString(v0)) => k -> v0
+            }.toMap
+            case _ => Map.empty[String, String]
+          }
+          cdcs += CdcFile(p, longOf(j \ "cdc" \ "size"), pvals)
         case _ => ()
       }
       (j \ "metaData" \ "schemaString") match {
@@ -203,6 +218,13 @@ object DeltaLog {
           partCols = Some(cols.collect { case JString(c) => c })
         case _ => ()
       }
+      (j \ "metaData" \ "configuration") match {
+        case JObject(fields) =>
+          configuration = Some(fields.collect {
+            case (k, JString(v0)) => k -> v0
+          }.toMap)
+        case _ => ()
+      }
       ((j \ "txn" \ "appId"), (j \ "txn" \ "version")) match {
         case (JString(app), JInt(tv)) => txns += app -> tv.toLong
         case (JString(app), JLong(tv)) => txns += app -> tv
@@ -216,8 +238,21 @@ object DeltaLog {
       }
     }
     CommitActions(adds.toSeq, removes.toSeq, schemaJson, partCols, txns.toMap,
-      metaId, operation, timestamp, cdcs.toSeq)
+      metaId, operation, timestamp, cdcs.toSeq, configuration)
   }
+
+  /** Best-available commit time: `commitInfo.timestamp` when the commit
+    * carries one, otherwise the commit JSON file's modificationTime —
+    * commitInfo is OPTIONAL per the protocol, and a 1970-01-01 stamp on
+    * externally-written commits would poison `_commit_timestamp` feeds
+    * (upstream's CDCReader falls back the same way). */
+  private[delta] def commitTimestamp(spark: SparkSession, table: String,
+                                     v: Long, c: CommitActions): Long =
+    if (c.timestampMs > 0) c.timestampMs
+    else {
+      val tbl = new Path(table)
+      fs(spark, tbl).getFileStatus(logFile(tbl, v)).getModificationTime
+    }
 
   /** Replay the log through `asOf` (or to the head): seed from the
     * newest usable parquet CHECKPOINT if one exists (protocol
@@ -264,6 +299,7 @@ object DeltaLog {
     var partCols: Seq[String] = Seq.empty
     val txns = scala.collection.mutable.Map.empty[String, Long]
     var metaId: Option[String] = None
+    var configuration: Map[String, String] = Map.empty
     val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     cp.foreach { cpV =>
       import org.apache.spark.sql.Row
@@ -292,6 +328,10 @@ object DeltaLog {
           schemaJson = Some(m.getAs[String]("schemaString"))
           partCols = m.getSeq[String](m.fieldIndex("partitionColumns")).toList
           metaId = Option(m.getAs[String]("id"))
+          // checkpoints from before the configuration column stay readable
+          if (m.schema.fieldNames.contains("configuration")
+              && !m.isNullAt(m.fieldIndex("configuration")))
+            configuration = m.getAs[Map[String, String]]("configuration")
         }
         struct("txn").foreach(t =>
           txns += t.getAs[String]("appId") -> t.getAs[Long]("version"))
@@ -304,10 +344,11 @@ object DeltaLog {
       c.schemaJson.foreach(s => schemaJson = Some(s))
       c.partitionColumns.foreach(p => partCols = p)
       if (metaId.isEmpty) metaId = c.metaDataId
+      c.configuration.foreach(cfg => configuration = cfg)
       txns ++= c.txns
     }
     Snapshot(vs.lastOption.orElse(cp).getOrElse(-1L), files.values.toSeq,
-      schemaJson, txns.toMap, partCols, metaId, tombstones.toMap)
+      schemaJson, txns.toMap, partCols, metaId, tombstones.toMap, configuration)
   }
 
   /** Driver-bounded partition-pruned file listing — the documented
@@ -487,7 +528,8 @@ object DeltaLog {
   // slowdown at millions of add entries)
   private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
   private[delta] case class CpMetaData(id: String, schemaString: String,
-                                       partitionColumns: Seq[String])
+                                       partitionColumns: Seq[String],
+                                       configuration: Map[String, String])
   private[delta] case class CpTxn(appId: String, version: Long)
   private[delta] case class CpAdd(path: String, partitionValues: Map[String, String],
                                   size: Long, modificationTime: Long,
@@ -543,7 +585,8 @@ object DeltaLog {
         // is fixed at table creation); pre-id logs get one minted here
         CpRow(None, Some(CpMetaData(
           head.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
-          head.schemaJson.getOrElse(""), head.partitionColumns)), None, None, None) +:
+          head.schemaJson.getOrElse(""), head.partitionColumns,
+          head.configuration)), None, None, None) +:
         (head.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           CpRow(None, None, Some(CpTxn(app, v)), None, None)
         } ++ head.files.map { a =>
@@ -632,16 +675,21 @@ object DeltaLog {
 
   def metaDataAction(schemaJson: String,
                      partitionColumns: Seq[String] = Seq.empty,
-                     id: Option[String] = None): JValue =
+                     id: Option[String] = None,
+                     configuration: Map[String, String] = Map.empty): JValue =
     JObject("metaData" -> JObject(
       // schema evolution re-emits metaData and must pass the TABLE's id —
-      // PROTOCOL.md fixes it at creation; a fresh UUID is creation only
+      // PROTOCOL.md fixes it at creation; a fresh UUID is creation only.
+      // `configuration` carries the table properties (e.g.
+      // delta.enableChangeDataFeed) — re-emissions must pass the head's
+      // forward or they'd silently strip every property.
       "id" -> JString(id.getOrElse(java.util.UUID.randomUUID().toString)),
       "format" -> JObject("provider" -> JString("parquet"),
         "options" -> JObject()),
       "schemaString" -> JString(schemaJson),
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
-      "configuration" -> JObject()))
+      "configuration" -> JObject(
+        configuration.toList.map { case (k, v) => k -> (JString(v): JValue) }: _*)))
 
   def addAction(path: String, size: Long, modificationTime: Long,
                 stats: Option[FileStats] = None,
@@ -700,11 +748,15 @@ object DeltaLog {
     } catch { case _: Exception => None }
 
   /** The protocol's `cdc` action. `dataChange=false` always: CDF files
-    * describe row changes, they never change table contents. */
-  def cdcAction(path: String, size: Long): JValue =
+    * describe row changes, they never change table contents. On
+    * partitioned tables `partitionValues` mirrors the add-action shape —
+    * readers take partition-column values from the ACTION. */
+  def cdcAction(path: String, size: Long,
+                partitionValues: Map[String, String] = Map.empty): JValue =
     JObject("cdc" -> JObject(
       "path" -> JString(path),
-      "partitionValues" -> JObject(),
+      "partitionValues" -> JObject(
+        partitionValues.toList.map { case (k, v) => k -> (JString(v): JValue) }: _*),
       "size" -> JLong(size),
       "dataChange" -> JBool(false)))
 

@@ -166,8 +166,28 @@ object DeltaTable {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(staging.toString)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    // partitioned stages nest Hive-style `col=val/` dirs; walk them and
-    // keep the relative dir as the add path prefix + partitionValues
+    val adds = walkStaged(fs, staging).map { case (rel, p) =>
+      val name = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
+      val dstDir = if (rel.isEmpty) tbl else new Path(tbl, rel)
+      fs.mkdirs(dstDir)
+      val dst = new Path(dstDir, name)
+      require(fs.rename(p.getPath, dst), s"delta: rename failed for $dst")
+      val st = fs.getFileStatus(dst)
+      val pvals = partValuesOf(rel)
+      addAction(if (rel.isEmpty) name else s"$rel/$name",
+        st.getLen, st.getModificationTime, footerStats(dst, conf), pvals,
+        dataChange)
+    }
+    fs.delete(staging, true)
+    adds
+  }
+
+  /** Walk a staging dir: partitioned stages nest Hive-style `col=val/`
+    * dirs; keep the relative dir as the destination path prefix (and
+    * the partitionValues source). Shared by [[stageData]] and
+    * [[stageChangeData]]. */
+  private def walkStaged(fs: org.apache.hadoop.fs.FileSystem,
+                         staging: Path): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
     def walk(dir: Path, rel: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
       fs.listStatus(dir).toSeq.flatMap { s =>
         if (s.isDirectory && s.getPath.getName.contains("="))
@@ -176,24 +196,15 @@ object DeltaTable {
         else if (s.isFile && s.getPath.getName.startsWith("part-")) Seq((rel, s))
         else Seq.empty
       }
-    val adds = walk(staging, "").map { case (rel, p) =>
-      val name = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
-      val dstDir = if (rel.isEmpty) tbl else new Path(tbl, rel)
-      fs.mkdirs(dstDir)
-      val dst = new Path(dstDir, name)
-      require(fs.rename(p.getPath, dst), s"delta: rename failed for $dst")
-      val st = fs.getFileStatus(dst)
-      val pvals = rel.split("/").filter(_.nonEmpty).map { seg =>
-        val i = seg.indexOf('=')
-        seg.substring(0, i) -> seg.substring(i + 1)
-      }.toMap
-      addAction(if (rel.isEmpty) name else s"$rel/$name",
-        st.getLen, st.getModificationTime, footerStats(dst, conf), pvals,
-        dataChange)
-    }
-    fs.delete(staging, true)
-    adds
+    walk(staging, "")
   }
+
+  /** Hive-dir segments → partitionValues map. */
+  private def partValuesOf(rel: String): Map[String, String] =
+    rel.split("/").filter(_.nonEmpty).map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) -> seg.substring(i + 1)
+    }.toMap
 
   /** Longest string the stats record verbatim. Past it the column's
     * string stats are DROPPED for that file (conservative: stats-less
@@ -342,14 +353,16 @@ object DeltaTable {
             val merged = mergeSchemas(logSchema(head, table), df.schema)
             if (merged.catalogString == logSchema(head, table).catalogString)
               Seq.empty
-            else Seq(metaDataAction(merged.json, parts, head.metaDataId))
+            else Seq(metaDataAction(merged.json, parts, head.metaDataId,
+              head.configuration))
           } else {
             require(mode == SaveMode.Overwrite,
               s"delta: append schema ${df.schema.catalogString} does not match " +
                 s"the table schema — appends enforce schema (overwriteSchema is " +
                 s"the Overwrite path, `read_delta.py:219-222`; additive columns " +
                 s"may opt in via mergeSchema)")
-            Seq(metaDataAction(schemaJson, parts, head.metaDataId))
+            Seq(metaDataAction(schemaJson, parts, head.metaDataId,
+              head.configuration))
           }
         } else Seq.empty
       val txns = txn.toSeq.map { case (app, v) => txnAction(app, v) }
@@ -374,49 +387,47 @@ object DeltaTable {
 
   /** MERGE (upsert by key) through the log — the Delta operation the
     * reference's CDC-upsert pipeline maps to (`MERGE INTO` in
-    * delta-spark). Data skipping: only files whose add-action key STATS
-    * overlap the batch's [min, max] (plus stats-less files,
-    * conservatively) are read and rewritten; untouched files carry over
-    * with NO action — the commit is remove(touched) + add(rewritten ∪
-    * inserts), atomic, O(touched files) not O(table). Matched keys are
-    * replaced by their update row, unmatched update keys insert.
-    * Conflicting concurrent writers lose the commit race, clean up their
-    * staged files, and recompute against the new head. `updates` must be
-    * key-unique (dedup upstream — e.g. newest-per-key, as the CDC
-    * pipeline does), matching MERGE's source-uniqueness requirement;
-    * duplicate source keys would all insert. */
+    * delta-spark). Candidate selection is two-phase, like upstream's
+    * findTouchedFiles: (1) the batch's key [min, max] evaluated against
+    * add-action stats AND partitionValues ([[DataSkipping
+    * .mayMatchWithPartitions]] — integral keys use the long bounds,
+    * string keys the string bounds, and a merge keyed on a partition
+    * column prunes to its partitions from the log alone); (2) the
+    * survivors are PROBED with a key-column-only semi-join scan so only
+    * files that actually CONTAIN a batch key are rewritten — straddling
+    * files with no real match carry over with no action. The commit is
+    * remove(touched) + add(rewritten ∪ inserts), atomic, O(files with
+    * matches) not O(table). Matched keys are replaced by their update
+    * row, unmatched update keys insert. Partitioned tables re-stage
+    * rewritten rows into their Hive dirs (an update that changes a
+    * row's partition value MOVES it atomically in the same commit).
+    * Under the CDF flag ([[changeFeedEnabled]]) the commit also stages
+    * precise row changes: `update_preimage`/`update_postimage` for
+    * matched keys, `insert` for new keys. Conflicting concurrent
+    * writers lose the commit race, clean up their staged files, and
+    * recompute against the new head. `updates` must be key-unique
+    * (dedup upstream — e.g. newest-per-key, as the CDC pipeline does),
+    * matching MERGE's source-uniqueness requirement; duplicate source
+    * keys would all insert. */
   def merge(updates: DataFrame, table: String, keyCol: String): Unit = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = updates.sparkSession
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // keys must have add-action stats to skip on: integral types use the
-    // long bounds, strings (UUID/natural CDC keys) the string bounds. A
-    // looser cast("long") would turn a string key into NULL bounds and
-    // the empty-batch check below would silently discard the whole
-    // batch — loud beats lost.
+    // long bounds, strings (UUID/natural CDC keys) the string bounds —
+    // any other type would silently never skip.
     val keyType = updates.schema(keyCol).dataType
     val integral = Set[org.apache.spark.sql.types.DataType](
       ByteType, ShortType, IntegerType, LongType).contains(keyType)
     require(integral || keyType == org.apache.spark.sql.types.StringType,
       s"delta: merge key `$keyCol` must be an integral or string type for " +
         s"stats skipping, got ${keyType.catalogString}")
-    val fileOverlaps: AddFile => Boolean =
-      if (integral) {
-        val range = updates.agg(
-          min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
-        if (range.isNullAt(0)) return // empty batch: nothing to merge
-        overlaps(_, keyCol, range.getLong(0), range.getLong(1))
-      } else {
-        val range = updates.agg(min(col(keyCol)), max(col(keyCol))).head()
-        if (range.isNullAt(0)) return
-        val (slo, shi) = (range.getString(0), range.getString(1))
-        f => f.stats.flatMap(st =>
-          for { mn <- st.minStrings.get(keyCol); mx <- st.maxStrings.get(keyCol) }
-            yield utf8Lte(slo, mx) && utf8Lte(mn, shi)
-        ).getOrElse(true) // no stats → conservatively touched
-      }
+    val range = updates.agg(min(col(keyCol)), max(col(keyCol))).head()
+    if (range.isNullAt(0)) return // empty batch: nothing to merge
+    val rangePred = col(keyCol) >= lit(range.get(0)) &&
+      col(keyCol) <= lit(range.get(1))
     var attempts = 0
     var done = false
     while (!done) {
@@ -424,45 +435,110 @@ object DeltaTable {
       require(attempts <= 50, s"delta: merge gave up after $attempts conflicts")
       val head = snapshot(spark, table)
       if (head.isEmpty) { write(updates, table, SaveMode.Append); return }
-      require(head.partitionColumns.isEmpty,
-        "delta: merge on partitioned tables is not supported — " +
-          "rewritten rows would need partition-aware re-staging")
+      val schema = logSchema(head, table)
       // schema contract BEFORE staging, on every path: when data skipping
       // leaves `touched` empty the union below never runs, and a drifted
       // `updates` schema would otherwise commit files the reader silently
       // NULL-poisons under the log's schema (same guard as append's)
-      require(logSchema(head, table).catalogString == updates.schema.catalogString,
+      require(schema.catalogString == updates.schema.catalogString,
         s"delta: merge schema ${updates.schema.catalogString} does not match " +
-          s"the table schema ${logSchema(head, table).catalogString}")
-      val (touched, _) = head.files.partition(fileOverlaps)
-      val merged =
-        if (touched.isEmpty) updates
-        else spark.read.schema(logSchema(head, table))
-          .parquet(touched.map(f => new Path(tbl, f.path).toString): _*)
-          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-          .unionByName(updates)
-      val adds = stageData(merged, tbl, fs)
+          s"the table schema ${schema.catalogString}")
+      val predExpr = DataSkipping.resolvePredicate(spark, schema, rangePred)
+      val candidates = head.files.filter(f =>
+        DataSkipping.mayMatchWithPartitions(f, predExpr, schema))
+      val keys = updates.select(col(keyCol)).distinct()
+      // phase 2: probe which candidates CONTAIN a batch key — a scan of
+      // the key column only (Catalyst prunes the rest). File names are
+      // fresh UUIDs by construction, so name equality identifies files.
+      val touched =
+        if (candidates.isEmpty) Seq.empty[AddFile]
+        else {
+          // input_file_name() must bind BEFORE the join — projected over
+          // the scan it has one unambiguous source; after the semi-join
+          // the plan has two (updates may itself read files) and the
+          // analyzer rejects it
+          val probe = readFiles(spark, table, schema, head.partitionColumns, candidates)
+            .select(col(keyCol), input_file_name().as("__graft_file"))
+          val names = probe.join(keys, Seq(keyCol), "left_semi")
+            .select(col("__graft_file")).distinct().collect()
+            .map(r => new Path(r.getString(0)).getName).toSet
+          candidates.filter(f => names.contains(new Path(f.path).getName))
+        }
+      val touchedDf =
+        if (touched.isEmpty) None
+        else Some(readFiles(spark, table, schema, head.partitionColumns, touched))
+      val merged = touchedDf match {
+        case None => updates
+        case Some(t) => t.join(keys, Seq(keyCol), "left_anti").unionByName(updates)
+      }
+      val cdc =
+        if (!changeFeedEnabled(spark, head)) Seq.empty
+        else {
+          val changes = touchedDf match {
+            case None => updates.withColumn("_change_type", lit("insert"))
+            case Some(t) =>
+              val oldKeys = t.select(col(keyCol)).distinct()
+              t.join(keys, Seq(keyCol), "left_semi")
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(updates.join(oldKeys, Seq(keyCol), "left_semi")
+                  .withColumn("_change_type", lit("update_postimage")))
+                .unionByName(updates.join(oldKeys, Seq(keyCol), "left_anti")
+                  .withColumn("_change_type", lit("insert")))
+          }
+          stageChangeData(changes, tbl, fs, partitionBy = head.partitionColumns)
+        }
+      val adds = stageData(merged, tbl, fs, partitionBy = head.partitionColumns)
       val now = System.currentTimeMillis()
       val removes = touched.map(f => removeAction(f.path, now))
       done = commit(spark, table, head.version + 1,
-        commitInfoAction("MERGE", now) +: (removes ++ adds))
-      if (!done) adds.foreach { a =>
-        fs.delete(new Path(tbl, (a \ "add" \ "path").values.toString), false)
+        commitInfoAction("MERGE", now) +: (cdc ++ removes ++ adds))
+      if (!done) (cdc ++ adds).foreach { a =>
+        fs.delete(new Path(tbl, actionPath(a)), false)
       }
     }
   }
 
-  /** Is row-level Change Data Feed capture on for this session?
-    * Mirrors delta-spark's `delta.enableChangeDataFeed` table property
-    * as a session conf: when true, [[delete]]/[[update]] stage
-    * precise row-change files under `_change_data/` alongside their
-    * commit. When false, [[readChangeFeed]] still derives file-level
-    * changes (adds → inserts, removes → deletes) — correct as a change
-    * SET, but rewrite commits then surface untouched rewritten rows as
+  /** Is row-level Change Data Feed capture on for this table? The
+    * protocol's source of truth is the `delta.enableChangeDataFeed`
+    * table property in metaData.configuration (set via
+    * [[setProperties]]) — discoverable by OTHER engines, so a
+    * mixed-writer table yields a consistently precise feed. The
+    * session conf `spark.graft.delta.changeDataFeed` remains as an
+    * override when SET (either value) for session-scoped experiments.
+    * When capture is on, [[delete]]/[[update]]/[[merge]] stage precise
+    * row-change files under `_change_data/` alongside their commit;
+    * when off, [[readChangeFeed]] still derives file-level changes
+    * (adds → inserts, removes → deletes) — correct as a change SET,
+    * but rewrite commits then surface untouched rewritten rows as
     * delete+insert pairs. */
-  private def changeFeedEnabled(spark: SparkSession): Boolean =
+  private def changeFeedEnabled(spark: SparkSession,
+                                head: DeltaLog.Snapshot): Boolean =
     spark.conf.getOption("spark.graft.delta.changeDataFeed")
-      .exists(_.toBoolean)
+      .map(_.toBoolean)
+      .orElse(head.configuration.get("delta.enableChangeDataFeed")
+        .map(_.toBoolean))
+      .getOrElse(false)
+
+  /** Set (or overwrite) table properties by committing a metaData
+    * re-emission with the merged configuration — the protocol's way to
+    * make a property (e.g. `delta.enableChangeDataFeed=true`) durable
+    * and discoverable by other engines, vs a session conf only this
+    * process sees. Schema/partitioning/id carry forward unchanged. */
+  def setProperties(spark: SparkSession, table: String,
+                    props: Map[String, String]): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: setProperties gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      require(!head.isEmpty, s"delta: $table has no commits")
+      done = commit(spark, table, head.version + 1, Seq(
+        commitInfoAction("SET TBLPROPERTIES"),
+        metaDataAction(head.schemaJson.getOrElse(""), head.partitionColumns,
+          head.metaDataId, head.configuration ++ props)))
+    }
+  }
 
   /** DELETE WHERE `predicate`, through the log. Candidate files come
     * from [[DataSkipping.mayMatch]] over the add-action stats — files
@@ -494,7 +570,7 @@ object DeltaTable {
 
   private def dml(spark: SparkSession, table: String, predicate: Column,
                   set: Option[Map[String, Column]]): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not, when}
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempts = 0
@@ -513,15 +589,32 @@ object DeltaTable {
           s"delta: update cannot assign partition columns $parts")
       }
       // resolved per attempt: a concurrent mergeSchema commit between
-      // retries changes the schema the predicate resolves against
+      // retries changes the schema the predicate resolves against.
+      // Candidate selection prunes on partitionValues AND footer stats —
+      // a DELETE keyed on a partition column (the most common shape)
+      // skips every other partition without opening a file.
       val predExpr = DataSkipping.resolvePredicate(spark, schema, predicate)
-      val candidates = head.files.filter(f => DataSkipping.mayMatch(f, predExpr))
+      val candidates = head.files.filter(f =>
+        DataSkipping.mayMatchWithPartitions(f, predExpr, schema))
       if (candidates.isEmpty) return
-      val df = readFiles(spark, table, schema, head.partitionColumns, candidates)
       // predicate NULL → row neither deleted nor updated (SQL DML truth)
       val cond = coalesce(predicate, lit(false))
+      // per-file match check: stats are conservative bounds, so probe
+      // which candidates CONTAIN a matching row (a scan of only the
+      // predicate's columns — Catalyst prunes the rest) and rewrite just
+      // those; straddling-but-clean files carry over with no action and
+      // never flood a derived CDF with delete+insert pairs of untouched
+      // rows. File names are fresh UUIDs by construction, so name
+      // equality identifies the file.
+      val probe = readFiles(spark, table, schema, head.partitionColumns, candidates)
+      val matchedNames = probe.filter(cond)
+        .select(input_file_name()).distinct().collect()
+        .map(r => new Path(r.getString(0)).getName).toSet
+      if (matchedNames.isEmpty) return // stats false positives only: no commit
+      val touched = candidates.filter(f =>
+        matchedNames.contains(new Path(f.path).getName))
+      val df = readFiles(spark, table, schema, head.partitionColumns, touched)
       val matched = df.filter(cond)
-      if (matched.isEmpty) return // stats false positives only: no commit
       def applySet(src: DataFrame, s: Map[String, Column],
                    unconditional: Boolean): DataFrame =
         src.select(schema.fieldNames.toSeq.map { n =>
@@ -537,14 +630,14 @@ object DeltaTable {
         case Some(s) => applySet(df, s, unconditional = false)
       }
       val cdc =
-        if (!changeFeedEnabled(spark)) Seq.empty
+        if (!changeFeedEnabled(spark, head)) Seq.empty
         else stageChangeData(set match {
           case None => matched.withColumn("_change_type", lit("delete"))
           case Some(s) =>
             matched.withColumn("_change_type", lit("update_preimage"))
               .unionByName(applySet(matched, s, unconditional = true)
                 .withColumn("_change_type", lit("update_postimage")))
-        }, tbl, fs)
+        }, tbl, fs, partitionBy = head.partitionColumns)
       val adds = stageData(rewritten, tbl, fs, partitionBy = head.partitionColumns)
         .filter { a =>
           val keep = addedRecords(a) != 0L
@@ -552,7 +645,7 @@ object DeltaTable {
           keep // a candidate fully deleted needs no empty replacement file
         }
       val now = System.currentTimeMillis()
-      val removes = candidates.map(f => removeAction(f.path, now))
+      val removes = touched.map(f => removeAction(f.path, now))
       done = commit(spark, table, head.version + 1,
         commitInfoAction(if (set.isEmpty) "DELETE" else "UPDATE", now) +:
           (cdc ++ removes ++ adds))
@@ -582,27 +675,34 @@ object DeltaTable {
 
   /** Stage a DataFrame of row changes (table columns + `_change_type`)
     * as parquet under `_change_data/`, returning the `cdc` actions.
-    * Change files are written FLAT (partition columns as ordinary data
-    * columns) — CDF consumers read by commit, not by partition. Empty
-    * part files (the input's empty partitions) are dropped. */
+    * On partitioned tables the change files nest under the same
+    * Hive-style dirs as data files and each action carries its
+    * `partitionValues` — the protocol's shape, so cross-engine CDF
+    * readers (which take partition columns from the ACTION, not the
+    * file body) see them. Empty part files (the input's empty
+    * partitions) are dropped. */
   private def stageChangeData(df: DataFrame, tbl: Path,
-                              fs: org.apache.hadoop.fs.FileSystem): Seq[org.json4s.JValue] = {
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              partitionBy: Seq[String] = Seq.empty): Seq[org.json4s.JValue] = {
     val staging = new Path(tbl, s".staging-cdc-${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staging.toString)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    val dir = new Path(tbl, "_change_data")
-    fs.mkdirs(dir)
-    val actions = fs.listStatus(staging).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .flatMap { p =>
-        if (footerStats(p.getPath, conf).exists(_.numRecords == 0L)) None
-        else {
-          val name = s"cdc-${java.util.UUID.randomUUID()}.snappy.parquet"
-          val dst = new Path(dir, name)
-          require(fs.rename(p.getPath, dst), s"delta: rename failed for $dst")
-          Some(DeltaLog.cdcAction(s"_change_data/$name", fs.getFileStatus(dst).getLen))
-        }
+    val root = new Path(tbl, "_change_data")
+    val actions = walkStaged(fs, staging).flatMap { case (rel, p) =>
+      if (footerStats(p.getPath, conf).exists(_.numRecords == 0L)) None
+      else {
+        val name = s"cdc-${java.util.UUID.randomUUID()}.snappy.parquet"
+        val dstDir = if (rel.isEmpty) root else new Path(root, rel)
+        fs.mkdirs(dstDir)
+        val dst = new Path(dstDir, name)
+        require(fs.rename(p.getPath, dst), s"delta: rename failed for $dst")
+        val path = if (rel.isEmpty) s"_change_data/$name" else s"_change_data/$rel/$name"
+        Some(DeltaLog.cdcAction(path, fs.getFileStatus(dst).getLen,
+          partValuesOf(rel)))
       }
+    }
     fs.delete(staging, true)
     actions
   }
@@ -650,14 +750,29 @@ object DeltaTable {
       c.schemaJson.foreach(j =>
         schema = DataType.fromJson(j).asInstanceOf[StructType])
       c.partitionColumns.foreach(p => partCols = p)
+      // commitInfo is optional per the protocol: externally-written
+      // commits without one stamp the log file's mtime, never 1970-01-01
+      val commitTs = DeltaLog.commitTimestamp(spark, table, v, c)
       def stamp(df: DataFrame): DataFrame = df
         .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp", timestamp_millis(lit(c.timestampMs)))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(commitTs)))
       if (c.cdcFiles.nonEmpty) {
         val paths = c.cdcFiles.map(f => new Path(tbl, f.path))
         paths.foreach(p => require(fs.exists(p),
           s"delta: change file $p vacuumed — feed no longer readable at v$v"))
-        Seq(stamp(spark.read.parquet(paths.map(_.toString): _*)))
+        // partitioned tables nest cdc files under Hive dirs with the
+        // partition columns OUT of the file body (they ride the action /
+        // the dirs) — re-derive them via basePath, typed by the schema,
+        // exactly like readFiles does for data files
+        val cdcSchema = schema
+          .add("_change_type", org.apache.spark.sql.types.StringType)
+        val reader = spark.read.schema(cdcSchema)
+        val df =
+          if (partCols.isEmpty) reader.parquet(paths.map(_.toString): _*)
+          else reader.option("basePath", new Path(tbl, "_change_data").toString)
+            .parquet(paths.map(_.toString): _*)
+            .select(cdcSchema.fieldNames.map(col).toSeq: _*)
+        Seq(stamp(df))
       } else {
         val dAdds = c.adds.filter(_.dataChange)
         val dRems = c.removes.filter(_.dataChange)
@@ -872,12 +987,14 @@ object DeltaTable {
 
   /** `DESCRIBE HISTORY`: version, operation name + timestamp (from the
     * commit's `commitInfo` action — commits from before the action was
-    * emitted surface as "UNKNOWN"), add/remove counts. Newest first,
-    * like upstream. */
+    * emitted surface as "UNKNOWN" with the commit file's mtime as the
+    * timestamp, commitInfo being optional per the protocol), add/remove
+    * counts. Newest first, like upstream. */
   def describeHistory(spark: SparkSession, table: String): Seq[HistoryEntry] =
     versions(spark, table).map { v =>
       val c = DeltaLog.readCommit(spark, table, v)
-      HistoryEntry(v, c.operation.getOrElse("UNKNOWN"), c.timestampMs,
+      HistoryEntry(v, c.operation.getOrElse("UNKNOWN"),
+        DeltaLog.commitTimestamp(spark, table, v, c),
         c.adds.size, c.removes.size)
     }.reverse
 

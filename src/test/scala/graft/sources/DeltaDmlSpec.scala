@@ -280,4 +280,193 @@ class DeltaDmlSpec extends SparkSpec {
       org.apache.spark.sql.graft.ColumnBridge.expression(col("id") === -1)),
       "a stats-less file is always a candidate")
   }
+
+  // ------------------------------------ partition-valued skipping (r8)
+
+  test("skipping: partitionValues enter as exact min==max bounds, typed by the schema") {
+    val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lang STRING, n INT, d DATE")
+    def mayP(f: AddFile, c: org.apache.spark.sql.Column): Boolean =
+      DataSkipping.mayMatchWithPartitions(f,
+        DataSkipping.resolvePredicate(spark, pSchema, c), pSchema)
+    // stats-less file still prunes on its partition values alone
+    val fr = AddFile("lang=fr/a.parquet", 1L, stats = None,
+      partitionValues = Map("lang" -> "fr"))
+    assert(mayP(fr, col("lang") === "fr"))
+    assert(!mayP(fr, col("lang") === "de"), "other partitions provably excluded")
+    assert(!mayP(fr, col("lang") > "fr") && mayP(fr, col("lang") >= "fr"))
+    assert(mayP(fr, col("id") === 5), "data columns stay conservative without stats")
+    // integral partition values compare numerically
+    val n7 = AddFile("n=7/a.parquet", 1L, stats = None,
+      partitionValues = Map("n" -> "7"))
+    assert(mayP(n7, col("n") === 7) && !mayP(n7, col("n") > 7) && mayP(n7, col("n") >= 7))
+    // date partition values parse to epoch days (DateType literals)
+    val d = AddFile("d=2024-01-15/a.parquet", 1L, stats = None,
+      partitionValues = Map("d" -> "2024-01-15"))
+    assert(mayP(d, col("d") === java.sql.Date.valueOf("2024-01-15")))
+    assert(!mayP(d, col("d") === java.sql.Date.valueOf("2024-01-16")))
+    // the hive null sentinel: every row's partition value is NULL
+    val nul = AddFile("lang=__HIVE_DEFAULT_PARTITION__/a.parquet", 1L,
+      stats = None,
+      partitionValues = Map("lang" -> "__HIVE_DEFAULT_PARTITION__"))
+    assert(mayP(nul, col("lang").isNull) && !mayP(nul, col("lang").isNotNull))
+    assert(!mayP(nul, col("lang") === "fr"), "NULL partition matches no equality")
+    // partition bounds AND footer stats compose
+    val both = AddFile("lang=fr/b.parquet", 1L,
+      stats = Some(FileStats(5L, Map("id" -> 10L), Map("id" -> 20L))),
+      partitionValues = Map("lang" -> "fr"))
+    assert(!mayP(both, col("lang") === "fr" && col("id") > 20L))
+    assert(mayP(both, col("lang") === "fr" && col("id") >= 20L))
+  }
+
+  test("DELETE keyed on a partition column rewrites only that partition") {
+    val t = tmp()
+    val df = Seq((1, "fr"), (2, "de"), (3, "fr"), (4, "de"), (5, "es"))
+      .toDF("id", "lang")
+    DeltaTable.write(df, t, SaveMode.Append, partitionBy = Seq("lang"))
+    val before = DeltaLog.snapshot(spark, t)
+    val otherFiles = before.files
+      .filterNot(_.partitionValues.get("lang").contains("fr")).map(_.path).toSet
+    assert(otherFiles.nonEmpty)
+    DeltaTable.delete(spark, t, col("lang") === "fr")
+    assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet === Set(2, 4, 5))
+    val after = DeltaLog.snapshot(spark, t)
+    assert(otherFiles.subsetOf(after.files.map(_.path).toSet),
+      "non-fr partitions must carry over by path, not be rewritten")
+    val c = DeltaLog.readCommit(spark, t, after.version)
+    assert(c.removes.map(_.path).toSet.intersect(otherFiles).isEmpty,
+      "a partition-keyed DELETE must not remove other partitions' files")
+  }
+
+  test("per-file match check: straddling candidates without real matches carry over") {
+    val t = tmp()
+    // two files; the predicate's shape defeats stats (conservative), but
+    // only file A contains a matching row
+    DeltaTable.write(Seq((1, "a"), (3, "a"), (13, "a")).toDF("id", "s"),
+      t, SaveMode.Append)
+    DeltaTable.write(Seq((100, "b"), (101, "b"), (102, "b")).toDF("id", "s"),
+      t, SaveMode.Append)
+    val before = DeltaLog.snapshot(spark, t)
+    val bFiles = before.files
+      .filter(_.stats.exists(_.minValues("id") >= 100L)).map(_.path).toSet
+    assert(bFiles.nonEmpty)
+    DeltaTable.delete(spark, t, col("id") % 10 === 3)
+    assert(rows(t) === Set((1, "a"), (100, "b"), (101, "b"), (102, "b")))
+    val after = DeltaLog.snapshot(spark, t)
+    assert(bFiles.subsetOf(after.files.map(_.path).toSet),
+      "candidates the probe proves clean must carry over untouched")
+    val c = DeltaLog.readCommit(spark, t, after.version)
+    assert(c.removes.map(_.path).toSet.intersect(bFiles).isEmpty)
+  }
+
+  // ----------------------------------------- CDF on partitions + merge
+
+  test("partitioned CDF: cdc actions carry partitionValues; the feed restores partition columns") {
+    val t = tmp()
+    DeltaTable.write(
+      Seq((1, "fr"), (2, "de"), (3, "fr")).toDF("id", "lang"),
+      t, SaveMode.Append, partitionBy = Seq("lang"))
+    withCdf { DeltaTable.delete(spark, t, col("lang") === "fr") }
+    val v = DeltaLog.snapshot(spark, t).version
+    val c = DeltaLog.readCommit(spark, t, v)
+    assert(c.cdcFiles.nonEmpty, "the flag must stage precise change files")
+    assert(c.cdcFiles.forall(f => f.partitionValues.get("lang").contains("fr")
+        && f.path.startsWith("_change_data/lang=fr/")),
+      s"cdc actions must carry hive dirs + partitionValues: ${c.cdcFiles}")
+    val feed = DeltaTable.readChangeFeed(spark, t, v, Some(v))
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("lang"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(feed === Set((1, "fr", "delete"), (3, "fr", "delete")))
+  }
+
+  test("merge CDF: preimage/postimage/insert rows under the flag") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "old1"), (2, "old2")).toDF("id", "s"),
+      t, SaveMode.Append)
+    withCdf {
+      DeltaTable.merge(Seq((2, "new2"), (3, "new3")).toDF("id", "s"), t, "id")
+    }
+    val v = DeltaLog.snapshot(spark, t).version
+    assert(DeltaLog.readCommit(spark, t, v).cdcFiles.nonEmpty)
+    val feed = DeltaTable.readChangeFeed(spark, t, v, Some(v))
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("s"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(feed === Set(
+      (2, "old2", "update_preimage"), (2, "new2", "update_postimage"),
+      (3, "new3", "insert")),
+      s"got $feed")
+    assert(rows(t) === Set((1, "old1"), (2, "new2"), (3, "new3")))
+  }
+
+  test("merge keyed on a partition column prunes other partitions from the log alone") {
+    val t = tmp()
+    DeltaTable.write(
+      Seq(("fr", 1.0), ("de", 2.0), ("es", 3.0)).toDF("lang", "v"),
+      t, SaveMode.Append, partitionBy = Seq("lang"))
+    val before = DeltaLog.snapshot(spark, t)
+    val others = before.files
+      .filterNot(_.partitionValues.get("lang").contains("fr")).map(_.path).toSet
+    DeltaTable.merge(Seq(("fr", 9.0), ("it", 4.0)).toDF("lang", "v"), t, "lang")
+    val got = DeltaTable.read(spark, t).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got === Set(("fr", 9.0), ("de", 2.0), ("es", 3.0), ("it", 4.0)))
+    val after = DeltaLog.snapshot(spark, t)
+    assert(others.subsetOf(after.files.map(_.path).toSet))
+    val c = DeltaLog.readCommit(spark, t, after.version)
+    assert(c.removes.map(_.path).toSet.intersect(others).isEmpty,
+      "a partition-keyed merge must not rewrite other partitions")
+  }
+
+  // -------------------------------------- table properties + timestamps
+
+  test("delta.enableChangeDataFeed as a TABLE property enables capture; session conf overrides") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    assert(DeltaLog.snapshot(spark, t).configuration
+      .get("delta.enableChangeDataFeed").contains("true"))
+    // no session conf: the property alone turns capture on
+    DeltaTable.delete(spark, t, col("id") === 1)
+    val v1 = DeltaLog.snapshot(spark, t).version
+    assert(DeltaLog.readCommit(spark, t, v1).cdcFiles.nonEmpty,
+      "the table property must be discoverable by the writer")
+    // session conf set to false OVERRIDES the table property
+    try {
+      spark.conf.set("spark.graft.delta.changeDataFeed", "false")
+      DeltaTable.delete(spark, t, col("id") === 2)
+      val v2 = DeltaLog.snapshot(spark, t).version
+      assert(DeltaLog.readCommit(spark, t, v2).cdcFiles.isEmpty)
+    } finally spark.conf.unset("spark.graft.delta.changeDataFeed")
+  }
+
+  test("table properties survive schema evolution and checkpoints") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.setProperties(spark, t, Map("delta.enableChangeDataFeed" -> "true"))
+    // mergeSchema evolution re-emits metaData — properties must ride along
+    DeltaTable.write(Seq((2, "b", 7.5)).toDF("id", "s", "score"), t,
+      SaveMode.Append, mergeSchema = true)
+    assert(DeltaLog.snapshot(spark, t).configuration
+      .get("delta.enableChangeDataFeed").contains("true"),
+      "schema evolution must not strip table properties")
+    // checkpoint round-trip: a checkpoint-seeded snapshot keeps them
+    DeltaLog.checkpoint(spark, t)
+    assert(DeltaLog.snapshot(spark, t).configuration
+      .get("delta.enableChangeDataFeed").contains("true"),
+      "checkpoints must persist metaData configuration")
+  }
+
+  test("commits without commitInfo stamp the log file's mtime, not 1970") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)
+    // an externally-written commit: no commitInfo action at all
+    val head = DeltaLog.snapshot(spark, t)
+    assert(DeltaLog.commit(spark, t, head.version + 1,
+      Seq(DeltaLog.txnAction("external-app", 1L))))
+    val h = DeltaTable.describeHistory(spark, t).head
+    assert(h.operation === "UNKNOWN")
+    assert(h.timestampMs > 1577836800000L,
+      s"commitInfo-less commits must fall back to file mtime, got ${h.timestampMs}")
+  }
 }

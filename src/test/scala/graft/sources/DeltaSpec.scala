@@ -248,10 +248,24 @@ class DeltaSpec extends SparkSpec {
       DeltaTable.write(Seq((5, "es", 5.0)).toDF("id", "lang", "v"), t,
         SaveMode.Append, partitionBy = Seq("id"))
     }
-    // merge declared unsupported on partitioned tables (honest scope)
-    intercept[IllegalArgumentException] {
-      DeltaTable.merge(Seq((1, "fr", 9.0)).toDF("id", "lang", "v"), t, "id")
-    }
+    // merge on the partitioned table: matched key rewrites in place, a
+    // matched key whose update MOVES it across partitions lands in its
+    // new hive dir, and a new key inserts — one atomic commit
+    DeltaTable.merge(
+      Seq((1, "fr", 9.0), (3, "de", 30.0), (5, "es", 5.0))
+        .toDF("id", "lang", "v"), t, "id")
+    val afterMerge = DeltaTable.read(spark, t)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(afterMerge === Set(
+      (1, "fr", 9.0), (2, "de", 2.0), (3, "de", 30.0), (4, "de", 4.0),
+      (5, "es", 5.0)))
+    val s2 = DeltaLog.snapshot(spark, t)
+    assert(s2.files.forall(f => f.path.startsWith("lang=")
+      && f.partitionValues.get("lang").isDefined),
+      "merged rewrites must re-stage into hive dirs with partitionValues")
+    // id=3 moved fr → de: no live fr file may still hold it
+    val fr2 = DeltaTable.readPartitions(spark, t, Map("lang" -> "fr"))
+    assert(fr2.collect().map(_.getInt(0)).toSet === Set(1))
   }
 
   test("changesSince tails appended files only; overwrites force a re-read") {
