@@ -86,6 +86,60 @@ object DataSkipping {
       maxStrings = smaxs, nullCounts = nulls), pred)
   }
 
+  /** DEFINITE per-file evaluation of a predicate over partition columns
+    * only: Some(true) = EVERY row in the file satisfies it, Some(false)
+    * = none does, None = cannot decide (the predicate references a
+    * non-partition column, a value fails to parse, or evaluation
+    * throws). Works because a Hive partition value is constant across
+    * the file — substitute each partition attribute with its typed
+    * literal and fold the whole predicate to a constant. This is what
+    * makes a partition-keyed DELETE metadata-only at 100 TB: a
+    * definite-true file is dropped wholesale (remove action, zero data
+    * IO), exactly delta-spark's partition-delete path. A NULL result
+    * folds to false — SQL DML truth: the row is not matched. */
+  def partitionPredicateValue(f: AddFile, pred: Expression,
+                              schema: StructType,
+                              partitionColumns: Seq[String]): Option[Boolean] = {
+    val partSet = partitionColumns.toSet
+    if (!pred.references.forall(a => partSet.contains(a.name))) return None
+    var failed = false
+    val substituted = pred.transform {
+      case a: AttributeReference =>
+        partitionLiteral(f.partitionValues.get(a.name), a.dataType) match {
+          case Some(l) => l
+          case None => failed = true; a
+        }
+    }
+    if (failed) return None
+    try {
+      substituted.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+        case null => Some(false)
+        case b: java.lang.Boolean => Some(b.booleanValue())
+        case _ => None
+      }
+    } catch { case _: Exception => None } // non-foldable shape: undecided
+  }
+
+  /** Typed literal for a stringly-stored Hive partition value; None when
+    * the value is absent or unparseable for the column's type. */
+  private def partitionLiteral(raw: Option[String],
+                               dt: DataType): Option[Literal] = raw match {
+    case None => None
+    case Some(v) if v == "__HIVE_DEFAULT_PARTITION__" => Some(Literal(null, dt))
+    case Some(v) =>
+      try dt match {
+        case ByteType => Some(Literal(v.toByte, ByteType))
+        case ShortType => Some(Literal(v.toShort, ShortType))
+        case IntegerType => Some(Literal(v.toInt, IntegerType))
+        case LongType => Some(Literal(v.toLong, LongType))
+        case StringType => Some(Literal(UTF8String.fromString(v), StringType))
+        case DateType =>
+          Some(Literal(java.time.LocalDate.parse(v).toEpochDay.toInt, DateType))
+        case BooleanType => Some(Literal(v.toBoolean, BooleanType))
+        case _ => None // float/decimal/timestamp partitions: undecided
+      } catch { case _: Exception => None }
+  }
+
   /** Resolve a user `Column` predicate against `schema` into the
     * structural Catalyst form [[mayMatch]] reasons over. The public
     * `Column` carries a lazily-converted node tree (not `EqualTo`/...),

@@ -599,20 +599,32 @@ object DeltaTable {
       if (candidates.isEmpty) return
       // predicate NULL → row neither deleted nor updated (SQL DML truth)
       val cond = coalesce(predicate, lit(false))
-      // per-file match check: stats are conservative bounds, so probe
-      // which candidates CONTAIN a matching row (a scan of only the
-      // predicate's columns — Catalyst prunes the rest) and rewrite just
-      // those; straddling-but-clean files carry over with no action and
-      // never flood a derived CDF with delete+insert pairs of untouched
-      // rows. File names are fresh UUIDs by construction, so name
-      // equality identifies the file.
-      val probe = readFiles(spark, table, schema, head.partitionColumns, candidates)
-      val matchedNames = probe.filter(cond)
-        .select(input_file_name()).distinct().collect()
-        .map(r => new Path(r.getString(0)).getName).toSet
-      if (matchedNames.isEmpty) return // stats false positives only: no commit
-      val touched = candidates.filter(f =>
-        matchedNames.contains(new Path(f.path).getName))
+      // definite split first: a predicate over partition columns only
+      // evaluates to a CONSTANT per file (the partition value is the
+      // whole file's value), so those files need no probe — and a
+      // definite-true DELETE drops them wholesale below with zero data
+      // IO (delta-spark's metadata-only partition delete).
+      val (sureMatch, maybe) = candidates.partition(f =>
+        DataSkipping.partitionPredicateValue(f, predExpr, schema,
+          head.partitionColumns).contains(true))
+      // per-file match check on the rest: stats are conservative bounds,
+      // so probe which candidates CONTAIN a matching row (a scan of only
+      // the predicate's columns — Catalyst prunes the rest) and rewrite
+      // just those; straddling-but-clean files carry over with no action
+      // and never flood a derived CDF with delete+insert pairs of
+      // untouched rows. File names are fresh UUIDs by construction, so
+      // name equality identifies the file.
+      val probedTouched =
+        if (maybe.isEmpty) Seq.empty[AddFile]
+        else {
+          val probe = readFiles(spark, table, schema, head.partitionColumns, maybe)
+          val matchedNames = probe.filter(cond)
+            .select(input_file_name()).distinct().collect()
+            .map(r => new Path(r.getString(0)).getName).toSet
+          maybe.filter(f => matchedNames.contains(new Path(f.path).getName))
+        }
+      val touched = sureMatch ++ probedTouched
+      if (touched.isEmpty) return // stats false positives only: no commit
       val df = readFiles(spark, table, schema, head.partitionColumns, touched)
       val matched = df.filter(cond)
       def applySet(src: DataFrame, s: Map[String, Column],
@@ -625,9 +637,16 @@ object DeltaTable {
             case None => col(n)
           }
         }: _*)
+      // DELETE's survivors live only in the probed files — sureMatch
+      // files are deleted WHOLE, so a pure partition-predicate delete
+      // stages nothing and (CDF off) does zero data IO: the commit is
+      // just remove actions. UPDATE rewrites every touched file.
       val rewritten = set match {
-        case None => df.filter(not(cond))
-        case Some(s) => applySet(df, s, unconditional = false)
+        case None =>
+          if (probedTouched.isEmpty) None
+          else Some(readFiles(spark, table, schema, head.partitionColumns,
+            probedTouched).filter(not(cond)))
+        case Some(s) => Some(applySet(df, s, unconditional = false))
       }
       val cdc =
         if (!changeFeedEnabled(spark, head)) Seq.empty
@@ -638,7 +657,8 @@ object DeltaTable {
               .unionByName(applySet(matched, s, unconditional = true)
                 .withColumn("_change_type", lit("update_postimage")))
         }, tbl, fs, partitionBy = head.partitionColumns)
-      val adds = stageData(rewritten, tbl, fs, partitionBy = head.partitionColumns)
+      val adds = rewritten.fold(Seq.empty[org.json4s.JValue])(r =>
+        stageData(r, tbl, fs, partitionBy = head.partitionColumns))
         .filter { a =>
           val keep = addedRecords(a) != 0L
           if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
@@ -834,6 +854,27 @@ object DeltaTable {
     val vs = values.toSet
     val files = s.files.filter(f => f.partitionValues.get(keyCol).exists(vs))
     readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+  }
+
+  /** General predicate-pruned read — the user-facing form of the DML
+    * candidate selection: files whose add-action stats AND
+    * partitionValues prove no row can match `predicate` are never
+    * opened ([[DataSkipping.mayMatchWithPartitions]] — stats-less files
+    * read conservatively); the row-level filter still applies on what
+    * remains. Subsumes [[readRange]]/[[readRangeString]]/
+    * [[readPartitions]] for arbitrary predicates: supported shapes
+    * skip, anything else degrades to a full scan with the filter —
+    * never a wrong result. */
+  def readWhere(spark: SparkSession, table: String,
+                predicate: Column): DataFrame = {
+    val s = snapshot(spark, table)
+    require(!s.isEmpty, s"delta: $table has no commits")
+    val schema = logSchema(s, table)
+    val predExpr = DataSkipping.resolvePredicate(spark, schema, predicate)
+    val files = s.files.filter(f =>
+      DataSkipping.mayMatchWithPartitions(f, predExpr, schema))
+    readFiles(spark, table, schema, s.partitionColumns, files)
+      .filter(predicate)
   }
 
   /** Data-skipping range read: files whose stats exclude [lo, hi] are

@@ -1,7 +1,7 @@
 package graft.sources.delta
 
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.functions.{col, concat, length, lit, upper}
+import org.apache.spark.sql.functions.{col, concat, length, lit, pmod, upper}
 
 import graft.SparkSpec
 import graft.sources.delta.DeltaLog.{AddFile, FileStats}
@@ -455,6 +455,69 @@ class DeltaDmlSpec extends SparkSpec {
     assert(DeltaLog.snapshot(spark, t).configuration
       .get("delta.enableChangeDataFeed").contains("true"),
       "checkpoints must persist metaData configuration")
+  }
+
+  test("partitionPredicateValue: definite fold over partition literals") {
+    val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lang STRING, n INT")
+    val parts = Seq("lang", "n")
+    def defVal(f: AddFile, c: org.apache.spark.sql.Column): Option[Boolean] =
+      DataSkipping.partitionPredicateValue(f,
+        DataSkipping.resolvePredicate(spark, pSchema, c), pSchema, parts)
+    val f = AddFile("lang=fr/n=7/a.parquet", 1L, stats = None,
+      partitionValues = Map("lang" -> "fr", "n" -> "7"))
+    assert(defVal(f, col("lang") === "fr").contains(true))
+    assert(defVal(f, col("lang") === "de").contains(false))
+    assert(defVal(f, col("lang") === "fr" && col("n") < 10).contains(true))
+    assert(defVal(f, col("lang") === "fr" && col("n") > 10).contains(false))
+    assert(defVal(f, col("lang").isin("fr", "es")).contains(true))
+    // data-column reference: NOT definite — the caller must probe
+    assert(defVal(f, col("lang") === "fr" && col("id") > 0).isEmpty)
+    // NULL partition folds comparisons to NULL → definitely unmatched
+    val nul = AddFile("lang=__HIVE_DEFAULT_PARTITION__/n=7/a.parquet", 1L,
+      stats = None,
+      partitionValues = Map("lang" -> "__HIVE_DEFAULT_PARTITION__", "n" -> "7"))
+    assert(defVal(nul, col("lang") === "fr").contains(false))
+    assert(defVal(nul, col("lang").isNull).contains(true))
+  }
+
+  test("a pure partition-predicate DELETE is metadata-only: removes, no rewrites") {
+    val t = tmp()
+    DeltaTable.write(
+      Seq((1, "fr"), (2, "de"), (3, "fr"), (4, "es")).toDF("id", "lang"),
+      t, SaveMode.Append, partitionBy = Seq("lang"))
+    val before = DeltaLog.snapshot(spark, t)
+    val frFiles = before.files
+      .filter(_.partitionValues.get("lang").contains("fr")).map(_.path).toSet
+    assert(frFiles.nonEmpty)
+    DeltaTable.delete(spark, t, col("lang") === "fr")
+    val after = DeltaLog.snapshot(spark, t)
+    val c = DeltaLog.readCommit(spark, t, after.version)
+    assert(c.removes.map(_.path).toSet === frFiles,
+      "the whole fr partition drops by remove actions alone")
+    assert(c.adds.isEmpty,
+      "a pure partition delete must stage NO rewritten files — zero data IO")
+    assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet === Set(2, 4))
+  }
+
+  test("readWhere prunes on stats AND partitions; unsupported shapes degrade to a scan") {
+    val t = tmp()
+    DeltaTable.write(
+      Seq((1, "fr"), (2, "fr"), (10, "de"), (11, "de"), (20, "es"))
+        .toDF("id", "lang"),
+      t, SaveMode.Append, partitionBy = Seq("lang"))
+    // partition + stats predicate: only the de files open
+    val de = DeltaTable.readWhere(spark, t, col("lang") === "de" && col("id") >= 10)
+    assert(de.collect().map(_.getInt(0)).toSet === Set(10, 11))
+    assert(de.inputFiles.forall(_.contains("lang=de")),
+      s"readWhere must not open pruned partitions: ${de.inputFiles.toSeq}")
+    // stats-only predicate on the data column skips files whose bounds exclude it
+    val high = DeltaTable.readWhere(spark, t, col("id") >= 20)
+    assert(high.collect().map(_.getInt(0)).toSet === Set(20))
+    assert(high.inputFiles.forall(_.contains("lang=es")))
+    // unsupported shape: full scan, right answer
+    val odd = DeltaTable.readWhere(spark, t, pmod(col("id"), lit(2)) === 1)
+    assert(odd.collect().map(_.getInt(0)).toSet === Set(1, 11))
   }
 
   test("commits without commitInfo stamp the log file's mtime, not 1970") {
