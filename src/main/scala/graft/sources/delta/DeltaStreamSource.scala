@@ -59,8 +59,12 @@ class DeltaStreamDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DeltaStreamDataSource.logSchema(DeltaStreamDataSource.tablePath(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = DeltaStreamDataSource.logSchema(DeltaStreamDataSource.tablePath(options))
+    if (DeltaStreamDataSource.cdfMode(options))
+      DeltaStreamDataSource.cdfSchema(base)
+    else base
+  }
 
   override def getTable(
       schema: StructType,
@@ -73,6 +77,21 @@ private[delta] object DeltaStreamDataSource {
   def tablePath(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-delta: 'path' option required"))
+
+  /** `option("readChangeFeed", "true")` — delta-spark's streaming CDF
+    * mode: the stream delivers row-level CHANGES instead of appended
+    * rows, which is how a pipeline tails a table that undergoes
+    * DELETE/UPDATE/MERGE (the plain mode refuses data-changing removes). */
+  def cdfMode(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
+  val CdfMetaColumns: Seq[String] =
+    Seq("_change_type", "_commit_version", "_commit_timestamp")
+
+  def cdfSchema(base: StructType): StructType = base
+    .add("_change_type", StringType)
+    .add("_commit_version", LongType)
+    .add("_commit_timestamp", TimestampType)
 
   def logSchema(table: String): StructType = {
     val snap = DeltaLog.snapshot(SparkSession.active, table)
@@ -111,7 +130,8 @@ private[delta] class DeltaStreamScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new DeltaMicroBatchStream(DeltaStreamDataSource.tablePath(options), schema,
       Option(options.get("startingVersion")).getOrElse("earliest"),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      DeltaStreamDataSource.cdfMode(options))
 }
 
 /** `{"version":N}` — the committed log version this cursor has fully
@@ -131,7 +151,8 @@ private[delta] case class DeltaOffset(version: Long) extends Offset {
   * back to one unbounded batch. */
 private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
                                            startingVersion: String = "earliest",
-                                           maxFilesPerTrigger: Option[Int] = None)
+                                           maxFilesPerTrigger: Option[Int] = None,
+                                           cdf: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -159,8 +180,11 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
         var end = sv
         var files = 0
         for (v <- vs if end == sv || files < mf.maxFiles()) {
-          files += DeltaLog.readCommit(spark, table, v)
-            .adds.count(_.dataChange)
+          val c = DeltaLog.readCommit(spark, table, v)
+          files +=
+            (if (!cdf) c.adds.count(_.dataChange)
+             else if (c.cdcFiles.nonEmpty) c.cdcFiles.size
+             else c.adds.count(_.dataChange) + c.removes.count(_.dataChange))
           end = v
         }
         DeltaOffset(end)
@@ -206,16 +230,19 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
     if (ev <= sv) return Array.empty
     val vs = DeltaLog.versions(spark, table).filter(v => v > sv && v <= ev)
     // same reconstruction contract as changesSince: the batch's range
-    // must be dense, and data-changing removes cannot be tailed
+    // must be dense, and (plain mode) data-changing removes cannot be
+    // tailed — CDF mode is exactly how those become representable
     require(vs == (sv + 1 to ev),
       s"graft-delta: $table's log is missing commits in ($sv, $ev] " +
         s"(retained: $vs) — this cursor's unread commits are gone")
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     vs.flatMap { v =>
       val c = DeltaLog.readCommit(spark, table, v)
-      require(c.dataChangingRemoves == 0,
+      require(cdf || c.dataChangingRemoves == 0,
         s"graft-delta: $table was overwritten/merged at version $v — " +
           "append-only tailing cannot represent removes; restart the " +
-          "stream from the current snapshot")
+          "stream from the current snapshot, or tail the change feed " +
+          "(option readChangeFeed=true)")
       // schema-evolution guard: a commit whose metaData carries a column
       // this stream's PINNED schema lacks (mergeSchema append landed
       // mid-stream) would have that column silently DROPPED from every
@@ -234,8 +261,41 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
               "offsets resume from the checkpoint, nothing is re-delivered")
         }
       }
-      c.adds.filter(_.dataChange).map(a =>
-        DeltaFilePartition(new Path(table, a.path).toString, a.partitionValues))
+      if (!cdf)
+        c.adds.filter(_.dataChange).map(a =>
+          DeltaFilePartition(new Path(table, a.path).toString, a.partitionValues))
+      else {
+        val ts = DeltaLog.commitTimestamp(spark, table, v, c)
+        if (c.cdcFiles.nonEmpty)
+          // precise row changes: _change_type is IN the file; partition
+          // columns ride the cdc action's partitionValues
+          c.cdcFiles.map { f =>
+            val p = new Path(table, f.path)
+            require(fs.exists(p),
+              s"graft-delta: change file $p vacuumed — feed no longer " +
+                s"readable at v$v")
+            DeltaFilePartition(p.toString, f.partitionValues,
+              changeType = null, commitVersion = v, commitTsMs = ts)
+          }
+        else {
+          // derived file-level changes, exactly readChangeFeed's fallback:
+          // dataChange adds as inserts, dataChange removes as deletes
+          // (read from the still-retained removed file — its partition
+          // values parse from the Hive path, removes don't carry them)
+          val dRems = c.removes.filter(_.dataChange)
+          dRems.foreach(r => require(fs.exists(new Path(table, r.path)),
+            s"graft-delta: file ${r.path} vacuumed — derived change feed " +
+              s"no longer readable at v$v"))
+          c.adds.filter(_.dataChange).map(a =>
+            DeltaFilePartition(new Path(table, a.path).toString,
+              a.partitionValues,
+              changeType = "insert", commitVersion = v, commitTsMs = ts)) ++
+            dRems.map(r =>
+              DeltaFilePartition(new Path(table, r.path).toString,
+                DeltaMicroBatchStream.partValuesFromPath(r.path),
+                changeType = "delete", commitVersion = v, commitTsMs = ts))
+        }
+      }
     }.toArray
   }
 
@@ -246,14 +306,31 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
     // partition-path timestamps round-trip in the session zone
     DeltaReaderFactory(schema, partCols,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      spark.sessionState.conf.sessionLocalTimeZone)
+      spark.sessionState.conf.sessionLocalTimeZone, cdf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
+private[delta] object DeltaMicroBatchStream {
+  /** Hive partition values parsed off a file's RELATIVE path (escaped
+    * segments; [[DeltaRowReader.parsePartition]] unescapes) — remove
+    * actions don't carry partitionValues, their path does. */
+  def partValuesFromPath(path: String): Map[String, String] =
+    path.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) -> seg.substring(i + 1)
+    }.toMap
+}
+
+/** One planned file. In CDF mode (`commitVersion >= 0`) the reader
+  * synthesizes `_commit_version`/`_commit_timestamp` as constants and
+  * `_change_type` either as the given constant (derived insert/delete)
+  * or, when `changeType` is null, from the cdc file's own column. */
 private[delta] case class DeltaFilePartition(
-    file: String, partitionValues: Map[String, String]) extends InputPartition
+    file: String, partitionValues: Map[String, String],
+    changeType: String = null, commitVersion: Long = -1L,
+    commitTsMs: Long = 0L) extends InputPartition
 
 /** Hadoop `Configuration` is not `Serializable`; ship it via its own
   * `write`/`readFields` wire format (the same trick Spark's internal
@@ -273,12 +350,23 @@ private[delta] class SerializableHadoopConf(@transient var value: Configuration)
 
 private[delta] case class DeltaReaderFactory(
     schema: StructType, partitionColumns: Array[String],
-    conf: SerializableHadoopConf, sessionTimeZone: String)
+    conf: SerializableHadoopConf, sessionTimeZone: String,
+    cdf: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DeltaFilePartition]
+    val meta: Map[String, Any] =
+      if (!cdf) Map.empty
+      else {
+        val base = Map[String, Any](
+          "_commit_version" -> p.commitVersion,
+          "_commit_timestamp" -> Math.multiplyExact(p.commitTsMs, 1000L))
+        // changeType == null → the cdc file carries _change_type itself
+        if (p.changeType == null) base
+        else base + ("_change_type" -> UTF8String.fromString(p.changeType))
+      }
     new DeltaRowReader(p.file, schema, partitionColumns.toSet, p.partitionValues,
-      conf.value, java.time.ZoneId.of(sessionTimeZone))
+      conf.value, java.time.ZoneId.of(sessionTimeZone), meta)
   }
 }
 
@@ -293,7 +381,8 @@ private[delta] class DeltaRowReader(
     file: String, schema: StructType, partCols: Set[String],
     partitionValues: Map[String, String],
     hadoopConf: Configuration = new Configuration(),
-    zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+    zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+    metaConst: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   import org.apache.parquet.hadoop.ParquetReader
@@ -322,6 +411,7 @@ private[delta] class DeltaRowReader(
       val f = schema.fields(i)
       values(i) =
         if (isPart(i)) partConst(i)
+        else if (metaConst.contains(f.name)) metaConst(f.name) // CDF meta
         else if (!g.getType.containsField(f.name)) null // pre-evolution file
         else {
           val idx = g.getType.getFieldIndex(f.name)

@@ -349,4 +349,73 @@ class DeltaStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(outp).schema("vec").dataType ===
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
   }
+
+  test("readChangeFeed stream tails DML commits: derived inserts, precise delete/merge changes") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("dstream_cdf").toString
+    val t = s"$root/t"; val outp = s"$root/out"
+    DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, SaveMode.Append) // v0
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))                                // v1
+    DeltaTable.delete(spark, t, col("id") === 1)                                  // v2 precise
+    DeltaTable.merge(Seq((2, "b2"), (3, "c")).toDF("id", "s"), t, "id")           // v3 precise
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.format("parquet").option("path", outp)
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(outp)
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("s"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+    assert(got === Set(
+      (1, "a", "insert", 0L), (2, "b", "insert", 0L),   // v0 derived
+      (1, "a", "delete", 2L),                           // v2 precise cdc
+      (2, "b", "update_preimage", 3L), (2, "b2", "update_postimage", 3L),
+      (3, "c", "insert", 3L)),                          // v3 precise cdc
+      s"got $got")
+    // timestamps are real commit times, never 1970
+    assert(spark.read.parquet(outp)
+      .selectExpr("min(unix_millis(_commit_timestamp))").head().getLong(0)
+      > 1577836800000L)
+    // the PLAIN stream on the same history refuses the DML commit and
+    // points at the CDF escape hatch
+    val e = intercept[StreamingQueryException] {
+      val q2 = spark.readStream.format("graft-delta").load(t)
+        .writeStream.format("parquet").option("path", s"$root/out2")
+        .option("checkpointLocation", s"$root/chk2")
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(60000)
+      throw q2.exception.getOrElse(new RuntimeException("expected failure"))
+    }
+    def msg(x: Throwable): String =
+      Option(x.getMessage).getOrElse("") +
+        Option(x.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg(e).contains("readChangeFeed") || msg(e).contains("overwritten"),
+      s"plain mode must refuse with a pointer to CDF: ${msg(e)}")
+  }
+
+  test("readChangeFeed stream on a partitioned table restores partition columns from cdc actions") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("dstream_cdfp").toString
+    val t = s"$root/t"; val outp = s"$root/out"
+    DeltaTable.write(Seq((1, "fr"), (2, "de"), (3, "fr")).toDF("id", "lang"),
+      t, SaveMode.Append, partitionBy = Seq("lang"))                              // v0
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))                                // v1
+    DeltaTable.delete(spark, t, col("lang") === "fr")                             // v2 precise, partitioned cdc
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.format("parquet").option("path", outp)
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(outp)
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("lang"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+    assert(got === Set(
+      (1, "fr", "insert", 0L), (2, "de", "insert", 0L), (3, "fr", "insert", 0L),
+      (1, "fr", "delete", 2L), (3, "fr", "delete", 2L)),
+      s"partition columns must restore through the cdc actions: $got")
+  }
 }
