@@ -757,12 +757,70 @@ object Catalog {
     }
   }
 
+  /** Change Data Feed through the log (q90): `documents` written to a
+    * scratch Delta table partitioned by `lang` with the
+    * `delta.enableChangeDataFeed` TABLE property set, then a DELETE
+    * (doc_id % 5) and an UPDATE (n_chars += 10 on doc_id % 7 = 1) — both
+    * staging PRECISE partitioned cdc files — and the feed for exactly
+    * those two versions read back and aggregated by change type ×
+    * partition. The oracle reconstructs the same change set
+    * relationally (delete rows; pre/postimage pairs over the
+    * not-deleted ∩ update-matched rows), so the gate proves row-level
+    * capture: nothing missing, nothing doubled, partition columns
+    * restored from the cdc actions, preimages carrying the OLD values
+    * and postimages the new. Scratch table deleted before returning
+    * (q80 convention). */
+  val q90ChangeFeed: Q = Q(
+    "q90_change_feed",
+    Some("""
+      WITH changes AS (
+        SELECT 'delete' AS change_type, lang, n_chars
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'update_preimage', lang, n_chars
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+        UNION ALL
+        SELECT 'update_postimage', lang, n_chars + 10
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1)
+      SELECT change_type, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM changes
+      GROUP BY change_type, lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.DeltaTable
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q90")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      DeltaTable.write(docs, t, SaveMode.Append, partitionBy = Seq("lang")) // v0
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableChangeDataFeed" -> "true"))                        // v1
+      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(5)) === 0)        // v2
+      DeltaTable.update(spark, t, pmod(col("doc_id"), lit(7)) === 1,
+        Map("n_chars" -> (col("n_chars") + 10L)))                           // v3
+      val agg = DeltaTable.readChangeFeed(spark, t, 2, Some(3))
+        .select(col("_change_type").as("change_type"), col("lang"), col("n_chars"))
+        .groupBy(col("change_type"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
         q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping,
-        q89PartitionedMerge) ++
+        q89PartitionedMerge, q90ChangeFeed) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

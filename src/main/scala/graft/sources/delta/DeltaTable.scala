@@ -980,11 +980,19 @@ object DeltaTable {
     * commit. Readers see either layout, never a mix; time travel keeps
     * the old files. Single-writer maintenance op like [[optimize]]. */
   def compactFiles(spark: SparkSession, table: String,
-                   smallerThanBytes: Long, targetFiles: Int = 1): Unit = {
+                   smallerThanBytes: Long, targetFiles: Int = 1,
+                   partitionFilter: Map[String, String] = Map.empty): Unit = {
     require(targetFiles >= 1, s"compactFiles: targetFiles=$targetFiles")
     val head = snapshot(spark, table)
     if (head.isEmpty) return
-    val small = head.files.filter(_.size < smallerThanBytes)
+    // OPTIMIZE WHERE: scope the pass to matching partitions — on a
+    // 100 TB table the operational shape is "compact today's partition
+    // after its appends", not a full-table walk
+    require(partitionFilter.keySet.subsetOf(head.partitionColumns.toSet),
+      s"delta: ${partitionFilter.keySet} not all partition columns " +
+        s"${head.partitionColumns}")
+    val small = head.files.filter(f => f.size < smallerThanBytes &&
+      partitionFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
     if (small.size <= 1) return // nothing to gain
     val df = readFiles(spark, table, logSchema(head, table),
       head.partitionColumns, small).coalesce(targetFiles)

@@ -376,6 +376,29 @@ class DeltaSpec extends SparkSpec {
     assert(fr.collect().map(_.getInt(0)).toSet === Set(1, 3))
   }
 
+  test("compactFiles scoped by partitionFilter compacts ONLY that partition (OPTIMIZE WHERE)") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "fr"), (2, "de")).toDF("id", "lang"), t,
+      SaveMode.Append, partitionBy = Seq("lang"))
+    DeltaTable.write(Seq((3, "fr"), (4, "de")).toDF("id", "lang"), t,
+      SaveMode.Append)
+    val deFiles = DeltaLog.snapshot(spark, t).files
+      .filter(_.partitionValues.get("lang").contains("de")).map(_.path).toSet
+    assert(deFiles.size === 2)
+    DeltaTable.compactFiles(spark, t, smallerThanBytes = Long.MaxValue,
+      targetFiles = 1, partitionFilter = Map("lang" -> "fr"))
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.files.count(_.partitionValues.get("lang").contains("fr")) === 1,
+      "fr folds to one file")
+    assert(after.files.filter(_.partitionValues.get("lang").contains("de"))
+      .map(_.path).toSet === deFiles,
+      "de files must carry over untouched by a scoped compaction")
+    intercept[IllegalArgumentException] {
+      DeltaTable.compactFiles(spark, t, Long.MaxValue,
+        partitionFilter = Map("nope" -> "x"))
+    }
+  }
+
   test("compactFiles folds only the small files; big ones carry over by name") {
     val t = tmp()
     // three appends: two tiny files + one big one
