@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -117,21 +118,64 @@ private[delta] class DeltaStreamTable(
   override def name(): String = "graft-delta:" + options.get("path")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new DeltaStreamScan(tableSchema, options)
-    }
+    new DeltaScanBuilder(tableSchema, options)
+}
+
+/** DSv2 scan builder: Spark pushes its column requirements and data
+  * filters through the standard seams, and the scan turns them into
+  * LOG-level file skipping ([[DataSkipping.mayMatchWithPartitions]]) —
+  * the same pruning `DeltaTable.readWhere` does, arriving through the
+  * engine-native plan path so `spark.read.format("graft-delta")` +
+  * `.filter(...)` skips files with no user API at all. Every filter is
+  * kept as a RESIDUAL (returned back to Spark for row-level
+  * re-evaluation): pushdown here only shrinks IO, never decides rows —
+  * stats may be absent, unparseable, or conservative. */
+private[delta] class DeltaScanBuilder(
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = tableSchema
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters
+    filters // all residual: skipping-only pushdown is sound by construction
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new DeltaStreamScan(tableSchema, required, pushed, options)
 }
 
 private[delta] class DeltaStreamScan(
-    schema: StructType, options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = schema
+    tableSchema: StructType, readSchemaPruned: StructType,
+    filters: Array[sources.Filter],
+    options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = readSchemaPruned
+  override def description(): String =
+    s"graft-delta ${DeltaStreamDataSource.tablePath(options)} " +
+      s"PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${readSchemaPruned.catalogString}"
+  override def toBatch: Batch = {
+    // batch CDF is DeltaTable.readChangeFeed(spark, table, from, to) —
+    // the DSv2 batch path reads the CURRENT snapshot and would silently
+    // NULL the meta columns if allowed through
+    require(!DeltaStreamDataSource.cdfMode(options),
+      "graft-delta: readChangeFeed is a STREAMING option here; for batch " +
+        "change feeds use DeltaTable.readChangeFeed(spark, table, from, to)")
+    new DeltaBatchScan(DeltaStreamDataSource.tablePath(options),
+      readSchemaPruned, filters)
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new DeltaMicroBatchStream(DeltaStreamDataSource.tablePath(options), schema,
+    new DeltaMicroBatchStream(DeltaStreamDataSource.tablePath(options),
+      readSchemaPruned,
       Option(options.get("startingVersion")).getOrElse("earliest"),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      DeltaStreamDataSource.cdfMode(options))
+      DeltaStreamDataSource.cdfMode(options),
+      tableSchema)
 }
 
 /** `{"version":N}` — the committed log version this cursor has fully
@@ -152,9 +196,17 @@ private[delta] case class DeltaOffset(version: Long) extends Offset {
 private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
                                            startingVersion: String = "earliest",
                                            maxFilesPerTrigger: Option[Int] = None,
-                                           cdf: Boolean = false)
+                                           cdf: Boolean = false,
+                                           tableSchemaOrNull: StructType = null)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  // the TABLE's full schema for the evolution guard — `schema` may be a
+  // COLUMN-PRUNED subset (DSv2 pruning applies to streams too), and a
+  // guard against the pruned set would flag every un-selected column as
+  // an evolution
+  private val tableSchema: StructType =
+    Option(tableSchemaOrNull).getOrElse(schema)
 
   private def spark = SparkSession.active
 
@@ -252,7 +304,7 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
       c.schemaJson.foreach { sj =>
         val cs = DataType.fromJson(sj).asInstanceOf[StructType]
         cs.fields.foreach { f =>
-          val compatible = schema.fields.find(_.name == f.name)
+          val compatible = tableSchema.fields.find(_.name == f.name)
             .exists(_.dataType.catalogString == f.dataType.catalogString)
           require(compatible,
             s"graft-delta: $table's schema evolved at version $v " +
@@ -323,6 +375,72 @@ private[delta] object DeltaMicroBatchStream {
     }.toMap
 }
 
+/** BATCH side of the DSv2 connector: one planning pass over the
+  * snapshot, files pruned by the PUSHED filters against add-action
+  * stats + partitionValues — the log is the index, no directory
+  * listing, no footer reads at plan time. Spark re-applies every
+  * filter row-level (all filters are residual), so pruning only
+  * shrinks IO. */
+private[delta] class DeltaBatchScan(table: String, schema: StructType,
+                                    filters: Array[sources.Filter]) extends Batch {
+  private def spark = SparkSession.active
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val head = DeltaLog.snapshot(spark, table)
+    require(!head.isEmpty, s"graft-delta: $table has no commits")
+    val logSchema = head.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(s"graft-delta: $table missing metaData"))
+    val pred = DeltaBatchScan.filtersToPredicate(filters)
+    head.files
+      .filter(f => DataSkipping.mayMatchWithPartitions(f, pred, logSchema))
+      .map(a => DeltaFilePartition(new Path(table, a.path).toString,
+        a.partitionValues): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val partCols = DeltaLog.snapshot(spark, table).partitionColumns.toArray
+    DeltaReaderFactory(schema, partCols,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      spark.sessionState.conf.sessionLocalTimeZone)
+  }
+}
+
+private[delta] object DeltaBatchScan {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions._
+
+  /** DSv2 `sources.Filter`s → the Catalyst shape [[DataSkipping]]
+    * evaluates. Unknown filter classes map to TRUE (never skip on
+    * them); the whole set conjoins. `Literal.create` converts external
+    * values (String/Date/…) to Catalyst internal form. */
+  def filtersToPredicate(filters: Array[sources.Filter]): Expression =
+    filters.map(convert).reduceOption(And.apply).getOrElse(Literal.TrueLiteral)
+
+  private def attr(name: String): Expression =
+    UnresolvedAttribute.quotedString(s"`$name`")
+
+  private def convert(f: sources.Filter): Expression = f match {
+    case sources.EqualTo(a, v) => EqualTo(attr(a), Literal(v))
+    case sources.EqualNullSafe(a, v) => EqualNullSafe(attr(a), Literal(v))
+    case sources.GreaterThan(a, v) => GreaterThan(attr(a), Literal(v))
+    case sources.GreaterThanOrEqual(a, v) =>
+      GreaterThanOrEqual(attr(a), Literal(v))
+    case sources.LessThan(a, v) => LessThan(attr(a), Literal(v))
+    case sources.LessThanOrEqual(a, v) =>
+      LessThanOrEqual(attr(a), Literal(v))
+    case sources.In(a, vs) => In(attr(a), vs.toSeq.map(Literal(_)))
+    case sources.IsNull(a) => IsNull(attr(a))
+    case sources.IsNotNull(a) => IsNotNull(attr(a))
+    case sources.StringStartsWith(a, p) => StartsWith(attr(a), Literal(p))
+    case sources.And(l, r) => And(convert(l), convert(r))
+    case sources.Or(l, r) => Or(convert(l), convert(r))
+    case sources.Not(c) => Not(convert(c))
+    case _ => Literal.TrueLiteral // unknown: conservative, no skipping
+  }
+}
+
 /** One planned file. In CDF mode (`commitVersion >= 0`) the reader
   * synthesizes `_commit_version`/`_commit_timestamp` as constants and
   * `_change_type` either as the given constant (derived insert/delete)
@@ -389,9 +507,37 @@ private[delta] class DeltaRowReader(
   import org.apache.parquet.hadoop.example.GroupReadSupport
   import org.apache.parquet.example.data.Group
 
+  // projection pushdown: request ONLY the schema's data fields from the
+  // parquet reader (column pruning reaches the IO layer, not just the
+  // row loop). The projection is built FROM the file's own schema —
+  // name-selected fields keep their exact physical types, and fields
+  // the file lacks (pre-evolution) simply aren't requested; the row
+  // loop NULL-fills them. Partition and CDF-meta columns never touch
+  // the file.
+  private val readerConf: Configuration = {
+    val c = new Configuration(hadoopConf)
+    try {
+      import scala.jdk.CollectionConverters._
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(file), hadoopConf))
+      val fileSchema = try footer.getFooter.getFileMetaData.getSchema
+        finally footer.close()
+      val wanted = schema.fields.map(_.name).toSet -- partCols -- metaConst.keySet
+      val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
+      // an all-pruned projection (count(*)) still iterates rows: keep
+      // the full schema rather than handing parquet an empty projection
+      if (kept.nonEmpty && kept.size < fileSchema.getFieldCount)
+        c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          new org.apache.parquet.schema.MessageType(
+            fileSchema.getName, kept.asJava).toString)
+    } catch { case _: Exception => () } // unreadable footer: full-row read
+    c
+  }
+
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(hadoopConf).build()
+      .withConf(readerConf).build()
   private var current: InternalRow = _
 
   // precomputed per-field plan: partition constant, or group-field name

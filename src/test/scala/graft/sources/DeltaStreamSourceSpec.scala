@@ -418,4 +418,5 @@ class DeltaStreamSourceSpec extends SparkSpec {
       (1, "fr", "delete", 2L), (3, "fr", "delete", 2L)),
       s"partition columns must restore through the cdc actions: $got")
   }
+
 }
