@@ -1,0 +1,335 @@
+package graft.sources.delta
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import DeltaLog._
+
+/** STREAMING SINK half of the graft-delta connector
+  * (`df.writeStream.format("graft-delta").option("path", t).start()`) —
+  * the surface the reference's pipeline actually uses
+  * (`SaveDelta.scala:157-163` is `writeStream.format("delta")`), until
+  * now only reachable here through `foreachBatch` + `appendWithTxn`.
+  *
+  * Architecture is the Delta writer protocol, executed on DSv2's
+  * streaming-write seam: each TASK writes its rows as parquet files
+  * directly under the table root (fresh UUID names — invisible to every
+  * reader until a commit references them; a crashed epoch leaves
+  * orphans that [[DeltaTable.vacuumOrphans]] reclaims), rows routed to
+  * Hive partition dirs when the table is partitioned; the DRIVER then
+  * turns the tasks' commit messages into add actions (footer stats
+  * attached — data skipping works on streamed files like any others)
+  * and performs ONE atomic log commit per epoch carrying a `txn`
+  * action, so a replayed epoch after restart is SKIPPED — the same
+  * exactly-once contract `appendWithTxn` gives foreachBatch, without
+  * the user writing any of it.
+  *
+  * Append output mode only (the log is an append-only stream of
+  * commits; complete/update modes would need overwrite-per-epoch —
+  * that is `foreachBatch` + `DeltaTable.write(Overwrite)` territory).
+  * Supported column types: the scalar lattice the stream READER
+  * handles minus nested (boolean/byte/short/int/long/float/double/
+  * string/binary/date/timestamp/timestamp_ntz/decimal); an unsupported
+  * type refuses at plan time. */
+private[delta] class DeltaStreamingWrite(
+    table: String, writeSchema: StructType, appId: String,
+    partitionByOption: Seq[String]) extends StreamingWrite {
+
+  private def spark = SparkSession.active
+
+  // the table's partitioning binds at START: existing tables impose
+  // theirs (a conflicting partitionBy option refuses), a table created
+  // by this stream's first epoch uses the option
+  private val partCols: Seq[String] = {
+    val head = DeltaLog.snapshot(spark, table)
+    if (head.isEmpty) partitionByOption
+    else {
+      require(partitionByOption.isEmpty || partitionByOption == head.partitionColumns,
+        s"graft-delta sink: table is partitioned by ${head.partitionColumns}, " +
+          s"not $partitionByOption")
+      head.partitionColumns
+    }
+  }
+  partCols.foreach(c => require(writeSchema.fieldNames.contains(c),
+    s"graft-delta sink: partition column `$c` missing from the stream schema"))
+  writeSchema.fields.foreach { f =>
+    require(DeltaGroupWriter.supported(f.dataType),
+      s"graft-delta sink: unsupported column type ${f.dataType.catalogString} " +
+        s"for ${f.name}")
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    DeltaSinkWriterFactory(table, writeSchema, partCols.toArray,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      spark.sessionState.conf.sessionLocalTimeZone)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = messages.collect { case m: DeltaSinkCommitMessage => m }
+      .flatMap(_.files)
+    def dropStaged(): Unit =
+      staged.foreach(f => fs.delete(new Path(tbl, f.relPath), false))
+    val now = System.currentTimeMillis()
+    val adds = staged.map { f =>
+      addAction(f.relPath, f.size, now,
+        DeltaTable.statsOf(new Path(tbl, f.relPath), conf), f.partitionValues)
+    }.toSeq
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50,
+        s"graft-delta sink: gave up after $attempts commit conflicts")
+      val head = DeltaLog.snapshot(spark, table)
+      // exactly-once: a restarted query replays its last epoch — the
+      // recorded txn high-water mark rejects it and the staged files drop
+      if (head.txns.get(appId).exists(_ >= epochId)) { dropStaged(); return }
+      require(head.isEmpty || head.partitionColumns == partCols,
+        s"graft-delta sink: concurrent writer changed partitioning to " +
+          s"${head.partitionColumns}")
+      val sameSchema = head.schemaJson.forall(existing =>
+        DataType.fromJson(existing).asInstanceOf[StructType].catalogString ==
+          writeSchema.catalogString)
+      if (!head.isEmpty) require(sameSchema,
+        s"graft-delta sink: stream schema ${writeSchema.catalogString} does " +
+          "not match the table schema — appends enforce schema")
+      val meta =
+        if (head.isEmpty) Seq(protocolAction,
+          metaDataAction(writeSchema.json, partCols))
+        else Seq.empty
+      done = DeltaLog.commit(spark, table, head.version + 1,
+        commitInfoAction("STREAMING UPDATE", now) +:
+          (meta ++ Seq(txnAction(appId, epochId)) ++ adds))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: DeltaSinkCommitMessage => m }
+      .flatMap(_.files)
+      .foreach(f => fs.delete(new Path(tbl, f.relPath), false))
+  }
+}
+
+private[delta] case class StagedSinkFile(
+    relPath: String, size: Long, partitionValues: Map[String, String])
+
+private[delta] case class DeltaSinkCommitMessage(files: Seq[StagedSinkFile])
+    extends WriterCommitMessage
+
+private[delta] case class DeltaSinkWriterFactory(
+    table: String, schema: StructType, partCols: Array[String],
+    conf: SerializableHadoopConf, sessionTimeZone: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DeltaSinkDataWriter(table, schema, partCols, conf.value,
+      java.time.ZoneId.of(sessionTimeZone))
+}
+
+/** Task-side writer: routes each row to its Hive partition dir (one
+  * open parquet writer per partition value seen by this task) and
+  * reports the written files; nothing becomes visible until the
+  * driver's log commit. */
+private[delta] class DeltaSinkDataWriter(
+    table: String, schema: StructType, partCols: Array[String],
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    zone: java.time.ZoneId) extends DataWriter[InternalRow] {
+
+  private val dataFields: Array[(StructField, Int)] =
+    schema.fields.zipWithIndex.filterNot { case (f, _) => partCols.contains(f.name) }
+  private val partFields: Array[(StructField, Int)] =
+    partCols.map(c => (schema(c), schema.fieldIndex(c)))
+  private val groupWriter =
+    new DeltaGroupWriter(StructType(dataFields.map(_._1)))
+
+  private val open = mutable.Map.empty[String, DeltaGroupWriter.OpenFile]
+
+  private def partitionRel(row: InternalRow): String =
+    partFields.map { case (f, i) =>
+      val rendered =
+        if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+        else DeltaGroupWriter.escapePathName(
+          DeltaGroupWriter.renderPartitionValue(row.get(i, f.dataType), f.dataType, zone))
+      s"${f.name}=$rendered"
+    }.mkString("/")
+
+  override def write(row: InternalRow): Unit = {
+    val rel = partitionRel(row)
+    val of = open.getOrElseUpdate(rel, {
+      val name = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
+      val relPath = if (rel.isEmpty) name else s"$rel/$name"
+      groupWriter.open(new Path(table, relPath), relPath, hadoopConf)
+    })
+    of.writer.write(groupWriter.toGroup(row, dataFields))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = open.values.map { of =>
+      of.writer.close()
+      val st = of.path.getFileSystem(hadoopConf).getFileStatus(of.path)
+      StagedSinkFile(of.relPath, st.getLen,
+        DeltaMicroBatchStream.partValuesFromPath(of.relPath))
+    }.toSeq
+    open.clear()
+    DeltaSinkCommitMessage(files)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { of =>
+      try of.writer.close() catch { case _: Exception => () }
+      of.path.getFileSystem(hadoopConf).delete(of.path, false)
+    }
+    open.clear()
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Catalyst row → parquet Group conversion for the scalar lattice, and
+  * the schema translation that drives it. Types mirror what Spark's own
+  * parquet writer emits (INT64-micros timestamps, annotated decimals),
+  * so files written here read identically through the batch path. */
+private[delta] class DeltaGroupWriter(dataSchema: StructType) extends Serializable {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.io.api.Binary
+
+  @transient private lazy val messageType = DeltaGroupWriter.messageType(dataSchema)
+  @transient private lazy val factory = new SimpleGroupFactory(messageType)
+
+  def open(path: Path, relPath: String,
+           conf: org.apache.hadoop.conf.Configuration): DeltaGroupWriter.OpenFile = {
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    val w = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
+      .withConf(conf)
+      .withType(messageType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    DeltaGroupWriter.OpenFile(w, path, relPath)
+  }
+
+  def toGroup(row: InternalRow, fields: Array[(StructField, Int)]): Group = {
+    val g = factory.newGroup()
+    fields.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case ByteType => g.add(f.name, row.getByte(i).toInt)
+        case ShortType => g.add(f.name, row.getShort(i).toInt)
+        case IntegerType | DateType => g.add(f.name, row.getInt(i))
+        case LongType | TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case StringType =>
+          g.add(f.name, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType =>
+          g.add(f.name, Binary.fromConstantByteArray(row.getBinary(i)))
+        case d: DecimalType if d.precision <= 18 =>
+          g.add(f.name, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case d: DecimalType =>
+          g.add(f.name, Binary.fromConstantByteArray(
+            row.getDecimal(i, d.precision, d.scale)
+              .toJavaBigDecimal.unscaledValue().toByteArray))
+        case other =>
+          throw new IllegalStateException(s"graft-delta sink: $other")
+      }
+    }
+    g
+  }
+}
+
+private[delta] object DeltaGroupWriter {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  final case class OpenFile(
+      writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group],
+      path: Path, relPath: String)
+
+  def supported(t: DataType): Boolean = t match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach(f => b.addField(fieldType(f)))
+    b.named("spark_schema")
+  }
+
+  private def fieldType(f: StructField): Type = {
+    import LogicalTypeAnnotation._
+    val t = f.dataType match {
+      case BooleanType => Types.optional(BOOLEAN)
+      case ByteType => Types.optional(INT32).as(intType(8, true))
+      case ShortType => Types.optional(INT32).as(intType(16, true))
+      case IntegerType => Types.optional(INT32)
+      case LongType => Types.optional(INT64)
+      case FloatType => Types.optional(FLOAT)
+      case DoubleType => Types.optional(DOUBLE)
+      case StringType => Types.optional(BINARY).as(stringType())
+      case BinaryType => Types.optional(BINARY)
+      case DateType => Types.optional(INT32).as(dateType())
+      case TimestampType =>
+        Types.optional(INT64).as(timestampType(true, TimeUnit.MICROS))
+      case TimestampNTZType =>
+        Types.optional(INT64).as(timestampType(false, TimeUnit.MICROS))
+      case d: DecimalType if d.precision <= 18 =>
+        Types.optional(INT64).as(decimalType(d.scale, d.precision))
+      case d: DecimalType =>
+        Types.optional(BINARY).as(decimalType(d.scale, d.precision))
+      case other =>
+        throw new IllegalArgumentException(s"graft-delta sink: $other")
+    }
+    t.named(f.name)
+  }
+
+  /** Internal value → Hive partition-dir string, the inverse of
+    * [[DeltaRowReader.parsePartition]]. */
+  def renderPartitionValue(v: Any, t: DataType, zone: java.time.ZoneId): String =
+    t match {
+      case StringType => v.toString
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           FloatType | DoubleType => v.toString
+      case DateType => java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong).toString
+      case TimestampType | TimestampNTZType =>
+        val micros = v.asInstanceOf[Long]
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        java.time.LocalDateTime.ofInstant(inst, zone).toString.replace('T', ' ')
+      case d: DecimalType =>
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal.toPlainString
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft-delta sink: partition column type $other")
+    }
+
+  /** Hive path escaping (the char set Spark/Hive escape), inverse of
+    * [[DeltaRowReader.unescapePathName]]. */
+  def escapePathName(s: String): String = {
+    def unsafe(c: Char): Boolean =
+      c < ' ' || c == '\u007F' || "\"#%'*/:=?\\{[]^".indexOf(c.toInt) >= 0
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      if (unsafe(c)) sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+}

@@ -94,9 +94,13 @@ private[delta] object DeltaStreamDataSource {
     .add("_commit_version", LongType)
     .add("_commit_timestamp", TimestampType)
 
+  /** The table's log schema — EMPTY when the table has no commits yet:
+    * the write path must be able to get a Table for a not-yet-created
+    * sink target (its first epoch creates the log); the READ paths
+    * refuse an empty schema loudly at scan-build time. */
   def logSchema(table: String): StructType = {
     val snap = DeltaLog.snapshot(SparkSession.active, table)
-    require(!snap.isEmpty, s"graft-delta: $table has no commits")
+    if (snap.isEmpty) return new StructType()
     val schema = snap.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(s"graft-delta: $table missing metaData"))
@@ -114,14 +118,42 @@ private[delta] object DeltaStreamDataSource {
 
 private[delta] class DeltaStreamTable(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = "graft-delta:" + options.get("path")
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: the SINK validates schema itself against the LOG
+  // (per-epoch, under the commit loop) — Spark's static check would
+  // compare against this Table's possibly-empty bootstrap schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ)
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    require(tableSchema.fields.nonEmpty,
+      s"graft-delta: ${DeltaStreamDataSource.tablePath(options)} has no commits")
     new DeltaScanBuilder(tableSchema, options)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            val opts = info.options()
+            // txn appId: the QUERY id by default — stable across restarts
+            // via the checkpoint, the upstream delta sink's choice
+            val appId = Option(opts.get("txnAppId")).getOrElse(info.queryId())
+            val partBy = Option(opts.get("partitionBy"))
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(Seq.empty)
+            new DeltaStreamingWrite(DeltaStreamDataSource.tablePath(options),
+              info.schema(), appId, partBy)
+          }
+        }
+    }
 }
 
 /** DSv2 scan builder: Spark pushes its column requirements and data

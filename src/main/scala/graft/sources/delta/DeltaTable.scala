@@ -212,6 +212,12 @@ object DeltaTable {
     * truncate-and-increment upper-bound dance delta-spark does. */
   private val MaxStatsStringLen = 64
 
+  /** [[footerStats]] for package collaborators (the streaming sink
+    * attaches stats to its per-epoch add actions). */
+  private[delta] def statsOf(file: Path,
+                             conf: org.apache.hadoop.conf.Configuration): Option[FileStats] =
+    footerStats(file, conf)
+
   /** Per-file min/max/count from the parquet footer — metadata IO, no
     * data scan. INT32/INT64 columns record long bounds (covers int,
     * long, date, timestamp micros, and small decimals' unscaled longs);
