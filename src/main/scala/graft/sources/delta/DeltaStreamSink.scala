@@ -121,6 +121,97 @@ private[delta] class DeltaStreamingWrite(
   }
 }
 
+/** BATCH WRITE on the same task-side writer machinery
+  * (`df.write.format("graft-delta").mode("append"|"overwrite").save(t)`):
+  * append is one atomic add commit; overwrite (DSv2 truncate) is the
+  * protocol's REPLACE — remove(every live file) + add(new files) in ONE
+  * commit, exactly [[DeltaTable.write]]'s semantics arriving through
+  * the connector. Schema: append enforces the log's, overwrite may
+  * change it (metaData re-emitted with the table's stable id). */
+private[delta] class DeltaBatchWrite(
+    table: String, writeSchema: StructType, partitionByOption: Seq[String],
+    truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private def spark = SparkSession.active
+
+  private val partCols: Seq[String] = {
+    val head = DeltaLog.snapshot(spark, table)
+    if (head.isEmpty) partitionByOption
+    else {
+      require(partitionByOption.isEmpty || partitionByOption == head.partitionColumns,
+        s"graft-delta sink: table is partitioned by ${head.partitionColumns}, " +
+          s"not $partitionByOption")
+      head.partitionColumns
+    }
+  }
+  partCols.foreach(c => require(writeSchema.fieldNames.contains(c),
+    s"graft-delta sink: partition column `$c` missing from the write schema"))
+  writeSchema.fields.foreach { f =>
+    require(DeltaGroupWriter.supported(f.dataType),
+      s"graft-delta sink: unsupported column type ${f.dataType.catalogString} " +
+        s"for ${f.name}")
+  }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    DeltaSinkWriterFactory(table, writeSchema, partCols.toArray,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      spark.sessionState.conf.sessionLocalTimeZone)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = messages.collect { case m: DeltaSinkCommitMessage => m }
+      .flatMap(_.files)
+    val now = System.currentTimeMillis()
+    val adds = staged.map { f =>
+      addAction(f.relPath, f.size, now,
+        DeltaTable.statsOf(new Path(tbl, f.relPath), conf), f.partitionValues)
+    }.toSeq
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50,
+        s"graft-delta sink: gave up after $attempts commit conflicts")
+      val head = DeltaLog.snapshot(spark, table)
+      require(head.isEmpty || head.partitionColumns == partCols,
+        s"graft-delta sink: concurrent writer changed partitioning to " +
+          s"${head.partitionColumns}")
+      val sameSchema = head.schemaJson.forall(existing =>
+        DataType.fromJson(existing).asInstanceOf[StructType].catalogString ==
+          writeSchema.catalogString)
+      if (!head.isEmpty && !truncate) require(sameSchema,
+        s"graft-delta sink: write schema ${writeSchema.catalogString} does " +
+          "not match the table schema — append enforces schema (overwrite " +
+          "may change it)")
+      val meta =
+        if (head.isEmpty) Seq(protocolAction,
+          metaDataAction(writeSchema.json, partCols))
+        else if (truncate && !sameSchema)
+          Seq(metaDataAction(writeSchema.json, partCols, head.metaDataId,
+            head.configuration))
+        else Seq.empty
+      val removes =
+        if (truncate) head.files.map(f => removeAction(f.path, now))
+        else Seq.empty
+      done = DeltaLog.commit(spark, table, head.version + 1,
+        commitInfoAction(if (truncate) "WRITE OVERWRITE" else "WRITE APPEND",
+          now) +: (meta ++ removes ++ adds))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: DeltaSinkCommitMessage => m }
+      .flatMap(_.files)
+      .foreach(f => fs.delete(new Path(tbl, f.relPath), false))
+  }
+}
+
 private[delta] case class StagedSinkFile(
     relPath: String, size: Long, partitionValues: Map[String, String])
 
@@ -130,11 +221,14 @@ private[delta] case class DeltaSinkCommitMessage(files: Seq[StagedSinkFile])
 private[delta] case class DeltaSinkWriterFactory(
     table: String, schema: StructType, partCols: Array[String],
     conf: SerializableHadoopConf, sessionTimeZone: String)
-    extends StreamingDataWriterFactory {
+    extends StreamingDataWriterFactory with DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new DeltaSinkDataWriter(table, schema, partCols, conf.value,
       java.time.ZoneId.of(sessionTimeZone))
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId, 0L)
 }
 
 /** Task-side writer: routes each row to its Hive partition dir (one

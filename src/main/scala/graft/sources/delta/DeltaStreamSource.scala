@@ -128,6 +128,7 @@ private[delta] class DeltaStreamTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema.fields.nonEmpty,
@@ -137,18 +138,30 @@ private[delta] class DeltaStreamTable(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        doTruncate = true; this
+      }
+      private def partBy: Seq[String] =
+        Option(info.options().get("partitionBy"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+            : org.apache.spark.sql.connector.write.BatchWrite =
+            new DeltaBatchWrite(DeltaStreamDataSource.tablePath(options),
+              info.schema(), partBy, doTruncate)
           override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-            val opts = info.options()
+            require(!doTruncate, "graft-delta sink: streaming supports " +
+              "append output mode only")
             // txn appId: the QUERY id by default — stable across restarts
             // via the checkpoint, the upstream delta sink's choice
-            val appId = Option(opts.get("txnAppId")).getOrElse(info.queryId())
-            val partBy = Option(opts.get("partitionBy"))
-              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-              .getOrElse(Seq.empty)
+            val appId = Option(info.options().get("txnAppId"))
+              .getOrElse(info.queryId())
             new DeltaStreamingWrite(DeltaStreamDataSource.tablePath(options),
               info.schema(), appId, partBy)
           }

@@ -138,6 +138,40 @@ class DeltaStreamSinkSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("DSv2 BATCH write: append and overwrite through df.write.format(graft-delta)") {
+    val r = root(); val t = s"$r/t"
+    // append creates the table (with partitionBy option)
+    Seq((1, "fr"), (2, "de")).toDF("id", "lang")
+      .write.format("graft-delta").option("partitionBy", "lang")
+      .mode(SaveMode.Append).save(t)
+    def rows() = DeltaTable.read(spark, t).collect()
+      .map(x => (x.getInt(0), x.getString(1))).toSet
+    assert(rows() === Set((1, "fr"), (2, "de")))
+    assert(DeltaLog.snapshot(spark, t).partitionColumns === Seq("lang"))
+    // second append adopts partitioning, enforces schema
+    Seq((3, "fr")).toDF("id", "lang")
+      .write.format("graft-delta").mode(SaveMode.Append).save(t)
+    assert(rows() === Set((1, "fr"), (2, "de"), (3, "fr")))
+    val e = intercept[Exception] {
+      Seq(7).toDF("id").write.format("graft-delta")
+        .mode(SaveMode.Append).save(t)
+    }
+    def chain(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + chain(x.getCause)
+    // refused either as a partition-column or a schema mismatch — both
+    // guard the same invariant, whichever fires first
+    assert(chain(e).contains("does not match") || chain(e).contains("missing"),
+      chain(e))
+    // overwrite = one atomic remove+add REPLACE commit; time travel holds
+    Seq((9, "es")).toDF("id", "lang")
+      .write.format("graft-delta").mode(SaveMode.Overwrite).save(t)
+    assert(rows() === Set((9, "es")))
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(1L)).count() === 3L)
+    // streamed-style files carry stats; readable through every path
+    assert(DeltaLog.snapshot(spark, t).files.forall(_.stats.isDefined))
+    assert(spark.read.format("graft-delta").load(t).count() === 1L)
+  }
+
   test("sink round-trips the typed CDC shape: timestamp, date, decimal, binary") {
     val r = root(); val t = s"$r/t"
     implicit val sq = spark.sqlContext
