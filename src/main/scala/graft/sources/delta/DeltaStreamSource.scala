@@ -119,17 +119,40 @@ private[delta] object DeltaStreamDataSource {
 private[delta] class DeltaStreamTable(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = "graft-delta:" + options.get("path")
+
+  /** `DELETE FROM` in SQL (and `TRUNCATE TABLE` via the inherited
+    * default) routes into the log-native row-level DELETE —
+    * stats+partition candidate pruning, per-file match probe,
+    * metadata-only partition drops, CDF capture, the lot. Only filters
+    * with an EXACT Catalyst translation are accepted: an over-matching
+    * fallback would delete rows the SQL didn't name. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => DeltaBatchScan.convertExact(f).isDefined)
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graft-delta: cannot translate ${filters.mkString(", ")} exactly")
+    DeltaTable.delete(SparkSession.active,
+      DeltaStreamDataSource.tablePath(options),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        DeltaBatchScan.filtersToPredicate(filters)))
+  }
   override def schema(): StructType = tableSchema
-  // ACCEPT_ANY_SCHEMA: the SINK validates schema itself against the LOG
-  // (per-epoch, under the commit loop) — Spark's static check would
-  // compare against this Table's possibly-empty bootstrap schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+  // ACCEPT_ANY_SCHEMA only while the table DOESN'T EXIST yet (empty
+  // bootstrap schema): the first write creates it and the sink derives
+  // the log schema from the data. An EXISTING table must NOT advertise
+  // it — Spark's output resolution is what renames/casts `INSERT INTO
+  // ... VALUES` columns (col1, col2, …) onto the table's schema; the
+  // sink's own log-schema check remains as the commit-time backstop.
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    if (tableSchema.fields.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema.fields.nonEmpty,
       s"graft-delta: ${DeltaStreamDataSource.tablePath(options)} has no commits")
@@ -458,31 +481,43 @@ private[delta] object DeltaBatchScan {
 
   /** DSv2 `sources.Filter`s → the Catalyst shape [[DataSkipping]]
     * evaluates. Unknown filter classes map to TRUE (never skip on
-    * them); the whole set conjoins. `Literal.create` converts external
-    * values (String/Date/…) to Catalyst internal form. */
+    * them) — sound for SKIPPING only; row-deciding callers
+    * ([[GraftCatalog]]'s deleteWhere) must use [[convertExact]]. The
+    * whole set conjoins. `Literal(v)` converts external values
+    * (String/Date/…) to Catalyst internal form. */
   def filtersToPredicate(filters: Array[sources.Filter]): Expression =
-    filters.map(convert).reduceOption(And.apply).getOrElse(Literal.TrueLiteral)
+    filters.map(f => convertExact(f).getOrElse(Literal.TrueLiteral))
+      .reduceOption(And.apply).getOrElse(Literal.TrueLiteral)
 
   private def attr(name: String): Expression =
     UnresolvedAttribute.quotedString(s"`$name`")
 
-  private def convert(f: sources.Filter): Expression = f match {
-    case sources.EqualTo(a, v) => EqualTo(attr(a), Literal(v))
-    case sources.EqualNullSafe(a, v) => EqualNullSafe(attr(a), Literal(v))
-    case sources.GreaterThan(a, v) => GreaterThan(attr(a), Literal(v))
+  /** Exact translation — None when the filter class has no Catalyst
+    * counterpart here, so callers that DECIDE rows on the result can
+    * refuse instead of silently over-matching. */
+  def convertExact(f: sources.Filter): Option[Expression] = f match {
+    case sources.EqualTo(a, v) => Some(EqualTo(attr(a), Literal(v)))
+    case sources.EqualNullSafe(a, v) => Some(EqualNullSafe(attr(a), Literal(v)))
+    case sources.GreaterThan(a, v) => Some(GreaterThan(attr(a), Literal(v)))
     case sources.GreaterThanOrEqual(a, v) =>
-      GreaterThanOrEqual(attr(a), Literal(v))
-    case sources.LessThan(a, v) => LessThan(attr(a), Literal(v))
+      Some(GreaterThanOrEqual(attr(a), Literal(v)))
+    case sources.LessThan(a, v) => Some(LessThan(attr(a), Literal(v)))
     case sources.LessThanOrEqual(a, v) =>
-      LessThanOrEqual(attr(a), Literal(v))
-    case sources.In(a, vs) => In(attr(a), vs.toSeq.map(Literal(_)))
-    case sources.IsNull(a) => IsNull(attr(a))
-    case sources.IsNotNull(a) => IsNotNull(attr(a))
-    case sources.StringStartsWith(a, p) => StartsWith(attr(a), Literal(p))
-    case sources.And(l, r) => And(convert(l), convert(r))
-    case sources.Or(l, r) => Or(convert(l), convert(r))
-    case sources.Not(c) => Not(convert(c))
-    case _ => Literal.TrueLiteral // unknown: conservative, no skipping
+      Some(LessThanOrEqual(attr(a), Literal(v)))
+    case sources.In(a, vs) => Some(In(attr(a), vs.toSeq.map(Literal(_))))
+    case sources.IsNull(a) => Some(IsNull(attr(a)))
+    case sources.IsNotNull(a) => Some(IsNotNull(attr(a)))
+    case sources.StringStartsWith(a, p) => Some(StartsWith(attr(a), Literal(p)))
+    case sources.StringEndsWith(a, p) => Some(EndsWith(attr(a), Literal(p)))
+    case sources.StringContains(a, p) => Some(Contains(attr(a), Literal(p)))
+    case sources.AlwaysTrue() => Some(Literal.TrueLiteral)
+    case sources.AlwaysFalse() => Some(Literal.FalseLiteral)
+    case sources.And(l, r) =>
+      for { cl <- convertExact(l); cr <- convertExact(r) } yield And(cl, cr)
+    case sources.Or(l, r) =>
+      for { cl <- convertExact(l); cr <- convertExact(r) } yield Or(cl, cr)
+    case sources.Not(c) => convertExact(c).map(Not.apply)
+    case _ => None
   }
 }
 

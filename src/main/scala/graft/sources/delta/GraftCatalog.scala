@@ -1,0 +1,192 @@
+package graft.sources.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 `TableCatalog` over graft-delta tables, so the WHOLE engine
+  * surface is reachable from pure SQL:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.delta.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  *   CREATE TABLE graft.db.events (id BIGINT, lang STRING) PARTITIONED BY (lang)
+  *   INSERT INTO graft.db.events VALUES ...
+  *   SELECT * FROM graft.db.events WHERE lang = 'fr'   -- log-pruned scan
+  *   DELETE FROM graft.db.events WHERE lang = 'fr'     -- metadata-only drop
+  *   INSERT OVERWRITE graft.db.events ...              -- one REPLACE commit
+  *   DROP TABLE graft.db.events
+  * }}}
+  *
+  * Identifiers map to warehouse paths (`graft.a.b.t` →
+  * `<warehouse>/a/b/t`); a table IS a directory with a `_delta_log` —
+  * the same "location is identity" model path-based delta tables use,
+  * here given names. The catalog holds NO state of its own: every
+  * operation reads or commits the table's log, so external writers and
+  * SQL users see one consistent table. This is the Trino
+  * `register_table` hop of the reference (`README.md:114-122`)
+  * replaced by a native Spark catalog. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): Path =
+    new Path((warehouse +: (ident.namespace() :+ ident.name())).mkString("/"))
+
+  private def isTable(p: Path): Boolean =
+    fs(p).exists(new Path(p, "_delta_log"))
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace.toSeq)
+    f.listStatus(dir).filter(_.isDirectory)
+      .filter(s => isTable(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", p.toString))
+    new DeltaStreamTable(DeltaStreamDataSource.logSchema(p.toString), opts)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val p = tablePath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only identity partitioning is supported, got $other")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft catalog: partition column `$c` missing from the schema"))
+    import scala.jdk.CollectionConverters._
+    val config = properties.asScala.toMap -
+      TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
+      TableCatalog.PROP_OWNER - TableCatalog.PROP_COMMENT
+    // the creation IS a log commit: version 0 with protocol+metaData and
+    // no files — every engine that can read the log sees the new table
+    require(DeltaLog.commit(spark, p.toString, 0L, Seq(
+      DeltaLog.commitInfoAction("CREATE TABLE"),
+      DeltaLog.protocolAction,
+      DeltaLog.metaDataAction(schema.json, partCols, configuration = config))),
+      s"graft catalog: concurrent creation of $ident")
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    // scoped honestly: table-property changes commit a metaData
+    // re-emission ([[DeltaTable.setProperties]]); schema surgery through
+    // SQL is not supported (mergeSchema/overwrite are the write paths)
+    val props = changes.collect {
+      case s: TableChange.SetProperty => s.property() -> s.value()
+    }
+    require(props.size == changes.size, "graft catalog: ALTER TABLE supports " +
+      "SET TBLPROPERTIES only; schema changes go through the write paths " +
+      "(mergeSchema append / overwrite)")
+    DeltaTable.setProperties(spark, tablePath(ident).toString, props.toMap)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTable(p)) return false
+    fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (src, dst) = (tablePath(oldIdent), tablePath(newIdent))
+    if (!isTable(src))
+      throw new NoSuchTableException(oldIdent.namespace().toSeq :+ oldIdent.name())
+    if (isTable(dst)) throw new TableAlreadyExistsException(newIdent.namespace().toSeq :+ newIdent.name())
+    fs(src).mkdirs(dst.getParent)
+    require(fs(src).rename(src, dst),
+      s"graft catalog: rename $oldIdent -> $newIdent failed")
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) return Array.empty
+    f.listStatus(root).filter(_.isDirectory)
+      .filterNot(s => isTable(s.getPath))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace.toSeq)
+    f.listStatus(dir).filter(_.isDirectory)
+      .filterNot(s => isTable(s.getPath))
+      .map(s => namespace :+ s.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+      fs(dir).exists(dir) && !isTable(dir)
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    fs(dir).mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) return false
+    if (!cascade && f.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
+    f.delete(dir, true)
+  }
+}
