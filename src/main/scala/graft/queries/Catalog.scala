@@ -815,12 +815,65 @@ object Catalog {
     }
   }
 
+  /** Pure-SQL catalog lifecycle (q91): the engine driven ENTIRELY
+    * through `spark.sql` over the [[graft.sources.delta.GraftCatalog]]
+    * DSv2 catalog — CREATE TABLE … PARTITIONED BY, INSERT INTO …
+    * SELECT from `documents`, a translatable DELETE FROM (partition
+    * predicate OR stats predicate, routed through SupportsDelete into
+    * the row-level DML), and the final aggregate SELECT — no DataFrame
+    * API anywhere in the query body. The oracle applies the inverse
+    * predicate relationally, so the gate proves the whole SQL surface
+    * (catalog resolution, v0 creation commit, batch write, log-pruned
+    * scan, DML delete) computes exactly what the SQL says. Catalog
+    * name is warehouse-unique: Spark caches catalog instances by name
+    * for the session's lifetime, and a reused name would pin the first
+    * run's scratch dir. */
+  val q91SqlCatalog: Q = Q(
+    "q91_sql_catalog",
+    Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE NOT (lang = 'fr' OR doc_id < 100)
+      GROUP BY lang""")) { (spark, dir) =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q91")
+    val cat = s"g91_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.delta.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+      spark.sql(s"CREATE NAMESPACE $cat.corpus")
+      spark.sql(s"""CREATE TABLE $cat.corpus.docs
+                    (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                    PARTITIONED BY (lang)""")
+      spark.sql(s"""INSERT INTO $cat.corpus.docs
+                    SELECT doc_id, lang, n_chars FROM docs_src_$cat""")
+      spark.sql(s"DELETE FROM $cat.corpus.docs WHERE lang = 'fr' OR doc_id < 100")
+      val agg = spark.sql(s"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars
+        FROM $cat.corpus.docs
+        GROUP BY lang""")
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
         q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping,
-        q89PartitionedMerge, q90ChangeFeed) ++
+        q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
