@@ -14,6 +14,10 @@ import graft.functions.{MinHashSignature, RollingHash}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(graft.plans.MaskPiiRule)
+    // SQL UPDATE over graft-delta tables → the engine's row-level DML
+    // (Spark's own v2 UPDATE needs SupportsRowLevelOperations; see
+    // [[graft.sources.delta.SqlUpdateRule]])
+    ext.injectPostHocResolutionRule(graft.sources.delta.SqlUpdateRule.apply)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

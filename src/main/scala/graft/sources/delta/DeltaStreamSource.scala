@@ -123,6 +123,10 @@ private[delta] class DeltaStreamTable(
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = "graft-delta:" + options.get("path")
 
+  /** Filesystem path of this table — [[SqlUpdateRule]] routes SQL
+    * UPDATE through it. */
+  private[delta] def path: String = DeltaStreamDataSource.tablePath(options)
+
   /** `DELETE FROM` in SQL (and `TRUNCATE TABLE` via the inherited
     * default) routes into the log-native row-level DELETE —
     * stats+partition candidate pruning, per-file match probe,

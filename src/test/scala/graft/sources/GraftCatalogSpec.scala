@@ -83,6 +83,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(feed.toSeq === Seq((1L, "delete")))
   }
 
+  test("SQL UPDATE routes through the engine's row-level DML (extension rule)") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db4")
+    spark.sql("CREATE TABLE graft.db4.t (id BIGINT, s STRING, n BIGINT)")
+    spark.sql("INSERT INTO graft.db4.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    // assignments may reference table columns; WHERE prunes candidates
+    spark.sql("UPDATE graft.db4.t SET s = concat(s, '!'), n = n + 1 WHERE id >= 2")
+    val got = spark.sql("SELECT id, s, n FROM graft.db4.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "a", 10L), (2L, "b!", 21L), (3L, "c!", 31L)))
+    val t = s"$warehouse/db4/t"
+    assert(DeltaLog.readCommit(spark, t, DeltaLog.snapshot(spark, t).version)
+      .operation.contains("UPDATE"))
+    // unconditional UPDATE (no WHERE) touches every row
+    spark.sql("UPDATE graft.db4.t SET n = 0")
+    assert(spark.sql("SELECT SUM(n) FROM graft.db4.t").head().getLong(0) === 0L)
+  }
+
   test("TRUNCATE TABLE empties via deleteWhere; table and schema survive") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
