@@ -2,8 +2,8 @@ package graft.sources.delta
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -43,6 +43,38 @@ case class SqlUpdateRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .getOrElse(org.apache.spark.sql.functions.lit(true))
           GraftUpdateCommand(t.path, set, cond)
       }
+
+    // SQL MERGE, scoped to the CANONICAL upsert the engine's merge
+    // implements: ON t.k = s.k, WHEN MATCHED THEN UPDATE SET * /
+    // WHEN NOT MATCHED THEN INSERT * (the resolution-expanded forms),
+    // no other clauses. Anything else is left for Spark, which refuses
+    // it — a silently approximated MERGE would be worse than none.
+    case m @ MergeIntoTable(target, source, cond,
+        Seq(UpdateAction(None, updAssigns, _)),
+        Seq(InsertAction(None, insAssigns)),
+        Seq(), false) if m.resolved =>
+      target.collectFirst {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[DeltaStreamTable] =>
+          (r.table.asInstanceOf[DeltaStreamTable], r)
+      } match {
+        case None => m
+        case Some((t, rel)) =>
+          val targetCols = rel.output.map(_.name)
+          val sourceAttrs = source.output
+          def isStar(assigns: Seq[Assignment]): Boolean =
+            assigns.size == targetCols.size && assigns.forall {
+              case Assignment(k: AttributeReference, v: AttributeReference) =>
+                k.name == v.name && sourceAttrs.exists(_.exprId == v.exprId)
+              case _ => false
+            }
+          val key = cond match {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if a.name == b.name => Some(a.name)
+            case _ => None
+          }
+          if (key.isEmpty || !isStar(updAssigns) || !isStar(insAssigns)) m
+          else GraftMergeCommand(t.path, source, targetCols, key.get)
+      }
   }
 
   /** The analyzed expressions carry THIS plan's attribute ids;
@@ -58,6 +90,22 @@ case class GraftUpdateCommand(path: String, set: Map[String, Column],
                               cond: Column) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     DeltaTable.update(spark, path, cond, set)
+    Seq.empty
+  }
+}
+
+/** Driver command executing the engine's MERGE (upsert by key) with the
+  * resolved SOURCE sub-plan as the updates relation, columns reordered
+  * to the target's order (the engine enforces schema equality). */
+case class GraftMergeCommand(path: String, source: LogicalPlan,
+                             targetCols: Seq[String], keyCol: String)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val updates = ColumnBridge.ofRows(spark, source)
+      .select(targetCols.map(col): _*)
+    DeltaTable.merge(updates, path, keyCol)
     Seq.empty
   }
 }

@@ -9,6 +9,8 @@ import graft.SparkSpec
   * catalog. */
 class GraftCatalogSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private lazy val warehouse =
     java.nio.file.Files.createTempDirectory("graft_wh_cat").toString
 
@@ -99,6 +101,32 @@ class GraftCatalogSpec extends SparkSpec {
     // unconditional UPDATE (no WHERE) touches every row
     spark.sql("UPDATE graft.db4.t SET n = 0")
     assert(spark.sql("SELECT SUM(n) FROM graft.db4.t").head().getLong(0) === 0L)
+  }
+
+  test("SQL MERGE INTO: canonical upsert (UPDATE SET * / INSERT *) routes to the engine merge") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db5")
+    spark.sql("CREATE TABLE graft.db5.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.db5.t VALUES (1, 'old1'), (2, 'old2')")
+    Seq((2L, "new2"), (3L, "new3")).toDF("id", "s")
+      .createOrReplaceTempView("merge_src")
+    spark.sql("""MERGE INTO graft.db5.t AS t USING merge_src AS s
+                 ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT id, s FROM graft.db5.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "old1"), (2L, "new2"), (3L, "new3")))
+    val t = s"$warehouse/db5/t"
+    assert(DeltaLog.readCommit(spark, t, DeltaLog.snapshot(spark, t).version)
+      .operation.contains("MERGE"))
+    // a NON-canonical merge stays Spark's problem — refused, not approximated
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.db5.t AS t USING merge_src AS s
+                   ON t.id = s.id
+                   WHEN MATCHED THEN DELETE""")
+    }
+    assert(e != null)
   }
 
   test("TRUNCATE TABLE empties via deleteWhere; table and schema survive") {
