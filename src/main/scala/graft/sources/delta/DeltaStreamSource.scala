@@ -61,7 +61,9 @@ class DeltaStreamDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = DeltaStreamDataSource.logSchema(DeltaStreamDataSource.tablePath(options))
+    val base = DeltaStreamDataSource.logSchema(
+      DeltaStreamDataSource.tablePath(options),
+      DeltaStreamDataSource.versionAsOf(options))
     if (DeltaStreamDataSource.cdfMode(options))
       DeltaStreamDataSource.cdfSchema(base)
     else base
@@ -94,12 +96,18 @@ private[delta] object DeltaStreamDataSource {
     .add("_commit_version", LongType)
     .add("_commit_timestamp", TimestampType)
 
+  /** `option("versionAsOf", N)` — batch time travel through the
+    * connector, delta-spark's option of the same name. */
+  def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong)
+
   /** The table's log schema — EMPTY when the table has no commits yet:
     * the write path must be able to get a Table for a not-yet-created
     * sink target (its first epoch creates the log); the READ paths
-    * refuse an empty schema loudly at scan-build time. */
-  def logSchema(table: String): StructType = {
-    val snap = DeltaLog.snapshot(SparkSession.active, table)
+    * refuse an empty schema loudly at scan-build time. Time travel
+    * resolves the schema AS OF that version (evolution-correct). */
+  def logSchema(table: String, asOf: Option[Long] = None): StructType = {
+    val snap = DeltaLog.snapshot(SparkSession.active, table, asOf)
     if (snap.isEmpty) return new StructType()
     val schema = snap.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -239,15 +247,19 @@ private[delta] class DeltaStreamScan(
       "graft-delta: readChangeFeed is a STREAMING option here; for batch " +
         "change feeds use DeltaTable.readChangeFeed(spark, table, from, to)")
     new DeltaBatchScan(DeltaStreamDataSource.tablePath(options),
-      readSchemaPruned, filters)
+      readSchemaPruned, filters, DeltaStreamDataSource.versionAsOf(options))
   }
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(DeltaStreamDataSource.versionAsOf(options).isEmpty,
+      "graft-delta: versionAsOf is a BATCH option; streams position with " +
+        "startingVersion")
     new DeltaMicroBatchStream(DeltaStreamDataSource.tablePath(options),
       readSchemaPruned,
       Option(options.get("startingVersion")).getOrElse("earliest"),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       DeltaStreamDataSource.cdfMode(options),
       tableSchema)
+  }
 }
 
 /** `{"version":N}` — the committed log version this cursor has fully
@@ -454,11 +466,12 @@ private[delta] object DeltaMicroBatchStream {
   * filter row-level (all filters are residual), so pruning only
   * shrinks IO. */
 private[delta] class DeltaBatchScan(table: String, schema: StructType,
-                                    filters: Array[sources.Filter]) extends Batch {
+                                    filters: Array[sources.Filter],
+                                    versionAsOf: Option[Long] = None) extends Batch {
   private def spark = SparkSession.active
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val head = DeltaLog.snapshot(spark, table)
+    val head = DeltaLog.snapshot(spark, table, versionAsOf)
     require(!head.isEmpty, s"graft-delta: $table has no commits")
     val logSchema = head.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -472,7 +485,8 @@ private[delta] class DeltaBatchScan(table: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val partCols = DeltaLog.snapshot(spark, table).partitionColumns.toArray
+    val partCols =
+      DeltaLog.snapshot(spark, table, versionAsOf).partitionColumns.toArray
     DeltaReaderFactory(schema, partCols,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.sessionLocalTimeZone)

@@ -56,6 +56,31 @@ class DeltaBatchReadSpec extends SparkSpec {
     assert(planned(org.apache.spark.sql.sources.EqualTo("lang", "nope")) === 0)
   }
 
+  test("versionAsOf option: batch time travel through the connector") {
+    val root = java.nio.file.Files.createTempDirectory("dbatch3").toString
+    val t = s"$root/t"
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)    // v0
+    DeltaTable.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)    // v1
+    DeltaTable.write(Seq((9, "z")).toDF("id", "s"), t, SaveMode.Overwrite) // v2
+    assert(spark.read.format("graft-delta").load(t)
+      .collect().map(_.getInt(0)).toSet === Set(9))
+    assert(spark.read.format("graft-delta").option("versionAsOf", "1").load(t)
+      .collect().map(_.getInt(0)).toSet === Set(1, 2))
+    assert(spark.read.format("graft-delta").option("versionAsOf", "0").load(t)
+      .collect().map(_.getInt(0)).toSet === Set(1))
+    // streams refuse the batch-only option (on the stream thread)
+    val q = spark.readStream.format("graft-delta").option("versionAsOf", "0")
+      .load(t)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$root/chk").start()
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + chain(x.getCause)
+    assert(chain(e).contains("startingVersion"), chain(e))
+  }
+
   test("DSv2 BATCH read in CDF mode is refused with a usable message") {
     // batch CDF reads go through DeltaTable.readChangeFeed — the DSv2
     // batch path would silently mis-stamp versions; make sure we did
