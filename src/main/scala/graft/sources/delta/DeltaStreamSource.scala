@@ -61,9 +61,9 @@ class DeltaStreamDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = DeltaStreamDataSource.logSchema(
-      DeltaStreamDataSource.tablePath(options),
-      DeltaStreamDataSource.versionAsOf(options))
+    val path = DeltaStreamDataSource.tablePath(options)
+    val base = DeltaStreamDataSource.logSchema(path,
+      DeltaStreamDataSource.asOfVersion(options, path))
     if (DeltaStreamDataSource.cdfMode(options))
       DeltaStreamDataSource.cdfSchema(base)
     else base
@@ -96,10 +96,24 @@ private[delta] object DeltaStreamDataSource {
     .add("_commit_version", LongType)
     .add("_commit_timestamp", TimestampType)
 
-  /** `option("versionAsOf", N)` — batch time travel through the
-    * connector, delta-spark's option of the same name. */
+  /** `option("versionAsOf", N)` / `option("timestampAsOf", ts)` — batch
+    * time travel through the connector, delta-spark's options of the
+    * same names. Timestamps accept epoch millis or an ISO-ish
+    * `yyyy-MM-dd HH:mm:ss`, interpreted UTC (the engine's pinned
+    * session zone), resolved to the latest version committed at or
+    * before that instant. */
   def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("versionAsOf")).map(_.toLong)
+
+  def asOfVersion(options: CaseInsensitiveStringMap,
+                  table: String): Option[Long] =
+    versionAsOf(options).orElse(
+      Option(options.get("timestampAsOf")).map { s =>
+        val ms = scala.util.Try(s.trim.toLong).getOrElse(
+          java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+        DeltaTable.versionAtTimestamp(SparkSession.active, table, ms)
+      })
 
   /** The table's log schema — EMPTY when the table has no commits yet:
     * the write path must be able to get a Table for a not-yet-created
@@ -246,13 +260,15 @@ private[delta] class DeltaStreamScan(
     require(!DeltaStreamDataSource.cdfMode(options),
       "graft-delta: readChangeFeed is a STREAMING option here; for batch " +
         "change feeds use DeltaTable.readChangeFeed(spark, table, from, to)")
-    new DeltaBatchScan(DeltaStreamDataSource.tablePath(options),
-      readSchemaPruned, filters, DeltaStreamDataSource.versionAsOf(options))
+    val path = DeltaStreamDataSource.tablePath(options)
+    new DeltaBatchScan(path, readSchemaPruned, filters,
+      DeltaStreamDataSource.asOfVersion(options, path))
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(DeltaStreamDataSource.versionAsOf(options).isEmpty,
-      "graft-delta: versionAsOf is a BATCH option; streams position with " +
-        "startingVersion")
+    require(DeltaStreamDataSource.versionAsOf(options).isEmpty &&
+        options.get("timestampAsOf") == null,
+      "graft-delta: versionAsOf/timestampAsOf are BATCH options; streams " +
+        "position with startingVersion")
     new DeltaMicroBatchStream(DeltaStreamDataSource.tablePath(options),
       readSchemaPruned,
       Option(options.get("startingVersion")).getOrElse("earliest"),

@@ -86,6 +86,62 @@ object DeltaTable {
     DeltaLog.checkpointRows(spark, table).exists(_ > threshold)
   }
 
+  /** Version whose commit time is the LATEST at or before `tsMs` —
+    * upstream's `timestampAsOf` resolution (commit times via
+    * [[DeltaLog.commitTimestamp]], mtime fallback included). Raises if
+    * the earliest retained commit is already later than `tsMs`, like
+    * upstream's "before the earliest version" error. */
+  def versionAtTimestamp(spark: SparkSession, table: String, tsMs: Long): Long = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"delta: $table has no commits")
+    val at = vs.takeWhile(v => DeltaLog.commitTimestamp(spark, table, v,
+      DeltaLog.readCommit(spark, table, v)) <= tsMs)
+    require(at.nonEmpty,
+      s"delta: $table has no commit at or before timestamp $tsMs " +
+        s"(earliest retained version: ${vs.head})")
+    at.last
+  }
+
+  /** RESTORE TABLE TO VERSION AS OF `version` — upstream's RESTORE: the
+    * table's CONTENT resets to the old snapshot via ONE new commit
+    * (add back the old version's files, remove the current files not in
+    * it); history is preserved, the restore itself is a versioned,
+    * time-travelable operation, and the files re-added must still exist
+    * (a vacuumed history refuses loudly, as upstream). O(files in
+    * either snapshot) metadata — no data IO at all: the old files are
+    * still on disk, the log just points at them again. */
+  def restore(spark: SparkSession, table: String, version: Long): Unit = {
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = snapshot(spark, table, Some(version))
+    require(!target.isEmpty, s"delta: $table has no version $version")
+    target.files.foreach(f => require(fs.exists(new Path(tbl, f.path)),
+      s"delta: cannot restore to v$version — file ${f.path} was vacuumed"))
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: restore gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      val now = System.currentTimeMillis()
+      val oldPaths = target.files.map(_.path).toSet
+      val removes = head.files.filterNot(f => oldPaths.contains(f.path))
+        .map(f => removeAction(f.path, now))
+      val headPaths = head.files.map(_.path).toSet
+      val adds = target.files.filterNot(f => headPaths.contains(f.path))
+        .map(f => addAction(f.path, f.size, f.modificationTime, f.stats,
+          f.partitionValues))
+      // schema resets with the content when it drifted since `version`
+      val meta =
+        if (head.schemaJson == target.schemaJson &&
+            head.partitionColumns == target.partitionColumns) Seq.empty
+        else Seq(metaDataAction(target.schemaJson.getOrElse(""),
+          target.partitionColumns, head.metaDataId, head.configuration))
+      done = commit(spark, table, head.version + 1,
+        commitInfoAction("RESTORE", now) +: (meta ++ removes ++ adds))
+    }
+  }
+
   /** Register the table as a temp view so `spark.sql` can query it —
     * the engine-side equivalent of the reference's Trino
     * `CALL delta.system.register_table(...)` hop (`README.md:114-122`). */

@@ -81,6 +81,35 @@ class DeltaBatchReadSpec extends SparkSpec {
     assert(chain(e).contains("startingVersion"), chain(e))
   }
 
+  test("RESTORE resets content via one metadata commit; timestampAsOf resolves versions") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("dbatch4").toString
+    val t = s"$root/t"
+    DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, SaveMode.Append) // v0
+    DeltaTable.delete(spark, t, col("id") === 1)                                  // v1
+    DeltaTable.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)           // v2
+    def ids() = DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet
+    assert(ids() === Set(2, 3))
+    DeltaTable.restore(spark, t, 0L)                                              // v3
+    assert(ids() === Set(1, 2), s"restore must reproduce v0 exactly: ${ids()}")
+    // the restore is itself versioned history — time travel still works
+    assert(DeltaTable.read(spark, t, versionAsOf = Some(2L))
+      .collect().map(_.getInt(0)).toSet === Set(2, 3))
+    val c = DeltaLog.readCommit(spark, t, 3L)
+    assert(c.operation.contains("RESTORE"))
+    // timestampAsOf: the head commit's time resolves to the head version
+    val headTs = DeltaLog.commitTimestamp(spark, t, 3L,
+      DeltaLog.readCommit(spark, t, 3L))
+    assert(DeltaTable.versionAtTimestamp(spark, t, headTs) === 3L)
+    assert(spark.read.format("graft-delta")
+      .option("timestampAsOf", headTs.toString).load(t)
+      .collect().map(_.getInt(0)).toSet === Set(1, 2))
+    // before the earliest commit: loud refusal
+    intercept[IllegalArgumentException] {
+      DeltaTable.versionAtTimestamp(spark, t, 0L)
+    }
+  }
+
   test("DSv2 BATCH read in CDF mode is refused with a usable message") {
     // batch CDF reads go through DeltaTable.readChangeFeed — the DSv2
     // batch path would silently mis-stamp versions; make sure we did
