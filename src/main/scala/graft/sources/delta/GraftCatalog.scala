@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * SQL users see one consistent table. This is the Trino
   * `register_table` hop of the reference (`README.md:114-122`)
   * replaced by a native Spark catalog. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -133,6 +134,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(fs(src).rename(src, dst),
       s"graft catalog: rename $oldIdent -> $newIdent failed")
   }
+
+  // -------------------------------------------------------- procedures
+
+  /** Catalog-relative `ns.table` → warehouse path (for procedure args). */
+  private[delta] def resolveTablePath(tableName: String): String =
+    (warehouse +: tableName.split("\\.").toSeq).mkString("/")
+
+  override def loadProcedure(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(namespace, _))
+    else Array.empty
 
   // -------------------------------------------------------- namespaces
 

@@ -1,0 +1,107 @@
+package graft.sources.delta
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+
+/** The engine's MAINTENANCE operations as SQL procedures
+  * (`CALL graft.system.<proc>(…)` — Spark 4's ProcedureCatalog seam,
+  * the same surface Iceberg/Delta expose OPTIMIZE/VACUUM through):
+  *
+  * {{{
+  *   CALL graft.system.checkpoint('db.events')
+  *   CALL graft.system.compact('db.events', 1048576L, 1)
+  *   CALL graft.system.zorder('db.events', 'id,ts', 4)
+  *   CALL graft.system.vacuum('db.events', 604800000L)
+  *   CALL graft.system.clean_log('db.events', 2592000000L)
+  *   CALL graft.system.restore('db.events', 3L)
+  *   CALL graft.system.set_cdf('db.events', true)
+  * }}}
+  *
+  * Table arguments are catalog-relative names (`ns.table`), resolved
+  * against the owning [[GraftCatalog]]'s warehouse. Each call is the
+  * corresponding engine API — one atomic log commit (or a bounded
+  * file-reclaim walk), nothing procedural beyond it. */
+private[delta] object GraftProcedures {
+
+  private final case class Proc(
+      name: String, description: String,
+      params: Seq[(String, DataType)],
+      run: (SparkSession, String, Seq[Any]) => Unit)
+
+  private def procs: Seq[Proc] = Seq(
+    Proc("checkpoint",
+      "write a parquet checkpoint of the table's current head",
+      Seq("table" -> StringType),
+      (s, t, _) => { DeltaLog.checkpoint(s, t); () }),
+    Proc("compact",
+      "fold data files below a size threshold into target_files per partition",
+      Seq("table" -> StringType, "smaller_than_bytes" -> LongType,
+        "target_files" -> IntegerType),
+      (s, t, a) => DeltaTable.compactFiles(s, t,
+        a(0).asInstanceOf[Long], a(1).asInstanceOf[Int])),
+    Proc("zorder",
+      "rewrite the table along the z-curve of the given comma-separated columns",
+      Seq("table" -> StringType, "columns" -> StringType, "n_files" -> IntegerType),
+      (s, t, a) => DeltaTable.optimize(s, t,
+        a(0).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        a(1).asInstanceOf[Int])),
+    Proc("vacuum",
+      "reclaim tombstoned files past retention plus crash orphans",
+      Seq("table" -> StringType, "retain_ms" -> LongType),
+      (s, t, a) => {
+        DeltaTable.vacuumRemoved(s, t, a(0).asInstanceOf[Long])
+        DeltaTable.vacuumOrphans(s, t, a(0).asInstanceOf[Long])
+        ()
+      }),
+    Proc("clean_log",
+      "delete pre-checkpoint commit JSON older than retention",
+      Seq("table" -> StringType, "retain_ms" -> LongType),
+      (s, t, a) => { DeltaLog.cleanLog(s, t, a(0).asInstanceOf[Long]); () }),
+    Proc("restore",
+      "reset table content to an earlier version via one commit",
+      Seq("table" -> StringType, "version" -> LongType),
+      (s, t, a) => DeltaTable.restore(s, t, a(0).asInstanceOf[Long])),
+    Proc("set_cdf",
+      "set the delta.enableChangeDataFeed table property",
+      Seq("table" -> StringType, "enabled" -> BooleanType),
+      (s, t, a) => DeltaTable.setProperties(s, t,
+        Map("delta.enableChangeDataFeed" -> a(0).toString))))
+
+  def names: Array[String] = procs.map(_.name).toArray
+
+  def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft catalog: procedures live in the `system` namespace, got " +
+        s"${ident.namespace().mkString(".")}")
+    val p = procs.find(_.name == ident.name()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft catalog: unknown procedure ${ident.name()} " +
+          s"(available: ${names.mkString(", ")})"))
+    new UnboundProcedure {
+      override def name(): String = p.name
+      override def description(): String = p.description
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = p.name
+          override def description(): String = p.description
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] =
+            p.params.map { case (n, dt) =>
+              ProcedureParameter.in(n, dt).build()
+            }.toArray
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val table = catalog.resolveTablePath(input.getUTF8String(0).toString)
+            val rest = p.params.drop(1).zipWithIndex.map { case ((_, dt), i) =>
+              input.get(i + 1, dt)
+            }
+            p.run(SparkSession.active, table, rest)
+            java.util.Collections.emptyIterator()
+          }
+        }
+    }
+  }
+}

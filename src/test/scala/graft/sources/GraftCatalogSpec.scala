@@ -129,6 +129,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("CALL graft.system.* : maintenance procedures run against the log") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
+    spark.sql("CREATE TABLE graft.db6.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.db6.t VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.db6.t VALUES (2, 'b')")
+    spark.sql("INSERT INTO graft.db6.t VALUES (3, 'c')")
+    val t = s"$warehouse/db6/t"
+    assert(DeltaLog.snapshot(spark, t).files.size === 3)
+    // compact: three small files fold into one atomic maintenance commit
+    spark.sql(s"CALL graft.system.compact('db6.t', ${Long.MaxValue}L, 1)")
+    assert(DeltaLog.snapshot(spark, t).files.size === 1)
+    assert(spark.sql("SELECT * FROM graft.db6.t").count() === 3L)
+    // checkpoint: pointer written, snapshot seeds from it
+    spark.sql("CALL graft.system.checkpoint('db6.t')")
+    assert(DeltaLog.lastCheckpointVersion(spark, t).nonEmpty)
+    // restore: back to the two-row state (CREATE is v0, so v2), one commit
+    spark.sql("CALL graft.system.restore('db6.t', 2L)")
+    assert(spark.sql("SELECT id FROM graft.db6.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // set_cdf: the property lands in metaData configuration
+    spark.sql("CALL graft.system.set_cdf('db6.t', true)")
+    assert(DeltaLog.snapshot(spark, t).configuration
+      .get("delta.enableChangeDataFeed").contains("true"))
+    // unknown procedure refuses with the available list
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.frobnicate('db6.t')")
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("frobnicate") ||
+      Option(e.getCause).exists(c => c.getMessage.contains("frobnicate")))
+  }
+
   test("TRUNCATE TABLE empties via deleteWhere; table and schema survive") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
