@@ -149,6 +149,14 @@ private[delta] class DeltaStreamTable(
     * UPDATE through it. */
   private[delta] def path: String = DeltaStreamDataSource.tablePath(options)
 
+  /** Table properties = the log's metaData configuration (e.g.
+    * `delta.enableChangeDataFeed`), so `SHOW TBLPROPERTIES` surfaces
+    * what ALTER TABLE / setProperties committed. */
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    DeltaLog.snapshot(SparkSession.active, path).configuration.asJava
+  }
+
   /** `DELETE FROM` in SQL (and `TRUNCATE TABLE` via the inherited
     * default) routes into the log-native row-level DELETE —
     * stats+partition candidate pruning, per-file match probe,

@@ -75,6 +75,10 @@ class GraftCatalogSpec extends SparkSpec {
     val t = s"$warehouse/db2/t"
     assert(DeltaLog.snapshot(spark, t).configuration
       .get("delta.enableChangeDataFeed").contains("true"))
+    // SHOW TBLPROPERTIES surfaces what the log committed
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.db2.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("delta.enableChangeDataFeed").contains("true"), s"$shown")
     // the property turns on precise CDF capture for a SQL DELETE
     spark.sql("DELETE FROM graft.db2.t WHERE id = 1")
     val v = DeltaLog.snapshot(spark, t).version
