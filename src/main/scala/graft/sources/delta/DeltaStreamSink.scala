@@ -402,11 +402,19 @@ private[delta] object DeltaGroupWriter {
            FloatType | DoubleType => v.toString
       case DateType => java.time.LocalDate.ofEpochDay(
         v.asInstanceOf[Int].toLong).toString
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
         val micros = v.asInstanceOf[Long]
         val inst = java.time.Instant.ofEpochSecond(
           Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
         java.time.LocalDateTime.ofInstant(inst, zone).toString.replace('T', ' ')
+      case TimestampNTZType =>
+        // zoneless wall-clock: render the stored micros as-is (UTC
+        // frame), NOT through the session zone — NTZ has no zone
+        val micros = v.asInstanceOf[Long]
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString.replace('T', ' ')
       case d: DecimalType =>
         v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal.toPlainString
       case other =>

@@ -46,8 +46,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * own CDC sink tables — plus NESTED array/map/struct over the lattice
   * (both parquet list encodings), so `embeddings`-shaped tables
   * (`array<float>` vectors) stream too. Hive-partition columns restore
-  * from the add-action's `partitionValues` (path-unescaped,
-  * session-timezone timestamps); a genuinely unreadable type raises at
+  * from the add-action's `partitionValues` (logical values per the
+  * protocol, session-timezone timestamps); a genuinely unreadable type raises at
   * plan time rather than corrupting silently.
   *
   * Backlog admission: `maxFilesPerTrigger` bounds each batch's planned
@@ -472,14 +472,16 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
-private[delta] object DeltaMicroBatchStream {
-  /** Hive partition values parsed off a file's RELATIVE path (escaped
-    * segments; [[DeltaRowReader.parsePartition]] unescapes) — remove
-    * actions don't carry partitionValues, their path does. */
+private[sources] object DeltaMicroBatchStream {
+  /** Hive partition values parsed off a file's RELATIVE path — remove
+    * actions don't carry partitionValues, their path does. Path segments
+    * are percent-ESCAPED; the returned map holds the LOGICAL (unescaped)
+    * values, matching what add/cdc actions store per the Delta protocol. */
   def partValuesFromPath(path: String): Map[String, String] =
     path.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
       val i = seg.indexOf('=')
-      seg.substring(0, i) -> seg.substring(i + 1)
+      seg.substring(0, i) ->
+        DeltaRowReader.unescapePathName(seg.substring(i + 1))
     }.toMap
 }
 
@@ -870,9 +872,11 @@ private[sources] object DeltaRowReader {
     Decimal(BigDecimal(bd), d.precision, d.scale)
   }
 
-  /** Hive-path percent-escaping, undone — the batch path gets this from
-    * Spark's partition discovery; the stream reader must match it so
-    * `ts=2024-01-01 00%3A00%3A00` round-trips. */
+  /** Hive-path percent-escaping, undone — applied ONCE at the
+    * path→logical boundary ([[DeltaTable]]'s staging walk,
+    * [[DeltaMicroBatchStream.partValuesFromPath]]) so
+    * `ts=2024-01-01 00%3A00%3A00` round-trips; actions then store the
+    * logical value per the Delta protocol. */
   private[delta] def unescapePathName(s: String): String = {
     if (s.indexOf('%') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
@@ -889,13 +893,20 @@ private[sources] object DeltaRowReader {
     sb.toString
   }
 
+  /** Typed value from a LOGICAL (already-unescaped) partition string —
+    * the form add/cdc actions store per the Delta protocol and the form
+    * [[DeltaMicroBatchStream.partValuesFromPath]] returns. Escaping is
+    * a PATH concern only; a value that legitimately contains `%3A`
+    * must not be collapsed to `:` here. */
   def parsePartition(raw: String, t: DataType,
                      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Any =
     if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") null
     else {
-      val v = unescapePathName(raw)
+      val v = raw
       t match {
         case BooleanType => v.toBoolean
+        case ByteType => v.toByte
+        case ShortType => v.toShort
         case IntegerType => v.toInt
         case LongType => v.toLong
         case FloatType => v.toFloat
@@ -908,6 +919,13 @@ private[sources] object DeltaRowReader {
           val inst = ldt.atZone(zone).toInstant
           Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
             inst.getNano / 1000L)
+        case TimestampNTZType =>
+          // zoneless wall-clock: micros in the UTC frame, symmetric
+          // with the sink's renderPartitionValue
+          val ldt = java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+          Math.addExact(Math.multiplyExact(
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+            ldt.getNano / 1000L)
         case d: DecimalType =>
           Decimal(BigDecimal(new java.math.BigDecimal(v)), d.precision, d.scale)
         case other => throw new IllegalStateException(s"graft-delta: $other")

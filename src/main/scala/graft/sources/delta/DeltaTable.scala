@@ -88,18 +88,34 @@ object DeltaTable {
 
   /** Version whose commit time is the LATEST at or before `tsMs` —
     * upstream's `timestampAsOf` resolution (commit times via
-    * [[DeltaLog.commitTimestamp]], mtime fallback included). Raises if
-    * the earliest retained commit is already later than `tsMs`, like
-    * upstream's "before the earliest version" error. */
+    * [[DeltaLog.commitTimestamp]], mtime fallback included). Commit
+    * timestamps are MONOTONIZED during the scan (effective ts = max of
+    * all predecessors, upstream's history-reconstruction rule): an
+    * out-of-order raw timestamp — clock skew, or the mtime fallback on
+    * an externally-copied commit file — must not truncate the scan and
+    * resolve an older version than the true latest commit <= `tsMs`.
+    * Raises if the earliest retained commit is already later than
+    * `tsMs`, like upstream's "before the earliest version" error. */
   def versionAtTimestamp(spark: SparkSession, table: String, tsMs: Long): Long = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"delta: $table has no commits")
-    val at = vs.takeWhile(v => DeltaLog.commitTimestamp(spark, table, v,
-      DeltaLog.readCommit(spark, table, v)) <= tsMs)
-    require(at.nonEmpty,
+    var effTs = Long.MinValue
+    var last = -1L
+    var found = false
+    // effective ts is non-decreasing by construction, so the first
+    // version past tsMs ends the scan — takeWhile's early exit, kept
+    val it = vs.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val v = it.next()
+      effTs = math.max(effTs, DeltaLog.commitTimestamp(spark, table, v,
+        DeltaLog.readCommit(spark, table, v)))
+      if (effTs <= tsMs) { last = v; found = true } else done = true
+    }
+    require(found,
       s"delta: $table has no commit at or before timestamp $tsMs " +
         s"(earliest retained version: ${vs.head})")
-    at.last
+    last
   }
 
   /** RESTORE TABLE TO VERSION AS OF `version` — upstream's RESTORE: the
@@ -255,11 +271,17 @@ object DeltaTable {
     walk(staging, "")
   }
 
-  /** Hive-dir segments → partitionValues map. */
+  /** Hive-dir segments → partitionValues map. Values are UNESCAPED to
+    * the logical form — the Delta protocol stores partitionValues as
+    * logical values (delta-spark and other readers take them from the
+    * action verbatim); percent-escaping belongs only to the file PATH.
+    * A `lang=a%3Ab/` segment therefore records `lang -> "a:b"`, which
+    * is what predicate literals and [[DataSkipping]] compare against. */
   private def partValuesOf(rel: String): Map[String, String] =
     rel.split("/").filter(_.nonEmpty).map { seg =>
       val i = seg.indexOf('=')
-      seg.substring(0, i) -> seg.substring(i + 1)
+      seg.substring(0, i) ->
+        DeltaRowReader.unescapePathName(seg.substring(i + 1))
     }.toMap
 
   /** Longest string the stats record verbatim. Past it the column's

@@ -122,6 +122,40 @@ class DeltaDmlSpec extends SparkSpec {
     assert(p1 === (5 to 19 by 2).toSet)
   }
 
+  test("escapable partition values: actions store LOGICAL values; pruning and DML match them") {
+    val t = tmp()
+    // ':' and ' ' and a literal '%3A' are all path-escaped by the
+    // writer; the protocol stores the LOGICAL value in partitionValues
+    val df = Seq((1, "a:b"), (2, "a:b"), (3, "c d"), (4, "plain"), (5, "x%3Ay"))
+      .toDF("id", "lang")
+    DeltaTable.write(df, t, SaveMode.Append, partitionBy = Seq("lang"))
+    val s0 = DeltaLog.snapshot(spark, t)
+    val stored = s0.files.flatMap(_.partitionValues.get("lang")).toSet
+    assert(stored === Set("a:b", "c d", "plain", "x%3Ay"),
+      "add actions must carry logical (unescaped) partition values")
+    // the file PATH stays escaped (that's where escaping belongs)
+    assert(s0.files.exists(_.path.startsWith("lang=a%3Ab/")))
+    assert(s0.files.exists(_.path.startsWith("lang=x%253Ay/")))
+    // predicate-pruned read finds the escapable partition
+    assert(DeltaTable.readWhere(spark, t, col("lang") === "a:b")
+      .collect().map(_.getInt(0)).toSet === Set(1, 2))
+    // the readback restores the LOGICAL value as the column value
+    assert(DeltaTable.read(spark, t).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "a:b"), (2, "a:b"), (3, "c d"), (4, "plain"), (5, "x%3Ay")))
+    // the r8 data-loss shape: DELETE WHERE lang != 'a:b' must NOT drop
+    // the a:b file (escaped-vs-logical comparison made it definite-true)
+    DeltaTable.delete(spark, t, col("lang") =!= "a:b")
+    assert(rows(t) === Set((1, "a:b"), (2, "a:b")))
+    // and DELETE WHERE lang = 'a:b' must actually hit its partition
+    DeltaTable.delete(spark, t, col("lang") === "a:b")
+    assert(rows(t) === Set.empty[(Int, String)])
+    // the equality delete was metadata-only: its commit removed files
+    // without staging rewrites (definite-true partition match)
+    val last = DeltaLog.readCommit(spark, t, DeltaLog.snapshot(spark, t).version)
+    assert(last.removes.nonEmpty && last.adds.isEmpty)
+  }
+
   // ---------------------------------------------------- change data feed
 
   test("CDF delete: precise deleted rows under the flag, by commit version") {

@@ -258,16 +258,30 @@ class DeltaStreamSourceSpec extends SparkSpec {
   }
 
   test("DeltaRowReader type matrix: partition parse round-trips, null sentinel, unescape") {
-    import graft.sources.delta.DeltaRowReader
+    import graft.sources.delta.{DeltaMicroBatchStream, DeltaRowReader}
     import org.apache.spark.sql.types._
     val utc = java.time.ZoneOffset.UTC
-    // Hive escapes ':' in path segments; the stream parse must undo it
-    assert(DeltaRowReader.parsePartition("2024-01-02 03%3A04%3A05", TimestampType, utc)
+    // parsePartition takes LOGICAL values (the form actions store per
+    // the protocol); Hive-path escaping is undone once, at the
+    // path→logical boundary (partValuesFromPath)
+    assert(DeltaMicroBatchStream.partValuesFromPath(
+      "ts=2024-01-02 03%3A04%3A05/part-x.parquet")
+      === Map("ts" -> "2024-01-02 03:04:05"))
+    assert(DeltaRowReader.parsePartition("2024-01-02 03:04:05", TimestampType, utc)
       === java.time.Instant.parse("2024-01-02T03:04:05Z").getEpochSecond * 1000000L)
+    // a value that legitimately contains a %XX sequence must survive
+    // parsePartition verbatim (no double-unescape)
+    assert(DeltaRowReader.parsePartition("a%3Ab", StringType, utc)
+      === org.apache.spark.unsafe.types.UTF8String.fromString("a%3Ab"))
     // session-zone semantics: the same wall-clock string in Paris is 1h earlier UTC
     val paris = java.time.ZoneId.of("Europe/Paris")
-    assert(DeltaRowReader.parsePartition("2024-01-02 03%3A04%3A05", TimestampType, paris)
+    assert(DeltaRowReader.parsePartition("2024-01-02 03:04:05", TimestampType, paris)
       === java.time.Instant.parse("2024-01-02T02:04:05Z").getEpochSecond * 1000000L)
+    // NTZ is zoneless: same micros whatever the session zone
+    assert(DeltaRowReader.parsePartition("2024-01-02 03:04:05", TimestampNTZType, paris)
+      === DeltaRowReader.parsePartition("2024-01-02 03:04:05", TimestampNTZType, utc))
+    assert(DeltaRowReader.parsePartition("7", ByteType, utc) === 7.toByte)
+    assert(DeltaRowReader.parsePartition("300", ShortType, utc) === 300.toShort)
     assert(DeltaRowReader.parsePartition("2024-03-05", DateType, utc)
       === java.time.LocalDate.of(2024, 3, 5).toEpochDay.toInt)
     assert(DeltaRowReader.parsePartition("12.50", DecimalType(10, 2), utc)
