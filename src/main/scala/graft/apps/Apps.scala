@@ -125,3 +125,51 @@ object CorpusCleanJob {
     spark.stop()
   }
 }
+
+/** Diagnostic: the DSv2 connector's batch scan vs the engine parquet
+  * path on the SAME staged table — the ratio the round-8 verdict asked
+  * to pin (target: connector within 1.3x of `spark.read.parquet`).
+  * Args: sfDir [passes]. Prints per-pass times and min ratio. */
+object ScanBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = java.nio.file.Files.createTempDirectory("scanbench").toString + "/docs"
+    graft.sources.delta.DeltaTable.write(
+      graft.Tables.table(spark, sfDir, "documents"), t,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    import org.apache.spark.sql.functions._
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("len"))
+    def time(mk: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      agg(mk).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup both
+    time(spark.read.format("graft-delta").load(t))
+    time(graft.sources.delta.DeltaTable.read(spark, t))
+    val dsv2 = (1 to passes).map { i =>
+      spark.catalog.clearCache(); System.gc()
+      val s = time(spark.read.format("graft-delta").load(t))
+      System.err.println(f"[dsv2 $i] $s%.3f"); s
+    }
+    val engine = (1 to passes).map { i =>
+      spark.catalog.clearCache(); System.gc()
+      val s = time(graft.sources.delta.DeltaTable.read(spark, t))
+      System.err.println(f"[engine-parquet $i] $s%.3f"); s
+    }
+    println(f"""{"dsv2_min":${dsv2.min}%.3f,"parquet_min":${engine.min}%.3f,"ratio":${dsv2.min / engine.min}%.3f}""")
+    spark.stop()
+  }
+}

@@ -830,7 +830,8 @@ object Catalog {
     * run's scratch dir. */
   val q91SqlCatalog: Q = Q(
     "q91_sql_catalog",
-    Some("""
+    headline = true,
+    oracle = Some("""
       SELECT lang,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -868,12 +869,54 @@ object Catalog {
     }
   }
 
+  /** Per-JVM staging for [[q93Dsv2Scan]]: the documents table written
+    * ONCE as a graft-delta table per sfDir, so the timed passes measure
+    * the SCAN (the thing the bench tracks), not the setup write. */
+  private object Dsv2Stage {
+    private val staged = scala.collection.mutable.Map.empty[String, String]
+    def table(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+      synchronized {
+        staged.getOrElseUpdate(dir, {
+          val t = java.nio.file.Files
+            .createTempDirectory("graft_q93").toString + "/docs"
+          graft.sources.delta.DeltaTable.write(
+            graft.Tables.table(spark, dir, "documents"), t,
+            org.apache.spark.sql.SaveMode.Overwrite)
+          t
+        })
+      }
+  }
+
+  /** DSv2 vectorized batch scan (q93): the full `documents` table —
+    * including the wide `text` column — read through
+    * `spark.read.format("graft-delta")`, i.e. the pure-SQL/connector
+    * path, and aggregated per lang. This is the path round 8 flagged
+    * as row-at-a-time; it now delegates to Spark's vectorized parquet
+    * factory, and this headline pins its cost against the
+    * `spark.read.parquet` equivalent round-over-round. */
+  val q93Dsv2Scan: Q = Q(
+    "q93_dsv2_scan",
+    headline = true,
+    oracle = Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
+      FROM documents
+      GROUP BY lang""")) { (spark, dir) =>
+    val df = spark.read.format("graft-delta").load(Dsv2Stage.table(spark, dir))
+    df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
         q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping,
-        q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog) ++
+        q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q93Dsv2Scan) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -269,7 +269,7 @@ private[delta] class DeltaStreamScan(
       "graft-delta: readChangeFeed is a STREAMING option here; for batch " +
         "change feeds use DeltaTable.readChangeFeed(spark, table, from, to)")
     val path = DeltaStreamDataSource.tablePath(options)
-    new DeltaBatchScan(path, readSchemaPruned, filters,
+    new DeltaBatchScan(path, tableSchema, readSchemaPruned, filters,
       DeltaStreamDataSource.asOfVersion(options, path))
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -490,32 +490,180 @@ private[sources] object DeltaMicroBatchStream {
   * stats + partitionValues — the log is the index, no directory
   * listing, no footer reads at plan time. Spark re-applies every
   * filter row-level (all filters are residual), so pruning only
-  * shrinks IO. */
-private[delta] class DeltaBatchScan(table: String, schema: StructType,
+  * shrinks IO.
+  *
+  * READING delegates to the engine's own vectorized DSv2 parquet
+  * machinery: the pruned file list becomes size-split
+  * `PartitionedFile`s bin-packed by `FilePartition.getFilePartitions`
+  * (maxPartitionBytes/openCostInBytes semantics, identical to
+  * `FileSourceScanExec`), and `ParquetPartitionReaderFactory` reads
+  * them — columnar `ColumnarBatch` output under whole-stage codegen,
+  * row-group-aligned splits of large files, parquet row-group/page
+  * filter pushdown, and typed partition-value append, exactly what
+  * `spark.read.parquet` plans. The log supplies WHICH bytes to read;
+  * Spark's reader supplies HOW. */
+private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
+                                    schema: StructType,
                                     filters: Array[sources.Filter],
                                     versionAsOf: Option[Long] = None) extends Batch {
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
   private def spark = SparkSession.active
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val head = DeltaLog.snapshot(spark, table, versionAsOf)
-    require(!head.isEmpty, s"graft-delta: $table has no commits")
-    val logSchema = head.schemaJson
+  /** ONE snapshot per scan, shared by planning and the reader factory —
+    * both must describe the SAME version (a commit landing between the
+    * two calls must not split them), and the second log replay was
+    * measurable overhead on sub-second scans. */
+  @transient private lazy val snap: DeltaLog.Snapshot = {
+    val s = DeltaLog.snapshot(spark, table, versionAsOf)
+    require(!s.isEmpty, s"graft-delta: $table has no commits")
+    s
+  }
+
+  private def logSchemaOf(head: DeltaLog.Snapshot): StructType =
+    head.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(s"graft-delta: $table missing metaData"))
+
+  /** Requested partition fields, in their [[schema]] (requested) order.
+    * The delegate parquet factory emits readDataSchema ++ partSchema;
+    * [[DeltaPermutingReaderFactory]] restores the requested interleaved
+    * order, so `readSchema()` never lies to Spark (the streaming side
+    * shares it and its output schema is fixed at analysis). */
+  private def partFields(head: DeltaLog.Snapshot): Array[StructField] = {
+    val partCols = head.partitionColumns.toSet
+    schema.fields.filter(f => partCols.contains(f.name))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-memory guard, same threshold the batch API's replay router
+    // uses: a million-file manifest must fail with a named cause, not
+    // an OOM while materializing head.files below
+    require(!DeltaTable.chooseDistributedReplay(spark, table),
+      s"graft-delta: $table's live-file manifest exceeds " +
+        "spark.graft.delta.distributedReplayThreshold rows; DSv2 planning " +
+        "materializes it driver-side. Read via DeltaTable.read (distributed " +
+        "replay) or raise the threshold.")
+    val head = snap
+    val logSchema = logSchemaOf(head)
     val pred = DeltaBatchScan.filtersToPredicate(filters)
-    head.files
+    val live = head.files
       .filter(f => DataSkipping.mayMatchWithPartitions(f, pred, logSchema))
-      .map(a => DeltaFilePartition(new Path(table, a.path).toString,
-        a.partitionValues): InputPartition)
-      .toArray
+    val pf = partFields(head)
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    // the engine's own split-size formula: min(maxPartitionBytes,
+    // max(openCost, totalBytes / defaultParallelism))
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val maxSplit = FilePartition.maxSplitBytes(classic,
+      live.map(_.size + openCost).sum)
+    val splits = live.flatMap { a =>
+      val row = InternalRow.fromSeq(pf.toSeq.map(f =>
+        DeltaRowReader.parsePartition(
+          a.partitionValues.get(f.name).orNull, f.dataType, zone)))
+      val abs = org.apache.spark.paths.SparkPath.fromPath(new Path(table, a.path))
+      (0L until math.max(a.size, 1L) by maxSplit).map { off =>
+        PartitionedFile(row, abs, off, math.min(maxSplit, a.size - off),
+          Array.empty, 0L, a.size)
+      }
+    }
+    // largest-first bin-packing, as FileSourceScanExec orders splits
+    FilePartition.getFilePartitions(classic,
+      splits.sortBy(-_.length), maxSplit).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val partCols =
-      DeltaLog.snapshot(spark, table, versionAsOf).partitionColumns.toArray
-    DeltaReaderFactory(schema, partCols,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      spark.sessionState.conf.sessionLocalTimeZone)
+    val head = snap
+    val partCols = head.partitionColumns.toSet
+    val logSchema = logSchemaOf(head)
+    // Hive layout: partition columns live in the path, not the files
+    val dataSchema = StructType(
+      logSchema.fields.filterNot(f => partCols.contains(f.name)))
+    val readDataSchema = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)))
+    val partSchema = StructType(partFields(head))
+    val conf = spark.sessionState.newHadoopConf()
+    // the conf contract ParquetScan.createReaderFactory sets for
+    // ParquetReadSupport (string keys — the support objects are
+    // package-private; the keys are the stable wire contract)
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema", readDataSchema.json)
+    conf.set("org.apache.spark.sql.parquet.row.attributes", readDataSchema.json)
+    val sqlConf = spark.sessionState.conf
+    conf.set(org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      sqlConf.sessionLocalTimeZone)
+    conf.setBoolean(org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE.key,
+      sqlConf.caseSensitiveAnalysis)
+    conf.setBoolean(org.apache.spark.sql.internal.SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    conf.setBoolean(org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    conf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    conf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    conf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    val bc = org.apache.spark.sql.graft.ColumnBridge.broadcastHadoopConf(spark, conf)
+    val inner =
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
+        sqlConf, bc, dataSchema, readDataSchema, partSchema, filters,
+        None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
+          Map.empty[String, String], sqlConf))
+    // the delegate emits readDataSchema ++ partSchema; permute back to
+    // the REQUESTED order so readSchema() stays truthful for Spark
+    val innerOrder = readDataSchema.fields ++ partSchema.fields
+    val perm = schema.fields.map(f => innerOrder.indexWhere(_.name == f.name))
+    if (perm.zipWithIndex.forall { case (p, i) => p == i }) inner
+    else DeltaPermutingReaderFactory(inner, perm, schema)
+  }
+}
+
+/** Restores the REQUESTED column order over a delegate factory that
+  * emits `readDataSchema ++ partitionSchema` (the layout Spark's
+  * parquet factory produces). Columnar path: O(#cols) pointer shuffle
+  * per batch — the vectors themselves are untouched, vectorization and
+  * whole-stage codegen are preserved. Row fallback: one codegen'd
+  * projection. */
+private[delta] case class DeltaPermutingReaderFactory(
+    inner: PartitionReaderFactory, perm: Array[Int], schema: StructType)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(partition)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val d = inner.createReader(partition)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      perm.zipWithIndex.map { case (p, i) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          p, schema.fields(i).dataType, nullable = true)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      }.toSeq)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = d.next()
+      override def get(): InternalRow = proj(d.get())
+      override def close(): Unit = d.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+    : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val d = inner.createColumnarReader(partition)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = d.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = d.get()
+        val cols = perm.map(b.column)
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = d.close()
+    }
   }
 }
 

@@ -13,6 +13,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Broadcast a Hadoop conf as Spark's `private[spark]`
+    * `SerializableConfiguration` — the exact shape
+    * `ParquetPartitionReaderFactory` (the engine's own vectorized DSv2
+    * parquet reader, which graft-delta's batch scan delegates to)
+    * requires. */
+  def broadcastHadoopConf(spark: org.apache.spark.sql.SparkSession,
+                          conf: org.apache.hadoop.conf.Configuration)
+    : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] =
+    spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+
   /** A DataFrame over an analyzed logical plan — the `private[sql]`
     * `Dataset.ofRows`, for extension rules that hand a resolved
     * sub-plan (e.g. a MERGE source) to engine APIs taking DataFrames. */
