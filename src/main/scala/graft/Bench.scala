@@ -38,6 +38,9 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.session.timeZone", "UTC")
+      // SQL UPDATE / MERGE INTO on graft-delta tables resolve through
+      // the extension rule (parity with Verify's session)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,6 +20,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // SQL UPDATE / MERGE INTO on graft-delta tables (q92) resolve
+      // through the extension rule
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // single-file-per-table testdata: split small so cores engage
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "512k")

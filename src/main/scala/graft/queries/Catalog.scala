@@ -869,6 +869,99 @@ object Catalog {
     }
   }
 
+  /** Multi-clause SQL MERGE with Change Data Feed (q92): `documents`
+    * loaded into a scratch [[graft.sources.delta.GraftCatalog]] table
+    * partitioned by `lang` with the CDF property on, then ONE pure-SQL
+    * `MERGE INTO` exercising the full clause grammar — `WHEN MATCHED
+    * AND cond THEN DELETE` (even n_chars among the matched keys),
+    * `WHEN MATCHED THEN UPDATE` (n_chars += 100 on the rest), and a
+    * GATED `WHEN NOT MATCHED AND cond THEN INSERT` (shifted keys with
+    * n_chars >= 200). The output aggregates BOTH the final table state
+    * and the merge version's precise change feed (delete /
+    * update_preimage / update_postimage / insert rows), keyed by a
+    * `section` column; the oracle replays every clause relationally, so
+    * the gate proves clause-order evaluation, the conditional
+    * delete/update split, the insert gate, and row-level CDF capture
+    * are all exact. Scratch deleted before returning (q80
+    * convention). */
+  val q92MergeClauses: Q = Q(
+    "q92_merge_clauses",
+    Some("""
+      WITH matched AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0),
+      deleted AS (
+        SELECT * FROM matched WHERE n_chars % 2 = 0),
+      upd_pre AS (
+        SELECT * FROM matched WHERE n_chars % 2 <> 0),
+      upd_post AS (
+        SELECT doc_id, lang, n_chars + 100 AS n_chars FROM upd_pre),
+      ins AS (
+        SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, n_chars
+        FROM documents WHERE doc_id % 13 = 0 AND n_chars >= 200),
+      final AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL SELECT * FROM upd_post
+        UNION ALL SELECT * FROM ins),
+      sections AS (
+        SELECT 'final' AS section, lang, n_chars FROM final
+        UNION ALL SELECT 'cdf_delete', lang, n_chars FROM deleted
+        UNION ALL SELECT 'cdf_update_preimage', lang, n_chars FROM upd_pre
+        UNION ALL SELECT 'cdf_update_postimage', lang, n_chars FROM upd_post
+        UNION ALL SELECT 'cdf_insert', lang, n_chars FROM ins)
+      SELECT section, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM sections
+      GROUP BY section, lang""")) { (spark, dir) =>
+    import graft.sources.delta.DeltaTable
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q92")
+    val cat = s"g92_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.delta.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+      spark.sql(s"CREATE NAMESPACE $cat.corpus")
+      spark.sql(s"""CREATE TABLE $cat.corpus.docs
+                    (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                    PARTITIONED BY (lang)""")                                // v0
+      spark.sql(s"""ALTER TABLE $cat.corpus.docs
+                    SET TBLPROPERTIES ('delta.enableChangeDataFeed'='true')""") // v1
+      spark.sql(s"""INSERT INTO $cat.corpus.docs
+                    SELECT doc_id, lang, n_chars FROM docs_src_$cat""")      // v2
+      spark.sql(s"""
+        MERGE INTO $cat.corpus.docs AS t
+        USING (SELECT doc_id, lang, n_chars FROM docs_src_$cat
+               WHERE doc_id % 3 = 0
+               UNION ALL
+               SELECT doc_id + 1000000, 'new', n_chars FROM docs_src_$cat
+               WHERE doc_id % 13 = 0) AS s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED AND s.n_chars % 2 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 100
+        WHEN NOT MATCHED AND s.n_chars >= 200 THEN
+          INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)
+        """)                                                                 // v3
+      val t = s"$scratch/corpus/docs"
+      val finalState = DeltaTable.read(spark, t)
+        .select(lit("final").as("section"), col("lang"), col("n_chars"))
+      val feed = DeltaTable.readChangeFeed(spark, t, 3, Some(3))
+        .select(concat(lit("cdf_"), col("_change_type")).as("section"),
+          col("lang"), col("n_chars"))
+      val agg = finalState.unionByName(feed)
+        .groupBy(col("section"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Per-JVM staging for [[q93Dsv2Scan]]: the documents table written
     * ONCE as a graft-delta table per sfDir, so the timed passes measure
     * the SCAN (the thing the bench tracks), not the setup write. */
@@ -916,7 +1009,8 @@ object Catalog {
       CorpusQueries.all ++ RetrievalQueries.all ++
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
         q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping,
-        q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q93Dsv2Scan) ++
+        q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q92MergeClauses,
+        q93Dsv2Scan) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -582,6 +582,206 @@ object DeltaTable {
     }
   }
 
+  /** Column-name prefix distinguishing SOURCE columns from target
+    * columns inside [[mergeInto]] clause expressions — clause conditions
+    * and values see one combined row: target columns under their bare
+    * names, source columns under `src("name")`. */
+  val SrcPrefix = "__graft_src_"
+
+  /** The merge source's column `name`, for use in [[mergeInto]] clause
+    * conditions and assignment values. */
+  def src(name: String): Column =
+    org.apache.spark.sql.functions.col(SrcPrefix + name)
+
+  /** Multi-clause MERGE through the log — the full `MERGE INTO` shape
+    * (delta-spark's `whenMatched(cond).update/delete`,
+    * `whenNotMatched(cond).insert`), generalizing [[merge]]'s canonical
+    * upsert. Clauses apply IN ORDER: for each matched (target row, source
+    * row) pair the FIRST matched clause whose condition holds fires
+    * (update or delete); unfired matched rows carry over. Source rows
+    * matching no target row run the notMatched clauses in order; rows
+    * firing no insert clause are dropped. A NULL clause condition means
+    * "not applied" (SQL three-valued truth), and a missing condition
+    * means always.
+    *
+    * Candidate selection is [[merge]]'s two-phase shape — source-key
+    * [min,max] against add-action stats AND partitionValues, then a
+    * key-column-only probe — so the commit stays O(files containing a
+    * source key), not O(table). An update clause may assign partition
+    * columns: the rewritten row re-stages into its new Hive dir in the
+    * same atomic commit (the q89 cross-partition move). Under CDF
+    * ([[changeFeedEnabled]]) the commit stages precise row changes:
+    * `update_preimage`/`update_postimage` for update-clause rows,
+    * `delete` for delete-clause rows, `insert` for inserted rows.
+    *
+    * Source keys must be unique over non-null values — ENFORCED (one
+    * aggregate over the source, before any staging): a duplicate
+    * matching key would duplicate its target row through the join,
+    * which is the "multiple source rows matched" error delta-spark
+    * raises. NULL source keys never match and flow to the notMatched
+    * clauses. Optimistic-concurrency retry like [[merge]]. */
+  def mergeInto(source: DataFrame, table: String,
+                targetKey: String, sourceKey: String,
+                matched: Seq[MergeClause],
+                notMatched: Seq[MergeClause.Insert]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, input_file_name, lit, max, min, when}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    matched.foreach {
+      case _: MergeClause.Update | _: MergeClause.Delete => ()
+      case c => throw new IllegalArgumentException(
+        s"delta: matched clause must be Update or Delete, got $c")
+    }
+    val spark = source.sparkSession
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keyType = source.schema(sourceKey).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType).contains(keyType)
+    require(integral || keyType == StringType,
+      s"delta: merge key `$sourceKey` must be an integral or string type for " +
+        s"stats skipping, got ${keyType.catalogString}")
+    // one pass over the source: skip bounds + the uniqueness contract
+    val srcStats = source.agg(min(col(sourceKey)), max(col(sourceKey)),
+      count(col(sourceKey)), count_distinct(col(sourceKey)), count(lit(1))).head()
+    if (srcStats.getLong(4) == 0L) return // empty source: nothing to do
+    require(srcStats.getLong(2) == srcStats.getLong(3),
+      s"delta: merge source has duplicate non-null `$sourceKey` keys — a " +
+        "duplicate matching key would hit one target row twice (the " +
+        "multiple-source-rows-matched error); dedup the source upstream")
+    val hasKeys = !srcStats.isNullAt(0)
+    val rangePred =
+      if (!hasKeys) lit(false)
+      else col(targetKey) >= lit(srcStats.get(0)) &&
+        col(targetKey) <= lit(srcStats.get(1))
+    val srcP = source.select(source.columns.toSeq.map(c =>
+      col(c).as(SrcPrefix + c)): _*)
+    val clauseCol = "__graft_clause"
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: mergeInto gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      require(!head.isEmpty, s"delta: $table has no commits")
+      val schema = logSchema(head, table)
+      require(schema.fieldNames.contains(targetKey),
+        s"delta: merge key `$targetKey` is not a column of $table")
+      (matched.collect { case MergeClause.Update(_, set) => set.keySet } ++
+        notMatched.map(_.values.keySet)).foreach { cols =>
+        val unknown = cols -- schema.fieldNames
+        require(unknown.isEmpty,
+          s"delta: merge clause assigns unknown columns $unknown")
+      }
+      val touched =
+        if (!hasKeys) Seq.empty[AddFile]
+        else {
+          val predExpr = DataSkipping.resolvePredicate(spark, schema, rangePred)
+          val candidates = head.files.filter(f =>
+            DataSkipping.mayMatchWithPartitions(f, predExpr, schema))
+          if (candidates.isEmpty) Seq.empty[AddFile]
+          else {
+            val keys = source.select(col(sourceKey).as(targetKey)).distinct()
+            val probe = readFiles(spark, table, schema, head.partitionColumns,
+              candidates)
+              .select(col(targetKey), input_file_name().as("__graft_file"))
+            val names = probe.join(keys, Seq(targetKey), "left_semi")
+              .select(col("__graft_file")).distinct().collect()
+              .map(r => new Path(r.getString(0)).getName).toSet
+            candidates.filter(f => names.contains(new Path(f.path).getName))
+          }
+        }
+      val touchedDf =
+        if (touched.isEmpty) None
+        else Some(readFiles(spark, table, schema, head.partitionColumns, touched))
+      // ordered-clause machinery: first applicable clause index, -1 = none
+      def firstIdx(conds: Seq[Option[Column]]): Column =
+        conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), rest) =>
+          when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(i))
+            .otherwise(rest)
+        }
+      val updateIdxs = matched.zipWithIndex.collect {
+        case (_: MergeClause.Update, i) => i }
+      // per-column value after the firing update clause (else original)
+      def applied(n: String): Column =
+        matched.zipWithIndex.foldLeft(col(n)) {
+          case (acc, (MergeClause.Update(_, set), i)) if set.contains(n) =>
+            when(col(clauseCol) === i, set(n).cast(schema(n).dataType))
+              .otherwise(acc)
+          case (acc, _) => acc
+        }.as(n)
+      val fired = touchedDf.map { t =>
+        t.join(srcP, col(targetKey) === col(SrcPrefix + sourceKey), "left_outer")
+          .withColumn(clauseCol,
+            when(col(SrcPrefix + sourceKey).isNotNull,
+              firstIdx(matched.map(c => c match {
+                case MergeClause.Update(cond, _) => cond
+                case MergeClause.Delete(cond) => cond
+                case _: MergeClause.Insert => None // unreachable (validated)
+              }))).otherwise(lit(-1)))
+      }
+      // survivors: carry-over (-1) and update-clause rows, with updates
+      // applied; delete-clause rows drop out here
+      val rewritten = fired.map(_
+        .filter(updateIdxs.foldLeft(col(clauseCol) === -1)(
+          (acc, i) => acc || col(clauseCol) === i))
+        .select(schema.fieldNames.toSeq.map(applied): _*))
+      // inserts: source rows whose key exists in no touched file (the
+      // probe guarantees every matching target key lives in `touched`)
+      val matchedKeys = touchedDf.map(
+        _.select(col(targetKey).as(SrcPrefix + sourceKey)).distinct())
+      val unmatchedSrc = matchedKeys.fold(srcP)(k =>
+        srcP.join(k, Seq(SrcPrefix + sourceKey), "left_anti"))
+      val insFired = unmatchedSrc
+        .withColumn(clauseCol, firstIdx(notMatched.map(_.condition)))
+        .filter(col(clauseCol) >= 0)
+      val inserts = insFired.select(schema.fieldNames.toSeq.map { n =>
+        notMatched.zipWithIndex.foldLeft(lit(null).cast(schema(n).dataType)) {
+          case (acc, (MergeClause.Insert(_, vals), i)) if vals.contains(n) =>
+            when(col(clauseCol) === i, vals(n).cast(schema(n).dataType))
+              .otherwise(acc)
+          case (acc, _) => acc
+        }.as(n)
+      }: _*)
+      val output = rewritten.fold(inserts)(_.unionByName(inserts))
+      val cdc =
+        if (!changeFeedEnabled(spark, head)) Seq.empty
+        else {
+          val ct = "_change_type"
+          def oneOf(idxs: Seq[Int]): Column =
+            idxs.foldLeft(lit(false))((acc, i) => acc || col(clauseCol) === i)
+          val deleteIdxs = matched.zipWithIndex.collect {
+            case (_: MergeClause.Delete, i) => i }
+          val orig = schema.fieldNames.toSeq.map(col)
+          val changes = fired match {
+            case None => inserts.withColumn(ct, lit("insert"))
+            case Some(f) =>
+              val upd = f.filter(oneOf(updateIdxs))
+              upd.select(orig: _*).withColumn(ct, lit("update_preimage"))
+                .unionByName(upd.select(schema.fieldNames.toSeq.map(applied): _*)
+                  .withColumn(ct, lit("update_postimage")))
+                .unionByName(f.filter(oneOf(deleteIdxs)).select(orig: _*)
+                  .withColumn(ct, lit("delete")))
+                .unionByName(inserts.withColumn(ct, lit("insert")))
+          }
+          stageChangeData(changes, tbl, fs, partitionBy = head.partitionColumns)
+        }
+      val adds = stageData(output, tbl, fs, partitionBy = head.partitionColumns)
+        .filter { a =>
+          val keep = addedRecords(a) != 0L
+          if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
+          keep // all touched rows deleted: no empty replacement file
+        }
+      if (touched.isEmpty && adds.isEmpty && cdc.isEmpty) return // no-op merge
+      val now = System.currentTimeMillis()
+      val removes = touched.map(f => removeAction(f.path, now))
+      done = commit(spark, table, head.version + 1,
+        commitInfoAction("MERGE", now) +: (cdc ++ removes ++ adds))
+      if (!done) (cdc ++ adds).foreach { a =>
+        fs.delete(new Path(tbl, actionPath(a)), false)
+      }
+    }
+  }
+
   /** Is row-level Change Data Feed capture on for this table? The
     * protocol's source of truth is the `delta.enableChangeDataFeed`
     * table property in metaData.configuration (set via
@@ -1212,4 +1412,23 @@ object DeltaTable {
     }
     removed
   }
+}
+
+/** One ordered `WHEN` clause of [[DeltaTable.mergeInto]]. Conditions
+  * and values are Columns over the combined (target ⋈ source) row:
+  * target columns by bare name, source columns via [[DeltaTable.src]].
+  * Insert clauses see only the source side. */
+sealed trait MergeClause
+object MergeClause {
+  /** `WHEN MATCHED [AND condition] THEN UPDATE SET …` — assignments are
+    * target-column → value; unassigned columns keep their row value. */
+  final case class Update(condition: Option[Column],
+                          set: Map[String, Column]) extends MergeClause
+  /** `WHEN MATCHED [AND condition] THEN DELETE`. */
+  final case class Delete(condition: Option[Column]) extends MergeClause
+  /** `WHEN NOT MATCHED [AND condition] THEN INSERT …` — values are
+    * target-column → value over SOURCE columns ([[DeltaTable.src]]);
+    * unassigned target columns insert NULL. */
+  final case class Insert(condition: Option[Column],
+                          values: Map[String, Column]) extends MergeClause
 }

@@ -3,7 +3,7 @@ package graft.sources.delta
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -44,38 +44,103 @@ case class SqlUpdateRule(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftUpdateCommand(t.path, set, cond)
       }
 
-    // SQL MERGE, scoped to the CANONICAL upsert the engine's merge
-    // implements: ON t.k = s.k, WHEN MATCHED THEN UPDATE SET * /
-    // WHEN NOT MATCHED THEN INSERT * (the resolution-expanded forms),
-    // no other clauses. Anything else is left for Spark, which refuses
-    // it — a silently approximated MERGE would be worse than none.
-    case m @ MergeIntoTable(target, source, cond,
-        Seq(UpdateAction(None, updAssigns, _)),
-        Seq(InsertAction(None, insAssigns)),
-        Seq(), false) if m.resolved =>
+    // SQL MERGE. The CANONICAL upsert — ON t.k = s.k, WHEN MATCHED THEN
+    // UPDATE SET * / WHEN NOT MATCHED THEN INSERT * (the
+    // resolution-expanded forms) — routes to the engine's schema-equal
+    // fast path ([[DeltaTable.merge]]); every other clause combination
+    // over (matched UPDATE/DELETE, not-matched INSERT, each optionally
+    // conditional) translates clause-by-clause to
+    // [[DeltaTable.mergeInto]]. WHEN NOT MATCHED BY SOURCE and MERGE
+    // WITH SCHEMA EVOLUTION stay with Spark, which refuses them — a
+    // silently approximated MERGE would be worse than none.
+    case m @ MergeIntoTable(target, source, cond, matchedActions,
+        notMatchedActions, Seq(), false) if m.resolved =>
       target.collectFirst {
         case r: DataSourceV2Relation if r.table.isInstanceOf[DeltaStreamTable] =>
           (r.table.asInstanceOf[DeltaStreamTable], r)
       } match {
         case None => m
         case Some((t, rel)) =>
-          val targetCols = rel.output.map(_.name)
-          val sourceAttrs = source.output
-          def isStar(assigns: Seq[Assignment]): Boolean =
-            assigns.size == targetCols.size && assigns.forall {
-              case Assignment(k: AttributeReference, v: AttributeReference) =>
-                k.name == v.name && sourceAttrs.exists(_.exprId == v.exprId)
-              case _ => false
-            }
-          val key = cond match {
-            case EqualTo(a: AttributeReference, b: AttributeReference)
-                if a.name == b.name => Some(a.name)
-            case _ => None
-          }
-          if (key.isEmpty || !isStar(updAssigns) || !isStar(insAssigns)) m
-          else GraftMergeCommand(t.path, source, targetCols, key.get)
+          translateMerge(t, rel, source, cond,
+            matchedActions, notMatchedActions).getOrElse(m)
       }
   }
+
+  /** The resolved MERGE clauses → a driver command, or None for shapes
+    * the engine does not take (non-equi ON, nested-field assignment) —
+    * those fall back to `m`, keeping Spark's refusal. */
+  private def translateMerge(t: DeltaStreamTable, rel: DataSourceV2Relation,
+                             source: LogicalPlan, cond: Expression,
+                             matchedActions: Seq[MergeAction],
+                             notMatchedActions: Seq[MergeAction]): Option[LogicalPlan] = {
+    val targetCols = rel.output.map(_.name)
+    val sourceAttrs = source.output
+    def isStar(assigns: Seq[Assignment]): Boolean =
+      assigns.size == targetCols.size && assigns.forall {
+        case Assignment(k: AttributeReference, v: AttributeReference) =>
+          k.name == v.name && sourceAttrs.exists(_.exprId == v.exprId)
+        case _ => false
+      }
+    // the engine skips files on the key equality: ON t.k = s.k (either
+    // side order, any names)
+    val keys = cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (tSide, sSide) =
+          if (sourceAttrs.exists(_.exprId == b.exprId)) (a, b) else (b, a)
+        if (rel.outputSet.contains(tSide) &&
+            sourceAttrs.exists(_.exprId == sSide.exprId))
+          Some((tSide.name, sSide.name))
+        else None
+      case _ => None
+    }
+    keys.flatMap { case (targetKey, sourceKey) =>
+      (matchedActions, notMatchedActions) match {
+        // canonical star upsert with same-named key: schema-equal fast path
+        case (Seq(UpdateAction(None, upd, _)), Seq(InsertAction(None, ins)))
+            if targetKey == sourceKey && isStar(upd) && isStar(ins) =>
+          Some(GraftMergeCommand(t.path, source, targetCols, targetKey))
+        case _ =>
+          def assignMap(assigns: Seq[Assignment]): Map[String, Column] =
+            assigns.map { a =>
+              a.key match {
+                case attr: AttributeReference =>
+                  attr.name -> ColumnBridge.column(unresolveMerge(a.value, sourceAttrs))
+                case other => throw new UnsupportedOperationException(
+                  s"graft-delta: MERGE assignment to nested field $other is not supported")
+              }
+            }.toMap
+          def condCol(c: Option[Expression]): Option[Column] =
+            c.map(e => ColumnBridge.column(unresolveMerge(e, sourceAttrs)))
+          val matched = matchedActions.map {
+            case UpdateAction(c, assigns, _) =>
+              MergeClause.Update(condCol(c), assignMap(assigns))
+            case DeleteAction(c) => MergeClause.Delete(condCol(c))
+            case other => throw new UnsupportedOperationException(
+              s"graft-delta: unsupported WHEN MATCHED action $other")
+          }
+          val inserts = notMatchedActions.map {
+            case InsertAction(c, assigns) =>
+              MergeClause.Insert(condCol(c), assignMap(assigns))
+            case other => throw new UnsupportedOperationException(
+              s"graft-delta: unsupported WHEN NOT MATCHED action $other")
+          }
+          Some(GraftMergeIntoCommand(t.path, source, targetKey, sourceKey,
+            matched, inserts))
+      }
+    }
+  }
+
+  /** [[unresolve]] for merge-clause expressions: source attributes (by
+    * exprId) become the [[DeltaTable.SrcPrefix]]-prefixed names
+    * [[DeltaTable.mergeInto]] resolves against its joined frame; target
+    * attributes stay bare. */
+  private def unresolveMerge(e: Expression,
+                             sourceAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Expression =
+    e.transform {
+      case a: AttributeReference if sourceAttrs.exists(_.exprId == a.exprId) =>
+        UnresolvedAttribute.quoted(DeltaTable.SrcPrefix + a.name)
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
 
   /** The analyzed expressions carry THIS plan's attribute ids;
     * [[DeltaTable.update]] re-resolves by NAME against its own scan, so
@@ -106,6 +171,24 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
     val updates = ColumnBridge.ofRows(spark, source)
       .select(targetCols.map(col): _*)
     DeltaTable.merge(updates, path, keyCol)
+    Seq.empty
+  }
+}
+
+/** Driver command executing the engine's multi-clause MERGE
+  * ([[DeltaTable.mergeInto]]) with the resolved SOURCE sub-plan as the
+  * source relation; clause Columns were re-anchored by name
+  * ([[SqlUpdateRule.unresolveMerge]]) so they resolve against the
+  * engine's joined frame. */
+case class GraftMergeIntoCommand(path: String, source: LogicalPlan,
+                                 targetKey: String, sourceKey: String,
+                                 matched: Seq[MergeClause],
+                                 notMatched: Seq[MergeClause.Insert])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaTable.mergeInto(ColumnBridge.ofRows(spark, source), path,
+      targetKey, sourceKey, matched, notMatched)
     Seq.empty
   }
 }

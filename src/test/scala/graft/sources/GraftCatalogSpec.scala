@@ -1,5 +1,7 @@
 package graft.sources.delta
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Pure-SQL access to graft-delta tables through the [[GraftCatalog]]
@@ -124,11 +126,50 @@ class GraftCatalogSpec extends SparkSpec {
     val t = s"$warehouse/db5/t"
     assert(DeltaLog.readCommit(spark, t, DeltaLog.snapshot(spark, t).version)
       .operation.contains("MERGE"))
-    // a NON-canonical merge stays Spark's problem — refused, not approximated
+  }
+
+  test("SQL MERGE INTO: multi-clause (conditional UPDATE, DELETE, gated INSERT)") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    spark.sql("""CREATE TABLE graft.db7.t (id BIGINT, lang STRING, n BIGINT)
+                 PARTITIONED BY (lang)""")
+    spark.sql("""ALTER TABLE graft.db7.t
+                 SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""")
+    spark.sql("""INSERT INTO graft.db7.t VALUES
+                 (1, 'fr', 10), (2, 'fr', 20), (3, 'de', 30), (4, 'de', 40)""")
+    Seq((1L, "fr", 100L), (3L, "xx", 300L), (9L, "es", 90L), (10L, "es", 5L))
+      .toDF("id", "lang", "n").createOrReplaceTempView("mc_src")
+    // delete when the source says the row is hot; update (moving the row's
+    // partition) otherwise; insert only the rows passing the gate
+    spark.sql("""MERGE INTO graft.db7.t AS t USING mc_src AS s
+                 ON t.id = s.id
+                 WHEN MATCHED AND s.n >= 300 THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET lang = s.lang, n = t.n + s.n
+                 WHEN NOT MATCHED AND s.n >= 50 THEN INSERT (id, lang, n)
+                   VALUES (s.id, s.lang, s.n)""")
+    val got = spark.sql("SELECT id, lang, n FROM graft.db7.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, "fr", 110L),  // updated (stays fr; n = 10 + 100)
+      (2L, "fr", 20L),   // untouched carry-over
+      // 3 deleted by the first clause
+      (4L, "de", 40L),
+      (9L, "es", 90L)))  // inserted; 10 failed the insert gate
+    val t = s"$warehouse/db7/t"
+    val v = DeltaLog.snapshot(spark, t).version
+    assert(DeltaLog.readCommit(spark, t, v).operation.contains("MERGE"))
+    // precise CDF for the whole clause mix
+    val feed = DeltaTable.readChangeFeed(spark, t, v, Some(v))
+      .select(col("id"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((3L, "delete"), (1L, "update_preimage"),
+      (1L, "update_postimage"), (9L, "insert")))
+    // WHEN NOT MATCHED BY SOURCE stays Spark's problem — refused, not
+    // approximated
     val e = intercept[Exception] {
-      spark.sql("""MERGE INTO graft.db5.t AS t USING merge_src AS s
+      spark.sql("""MERGE INTO graft.db7.t AS t USING mc_src AS s
                    ON t.id = s.id
-                   WHEN MATCHED THEN DELETE""")
+                   WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
     assert(e != null)
   }
