@@ -39,7 +39,9 @@ import DeltaLog._
   * type refuses at plan time. */
 private[delta] class DeltaStreamingWrite(
     table: String, writeSchema: StructType, appId: String,
-    partitionByOption: Seq[String]) extends StreamingWrite {
+    partitionByOption: Seq[String],
+    metricsHolder: Option[DeltaSinkMetricsHolder] = None)
+    extends StreamingWrite {
 
   private def spark = SparkSession.active
 
@@ -79,10 +81,12 @@ private[delta] class DeltaStreamingWrite(
     def dropStaged(): Unit =
       staged.foreach(f => fs.delete(new Path(tbl, f.relPath), false))
     val now = System.currentTimeMillis()
-    val adds = staged.map { f =>
-      addAction(f.relPath, f.size, now,
-        DeltaTable.statsOf(new Path(tbl, f.relPath), conf), f.partitionValues)
+    val withStats = staged.map(f =>
+      (f, DeltaTable.statsOf(new Path(tbl, f.relPath), conf)))
+    val adds = withStats.map { case (f, st) =>
+      addAction(f.relPath, f.size, now, st, f.partitionValues)
     }.toSeq
+    val rowsWritten = withStats.flatMap(_._2.map(_.numRecords)).sum
     var attempts = 0
     var done = false
     while (!done) {
@@ -92,7 +96,11 @@ private[delta] class DeltaStreamingWrite(
       val head = DeltaLog.snapshot(spark, table)
       // exactly-once: a restarted query replays its last epoch — the
       // recorded txn high-water mark rejects it and the staged files drop
-      if (head.txns.get(appId).exists(_ >= epochId)) { dropStaged(); return }
+      if (head.txns.get(appId).exists(_ >= epochId)) {
+        dropStaged()
+        metricsHolder.foreach(_.recordSkippedReplay(epochId))
+        return
+      }
       require(head.isEmpty || head.partitionColumns == partCols,
         s"graft-delta sink: concurrent writer changed partitioning to " +
           s"${head.partitionColumns}")
@@ -110,6 +118,7 @@ private[delta] class DeltaStreamingWrite(
         commitInfoAction("STREAMING UPDATE", now) +:
           (meta ++ Seq(txnAction(appId, epochId)) ++ adds))
     }
+    metricsHolder.foreach(_.recordCommit(epochId, rowsWritten, adds.size.toLong))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -119,6 +128,42 @@ private[delta] class DeltaStreamingWrite(
       .flatMap(_.files)
       .foreach(f => fs.delete(new Path(tbl, f.relPath), false))
   }
+}
+
+/** Per-query sink metrics, surfaced to `StreamingQueryProgress.sink
+  * .metrics` through the table's `ReportsSinkMetrics` — the numbers the
+  * reference's monitoring loop polls from its sink
+  * (`SaveDelta.scala:171-203` reads per-batch row counts). One holder
+  * lives on each [[DeltaStreamTable]] instance (one per started query:
+  * `DataStreamWriter.start` resolves a fresh table and uses it as both
+  * the sink and the write-builder source), updated by the driver-side
+  * epoch commit — no task-side plumbing, no contention. */
+private[delta] class DeltaSinkMetricsHolder {
+  @volatile private var lastEpochId = -1L
+  @volatile private var lastRows = 0L
+  @volatile private var lastFiles = 0L
+  @volatile private var totalRows = 0L
+  @volatile private var totalFiles = 0L
+  @volatile private var numCommits = 0L
+  @volatile private var numSkippedReplays = 0L
+
+  def recordCommit(epochId: Long, rows: Long, files: Long): Unit =
+    synchronized {
+      lastEpochId = epochId; lastRows = rows; lastFiles = files
+      totalRows += rows; totalFiles += files; numCommits += 1
+    }
+
+  def recordSkippedReplay(epochId: Long): Unit =
+    synchronized { numSkippedReplays += 1 }
+
+  def snapshot: Map[String, String] = Map(
+    "epochId" -> lastEpochId.toString,
+    "numOutputRows" -> lastRows.toString,
+    "numAddedFiles" -> lastFiles.toString,
+    "totalOutputRows" -> totalRows.toString,
+    "totalAddedFiles" -> totalFiles.toString,
+    "numCommits" -> numCommits.toString,
+    "numSkippedReplays" -> numSkippedReplays.toString)
 }
 
 /** BATCH WRITE on the same task-side writer machinery

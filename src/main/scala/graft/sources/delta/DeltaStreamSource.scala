@@ -142,8 +142,19 @@ private[delta] class DeltaStreamTable(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.read.streaming.ReportsSinkMetrics {
   override def name(): String = "graft-delta:" + options.get("path")
+
+  /** Per-epoch sink counters for `StreamingQueryProgress.sink.metrics`
+    * — this table instance IS the query's sink object (resolved once by
+    * `DataStreamWriter.start`), so the holder's lifetime matches the
+    * query's. */
+  private val sinkMetricsHolder = new DeltaSinkMetricsHolder
+  override def metrics(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    sinkMetricsHolder.snapshot.asJava
+  }
 
   /** Filesystem path of this table — [[SqlUpdateRule]] routes SQL
     * UPDATE through it. */
@@ -220,7 +231,7 @@ private[delta] class DeltaStreamTable(
             val appId = Option(info.options().get("txnAppId"))
               .getOrElse(info.queryId())
             new DeltaStreamingWrite(DeltaStreamDataSource.tablePath(options),
-              info.schema(), appId, partBy)
+              info.schema(), appId, partBy, Some(sinkMetricsHolder))
           }
         }
     }

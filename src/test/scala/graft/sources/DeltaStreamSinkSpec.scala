@@ -198,4 +198,30 @@ class DeltaStreamSinkSpec extends SparkSpec {
       Seq(2L, 2000000L, "2024-01-03", "0.500000", "b2")),
       s"got $got")
   }
+
+  test("sink reports per-epoch metrics through StreamingQueryProgress") {
+    val r = root(); val t = s"$r/t"
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("id", "s")
+      .writeStream.format("graft-delta")
+      .option("path", t).option("checkpointLocation", s"$r/chk")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((1, "a"), (2, "b"), (3, "c"))
+      q.processAllAvailable()
+      mem.addData((4, "d"))
+      q.processAllAvailable()
+      // the LAST data-carrying progress entry has the epoch's counts
+      val withRows = q.recentProgress.filter(_.sink.numOutputRows > 0)
+      assert(withRows.nonEmpty, "no data-carrying progress recorded")
+      val m = withRows.last.sink.metrics
+      assert(m.get("numOutputRows") === "1", s"metrics: $m")
+      assert(m.get("numAddedFiles").toLong >= 1L, s"metrics: $m")
+      assert(m.get("totalOutputRows") === "4", s"metrics: $m")
+      assert(m.get("numCommits").toLong >= 2L, s"metrics: $m")
+      assert(m.get("numSkippedReplays") === "0", s"metrics: $m")
+      assert(m.get("epochId").toLong >= 1L, s"metrics: $m")
+    } finally q.stop()
+  }
 }

@@ -206,6 +206,43 @@ class GraftCatalogSpec extends SparkSpec {
       Option(e.getCause).exists(c => c.getMessage.contains("frobnicate")))
   }
 
+  test("concurrent SQL writers: racing INSERTs and DELETEs converge exactly") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
+    spark.sql("CREATE TABLE graft.db8.t (id BIGINT, s STRING)")
+    // seed rows 0-9; one thread inserts 100-109, the other deletes the
+    // even seeds — disjoint key sets, so the converged state is exact
+    // regardless of interleaving, and every lost commit race must retry
+    spark.sql("INSERT INTO graft.db8.t VALUES " +
+      (0L until 10L).map(i => s"($i, 'seed')").mkString(", "))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def submit(body: => Unit) = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try body catch { case t: Throwable => errs.add(t) }
+      }
+    })
+    submit((0 until 10).foreach(i =>
+      spark.sql(s"INSERT INTO graft.db8.t VALUES (${100 + i}, 'ins')")))
+    submit((0 until 10 by 2).foreach(i =>
+      spark.sql(s"DELETE FROM graft.db8.t WHERE id = $i")))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers hung")
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    val got = spark.sql("SELECT id FROM graft.db8.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === (1L until 10L by 2) ++ (100L until 110L))
+    // every write landed as its own log version (CREATE v0, seed v1,
+    // then 10 inserts + 5 deletes), i.e. no commit was silently dropped
+    // by the race
+    val t = s"$warehouse/db8/t"
+    assert(DeltaLog.snapshot(spark, t).version === 16L)
+  }
+
   test("TRUNCATE TABLE empties via deleteWhere; table and schema survive") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
