@@ -886,7 +886,8 @@ object Catalog {
     * convention). */
   val q92MergeClauses: Q = Q(
     "q92_merge_clauses",
-    Some("""
+    headline = true,
+    oracle = Some("""
       WITH matched AS (
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0),
       deleted AS (

@@ -614,6 +614,16 @@ object DeltaTable {
     * `update_preimage`/`update_postimage` for update-clause rows,
     * `delete` for delete-clause rows, `insert` for inserted rows.
     *
+    * `notMatchedBySource` clauses (`WHEN NOT MATCHED BY SOURCE [AND
+    * cond] THEN UPDATE/DELETE`) run on TARGET rows with no source
+    * match; their conditions and values may reference target columns
+    * only (the SQL analyzer enforces the same). Their candidate files
+    * are pruned by the disjunction of the clause conditions against
+    * stats+partitionValues and then PROBED (files outside the matched
+    * probe contain only unmatched rows, so the probe is a plain filter
+    * scan) — an unconditional by-source clause touches the whole
+    * table, which is what its semantics say.
+    *
     * Source keys must be unique over non-null values — ENFORCED (one
     * aggregate over the source, before any staging): a duplicate
     * matching key would duplicate its target row through the join,
@@ -623,13 +633,15 @@ object DeltaTable {
   def mergeInto(source: DataFrame, table: String,
                 targetKey: String, sourceKey: String,
                 matched: Seq[MergeClause],
-                notMatched: Seq[MergeClause.Insert]): Unit = {
+                notMatched: Seq[MergeClause.Insert],
+                notMatchedBySource: Seq[MergeClause] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, input_file_name, lit, max, min, when}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-    matched.foreach {
+    (matched ++ notMatchedBySource).foreach {
       case _: MergeClause.Update | _: MergeClause.Delete => ()
       case c => throw new IllegalArgumentException(
-        s"delta: matched clause must be Update or Delete, got $c")
+        s"delta: matched / not-matched-by-source clause must be Update or " +
+          s"Delete, got $c")
     }
     val spark = source.sparkSession
     val tbl = new Path(table)
@@ -643,7 +655,9 @@ object DeltaTable {
     // one pass over the source: skip bounds + the uniqueness contract
     val srcStats = source.agg(min(col(sourceKey)), max(col(sourceKey)),
       count(col(sourceKey)), count_distinct(col(sourceKey)), count(lit(1))).head()
-    if (srcStats.getLong(4) == 0L) return // empty source: nothing to do
+    // empty source: matched/insert clauses are vacuous, but by-source
+    // clauses fire on EVERY target row (nothing matches)
+    if (srcStats.getLong(4) == 0L && notMatchedBySource.isEmpty) return
     require(srcStats.getLong(2) == srcStats.getLong(3),
       s"delta: merge source has duplicate non-null `$sourceKey` keys — a " +
         "duplicate matching key would hit one target row twice (the " +
@@ -666,7 +680,8 @@ object DeltaTable {
       val schema = logSchema(head, table)
       require(schema.fieldNames.contains(targetKey),
         s"delta: merge key `$targetKey` is not a column of $table")
-      (matched.collect { case MergeClause.Update(_, set) => set.keySet } ++
+      ((matched ++ notMatchedBySource).collect {
+        case MergeClause.Update(_, set) => set.keySet } ++
         notMatched.map(_.values.keySet)).foreach { cols =>
         val unknown = cols -- schema.fieldNames
         require(unknown.isEmpty,
@@ -690,9 +705,43 @@ object DeltaTable {
             candidates.filter(f => names.contains(new Path(f.path).getName))
           }
         }
+      def condOf(c: MergeClause): Option[Column] = c match {
+        case MergeClause.Update(cond, _) => cond
+        case MergeClause.Delete(cond) => cond
+        case _: MergeClause.Insert => None // unreachable (validated)
+      }
+      // by-source candidates: the rest of the table, pruned by the OR of
+      // the clause conditions, then probed for files that actually
+      // CONTAIN a firing row. The matched probe already took every file
+      // holding a source key, so in these files ALL rows are unmatched
+      // and the probe is a plain filter scan (predicate columns only).
+      val bsConds = notMatchedBySource.map(condOf)
+      val bsTouched =
+        if (notMatchedBySource.isEmpty) Seq.empty[AddFile]
+        else {
+          val touchedNames = touched.map(_.path).toSet
+          val rest = head.files.filterNot(f => touchedNames.contains(f.path))
+          if (bsConds.exists(_.isEmpty)) rest // unconditional clause: every row fires
+          else {
+            val or = bsConds.flatten.reduce(_ || _)
+            val e = DataSkipping.resolvePredicate(spark, schema, or)
+            val candidates = rest.filter(f =>
+              DataSkipping.mayMatchWithPartitions(f, e, schema))
+            if (candidates.isEmpty) candidates
+            else {
+              val names = readFiles(spark, table, schema,
+                head.partitionColumns, candidates)
+                .filter(coalesce(or, lit(false)))
+                .select(input_file_name()).distinct().collect()
+                .map(r => new Path(r.getString(0)).getName).toSet
+              candidates.filter(f => names.contains(new Path(f.path).getName))
+            }
+          }
+        }
+      val touchedAll = touched ++ bsTouched
       val touchedDf =
-        if (touched.isEmpty) None
-        else Some(readFiles(spark, table, schema, head.partitionColumns, touched))
+        if (touchedAll.isEmpty) None
+        else Some(readFiles(spark, table, schema, head.partitionColumns, touchedAll))
       // ordered-clause machinery: first applicable clause index, -1 = none
       def firstIdx(conds: Seq[Option[Column]]): Column =
         conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), rest) =>
@@ -701,29 +750,38 @@ object DeltaTable {
         }
       val updateIdxs = matched.zipWithIndex.collect {
         case (_: MergeClause.Update, i) => i }
-      // per-column value after the firing update clause (else original)
-      def applied(n: String): Column =
-        matched.zipWithIndex.foldLeft(col(n)) {
-          case (acc, (MergeClause.Update(_, set), i)) if set.contains(n) =>
-            when(col(clauseCol) === i, set(n).cast(schema(n).dataType))
-              .otherwise(acc)
-          case (acc, _) => acc
-        }.as(n)
+      val bsUpdateIdxs = notMatchedBySource.zipWithIndex.collect {
+        case (_: MergeClause.Update, i) => i }
+      val bsCol = "__graft_bs_clause"
+      // per-column value after the firing update clause (else original):
+      // matched clauses key off clauseCol, by-source clauses off bsCol —
+      // a row fires in at most one branch (matched XOR unmatched)
+      def applied(n: String): Column = {
+        def fold(base: Column, clauses: Seq[MergeClause], cn: String) =
+          clauses.zipWithIndex.foldLeft(base) {
+            case (acc, (MergeClause.Update(_, set), i)) if set.contains(n) =>
+              when(col(cn) === i, set(n).cast(schema(n).dataType))
+                .otherwise(acc)
+            case (acc, _) => acc
+          }
+        fold(fold(col(n), matched, clauseCol),
+          notMatchedBySource, bsCol).as(n)
+      }
       val fired = touchedDf.map { t =>
         t.join(srcP, col(targetKey) === col(SrcPrefix + sourceKey), "left_outer")
           .withColumn(clauseCol,
             when(col(SrcPrefix + sourceKey).isNotNull,
-              firstIdx(matched.map(c => c match {
-                case MergeClause.Update(cond, _) => cond
-                case MergeClause.Delete(cond) => cond
-                case _: MergeClause.Insert => None // unreachable (validated)
-              }))).otherwise(lit(-1)))
+              firstIdx(matched.map(condOf))).otherwise(lit(-1)))
+          .withColumn(bsCol,
+            when(col(SrcPrefix + sourceKey).isNull, firstIdx(bsConds))
+              .otherwise(lit(-1)))
       }
-      // survivors: carry-over (-1) and update-clause rows, with updates
-      // applied; delete-clause rows drop out here
+      // survivors: carry-over (-1 in both branches) and update-clause
+      // rows, with updates applied; delete-clause rows drop out here
+      def keepOf(cn: String, upd: Seq[Int]): Column =
+        upd.foldLeft(col(cn) === -1)((acc, i) => acc || col(cn) === i)
       val rewritten = fired.map(_
-        .filter(updateIdxs.foldLeft(col(clauseCol) === -1)(
-          (acc, i) => acc || col(clauseCol) === i))
+        .filter(keepOf(clauseCol, updateIdxs) && keepOf(bsCol, bsUpdateIdxs))
         .select(schema.fieldNames.toSeq.map(applied): _*))
       // inserts: source rows whose key exists in no touched file (the
       // probe guarantees every matching target key lives in `touched`)
@@ -747,19 +805,23 @@ object DeltaTable {
         if (!changeFeedEnabled(spark, head)) Seq.empty
         else {
           val ct = "_change_type"
-          def oneOf(idxs: Seq[Int]): Column =
-            idxs.foldLeft(lit(false))((acc, i) => acc || col(clauseCol) === i)
+          def oneOf(cn: String, idxs: Seq[Int]): Column =
+            idxs.foldLeft(lit(false))((acc, i) => acc || col(cn) === i)
           val deleteIdxs = matched.zipWithIndex.collect {
+            case (_: MergeClause.Delete, i) => i }
+          val bsDeleteIdxs = notMatchedBySource.zipWithIndex.collect {
             case (_: MergeClause.Delete, i) => i }
           val orig = schema.fieldNames.toSeq.map(col)
           val changes = fired match {
             case None => inserts.withColumn(ct, lit("insert"))
             case Some(f) =>
-              val upd = f.filter(oneOf(updateIdxs))
+              val upd = f.filter(oneOf(clauseCol, updateIdxs) ||
+                oneOf(bsCol, bsUpdateIdxs))
               upd.select(orig: _*).withColumn(ct, lit("update_preimage"))
                 .unionByName(upd.select(schema.fieldNames.toSeq.map(applied): _*)
                   .withColumn(ct, lit("update_postimage")))
-                .unionByName(f.filter(oneOf(deleteIdxs)).select(orig: _*)
+                .unionByName(f.filter(oneOf(clauseCol, deleteIdxs) ||
+                    oneOf(bsCol, bsDeleteIdxs)).select(orig: _*)
                   .withColumn(ct, lit("delete")))
                 .unionByName(inserts.withColumn(ct, lit("insert")))
           }
@@ -771,9 +833,9 @@ object DeltaTable {
           if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
           keep // all touched rows deleted: no empty replacement file
         }
-      if (touched.isEmpty && adds.isEmpty && cdc.isEmpty) return // no-op merge
+      if (touchedAll.isEmpty && adds.isEmpty && cdc.isEmpty) return // no-op merge
       val now = System.currentTimeMillis()
-      val removes = touched.map(f => removeAction(f.path, now))
+      val removes = touchedAll.map(f => removeAction(f.path, now))
       done = commit(spark, table, head.version + 1,
         commitInfoAction("MERGE", now) +: (cdc ++ removes ++ adds))
       if (!done) (cdc ++ adds).foreach { a =>

@@ -48,21 +48,21 @@ case class SqlUpdateRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // UPDATE SET * / WHEN NOT MATCHED THEN INSERT * (the
     // resolution-expanded forms) — routes to the engine's schema-equal
     // fast path ([[DeltaTable.merge]]); every other clause combination
-    // over (matched UPDATE/DELETE, not-matched INSERT, each optionally
-    // conditional) translates clause-by-clause to
-    // [[DeltaTable.mergeInto]]. WHEN NOT MATCHED BY SOURCE and MERGE
-    // WITH SCHEMA EVOLUTION stay with Spark, which refuses them — a
-    // silently approximated MERGE would be worse than none.
+    // over (matched UPDATE/DELETE, not-matched INSERT, not-matched-
+    // by-source UPDATE/DELETE, each optionally conditional) translates
+    // clause-by-clause to [[DeltaTable.mergeInto]]. MERGE WITH SCHEMA
+    // EVOLUTION stays with Spark, which refuses it — a silently
+    // approximated MERGE would be worse than none.
     case m @ MergeIntoTable(target, source, cond, matchedActions,
-        notMatchedActions, Seq(), false) if m.resolved =>
+        notMatchedActions, notMatchedBySourceActions, false) if m.resolved =>
       target.collectFirst {
         case r: DataSourceV2Relation if r.table.isInstanceOf[DeltaStreamTable] =>
           (r.table.asInstanceOf[DeltaStreamTable], r)
       } match {
         case None => m
         case Some((t, rel)) =>
-          translateMerge(t, rel, source, cond,
-            matchedActions, notMatchedActions).getOrElse(m)
+          translateMerge(t, rel, source, cond, matchedActions,
+            notMatchedActions, notMatchedBySourceActions).getOrElse(m)
       }
   }
 
@@ -72,7 +72,8 @@ case class SqlUpdateRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def translateMerge(t: DeltaStreamTable, rel: DataSourceV2Relation,
                              source: LogicalPlan, cond: Expression,
                              matchedActions: Seq[MergeAction],
-                             notMatchedActions: Seq[MergeAction]): Option[LogicalPlan] = {
+                             notMatchedActions: Seq[MergeAction],
+                             notMatchedBySourceActions: Seq[MergeAction]): Option[LogicalPlan] = {
     val targetCols = rel.output.map(_.name)
     val sourceAttrs = source.output
     def isStar(assigns: Seq[Assignment]): Boolean =
@@ -94,9 +95,9 @@ case class SqlUpdateRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     keys.flatMap { case (targetKey, sourceKey) =>
-      (matchedActions, notMatchedActions) match {
+      (matchedActions, notMatchedActions, notMatchedBySourceActions) match {
         // canonical star upsert with same-named key: schema-equal fast path
-        case (Seq(UpdateAction(None, upd, _)), Seq(InsertAction(None, ins)))
+        case (Seq(UpdateAction(None, upd, _)), Seq(InsertAction(None, ins)), Seq())
             if targetKey == sourceKey && isStar(upd) && isStar(ins) =>
           Some(GraftMergeCommand(t.path, source, targetCols, targetKey))
         case _ =>
@@ -111,21 +112,24 @@ case class SqlUpdateRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }.toMap
           def condCol(c: Option[Expression]): Option[Column] =
             c.map(e => ColumnBridge.column(unresolveMerge(e, sourceAttrs)))
-          val matched = matchedActions.map {
+          def updateOrDelete(a: MergeAction, clause: String): MergeClause = a match {
             case UpdateAction(c, assigns, _) =>
               MergeClause.Update(condCol(c), assignMap(assigns))
             case DeleteAction(c) => MergeClause.Delete(condCol(c))
             case other => throw new UnsupportedOperationException(
-              s"graft-delta: unsupported WHEN MATCHED action $other")
+              s"graft-delta: unsupported $clause action $other")
           }
+          val matched = matchedActions.map(updateOrDelete(_, "WHEN MATCHED"))
           val inserts = notMatchedActions.map {
             case InsertAction(c, assigns) =>
               MergeClause.Insert(condCol(c), assignMap(assigns))
             case other => throw new UnsupportedOperationException(
               s"graft-delta: unsupported WHEN NOT MATCHED action $other")
           }
+          val bySource = notMatchedBySourceActions.map(
+            updateOrDelete(_, "WHEN NOT MATCHED BY SOURCE"))
           Some(GraftMergeIntoCommand(t.path, source, targetKey, sourceKey,
-            matched, inserts))
+            matched, inserts, bySource))
       }
     }
   }
@@ -183,12 +187,13 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
 case class GraftMergeIntoCommand(path: String, source: LogicalPlan,
                                  targetKey: String, sourceKey: String,
                                  matched: Seq[MergeClause],
-                                 notMatched: Seq[MergeClause.Insert])
+                                 notMatched: Seq[MergeClause.Insert],
+                                 notMatchedBySource: Seq[MergeClause])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     DeltaTable.mergeInto(ColumnBridge.ofRows(spark, source), path,
-      targetKey, sourceKey, matched, notMatched)
+      targetKey, sourceKey, matched, notMatched, notMatchedBySource)
     Seq.empty
   }
 }

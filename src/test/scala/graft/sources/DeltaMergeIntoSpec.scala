@@ -155,6 +155,43 @@ class DeltaMergeIntoSpec extends SparkSpec {
       (9L, "es", "insert")))
   }
 
+  test("not-matched-by-source clauses fire on target rows without a source match") {
+    val t = tmp()
+    base(t)
+    // source matches 1 and 3; rows 2 and 4 are not matched by source
+    val source = Seq((1L, "m1", 0L), (3L, "m3", 0L)).toDF("id", "s", "n")
+    DeltaTable.mergeInto(source, t, "id", "id",
+      matched = Seq(MergeClause.Update(None, Map("s" -> src("s")))),
+      notMatched = Seq.empty,
+      notMatchedBySource = Seq(
+        MergeClause.Delete(Some(col("n") < 30L)),        // deletes id=2 (n=20)
+        MergeClause.Update(None, Map("n" -> (col("n") * 10L))))) // id=4 → 400
+    assert(rows(t) === Set(
+      (1L, "m1", 10L), (3L, "m3", 30L), (4L, "d", 400L)))
+  }
+
+  test("by-source stats pruning: files provably outside the conditions carry over") {
+    val t = tmp()
+    DeltaTable.write((1L to 5L).map(i => (i, "lo", i)).toDF("id", "s", "n"),
+      t, SaveMode.Append)
+    DeltaTable.write((100L to 105L).map(i => (i, "hi", i)).toDF("id", "s", "n"),
+      t, SaveMode.Append)
+    val loFiles = DeltaLog.snapshot(spark, t).files
+      .filter(_.stats.exists(_.maxValues("id") < 100L)).map(_.path).toSet
+    // empty source: every row is unmatched; the conditional by-source
+    // delete targets only the hi file's id range
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      DeltaTable.read(spark, t).schema)
+    DeltaTable.mergeInto(empty, t, "id", "id",
+      matched = Seq.empty, notMatched = Seq.empty,
+      notMatchedBySource = Seq(MergeClause.Delete(Some(col("id") >= 100L))))
+    assert(rows(t).map(_._1) === (1L to 5L).toSet)
+    assert(loFiles.subsetOf(
+      DeltaLog.snapshot(spark, t).files.map(_.path).toSet),
+      "by-source candidate pruning must not rewrite provably-clean files")
+  }
+
   test("merge into an empty-but-created table inserts through the clauses") {
     val t = tmp()
     base(t)

@@ -164,14 +164,19 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(feed === Set((3L, "delete"), (1L, "update_preimage"),
       (1L, "update_postimage"), (9L, "insert")))
-    // WHEN NOT MATCHED BY SOURCE stays Spark's problem — refused, not
-    // approximated
-    val e = intercept[Exception] {
-      spark.sql("""MERGE INTO graft.db7.t AS t USING mc_src AS s
-                   ON t.id = s.id
-                   WHEN NOT MATCHED BY SOURCE THEN DELETE""")
-    }
-    assert(e != null)
+    // WHEN NOT MATCHED BY SOURCE: target rows with no source match run
+    // their own update/delete clauses (conditions over target columns)
+    spark.sql("""MERGE INTO graft.db7.t AS t USING mc_src AS s
+                 ON t.id = s.id
+                 WHEN NOT MATCHED BY SOURCE AND t.n < 30 THEN DELETE
+                 WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = t.n * 10""")
+    val got2 = spark.sql("SELECT id, n FROM graft.db7.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 === Seq(
+      (1L, 110L),   // matched by source (id=1 in mc_src): untouched
+      // 2 had no source match and n=20 < 30 → deleted
+      (4L, 400L),   // no source match, n=40 → updated ×10
+      (9L, 90L)))   // matched by source (id=9): untouched
   }
 
   test("CALL graft.system.* : maintenance procedures run against the log") {
