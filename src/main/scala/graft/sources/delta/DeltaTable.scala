@@ -629,12 +629,20 @@ object DeltaTable {
     * matching key would duplicate its target row through the join,
     * which is the "multiple source rows matched" error delta-spark
     * raises. NULL source keys never match and flow to the notMatched
-    * clauses. Optimistic-concurrency retry like [[merge]]. */
+    * clauses. Optimistic-concurrency retry like [[merge]].
+    *
+    * `txn = Some((appId, version))` makes the merge EXACTLY-ONCE for
+    * streaming callers ([[graft.streaming.CdcIngest
+    * .startIngestDeltaMerge]]): the commit carries the txn high-water
+    * mark and a replayed (appId, version) at or below the recorded mark
+    * returns without staging — the same protocol as [[appendWithTxn]]
+    * and the DSv2 streaming sink. */
   def mergeInto(source: DataFrame, table: String,
                 targetKey: String, sourceKey: String,
                 matched: Seq[MergeClause],
                 notMatched: Seq[MergeClause.Insert],
-                notMatchedBySource: Seq[MergeClause] = Seq.empty): Unit = {
+                notMatchedBySource: Seq[MergeClause] = Seq.empty,
+                txn: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, input_file_name, lit, max, min, when}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     (matched ++ notMatchedBySource).foreach {
@@ -677,6 +685,11 @@ object DeltaTable {
       require(attempts <= 50, s"delta: mergeInto gave up after $attempts conflicts")
       val head = snapshot(spark, table)
       require(!head.isEmpty, s"delta: $table has no commits")
+      // exactly-once for streaming merges: a replayed (appId, version)
+      // whose high-water mark is already in the log is a no-op —
+      // checked BEFORE this attempt stages anything
+      if (txn.exists { case (a, v) => head.txns.get(a).exists(_ >= v) })
+        return
       val schema = logSchema(head, table)
       require(schema.fieldNames.contains(targetKey),
         s"delta: merge key `$targetKey` is not a column of $table")
@@ -833,11 +846,15 @@ object DeltaTable {
           if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
           keep // all touched rows deleted: no empty replacement file
         }
-      if (touchedAll.isEmpty && adds.isEmpty && cdc.isEmpty) return // no-op merge
+      // a no-op merge still commits when it carries a txn high-water
+      // mark: the replay guard needs the version recorded
+      if (touchedAll.isEmpty && adds.isEmpty && cdc.isEmpty && txn.isEmpty)
+        return
       val now = System.currentTimeMillis()
       val removes = touchedAll.map(f => removeAction(f.path, now))
+      val txnActs = txn.map { case (a, v) => txnAction(a, v) }.toSeq
       done = commit(spark, table, head.version + 1,
-        commitInfoAction("MERGE", now) +: (cdc ++ removes ++ adds))
+        commitInfoAction("MERGE", now) +: (txnActs ++ cdc ++ removes ++ adds))
       if (!done) (cdc ++ adds).foreach { a =>
         fs.delete(new Path(tbl, actionPath(a)), false)
       }

@@ -402,6 +402,68 @@ object CdcIngest {
       }
       .start()
 
+  /** CDC MERGE into the from-scratch Delta LOG — the transactional form
+    * of [[startUpsertIngest]]'s bucketed-parquet rewrite, and the
+    * upsert sink SURVEY §7.1 names as the extension of the reference's
+    * append-only pipeline (`SaveDelta.scala:160` appends the
+    * after-image for every op, piling updates and all-null deletes into
+    * the table). Per micro-batch: decode ops, keep the NEWEST event per
+    * key (ts_ms → Debezium lsn → op, [[upsertBatch]]'s deterministic
+    * pick), then ONE multi-clause [[graft.sources.delta.DeltaTable
+    * .mergeInto]] — matched `d` rows DELETE, other matched ops UPDATE
+    * from the after-image, unmatched non-`d` ops INSERT (a delete for a
+    * key the table never saw is a no-op, matching upsert semantics).
+    * The commit carries a (appId, batchId) `txn` action, so a replayed
+    * batch after restart is SKIPPED inside the engine — exactly-once
+    * table contents, merge edition. Candidate selection stays
+    * O(files containing a batch key) via the merge's stats probe; the
+    * table bootstraps from the first batch's non-delete rows. */
+  def startIngestDeltaMerge(
+      raw: DataFrame,
+      table: String,
+      checkpoint: String,
+      appId: String = "graft-cdc-merge",
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    Ops.decodeCdcOps(raw).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        import graft.sources.delta.{DeltaLog, DeltaTable, MergeClause}
+        import graft.sources.delta.DeltaTable.src
+        val spark = batch.sparkSession
+        val seqOrd =
+          if (batch.columns.contains("seq")) col("seq").desc_nulls_last
+          else lit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key_id"))
+          .orderBy(col("ts_ms").desc, seqOrd, col("op").desc)
+        val latest = batch.toDF()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val rowCols = batch.columns
+          .filterNot(Set("key_id", "op", "ts_ms", "seq")).toSeq
+        if (DeltaLog.snapshot(spark, table).isEmpty) {
+          // bootstrap: the first batch's surviving non-delete rows ARE
+          // the table; the txn mark still lands so a replay is skipped
+          DeltaTable.appendWithTxn(
+            latest.filter(col("op") =!= "d").select(rowCols.map(col): _*),
+            table, appId, batchId)
+        } else {
+          DeltaTable.mergeInto(latest, table,
+            targetKey = "id", sourceKey = "key_id",
+            matched = Seq(
+              MergeClause.Delete(Some(src("op") === "d")),
+              MergeClause.Update(None,
+                rowCols.map(c => c -> src(c)).toMap)),
+            notMatched = Seq(
+              MergeClause.Insert(Some(src("op") =!= "d"),
+                rowCols.map(c => c -> src(c)).toMap)),
+            txn = Some((appId, batchId)))
+        }
+        ()
+      }
+      .start()
+
   /** A4 (ref `SaveDelta.scala:171-203`): streaming throughput metrics via
     * a StreamingQueryListener instead of the reference's driver-side
     * polling loop. Returns the listener for inspection/removal. */

@@ -192,6 +192,29 @@ class DeltaMergeIntoSpec extends SparkSpec {
       "by-source candidate pruning must not rewrite provably-clean files")
   }
 
+  test("txn-carrying merge: a replayed (appId, version) is skipped exactly-once") {
+    val t = tmp()
+    base(t)
+    val source = Seq((1L, "v1", 0L)).toDF("id", "s", "n")
+    def run() = DeltaTable.mergeInto(source, t, "id", "id",
+      matched = Seq(MergeClause.Update(None, Map("s" -> src("s")))),
+      notMatched = Seq.empty, txn = Some(("app", 5L)))
+    run()
+    val v = DeltaLog.snapshot(spark, t).version
+    assert(DeltaLog.snapshot(spark, t).txns.get("app").contains(5L))
+    run() // replay: high-water mark rejects it, no new commit
+    assert(DeltaLog.snapshot(spark, t).version === v)
+    // an OLDER version is also skipped; a NEWER one commits
+    DeltaTable.mergeInto(source, t, "id", "id",
+      matched = Seq(MergeClause.Update(None, Map("s" -> lit("v2")))),
+      notMatched = Seq.empty, txn = Some(("app", 4L)))
+    assert(DeltaLog.snapshot(spark, t).version === v)
+    DeltaTable.mergeInto(source, t, "id", "id",
+      matched = Seq(MergeClause.Update(None, Map("s" -> lit("v3")))),
+      notMatched = Seq.empty, txn = Some(("app", 6L)))
+    assert(rows(t).contains((1L, "v3", 10L)))
+  }
+
   test("merge into an empty-but-created table inserts through the clauses") {
     val t = tmp()
     base(t)

@@ -126,6 +126,37 @@ class CdcIngestSpec extends SparkSpec {
     assert(out.groupBy(col("id")).count().filter(col("count") > 1).count() === 0)
   }
 
+  test("delta merge ingest: CDC ops apply transactionally through the log") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_dmerge").toString
+    val t = s"$dir/t"
+    // batch 1 (bootstrap): three inserts, plus a delete for a key the
+    // table never saw — a no-op, not an error
+    val s1 = MemoryStream[String]
+    s1.addData(env("c", 1, "run", 1000), env("c", 2, "walk", 1001),
+      env("c", 3, "bike", 1002), env("d", 99, "ghost", 1003))
+    CdcIngest.startIngestDeltaMerge(s1.toDF(), t, s"$dir/chk1",
+      appId = "dm1", trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    assert(graft.sources.delta.DeltaTable.read(spark, t).count() === 3)
+    // batch 2: stale-then-newer update (newest wins), delete, insert
+    val s2 = MemoryStream[String]
+    s2.addData(env("u", 2, "stale", 1500), env("u", 2, "swim", 2000),
+      env("d", 3, "bike", 2001), env("c", 4, "hike", 2002))
+    CdcIngest.startIngestDeltaMerge(s2.toDF(), t, s"$dir/chk2",
+      appId = "dm2", trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    val out = graft.sources.delta.DeltaTable.read(spark, t)
+    assert(out.select("id").collect().map(_.getInt(0)).toSet === Set(1, 2, 4))
+    assert(out.filter(col("id") === 2).select("sport_type").head().getString(0)
+      === "swim")
+    // the batch landed as ONE atomic MERGE commit carrying the txn mark
+    val head = graft.sources.delta.DeltaLog.snapshot(spark, t)
+    val last = graft.sources.delta.DeltaTable
+      .describeHistory(spark, t).maxBy(_.version)
+    assert(last.operation.contains("MERGE"), s"got ${last.operation}")
+    assert(head.txns.get("dm2").contains(0L))
+  }
+
   private def env(op: String, id: Int, sport: String, tsMs: Long): String = {
     val row = s"""{"id":$id,"id_employee":${id * 10},"first_name":"fn","last_name":"ln",""" +
       s""""start_datetime":1700000000000000,"sport_type":"$sport","distance":5,""" +
