@@ -963,6 +963,82 @@ object Catalog {
     }
   }
 
+  /** Schema evolution + CHECK constraints in pure SQL (q94): `documents`
+    * loaded into a scratch catalog table, a CHECK constraint added via
+    * `CALL graft.system.add_constraint` (validated against existing
+    * rows, enforced on every subsequent write), the schema widened by
+    * `ALTER TABLE ADD COLUMNS`, then ONE `MERGE WITH SCHEMA EVOLUTION`
+    * whose source carries a brand-new `score` column — Spark's
+    * resolution drives the widening through the catalog's AddColumn
+    * seam before the clause translation runs. The oracle replays the
+    * evolution relationally (untouched rows read NULL in both evolved
+    * columns; matched rows update; shifted keys insert), so the gate
+    * proves ADD COLUMNS, capability-gated auto-evolution, and
+    * constraint-checked writes compute exactly what the SQL says.
+    * Scratch deleted before returning (q80 convention). */
+  val q94SchemaEvolution: Q = Q(
+    "q94_evolution_constraints",
+    Some("""
+      WITH src AS (
+        SELECT doc_id, lang, n_chars + 1 AS n_chars,
+               doc_id % 7 AS flags, n_chars % 100 AS score
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, 'new', CAST(100 AS BIGINT),
+               CAST(1 AS BIGINT), CAST(50 AS BIGINT)
+        FROM documents WHERE doc_id % 9 = 0),
+      final AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(NULL AS BIGINT) AS flags, CAST(NULL AS BIGINT) AS score
+        FROM documents WHERE doc_id % 4 <> 0
+        UNION ALL SELECT * FROM src)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(flags) AS BIGINT) AS sum_flags,
+             CAST(SUM(score) AS BIGINT) AS sum_score
+      FROM final
+      GROUP BY lang""")) { (spark, dir) =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q94")
+    val cat = s"g94_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.delta.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+      spark.sql(s"CREATE NAMESPACE $cat.corpus")
+      spark.sql(s"CREATE TABLE $cat.corpus.docs (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      spark.sql(s"""INSERT INTO $cat.corpus.docs
+                    SELECT doc_id, lang, n_chars FROM docs_src_$cat""")
+      spark.sql(s"CALL $cat.system.add_constraint('corpus.docs', 'nonneg', 'n_chars >= 0')")
+      spark.sql(s"ALTER TABLE $cat.corpus.docs ADD COLUMNS (flags BIGINT)")
+      spark.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO $cat.corpus.docs AS t
+        USING (SELECT doc_id, lang, n_chars + 1 AS n_chars,
+                      doc_id % 7 AS flags, n_chars % 100 AS score
+               FROM docs_src_$cat WHERE doc_id % 4 = 0
+               UNION ALL
+               SELECT doc_id + 2000000, 'new', 100L, 1L, 50L
+               FROM docs_src_$cat WHERE doc_id % 9 = 0) AS s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val agg = spark.sql(s"""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+               SUM(flags) AS sum_flags, SUM(score) AS sum_score
+        FROM $cat.corpus.docs
+        GROUP BY lang""")
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Per-JVM staging for [[q93Dsv2Scan]]: the documents table written
     * ONCE as a graft-delta table per sfDir, so the timed passes measure
     * the SCAN (the thing the bench tracks), not the setup write. */
@@ -1011,7 +1087,7 @@ object Catalog {
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
         q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping,
         q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q92MergeClauses,
-        q93Dsv2Scan) ++
+        q93Dsv2Scan, q94SchemaEvolution) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -70,7 +70,9 @@ private[delta] class DeltaStreamingWrite(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     DeltaSinkWriterFactory(table, writeSchema, partCols.toArray,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      spark.sessionState.conf.sessionLocalTimeZone)
+      spark.sessionState.conf.sessionLocalTimeZone,
+      SinkConstraints.bind(spark, writeSchema,
+        DeltaLog.snapshot(spark, table).configuration))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val tbl = new Path(table)
@@ -202,7 +204,11 @@ private[delta] class DeltaBatchWrite(
       info: PhysicalWriteInfo): DataWriterFactory =
     DeltaSinkWriterFactory(table, writeSchema, partCols.toArray,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      spark.sessionState.conf.sessionLocalTimeZone)
+      spark.sessionState.conf.sessionLocalTimeZone,
+      // overwrite replaces content wholesale, but the constraint set
+      // rides the metaData that carries FORWARD — new rows still honor it
+      SinkConstraints.bind(spark, writeSchema,
+        DeltaLog.snapshot(spark, table).configuration))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val tbl = new Path(table)
@@ -263,14 +269,43 @@ private[delta] case class StagedSinkFile(
 private[delta] case class DeltaSinkCommitMessage(files: Seq[StagedSinkFile])
     extends WriterCommitMessage
 
+/** Driver-side resolution of the table's CHECK constraints against the
+  * write schema: each `delta.constraints.<name>` SQL text parses,
+  * analyzes (type-checked like a WHERE clause), wraps in the SQL CHECK
+  * null-pass rule (NULL satisfies), and binds to row ordinals — the
+  * bound expressions serialize to tasks, where a compiled predicate
+  * evaluates per row with no session access. */
+private[delta] object SinkConstraints {
+  import org.apache.spark.sql.catalyst.expressions.{BindReferences, Coalesce, Expression, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+
+  def bind(spark: SparkSession, schema: StructType,
+           configuration: Map[String, String]): Seq[(String, String, Expression)] = {
+    val attrs =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    DeltaTable.constraintsOf(configuration).map { case (name, sql) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val analyzed = spark.sessionState.analyzer
+        .execute(Filter(parsed, LocalRelation(attrs)))
+      val cond = analyzed.collectFirst { case f: Filter => f.condition }
+        .getOrElse(throw new IllegalStateException(
+          s"graft-delta sink: constraint `$name` ($sql) did not analyze"))
+      val nullPasses = Coalesce(Seq(cond, Literal(true)))
+      (name, sql, BindReferences.bindReference(nullPasses, attrs))
+    }
+  }
+}
+
 private[delta] case class DeltaSinkWriterFactory(
     table: String, schema: StructType, partCols: Array[String],
-    conf: SerializableHadoopConf, sessionTimeZone: String)
+    conf: SerializableHadoopConf, sessionTimeZone: String,
+    constraints: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends StreamingDataWriterFactory with DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new DeltaSinkDataWriter(table, schema, partCols, conf.value,
-      java.time.ZoneId.of(sessionTimeZone))
+      java.time.ZoneId.of(sessionTimeZone), constraints)
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId, 0L)
@@ -283,7 +318,10 @@ private[delta] case class DeltaSinkWriterFactory(
 private[delta] class DeltaSinkDataWriter(
     table: String, schema: StructType, partCols: Array[String],
     hadoopConf: org.apache.hadoop.conf.Configuration,
-    zone: java.time.ZoneId) extends DataWriter[InternalRow] {
+    zone: java.time.ZoneId,
+    constraints: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    extends DataWriter[InternalRow] {
 
   private val dataFields: Array[(StructField, Int)] =
     schema.fields.zipWithIndex.filterNot { case (f, _) => partCols.contains(f.name) }
@@ -291,6 +329,12 @@ private[delta] class DeltaSinkDataWriter(
     partCols.map(c => (schema(c), schema.fieldIndex(c)))
   private val groupWriter =
     new DeltaGroupWriter(StructType(dataFields.map(_._1)))
+
+  // CHECK enforcement: compiled once per task from the driver-bound
+  // expressions (null already folded to pass), evaluated per row
+  private lazy val checkPreds = constraints.map { case (n, s, e) =>
+    (n, s, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+  }
 
   private val open = mutable.Map.empty[String, DeltaGroupWriter.OpenFile]
 
@@ -304,6 +348,10 @@ private[delta] class DeltaSinkDataWriter(
     }.mkString("/")
 
   override def write(row: InternalRow): Unit = {
+    checkPreds.foreach { case (name, sql, p) =>
+      if (!p.eval(row)) throw new IllegalArgumentException(
+        s"graft-delta sink: CHECK constraint `$name` ($sql) violated")
+    }
     val rel = partitionRel(row)
     val of = open.getOrElseUpdate(rel, {
       val name = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"

@@ -192,9 +192,14 @@ private[delta] class DeltaStreamTable(
   // ... VALUES` columns (col1, col2, …) onto the table's schema; the
   // sink's own log-schema check remains as the commit-time backstop.
   override def capabilities(): java.util.Set[TableCapability] = {
+    // AUTOMATIC_SCHEMA_EVOLUTION gates MERGE WITH SCHEMA EVOLUTION:
+    // Spark's ResolveMergeIntoSchemaEvolution only fires for tables
+    // advertising it, then drives the widening through the catalog's
+    // alterTable(AddColumn) → [[DeltaTable.addColumns]]
     val caps = java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     if (tableSchema.fields.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }

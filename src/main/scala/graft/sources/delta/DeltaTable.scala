@@ -235,8 +235,13 @@ object DeltaTable {
                         dataChange: Boolean = true): Seq[org.json4s.JValue] = {
     val staging = new Path(tbl, s".staging-${java.util.UUID.randomUUID()}")
     val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    // a failing write job (e.g. a CHECK constraint violation raised
+    // mid-stage) must not leak its staging dir: vacuum deliberately
+    // never touches `.staging-*` (a LIVE stage is indistinguishable
+    // from a dead one by name), so clean up on the failure path here
+    try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(staging.toString)
+    catch { case e: Throwable => fs.delete(staging, true); throw e }
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val adds = walkStaged(fs, staging).map { case (rel, p) =>
       val name = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
@@ -397,7 +402,8 @@ object DeltaTable {
           s"delta: table is partitioned by $existingParts, not $partitionBy")
         partitionBy
       }
-    val adds = stageData(df, tbl, fs, parts)
+    val adds = stageData(enforceConstraints(df, head.configuration),
+      tbl, fs, parts)
 
     val schemaJson = df.schema.json
     var committed = false
@@ -497,6 +503,7 @@ object DeltaTable {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = updates.sparkSession
+    requireDriverManifest(spark, table, "MERGE")
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // keys must have add-action stats to skip on: integral types use the
@@ -551,10 +558,10 @@ object DeltaTable {
       val touchedDf =
         if (touched.isEmpty) None
         else Some(readFiles(spark, table, schema, head.partitionColumns, touched))
-      val merged = touchedDf match {
+      val merged = enforceConstraints(touchedDf match {
         case None => updates
         case Some(t) => t.join(keys, Seq(keyCol), "left_anti").unionByName(updates)
-      }
+      }, head.configuration)
       val cdc =
         if (!changeFeedEnabled(spark, head)) Seq.empty
         else {
@@ -652,6 +659,7 @@ object DeltaTable {
           s"Delete, got $c")
     }
     val spark = source.sparkSession
+    requireDriverManifest(spark, table, "MERGE")
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keyType = source.schema(sourceKey).dataType
@@ -813,7 +821,8 @@ object DeltaTable {
           case (acc, _) => acc
         }.as(n)
       }: _*)
-      val output = rewritten.fold(inserts)(_.unionByName(inserts))
+      val output = enforceConstraints(
+        rewritten.fold(inserts)(_.unionByName(inserts)), head.configuration)
       val cdc =
         if (!changeFeedEnabled(spark, head)) Seq.empty
         else {
@@ -896,10 +905,120 @@ object DeltaTable {
       require(attempts <= 50, s"delta: setProperties gave up after $attempts conflicts")
       val head = snapshot(spark, table)
       require(!head.isEmpty, s"delta: $table has no commits")
+      // a CHECK constraint arriving as a property (the pure-SQL ALTER
+      // TABLE SET TBLPROPERTIES route) validates EXISTING data first,
+      // like delta-spark's ADD CONSTRAINT scan — adding a constraint the
+      // table already violates would make every later write's failure
+      // someone else's bug
+      props.foreach { case (k, v) =>
+        if (k.startsWith(ConstraintPrefix) && !head.configuration.get(k).contains(v))
+          validateConstraint(spark, table, k.stripPrefix(ConstraintPrefix), v)
+      }
       done = commit(spark, table, head.version + 1, Seq(
         commitInfoAction("SET TBLPROPERTIES"),
         metaDataAction(head.schemaJson.getOrElse(""), head.partitionColumns,
           head.metaDataId, head.configuration ++ props)))
+    }
+  }
+
+  /** `ALTER TABLE ADD COLUMNS` through the log: one metaData
+    * re-emission with the appended fields — the same union-schema rule
+    * as mergeSchema appends (new columns are nullable; existing files
+    * read NULL for them under the evolved schema). This is the seam
+    * Spark's `MERGE WITH SCHEMA EVOLUTION` drives via
+    * `TableCatalog.alterTable(AddColumn)`. */
+  def addColumns(spark: SparkSession, table: String,
+                 cols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: addColumns gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      require(!head.isEmpty, s"delta: $table has no commits")
+      val schema = logSchema(head, table)
+      val dup = cols.map(_.name).toSet.intersect(schema.fieldNames.toSet)
+      require(dup.isEmpty, s"delta: columns $dup already exist in $table")
+      val merged = StructType(schema.fields ++ cols.map(_.copy(nullable = true)))
+      done = commit(spark, table, head.version + 1, Seq(
+        commitInfoAction("ADD COLUMNS"),
+        metaDataAction(merged.json, head.partitionColumns,
+          head.metaDataId, head.configuration)))
+    }
+  }
+
+  /** Remove table properties (e.g. DROP CONSTRAINT) by re-emitting
+    * metaData without the keys. Unknown keys are a no-op, like
+    * `ALTER TABLE UNSET TBLPROPERTIES`. */
+  def unsetProperties(spark: SparkSession, table: String,
+                      keys: Set[String]): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: unsetProperties gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      require(!head.isEmpty, s"delta: $table has no commits")
+      done = commit(spark, table, head.version + 1, Seq(
+        commitInfoAction("UNSET TBLPROPERTIES"),
+        metaDataAction(head.schemaJson.getOrElse(""), head.partitionColumns,
+          head.metaDataId, head.configuration -- keys)))
+    }
+  }
+
+  /** CHECK constraints ride metaData.configuration under the protocol's
+    * `delta.constraints.<name>` keys (delta-spark's ALTER TABLE ADD
+    * CONSTRAINT storage) — discoverable by other engines, durable
+    * through schema evolution and checkpoints like any property. */
+  private[delta] val ConstraintPrefix = "delta.constraints."
+
+  private[delta] def constraintsOf(
+      configuration: Map[String, String]): Seq[(String, String)] =
+    configuration.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        (k.stripPrefix(ConstraintPrefix), v)
+    }.toSeq.sortBy(_._1)
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (sqlExpr)`: validates
+    * existing rows (one filter-count scan), then commits the property. */
+  def addConstraint(spark: SparkSession, table: String,
+                    name: String, sqlExpr: String): Unit =
+    setProperties(spark, table, Map(s"$ConstraintPrefix$name" -> sqlExpr))
+
+  /** `ALTER TABLE DROP CONSTRAINT name`. */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Unit =
+    unsetProperties(spark, table, Set(s"$ConstraintPrefix$name"))
+
+  private def validateConstraint(spark: SparkSession, table: String,
+                                 name: String, sqlExpr: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val head = snapshot(spark, table)
+    if (head.files.isEmpty) return
+    // SQL CHECK truth: only definite FALSE violates; NULL passes
+    val violations = read(spark, table)
+      .filter(not(coalesce(expr(sqlExpr).cast("boolean"), lit(true))))
+      .limit(1).count()
+    require(violations == 0L,
+      s"delta: cannot add CHECK constraint `$name` ($sqlExpr): existing " +
+        "rows violate it")
+  }
+
+  /** Write-time CHECK enforcement: one inline filter per constraint
+    * whose violating branch raises with the constraint name and the
+    * offending row as JSON — a per-row predicate inside the write's own
+    * pass (no second scan), surviving optimization because filters are
+    * never pruned. Applied to every DataFrame-path write of NEW row
+    * content (append/overwrite, merge, mergeInto, UPDATE rewrites); the
+    * DSv2 sink enforces the same predicate per-row task-side. */
+  private[delta] def enforceConstraints(
+      df: DataFrame, configuration: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, raise_error, struct, to_json, when}
+    constraintsOf(configuration).foldLeft(df) { case (d, (name, sql)) =>
+      val ok = coalesce(expr(sql).cast("boolean"), lit(true))
+      d.filter(when(ok, lit(true)).otherwise(
+        raise_error(concat(
+          lit(s"delta: CHECK constraint `$name` ($sql) violated by row "),
+          to_json(struct(d.columns.toSeq.map(col): _*)))).cast("boolean")))
     }
   }
 
@@ -931,9 +1050,25 @@ object DeltaTable {
     dml(spark, table, predicate, Some(set))
   }
 
+  /** Loud refusal when a DML path would materialize a past-threshold
+    * manifest driver-side — the same guard the DSv2 planner applies
+    * (`DeltaBatchScan.planInputPartitions`). Row-level DML's candidate
+    * selection iterates `head.files` on the driver; past the
+    * distributed-replay threshold that is an OOM with no named cause.
+    * The fix for a genuinely million-file table is partition-predicate
+    * DML (metadata-only) after compaction, or a raised threshold. */
+  private def requireDriverManifest(spark: SparkSession, table: String,
+                                    op: String): Unit =
+    require(!chooseDistributedReplay(spark, table),
+      s"delta: $table's live-file manifest exceeds " +
+        s"spark.graft.delta.distributedReplayThreshold rows; $op candidate " +
+        "selection materializes it driver-side. Compact first, or raise " +
+        "the threshold.")
+
   private def dml(spark: SparkSession, table: String, predicate: Column,
                   set: Option[Map[String, Column]]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not, when}
+    requireDriverManifest(spark, table, if (set.isEmpty) "DELETE" else "UPDATE")
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempts = 0
@@ -1006,10 +1141,13 @@ object DeltaTable {
       // just remove actions. UPDATE rewrites every touched file.
       val rewritten = set match {
         case None =>
+          // DELETE never creates rows: survivors already satisfied every
+          // constraint, no enforcement pass needed
           if (probedTouched.isEmpty) None
           else Some(readFiles(spark, table, schema, head.partitionColumns,
             probedTouched).filter(not(cond)))
-        case Some(s) => Some(applySet(df, s, unconditional = false))
+        case Some(s) => Some(enforceConstraints(
+          applySet(df, s, unconditional = false), head.configuration))
       }
       val cdc =
         if (!changeFeedEnabled(spark, head)) Seq.empty
@@ -1069,8 +1207,9 @@ object DeltaTable {
                               partitionBy: Seq[String] = Seq.empty): Seq[org.json4s.JValue] = {
     val staging = new Path(tbl, s".staging-cdc-${java.util.UUID.randomUUID()}")
     val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(staging.toString)
+    catch { case e: Throwable => fs.delete(staging, true); throw e }
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val root = new Path(tbl, "_change_data")
     val actions = walkStaged(fs, staging).flatMap { case (rel, p) =>

@@ -106,16 +106,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    // scoped honestly: table-property changes commit a metaData
-    // re-emission ([[DeltaTable.setProperties]]); schema surgery through
-    // SQL is not supported (mergeSchema/overwrite are the write paths)
+    // scoped honestly: property changes and additive top-level columns
+    // each commit one metaData re-emission; any other schema surgery is
+    // refused (mergeSchema append / overwrite are the write paths).
+    // AddColumn is also the seam Spark's MERGE WITH SCHEMA EVOLUTION
+    // resolution drives (ResolveMergeIntoSchemaEvolution → alterTable).
     val props = changes.collect {
       case s: TableChange.SetProperty => s.property() -> s.value()
     }
-    require(props.size == changes.size, "graft catalog: ALTER TABLE supports " +
-      "SET TBLPROPERTIES only; schema changes go through the write paths " +
-      "(mergeSchema append / overwrite)")
-    DeltaTable.setProperties(spark, tablePath(ident).toString, props.toMap)
+    val adds = changes.collect {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"graft catalog: nested ADD COLUMN ${a.fieldNames().mkString(".")} " +
+            "is not supported")
+        require(a.position() == null,
+          "graft catalog: ADD COLUMN with a position is not supported — " +
+            "new columns append at the end")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+    }
+    require(props.size + adds.size == changes.size,
+      "graft catalog: ALTER TABLE supports SET TBLPROPERTIES and additive " +
+        "ADD COLUMNS only; other schema changes go through the write paths " +
+        "(mergeSchema append / overwrite)")
+    val path = tablePath(ident).toString
+    if (adds.nonEmpty) DeltaTable.addColumns(spark, path, adds)
+    if (props.nonEmpty) DeltaTable.setProperties(spark, path, props.toMap)
     loadTable(ident)
   }
 

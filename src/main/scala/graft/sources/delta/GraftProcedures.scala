@@ -69,7 +69,16 @@ private[delta] object GraftProcedures {
       "set the delta.enableChangeDataFeed table property",
       Seq("table" -> StringType, "enabled" -> BooleanType),
       (s, t, a) => DeltaTable.setProperties(s, t,
-        Map("delta.enableChangeDataFeed" -> a(0).toString))))
+        Map("delta.enableChangeDataFeed" -> a(0).toString))),
+    Proc("add_constraint",
+      "add a CHECK constraint (validates existing rows, then enforced on every write)",
+      Seq("table" -> StringType, "name" -> StringType, "expr" -> StringType),
+      (s, t, a) => DeltaTable.addConstraint(s, t,
+        a(0).toString, a(1).toString)),
+    Proc("drop_constraint",
+      "drop a CHECK constraint by name",
+      Seq("table" -> StringType, "name" -> StringType),
+      (s, t, a) => DeltaTable.dropConstraint(s, t, a(0).toString)))
 
   def names: Array[String] = procs.map(_.name).toArray
 

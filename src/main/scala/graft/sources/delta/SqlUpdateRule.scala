@@ -51,10 +51,13 @@ case class SqlUpdateRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // over (matched UPDATE/DELETE, not-matched INSERT, not-matched-
     // by-source UPDATE/DELETE, each optionally conditional) translates
     // clause-by-clause to [[DeltaTable.mergeInto]]. MERGE WITH SCHEMA
-    // EVOLUTION stays with Spark, which refuses it — a silently
-    // approximated MERGE would be worse than none.
+    // EVOLUTION needs no clause-side handling here: by post-hoc
+    // resolution time Spark's ResolveMergeIntoSchemaEvolution has
+    // already widened the table through GraftCatalog.alterTable
+    // (AddColumn) and re-resolved the assignments against the evolved
+    // schema, so the flag's value no longer matters.
     case m @ MergeIntoTable(target, source, cond, matchedActions,
-        notMatchedActions, notMatchedBySourceActions, false) if m.resolved =>
+        notMatchedActions, notMatchedBySourceActions, _) if m.resolved =>
       target.collectFirst {
         case r: DataSourceV2Relation if r.table.isInstanceOf[DeltaStreamTable] =>
           (r.table.asInstanceOf[DeltaStreamTable], r)

@@ -215,6 +215,25 @@ class DeltaMergeIntoSpec extends SparkSpec {
     assert(rows(t).contains((1L, "v3", 10L)))
   }
 
+  test("DML refuses a past-threshold manifest with a named cause, not an OOM") {
+    val t = tmp()
+    base(t)
+    DeltaLog.checkpoint(spark, t)
+    try {
+      spark.conf.set("spark.graft.delta.distributedReplayThreshold", "0")
+      val eM = intercept[IllegalArgumentException] {
+        DeltaTable.mergeInto(Seq((1L, "x", 0L)).toDF("id", "s", "n"),
+          t, "id", "id",
+          matched = Seq(MergeClause.Delete(None)), notMatched = Seq.empty)
+      }
+      assert(eM.getMessage.contains("distributedReplayThreshold"))
+      val eD = intercept[IllegalArgumentException] {
+        DeltaTable.delete(spark, t, col("id") === 1L)
+      }
+      assert(eD.getMessage.contains("distributedReplayThreshold"))
+    } finally spark.conf.unset("spark.graft.delta.distributedReplayThreshold")
+  }
+
   test("merge into an empty-but-created table inserts through the clauses") {
     val t = tmp()
     base(t)

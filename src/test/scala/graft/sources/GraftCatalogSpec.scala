@@ -211,6 +211,42 @@ class GraftCatalogSpec extends SparkSpec {
       Option(e.getCause).exists(c => c.getMessage.contains("frobnicate")))
   }
 
+  test("ALTER TABLE ADD COLUMNS + MERGE WITH SCHEMA EVOLUTION widen the schema") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    spark.sql("CREATE TABLE graft.db9.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.db9.t VALUES (1, 'a'), (2, 'b')")
+    // explicit ADD COLUMNS: one metaData commit, old rows read NULL
+    spark.sql("ALTER TABLE graft.db9.t ADD COLUMNS (n BIGINT)")
+    val afterAdd = spark.sql("SELECT id, s, n FROM graft.db9.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(afterAdd === Seq((1L, "a", -1L), (2L, "b", -1L)))
+    // MERGE WITH SCHEMA EVOLUTION: the source's extra column evolves the
+    // table through the catalog's AddColumn seam, then merges normally
+    // (SET * requires the source to carry every target column — Spark's
+    // star expansion resolves target names against the source)
+    Seq((2L, "b2", 20L, "x2"), (3L, "c", 30L, "x3"))
+      .toDF("id", "s", "n", "extra").createOrReplaceTempView("evo_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.db9.t AS t
+                 USING evo_src AS s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT id, s, n, extra FROM graft.db9.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) "-" else r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, "a", -1L, "-"),    // untouched, evolved column NULL
+      (2L, "b2", 20L, "x2"),  // updated under the evolved schema
+      (3L, "c", 30L, "x3")))  // inserted under the evolved schema
+    // non-additive surgery still refuses
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db9.t DROP COLUMN s")
+    }
+    assert(e != null)
+  }
+
   test("concurrent SQL writers: racing INSERTs and DELETEs converge exactly") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
