@@ -173,3 +173,44 @@ object ScanBench {
     spark.stop()
   }
 }
+
+/** Diagnostic: DSv2 sink write (task-side Group writer) vs the engine's
+  * distributed parquet write (`DeltaTable.write`, Spark's vectorized
+  * writer) vs raw `df.write.parquet` on the same input — decides
+  * whether the Group-based task writer needs replacing.
+  * Args: sfDir [passes]. */
+object WriteBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.table(spark, sfDir, "documents").cache()
+    docs.count() // materialize so writes time the WRITE, not the scan
+    val root = java.nio.file.Files.createTempDirectory("writebench").toString
+    def time(tag: String, i: Int)(body: String => Unit): Double = {
+      val dir = s"$root/$tag-$i"
+      val t0 = System.nanoTime()
+      body(dir)
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[$tag $i] $s%.3f"); s
+    }
+    def run(tag: String)(body: String => Unit): Seq[Double] =
+      (0 to passes).map(i => time(tag, i)(body)).drop(1) // pass 0 = warmup
+    val dsv2 = run("dsv2-sink") { d =>
+      docs.write.format("graft-delta").mode("append").save(d) }
+    val engine = run("engine-write") { d =>
+      graft.sources.delta.DeltaTable.write(docs, d,
+        org.apache.spark.sql.SaveMode.Append) }
+    val raw = run("raw-parquet") { d => docs.write.parquet(d) }
+    println(f"""{"dsv2_sink_min":${dsv2.min}%.3f,"engine_write_min":${engine.min}%.3f,"raw_parquet_min":${raw.min}%.3f,"sink_vs_engine":${dsv2.min / engine.min}%.3f}""")
+    spark.stop()
+  }
+}

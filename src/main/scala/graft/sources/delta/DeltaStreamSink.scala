@@ -72,7 +72,7 @@ private[delta] class DeltaStreamingWrite(
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.sessionLocalTimeZone,
       SinkConstraints.bind(spark, writeSchema,
-        DeltaLog.snapshot(spark, table).configuration))
+        DeltaLog.snapshot(spark, table)))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val tbl = new Path(table)
@@ -208,7 +208,7 @@ private[delta] class DeltaBatchWrite(
       // overwrite replaces content wholesale, but the constraint set
       // rides the metaData that carries FORWARD — new rows still honor it
       SinkConstraints.bind(spark, writeSchema,
-        DeltaLog.snapshot(spark, table).configuration))
+        DeltaLog.snapshot(spark, table)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val tbl = new Path(table)
@@ -280,10 +280,11 @@ private[delta] object SinkConstraints {
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
 
   def bind(spark: SparkSession, schema: StructType,
-           configuration: Map[String, String]): Seq[(String, String, Expression)] = {
+           head: DeltaLog.Snapshot): Seq[(String, String, Expression)] = {
+    import org.apache.spark.sql.types.DataType
     val attrs =
       org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
-    DeltaTable.constraintsOf(configuration).map { case (name, sql) =>
+    val checks = DeltaTable.constraintsOf(head.configuration).map { case (name, sql) =>
       val parsed = spark.sessionState.sqlParser.parseExpression(sql)
       val analyzed = spark.sessionState.analyzer
         .execute(Filter(parsed, LocalRelation(attrs)))
@@ -291,7 +292,20 @@ private[delta] object SinkConstraints {
         .getOrElse(throw new IllegalStateException(
           s"graft-delta sink: constraint `$name` ($sql) did not analyze"))
       val nullPasses = Coalesce(Seq(cond, Literal(true)))
-      (name, sql, BindReferences.bindReference(nullPasses, attrs))
+      (s"CHECK constraint `$name`", sql, nullPasses)
+    } ++
+      // column invariants: log-schema NOT NULL fields refuse null rows
+      head.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .toSeq.flatMap(_.fields)
+        .filter(f => !f.nullable && schema.fieldNames.contains(f.name))
+        .map { f =>
+          val a = attrs.find(_.name == f.name).get
+          (s"NOT NULL constraint on `${f.name}`", s"${f.name} IS NOT NULL",
+            org.apache.spark.sql.catalyst.expressions.IsNotNull(a)
+              : Expression)
+        }
+    checks.map { case (what, sql, e) =>
+      (what, sql, BindReferences.bindReference(e, attrs))
     }
   }
 }
@@ -348,9 +362,9 @@ private[delta] class DeltaSinkDataWriter(
     }.mkString("/")
 
   override def write(row: InternalRow): Unit = {
-    checkPreds.foreach { case (name, sql, p) =>
+    checkPreds.foreach { case (what, sql, p) =>
       if (!p.eval(row)) throw new IllegalArgumentException(
-        s"graft-delta sink: CHECK constraint `$name` ($sql) violated")
+        s"graft-delta sink: $what ($sql) violated")
     }
     val rel = partitionRel(row)
     val of = open.getOrElseUpdate(rel, {

@@ -402,7 +402,8 @@ object DeltaTable {
           s"delta: table is partitioned by $existingParts, not $partitionBy")
         partitionBy
       }
-    val adds = stageData(enforceConstraints(df, head.configuration),
+    val adds = stageData(enforceConstraints(df, head.configuration,
+      head.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])),
       tbl, fs, parts)
 
     val schemaJson = df.schema.json
@@ -561,7 +562,7 @@ object DeltaTable {
       val merged = enforceConstraints(touchedDf match {
         case None => updates
         case Some(t) => t.join(keys, Seq(keyCol), "left_anti").unionByName(updates)
-      }, head.configuration)
+      }, head.configuration, Some(schema))
       val cdc =
         if (!changeFeedEnabled(spark, head)) Seq.empty
         else {
@@ -822,7 +823,8 @@ object DeltaTable {
         }.as(n)
       }: _*)
       val output = enforceConstraints(
-        rewritten.fold(inserts)(_.unionByName(inserts)), head.configuration)
+        rewritten.fold(inserts)(_.unionByName(inserts)), head.configuration,
+        Some(schema))
       val cdc =
         if (!changeFeedEnabled(spark, head)) Seq.empty
         else {
@@ -1009,15 +1011,29 @@ object DeltaTable {
     * pass (no second scan), surviving optimization because filters are
     * never pruned. Applied to every DataFrame-path write of NEW row
     * content (append/overwrite, merge, mergeInto, UPDATE rewrites); the
-    * DSv2 sink enforces the same predicate per-row task-side. */
+    * DSv2 sink enforces the same predicate per-row task-side.
+    *
+    * `tableSchema` adds the protocol's COLUMN INVARIANTS: a log-schema
+    * field with `nullable = false` enforces `IS NOT NULL` on every
+    * written row (delta's NOT NULL invariant) — the schema contract is
+    * nullability-insensitive by design, so without this a null could
+    * silently land in a NOT NULL column. */
   private[delta] def enforceConstraints(
-      df: DataFrame, configuration: Map[String, String]): DataFrame = {
+      df: DataFrame, configuration: Map[String, String],
+      tableSchema: Option[StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, raise_error, struct, to_json, when}
-    constraintsOf(configuration).foldLeft(df) { case (d, (name, sql)) =>
-      val ok = coalesce(expr(sql).cast("boolean"), lit(true))
+    val checks =
+      constraintsOf(configuration).map { case (name, sql) =>
+        (s"CHECK constraint `$name` ($sql)",
+          coalesce(expr(sql).cast("boolean"), lit(true)))
+      } ++
+      tableSchema.toSeq.flatMap(_.fields)
+        .filter(f => !f.nullable && df.columns.contains(f.name))
+        .map(f => (s"NOT NULL constraint on `${f.name}`", col(f.name).isNotNull))
+    checks.foldLeft(df) { case (d, (what, ok)) =>
       d.filter(when(ok, lit(true)).otherwise(
         raise_error(concat(
-          lit(s"delta: CHECK constraint `$name` ($sql) violated by row "),
+          lit(s"delta: $what violated by row "),
           to_json(struct(d.columns.toSeq.map(col): _*)))).cast("boolean")))
     }
   }
@@ -1147,7 +1163,8 @@ object DeltaTable {
           else Some(readFiles(spark, table, schema, head.partitionColumns,
             probedTouched).filter(not(cond)))
         case Some(s) => Some(enforceConstraints(
-          applySet(df, s, unconditional = false), head.configuration))
+          applySet(df, s, unconditional = false), head.configuration,
+          Some(schema)))
       }
       val cdc =
         if (!changeFeedEnabled(spark, head)) Seq.empty

@@ -107,6 +107,26 @@ class DeltaConstraintSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 2, "failed epoch committed nothing")
   }
 
+  test("NOT NULL column invariant: engine append and DSv2 sink both refuse nulls") {
+    val t = tmp()
+    // Scala primitive columns → id is NOT NULL in the committed schema
+    DeltaTable.write(Seq((1L, "a")).toDF("id", "s"), t, SaveMode.Append)
+    val e = intercept[Exception] {
+      DeltaTable.write(Seq((Option.empty[Long], "b")).toDF("id", "s"),
+        t, SaveMode.Append)
+    }
+    assert(chain(e).contains("NOT NULL"), chain(e))
+    val eS = intercept[Exception] {
+      Seq((Option.empty[Long], "c")).toDF("id", "s")
+        .write.format("graft-delta").mode(SaveMode.Append).save(t)
+    }
+    assert(chain(eS).contains("NOT NULL"), chain(eS))
+    // nullable column s still takes NULLs; table unchanged by the failures
+    DeltaTable.write(Seq((Some(2L), null: String)).toDF("id", "s"),
+      t, SaveMode.Append)
+    assert(DeltaTable.read(spark, t).count() === 2)
+  }
+
   test("pure SQL: constraint via TBLPROPERTIES + CALL, enforced on INSERT") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft_wh_chk").toString
     val cat = s"gchk_${java.lang.Long.toHexString(warehouse.hashCode & 0xffffffffL)}"

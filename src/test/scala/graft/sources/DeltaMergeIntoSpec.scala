@@ -23,9 +23,12 @@ class DeltaMergeIntoSpec extends SparkSpec {
     DeltaTable.read(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
 
+  // nullable columns (Option) — the NOT NULL column invariant is pinned
+  // separately; these suites exercise NULL-flow semantics
   private def base(t: String): Unit =
     DeltaTable.write(
       Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+        .map { case (i, s, n) => (Some(i), s, Some(n)) }
         .toDF("id", "s", "n"),
       t, SaveMode.Append)
 
@@ -95,6 +98,21 @@ class DeltaMergeIntoSpec extends SparkSpec {
         Map("id" -> src("id"), "s" -> src("s"))))) // n unassigned → NULL
     val r9 = DeltaTable.read(spark, t).filter(col("id") === 9L).head()
     assert(r9.getString(1) === "partial" && r9.isNullAt(2))
+
+    // NOT NULL column invariant: against a log schema with a
+    // non-nullable column, the same unassigned-NULL insert refuses
+    val t2 = tmp()
+    DeltaTable.write(Seq((1L, "a", 10L)).toDF("id", "s", "n"), t2,
+      SaveMode.Append) // Scala primitives → id/n are NOT NULL in the log
+    val eNN = intercept[Exception] {
+      DeltaTable.mergeInto(Seq((9L, "x")).toDF("id", "s"), t2, "id", "id",
+        matched = Seq.empty,
+        notMatched = Seq(MergeClause.Insert(None,
+          Map("id" -> src("id"), "s" -> src("s")))))
+    }
+    def chain(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + chain(x.getCause)
+    assert(chain(eNN).contains("NOT NULL"), chain(eNN))
 
     val dup = Seq((1L, "d1", 0L), (1L, "d2", 0L)).toDF("id", "s", "n")
     val e = intercept[IllegalArgumentException] {
