@@ -150,5 +150,80 @@ object RetrievalQueries {
     Bm25.topKMulti(table(spark, dir, "documents"), qs, k = 10, maxTerms = 3)
   }
 
-  val all: Seq[Q] = Seq(q76Bm25, q77PqAnn, q84Bm25Multi)
+  /** Hybrid retrieval (q95): BM25 top-50 for a fixed lexical query
+    * fused with embedding-cosine top-50 for a fixed dense query via
+    * reciprocal-rank fusion ([[graft.operators.HybridRetrieval.rrf]]).
+    * The oracle replays BOTH rankers exactly (q76's rational-IDF BM25,
+    * q21's scaled-integer cosine) and then the same fixed-order
+    * 1/(60+rank) double fold, so the fused scores hash bit-for-bit —
+    * the gate proves rank computation, list alignment (full-outer id
+    * join, absent-list contribution 0), and fusion-order determinism
+    * all at once. */
+  val q95HybridRrf: Q = Q(
+    "q95_hybrid_rrf",
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                   CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf0,
+                   CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf1,
+                   CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf2
+            FROM d),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t,
+                   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+            FROM f),
+      sc AS (SELECT f.doc_id,
+                    (((CAST(2*(s.n - s.df0) + 1 AS DOUBLE) / CAST(2*s.df0 + 1 AS DOUBLE))
+                       * (CAST(44*CAST(s.t AS HUGEINT)*f.tf0 AS DOUBLE)
+                          / CAST(20*CAST(s.t AS HUGEINT)*f.tf0 + 6*CAST(s.t AS HUGEINT) + 18*CAST(f.dl AS HUGEINT)*s.n AS DOUBLE))
+                     + (CAST(2*(s.n - s.df1) + 1 AS DOUBLE) / CAST(2*s.df1 + 1 AS DOUBLE))
+                       * (CAST(44*CAST(s.t AS HUGEINT)*f.tf1 AS DOUBLE)
+                          / CAST(20*CAST(s.t AS HUGEINT)*f.tf1 + 6*CAST(s.t AS HUGEINT) + 18*CAST(f.dl AS HUGEINT)*s.n AS DOUBLE)))
+                     + (CAST(2*(s.n - s.df2) + 1 AS DOUBLE) / CAST(2*s.df2 + 1 AS DOUBLE))
+                       * (CAST(44*CAST(s.t AS HUGEINT)*f.tf2 AS DOUBLE)
+                          / CAST(20*CAST(s.t AS HUGEINT)*f.tf2 + 6*CAST(s.t AS HUGEINT) + 18*CAST(f.dl AS HUGEINT)*s.n AS DOUBLE))) AS score
+             FROM f, s),
+      rb AS (SELECT doc_id AS id,
+                    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+             FROM sc),
+      rb50 AS (SELECT * FROM rb WHERE rnk <= 50),
+      e AS (SELECT vec_id,
+                   list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS v
+            FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id = 0),
+      idx AS (SELECT UNNEST(range(1, 65)) AS i),
+      pr AS (SELECT e.vec_id AS nid, CAST(SUM(q.v[i] * e.v[i]) AS BIGINT) AS dot
+             FROM q, e, idx WHERE q.vec_id <> e.vec_id GROUP BY 1),
+      nn AS (SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS n2
+             FROM e, idx GROUP BY 1),
+      c AS (SELECT pr.nid,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine
+            FROM pr, (SELECT n2 FROM nn WHERE vec_id = 0) qn
+            JOIN nn nv ON pr.nid = nv.vec_id),
+      rv AS (SELECT nid AS id,
+                    CAST(row_number() OVER (ORDER BY cosine DESC, nid) AS INTEGER) AS rnk
+             FROM c),
+      rv50 AS (SELECT * FROM rv WHERE rnk <= 50),
+      fused AS (
+        SELECT COALESCE(b.id, v.id) AS id,
+               COALESCE(1.0/(60 + b.rnk), 0.0) + COALESCE(1.0/(60 + v.rnk), 0.0) AS rrf
+        FROM rb50 b FULL OUTER JOIN rv50 v ON b.id = v.id),
+      r AS (SELECT id, rrf,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rnk
+            FROM fused)
+      SELECT id, rrf, rnk FROM r WHERE rnk <= 10""")) { (spark, dir) =>
+    import graft.operators.{HybridRetrieval, VectorSearch}
+    val lexical = Bm25.topK(table(spark, dir, "documents"),
+      Seq("merge", "window", "scan"), k = 50)
+      .select(col("doc_id").as("id"), col("rnk"))
+    val emb = table(spark, dir, "embeddings")
+    val dense = VectorSearch.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, k = 50)
+      .select(col("nid").as("id"), col("rnk"))
+    HybridRetrieval.rrf(Seq(lexical, dense), k = 10)
+  }
+
+  val all: Seq[Q] = Seq(q76Bm25, q77PqAnn, q84Bm25Multi, q95HybridRrf)
 }

@@ -30,55 +30,79 @@ private[delta] object GraftProcedures {
   private final case class Proc(
       name: String, description: String,
       params: Seq[(String, DataType)],
-      run: (SparkSession, String, Seq[Any]) => Unit)
+      run: (SparkSession, String, Seq[Any]) => Option[(StructType, Array[InternalRow])])
+
+  /** Wrap a side-effect-only body as a row-less procedure. */
+  private def unitProc(body: (SparkSession, String, Seq[Any]) => Unit)
+    : (SparkSession, String, Seq[Any]) => Option[(StructType, Array[InternalRow])] =
+    (s, t, a) => { body(s, t, a); None }
 
   private def procs: Seq[Proc] = Seq(
     Proc("checkpoint",
       "write a parquet checkpoint of the table's current head",
       Seq("table" -> StringType),
-      (s, t, _) => { DeltaLog.checkpoint(s, t); () }),
+      unitProc((s, t, _) => { DeltaLog.checkpoint(s, t); () })),
     Proc("compact",
       "fold data files below a size threshold into target_files per partition",
       Seq("table" -> StringType, "smaller_than_bytes" -> LongType,
         "target_files" -> IntegerType),
-      (s, t, a) => DeltaTable.compactFiles(s, t,
-        a(0).asInstanceOf[Long], a(1).asInstanceOf[Int])),
+      unitProc((s, t, a) => DeltaTable.compactFiles(s, t,
+        a(0).asInstanceOf[Long], a(1).asInstanceOf[Int]))),
     Proc("zorder",
       "rewrite the table along the z-curve of the given comma-separated columns",
       Seq("table" -> StringType, "columns" -> StringType, "n_files" -> IntegerType),
-      (s, t, a) => DeltaTable.optimize(s, t,
+      unitProc((s, t, a) => DeltaTable.optimize(s, t,
         a(0).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-        a(1).asInstanceOf[Int])),
+        a(1).asInstanceOf[Int]))),
     Proc("vacuum",
-      "reclaim tombstoned files past retention plus crash orphans",
+      "reclaim tombstoned files past retention plus crash orphans; returns counts",
       Seq("table" -> StringType, "retain_ms" -> LongType),
       (s, t, a) => {
-        DeltaTable.vacuumRemoved(s, t, a(0).asInstanceOf[Long])
-        DeltaTable.vacuumOrphans(s, t, a(0).asInstanceOf[Long])
-        ()
+        val removed = DeltaTable.vacuumRemoved(s, t, a(0).asInstanceOf[Long])
+        val orphans = DeltaTable.vacuumOrphans(s, t, a(0).asInstanceOf[Long])
+        Some((StructType(Seq(
+          StructField("removed_files", IntegerType),
+          StructField("orphan_files", IntegerType))),
+          Array(InternalRow(removed, orphans))))
       }),
     Proc("clean_log",
       "delete pre-checkpoint commit JSON older than retention",
       Seq("table" -> StringType, "retain_ms" -> LongType),
-      (s, t, a) => { DeltaLog.cleanLog(s, t, a(0).asInstanceOf[Long]); () }),
+      unitProc((s, t, a) => { DeltaLog.cleanLog(s, t, a(0).asInstanceOf[Long]); () })),
     Proc("restore",
       "reset table content to an earlier version via one commit",
       Seq("table" -> StringType, "version" -> LongType),
-      (s, t, a) => DeltaTable.restore(s, t, a(0).asInstanceOf[Long])),
+      unitProc((s, t, a) => DeltaTable.restore(s, t, a(0).asInstanceOf[Long]))),
     Proc("set_cdf",
       "set the delta.enableChangeDataFeed table property",
       Seq("table" -> StringType, "enabled" -> BooleanType),
-      (s, t, a) => DeltaTable.setProperties(s, t,
-        Map("delta.enableChangeDataFeed" -> a(0).toString))),
+      unitProc((s, t, a) => DeltaTable.setProperties(s, t,
+        Map("delta.enableChangeDataFeed" -> a(0).toString)))),
     Proc("add_constraint",
       "add a CHECK constraint (validates existing rows, then enforced on every write)",
       Seq("table" -> StringType, "name" -> StringType, "expr" -> StringType),
-      (s, t, a) => DeltaTable.addConstraint(s, t,
-        a(0).toString, a(1).toString)),
+      unitProc((s, t, a) => DeltaTable.addConstraint(s, t,
+        a(0).toString, a(1).toString))),
     Proc("drop_constraint",
       "drop a CHECK constraint by name",
       Seq("table" -> StringType, "name" -> StringType),
-      (s, t, a) => DeltaTable.dropConstraint(s, t, a(0).toString)))
+      unitProc((s, t, a) => DeltaTable.dropConstraint(s, t, a(0).toString))),
+    Proc("history",
+      "DESCRIBE HISTORY: one row per commit, newest first",
+      Seq("table" -> StringType),
+      (s, t, _) => {
+        val rows = DeltaTable.describeHistory(s, t).map { h =>
+          InternalRow(h.version,
+            org.apache.spark.unsafe.types.UTF8String.fromString(h.operation),
+            h.timestampMs, h.nAdds, h.nRemoves)
+        }.toArray
+        Some((StructType(Seq(
+          StructField("version", LongType),
+          StructField("operation", StringType),
+          StructField("timestamp_ms", LongType),
+          StructField("n_adds", IntegerType),
+          StructField("n_removes", IntegerType))), rows))
+      }))
 
   def names: Array[String] = procs.map(_.name).toArray
 
@@ -107,8 +131,15 @@ private[delta] object GraftProcedures {
             val rest = p.params.drop(1).zipWithIndex.map { case ((_, dt), i) =>
               input.get(i + 1, dt)
             }
-            p.run(SparkSession.active, table, rest)
-            java.util.Collections.emptyIterator()
+            p.run(SparkSession.active, table, rest) match {
+              case None => java.util.Collections.emptyIterator()
+              case Some((outSchema, outRows)) =>
+                val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+                  override def rows(): Array[InternalRow] = outRows
+                  override def readSchema(): StructType = outSchema
+                }
+                java.util.Collections.singletonList(scan).iterator()
+            }
           }
         }
     }

@@ -203,6 +203,17 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CALL graft.system.set_cdf('db6.t', true)")
     assert(DeltaLog.snapshot(spark, t).configuration
       .get("delta.enableChangeDataFeed").contains("true"))
+    // procedures can RETURN rows: history is DESCRIBE HISTORY as SQL
+    val hist = spark.sql("CALL graft.system.history('db6.t')")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.length >= 5, s"got ${hist.toSeq}")
+    assert(hist.head._1 > hist.last._1, "newest first")
+    assert(hist.map(_._2).contains("RESTORE"))
+    assert(hist.map(_._2).contains("CREATE TABLE"))
+    // vacuum returns its reclaim counts as a result row
+    val vac = spark.sql(s"CALL graft.system.vacuum('db6.t', ${7L*24*3600*1000}L)")
+      .collect()
+    assert(vac.length === 1 && vac.head.getInt(0) >= 0)
     // unknown procedure refuses with the available list
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.frobnicate('db6.t')")
