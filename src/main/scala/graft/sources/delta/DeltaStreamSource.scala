@@ -210,7 +210,13 @@ private[delta] class DeltaStreamTable(
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-    : org.apache.spark.sql.connector.write.WriteBuilder =
+    : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // a time-travel binding is a read-only view of that snapshot:
+    // writing "to the past" would silently land on the current head
+    require(DeltaStreamDataSource.versionAsOf(options).isEmpty &&
+        options.get("timestampAsOf") == null,
+      "graft-delta: cannot write to a VERSION AS OF / TIMESTAMP AS OF " +
+        "table binding — writes go to the current table")
     new org.apache.spark.sql.connector.write.WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var doTruncate = false
@@ -240,6 +246,7 @@ private[delta] class DeltaStreamTable(
           }
         }
     }
+  }
 }
 
 /** DSv2 scan builder: Spark pushes its column requirements and data

@@ -34,15 +34,37 @@ object DeltaTable {
 
   private def readFiles(spark: SparkSession, table: String, schema: StructType,
                         partCols: Seq[String], files: Seq[AddFile]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val paths = files.map(f => new Path(table, f.path).toString)
     if (partCols.isEmpty) spark.read.schema(schema).parquet(paths: _*)
-    else spark.read.schema(schema).option("basePath", table)
-      .parquet(paths: _*)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    else if (!files.exists(f => new Path(f.path).isAbsolute))
+      spark.read.schema(schema).option("basePath", table)
+        .parquet(paths: _*)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    else {
+      // cloned-in ABSOLUTE references ([[cloneShallow]]) live outside
+      // this table's basePath, so Spark cannot re-derive partition
+      // columns from the dirs. The log is the partition index anyway:
+      // attach each file group's typed partition literals from its
+      // add-action partitionValues — one scan per distinct partition
+      // tuple among the given files, unioned
+      val dataSchema = StructType(
+        schema.fields.filterNot(f => partCols.contains(f.name)))
+      files.groupBy(_.partitionValues).map { case (pvals, group) =>
+        val gPaths = group.map(f => new Path(table, f.path).toString)
+        val base = spark.read.schema(dataSchema).parquet(gPaths: _*)
+        partCols.foldLeft(base) { (d, c) =>
+          val raw = pvals.get(c).orNull
+          val v =
+            if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
+            else lit(raw)
+          d.withColumn(c, v.cast(schema(c).dataType))
+        }.select(schema.fieldNames.map(col).toSeq: _*)
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Partition-pruned read: only files whose `partitionValues` match
@@ -923,6 +945,40 @@ object DeltaTable {
     }
   }
 
+  /** SHALLOW CLONE (delta-spark's `CREATE TABLE … SHALLOW CLONE src`):
+    * the target's v0 commit REFERENCES the source snapshot's data files
+    * by ABSOLUTE path (the protocol allows absolute `add.path`) — zero
+    * data copied, O(files) metadata, so cloning a 100 TB table is a
+    * log write. The clone then lives its own life: DML/compaction on
+    * it stage NEW files under its own root and tombstone the absolute
+    * references, and the clone's VACUUM never deletes outside its root
+    * ([[vacuumRemoved]] skips absolute tombstones) — the source stays
+    * intact. The usual delta caveat applies in the other direction:
+    * vacuuming the SOURCE can break clones still referencing its
+    * files, exactly as upstream documents. Time travel on the clone
+    * starts at its own v0; pass `versionAsOf` to clone a historical
+    * source snapshot. */
+  def cloneShallow(spark: SparkSession, source: String, target: String,
+                   versionAsOf: Option[Long] = None): Unit = {
+    val src = snapshot(spark, source, versionAsOf)
+    require(!src.isEmpty, s"delta: $source has no commits")
+    val srcBase = new Path(source)
+    val srcAbs = srcBase
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(srcBase)
+    val now = System.currentTimeMillis()
+    val adds = src.files.map { f =>
+      addAction(new Path(srcAbs, f.path).toString, f.size, now,
+        f.stats, f.partitionValues)
+    }
+    val done = commit(spark, target, 0L,
+      commitInfoAction("CLONE", now) +:
+        (Seq(protocolAction,
+          metaDataAction(src.schemaJson.getOrElse(""), src.partitionColumns,
+            configuration = src.configuration)) ++ adds))
+    require(done, s"delta: clone target $target already exists")
+  }
+
   /** `ALTER TABLE ADD COLUMNS` through the log: one metaData
     * re-emission with the appended fields — the same union-schema rule
     * as mergeSchema appends (new columns are nullable; existing files
@@ -1585,8 +1641,11 @@ object DeltaTable {
     head.tombstones.foreach { case (p, ts) =>
       // the live check is belt-and-braces: a re-added path drops its
       // tombstone during replay, but a vacuum must never delete a file
-      // the HEAD references
-      if (ts <= cutoff && !live(p) && fs.delete(new Path(tbl, p), false))
+      // the HEAD references. Absolute tombstones are CLONED-IN
+      // references ([[cloneShallow]]) — another table's data, never
+      // this vacuum's to reclaim.
+      if (ts <= cutoff && !live(p) && !new Path(p).isAbsolute
+          && fs.delete(new Path(tbl, p), false))
         removed += 1
     }
     removed

@@ -78,6 +78,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new DeltaStreamTable(DeltaStreamDataSource.logSchema(p.toString), opts)
   }
 
+  /** `SELECT … FROM t VERSION AS OF n` — Spark routes the literal here;
+    * the table binds to that snapshot (schema resolved AS OF it, scan
+    * pinned via the connector's `versionAsOf` option). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    val v = scala.util.Try(version.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF takes a log version number, got '$version'"))
+    tableAt(p, v)
+  }
+
+  /** `SELECT … FROM t TIMESTAMP AS OF ts` — Spark hands epoch
+    * MICROseconds; resolved to the latest version committed at or
+    * before that instant ([[DeltaTable.versionAtTimestamp]]). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    tableAt(p, DeltaTable.versionAtTimestamp(spark, p.toString,
+      timestampMicros / 1000L))
+  }
+
+  private def tableAt(p: Path, v: Long): Table = {
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", p.toString, "versionAsOf", v.toString))
+    new DeltaStreamTable(
+      DeltaStreamDataSource.logSchema(p.toString, Some(v)), opts)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {

@@ -87,6 +87,11 @@ private[delta] object GraftProcedures {
       "drop a CHECK constraint by name",
       Seq("table" -> StringType, "name" -> StringType),
       unitProc((s, t, a) => DeltaTable.dropConstraint(s, t, a(0).toString))),
+    Proc("clone",
+      "shallow-clone the source snapshot into a new table (zero data copied)",
+      Seq("table" -> StringType, "target_table" -> StringType),
+      unitProc((s, t, a) =>
+        DeltaTable.cloneShallow(s, t, a(0).asInstanceOf[String]))),
     Proc("history",
       "DESCRIBE HISTORY: one row per commit, newest first",
       Seq("table" -> StringType),
@@ -128,8 +133,13 @@ private[delta] object GraftProcedures {
             }.toArray
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val table = catalog.resolveTablePath(input.getUTF8String(0).toString)
-            val rest = p.params.drop(1).zipWithIndex.map { case ((_, dt), i) =>
-              input.get(i + 1, dt)
+            // params named `*_table` are catalog-relative names too —
+            // resolved against the same warehouse (clone's target)
+            val rest = p.params.drop(1).zipWithIndex.map { case ((nm, dt), i) =>
+              val v = input.get(i + 1, dt)
+              if (dt == StringType && nm.endsWith("table"))
+                catalog.resolveTablePath(v.toString)
+              else v
             }
             p.run(SparkSession.active, table, rest) match {
               case None => java.util.Collections.emptyIterator()

@@ -295,6 +295,69 @@ class GraftCatalogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(spark, t).version === 16L)
   }
 
+  test("shallow clone: zero-copy table, independent life, vacuum-safe") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db11")
+    spark.sql("""CREATE TABLE graft.db11.src (id BIGINT, lang STRING)
+                 PARTITIONED BY (lang)""")
+    spark.sql("""INSERT INTO graft.db11.src VALUES
+                 (1, 'fr'), (2, 'de'), (3, 'fr')""")
+    spark.sql("CALL graft.system.clone('db11.src', 'db11.dst')")
+    // clone reads identically, through SQL and the engine path
+    assert(spark.sql("SELECT id FROM graft.db11.dst ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // the clone's v0 references the SOURCE's files absolutely — no copy
+    val dst = s"$warehouse/db11/dst"
+    val src = s"$warehouse/db11/src"
+    val cloneAdds = DeltaLog.snapshot(spark, dst).files
+    assert(cloneAdds.forall(f =>
+      new org.apache.hadoop.fs.Path(f.path).isAbsolute))
+    // DML on the clone stages under ITS root; the source is untouched
+    spark.sql("DELETE FROM graft.db11.dst WHERE lang = 'fr'")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db11.dst").head().getLong(0) === 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db11.src").head().getLong(0) === 3L)
+    // vacuum on the clone must NOT reclaim the source's files
+    spark.sql("CALL graft.system.vacuum('db11.dst', 0L)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db11.src").head().getLong(0) === 3L,
+      "clone vacuum deleted source data")
+    // partition pruning on the clone works off the cloned actions
+    assert(spark.sql("SELECT id FROM graft.db11.dst WHERE lang = 'de'")
+      .head().getLong(0) === 2L)
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF bind snapshots") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
+    spark.sql("CREATE TABLE graft.db10.t (id BIGINT, s STRING)")     // v0
+    spark.sql("INSERT INTO graft.db10.t VALUES (1, 'a')")            // v1
+    spark.sql("INSERT INTO graft.db10.t VALUES (2, 'b'), (3, 'c')")  // v2
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db10.t").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db10.t VERSION AS OF 1")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db10.t VERSION AS OF 0")
+      .head().getLong(0) === 0L)
+    // TIMESTAMP AS OF: v1's commit instant (UTC session zone, millis
+    // precision) resolves to exactly v1
+    val t = s"$warehouse/db10/t"
+    val v1ts = DeltaTable.describeHistory(spark, t)
+      .find(_.version == 1L).get.timestampMs
+    val lit = java.time.Instant.ofEpochMilli(v1ts)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.db10.t TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) === 1L)
+    // schema binds AS OF the version: evolve, then read the past
+    spark.sql("ALTER TABLE graft.db10.t ADD COLUMNS (n BIGINT)")     // v3
+    assert(spark.sql("SELECT * FROM graft.db10.t VERSION AS OF 2").columns.toSeq
+      === Seq("id", "s"))
+    // writing to a time-travel binding refuses
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db10.t VERSION AS OF 1 VALUES (9, 'x', 0)")
+    }
+    assert(e != null)
+  }
+
   test("TRUNCATE TABLE empties via deleteWhere; table and schema survive") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
