@@ -295,6 +295,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(spark, t).version === 16L)
   }
 
+  test("CTAS and CREATE OR REPLACE TABLE AS SELECT through the catalog") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db12")
+    Seq((1L, "fr"), (2L, "de"), (3L, "fr")).toDF("id", "lang")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("""CREATE TABLE graft.db12.t PARTITIONED BY (lang) AS
+                 SELECT id, lang FROM ctas_src""")
+    assert(spark.sql("SELECT id FROM graft.db12.t WHERE lang = 'fr' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(DeltaLog.snapshot(spark, s"$warehouse/db12/t").partitionColumns
+      === Seq("lang"))
+    spark.sql("""CREATE OR REPLACE TABLE graft.db12.t AS
+                 SELECT id * 10 AS id FROM ctas_src""")
+    assert(spark.sql("SELECT id FROM graft.db12.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L, 20L, 30L))
+  }
+
   test("shallow clone: zero-copy table, independent life, vacuum-safe") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db11")
