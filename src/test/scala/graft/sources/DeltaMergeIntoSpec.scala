@@ -210,6 +210,29 @@ class DeltaMergeIntoSpec extends SparkSpec {
       "by-source candidate pruning must not rewrite provably-clean files")
   }
 
+  test("by-source clauses capture precise CDF rows") {
+    val t = tmp()
+    base(t)
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val source = Seq((1L, "m1", 0L)).toDF("id", "s", "n")
+    DeltaTable.mergeInto(source, t, "id", "id",
+      matched = Seq(MergeClause.Update(None, Map("s" -> src("s")))),
+      notMatched = Seq.empty,
+      notMatchedBySource = Seq(
+        MergeClause.Delete(Some(col("n") >= 40L)),          // deletes id=4
+        MergeClause.Update(None, Map("n" -> (col("n") + 1L))))) // 2,3 bump
+    val v = DeltaLog.snapshot(spark, t).version
+    val feed = DeltaTable.readChangeFeed(spark, t, v, Some(v))
+      .select(col("id"), col("n"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed === Set(
+      (1L, 10L, "update_preimage"), (1L, 10L, "update_postimage"), // matched
+      (2L, 20L, "update_preimage"), (2L, 21L, "update_postimage"), // by-source
+      (3L, 30L, "update_preimage"), (3L, 31L, "update_postimage"),
+      (4L, 40L, "delete")))
+  }
+
   test("txn-carrying merge: a replayed (appId, version) is skipped exactly-once") {
     val t = tmp()
     base(t)
