@@ -92,6 +92,28 @@ private[delta] object GraftProcedures {
       Seq("table" -> StringType, "target_table" -> StringType),
       unitProc((s, t, a) =>
         DeltaTable.cloneShallow(s, t, a(0).asInstanceOf[String]))),
+    Proc("detail",
+      "DESCRIBE DETAIL: version, file/byte counts, partitioning, properties",
+      Seq("table" -> StringType),
+      (s, t, _) => {
+        import org.apache.spark.unsafe.types.UTF8String
+        val head = DeltaLog.snapshot(s, t)
+        require(!head.isEmpty, s"delta: $t has no commits")
+        val props = head.configuration.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(",")
+        val row = InternalRow(
+          head.version,
+          head.files.size,
+          head.files.map(_.size).sum,
+          UTF8String.fromString(head.partitionColumns.mkString(",")),
+          UTF8String.fromString(props))
+        Some((StructType(Seq(
+          StructField("version", LongType),
+          StructField("num_files", IntegerType),
+          StructField("size_bytes", LongType),
+          StructField("partition_columns", StringType),
+          StructField("properties", StringType))), Array(row)))
+      }),
     Proc("history",
       "DESCRIBE HISTORY: one row per commit, newest first",
       Seq("table" -> StringType),

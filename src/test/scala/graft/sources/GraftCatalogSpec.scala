@@ -214,6 +214,12 @@ class GraftCatalogSpec extends SparkSpec {
     val vac = spark.sql(s"CALL graft.system.vacuum('db6.t', ${7L*24*3600*1000}L)")
       .collect()
     assert(vac.length === 1 && vac.head.getInt(0) >= 0)
+    // DESCRIBE DETAIL as a procedure: one row of table-level facts
+    val det = spark.sql("CALL graft.system.detail('db6.t')").head()
+    assert(det.getLong(0) === DeltaLog.snapshot(spark, t).version)
+    // post-restore state: v1's and v2's append files are live again
+    assert(det.getInt(1) === 2 && det.getLong(2) > 0L)
+    assert(det.getString(4).contains("delta.enableChangeDataFeed=true"))
     // unknown procedure refuses with the available list
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.frobnicate('db6.t')")
