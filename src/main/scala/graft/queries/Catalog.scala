@@ -1039,6 +1039,58 @@ object Catalog {
     }
   }
 
+  /** Shallow clone independence (q96): `documents` written to a
+    * partitioned scratch Delta table, SHALLOW CLONED (the clone's v0
+    * references the source's files absolutely — zero data copied), the
+    * CLONE then mutated (a row-level DELETE), and BOTH tables read
+    * back into one aggregate keyed by a `section` column. The oracle
+    * states the invariant relationally: the source still reads its
+    * full content while the clone reads the post-delete subset — so
+    * the gate proves clone creation, absolute-reference reads through
+    * the partitioned path (typed partition literals from the actions),
+    * and copy-on-write independence of the clone's DML. Scratch
+    * deleted before returning (q80 convention). */
+  val q96ShallowClone: Q = Q(
+    "q96_shallow_clone",
+    Some("""
+      WITH sections AS (
+        SELECT 'src' AS section, lang, n_chars FROM documents
+        UNION ALL
+        SELECT 'clone', lang, n_chars FROM documents WHERE doc_id % 3 <> 0)
+      SELECT section, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM sections
+      GROUP BY section, lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.DeltaTable
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q96")
+    val src = s"$scratch/src"
+    val dst = s"$scratch/dst"
+    try {
+      DeltaTable.write(
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        src, SaveMode.Append, partitionBy = Seq("lang"))
+      DeltaTable.cloneShallow(spark, src, dst)
+      DeltaTable.delete(spark, dst, pmod(col("doc_id"), lit(3)) === 0)
+      val agg = DeltaTable.read(spark, src)
+        .select(lit("src").as("section"), col("lang"), col("n_chars"))
+        .unionByName(DeltaTable.read(spark, dst)
+          .select(lit("clone").as("section"), col("lang"), col("n_chars")))
+        .groupBy(col("section"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Per-JVM staging for [[q93Dsv2Scan]]: the documents table written
     * ONCE as a graft-delta table per sfDir, so the timed passes measure
     * the SCAN (the thing the bench tracks), not the setup write. */
@@ -1087,7 +1139,7 @@ object Catalog {
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
         q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping,
         q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q92MergeClauses,
-        q93Dsv2Scan, q94SchemaEvolution) ++
+        q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
