@@ -27,7 +27,11 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     // dev knob: comma-separated query names to bench in isolation
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val spark = SparkSession.builder()
+    // dev knob: skip the GraftExtensions registration to A/B the analysis
+    // cost of the injected resolution rules (r9 verdict ask; SQL DML
+    // headlines fail without it, so pair with SPARK_GRAFT_BENCH_ONLY)
+    val noExt = sys.env.contains("SPARK_GRAFT_BENCH_NO_EXT")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -38,10 +42,11 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.session.timeZone", "UTC")
-      // SQL UPDATE / MERGE INTO on graft-delta tables resolve through
-      // the extension rule (parity with Verify's session)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    // SQL UPDATE / MERGE INTO on graft-delta tables resolve through
+    // the extension rule (parity with Verify's session)
+    val spark = (if (noExt) builder
+                 else builder.config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

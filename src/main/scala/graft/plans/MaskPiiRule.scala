@@ -20,6 +20,9 @@ object MaskingPolicy {
   def unprotect(table: String): Unit = policies.remove(table.toLowerCase)
 
   def get(table: String): Option[Policy] = policies.get(table.toLowerCase)
+
+  /** O(1) pre-check for [[MaskPiiRule]]'s bail-out. */
+  def isEmpty: Boolean = policies.isEmpty
 }
 
 /** ENGINE-enforced PII masking (ref `init-scripts/init-db.sql:74-89`: the
@@ -50,7 +53,14 @@ object MaskingPolicy {
 case class MaskPiiRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import MaskPiiRule.Masked
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // bail-out: with no policies registered (the common analytics
+    // session) the rule must not pay a full-tree traversal per analyzer
+    // iteration on every query
+    if (MaskingPolicy.isEmpty) plan else applyMasks(plan)
+  }
+
+  private def applyMasks(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case s: SubqueryAlias if s.resolved && s.getTagValue(Masked).isEmpty &&
         MaskingPolicy.get(s.identifier.name).isDefined =>
       val policy = MaskingPolicy.get(s.identifier.name).get

@@ -34,7 +34,7 @@ object DeltaTable {
 
   private def readFiles(spark: SparkSession, table: String, schema: StructType,
                         partCols: Seq[String], files: Seq[AddFile]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit, raise_error, when}
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -47,23 +47,61 @@ object DeltaTable {
     else {
       // cloned-in ABSOLUTE references ([[cloneShallow]]) live outside
       // this table's basePath, so Spark cannot re-derive partition
-      // columns from the dirs. The log is the partition index anyway:
-      // attach each file group's typed partition literals from its
-      // add-action partitionValues — one scan per distinct partition
-      // tuple among the given files, unioned
+      // columns from the dirs. The log is the partition index anyway.
+      // Relative files keep the single basePath scan; the absolute rest
+      // get ONE scan with their typed partition values attached through
+      // a broadcast file→partition-tuple join on `_metadata.file_path`
+      // (a per-tuple unioned scan would blow up planning time / driver
+      // memory on a high-partition-cardinality clone)
+      val (absFiles, relFiles) =
+        files.partition(f => new Path(f.path).isAbsolute)
+      val rel =
+        if (relFiles.isEmpty) None
+        else Some(readFiles(spark, table, schema, partCols, relFiles))
       val dataSchema = StructType(
         schema.fields.filterNot(f => partCols.contains(f.name)))
-      files.groupBy(_.partitionValues).map { case (pvals, group) =>
-        val gPaths = group.map(f => new Path(table, f.path).toString)
-        val base = spark.read.schema(dataSchema).parquet(gPaths: _*)
-        partCols.foldLeft(base) { (d, c) =>
-          val raw = pvals.get(c).orNull
-          val v =
-            if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
-            else lit(raw)
-          d.withColumn(c, v.cast(schema(c).dataType))
-        }.select(schema.fieldNames.map(col).toSeq: _*)
-      }.reduce(_ unionByName _)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val key = "__graft_file"
+      val marker = "__graft_matched"
+      def pv(c: String) = "__graft_pv_" + c
+      // the join key must render exactly as the scan's
+      // `_metadata.file_path` does: fully qualified (scheme + authority)
+      def qualified(p: String): String = {
+        val path = new Path(table, p)
+        path.getFileSystem(hconf).makeQualified(path).toString
+      }
+      val mapRows = absFiles.map { f =>
+        org.apache.spark.sql.Row.fromSeq(
+          qualified(f.path) +: (partCols.map { c =>
+            val raw = f.partitionValues.get(c).orNull
+            if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") null
+            else raw
+          } :+ true))
+      }
+      val mapSchema = StructType(
+        (org.apache.spark.sql.types.StructField(key,
+          org.apache.spark.sql.types.StringType) +:
+          partCols.map(c => org.apache.spark.sql.types.StructField(pv(c),
+            org.apache.spark.sql.types.StringType))) :+
+          org.apache.spark.sql.types.StructField(marker,
+            org.apache.spark.sql.types.BooleanType))
+      val mapDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+      val scanned = spark.read.schema(dataSchema)
+        .parquet(absFiles.map(f => new Path(table, f.path).toString): _*)
+        .withColumn(key, col("_metadata.file_path"))
+      // left join + fail-LOUD guard folded into each partition column: a
+      // path-rendering mismatch must raise, not silently null the values
+      // (the guard lives inside the used columns so pruning keeps it)
+      val joined = scanned.join(broadcast(mapDf), Seq(key), "left")
+      val abs = Some(joined.select(schema.fieldNames.toSeq.map { n =>
+        if (partCols.contains(n))
+          when(col(marker).isNull, raise_error(concat(
+            lit("delta: absolute-path partition attach missed "), col(key))))
+            .otherwise(col(pv(n)).cast(schema(n).dataType)).as(n)
+        else col(n)
+      }: _*))
+      (rel.toSeq ++ abs.toSeq).reduce(_ unionByName _)
     }
   }
 
@@ -695,8 +733,12 @@ object DeltaTable {
     val srcStats = source.agg(min(col(sourceKey)), max(col(sourceKey)),
       count(col(sourceKey)), count_distinct(col(sourceKey)), count(lit(1))).head()
     // empty source: matched/insert clauses are vacuous, but by-source
-    // clauses fire on EVERY target row (nothing matches)
-    if (srcStats.getLong(4) == 0L && notMatchedBySource.isEmpty) return
+    // clauses fire on EVERY target row (nothing matches) — and a txn'd
+    // merge must still fall through so the loop commits the high-water
+    // mark (exactly-once must not depend on Spark replaying the same
+    // empty batch content)
+    if (srcStats.getLong(4) == 0L && notMatchedBySource.isEmpty && txn.isEmpty)
+      return
     require(srcStats.getLong(2) == srcStats.getLong(3),
       s"delta: merge source has duplicate non-null `$sourceKey` keys — a " +
         "duplicate matching key would hit one target row twice (the " +

@@ -151,6 +151,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.position() == null,
           "graft catalog: ADD COLUMN with a position is not supported — " +
             "new columns append at the end")
+        // delta-spark likewise refuses adding NOT NULL columns to an
+        // existing table (rows already written have no value for it);
+        // silently downgrading to nullable would drop a declared invariant
+        require(a.isNullable,
+          s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} NOT NULL is not " +
+            "supported — existing rows would violate the invariant; add it " +
+            "nullable, backfill, then enforce via a CHECK constraint")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
     }

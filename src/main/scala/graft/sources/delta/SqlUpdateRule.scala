@@ -22,7 +22,17 @@ import org.apache.spark.sql.graft.ColumnBridge
   * assignments) stays Spark's. Tables from other sources are left
   * untouched and keep Spark's "UPDATE not supported" behavior. */
 case class SqlUpdateRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // bail-out: UpdateTable / MergeIntoTable both extend Command, whose
+    // nodePatterns carry COMMAND — the cached-bitmask check means a plain
+    // query (no DML anywhere) costs one bit test per analyzer iteration,
+    // not a full-tree traversal
+    if (!plan.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.COMMAND)) plan
+    else rewrite(plan)
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case u @ UpdateTable(rel, assignments, condition) if u.resolved =>
       rel.collectFirst {
         case r: DataSourceV2Relation if r.table.isInstanceOf[DeltaStreamTable] =>

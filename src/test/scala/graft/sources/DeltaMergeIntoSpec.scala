@@ -256,6 +256,27 @@ class DeltaMergeIntoSpec extends SparkSpec {
     assert(rows(t).contains((1L, "v3", 10L)))
   }
 
+  test("EMPTY txn-carrying merge still commits the high-water mark") {
+    val t = tmp()
+    base(t)
+    val v0 = DeltaLog.snapshot(spark, t).version
+    // an empty source with no by-source clauses is a data no-op, but the
+    // txn mark must land: exactly-once cannot depend on Spark replaying
+    // identical (empty) batch content
+    DeltaTable.mergeInto(Seq.empty[(Long, String, Long)].toDF("id", "s", "n"),
+      t, "id", "id",
+      matched = Seq(MergeClause.Update(None, Map("s" -> src("s")))),
+      notMatched = Seq.empty, txn = Some(("app", 7L)))
+    assert(DeltaLog.snapshot(spark, t).txns.get("app").contains(7L))
+    assert(DeltaLog.snapshot(spark, t).version === v0 + 1)
+    // the recorded mark now rejects a replay that would carry data
+    DeltaTable.mergeInto(Seq((1L, "late", 0L)).toDF("id", "s", "n"),
+      t, "id", "id",
+      matched = Seq(MergeClause.Update(None, Map("s" -> src("s")))),
+      notMatched = Seq.empty, txn = Some(("app", 7L)))
+    assert(!rows(t).exists(_._2 == "late"))
+  }
+
   test("DML refuses a past-threshold manifest with a named cause, not an OOM") {
     val t = tmp()
     base(t)

@@ -257,11 +257,14 @@ class GraftCatalogSpec extends SparkSpec {
       (1L, "a", -1L, "-"),    // untouched, evolved column NULL
       (2L, "b2", 20L, "x2"),  // updated under the evolved schema
       (3L, "c", 30L, "x3")))  // inserted under the evolved schema
-    // non-additive surgery still refuses
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.db9.t DROP COLUMN s")
+    // a NOT NULL add refuses loudly: existing rows have no value, and
+    // silently downgrading to nullable would drop a declared invariant
+    val eNN = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db9.t ADD COLUMNS (m BIGINT NOT NULL)")
     }
-    assert(e != null)
+    assert((Option(eNN.getMessage).getOrElse("") +
+      Option(eNN.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("NOT NULL"))
   }
 
   test("concurrent SQL writers: racing INSERTs and DELETEs converge exactly") {
@@ -346,6 +349,38 @@ class GraftCatalogSpec extends SparkSpec {
     // partition pruning on the clone works off the cloned actions
     assert(spark.sql("SELECT id FROM graft.db11.dst WHERE lang = 'de'")
       .head().getLong(0) === 2L)
+    // MIXED manifest: an INSERT lands RELATIVE files next to the
+    // remaining absolute reference; the read unions the basePath scan
+    // (relative files) with the join-attached scan (absolute files)
+    spark.sql("INSERT INTO graft.db11.dst VALUES (4, 'de'), (5, 'it')")
+    assert(spark.sql("SELECT id FROM graft.db11.dst ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 4L, 5L))
+    assert(spark.sql("SELECT id FROM graft.db11.dst WHERE lang = 'de' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 4L))
+  }
+
+  test("clone read plans ONE scan over absolute files, not one per partition") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db12")
+    spark.sql("""CREATE TABLE graft.db12.src (id BIGINT, p STRING)
+                 PARTITIONED BY (p)""")
+    // 30 distinct partition tuples: the per-tuple-union shape this pins
+    // against would plan 30 separate scans (driver blowup at clone scale)
+    val vals = (0 until 30).map(i => s"($i, 'p$i')").mkString(", ")
+    spark.sql(s"INSERT INTO graft.db12.src VALUES $vals")
+    spark.sql("CALL graft.system.clone('db12.src', 'db12.dst')")
+    val df = DeltaTable.read(spark, s"$warehouse/db12/dst")
+    assert(df.select("id").collect().map(_.getLong(0)).toSet
+      === (0L until 30L).toSet)
+    // typed partition values survive the join attach
+    assert(df.filter(org.apache.spark.sql.functions.col("p") === "p7")
+      .select("id").head().getLong(0) === 7L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size <= 2,
+      s"expected one data scan (+ broadcast side), got ${scans.size}")
   }
 
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF bind snapshots") {
