@@ -1091,6 +1091,203 @@ object Catalog {
     }
   }
 
+  /** Pure-SQL column-mapping lifecycle (q97): `documents` loaded into a
+    * partitioned scratch catalog table, then the schema surgery a
+    * long-lived lakehouse table accumulates — RENAME COLUMN (a data
+    * column AND the partition column), an INSERT landing *after* the
+    * rename (the DSv2 sink writes under the stamped physical names),
+    * DROP COLUMN, and a re-ADD of the dropped name — every step pure
+    * SQL over [[graft.sources.delta.GraftCatalog]]. The output unions
+    * two sections: `current` (post-surgery state read under the NEW
+    * logical names, with `n_extra = COUNT(source)` proving the dropped
+    * column's file values did NOT resurrect under the re-added name)
+    * and `asof` (VERSION AS OF 1 read under the ORIGINAL names, where
+    * `source` still counts per-row). The oracle replays the inserts
+    * relationally, so the gate proves renames are metadata-exact,
+    * translation reaches scans/sink/pruning, and time travel binds the
+    * pre-rename schema. Catalog name is warehouse-unique (q91
+    * convention); scratch deleted before returning. */
+  val q97ColumnMapping: Q = Q(
+    "q97_column_mapping",
+    headline = true,
+    oracle = Some("""
+      WITH ins AS (
+        SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, n_chars
+        FROM documents WHERE doc_id % 11 = 0),
+      cur AS (
+        SELECT lang, n_chars FROM documents
+        UNION ALL SELECT lang, n_chars FROM ins),
+      sections AS (
+        SELECT 'current' AS section, lang AS language,
+               COUNT(*) AS n_rows, SUM(n_chars) AS sum_chars,
+               0 AS n_extra
+        FROM cur WHERE n_chars > 0 GROUP BY lang
+        UNION ALL
+        SELECT 'asof', lang, COUNT(*), SUM(n_chars), COUNT(source)
+        FROM documents WHERE n_chars > 0 GROUP BY lang)
+      SELECT section, language, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_chars AS BIGINT) AS sum_chars,
+             CAST(n_extra AS BIGINT) AS n_extra
+      FROM sections""")) { (spark, dir) =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q97")
+    val cat = s"g97_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.delta.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+      spark.sql(s"CREATE NAMESPACE $cat.cm")
+      spark.sql(s"""CREATE TABLE $cat.cm.docs
+                    (doc_id BIGINT, lang STRING, n_chars BIGINT, source STRING)
+                    PARTITIONED BY (lang)""")                              // v0
+      spark.sql(s"""INSERT INTO $cat.cm.docs
+                    SELECT doc_id, lang, n_chars, source
+                    FROM docs_src_$cat""")                                 // v1
+      spark.sql(s"ALTER TABLE $cat.cm.docs RENAME COLUMN n_chars TO size_chars") // v2
+      spark.sql(s"""INSERT INTO $cat.cm.docs
+                    SELECT doc_id + 1000000, 'new', n_chars, NULL
+                    FROM docs_src_$cat WHERE doc_id % 11 = 0""")           // v3
+      spark.sql(s"ALTER TABLE $cat.cm.docs RENAME COLUMN lang TO language") // v4
+      spark.sql(s"ALTER TABLE $cat.cm.docs DROP COLUMN source")            // v5
+      spark.sql(s"ALTER TABLE $cat.cm.docs ADD COLUMNS (source STRING)")   // v6
+      val agg = spark.sql(s"""
+        SELECT 'current' AS section, language,
+               COUNT(*) AS n_rows, SUM(size_chars) AS sum_chars,
+               COUNT(source) AS n_extra
+        FROM $cat.cm.docs WHERE size_chars > 0 GROUP BY language
+        UNION ALL
+        SELECT 'asof', lang, COUNT(*), SUM(n_chars), COUNT(source)
+        FROM $cat.cm.docs VERSION AS OF 1 WHERE n_chars > 0 GROUP BY lang""")
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** CDC merge ingest, end-to-end (q98): a deterministic Debezium-op
+    * fixture derived from `documents` (key = doc_id % 200, op `d` on
+    * every 10th doc, event time = doc_id) driven through MemoryStream
+    * into [[graft.streaming.CdcIngest.startIngestDeltaMerge]] — TWO
+    * batches so both paths run: the bootstrap append (batch 1) and the
+    * real multi-clause merge (batch 2: matched deletes, newest-wins
+    * updates, gated inserts, txn exactly-once), with CDF enabled
+    * between them so the merge version's precise row changes are
+    * captured. The output aggregates final state AND the change feed;
+    * the oracle replays batch-wise newest-per-key apply semantics
+    * relationally — the reference's always-on CDC pipeline
+    * (`SaveDelta.scala:104-163`), rebuilt as a MERGE, gated row-exact.
+    * Scratch deleted before returning (q80 convention). */
+  val q98CdcMergeIngest: Q = Q(
+    "q98_cdc_merge_ingest",
+    oracle = Some("""
+      WITH ev AS (
+        SELECT doc_id % 200 + 1 AS key_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+               doc_id AS ts,
+               CAST(n_chars % 10000 AS INTEGER) AS dist,
+               doc_id % 2 AS batch
+        FROM documents),
+      l1 AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY key_id ORDER BY ts DESC) rn
+        FROM ev WHERE batch = 0) WHERE rn = 1),
+      t1 AS (SELECT key_id, dist FROM l1 WHERE op <> 'd'),
+      l2 AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY key_id ORDER BY ts DESC) rn
+        FROM ev WHERE batch = 1) WHERE rn = 1),
+      final AS (
+        SELECT key_id, dist FROM t1
+        WHERE key_id NOT IN (SELECT key_id FROM l2)
+        UNION ALL
+        SELECT key_id, dist FROM l2 WHERE op <> 'd'),
+      cdf AS (
+        SELECT 'delete' AS change_type, t1.key_id, t1.dist
+        FROM t1 JOIN l2 ON t1.key_id = l2.key_id WHERE l2.op = 'd'
+        UNION ALL
+        SELECT 'update_preimage', t1.key_id, t1.dist
+        FROM t1 JOIN l2 ON t1.key_id = l2.key_id WHERE l2.op <> 'd'
+        UNION ALL
+        SELECT 'update_postimage', l2.key_id, l2.dist
+        FROM l2 JOIN t1 ON t1.key_id = l2.key_id WHERE l2.op <> 'd'
+        UNION ALL
+        SELECT 'insert', key_id, dist FROM l2
+        WHERE op <> 'd' AND key_id NOT IN (SELECT key_id FROM t1)),
+      sections AS (
+        SELECT 'final' AS section, key_id % 10 AS bucket,
+               COUNT(*) AS n_rows, SUM(dist) AS sum_dist
+        FROM final GROUP BY key_id % 10
+        UNION ALL
+        SELECT 'cdf_' || change_type, key_id % 10, COUNT(*), SUM(dist)
+        FROM cdf GROUP BY change_type, key_id % 10)
+      SELECT section, CAST(bucket AS BIGINT) AS bucket,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_dist AS BIGINT) AS sum_dist
+      FROM sections""")) { (spark, dir) =>
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q98")
+    val t = s"$scratch/t"
+    try {
+      val evs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id")).collect()
+        .map { r =>
+          val docId = r.getLong(0)
+          val key = docId % 200 + 1
+          val op = if (docId % 10 == 0) "d" else "u"
+          val dist = r.getLong(1) % 10000
+          val row = s"""{"id":$key,"id_employee":${key * 10},""" +
+            s""""first_name":"fn","last_name":"ln",""" +
+            s""""start_datetime":1700000000000000,"sport_type":"s",""" +
+            s""""distance":$dist,"activity_duration":30,"comment":null}"""
+          val (before, after) = if (op == "d") (row, "null") else ("null", row)
+          (docId,
+            s"""{"payload":{"before":$before,"after":$after,""" +
+              s""""source":{"table":"docs","lsn":$docId},"op":"$op","ts_ms":$docId}}""")
+        }
+      val (b1, b2) = evs.partition(_._1 % 2 == 0)
+      val s1 = MemoryStream[String]
+      s1.addData(b1.map(_._2).toIndexedSeq: _*)
+      graft.streaming.CdcIngest.startIngestDeltaMerge(s1.toDF(), t,
+        s"$scratch/chk1", appId = "q98b1", trigger = Trigger.AvailableNow())
+        .awaitTermination(120000)
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      val s2 = MemoryStream[String]
+      s2.addData(b2.map(_._2).toIndexedSeq: _*)
+      graft.streaming.CdcIngest.startIngestDeltaMerge(s2.toDF(), t,
+        s"$scratch/chk2", appId = "q98b2", trigger = Trigger.AvailableNow())
+        .awaitTermination(120000)
+      val v = DeltaLog.snapshot(spark, t).version
+      val finalSec = DeltaTable.read(spark, t)
+        .select(lit("final").as("section"),
+          pmod(col("id"), lit(10)).cast("long").as("bucket"),
+          col("distance"))
+      val cdfSec = DeltaTable.readChangeFeed(spark, t, v, Some(v))
+        .select(concat(lit("cdf_"), col("_change_type")).as("section"),
+          pmod(col("id"), lit(10)).cast("long").as("bucket"),
+          col("distance"))
+      val agg = finalSec.unionByName(cdfSec)
+        .groupBy(col("section"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("distance")).cast("long").as("sum_dist"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Per-JVM staging for [[q93Dsv2Scan]]: the documents table written
     * ONCE as a graft-delta table per sfDir, so the timed passes measure
     * the SCAN (the thing the bench tracks), not the setup write. */
@@ -1139,7 +1336,8 @@ object Catalog {
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
         q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping,
         q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q92MergeClauses,
-        q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone) ++
+        q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
+        q98CdcMergeIngest) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -379,12 +379,22 @@ object DeltaLog {
   def prunedSnapshot(spark: SparkSession, table: String,
                      partitionFilter: Map[String, String]): Snapshot = {
     import org.apache.spark.sql.functions.{col, element_at, lit, not}
-    def keep(f: AddFile): Boolean =
-      partitionFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) }
+    // column mapping: partitionValues are keyed by PHYSICAL names; the
+    // caller's filter keys are logical — translate through the schema
+    def physFilterOf(schemaJson: Option[String]): Map[String, String] = {
+      val m = schemaJson
+        .map(j => ColumnMapping.physMap(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .getOrElse(Map.empty[String, String])
+      partitionFilter.map { case (k, v) => m.getOrElse(k, k) -> v }
+    }
     lastCheckpointVersion(spark, table) match {
       case None =>
         val s = snapshot(spark, table)
-        s.copy(files = s.files.filter(keep))
+        val pf = physFilterOf(s.schemaJson)
+        s.copy(files = s.files.filter(f =>
+          pf.forall { case (k, v) => f.partitionValues.get(k).contains(v) }))
       case Some(cpV) =>
         val tbl = new Path(table)
         // replay the JSON tail driver-side ONCE: live tail adds, removes
@@ -433,7 +443,8 @@ object DeltaLog {
         val withMt =
           if (cpAdds0.columns.contains("modificationTime")) cpAdds0
           else cpAdds0.withColumn("modificationTime", lit(0L))
-        val pruned = partitionFilter.foldLeft(withMt) { case (df, (k, v)) =>
+        val physFilter = physFilterOf(schemaJson)
+        val pruned = physFilter.foldLeft(withMt) { case (df, (k, v)) =>
           df.where(element_at(col("partitionValues"), k) === lit(v))
         }.where(
           if (removedFromCp.isEmpty) lit(true)
@@ -453,7 +464,8 @@ object DeltaLog {
         // path supersedes the checkpoint row, never duplicates it
         val all = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
         cpFiles.foreach(f => all += f.path -> f)
-        tailLive.values.filter(keep).foreach(f => all += f.path -> f)
+        tailLive.values.filter(f => physFilter.forall { case (k, v) =>
+          f.partitionValues.get(k).contains(v) }).foreach(f => all += f.path -> f)
         Snapshot(headV, all.values.toSeq, schemaJson, Map.empty, parts, metaId)
     }
   }

@@ -67,12 +67,19 @@ private[delta] class DeltaStreamingWrite(
   }
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    DeltaSinkWriterFactory(table, writeSchema, partCols.toArray,
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // column mapping: tasks write files + Hive dirs under the table's
+    // PHYSICAL names (rows are positional; constraints bind logically)
+    val head = DeltaLog.snapshot(spark, table)
+    val tableSchema = head.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    DeltaSinkWriterFactory(table,
+      ColumnMapping.physicalWriteSchema(writeSchema, tableSchema),
+      ColumnMapping.physicalCols(partCols, tableSchema).toArray,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.sessionLocalTimeZone,
-      SinkConstraints.bind(spark, writeSchema,
-        DeltaLog.snapshot(spark, table)))
+      SinkConstraints.bind(spark, writeSchema, head))
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val tbl = new Path(table)
@@ -200,9 +207,31 @@ private[delta] class DeltaBatchWrite(
         s"for ${f.name}")
   }
 
+  /** Effective TARGET schema: what the staged files' physical names and
+    * a truncate's re-emitted metaData must agree on. Appends write under
+    * the table's (possibly mapped) schema; a schema-changing overwrite
+    * on a mapped table carries surviving columns' stamps forward and
+    * stamps genuinely-new columns fresh. */
+  private lazy val effSchema: StructType = {
+    val head = DeltaLog.snapshot(spark, table)
+    head.schemaJson.map(j =>
+        DataType.fromJson(j).asInstanceOf[StructType]) match {
+      case None => writeSchema
+      case Some(existing) =>
+        if (existing.catalogString == writeSchema.catalogString) existing
+        else if (truncate)
+          ColumnMapping.stampNewFields(
+            ColumnMapping.carryForward(writeSchema, existing),
+            head.configuration)
+        else writeSchema // append schema mismatch: refused at commit
+    }
+  }
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    DeltaSinkWriterFactory(table, writeSchema, partCols.toArray,
+    DeltaSinkWriterFactory(table,
+      ColumnMapping.physicalWriteSchema(writeSchema, Some(effSchema)),
+      ColumnMapping.physicalCols(partCols, Some(effSchema)).toArray,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.sessionLocalTimeZone,
       // overwrite replaces content wholesale, but the constraint set
@@ -242,7 +271,9 @@ private[delta] class DeltaBatchWrite(
         if (head.isEmpty) Seq(protocolAction,
           metaDataAction(writeSchema.json, partCols))
         else if (truncate && !sameSchema)
-          Seq(metaDataAction(writeSchema.json, partCols, head.metaDataId,
+          // effSchema, not writeSchema: the staged files were written
+          // under its (carried-forward/fresh) physical stamps
+          Seq(metaDataAction(effSchema.json, partCols, head.metaDataId,
             head.configuration))
         else Seq.empty
       val removes =

@@ -134,7 +134,10 @@ private[delta] object DeltaStreamDataSource {
           "binary/timestamp/timestamp_ntz/date/decimal) and " +
           "array/map/struct over it")
     }
-    schema
+    // user-facing: logical names without the column-mapping bookkeeping
+    // metadata (the scan re-reads the stamped schema from its own
+    // snapshot — delta-spark hides the stamps from reads identically)
+    ColumnMapping.stripped(schema)
   }
 }
 
@@ -300,6 +303,23 @@ private[delta] class DeltaStreamScan(
         options.get("timestampAsOf") == null,
       "graft-delta: versionAsOf/timestampAsOf are BATCH options; streams " +
         "position with startingVersion")
+    // column mapping: a RENAMED/DROPPED column makes historic file names
+    // diverge from the stream's pinned schema — delta-spark's default is
+    // the same refusal (streaming past read-incompatible schema changes
+    // needs schema tracking). Tables merely UPGRADED (no rename yet, all
+    // physical == logical) stream fine.
+    locally {
+      val p = DeltaStreamDataSource.tablePath(options)
+      val snap = DeltaLog.snapshot(SparkSession.active, p)
+      snap.schemaJson.foreach { j =>
+        val s = DataType.fromJson(j).asInstanceOf[StructType]
+        require(!ColumnMapping.hasMapping(s),
+          s"graft-delta: $p has renamed/dropped columns (column mapping); " +
+            "streaming reads across rename boundaries are not supported — " +
+            "read the current snapshot via batch (DeltaTable.read / " +
+            "spark.read.format(\"graft-delta\")) and restart the pipeline")
+      }
+    }
     new DeltaMicroBatchStream(DeltaStreamDataSource.tablePath(options),
       readSchemaPruned,
       Option(options.get("startingVersion")).getOrElse("earliest"),
@@ -548,6 +568,11 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(s"graft-delta: $table missing metaData"))
 
+  /** logical → physical for this scan's snapshot (identity when the
+    * table was never renamed/dropped — column mapping off). */
+  @transient private lazy val physOf: Map[String, String] =
+    ColumnMapping.physMap(logSchemaOf(snap))
+
   /** Requested partition fields, in their [[schema]] (requested) order.
     * The delegate parquet factory emits readDataSchema ++ partSchema;
     * [[DeltaPermutingReaderFactory]] restores the requested interleaved
@@ -569,9 +594,13 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
         "replay) or raise the threshold.")
     val head = snap
     val logSchema = logSchemaOf(head)
-    val pred = DeltaBatchScan.filtersToPredicate(filters)
+    // column mapping: stats + partitionValues are keyed physically
+    val pred = ColumnMapping.physicalExpr(
+      DeltaBatchScan.filtersToPredicate(filters), logSchema)
+    val skipSchema = if (ColumnMapping.hasMapping(logSchema))
+      ColumnMapping.physicalSchema(logSchema) else logSchema
     val live = head.files
-      .filter(f => DataSkipping.mayMatchWithPartitions(f, pred, logSchema))
+      .filter(f => DataSkipping.mayMatchWithPartitions(f, pred, skipSchema))
     val pf = partFields(head)
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
@@ -583,7 +612,8 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     val splits = live.flatMap { a =>
       val row = InternalRow.fromSeq(pf.toSeq.map(f =>
         DeltaRowReader.parsePartition(
-          a.partitionValues.get(f.name).orNull, f.dataType, zone)))
+          a.partitionValues.get(physOf.getOrElse(f.name, f.name)).orNull,
+          f.dataType, zone)))
       val abs = org.apache.spark.paths.SparkPath.fromPath(new Path(table, a.path))
       (0L until math.max(a.size, 1L) by maxSplit).map { off =>
         PartitionedFile(row, abs, off, math.min(maxSplit, a.size - off),
@@ -599,12 +629,18 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     val head = snap
     val partCols = head.partitionColumns.toSet
     val logSchema = logSchemaOf(head)
+    // the parquet factory must see the PHYSICAL names the files were
+    // written under (column mapping); Spark only consumes positions —
+    // readSchema() keeps reporting the logical names
+    def phys(f: StructField): StructField =
+      StructField(physOf.getOrElse(f.name, f.name), f.dataType, f.nullable)
     // Hive layout: partition columns live in the path, not the files
     val dataSchema = StructType(
-      logSchema.fields.filterNot(f => partCols.contains(f.name)))
+      logSchema.fields.filterNot(f => partCols.contains(f.name)).map(phys))
     val readDataSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
-    val partSchema = StructType(partFields(head))
+      schema.fields.filterNot(f => partCols.contains(f.name)).map(phys))
+    val partSchema = StructType(partFields(head).map(phys))
+    val physFilters = DeltaBatchScan.filtersToPhysical(filters, physOf)
     val conf = spark.sessionState.newHadoopConf()
     // the conf contract ParquetScan.createReaderFactory sets for
     // ParquetReadSupport (string keys — the support objects are
@@ -634,14 +670,15 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     val bc = org.apache.spark.sql.graft.ColumnBridge.broadcastHadoopConf(spark, conf)
     val inner =
       org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
-        sqlConf, bc, dataSchema, readDataSchema, partSchema, filters,
+        sqlConf, bc, dataSchema, readDataSchema, partSchema, physFilters,
         None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
           Map.empty[String, String], sqlConf))
-    // the delegate emits readDataSchema ++ partSchema; permute back to
-    // the REQUESTED order so readSchema() stays truthful for Spark
+    // the delegate emits readDataSchema ++ partSchema (physical names);
+    // permute back to the REQUESTED order, matching by physical name
     val innerOrder = readDataSchema.fields ++ partSchema.fields
-    val perm = schema.fields.map(f => innerOrder.indexWhere(_.name == f.name))
+    val perm = schema.fields.map(f =>
+      innerOrder.indexWhere(_.name == physOf.getOrElse(f.name, f.name)))
     if (perm.zipWithIndex.forall { case (p, i) => p == i }) inner
     else DeltaPermutingReaderFactory(inner, perm, schema)
   }
@@ -733,6 +770,48 @@ private[delta] object DeltaBatchScan {
       for { cl <- convertExact(l); cr <- convertExact(r) } yield Or(cl, cr)
     case sources.Not(c) => convertExact(c).map(Not.apply)
     case _ => None
+  }
+
+  /** Rewrite pushed filters' attribute names logical → physical for the
+    * delegate parquet factory (column mapping). A filter shape the
+    * rewrite doesn't know is DROPPED, not passed through — all filters
+    * are residual (Spark re-applies them row-level), so dropping only
+    * loses row-group pushdown, never correctness. Identity map → as-is. */
+  def filtersToPhysical(filters: Array[sources.Filter],
+                        phys: Map[String, String]): Array[sources.Filter] =
+    if (phys.forall { case (l, p) => l == p }) filters
+    else filters.flatMap(rewriteFilter(_, phys))
+
+  private def rewriteFilter(f: sources.Filter,
+                            phys: Map[String, String]): Option[sources.Filter] = {
+    def p(a: String): String = phys.getOrElse(a, a)
+    f match {
+      case sources.EqualTo(a, v) => Some(sources.EqualTo(p(a), v))
+      case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(p(a), v))
+      case sources.GreaterThan(a, v) => Some(sources.GreaterThan(p(a), v))
+      case sources.GreaterThanOrEqual(a, v) =>
+        Some(sources.GreaterThanOrEqual(p(a), v))
+      case sources.LessThan(a, v) => Some(sources.LessThan(p(a), v))
+      case sources.LessThanOrEqual(a, v) =>
+        Some(sources.LessThanOrEqual(p(a), v))
+      case sources.In(a, vs) => Some(sources.In(p(a), vs))
+      case sources.IsNull(a) => Some(sources.IsNull(p(a)))
+      case sources.IsNotNull(a) => Some(sources.IsNotNull(p(a)))
+      case sources.StringStartsWith(a, v) =>
+        Some(sources.StringStartsWith(p(a), v))
+      case sources.StringEndsWith(a, v) => Some(sources.StringEndsWith(p(a), v))
+      case sources.StringContains(a, v) => Some(sources.StringContains(p(a), v))
+      case sources.AlwaysTrue() => Some(f)
+      case sources.AlwaysFalse() => Some(f)
+      case sources.And(l, r) =>
+        for { cl <- rewriteFilter(l, phys); cr <- rewriteFilter(r, phys) }
+          yield sources.And(cl, cr)
+      case sources.Or(l, r) =>
+        for { cl <- rewriteFilter(l, phys); cr <- rewriteFilter(r, phys) }
+          yield sources.Or(cl, cr)
+      case sources.Not(c) => rewriteFilter(c, phys).map(sources.Not)
+      case _ => None
+    }
   }
 }
 

@@ -32,7 +32,22 @@ object DeltaTable {
     readFiles(spark, table, logSchema(s, table), s.partitionColumns, s.files)
   }
 
+  /** Mapping-aware read: a schema carrying column-mapping stamps scans
+    * under the PHYSICAL names (files, Hive dirs, partitionValues and
+    * stats are all recorded physically) and renames to the logical names
+    * at the end — one projection, folded into the scan's output. */
   private def readFiles(spark: SparkSession, table: String, schema: StructType,
+                        partCols: Seq[String], files: Seq[AddFile]): DataFrame =
+    if (!ColumnMapping.hasMapping(schema))
+      readFilesPhysical(spark, table, schema, partCols, files)
+    else {
+      val m = ColumnMapping.physMap(schema)
+      readFilesPhysical(spark, table, ColumnMapping.physicalSchema(schema),
+        partCols.map(c => m.getOrElse(c, c)), files)
+        .toDF(schema.fieldNames.toSeq: _*)
+    }
+
+  private def readFilesPhysical(spark: SparkSession, table: String, schema: StructType,
                         partCols: Seq[String], files: Seq[AddFile]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, concat, lit, raise_error, when}
     if (files.isEmpty)
@@ -57,7 +72,7 @@ object DeltaTable {
         files.partition(f => new Path(f.path).isAbsolute)
       val rel =
         if (relFiles.isEmpty) None
-        else Some(readFiles(spark, table, schema, partCols, relFiles))
+        else Some(readFilesPhysical(spark, table, schema, partCols, relFiles))
       val dataSchema = StructType(
         schema.fields.filterNot(f => partCols.contains(f.name)))
       val hconf = spark.sparkContext.hadoopConfiguration
@@ -128,9 +143,12 @@ object DeltaTable {
       require(!s.isEmpty, s"delta: $table has no commits")
       require(filter.keySet.subsetOf(s.partitionColumns.toSet),
         s"delta: ${filter.keySet} not all partition columns ${s.partitionColumns}")
+      val schema = logSchema(s, table)
+      val m = ColumnMapping.physMap(schema)
+      val physFilter = filter.map { case (k, v) => m.getOrElse(k, k) -> v }
       val files = s.files.filter(f =>
-        filter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
-      readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+        physFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+      readFiles(spark, table, schema, s.partitionColumns, files)
     }
 
   /** True when the newest checkpoint's row count exceeds the
@@ -289,17 +307,23 @@ object DeltaTable {
     * action carries the protocol's per-file stats (numRecords + min/max
     * of the integer columns, read from the parquet FOOTER — metadata IO,
     * no data scan) — what [[merge]] / [[readRange]] data-skip on. */
-  private def stageData(df: DataFrame, tbl: Path,
+  private def stageData(df: DataFrame, schema: StructType, tbl: Path,
                         fs: org.apache.hadoop.fs.FileSystem,
                         partitionBy: Seq[String] = Seq.empty,
                         dataChange: Boolean = true): Seq[org.json4s.JValue] = {
+    // column mapping: files, Hive dirs (and so the derived
+    // partitionValues) and footer stats are all recorded under the
+    // PHYSICAL names the table schema's stamps declare
+    val m = ColumnMapping.physMap(schema)
+    val dfP = ColumnMapping.toPhysical(df, schema)
+    val partitionByP = partitionBy.map(c => m.getOrElse(c, c))
     val staging = new Path(tbl, s".staging-${java.util.UUID.randomUUID()}")
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = dfP.write.mode(SaveMode.Overwrite)
     // a failing write job (e.g. a CHECK constraint violation raised
     // mid-stage) must not leak its staging dir: vacuum deliberately
     // never touches `.staging-*` (a LIVE stage is indistinguishable
     // from a dead one by name), so clean up on the failure path here
-    try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    try (if (partitionByP.nonEmpty) w.partitionBy(partitionByP: _*) else w)
       .parquet(staging.toString)
     catch { case e: Throwable => fs.delete(staging, true); throw e }
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
@@ -462,11 +486,29 @@ object DeltaTable {
           s"delta: table is partitioned by $existingParts, not $partitionBy")
         partitionBy
       }
-    val adds = stageData(enforceConstraints(df, head.configuration,
-      head.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])),
-      tbl, fs, parts)
+    // effective TARGET schema for this write: the one the staged files'
+    // physical names and the emitted metaData must agree on. Appends to
+    // an existing table write under its (possibly mapped) schema;
+    // schema-changing writes on a mapped table carry surviving columns'
+    // physical stamps forward and stamp genuinely-new columns fresh.
+    val preLogical = head.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val effSchema: StructType = preLogical match {
+      case None => df.schema
+      case Some(existing) =>
+        if (existing.catalogString == df.schema.catalogString) existing
+        else if (mode == SaveMode.Append && mergeSchema)
+          ColumnMapping.stampNewFields(mergeSchemas(existing, df.schema),
+            head.configuration)
+        else if (mode == SaveMode.Overwrite)
+          ColumnMapping.stampNewFields(
+            ColumnMapping.carryForward(df.schema, existing),
+            head.configuration)
+        else df.schema // append schema mismatch: refused inside the loop
+    }
+    val adds = stageData(enforceConstraints(df, head.configuration, preLogical),
+      effSchema, tbl, fs, parts)
 
-    val schemaJson = df.schema.json
     var committed = false
     var attempts = 0
     while (!committed) {
@@ -496,12 +538,24 @@ object DeltaTable {
         DataType.fromJson(existing).asInstanceOf[StructType].catalogString ==
           df.schema.catalogString)
       val meta =
-        if (head.isEmpty) Seq(protocolAction, metaDataAction(schemaJson, parts))
+        if (head.isEmpty) Seq(protocolAction, metaDataAction(effSchema.json, parts))
         else if (!sameSchema) {
           if (mode == SaveMode.Append && mergeSchema) {
             // union schema: only re-emit metaData when it actually GREW
-            // (a subset-schema append under the same columns is a no-op)
-            val merged = mergeSchemas(logSchema(head, table), df.schema)
+            // (a subset-schema append under the same columns is a no-op).
+            // New fields take the stamps the STAGED files were written
+            // under (effSchema, computed pre-loop); a concurrent commit
+            // racing the same new column to a different physical name
+            // must conflict, not silently shadow the staged data
+            val merged = ColumnMapping.carryForward(
+              mergeSchemas(logSchema(head, table), df.schema), effSchema)
+            merged.fields.foreach { f =>
+              val staged = effSchema.fields.find(_.name == f.name)
+              require(staged.forall(s =>
+                  ColumnMapping.physicalName(s) == ColumnMapping.physicalName(f)),
+                s"delta: concurrent schema evolution stamped `${f.name}` " +
+                  "with a different physical name — retry the write")
+            }
             if (merged.catalogString == logSchema(head, table).catalogString)
               Seq.empty
             else Seq(metaDataAction(merged.json, parts, head.metaDataId,
@@ -512,7 +566,7 @@ object DeltaTable {
                 s"the table schema — appends enforce schema (overwriteSchema is " +
                 s"the Overwrite path, `read_delta.py:219-222`; additive columns " +
                 s"may opt in via mergeSchema)")
-            Seq(metaDataAction(schemaJson, parts, head.metaDataId,
+            Seq(metaDataAction(effSchema.json, parts, head.metaDataId,
               head.configuration))
           }
         } else Seq.empty
@@ -529,6 +583,30 @@ object DeltaTable {
   private def logSchema(s: DeltaLog.Snapshot, table: String): StructType =
     s.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(s"delta: $table missing metaData"))
+
+  /** [[DataSkipping.mayMatchWithPartitions]] under column mapping: the
+    * predicate resolves against LOGICAL names, but stats and
+    * partitionValues are keyed PHYSICALLY — translate once per call
+    * site, not per file. */
+  private def mappedSkipper(predExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+                            schema: StructType): AddFile => Boolean = {
+    val e = ColumnMapping.physicalExpr(predExpr, schema)
+    val ps = if (ColumnMapping.hasMapping(schema))
+      ColumnMapping.physicalSchema(schema) else schema
+    f => DataSkipping.mayMatchWithPartitions(f, e, ps)
+  }
+
+  /** [[DataSkipping.partitionPredicateValue]] under column mapping. */
+  private def mappedPartitionValue(predExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+                                   schema: StructType,
+                                   partCols: Seq[String]): AddFile => Option[Boolean] = {
+    val e = ColumnMapping.physicalExpr(predExpr, schema)
+    val m = ColumnMapping.physMap(schema)
+    val ps = if (ColumnMapping.hasMapping(schema))
+      ColumnMapping.physicalSchema(schema) else schema
+    val pc = partCols.map(c => m.getOrElse(c, c))
+    f => DataSkipping.partitionPredicateValue(f, e, ps, pc)
+  }
 
   private def overlaps(f: AddFile, keyCol: String, lo: Long, hi: Long): Boolean =
     f.stats.flatMap(s =>
@@ -596,8 +674,7 @@ object DeltaTable {
         s"delta: merge schema ${updates.schema.catalogString} does not match " +
           s"the table schema ${schema.catalogString}")
       val predExpr = DataSkipping.resolvePredicate(spark, schema, rangePred)
-      val candidates = head.files.filter(f =>
-        DataSkipping.mayMatchWithPartitions(f, predExpr, schema))
+      val candidates = head.files.filter(mappedSkipper(predExpr, schema))
       val keys = updates.select(col(keyCol)).distinct()
       // phase 2: probe which candidates CONTAIN a batch key — a scan of
       // the key column only (Catalyst prunes the rest). File names are
@@ -637,9 +714,9 @@ object DeltaTable {
                 .unionByName(updates.join(oldKeys, Seq(keyCol), "left_anti")
                   .withColumn("_change_type", lit("insert")))
           }
-          stageChangeData(changes, tbl, fs, partitionBy = head.partitionColumns)
+          stageChangeData(changes, schema, tbl, fs, partitionBy = head.partitionColumns)
         }
-      val adds = stageData(merged, tbl, fs, partitionBy = head.partitionColumns)
+      val adds = stageData(merged, schema, tbl, fs, partitionBy = head.partitionColumns)
       val now = System.currentTimeMillis()
       val removes = touched.map(f => removeAction(f.path, now))
       done = commit(spark, table, head.version + 1,
@@ -777,8 +854,7 @@ object DeltaTable {
         if (!hasKeys) Seq.empty[AddFile]
         else {
           val predExpr = DataSkipping.resolvePredicate(spark, schema, rangePred)
-          val candidates = head.files.filter(f =>
-            DataSkipping.mayMatchWithPartitions(f, predExpr, schema))
+          val candidates = head.files.filter(mappedSkipper(predExpr, schema))
           if (candidates.isEmpty) Seq.empty[AddFile]
           else {
             val keys = source.select(col(sourceKey).as(targetKey)).distinct()
@@ -811,8 +887,7 @@ object DeltaTable {
           else {
             val or = bsConds.flatten.reduce(_ || _)
             val e = DataSkipping.resolvePredicate(spark, schema, or)
-            val candidates = rest.filter(f =>
-              DataSkipping.mayMatchWithPartitions(f, e, schema))
+            val candidates = rest.filter(mappedSkipper(e, schema))
             if (candidates.isEmpty) candidates
             else {
               val names = readFiles(spark, table, schema,
@@ -913,9 +988,9 @@ object DeltaTable {
                   .withColumn(ct, lit("delete")))
                 .unionByName(inserts.withColumn(ct, lit("insert")))
           }
-          stageChangeData(changes, tbl, fs, partitionBy = head.partitionColumns)
+          stageChangeData(changes, schema, tbl, fs, partitionBy = head.partitionColumns)
         }
-      val adds = stageData(output, tbl, fs, partitionBy = head.partitionColumns)
+      val adds = stageData(output, schema, tbl, fs, partitionBy = head.partitionColumns)
         .filter { a =>
           val keep = addedRecords(a) != 0L
           if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
@@ -1039,11 +1114,105 @@ object DeltaTable {
       val schema = logSchema(head, table)
       val dup = cols.map(_.name).toSet.intersect(schema.fieldNames.toSet)
       require(dup.isEmpty, s"delta: columns $dup already exist in $table")
-      val merged = StructType(schema.fields ++ cols.map(_.copy(nullable = true)))
+      // mapped tables stamp added columns with FRESH physical names — a
+      // previously-dropped column's file values must not resurrect under
+      // a re-added logical name
+      val merged = ColumnMapping.stampNewFields(
+        StructType(schema.fields ++ cols.map(_.copy(nullable = true))),
+        head.configuration)
       done = commit(spark, table, head.version + 1, Seq(
         commitInfoAction("ADD COLUMNS"),
         metaDataAction(merged.json, head.partitionColumns,
           head.metaDataId, head.configuration)))
+    }
+  }
+
+  /** Refuse schema surgery on a column a CHECK constraint references —
+    * the constraint's SQL text would silently stop matching (delta-spark
+    * refuses identically). */
+  private def requireUnreferenced(spark: SparkSession,
+                                  head: DeltaLog.Snapshot,
+                                  colName: String, op: String): Unit =
+    constraintsOf(head.configuration).foreach { case (n, sql) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }
+      require(!refs.contains(colName.toLowerCase),
+        s"delta: cannot $op column `$colName` — CHECK constraint `$n` " +
+          s"($sql) references it; drop the constraint first")
+    }
+
+  /** `ALTER TABLE RENAME COLUMN` as a pure metaData commit via column
+    * mapping ([[ColumnMapping]]): the first rename auto-upgrades the
+    * table to `delta.columnMapping.mode = name`, stamping every existing
+    * field's physical name with its current name — zero data rewritten
+    * at any table size. Old versions keep their own metaData, so time
+    * travel still reads the pre-rename names. Nested fields refuse
+    * (they would need parquet field-id resolution). */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Unit = {
+    require(!from.contains(".") && !to.contains("."),
+      s"delta: RENAME COLUMN supports top-level columns only, got " +
+        s"`$from` -> `$to` (nested renames need parquet field ids)")
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: renameColumn gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      require(!head.isEmpty, s"delta: $table has no commits")
+      val schema = logSchema(head, table)
+      require(schema.fieldNames.contains(from),
+        s"delta: no column `$from` in $table (${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"delta: column `$to` already exists in $table")
+      requireUnreferenced(spark, head, from, "RENAME")
+      val up = ColumnMapping.upgrade(schema)
+      val renamed = StructType(up.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val parts = head.partitionColumns.map(c => if (c == from) to else c)
+      val config = head.configuration +
+        (ColumnMapping.ModeKey -> "name") +
+        (ColumnMapping.MaxIdKey -> ColumnMapping.maxId(renamed).toString)
+      done = commit(spark, table, head.version + 1, Seq(
+        commitInfoAction("RENAME COLUMN"),
+        metaDataAction(renamed.json, parts, head.metaDataId, config)))
+    }
+  }
+
+  /** `ALTER TABLE DROP COLUMN` as a pure metaData commit via column
+    * mapping: the field leaves the schema; its values stay in the files
+    * (readers never request the physical column) and remain readable
+    * through time travel. Partition columns and constraint-referenced
+    * columns refuse. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Unit = {
+    require(!name.contains("."),
+      s"delta: DROP COLUMN supports top-level columns only, got `$name`")
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: dropColumn gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      require(!head.isEmpty, s"delta: $table has no commits")
+      val schema = logSchema(head, table)
+      require(schema.fieldNames.contains(name),
+        s"delta: no column `$name` in $table (${schema.fieldNames.mkString(", ")})")
+      require(!head.partitionColumns.contains(name),
+        s"delta: cannot drop partition column `$name`")
+      requireUnreferenced(spark, head, name, "DROP")
+      val remaining = StructType(
+        ColumnMapping.upgrade(schema).fields.filterNot(_.name == name))
+      require(remaining.fields.nonEmpty,
+        s"delta: cannot drop the last column of $table")
+      val config = head.configuration +
+        (ColumnMapping.ModeKey -> "name") +
+        (ColumnMapping.MaxIdKey -> ColumnMapping.maxId(remaining).toString)
+      done = commit(spark, table, head.version + 1, Seq(
+        commitInfoAction("DROP COLUMN"),
+        metaDataAction(remaining.json, head.partitionColumns,
+          head.metaDataId, config)))
     }
   }
 
@@ -1206,8 +1375,7 @@ object DeltaTable {
       // a DELETE keyed on a partition column (the most common shape)
       // skips every other partition without opening a file.
       val predExpr = DataSkipping.resolvePredicate(spark, schema, predicate)
-      val candidates = head.files.filter(f =>
-        DataSkipping.mayMatchWithPartitions(f, predExpr, schema))
+      val candidates = head.files.filter(mappedSkipper(predExpr, schema))
       if (candidates.isEmpty) return
       // predicate NULL → row neither deleted nor updated (SQL DML truth)
       val cond = coalesce(predicate, lit(false))
@@ -1216,9 +1384,10 @@ object DeltaTable {
       // whole file's value), so those files need no probe — and a
       // definite-true DELETE drops them wholesale below with zero data
       // IO (delta-spark's metadata-only partition delete).
+      val partValue = mappedPartitionValue(predExpr, schema,
+        head.partitionColumns)
       val (sureMatch, maybe) = candidates.partition(f =>
-        DataSkipping.partitionPredicateValue(f, predExpr, schema,
-          head.partitionColumns).contains(true))
+        partValue(f).contains(true))
       // per-file match check on the rest: stats are conservative bounds,
       // so probe which candidates CONTAIN a matching row (a scan of only
       // the predicate's columns — Catalyst prunes the rest) and rewrite
@@ -1272,9 +1441,9 @@ object DeltaTable {
             matched.withColumn("_change_type", lit("update_preimage"))
               .unionByName(applySet(matched, s, unconditional = true)
                 .withColumn("_change_type", lit("update_postimage")))
-        }, tbl, fs, partitionBy = head.partitionColumns)
+        }, schema, tbl, fs, partitionBy = head.partitionColumns)
       val adds = rewritten.fold(Seq.empty[org.json4s.JValue])(r =>
-        stageData(r, tbl, fs, partitionBy = head.partitionColumns))
+        stageData(r, schema, tbl, fs, partitionBy = head.partitionColumns))
         .filter { a =>
           val keep = addedRecords(a) != 0L
           if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
@@ -1317,12 +1486,17 @@ object DeltaTable {
     * readers (which take partition columns from the ACTION, not the
     * file body) see them. Empty part files (the input's empty
     * partitions) are dropped. */
-  private def stageChangeData(df: DataFrame, tbl: Path,
+  private def stageChangeData(df: DataFrame, schema: StructType, tbl: Path,
                               fs: org.apache.hadoop.fs.FileSystem,
                               partitionBy: Seq[String] = Seq.empty): Seq[org.json4s.JValue] = {
+    // same physical-name rule as stageData; `_change_type` is outside
+    // the table schema and passes through untouched
+    val m = ColumnMapping.physMap(schema)
+    val dfP = ColumnMapping.toPhysical(df, schema)
+    val partitionByP = partitionBy.map(c => m.getOrElse(c, c))
     val staging = new Path(tbl, s".staging-cdc-${java.util.UUID.randomUUID()}")
-    val w = df.write.mode(SaveMode.Overwrite)
-    try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    val w = dfP.write.mode(SaveMode.Overwrite)
+    try (if (partitionByP.nonEmpty) w.partitionBy(partitionByP: _*) else w)
       .parquet(staging.toString)
     catch { case e: Throwable => fs.delete(staging, true); throw e }
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
@@ -1401,14 +1575,18 @@ object DeltaTable {
         // partition columns OUT of the file body (they ride the action /
         // the dirs) — re-derive them via basePath, typed by the schema,
         // exactly like readFiles does for data files
-        val cdcSchema = schema
+        // change files are written under PHYSICAL names (same rule as
+        // data files) — scan physically, rename to the logical names
+        val physCdc = ColumnMapping.physicalSchema(schema)
           .add("_change_type", org.apache.spark.sql.types.StringType)
-        val reader = spark.read.schema(cdcSchema)
+        val logicalNames = schema.fieldNames.toSeq :+ "_change_type"
+        val reader = spark.read.schema(physCdc)
         val df =
-          if (partCols.isEmpty) reader.parquet(paths.map(_.toString): _*)
-          else reader.option("basePath", new Path(tbl, "_change_data").toString)
-            .parquet(paths.map(_.toString): _*)
-            .select(cdcSchema.fieldNames.map(col).toSeq: _*)
+          (if (partCols.isEmpty) reader.parquet(paths.map(_.toString): _*)
+           else reader.option("basePath", new Path(tbl, "_change_data").toString)
+             .parquet(paths.map(_.toString): _*)
+             .select(physCdc.fieldNames.map(col).toSeq: _*))
+            .toDF(logicalNames: _*)
         Seq(stamp(df))
       } else {
         val dAdds = c.adds.filter(_.dataChange)
@@ -1468,9 +1646,11 @@ object DeltaTable {
     require(!s.isEmpty, s"delta: $table has no commits")
     require(s.partitionColumns.contains(keyCol),
       s"delta: $keyCol is not a partition column of ${s.partitionColumns}")
+    val schema = logSchema(s, table)
+    val physKey = ColumnMapping.physMap(schema).getOrElse(keyCol, keyCol)
     val vs = values.toSet
-    val files = s.files.filter(f => f.partitionValues.get(keyCol).exists(vs))
-    readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+    val files = s.files.filter(f => f.partitionValues.get(physKey).exists(vs))
+    readFiles(spark, table, schema, s.partitionColumns, files)
   }
 
   /** General predicate-pruned read — the user-facing form of the DML
@@ -1488,8 +1668,7 @@ object DeltaTable {
     require(!s.isEmpty, s"delta: $table has no commits")
     val schema = logSchema(s, table)
     val predExpr = DataSkipping.resolvePredicate(spark, schema, predicate)
-    val files = s.files.filter(f =>
-      DataSkipping.mayMatchWithPartitions(f, predExpr, schema))
+    val files = s.files.filter(mappedSkipper(predExpr, schema))
     readFiles(spark, table, schema, s.partitionColumns, files)
       .filter(predicate)
   }
@@ -1502,8 +1681,10 @@ object DeltaTable {
     import org.apache.spark.sql.functions.col
     val s = snapshot(spark, table)
     require(!s.isEmpty, s"delta: $table has no commits")
-    val files = s.files.filter(overlaps(_, keyCol, lo, hi))
-    readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+    val schema = logSchema(s, table)
+    val physKey = ColumnMapping.physMap(schema).getOrElse(keyCol, keyCol)
+    val files = s.files.filter(overlaps(_, physKey, lo, hi))
+    readFiles(spark, table, schema, s.partitionColumns, files)
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
@@ -1517,12 +1698,14 @@ object DeltaTable {
     import org.apache.spark.sql.functions.{col, lit}
     val s = snapshot(spark, table)
     require(!s.isEmpty, s"delta: $table has no commits")
+    val schema = logSchema(s, table)
+    val physKey = ColumnMapping.physMap(schema).getOrElse(keyCol, keyCol)
     val files = s.files.filter(f =>
       f.stats.flatMap(st =>
-        for { mn <- st.minStrings.get(keyCol); mx <- st.maxStrings.get(keyCol) }
+        for { mn <- st.minStrings.get(physKey); mx <- st.maxStrings.get(physKey) }
           yield utf8Lte(lo, mx) && utf8Lte(mn, hi)
       ).getOrElse(true)) // no stats → conservatively in range
-    readFiles(spark, table, logSchema(s, table), s.partitionColumns, files)
+    readFiles(spark, table, schema, s.partitionColumns, files)
       .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
 
@@ -1574,8 +1757,8 @@ object DeltaTable {
                                  olds: Seq[AddFile]): Unit = {
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val adds = stageData(df, tbl, fs, partitionBy = head.partitionColumns,
-      dataChange = false)
+    val adds = stageData(df, logSchema(head, table), tbl, fs,
+      partitionBy = head.partitionColumns, dataChange = false)
     val now = System.currentTimeMillis()
     val removes = olds.map(f => removeAction(f.path, now, dataChange = false))
     if (!commit(spark, table, head.version + 1,
@@ -1608,8 +1791,10 @@ object DeltaTable {
     require(partitionFilter.keySet.subsetOf(head.partitionColumns.toSet),
       s"delta: ${partitionFilter.keySet} not all partition columns " +
         s"${head.partitionColumns}")
+    val pfMap = ColumnMapping.physMap(logSchema(head, table))
+    val physPf = partitionFilter.map { case (k, v) => pfMap.getOrElse(k, k) -> v }
     val small = head.files.filter(f => f.size < smallerThanBytes &&
-      partitionFilter.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+      physPf.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
     if (small.size <= 1) return // nothing to gain
     val df = readFiles(spark, table, logSchema(head, table),
       head.partitionColumns, small).coalesce(targetFiles)

@@ -161,12 +161,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
     }
-    require(props.size + adds.size == changes.size,
-      "graft catalog: ALTER TABLE supports SET TBLPROPERTIES and additive " +
-        "ADD COLUMNS only; other schema changes go through the write paths " +
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"graft catalog: nested RENAME COLUMN " +
+            s"${r.fieldNames().mkString(".")} is not supported")
+        r.fieldNames()(0) -> r.newName()
+    }
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"graft catalog: nested DROP COLUMN " +
+            s"${d.fieldNames().mkString(".")} is not supported")
+        d.fieldNames()(0)
+    }
+    require(props.size + adds.size + renames.size + drops.size == changes.size,
+      "graft catalog: ALTER TABLE supports SET TBLPROPERTIES, additive " +
+        "ADD COLUMNS, RENAME COLUMN and DROP COLUMN (column mapping); " +
+        "other schema changes go through the write paths " +
         "(mergeSchema append / overwrite)")
     val path = tablePath(ident).toString
     if (adds.nonEmpty) DeltaTable.addColumns(spark, path, adds)
+    renames.foreach { case (from, to) =>
+      DeltaTable.renameColumn(spark, path, from, to) }
+    drops.foreach(c => DeltaTable.dropColumn(spark, path, c))
     if (props.nonEmpty) DeltaTable.setProperties(spark, path, props.toMap)
     loadTable(ident)
   }
