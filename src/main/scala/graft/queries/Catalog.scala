@@ -963,10 +963,94 @@ object Catalog {
     }
   }
 
+  /** Per-JVM staging for [[q92bMergeOnly]]: the CDF-enabled partitioned
+    * catalog table built ONCE per (JVM, sfDir), so the timed body
+    * measures the MERGE, not the table build. */
+  private object Q92Stage {
+    private val staged = scala.collection.mutable.Map.empty[String, String]
+    /** Returns the catalog name; the base table is `<cat>.corpus.docs`. */
+    def get(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+      synchronized {
+        staged.getOrElseUpdate(dir, {
+          val scratch = java.nio.file.Files.createTempDirectory("graft_q92b")
+          val cat = s"g92b_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+          spark.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.delta.GraftCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+          table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+          spark.sql(s"CREATE NAMESPACE $cat.corpus")
+          spark.sql(s"""CREATE TABLE $cat.corpus.docs
+                        (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                        PARTITIONED BY (lang)""")
+          spark.sql(s"""ALTER TABLE $cat.corpus.docs
+                        SET TBLPROPERTIES ('delta.enableChangeDataFeed'='true')""")
+          spark.sql(s"""INSERT INTO $cat.corpus.docs
+                        SELECT doc_id, lang, n_chars FROM docs_src_$cat""")
+          cat
+        })
+      }
+  }
+
+  /** MERGE-only bench split (q92b, r9 verdict ask #4): q92's 4.5 s is a
+    * whole lifecycle (scratch CDF table + DDL + INSERT + merge + feed
+    * read), so a merge regression hides inside setup noise. Here the
+    * base table stages ONCE per JVM ([[Q92Stage]]) and the timed body is
+    * a zero-copy SHALLOW CLONE + the SAME multi-clause MERGE against the
+    * clone + the final-state aggregate — clone and drop are metadata
+    * commits, so the number tracks the merge itself round-over-round.
+    * Oracle = q92's final section. */
+  val q92bMergeOnly: Q = Q(
+    "q92b_merge_only",
+    headline = true,
+    oracle = Some("""
+      WITH matched AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0),
+      upd_post AS (
+        SELECT doc_id, lang, n_chars + 100 AS n_chars FROM matched
+        WHERE n_chars % 2 <> 0),
+      ins AS (
+        SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, n_chars
+        FROM documents WHERE doc_id % 13 = 0 AND n_chars >= 200),
+      final AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL SELECT * FROM upd_post
+        UNION ALL SELECT * FROM ins)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM final
+      GROUP BY lang""")) { (spark, dir) =>
+    import graft.sources.delta.DeltaTable
+    val cat = Q92Stage.get(spark, dir)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.corpus.docs_run")
+    spark.sql(s"CALL $cat.system.clone('corpus.docs', 'corpus.docs_run')")
+    spark.sql(s"""
+      MERGE INTO $cat.corpus.docs_run AS t
+      USING (SELECT doc_id, lang, n_chars FROM docs_src_$cat
+             WHERE doc_id % 3 = 0
+             UNION ALL
+             SELECT doc_id + 1000000, 'new', n_chars FROM docs_src_$cat
+             WHERE doc_id % 13 = 0) AS s
+      ON t.doc_id = s.doc_id
+      WHEN MATCHED AND s.n_chars % 2 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 100
+      WHEN NOT MATCHED AND s.n_chars >= 200 THEN
+        INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)
+      """)
+    val agg = spark.sql(s"""
+      SELECT lang, COUNT(*) AS n_rows, SUM(n_chars) AS sum_chars
+      FROM $cat.corpus.docs_run GROUP BY lang""")
+    val rows = agg.collect().toSeq
+    spark.sql(s"DROP TABLE IF EXISTS $cat.corpus.docs_run")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+  }
+
   /** Schema evolution + CHECK constraints in pure SQL (q94): `documents`
     * loaded into a scratch catalog table, a CHECK constraint added via
-    * `CALL graft.system.add_constraint` (validated against existing
-    * rows, enforced on every subsequent write), the schema widened by
+    * the native ANSI grammar `ALTER TABLE ... ADD CONSTRAINT ... CHECK`
+    * (round 10; `CALL graft.system.add_constraint` remains as the
+    * procedure spelling, spec-gated) — validated against existing
+    * rows, enforced on every subsequent write — the schema widened by
     * `ALTER TABLE ADD COLUMNS`, then ONE `MERGE WITH SCHEMA EVOLUTION`
     * whose source carries a brand-new `score` column — Spark's
     * resolution drives the widening through the catalog's AddColumn
@@ -1010,7 +1094,7 @@ object Catalog {
       spark.sql(s"CREATE TABLE $cat.corpus.docs (doc_id BIGINT, lang STRING, n_chars BIGINT)")
       spark.sql(s"""INSERT INTO $cat.corpus.docs
                     SELECT doc_id, lang, n_chars FROM docs_src_$cat""")
-      spark.sql(s"CALL $cat.system.add_constraint('corpus.docs', 'nonneg', 'n_chars >= 0')")
+      spark.sql(s"ALTER TABLE $cat.corpus.docs ADD CONSTRAINT nonneg CHECK (n_chars >= 0)")
       spark.sql(s"ALTER TABLE $cat.corpus.docs ADD COLUMNS (flags BIGINT)")
       spark.sql(s"""
         MERGE WITH SCHEMA EVOLUTION INTO $cat.corpus.docs AS t
@@ -1336,6 +1420,7 @@ object Catalog {
       Seq(q80DeltaRoundtrip, q81Expectations, q82Funnel, q83Transitions,
         q85DeltaPipeline, q86SkewJoin, q87SchemaEvolution, q88StringSkipping,
         q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q92MergeClauses,
+        q92bMergeOnly,
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
         q98CdcMergeIngest) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,

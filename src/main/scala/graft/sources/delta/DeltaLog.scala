@@ -377,22 +377,30 @@ object DeltaLog {
     * twice. `txns` is left empty: exactly-once writers need the full
     * [[snapshot]], not a pruned read. */
   def prunedSnapshot(spark: SparkSession, table: String,
-                     partitionFilter: Map[String, String]): Snapshot = {
+                     partitionFilter: Map[String, String],
+                     parseAddStats: Boolean = true,
+                     onlyPartitionKeys: Boolean = false): Snapshot = {
     import org.apache.spark.sql.functions.{col, element_at, lit, not}
     // column mapping: partitionValues are keyed by PHYSICAL names; the
-    // caller's filter keys are logical — translate through the schema
-    def physFilterOf(schemaJson: Option[String]): Map[String, String] = {
+    // caller's filter keys are logical — translate through the schema.
+    // `onlyPartitionKeys` additionally DROPS keys that are not partition
+    // columns (the DSv2 scan passes every pushed equality; a data-column
+    // equality must not zero out the pruning, it just doesn't prune).
+    def physFilterOf(schemaJson: Option[String],
+                     parts: Seq[String]): Map[String, String] = {
       val m = schemaJson
         .map(j => ColumnMapping.physMap(
           org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[org.apache.spark.sql.types.StructType]))
         .getOrElse(Map.empty[String, String])
-      partitionFilter.map { case (k, v) => m.getOrElse(k, k) -> v }
+      partitionFilter
+        .filter { case (k, _) => !onlyPartitionKeys || parts.contains(k) }
+        .map { case (k, v) => m.getOrElse(k, k) -> v }
     }
     lastCheckpointVersion(spark, table) match {
       case None =>
         val s = snapshot(spark, table)
-        val pf = physFilterOf(s.schemaJson)
+        val pf = physFilterOf(s.schemaJson, s.partitionColumns)
         s.copy(files = s.files.filter(f =>
           pf.forall { case (k, v) => f.partitionValues.get(k).contains(v) }))
       case Some(cpV) =>
@@ -443,7 +451,7 @@ object DeltaLog {
         val withMt =
           if (cpAdds0.columns.contains("modificationTime")) cpAdds0
           else cpAdds0.withColumn("modificationTime", lit(0L))
-        val physFilter = physFilterOf(schemaJson)
+        val physFilter = physFilterOf(schemaJson, parts)
         val pruned = physFilter.foldLeft(withMt) { case (df, (k, v)) =>
           df.where(element_at(col("partitionValues"), k) === lit(v))
         }.where(
@@ -454,7 +462,9 @@ object DeltaLog {
             col("modificationTime"))
           .collect().map { r =>
             AddFile(r.getString(0), r.getLong(1),
-              Option(r.getAs[String]("stats")).flatMap(parseStats),
+              if (parseAddStats)
+                Option(r.getAs[String]("stats")).flatMap(parseStats)
+              else None,
               Option(r.getAs[Map[String, String]]("partitionValues"))
                 .getOrElse(Map.empty),
               dataChange = true,

@@ -171,6 +171,19 @@ private[delta] class DeltaStreamTable(
     DeltaLog.snapshot(SparkSession.active, path).configuration.asJava
   }
 
+  /** The table's CHECK constraints (stored as `delta.constraints.*`
+    * properties), surfaced through Spark 4's connector constraint API so
+    * the ANSI grammar's duplicate checks and DESCRIBE see them. */
+  override def constraints()
+    : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    DeltaTable
+      .constraintsOf(DeltaLog.snapshot(SparkSession.active, path).configuration)
+      .map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+          .predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
+
   /** `DELETE FROM` in SQL (and `TRUNCATE TABLE` via the inherited
     * default) routes into the log-native row-level DELETE —
     * stats+partition candidate pruning, per-file match probe,
@@ -556,9 +569,33 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
   /** ONE snapshot per scan, shared by planning and the reader factory —
     * both must describe the SAME version (a commit landing between the
     * two calls must not split them), and the second log replay was
-    * measurable overhead on sub-second scans. */
+    * measurable overhead on sub-second scans.
+    *
+    * Manifests past `spark.graft.delta.distributedReplayThreshold` plan
+    * from the DISTRIBUTED checkpoint replay instead of the driver-side
+    * one: partition-equality pushed filters prune ON the checkpoint
+    * DataFrame ([[DeltaLog.prunedSnapshot]]) and stats stay unparsed, so
+    * the driver materializes only the pruned list's (path, size,
+    * partitionValues) — the slim form planning actually needs (splits +
+    * partition rows). Residual skipping on that list is
+    * partition-value-only (stats-less files are conservative); Spark
+    * re-applies every filter row-level either way. Time travel past the
+    * threshold still refuses loudly (the distributed replay has no
+    * as-of form). */
   @transient private lazy val snap: DeltaLog.Snapshot = {
-    val s = DeltaLog.snapshot(spark, table, versionAsOf)
+    val s =
+      if (!DeltaTable.chooseDistributedReplay(spark, table))
+        DeltaLog.snapshot(spark, table, versionAsOf)
+      else {
+        require(versionAsOf.isEmpty,
+          s"graft-delta: $table's live-file manifest exceeds " +
+            "spark.graft.delta.distributedReplayThreshold rows and time " +
+            "travel replays the log driver-side; raise the threshold or " +
+            "read the head snapshot")
+        DeltaLog.prunedSnapshot(spark, table,
+          DeltaBatchScan.partitionEqualities(filters),
+          parseAddStats = false, onlyPartitionKeys = true)
+      }
     require(!s.isEmpty, s"graft-delta: $table has no commits")
     s
   }
@@ -584,14 +621,6 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-memory guard, same threshold the batch API's replay router
-    // uses: a million-file manifest must fail with a named cause, not
-    // an OOM while materializing head.files below
-    require(!DeltaTable.chooseDistributedReplay(spark, table),
-      s"graft-delta: $table's live-file manifest exceeds " +
-        "spark.graft.delta.distributedReplayThreshold rows; DSv2 planning " +
-        "materializes it driver-side. Read via DeltaTable.read (distributed " +
-        "replay) or raise the threshold.")
     val head = snap
     val logSchema = logSchemaOf(head)
     // column mapping: stats + partitionValues are keyed physically
@@ -771,6 +800,19 @@ private[delta] object DeltaBatchScan {
     case sources.Not(c) => convertExact(c).map(Not.apply)
     case _ => None
   }
+
+  /** Top-level partition-equality candidates from the pushed (conjoined)
+    * filters, for distributed checkpoint pruning. Values must render
+    * exactly as the log's stringly partitionValues do, so only String
+    * and integral equalities qualify — anything else simply doesn't
+    * pre-prune (residual skipping and Spark's row-level filters still
+    * apply). */
+  def partitionEqualities(filters: Array[sources.Filter]): Map[String, String] =
+    filters.collect {
+      case sources.EqualTo(a, v: String) => a -> v
+      case sources.EqualTo(a, v @ (_: java.lang.Integer | _: java.lang.Long |
+          _: java.lang.Short | _: java.lang.Byte)) => a -> v.toString
+    }.toMap
 
   /** Rewrite pushed filters' attribute names logical → physical for the
     * delegate parquet factory (column mapping). A filter shape the

@@ -134,6 +134,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  // gates Spark 4's ANSI constraint grammar (ALTER TABLE ... ADD
+  // CONSTRAINT ... CHECK) into alterTable(AddConstraint)
+  override def capabilities()
+    : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     // scoped honestly: property changes and additive top-level columns
     // each commit one metaData re-emission; any other schema surgery is
@@ -175,16 +182,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"${d.fieldNames().mkString(".")} is not supported")
         d.fieldNames()(0)
     }
-    require(props.size + adds.size + renames.size + drops.size == changes.size,
+    // native SQL constraint surface (Spark 4's ANSI constraint grammar):
+    // `ALTER TABLE t ADD CONSTRAINT n CHECK (expr)` arrives as an
+    // AddConstraint change; route it through the same validated
+    // property-backed path as `CALL graft.system.add_constraint`
+    val addConstraints = changes.collect {
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          c.name() -> c.predicateSql()
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: only CHECK constraints are enforced; " +
+            s"${other.toDDL} is informational-only in this engine — refuse " +
+            "rather than silently not enforcing it")
+      }
+    }
+    val dropConstraints = changes.collect {
+      case d: TableChange.DropConstraint => (d.name(), d.ifExists())
+    }
+    require(props.size + adds.size + renames.size + drops.size +
+        addConstraints.size + dropConstraints.size == changes.size,
       "graft catalog: ALTER TABLE supports SET TBLPROPERTIES, additive " +
-        "ADD COLUMNS, RENAME COLUMN and DROP COLUMN (column mapping); " +
-        "other schema changes go through the write paths " +
-        "(mergeSchema append / overwrite)")
+        "ADD COLUMNS, RENAME COLUMN, DROP COLUMN (column mapping) and " +
+        "ADD/DROP CONSTRAINT ... CHECK; other schema changes go through " +
+        "the write paths (mergeSchema append / overwrite)")
     val path = tablePath(ident).toString
     if (adds.nonEmpty) DeltaTable.addColumns(spark, path, adds)
     renames.foreach { case (from, to) =>
       DeltaTable.renameColumn(spark, path, from, to) }
     drops.foreach(c => DeltaTable.dropColumn(spark, path, c))
+    addConstraints.foreach { case (n, sql) =>
+      DeltaTable.addConstraint(spark, path, n, sql) }
+    dropConstraints.foreach { case (n, ifExists) =>
+      if (!ifExists) require(
+        DeltaTable.constraintsOf(DeltaLog.snapshot(spark, path).configuration)
+          .exists(_._1 == n),
+        s"graft catalog: no CHECK constraint `$n` on $ident")
+      DeltaTable.dropConstraint(spark, path, n)
+    }
     if (props.nonEmpty) DeltaTable.setProperties(spark, path, props.toMap)
     loadTable(ident)
   }

@@ -1,6 +1,7 @@
 package graft.sources.delta
 
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -159,22 +160,39 @@ class DeltaBatchReadSpec extends SparkSpec {
     }
   }
 
-  test("DSv2 planning refuses a manifest past the distributed-replay threshold, loudly") {
+  test("DSv2 planning past the distributed-replay threshold plans from the checkpoint") {
     val root = java.nio.file.Files.createTempDirectory("dguard").toString
     val t = s"$root/t"
-    DeltaTable.write((1 to 10).map(i => (i, s"r$i")).toDF("id", "s"),
-      t, SaveMode.Append)
+    DeltaTable.write((1 to 10).map(i => (i, s"r$i", s"p${i % 3}"))
+      .toDF("id", "s", "part"),
+      t, SaveMode.Append, partitionBy = Seq("part"))
     DeltaLog.checkpoint(spark, t)
+    // tail commit past the checkpoint: distributed planning must fold it in
+    DeltaTable.write(Seq((11, "r11", "p1")).toDF("id", "s", "part"),
+      t, SaveMode.Append, partitionBy = Seq("part"))
     try {
       spark.conf.set("spark.graft.delta.distributedReplayThreshold", "0")
+      // past-threshold SQL reads now SUCCEED via distributed planning
+      // (r9 verdict ask #3): full read, and a partition-equality filter
+      // prunes on the checkpoint DataFrame before the driver collects
+      val df = spark.read.format("graft-delta").load(t)
+      assert(df.count() === 11L)
+      assert(df.filter(col("part") === "p1")
+        .select("id").collect().map(_.getInt(0)).toSet
+        === Set(1, 4, 7, 10, 11))
+      // a DATA-column equality must not zero out the pruning
+      assert(spark.read.format("graft-delta").load(t)
+        .filter(col("s") === "r4").select("id").head().getInt(0) === 4)
+      // time travel past the threshold still refuses with a named cause
       val e = intercept[Exception] {
-        spark.read.format("graft-delta").load(t).collect()
+        spark.read.format("graft-delta").option("versionAsOf", "0")
+          .load(t).collect()
       }
       def chain(x: Throwable): String =
         if (x == null) "" else Option(x.getMessage).getOrElse("") + chain(x.getCause)
       assert(chain(e).contains("distributedReplayThreshold"), chain(e))
-      // DeltaTable.read still works: it routes through distributed replay
-      assert(DeltaTable.read(spark, t).count() === 10L)
+      // DeltaTable.read agrees (it routes through the same replay)
+      assert(DeltaTable.read(spark, t).count() === 11L)
     } finally spark.conf.unset("spark.graft.delta.distributedReplayThreshold")
   }
 

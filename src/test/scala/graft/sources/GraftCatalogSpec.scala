@@ -321,6 +321,39 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(10L, 20L, 30L))
   }
 
+  test("native SQL ADD/DROP CONSTRAINT ... CHECK routes through the log") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db13")
+    spark.sql("CREATE TABLE graft.db13.t (id BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO graft.db13.t VALUES (1, 10), (2, 20)")
+    // the ANSI grammar, not the CALL procedure
+    spark.sql("ALTER TABLE graft.db13.t ADD CONSTRAINT pos_n CHECK (n > 0)")
+    val t = s"$warehouse/db13/t"
+    assert(DeltaLog.snapshot(spark, t).configuration
+      .get("delta.constraints.pos_n").exists(_.contains("n > 0")))
+    // enforced on writes
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db13.t VALUES (3, -1)")
+    }
+    def chain(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + chain(x.getCause)
+    assert(chain(e).contains("pos_n"), chain(e))
+    // adding a constraint existing rows violate refuses — Spark's own
+    // ANSI-grammar validation scan raises before alterTable is reached
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db13.t ADD CONSTRAINT big_n CHECK (n > 15)")
+    }
+    assert(chain(e2).contains("n > 15"), chain(e2))
+    // DROP CONSTRAINT lifts enforcement; unknown name refuses w/o IF EXISTS
+    spark.sql("ALTER TABLE graft.db13.t DROP CONSTRAINT pos_n")
+    spark.sql("INSERT INTO graft.db13.t VALUES (3, -1)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db13.t").head().getLong(0) === 3L)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db13.t DROP CONSTRAINT nope")
+    }
+    assert(chain(e3).toLowerCase.contains("nope"), chain(e3))
+  }
+
   test("shallow clone: zero-copy table, independent life, vacuum-safe") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db11")
