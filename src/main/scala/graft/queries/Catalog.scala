@@ -963,6 +963,69 @@ object Catalog {
     }
   }
 
+  /** Column DEFAULT values in pure SQL (q99): a scratch catalog table
+    * whose columns declare defaults, INSERTs that omit those columns
+    * (the analyzer fills from the log's `CURRENT_DEFAULT` field
+    * metadata), an `ALTER COLUMN SET DEFAULT` mid-stream proving the
+    * change affects only FUTURE inserts, and the final aggregate. The
+    * oracle replays every fill relationally. Spark 4's
+    * `SUPPORT_COLUMN_DEFAULT_VALUE` catalog capability, over the
+    * from-scratch log. */
+  val q99ColumnDefaults: Q = Q(
+    "q99_column_defaults",
+    oracle = Some("""
+      WITH full_rows AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      defaulted AS (
+        SELECT doc_id, 'unk' AS lang, CAST(0 AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 1),
+      late AS (
+        SELECT doc_id + 1000000 AS doc_id, 'unk' AS lang,
+               CAST(5 AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 17 = 0),
+      final AS (
+        SELECT * FROM full_rows UNION ALL
+        SELECT * FROM defaulted UNION ALL
+        SELECT * FROM late)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM final
+      GROUP BY lang""")) { (spark, dir) =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q99")
+    val cat = s"g99_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.delta.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+      spark.sql(s"CREATE NAMESPACE $cat.cm")
+      spark.sql(s"""CREATE TABLE $cat.cm.docs
+                    (doc_id BIGINT, lang STRING DEFAULT 'unk',
+                     n_chars BIGINT DEFAULT 0)""")
+      spark.sql(s"""INSERT INTO $cat.cm.docs
+                    SELECT doc_id, lang, n_chars FROM docs_src_$cat
+                    WHERE doc_id % 2 = 0""")
+      spark.sql(s"""INSERT INTO $cat.cm.docs (doc_id)
+                    SELECT doc_id FROM docs_src_$cat WHERE doc_id % 2 = 1""")
+      spark.sql(s"ALTER TABLE $cat.cm.docs ALTER COLUMN n_chars SET DEFAULT 5")
+      spark.sql(s"""INSERT INTO $cat.cm.docs (doc_id)
+                    SELECT doc_id + 1000000 FROM docs_src_$cat
+                    WHERE doc_id % 17 = 0""")
+      val agg = spark.sql(s"""
+        SELECT lang, COUNT(*) AS n_rows, SUM(n_chars) AS sum_chars
+        FROM $cat.cm.docs GROUP BY lang""")
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Per-JVM staging for [[q92bMergeOnly]]: the CDF-enabled partitioned
     * catalog table built ONCE per (JVM, sfDir), so the timed body
     * measures the MERGE, not the table build. */
@@ -1422,7 +1485,7 @@ object Catalog {
         q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q92MergeClauses,
         q92bMergeOnly,
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
-        q98CdcMergeIngest) ++
+        q98CdcMergeIngest, q99ColumnDefaults) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

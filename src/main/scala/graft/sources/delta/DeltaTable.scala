@@ -1127,6 +1127,51 @@ object DeltaTable {
     }
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT`
+    * as one metaData commit: the field's `CURRENT_DEFAULT` metadata (the
+    * key Spark's analyzer fills INSERTs-missing-the-column from) is set
+    * or removed. Existing rows are untouched — they all carry real
+    * values, since columns can only acquire defaults at CREATE TABLE or
+    * here (ADD COLUMN with a default refuses: this engine's readers
+    * NULL-fill files missing a column, they do not surface
+    * EXISTS_DEFAULT). `default = None` drops the default. */
+  def updateColumnDefault(spark: SparkSession, table: String,
+                          colName: String, default: Option[String]): Unit = {
+    val curKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    // sanity-parse before committing: a garbage expression must refuse
+    // now, not at the next INSERT's analysis
+    default.foreach(spark.sessionState.sqlParser.parseExpression)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50,
+        s"delta: updateColumnDefault gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      require(!head.isEmpty, s"delta: $table has no commits")
+      val schema = logSchema(head, table)
+      require(schema.fieldNames.contains(colName),
+        s"delta: no column `$colName` in $table (${schema.fieldNames.mkString(", ")})")
+      val updated = StructType(schema.fields.map { f =>
+        if (f.name != colName) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          default match {
+            case Some(sql) => mb.putString(curKey, sql)
+            case None => mb.remove(curKey)
+          }
+          f.copy(metadata = mb.build())
+        }
+      })
+      done = commit(spark, table, head.version + 1, Seq(
+        commitInfoAction("ALTER COLUMN DEFAULT"),
+        metaDataAction(updated.json, head.partitionColumns,
+          head.metaDataId, head.configuration)))
+    }
+  }
+
   /** Refuse schema surgery on a column a CHECK constraint references —
     * the constraint's SQL text would silently stop matching (delta-spark
     * refuses identically). */

@@ -135,11 +135,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   // gates Spark 4's ANSI constraint grammar (ALTER TABLE ... ADD
-  // CONSTRAINT ... CHECK) into alterTable(AddConstraint)
+  // CONSTRAINT ... CHECK) into alterTable(AddConstraint), and column
+  // DEFAULT values (CREATE TABLE (... DEFAULT expr) + ALTER COLUMN
+  // SET/DROP DEFAULT — Spark's analyzer fills INSERTs missing the
+  // column from the CURRENT_DEFAULT metadata the log round-trips)
   override def capabilities()
     : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     // scoped honestly: property changes and additive top-level columns
@@ -155,6 +159,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.fieldNames().length == 1,
           s"graft catalog: nested ADD COLUMN ${a.fieldNames().mkString(".")} " +
             "is not supported")
+        // delta-spark refuses identically: existing rows would need the
+        // reader to surface EXISTS_DEFAULT for files missing the column,
+        // and this engine's readers NULL-fill — a silent wrong value is
+        // worse than a refusal. Defaults belong on CREATE TABLE columns
+        // or on existing columns via ALTER COLUMN SET DEFAULT.
+        require(a.defaultValue() == null,
+          s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} with a DEFAULT " +
+            "is not supported — existing rows read NULL, not the default; " +
+            "add the column, backfill, then ALTER COLUMN ... SET DEFAULT")
         require(a.position() == null,
           "graft catalog: ADD COLUMN with a position is not supported — " +
             "new columns append at the end")
@@ -199,12 +212,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dropConstraints = changes.collect {
       case d: TableChange.DropConstraint => (d.name(), d.ifExists())
     }
+    // ALTER COLUMN c SET DEFAULT expr / DROP DEFAULT: only FUTURE
+    // inserts change (the analyzer fills from CURRENT_DEFAULT) —
+    // existing rows all carry real values, so no reader change needed
+    val defaultUpdates = changes.collect {
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames().length == 1,
+          s"graft catalog: nested ALTER COLUMN " +
+            s"${u.fieldNames().mkString(".")} is not supported")
+        u.fieldNames()(0) -> Option(u.newDefaultValue()).filter(_.nonEmpty)
+    }
     require(props.size + adds.size + renames.size + drops.size +
-        addConstraints.size + dropConstraints.size == changes.size,
+        addConstraints.size + dropConstraints.size + defaultUpdates.size ==
+        changes.size,
       "graft catalog: ALTER TABLE supports SET TBLPROPERTIES, additive " +
-        "ADD COLUMNS, RENAME COLUMN, DROP COLUMN (column mapping) and " +
-        "ADD/DROP CONSTRAINT ... CHECK; other schema changes go through " +
-        "the write paths (mergeSchema append / overwrite)")
+        "ADD COLUMNS, RENAME COLUMN, DROP COLUMN (column mapping), " +
+        "ADD/DROP CONSTRAINT ... CHECK and ALTER COLUMN SET/DROP DEFAULT; " +
+        "other schema changes go through the write paths " +
+        "(mergeSchema append / overwrite)")
     val path = tablePath(ident).toString
     if (adds.nonEmpty) DeltaTable.addColumns(spark, path, adds)
     renames.foreach { case (from, to) =>
@@ -212,6 +237,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     drops.foreach(c => DeltaTable.dropColumn(spark, path, c))
     addConstraints.foreach { case (n, sql) =>
       DeltaTable.addConstraint(spark, path, n, sql) }
+    defaultUpdates.foreach { case (c, d) =>
+      DeltaTable.updateColumnDefault(spark, path, c, d) }
     dropConstraints.foreach { case (n, ifExists) =>
       if (!ifExists) require(
         DeltaTable.constraintsOf(DeltaLog.snapshot(spark, path).configuration)

@@ -354,6 +354,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(chain(e3).toLowerCase.contains("nope"), chain(e3))
   }
 
+  test("column DEFAULT values: CREATE, INSERT fill, SET/DROP DEFAULT") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db14")
+    spark.sql("""CREATE TABLE graft.db14.t
+                 (id BIGINT, n BIGINT DEFAULT 7, s STRING DEFAULT 'x')""")
+    spark.sql("INSERT INTO graft.db14.t (id) VALUES (1)")
+    spark.sql("INSERT INTO graft.db14.t VALUES (2, 20, 'y')")
+    spark.sql("INSERT INTO graft.db14.t (id, n, s) VALUES (3, DEFAULT, DEFAULT)")
+    def rows() = spark.sql("SELECT id, n, s FROM graft.db14.t ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSeq
+    assert(rows() === Seq((1L, 7L, "x"), (2L, 20L, "y"), (3L, 7L, "x")))
+    // SET DEFAULT changes FUTURE inserts only
+    spark.sql("ALTER TABLE graft.db14.t ALTER COLUMN n SET DEFAULT 100")
+    spark.sql("INSERT INTO graft.db14.t (id) VALUES (4)")
+    assert(rows().contains((4L, 100L, "x")))
+    assert(rows().take(3) === Seq((1L, 7L, "x"), (2L, 20L, "y"), (3L, 7L, "x")),
+      "existing rows untouched by SET DEFAULT")
+    // DROP DEFAULT: subsequent fills are NULL again
+    spark.sql("ALTER TABLE graft.db14.t ALTER COLUMN n DROP DEFAULT")
+    spark.sql("INSERT INTO graft.db14.t (id) VALUES (5)")
+    assert(rows().contains((5L, -1L, "x")))
+    // ADD COLUMN with a DEFAULT refuses: readers NULL-fill old files
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db14.t ADD COLUMNS (m BIGINT DEFAULT 3)")
+    }
+    assert((Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("DEFAULT"))
+  }
+
   test("shallow clone: zero-copy table, independent life, vacuum-safe") {
     initCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db11")
