@@ -1477,6 +1477,67 @@ object Catalog {
         sum(length(col("text")).cast("long")).as("sum_text_len"))
   }
 
+  /** Deletion vectors (q100): `documents` lands in a scratch Delta
+    * table as 8 disjoint-doc_id-range files with
+    * `delta.enableDeletionVectors=true`, then TWO sequential row-level
+    * DELETEs straddle every file — each commits per-file row-index
+    * sidecars instead of rewrites (require-asserted: the live path set
+    * never changes; after pass 1 every file carries a vector; pass 2
+    * MERGES into the existing vectors). The final aggregate over the
+    * survivors is oracle-exact, proving the DV read path (row-index
+    * filter inside the scan) returns precisely the undeleted rows.
+    * This is the 100 TB DML story: deleting 2×10% of rows cost
+    * O(deleted row indexes) of sidecar bytes, zero data-file rewrites
+    * ([[graft.sources.delta.DvDescriptor]]). */
+  val q100DeletionVectors: Q = Q(
+    "q100_deletion_vectors",
+    headline = true,
+    oracle = Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE doc_id % 10 <> 3 AND doc_id % 10 <> 7
+      GROUP BY lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q100")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+      DeltaTable.write(docs, t, SaveMode.Append)
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableDeletionVectors" -> "true"))
+      val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10)) === 3)
+      val mid = DeltaLog.snapshot(spark, t)
+      require(mid.files.map(_.path).toSet == before,
+        "q100: a DV delete must not rewrite or drop files")
+      require(mid.files.forall(_.dv.exists(_.cardinality > 0)),
+        "q100: every straddled file must carry a deletion vector")
+      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10)) === 7)
+      val head = DeltaLog.snapshot(spark, t)
+      require(head.files.map(_.path).toSet == before,
+        "q100: the second (merging) DV delete rewrote files")
+      require(head.files.forall(f => mid.files.find(_.path == f.path)
+          .exists(_.dv.get.cardinality < f.dv.get.cardinality)),
+        "q100: pass 2 must merge into pass 1's vectors")
+      val agg = DeltaTable.read(spark, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -1485,7 +1546,7 @@ object Catalog {
         q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q92MergeClauses,
         q92bMergeOnly,
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
-        q98CdcMergeIngest, q99ColumnDefaults) ++
+        q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -46,13 +46,19 @@ object DeltaLog {
                            stats: Option[FileStats] = None,
                            partitionValues: Map[String, String] = Map.empty,
                            dataChange: Boolean = true,
-                           modificationTime: Long = 0L)
+                           modificationTime: Long = 0L,
+                           dv: Option[DvDescriptor] = None)
 
   /** A `remove` action: the protocol's tombstone (VACUUM's retention
     * input; checkpoints must carry recent ones so readers of a
-    * checkpoint-seeded snapshot still see them). */
+    * checkpoint-seeded snapshot still see them). `dv` is the removed
+    * file's deletion vector AT REMOVAL (the protocol carries it too):
+    * [[DeltaTable.readChangeFeed]]'s derived branch needs it to replay
+    * the file's pre-image exactly — without it a second DELETE on a
+    * file would re-report the first DELETE's rows. */
   final case class RemoveFile(path: String, deletionTimestamp: Long,
-                              dataChange: Boolean = true)
+                              dataChange: Boolean = true,
+                              dv: Option[DvDescriptor] = None)
 
   /** A `cdc` action: one Change Data Feed file under `_change_data/`,
     * holding the commit's row-level changes with a `_change_type`
@@ -185,13 +191,15 @@ object DeltaLog {
           }
           adds += AddFile(p, size, stats, pvals,
             dataChangeOf(j \ "add" \ "dataChange"),
-            longOf(j \ "add" \ "modificationTime"))
+            longOf(j \ "add" \ "modificationTime"),
+            DeletionVectors.fromJson(j \ "add" \ "deletionVector"))
         case _ => ()
       }
       (j \ "remove" \ "path") match {
         case JString(p) =>
           removes += RemoveFile(p, longOf(j \ "remove" \ "deletionTimestamp"),
-            dataChangeOf(j \ "remove" \ "dataChange"))
+            dataChangeOf(j \ "remove" \ "dataChange"),
+            DeletionVectors.fromJson(j \ "remove" \ "deletionVector"))
         case _ => ()
       }
       (j \ "cdc" \ "path") match {
@@ -316,9 +324,15 @@ object DeltaLog {
           val stats = Option(a.getAs[String]("stats")).flatMap(parseStats)
           val pvals = Option(a.getAs[Map[String, String]]("partitionValues"))
             .getOrElse(Map.empty)
+          // checkpoints from before deletion vectors existed read as no-DV
+          val dv =
+            if (!a.schema.fieldNames.contains("deletionVector")) None
+            else Option(a.getAs[String]("deletionVector"))
+              .flatMap(DeletionVectors.fromJsonString)
           files += a.getAs[String]("path") ->
             AddFile(a.getAs[String]("path"), a.getAs[Long]("size"), stats, pvals,
-              dataChange = true, modificationTime = longField(a, "modificationTime"))
+              dataChange = true, modificationTime = longField(a, "modificationTime"),
+              dv = dv)
         }
         struct("remove").foreach { rm =>
           tombstones += rm.getAs[String]("path") ->
@@ -339,8 +353,15 @@ object DeltaLog {
     }
     vs.foreach { v =>
       val c = readCommit(spark, table, v)
+      // within ONE atomic commit, an add of a path supersedes its
+      // remove: a deletion-vector DELETE commits remove(path, old DV) +
+      // add(path, new DV) — the remove describes the PRIOR incarnation
+      // (CDF pre-image), not a net removal, and must neither drop the
+      // live re-add nor leave a tombstone a vacuum could act on
+      val readded = c.adds.map(_.path).toSet
       c.adds.foreach { a => files += a.path -> a; tombstones -= a.path }
-      c.removes.foreach { r => files -= r.path; tombstones += r.path -> r.deletionTimestamp }
+      c.removes.filterNot(r => readded(r.path))
+        .foreach { r => files -= r.path; tombstones += r.path -> r.deletionTimestamp }
       c.schemaJson.foreach(s => schemaJson = Some(s))
       c.partitionColumns.foreach(p => partCols = p)
       if (metaId.isEmpty) metaId = c.metaDataId
@@ -423,8 +444,10 @@ object DeltaLog {
         tailVs.foreach { v =>
           headV = v
           val c = readCommit(spark, table, v)
+          // same-commit re-adds supersede their removes (DV DELETE shape)
+          val readded = c.adds.map(_.path).toSet
           c.adds.foreach(a => tailLive += a.path -> a)
-          c.removes.foreach { r =>
+          c.removes.filterNot(r => readded(r.path)).foreach { r =>
             // ALWAYS tombstone against the checkpoint: a path re-added at
             // v6 and removed at v7 must not resurrect via its (stale)
             // checkpoint row — a later tail re-add supersedes through the
@@ -448,9 +471,15 @@ object DeltaLog {
         // partition predicates + tombstone anti-filter BEFORE collect;
         // legacy checkpoints (no modificationTime column) read as 0
         val cpAdds0 = cpDf.where(col("add").isNotNull).select(col("add.*"))
-        val withMt =
+        val withMt0 =
           if (cpAdds0.columns.contains("modificationTime")) cpAdds0
           else cpAdds0.withColumn("modificationTime", lit(0L))
+        // deletion vectors must survive the distributed path — a pruned
+        // read that dropped them would resurrect deleted rows
+        val withMt =
+          if (withMt0.columns.contains("deletionVector")) withMt0
+          else withMt0.withColumn("deletionVector",
+            lit(null).cast(org.apache.spark.sql.types.StringType))
         val physFilter = physFilterOf(schemaJson, parts)
         val pruned = physFilter.foldLeft(withMt) { case (df, (k, v)) =>
           df.where(element_at(col("partitionValues"), k) === lit(v))
@@ -459,7 +488,7 @@ object DeltaLog {
           else not(col("path").isin(removedFromCp.toSeq: _*)))
         val cpFiles = pruned
           .select(col("path"), col("size"), col("partitionValues"), col("stats"),
-            col("modificationTime"))
+            col("modificationTime"), col("deletionVector"))
           .collect().map { r =>
             AddFile(r.getString(0), r.getLong(1),
               if (parseAddStats)
@@ -468,7 +497,9 @@ object DeltaLog {
               Option(r.getAs[Map[String, String]]("partitionValues"))
                 .getOrElse(Map.empty),
               dataChange = true,
-              modificationTime = r.getLong(4))
+              modificationTime = r.getLong(4),
+              dv = Option(r.getAs[String]("deletionVector"))
+                .flatMap(DeletionVectors.fromJsonString))
           }.toSeq
         // keyed by path like snapshot(): a tail re-add of a checkpointed
         // path supersedes the checkpoint row, never duplicates it
@@ -555,7 +586,8 @@ object DeltaLog {
   private[delta] case class CpTxn(appId: String, version: Long)
   private[delta] case class CpAdd(path: String, partitionValues: Map[String, String],
                                   size: Long, modificationTime: Long,
-                                  dataChange: Boolean, stats: String)
+                                  dataChange: Boolean, stats: String,
+                                  deletionVector: String = null)
   private[delta] case class CpRemove(path: String, deletionTimestamp: Long,
                                      dataChange: Boolean)
   private[delta] case class CpRow(protocol: Option[CpProtocol],
@@ -614,7 +646,8 @@ object DeltaLog {
         } ++ head.files.map { a =>
           CpRow(None, None, None, Some(CpAdd(a.path, a.partitionValues, a.size,
             a.modificationTime, dataChange = false,
-            a.stats.map(renderStats).orNull)), None)
+            a.stats.map(renderStats).orNull,
+            a.dv.map(DeletionVectors.toJsonString).orNull)), None)
         } ++ head.tombstones.toSeq
           .filter { case (p, ts) => ts > tombCutoff || f.exists(new Path(tbl, p)) }
           .sortBy(_._1).map { case (p, ts) =>
@@ -716,7 +749,8 @@ object DeltaLog {
   def addAction(path: String, size: Long, modificationTime: Long,
                 stats: Option[FileStats] = None,
                 partitionValues: Map[String, String] = Map.empty,
-                dataChange: Boolean = true): JValue = {
+                dataChange: Boolean = true,
+                dv: Option[DvDescriptor] = None): JValue = {
     val base = List(
       "path" -> JString(path),
       "partitionValues" -> JObject(
@@ -728,7 +762,11 @@ object DeltaLog {
       case Some(s) => base :+ ("stats" -> JString(renderStats(s)))
       case None => base
     }
-    JObject("add" -> JObject(withStats: _*))
+    val withDv = dv match {
+      case Some(d) => withStats :+ ("deletionVector" -> DeletionVectors.toJson(d))
+      case None => withStats
+    }
+    JObject("add" -> JObject(withDv: _*))
   }
 
   private def renderStats(s: FileStats): String =
@@ -783,11 +821,14 @@ object DeltaLog {
       "dataChange" -> JBool(false)))
 
   def removeAction(path: String, deletionTimestamp: Long,
-                   dataChange: Boolean = true): JValue =
+                   dataChange: Boolean = true,
+                   dv: Option[DvDescriptor] = None): JValue =
     JObject("remove" -> JObject(
-      "path" -> JString(path),
-      "deletionTimestamp" -> JLong(deletionTimestamp),
-      "dataChange" -> JBool(dataChange)))
+      List(
+        "path" -> (JString(path): JValue),
+        "deletionTimestamp" -> (JLong(deletionTimestamp): JValue),
+        "dataChange" -> (JBool(dataChange): JValue)) ++
+        dv.map(d => "deletionVector" -> DeletionVectors.toJson(d)).toList: _*))
 
   def txnAction(appId: String, version: Long): JValue =
     JObject("txn" -> JObject(

@@ -478,8 +478,17 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
         }
       }
       if (!cdf)
-        c.adds.filter(_.dataChange).map(a =>
-          DeltaFilePartition(new Path(table, a.path).toString, a.partitionValues))
+        c.adds.filter(_.dataChange).map { a =>
+          // a DV-bearing add (cloned-in, or a DV DELETE's re-add) is NOT
+          // an append of the whole file — tailing it would deliver
+          // deleted rows
+          require(a.dv.forall(_.cardinality == 0L),
+            s"graft-delta: ${a.path} carries a deletion vector at " +
+              s"version $v — appends-only tailing would deliver deleted " +
+              "rows; tail the change feed (readChangeFeed=true) or " +
+              "re-read the snapshot")
+          DeltaFilePartition(new Path(table, a.path).toString, a.partitionValues)
+        }
       else {
         val ts = DeltaLog.commitTimestamp(spark, table, v, c)
         if (c.cdcFiles.nonEmpty)
@@ -502,6 +511,15 @@ private[delta] class DeltaMicroBatchStream(table: String, schema: StructType,
           dRems.foreach(r => require(fs.exists(new Path(table, r.path)),
             s"graft-delta: file ${r.path} vacuumed — derived change feed " +
               s"no longer readable at v$v"))
+          // the per-file row readers here have no DV filter: a derived
+          // feed over DV'd files would replay deleted rows. Enable CDF
+          // on the table (precise cdc files) before DV DELETEs land.
+          (c.adds ++ dRems.map(r => DeltaLog.AddFile(r.path, 0L, dv = r.dv)))
+            .foreach(a => require(a.dv.forall(_.cardinality == 0L),
+              s"graft-delta: ${a.path} carries a deletion vector at " +
+                s"version $v and this commit has no cdc files — enable " +
+                "delta.enableChangeDataFeed for precise feeds over " +
+                "DV-deleted tables"))
           c.adds.filter(_.dataChange).map(a =>
             DeltaFilePartition(new Path(table, a.path).toString,
               a.partitionValues,
@@ -597,6 +615,14 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
           parseAddStats = false, onlyPartitionKeys = true)
       }
     require(!s.isEmpty, s"graft-delta: $table has no commits")
+    // phase-1 honesty guard: this scan's delegate parquet factory has no
+    // row-index filter yet, so a snapshot holding live deletion vectors
+    // must not be read here — deleted rows would resurrect silently.
+    // DataFrame reads (DeltaTable.read) filter DVs; purge rewrites them.
+    require(s.files.forall(_.dv.forall(_.cardinality == 0L)),
+      s"graft-delta: $table carries deletion vectors — SQL/DSv2 scans " +
+        "do not filter them yet; read via DeltaTable.read or run " +
+        "purgeDeletionVectors first")
     s
   }
 

@@ -47,18 +47,96 @@ object DeltaTable {
         .toDF(schema.fieldNames.toSeq: _*)
     }
 
-  private def readFilesPhysical(spark: SparkSession, table: String, schema: StructType,
-                        partCols: Seq[String], files: Seq[AddFile]): DataFrame = {
+  /** Provenance columns a [[readFilesMeta]] result carries alongside the
+    * table columns: the QUALIFIED file path and the physical row index —
+    * what the deletion-vector DELETE path keys its per-file bitmaps on. */
+  private[delta] val DvFileCol = "__graft_dv_file"
+  private[delta] val DvRowCol = "__graft_dv_row"
+
+  /** [[readFiles]] plus the [[DvFileCol]]/[[DvRowCol]] provenance
+    * columns (deletion vectors already applied — rows a DV deleted are
+    * NOT visible, so a second DELETE on a file never re-records them). */
+  private[delta] def readFilesMeta(spark: SparkSession, table: String,
+                                   schema: StructType, partCols: Seq[String],
+                                   files: Seq[AddFile]): DataFrame =
+    if (!ColumnMapping.hasMapping(schema))
+      readFilesPhysical(spark, table, schema, partCols, files, withMeta = true)
+    else {
+      val m = ColumnMapping.physMap(schema)
+      readFilesPhysical(spark, table, ColumnMapping.physicalSchema(schema),
+        partCols.map(c => m.getOrElse(c, c)), files, withMeta = true)
+        .toDF(schema.fieldNames.toSeq ++ Seq(DvFileCol, DvRowCol): _*)
+    }
+
+  /** DV-aware split: files carrying a deletion vector read through the
+    * row-index filter ([[dvFiltered]]); clean files scan untouched. The
+    * union keeps BOTH sides' scans vectorized — the filter is one
+    * codegen'd expression over the DV branch only. */
+  private def readFilesPhysical(spark: SparkSession, table: String,
+                                schema: StructType, partCols: Seq[String],
+                                files: Seq[AddFile],
+                                withMeta: Boolean = false): DataFrame = {
+    val (dvFiles, plain) = files.partition(_.dv.exists(_.cardinality > 0))
+    if (dvFiles.isEmpty)
+      readFilesRaw(spark, table, schema, partCols, plain, withMeta)
+    else {
+      val branches =
+        (if (plain.nonEmpty)
+           Seq(readFilesRaw(spark, table, schema, partCols, plain, withMeta))
+         else Seq.empty) :+
+          dvFiltered(spark, table, schema, partCols, dvFiles, withMeta)
+      branches.reduce(_ unionByName _)
+    }
+  }
+
+  /** Read DV-bearing files with the per-file deleted-row filter: scan
+    * with provenance columns, drop rows whose (file, row_index) the
+    * file's deletion vector records. Descriptors (metadata-sized) ride
+    * the plan; bitmap BYTES load lazily in the task reading the file
+    * ([[DvLookup]]) — the driver never holds a bitmap. */
+  private def dvFiltered(spark: SparkSession, table: String, schema: StructType,
+                         partCols: Seq[String], dvFiles: Seq[AddFile],
+                         withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val descs = dvFiles.map { f =>
+      val p = new Path(table, f.path)
+      p.getFileSystem(hconf).makeQualified(p).toString -> f.dv.get
+    }.toMap
+    val lookup = new DvLookup(table, descs, CB.broadcastHadoopConf(spark, hconf))
+    val raw = readFilesRaw(spark, table, schema, partCols, dvFiles, withMeta = true)
+    val filtered = raw.filter(not(CB.column(DvDeleted(
+      CB.expression(col(DvFileCol)), CB.expression(col(DvRowCol)), lookup))))
+    if (withMeta) filtered else filtered.drop(DvFileCol, DvRowCol)
+  }
+
+  private def readFilesRaw(spark: SparkSession, table: String, schema: StructType,
+                        partCols: Seq[String], files: Seq[AddFile],
+                        withMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, concat, lit, raise_error, when}
-    if (files.isEmpty)
+    def metaCols = Seq(col("_metadata.file_path").as(DvFileCol),
+      col("_metadata.row_index").as(DvRowCol))
+    if (files.isEmpty) {
+      val outSchema =
+        if (!withMeta) schema
+        else schema
+          .add(DvFileCol, org.apache.spark.sql.types.StringType)
+          .add(DvRowCol, org.apache.spark.sql.types.LongType)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
     val paths = files.map(f => new Path(table, f.path).toString)
-    if (partCols.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+    if (partCols.isEmpty) {
+      val base = spark.read.schema(schema).parquet(paths: _*)
+      if (!withMeta) base
+      else base.select(schema.fieldNames.map(col).toSeq ++ metaCols: _*)
+    }
     else if (!files.exists(f => new Path(f.path).isAbsolute))
       spark.read.schema(schema).option("basePath", table)
         .parquet(paths: _*)
-        .select(schema.fieldNames.map(col).toSeq: _*)
+        .select(schema.fieldNames.map(col).toSeq ++
+          (if (withMeta) metaCols else Seq.empty): _*)
     else {
       // cloned-in ABSOLUTE references ([[cloneShallow]]) live outside
       // this table's basePath, so Spark cannot re-derive partition
@@ -72,7 +150,7 @@ object DeltaTable {
         files.partition(f => new Path(f.path).isAbsolute)
       val rel =
         if (relFiles.isEmpty) None
-        else Some(readFilesPhysical(spark, table, schema, partCols, relFiles))
+        else Some(readFilesRaw(spark, table, schema, partCols, relFiles, withMeta))
       val dataSchema = StructType(
         schema.fields.filterNot(f => partCols.contains(f.name)))
       val hconf = spark.sparkContext.hadoopConfiguration
@@ -105,6 +183,7 @@ object DeltaTable {
       val scanned = spark.read.schema(dataSchema)
         .parquet(absFiles.map(f => new Path(table, f.path).toString): _*)
         .withColumn(key, col("_metadata.file_path"))
+        .withColumn(DvRowCol, col("_metadata.row_index"))
       // left join + fail-LOUD guard folded into each partition column: a
       // path-rendering mismatch must raise, not silently null the values
       // (the guard lives inside the used columns so pruning keeps it)
@@ -115,7 +194,7 @@ object DeltaTable {
             lit("delta: absolute-path partition attach missed "), col(key))))
             .otherwise(col(pv(n)).cast(schema(n).dataType)).as(n)
         else col(n)
-      }: _*))
+      } ++ (if (withMeta) Seq(col(key).as(DvFileCol), col(DvRowCol)) else Seq.empty): _*))
       (rel.toSeq ++ abs.toSeq).reduce(_ unionByName _)
     }
   }
@@ -1032,6 +1111,14 @@ object DeltaTable {
         .map(_.toBoolean))
       .getOrElse(false)
 
+  /** `delta.enableDeletionVectors=true` routes [[delete]]'s straddled
+    * files through deletion-vector sidecars instead of file rewrites —
+    * the property is the OPT-IN (delta-spark's too), because a DV'd
+    * table demands DV-aware readers. No session override: writers and
+    * readers must agree table-durably. */
+  private def dvEnabled(head: DeltaLog.Snapshot): Boolean =
+    head.configuration.get("delta.enableDeletionVectors").exists(_.toBoolean)
+
   /** Set (or overwrite) table properties by committing a metaData
     * re-emission with the merged configuration — the protocol's way to
     * make a property (e.g. `delta.enableChangeDataFeed=true`) durable
@@ -1085,8 +1172,16 @@ object DeltaTable {
       .makeQualified(srcBase)
     val now = System.currentTimeMillis()
     val adds = src.files.map { f =>
+      // deletion vectors absolutize exactly like data paths: the clone
+      // reads the SOURCE's sidecar bytes ("u" → "p"); inline DVs copy
       addAction(new Path(srcAbs, f.path).toString, f.size, now,
-        f.stats, f.partitionValues)
+        f.stats, f.partitionValues,
+        dv = f.dv.map {
+          case d if d.storageType == "u" =>
+            d.copy(storageType = "p",
+              pathOrInlineDv = new Path(srcAbs, d.pathOrInlineDv).toString)
+          case d => d
+        })
     }
     val done = commit(spark, target, 0L,
       commitInfoAction("CLONE", now) +:
@@ -1466,12 +1561,17 @@ object DeltaTable {
       // DELETE's survivors live only in the probed files — sureMatch
       // files are deleted WHOLE, so a pure partition-predicate delete
       // stages nothing and (CDF off) does zero data IO: the commit is
-      // just remove actions. UPDATE rewrites every touched file.
+      // just remove actions. UPDATE rewrites every touched file. With
+      // `delta.enableDeletionVectors=true` a DELETE's straddled files
+      // are not rewritten either: their matched row indexes become
+      // per-file deletion-vector sidecars — commit cost O(deleted rows),
+      // not O(bytes of every straddled file).
+      val useDv = set.isEmpty && dvEnabled(head) && probedTouched.nonEmpty
       val rewritten = set match {
         case None =>
           // DELETE never creates rows: survivors already satisfied every
           // constraint, no enforcement pass needed
-          if (probedTouched.isEmpty) None
+          if (useDv || probedTouched.isEmpty) None
           else Some(readFiles(spark, table, schema, head.partitionColumns,
             probedTouched).filter(not(cond)))
         case Some(s) => Some(enforceConstraints(
@@ -1487,7 +1587,7 @@ object DeltaTable {
               .unionByName(applySet(matched, s, unconditional = true)
                 .withColumn("_change_type", lit("update_postimage")))
         }, schema, tbl, fs, partitionBy = head.partitionColumns)
-      val adds = rewritten.fold(Seq.empty[org.json4s.JValue])(r =>
+      val adds0 = rewritten.fold(Seq.empty[org.json4s.JValue])(r =>
         stageData(r, schema, tbl, fs, partitionBy = head.partitionColumns))
         .filter { a =>
           val keep = addedRecords(a) != 0L
@@ -1495,12 +1595,86 @@ object DeltaTable {
           keep // a candidate fully deleted needs no empty replacement file
         }
       val now = System.currentTimeMillis()
-      val removes = touched.map(f => removeAction(f.path, now))
+      val hconf = spark.sparkContext.hadoopConfiguration
+      // retired sidecars (a rewrite or whole-file delete ends its file's
+      // DV; a DV merge ends the PREVIOUS sidecar) get dataChange=false
+      // tombstones: `_dv/` paths never collide with add paths, so replay
+      // ignores them and [[vacuumRemoved]]'s retention clock reclaims
+      // the bytes — time travel inside retention still loads them.
+      def dvTombstones(of: Seq[AddFile]): Seq[org.json4s.JValue] =
+        of.flatMap(_.dv).filter(_.storageType != "i")
+          .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false))
+      val (removes, adds, freshDvs) =
+        if (!useDv)
+          (touched.map(f => removeAction(f.path, now, dv = f.dv)) ++
+            dvTombstones(touched), adds0, Seq.empty[DvDescriptor])
+        else {
+          import spark.implicits._
+          import org.apache.spark.sql.graft.{ColumnBridge => CB}
+          def qualified(p: String): String = {
+            val path = new Path(table, p)
+            path.getFileSystem(hconf).makeQualified(path).toString
+          }
+          val byQ = probedTouched.map(f => qualified(f.path) -> f).toMap
+          val oldDescs = byQ.collect { case (q, f) if f.dv.isDefined => q -> f.dv.get }
+          val numRecs = byQ.collect { case (q, f) if f.stats.isDefined =>
+            q -> f.stats.get.numRecords }
+          val bconf = CB.broadcastHadoopConf(spark, hconf)
+          val tableStr = table
+          // one pruned scan of only the predicate's columns + provenance;
+          // indexes group per file and each group's task writes that
+          // file's sidecar — deleted-row BYTES never visit the driver,
+          // only the O(#files) descriptors do (delta-spark's DV shape)
+          val results: Array[(String, Option[DvDescriptor])] =
+            readFilesMeta(spark, table, schema, head.partitionColumns,
+              probedTouched)
+              .filter(cond)
+              .select(col(DvFileCol), col(DvRowCol)).as[(String, Long)]
+              .groupByKey(_._1).mapGroups { (file, it) =>
+                val news = it.map(_._2).toArray
+                java.util.Arrays.sort(news)
+                // the probe read was DV-filtered, so new indexes are
+                // disjoint from the old vector's — union merges sorted
+                val merged = oldDescs.get(file) match {
+                  case Some(d) => DeletionVectors.union(
+                    DeletionVectors.load(bconf.value.value, tableStr, d), news)
+                  case None => news
+                }
+                // every physical row deleted → the file itself goes
+                if (numRecs.get(file).contains(merged.length.toLong))
+                  (file, None)
+                else
+                  (file, Some(DeletionVectors.write(bconf.value.value,
+                    tableStr, merged)))
+              }.collect()
+          val resultMap = results.toMap
+          // a probed file ABSENT from the results matched during the
+          // probe but not in this pass (nondeterministic predicate edge):
+          // carry it over untouched rather than removing unverified rows
+          val changed = probedTouched.filter(f =>
+            resultMap.contains(qualified(f.path)))
+          val acts = changed.flatMap { f =>
+            val rm = removeAction(f.path, now, dv = f.dv)
+            resultMap(qualified(f.path)) match {
+              case Some(d) => Seq(rm, addAction(f.path, f.size,
+                f.modificationTime, f.stats, f.partitionValues,
+                dataChange = true, dv = Some(d)))
+              case None => Seq(rm)
+            }
+          }
+          (sureMatch.map(f => removeAction(f.path, now, dv = f.dv)) ++
+            dvTombstones(sureMatch) ++ dvTombstones(changed) ++ acts,
+            Seq.empty[org.json4s.JValue],
+            results.flatMap(_._2).filter(_.storageType == "u").toSeq)
+        }
       done = commit(spark, table, head.version + 1,
         commitInfoAction(if (set.isEmpty) "DELETE" else "UPDATE", now) +:
           (cdc ++ removes ++ adds))
-      if (!done) (cdc ++ adds).foreach { a =>
-        fs.delete(new Path(tbl, actionPath(a)), false)
+      if (!done) {
+        (cdc ++ adds).foreach { a =>
+          fs.delete(new Path(tbl, actionPath(a)), false)
+        }
+        freshDvs.foreach(d => DeletionVectors.deleteFile(hconf, table, d))
       }
     }
   }
@@ -1648,8 +1822,12 @@ object DeltaTable {
             .withColumn("_change_type", lit("insert")))
         val del =
           if (dRems.isEmpty) None
+          // the remove's recorded DV is the file's deletion vector AT
+          // REMOVAL: the derived pre-image must exclude rows already
+          // deleted by EARLIER commits, or a second DELETE on a file
+          // would re-report the first one's rows
           else Some(readFiles(spark, table, schema, partCols,
-            dRems.map(r => AddFile(r.path, 0L)))
+            dRems.map(r => AddFile(r.path, 0L, dv = r.dv)))
             .withColumn("_change_type", lit("delete")))
         (del.toSeq ++ ins.toSeq).map(stamp)
       }
@@ -1805,7 +1983,13 @@ object DeltaTable {
     val adds = stageData(df, logSchema(head, table), tbl, fs,
       partitionBy = head.partitionColumns, dataChange = false)
     val now = System.currentTimeMillis()
-    val removes = olds.map(f => removeAction(f.path, now, dataChange = false))
+    // a rewrite PURGES its inputs' deletion vectors (the new files hold
+    // only live rows): removes carry the old DV for CDF pre-image
+    // exactness, and each retired sidecar gets a retention tombstone
+    val removes = olds.map(f =>
+      removeAction(f.path, now, dataChange = false, dv = f.dv)) ++
+      olds.flatMap(_.dv).filter(_.storageType != "i")
+        .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false))
     if (!commit(spark, table, head.version + 1,
         commitInfoAction("OPTIMIZE", now) +: (removes ++ adds))) {
       adds.foreach { a =>
@@ -1866,6 +2050,24 @@ object DeltaTable {
     val laid = graft.operators.ZOrder.layoutN(
       read(spark, table), zorderBy.map(col), nFiles)
     maintenanceRewrite(spark, table, head, laid, head.files)
+  }
+
+  /** REORG TABLE ... APPLY (PURGE): rewrite ONLY the files carrying a
+    * live deletion vector into DV-free files (deleted rows physically
+    * drop) in one dataChange=false maintenance commit — after which
+    * DSv2/SQL scans need no DV support and [[vacuumRemoved]] reclaims
+    * the retired sidecars on its retention clock. Cost is O(DV-bearing
+    * files), not O(table): clean files carry over with no action.
+    * Returns the number of files rewritten. */
+  def purgeDeletionVectors(spark: SparkSession, table: String): Int = {
+    val head = snapshot(spark, table)
+    require(!head.isEmpty, s"delta: $table has no commits")
+    val dvFiles = head.files.filter(_.dv.exists(_.cardinality > 0))
+    if (dvFiles.isEmpty) return 0
+    val df = readFiles(spark, table, logSchema(head, table),
+      head.partitionColumns, dvFiles)
+    maintenanceRewrite(spark, table, head, df, dvFiles)
+    dvFiles.size
   }
 
   /** Version history as (version, n_adds, n_removes) — the debugging /
@@ -1944,20 +2146,31 @@ object DeltaTable {
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val referenced = scala.collection.mutable.Set.empty[String]
+    def refDv(dv: Option[DvDescriptor]): Unit =
+      dv.filter(_.storageType == "u").foreach(referenced += _.pathOrInlineDv)
     versions(spark, table).foreach { v =>
       val c = DeltaLog.readCommit(spark, table, v)
-      c.adds.foreach(a => referenced += a.path)
-      c.removes.foreach(r => referenced += r.path)
+      c.adds.foreach { a => referenced += a.path; refDv(a.dv) }
+      c.removes.foreach { r => referenced += r.path; refDv(r.dv) }
     }
     val logD = DeltaLog.logDir(tbl)
     if (fs.exists(logD)) fs.listStatus(logD)
       .filter(_.getPath.getName.endsWith(".checkpoint.parquet"))
       .foreach { st =>
         val cpDf = spark.read.parquet(st.getPath.toString)
-        val cols = Seq("add.path") ++
+        val pathCols = Seq("add.path") ++
           (if (cpDf.columns.contains("remove")) Seq("remove.path") else Seq.empty)
+        val dvCols =
+          if (cpDf.select("add.*").columns.contains("deletionVector"))
+            Seq("add.deletionVector") else Seq.empty
+        val cols = pathCols ++ dvCols
         cpDf.select(cols.head, cols.tail: _*).collect().foreach { r =>
-          (0 until r.length).foreach(i => if (!r.isNullAt(i)) referenced += r.getString(i))
+          (0 until r.length).foreach { i =>
+            if (!r.isNullAt(i)) {
+              if (i < pathCols.length) referenced += r.getString(i)
+              else refDv(DeletionVectors.fromJsonString(r.getString(i)))
+            }
+          }
         }
       }
     val base = tbl.toUri.getPath
@@ -1970,7 +2183,11 @@ object DeltaTable {
         rel.startsWith("_delta_log") || rel.startsWith(".staging-")
       val oldEnough =
         s.getModificationTime <= System.currentTimeMillis() - olderThanMs
-      if (!inLogOrStaging && s.getPath.getName.startsWith("part-")
+      // `_dv/dv-*` sidecars reclaim by the same rule: a crashed or
+      // losing DELETE attempt's vector appears in NO retained artifact
+      val isOrphanable = s.getPath.getName.startsWith("part-") ||
+        (rel.startsWith("_dv/") && s.getPath.getName.startsWith("dv-"))
+      if (!inLogOrStaging && isOrphanable
           && !referenced.contains(rel) && oldEnough) {
         fs.delete(s.getPath, false)
         removed += 1
