@@ -1524,7 +1524,9 @@ object Catalog {
       require(head.files.forall(f => mid.files.find(_.path == f.path)
           .exists(_.dv.get.cardinality < f.dv.get.cardinality)),
         "q100: pass 2 must merge into pass 1's vectors")
-      val agg = DeltaTable.read(spark, t)
+      // read back through the DSv2/SQL connector: its row-index routing
+      // must filter the vectors exactly like DeltaTable.read does
+      val agg = spark.read.format("graft-delta").load(t)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       val rows = agg.collect().toSeq

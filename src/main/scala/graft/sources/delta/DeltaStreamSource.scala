@@ -615,16 +615,21 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
           parseAddStats = false, onlyPartitionKeys = true)
       }
     require(!s.isEmpty, s"graft-delta: $table has no commits")
-    // phase-1 honesty guard: this scan's delegate parquet factory has no
-    // row-index filter yet, so a snapshot holding live deletion vectors
-    // must not be read here — deleted rows would resurrect silently.
-    // DataFrame reads (DeltaTable.read) filter DVs; purge rewrites them.
-    require(s.files.forall(_.dv.forall(_.cardinality == 0L)),
-      s"graft-delta: $table carries deletion vectors — SQL/DSv2 scans " +
-        "do not filter them yet; read via DeltaTable.read or run " +
-        "purgeDeletionVectors first")
     s
   }
+
+  /** Deletion-vector descriptors of this snapshot, keyed by the EXACT
+    * url-encoded path [[planInputPartitions]] stamps on each
+    * `PartitionedFile` — the reader factory routes matching partitions
+    * through the row-index filter. Empty for DV-free tables (the
+    * common case), in which scans stay fully vectorized. */
+  @transient private lazy val dvByPath: Map[String, DvDescriptor] =
+    snap.files.iterator
+      .filter(_.dv.exists(_.cardinality > 0))
+      .map { f =>
+        org.apache.spark.paths.SparkPath.fromPath(new Path(table, f.path))
+          .urlEncoded -> f.dv.get
+      }.toMap
 
   private def logSchemaOf(head: DeltaLog.Snapshot): StructType =
     head.schemaJson
@@ -664,7 +669,7 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val maxSplit = FilePartition.maxSplitBytes(classic,
       live.map(_.size + openCost).sum)
-    val splits = live.flatMap { a =>
+    def splitsOf(a: DeltaLog.AddFile): Seq[PartitionedFile] = {
       val row = InternalRow.fromSeq(pf.toSeq.map(f =>
         DeltaRowReader.parsePartition(
           a.partitionValues.get(physOf.getOrElse(f.name, f.name)).orNull,
@@ -675,9 +680,18 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
           Array.empty, 0L, a.size)
       }
     }
+    // DV-bearing files plan ONE partition per FILE (its splits stay
+    // together): the routing reader loads that file's vector once and
+    // filters by row index — mixing files would leave the reader unable
+    // to tell whose vector applies. Clean files bin-pack as always.
+    val (dvLive, cleanLive) =
+      live.partition(a => a.dv.exists(_.cardinality > 0))
     // largest-first bin-packing, as FileSourceScanExec orders splits
-    FilePartition.getFilePartitions(classic,
-      splits.sortBy(-_.length), maxSplit).toArray
+    val packed = FilePartition.getFilePartitions(classic,
+      cleanLive.flatMap(splitsOf).sortBy(-_.length), maxSplit)
+    (packed ++ dvLive.zipWithIndex.map { case (a, i) =>
+      FilePartition(packed.size + i, splitsOf(a).toArray)
+    }).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -729,13 +743,49 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
         None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
           Map.empty[String, String], sqlConf))
+    // deletion vectors: DV partitions read ROW-BASED through a second
+    // delegate whose readDataSchema appends Spark's temporary row-index
+    // column (the parquet readers populate it, split- and
+    // filter-correct); the routing factory drops recorded rows and the
+    // extra column. One DV file in the snapshot flips the WHOLE scan
+    // row-based — Spark requires partitions uniformly columnar — so
+    // heavy readers should purgeDeletionVectors on their maintenance
+    // tick to restore vectorized scans.
+    val base =
+      if (dvByPath.isEmpty) inner
+      else {
+        // the TEMPORARY name is what ParquetRowIndexUtil matches; it must
+        // be nullable or the reader refuses it as a required-but-missing
+        // file column instead of generating it
+        val rowIdxField = org.apache.spark.sql.types.StructField(
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+            .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true)
+        val readDataSchemaDv = StructType(readDataSchema.fields :+ rowIdxField)
+        val confDv = new org.apache.hadoop.conf.Configuration(conf)
+        confDv.set("org.apache.spark.sql.parquet.row.requested_schema",
+          readDataSchemaDv.json)
+        confDv.set("org.apache.spark.sql.parquet.row.attributes",
+          readDataSchemaDv.json)
+        val bcDv = org.apache.spark.sql.graft.ColumnBridge
+          .broadcastHadoopConf(spark, confDv)
+        val dvInner =
+          org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
+            sqlConf, bcDv, dataSchema, readDataSchemaDv, partSchema,
+            physFilters, None,
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
+              Map.empty[String, String], sqlConf))
+        DvRoutingReaderFactory(inner, dvInner, dvByPath, table, bcDv,
+          rowIdxPos = readDataSchema.fields.length,
+          innerFields = readDataSchemaDv.fields ++ partSchema.fields)
+      }
     // the delegate emits readDataSchema ++ partSchema (physical names);
     // permute back to the REQUESTED order, matching by physical name
     val innerOrder = readDataSchema.fields ++ partSchema.fields
     val perm = schema.fields.map(f =>
       innerOrder.indexWhere(_.name == physOf.getOrElse(f.name, f.name)))
-    if (perm.zipWithIndex.forall { case (p, i) => p == i }) inner
-    else DeltaPermutingReaderFactory(inner, perm, schema)
+    if (perm.zipWithIndex.forall { case (p, i) => p == i }) base
+    else DeltaPermutingReaderFactory(base, perm, schema)
   }
 }
 
@@ -780,6 +830,65 @@ private[delta] case class DeltaPermutingReaderFactory(
       override def close(): Unit = d.close()
     }
   }
+}
+
+/** Routes deletion-vector partitions through a row-based filtered
+  * reader: the partition's single file's vector loads ONCE (task-side,
+  * from the descriptor — bitmap bytes never visit the driver), each row
+  * binary-searches its populated row index, survivors project the
+  * temporary column away. Clean partitions pass straight through to the
+  * vectorized delegate — but note [[supportColumnarReads]] answers
+  * false for ALL partitions: Spark requires a scan's partitions to be
+  * uniformly columnar, so one DV file makes the whole scan row-based
+  * (purge to restore vectorization). */
+private[delta] case class DvRoutingReaderFactory(
+    clean: PartitionReaderFactory,
+    dvInner: PartitionReaderFactory,
+    dvByPath: Map[String, DvDescriptor],
+    table: String,
+    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+    rowIdxPos: Int,
+    innerFields: Array[StructField])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  private def dvOf(p: InputPartition): Option[DvDescriptor] = p match {
+    case fp: FilePartition =>
+      fp.files.headOption.flatMap(f => dvByPath.get(f.filePath.urlEncoded))
+    case _ => None
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    dvOf(partition) match {
+      case None => clean.createReader(partition)
+      case Some(desc) =>
+        val deleted = DeletionVectors.load(conf.value.value, table, desc)
+        val inner = dvInner.createReader(partition)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          innerFields.zipWithIndex.collect { case (f, i) if i != rowIdxPos =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, f.dataType, nullable = true)
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          }.toSeq)
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = _
+          override def next(): Boolean = {
+            while (inner.next()) {
+              val r = inner.get()
+              if (java.util.Arrays.binarySearch(deleted,
+                  r.getLong(rowIdxPos)) < 0) {
+                current = proj(r)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = inner.close()
+        }
+    }
 }
 
 private[delta] object DeltaBatchScan {

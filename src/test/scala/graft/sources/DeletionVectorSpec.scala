@@ -251,17 +251,40 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ids(t).contains(1))
   }
 
-  test("DSv2 scans refuse DV snapshots loudly (phase-1 honesty guard)") {
+  test("DSv2/SQL scans filter deletion vectors (row-index routing)") {
     val t = tmp()
-    dvTable(t, 1 to 10)
-    DeltaTable.delete(spark, t, col("id") <= 3)
-    val e = intercept[Exception] {
-      spark.read.format("graft-delta").load(t).collect()
+    dvTable(t, 1 to 2000, 5000 to 5100)
+    DeltaTable.delete(spark, t, col("id") % 3 === 0) // sidecar DV on file 1,
+                                                     // inline DV on file 2
+    val expected = ((1 to 2000) ++ (5000 to 5100)).filterNot(_ % 3 == 0)
+    val df = spark.read.format("graft-delta").load(t)
+    assert(df.select("id").collect().map(_.getInt(0)).toSet === expected.toSet)
+    // pushed filter + projection over the DV branch stays exact
+    assert(df.filter(col("id") > 1000).count()
+      === expected.count(_ > 1000).toLong)
+    // the clean/dv split survives mixed snapshots: delete ONE file whole
+    DeltaTable.delete(spark, t, col("id") >= 5000)
+    assert(spark.read.format("graft-delta").load(t)
+      .select("id").collect().map(_.getInt(0)).toSet
+      === (1 to 2000).filterNot(_ % 3 == 0).toSet)
+  }
+
+  test("DSv2 scans of a partitioned DV table restore partition columns") {
+    val t = tmp()
+    (0 to 1).foreach { p =>
+      DeltaTable.write((1 to 6).map(i => (i, p)).toDF("id", "p").coalesce(1),
+        t, SaveMode.Append, partitionBy = Seq("p"))
     }
-    def causes(x: Throwable): Seq[String] =
-      if (x == null) Seq.empty else x.getMessage +: causes(x.getCause)
-    assert(causes(e).exists(m => m != null && m.contains("deletion vectors")),
-      s"unexpected: $e")
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.delete(spark, t, col("p") === 1 && col("id") <= 2)
+    val got = spark.read.format("graft-delta").load(t)
+      .select("id", "p").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got === ((1 to 6).map((_, 0)) ++ (3 to 6).map((_, 1))).toSet)
+    // partition pruning into the DV'd partition still filters rows
+    assert(spark.read.format("graft-delta").load(t)
+      .filter(col("p") === 1).select("id").collect().map(_.getInt(0)).toSet
+      === (3 to 6).toSet)
   }
 
   // ------------------------------------------------------------- vacuum
