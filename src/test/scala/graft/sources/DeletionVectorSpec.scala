@@ -287,6 +287,27 @@ class DeletionVectorSpec extends SparkSpec {
       === (3 to 6).toSet)
   }
 
+  test("pure-SQL DELETE on a DV-enabled catalog table commits a vector") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_dv").toString
+    spark.conf.set("spark.sql.catalog.gdv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdv.db")
+    spark.sql("""CREATE TABLE gdv.db.t (id BIGINT, s STRING)
+                 TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')""")
+    spark.sql("INSERT INTO gdv.db.t SELECT id, CAST(id AS STRING) " +
+      "FROM range(1, 11)")
+    val path = s"$wh/db/t"
+    val before = livePaths(path)
+    spark.sql("DELETE FROM gdv.db.t WHERE id <= 3")
+    // fully-matched files drop whole; straddled ones keep their bytes —
+    // either way the DELETE staged no rewrites
+    assert(livePaths(path).subsetOf(before), "SQL DELETE must take the DV path")
+    assert(DeltaLog.snapshot(spark, path).files
+      .exists(_.dv.exists(_.cardinality > 0)))
+    assert(spark.sql("SELECT id FROM gdv.db.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === (4L to 10L))
+  }
+
   // ------------------------------------------------------------- vacuum
 
   test("vacuum keeps referenced sidecars, reclaims orphans and retired ones") {
