@@ -1477,6 +1477,70 @@ object Catalog {
         sum(length(col("text")).cast("long")).as("sum_text_len"))
   }
 
+  /** Generated + identity columns (q101): a scratch catalog table with
+    * `id BIGINT GENERATED ALWAYS AS IDENTITY` and
+    * `twice BIGINT GENERATED ALWAYS AS (n_chars * 2)` takes `documents`
+    * in TWO pure-SQL INSERTs that OMIT both columns — the engine
+    * allocates identity values from the advancing high-water mark and
+    * computes the generation expression per row. Identity values are
+    * SPARSE by contract (uniqueness, not density), so the gate
+    * require-asserts their invariants Spark-side (all distinct, ≥ START,
+    * batch 2 strictly above batch 1's mark) and returns the
+    * oracle-expressible surface: per-lang counts and the generated
+    * column's sums, exact against DuckDB computing `n_chars * 2`
+    * relationally. */
+  val q101GeneratedIdentity: Q = Q(
+    "q101_generated_identity",
+    oracle = Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars * 2) AS BIGINT) AS sum_twice
+      FROM documents
+      GROUP BY lang""")) { (spark, dir) =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q101")
+    val cat = s"g101_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.delta.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+      spark.sql(s"CREATE NAMESPACE $cat.gen")
+      spark.sql(s"""CREATE TABLE $cat.gen.docs
+                    (id BIGINT GENERATED ALWAYS AS IDENTITY,
+                     doc_id BIGINT, lang STRING, n_chars BIGINT,
+                     twice BIGINT GENERATED ALWAYS AS (n_chars * 2))""")
+      spark.sql(s"""INSERT INTO $cat.gen.docs (doc_id, lang, n_chars)
+                    SELECT doc_id, lang, n_chars FROM docs_src_$cat
+                    WHERE doc_id % 2 = 0""")
+      val batch1Max = spark.sql(s"SELECT MAX(id) FROM $cat.gen.docs")
+        .head().getLong(0)
+      spark.sql(s"""INSERT INTO $cat.gen.docs (doc_id, lang, n_chars)
+                    SELECT doc_id, lang, n_chars FROM docs_src_$cat
+                    WHERE doc_id % 2 = 1""")
+      val inv = spark.sql(s"""
+        SELECT COUNT(*), COUNT(DISTINCT id), MIN(id),
+               MIN(CASE WHEN doc_id % 2 = 1 THEN id END)
+        FROM $cat.gen.docs""").head()
+      require(inv.getLong(0) == inv.getLong(1),
+        s"q101: identity ids must be unique (${inv.getLong(0)} rows, " +
+          s"${inv.getLong(1)} distinct)")
+      require(inv.getLong(2) >= 1L, "q101: ids start at START WITH")
+      require(inv.getLong(3) > batch1Max,
+        "q101: batch 2 must allocate above batch 1's high-water mark")
+      val agg = spark.sql(s"""
+        SELECT lang, COUNT(*) AS n_rows, SUM(twice) AS sum_twice
+        FROM $cat.gen.docs GROUP BY lang""")
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Deletion vectors (q100): `documents` lands in a scratch Delta
     * table as 8 disjoint-doc_id-range files with
     * `delta.enableDeletionVectors=true`, then TWO sequential row-level
@@ -1548,7 +1612,8 @@ object Catalog {
         q89PartitionedMerge, q90ChangeFeed, q91SqlCatalog, q92MergeClauses,
         q92bMergeOnly,
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
-        q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors) ++
+        q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
+        q101GeneratedIdentity) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

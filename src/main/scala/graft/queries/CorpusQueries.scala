@@ -226,6 +226,65 @@ object CorpusQueries {
       .select(col("doc_id"), col("ntok"), col("cum_before"), col("shard"))
   }
 
+  /** Concat-and-cut sequence packing (q102): the corpus as ONE token
+    * stream in deterministic hash order, cut every 2048 tokens into
+    * training sequences with documents STRADDLING cuts —
+    * [[graft.operators.SequencePack.spans]], the GPT-style pack q55's
+    * no-split shards deliberately are not. The result is the span
+    * manifest (doc × sequence → token range + in-sequence offset); the
+    * DuckDB oracle recomputes every span from one global window +
+    * generate_series, so the gate proves the distributed prefix sum and
+    * the straddle arithmetic are EXACT, row for row. Tiling invariants
+    * (each sequence covered [0, 2048) exactly; each document's spans
+    * concatenate to [0, ntok)) are require-asserted Spark-side. */
+  val q102SequencePack: Q = Q(
+    "q102_sequence_pack",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               (CAST(doc_id AS HUGEINT) * 2654435761) % 1000000007 AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents),
+      c AS (
+        SELECT doc_id, ntok,
+               CAST(COALESCE(SUM(ntok) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum
+        FROM d)
+      SELECT doc_id,
+             CAST(s AS BIGINT) AS seq,
+             CAST(GREATEST(0, s * 2048 - cum) AS BIGINT) AS doc_lo,
+             CAST(LEAST(ntok, (s + 1) * 2048 - cum) AS BIGINT) AS doc_hi,
+             CAST(GREATEST(0, cum - s * 2048) AS BIGINT) AS seq_off
+      FROM c, UNNEST(range(cum // 2048, (cum + ntok - 1) // 2048 + 1)) AS t(s)
+      WHERE ntok > 0"""),
+    headline = true) { (spark, dir) =>
+    val seqLen = 2048L
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+    val spans = graft.operators.SequencePack.spans(d, col("doc_id"), col("ntok"), seqLen)
+      .select(col("doc_id"), col("seq"), col("doc_lo"), col("doc_hi"),
+        col("seq_off"), col("ntok"))
+    // tiling invariants: sequences tile [0, seqLen) exactly (last may be
+    // short); each document's spans concatenate to [0, ntok)
+    val seqCheck = spans.groupBy(col("seq"))
+      .agg(sum(col("doc_hi") - col("doc_lo")).as("w"),
+        min(col("seq_off") - lit(0)).as("mn"))
+      .agg(max(col("seq")).as("last"),
+        count(when(col("w") =!= seqLen, 1)).as("short"),
+        min(col("mn")).as("negOff")).head()
+    require(seqCheck.getLong(1) <= 1L,
+      s"q102: only the final sequence may be short, got ${seqCheck.getLong(1)}")
+    require(seqCheck.getLong(2) >= 0L, "q102: negative in-sequence offset")
+    val docCheck = spans.groupBy(col("doc_id"), col("ntok"))
+      .agg(sum(col("doc_hi") - col("doc_lo")).as("covered"),
+        min(col("doc_lo")).as("lo"), max(col("doc_hi")).as("hi"))
+      .filter(col("covered") =!= col("ntok") || col("lo") =!= 0 ||
+        col("hi") =!= col("ntok"))
+    require(docCheck.isEmpty, "q102: document spans must tile [0, ntok)")
+    spans.drop("ntok")
+  }
+
   /** The whole hygiene pipeline composed end-to-end (q56): near-dup dedup
     * applied (q54) → benchmark decontamination against the eval slice
     * (q51, and the eval slice itself excluded from the training corpus) →
@@ -722,5 +781,5 @@ object CorpusQueries {
     q54DedupApply, q55ShardPack, q56CorpusPipeline, q57GlobalIndex, q58Zorder,
     q61Novelty, q62DedupRate, q63BloomDecontamination, q65FuzzyJoin,
     q66LeakFreeSplit, q69CurriculumBins, q71Profile, q74ProfileDrift,
-    q75TokenBudgetMix, q78TemperatureMix)
+    q75TokenBudgetMix, q78TemperatureMix, q102SequencePack)
 }

@@ -105,8 +105,30 @@ object DeltaLog {
       partitionColumns: Seq[String] = Seq.empty,
       metaDataId: Option[String] = None,
       tombstones: Map[String, Long] = Map.empty,
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      minReaderVersion: Int = 1,
+      minWriterVersion: Int = 2,
+      readerFeatures: Set[String] = Set.empty) {
     def isEmpty: Boolean = version < 0
+  }
+
+  /** Reader features this engine implements — a table requiring one
+    * outside this set refuses to read (the protocol's contract: version
+    * 3 tables list their features precisely so DOWN-LEVEL readers fail
+    * loudly instead of silently misreading, e.g. ignoring deletion
+    * vectors and resurrecting deleted rows). */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping")
+
+  private[delta] def checkReadable(table: String, minReader: Int,
+                                   features: Set[String]): Unit = {
+    require(minReader <= 3,
+      s"delta: $table requires reader protocol $minReader; this engine " +
+        "reads up to 3")
+    val unknown = features -- SupportedReaderFeatures
+    require(unknown.isEmpty,
+      s"delta: $table requires reader features $unknown this engine does " +
+        s"not implement (supported: $SupportedReaderFeatures)")
   }
 
   private[delta] def logDir(table: Path) = new Path(table, "_delta_log")
@@ -139,7 +161,8 @@ object DeltaLog {
       operation: Option[String] = None,
       timestampMs: Long = 0L,
       cdcFiles: Seq[CdcFile] = Seq.empty,
-      configuration: Option[Map[String, String]] = None) {
+      configuration: Option[Map[String, String]] = None,
+      protocol: Option[(Int, Int, Set[String])] = None) {
     // removes carrying dataChange=true — an overwrite/merge, which an
     // append-only tailer cannot represent (a compaction's
     // dataChange=false removes it simply skips)
@@ -163,6 +186,7 @@ object DeltaLog {
     var operation: Option[String] = None
     var timestamp = 0L
     var configuration: Option[Map[String, String]] = None
+    var protocol: Option[(Int, Int, Set[String])] = None
     def dataChangeOf(j: JValue): Boolean = j match {
       case JBool(b) => b
       case _ => true // protocol default when absent
@@ -244,9 +268,19 @@ object DeltaLog {
           timestamp = longOf(j \ "commitInfo" \ "timestamp")
         case _ => ()
       }
+      (j \ "protocol" \ "minReaderVersion") match {
+        case JInt(mr) =>
+          val mw = longOf(j \ "protocol" \ "minWriterVersion", 2L).toInt
+          val feats = (j \ "protocol" \ "readerFeatures") match {
+            case JArray(fs) => fs.collect { case JString(s) => s }.toSet
+            case _ => Set.empty[String]
+          }
+          protocol = Some((mr.toInt, mw, feats))
+        case _ => ()
+      }
     }
     CommitActions(adds.toSeq, removes.toSeq, schemaJson, partCols, txns.toMap,
-      metaId, operation, timestamp, cdcs.toSeq, configuration)
+      metaId, operation, timestamp, cdcs.toSeq, configuration, protocol)
   }
 
   /** Best-available commit time: `commitInfo.timestamp` when the commit
@@ -308,6 +342,7 @@ object DeltaLog {
     val txns = scala.collection.mutable.Map.empty[String, Long]
     var metaId: Option[String] = None
     var configuration: Map[String, String] = Map.empty
+    var protocol: (Int, Int, Set[String]) = (1, 2, Set.empty)
     val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     cp.foreach { cpV =>
       import org.apache.spark.sql.Row
@@ -349,6 +384,15 @@ object DeltaLog {
         }
         struct("txn").foreach(t =>
           txns += t.getAs[String]("appId") -> t.getAs[Long]("version"))
+        struct("protocol").foreach { p =>
+          // checkpoints from before the features column stay readable
+          val feats =
+            if (!p.schema.fieldNames.contains("readerFeatures") ||
+                p.isNullAt(p.fieldIndex("readerFeatures"))) Set.empty[String]
+            else p.getSeq[String](p.fieldIndex("readerFeatures")).toSet
+          protocol = (p.getAs[Int]("minReaderVersion"),
+            p.getAs[Int]("minWriterVersion"), feats)
+        }
       }
     }
     vs.foreach { v =>
@@ -366,10 +410,16 @@ object DeltaLog {
       c.partitionColumns.foreach(p => partCols = p)
       if (metaId.isEmpty) metaId = c.metaDataId
       c.configuration.foreach(cfg => configuration = cfg)
+      c.protocol.foreach(p => protocol = p)
       txns ++= c.txns
     }
+    // the protocol gate: a table whose log demands a reader this engine
+    // is not must refuse, never misread (e.g. ignoring a feature like
+    // deletion vectors silently resurrects deleted rows)
+    checkReadable(table, protocol._1, protocol._3)
     Snapshot(vs.lastOption.orElse(cp).getOrElse(-1L), files.values.toSeq,
-      schemaJson, txns.toMap, partCols, metaId, tombstones.toMap, configuration)
+      schemaJson, txns.toMap, partCols, metaId, tombstones.toMap, configuration,
+      protocol._1, protocol._2, protocol._3)
   }
 
   /** Driver-bounded partition-pruned file listing — the documented
@@ -579,7 +629,8 @@ object DeltaLog {
   // object-private classes (it silently falls back to the interpreted
   // path with a per-checkpoint "Expr codegen error" warning — a per-row
   // slowdown at millions of add entries)
-  private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
+                                       readerFeatures: Seq[String] = null)
   private[delta] case class CpMetaData(id: String, schemaString: String,
                                        partitionColumns: Seq[String],
                                        configuration: Map[String, String])
@@ -634,7 +685,9 @@ object DeltaLog {
     }
     val tombCutoff = System.currentTimeMillis() - tombstoneRetainMs
     val rows =
-      CpRow(Some(CpProtocol(1, 2)), None, None, None, None) +:
+      CpRow(Some(CpProtocol(head.minReaderVersion, head.minWriterVersion,
+        if (head.readerFeatures.isEmpty) null
+        else head.readerFeatures.toSeq.sorted)), None, None, None, None) +:
         // the table's STABLE id carries through (PROTOCOL.md: metaData.id
         // is fixed at table creation); pre-id logs get one minted here
         CpRow(None, Some(CpMetaData(
@@ -724,9 +777,44 @@ object DeltaLog {
 
   // --- action builders (protocol JSON shapes) -------------------------------
 
-  def protocolAction: JValue =
-    JObject("protocol" -> JObject(
-      "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+  def protocolAction: JValue = protocolAction(1, 2, Set.empty)
+
+  /** The protocol action, feature-complete form: reader version 3 lists
+    * `readerFeatures` (and 7 lists them as `writerFeatures` too — both
+    * engine features here are reader-writer features), the protocol's
+    * way to make a down-level reader FAIL on a table it would misread. */
+  def protocolAction(minReader: Int, minWriter: Int,
+                     readerFeatures: Set[String]): JValue = {
+    val base = List(
+      "minReaderVersion" -> (JInt(minReader): JValue),
+      "minWriterVersion" -> (JInt(minWriter): JValue))
+    val feats = readerFeatures.toList.sorted.map(JString(_): JValue)
+    val withFeats = base ++
+      (if (minReader >= 3) List("readerFeatures" -> (JArray(feats): JValue))
+       else Nil) ++
+      (if (minWriter >= 7) List("writerFeatures" -> (JArray(feats): JValue))
+       else Nil)
+    JObject("protocol" -> JObject(withFeats: _*))
+  }
+
+  /** Actions upgrading `head`'s protocol so it covers `feature` at
+    * (`needReader`, `needWriter`) — empty when already covered. At
+    * reader 3 the feature LIST is the contract, so every active legacy
+    * feature rides along (`activeLegacy` — e.g. "columnMapping" when
+    * the schema carries mapping stamps). */
+  def protocolUpgrade(head: Snapshot, needReader: Int, needWriter: Int,
+                      feature: String,
+                      activeLegacy: Set[String] = Set.empty): Seq[JValue] = {
+    val targetReader = math.max(head.minReaderVersion, needReader)
+    val targetWriter = math.max(head.minWriterVersion, needWriter)
+    val features =
+      if (targetReader < 3) Set.empty[String]
+      else head.readerFeatures ++ activeLegacy + feature
+    if (targetReader == head.minReaderVersion &&
+        targetWriter == head.minWriterVersion &&
+        features == head.readerFeatures) Seq.empty
+    else Seq(protocolAction(targetReader, targetWriter, features))
+  }
 
   def metaDataAction(schemaJson: String,
                      partitionColumns: Seq[String] = Seq.empty,

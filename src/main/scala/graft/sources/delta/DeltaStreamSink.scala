@@ -206,6 +206,17 @@ private[delta] class DeltaBatchWrite(
       s"graft-delta sink: unsupported column type ${f.dataType.catalogString} " +
         s"for ${f.name}")
   }
+  // generated/identity tables: the per-row compute/allocate semantics
+  // live in the DataFrame write path, reached for SQL INSERT through the
+  // GraftExtensions rewrite ([[SqlUpdateRule]]); a direct sink write
+  // would land Spark's NULL-fills as real values — refuse loudly
+  DeltaLog.snapshot(spark, table).schemaJson
+    .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    .foreach(s => require(!GeneratedColumns.hasAny(s),
+      s"graft-delta sink: $table has generated/identity columns — INSERTs " +
+        "must route through the engine's write path; register " +
+        "spark.sql.extensions=graft.GraftExtensions (SQL) or use " +
+        "DeltaTable.write"))
 
   /** Effective TARGET schema: what the staged files' physical names and
     * a truncate's re-emitted metaData must agree on. Appends write under

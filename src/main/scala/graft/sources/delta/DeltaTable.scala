@@ -572,21 +572,37 @@ object DeltaTable {
     // physical stamps forward and stamp genuinely-new columns fresh.
     val preLogical = head.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    // generated/identity columns: compute absent generated columns,
+    // equality-check provided ones, allocate absent identity values
+    // from the high-water mark. An Overwrite bringing a DIFFERENT
+    // column set is a schema-replacing overwrite — the old schema's
+    // generation/identity metadata goes with it, nothing to prepare.
+    val genTarget = preLogical.filter(ts => GeneratedColumns.hasAny(ts) &&
+      (mode == SaveMode.Append ||
+        df.columns.toSet.subsetOf(ts.fieldNames.toSet)))
+    val (dfW, allocatedIds) = genTarget match {
+      case Some(ts) => GeneratedColumns.prepareWrite(df, ts)
+      case None => (df, Seq.empty[GeneratedColumns.IdentitySpec])
+    }
     val effSchema: StructType = preLogical match {
-      case None => df.schema
+      case None => dfW.schema
       case Some(existing) =>
-        if (existing.catalogString == df.schema.catalogString) existing
+        if (existing.catalogString == dfW.schema.catalogString) existing
         else if (mode == SaveMode.Append && mergeSchema)
-          ColumnMapping.stampNewFields(mergeSchemas(existing, df.schema),
+          ColumnMapping.stampNewFields(mergeSchemas(existing, dfW.schema),
             head.configuration)
         else if (mode == SaveMode.Overwrite)
           ColumnMapping.stampNewFields(
-            ColumnMapping.carryForward(df.schema, existing),
+            ColumnMapping.carryForward(dfW.schema, existing),
             head.configuration)
-        else df.schema // append schema mismatch: refused inside the loop
+        else dfW.schema // append schema mismatch: refused inside the loop
     }
-    val adds = stageData(enforceConstraints(df, head.configuration, preLogical),
+    val adds = stageData(enforceConstraints(dfW, head.configuration, preLogical),
       effSchema, tbl, fs, parts)
+    // identity high-water marks actually written (footer stats of the
+    // staged files — explicit BY DEFAULT ids advance the mark too)
+    val hwmUpdates = genTarget.map(ts => GeneratedColumns.hwmFromAdds(
+      adds, ts, ColumnMapping.physMap(effSchema))).getOrElse(Map.empty)
 
     var committed = false
     var attempts = 0
@@ -596,6 +612,18 @@ object DeltaTable {
       if (attempts > 1) head = snapshot(spark, table)
       require(head.partitionColumns == parts || head.isEmpty,
         s"delta: concurrent writer changed partitioning to ${head.partitionColumns}")
+      // identity-allocation conflict: our staged ids were computed from
+      // the pre-staging mark — a concurrent writer moving it means the
+      // two writes may have allocated the SAME values; refuse loudly
+      // (re-running re-allocates from the new mark)
+      if (attempts > 1 && allocatedIds.nonEmpty) {
+        val cur = GeneratedColumns.identityOf(logSchema(head, table))
+          .map(s => s.name -> s.base).toMap
+        allocatedIds.foreach(s => require(cur.get(s.name).contains(s.base),
+          s"delta: concurrent writer advanced identity `${s.name}`'s " +
+            "high-water mark — this write's allocated ids may collide; " +
+            "re-run the write"))
+      }
       // idempotence gate: a replayed streaming batch must not double-append
       if (txn.exists { case (app, v) => head.txns.get(app).exists(_ >= v) }) {
         adds.foreach { a =>
@@ -615,40 +643,55 @@ object DeltaTable {
       // (catalogString: names + types, nullability-insensitive)
       val sameSchema = head.schemaJson.forall(existing =>
         DataType.fromJson(existing).asInstanceOf[StructType].catalogString ==
-          df.schema.catalogString)
+          dfW.schema.catalogString)
+      val metaSchema: Option[StructType] =
+        if (head.isEmpty || sameSchema) None
+        else if (mode == SaveMode.Append && mergeSchema) {
+          // union schema: only re-emit metaData when it actually GREW
+          // (a subset-schema append under the same columns is a no-op).
+          // New fields take the stamps the STAGED files were written
+          // under (effSchema, computed pre-loop); a concurrent commit
+          // racing the same new column to a different physical name
+          // must conflict, not silently shadow the staged data
+          val merged = ColumnMapping.carryForward(
+            mergeSchemas(logSchema(head, table), dfW.schema), effSchema)
+          merged.fields.foreach { f =>
+            val staged = effSchema.fields.find(_.name == f.name)
+            require(staged.forall(s =>
+                ColumnMapping.physicalName(s) == ColumnMapping.physicalName(f)),
+              s"delta: concurrent schema evolution stamped `${f.name}` " +
+                "with a different physical name — retry the write")
+          }
+          if (merged.catalogString == logSchema(head, table).catalogString)
+            None
+          else Some(merged)
+        } else {
+          require(mode == SaveMode.Overwrite,
+            s"delta: append schema ${dfW.schema.catalogString} does not match " +
+              s"the table schema — appends enforce schema (overwriteSchema is " +
+              s"the Overwrite path, `read_delta.py:219-222`; additive columns " +
+              s"may opt in via mergeSchema)")
+          Some(effSchema)
+        }
+      // fold advanced identity marks into whatever metaData this commit
+      // emits (or emit one just for them). Marks that no longer advance
+      // past the CURRENT head's (a concurrent BY-DEFAULT writer moved
+      // it further) drop — a re-emission must never regress a mark.
+      val effHwm =
+        if (hwmUpdates.isEmpty || head.isEmpty) Map.empty[String, Long]
+        else {
+          val cur = GeneratedColumns.identityOf(logSchema(head, table))
+            .map(s => s.name -> s).toMap
+          hwmUpdates.filter { case (n, v) => cur.get(n).exists(s =>
+            if (s.step > 0) v > s.base else v < s.base) }
+        }
       val meta =
         if (head.isEmpty) Seq(protocolAction, metaDataAction(effSchema.json, parts))
-        else if (!sameSchema) {
-          if (mode == SaveMode.Append && mergeSchema) {
-            // union schema: only re-emit metaData when it actually GREW
-            // (a subset-schema append under the same columns is a no-op).
-            // New fields take the stamps the STAGED files were written
-            // under (effSchema, computed pre-loop); a concurrent commit
-            // racing the same new column to a different physical name
-            // must conflict, not silently shadow the staged data
-            val merged = ColumnMapping.carryForward(
-              mergeSchemas(logSchema(head, table), df.schema), effSchema)
-            merged.fields.foreach { f =>
-              val staged = effSchema.fields.find(_.name == f.name)
-              require(staged.forall(s =>
-                  ColumnMapping.physicalName(s) == ColumnMapping.physicalName(f)),
-                s"delta: concurrent schema evolution stamped `${f.name}` " +
-                  "with a different physical name — retry the write")
-            }
-            if (merged.catalogString == logSchema(head, table).catalogString)
-              Seq.empty
-            else Seq(metaDataAction(merged.json, parts, head.metaDataId,
-              head.configuration))
-          } else {
-            require(mode == SaveMode.Overwrite,
-              s"delta: append schema ${df.schema.catalogString} does not match " +
-                s"the table schema — appends enforce schema (overwriteSchema is " +
-                s"the Overwrite path, `read_delta.py:219-222`; additive columns " +
-                s"may opt in via mergeSchema)")
-            Seq(metaDataAction(effSchema.json, parts, head.metaDataId,
-              head.configuration))
-          }
-        } else Seq.empty
+        else if (metaSchema.isEmpty && effHwm.isEmpty) Seq.empty
+        else Seq(metaDataAction(
+          GeneratedColumns.withHwm(
+            metaSchema.getOrElse(logSchema(head, table)), effHwm).json,
+          parts, head.metaDataId, head.configuration))
       val txns = txn.toSeq.map { case (app, v) => txnAction(app, v) }
       val op = commitInfoAction(
         if (mode == SaveMode.Overwrite) "WRITE OVERWRITE"
@@ -1315,9 +1358,10 @@ object DeltaTable {
       val config = head.configuration +
         (ColumnMapping.ModeKey -> "name") +
         (ColumnMapping.MaxIdKey -> ColumnMapping.maxId(renamed).toString)
-      done = commit(spark, table, head.version + 1, Seq(
-        commitInfoAction("RENAME COLUMN"),
-        metaDataAction(renamed.json, parts, head.metaDataId, config)))
+      done = commit(spark, table, head.version + 1,
+        commitInfoAction("RENAME COLUMN") +:
+          (DeltaLog.protocolUpgrade(head, 2, 5, "columnMapping") :+
+            metaDataAction(renamed.json, parts, head.metaDataId, config)))
     }
   }
 
@@ -1349,10 +1393,11 @@ object DeltaTable {
       val config = head.configuration +
         (ColumnMapping.ModeKey -> "name") +
         (ColumnMapping.MaxIdKey -> ColumnMapping.maxId(remaining).toString)
-      done = commit(spark, table, head.version + 1, Seq(
-        commitInfoAction("DROP COLUMN"),
-        metaDataAction(remaining.json, head.partitionColumns,
-          head.metaDataId, config)))
+      done = commit(spark, table, head.version + 1,
+        commitInfoAction("DROP COLUMN") +:
+          (DeltaLog.protocolUpgrade(head, 2, 5, "columnMapping") :+
+            metaDataAction(remaining.json, head.partitionColumns,
+              head.metaDataId, config)))
     }
   }
 
@@ -1463,8 +1508,11 @@ object DeltaTable {
   /** UPDATE SET `set` WHERE `predicate`, through the log. Same
     * stats-pruned candidate selection, rewrite, CDF capture
     * (`update_preimage`/`update_postimage`) and retry protocol as
-    * [[delete]]. Assignments may reference any table column; each value
-    * is cast to its column's declared type (schema never drifts).
+    * [[delete]]. With `delta.enableDeletionVectors=true` straddled
+    * files are NOT rewritten: matched rows go behind per-file vectors
+    * and only their post-images stage as new files — commit cost
+    * O(matched rows). Assignments may reference any table column; each
+    * value is cast to its column's declared type (schema never drifts).
     * Partition columns cannot be assigned — that would move rows across
     * Hive dirs (delete+insert is the honest spelling). */
   def update(spark: SparkSession, table: String, predicate: Column,
@@ -1562,11 +1610,12 @@ object DeltaTable {
       // files are deleted WHOLE, so a pure partition-predicate delete
       // stages nothing and (CDF off) does zero data IO: the commit is
       // just remove actions. UPDATE rewrites every touched file. With
-      // `delta.enableDeletionVectors=true` a DELETE's straddled files
-      // are not rewritten either: their matched row indexes become
-      // per-file deletion-vector sidecars — commit cost O(deleted rows),
-      // not O(bytes of every straddled file).
-      val useDv = set.isEmpty && dvEnabled(head) && probedTouched.nonEmpty
+      // `delta.enableDeletionVectors=true` neither rewrites straddled
+      // files: the matched row indexes become per-file deletion-vector
+      // sidecars, and an UPDATE additionally stages ONLY the updated
+      // rows' post-images as new files — commit cost O(matched rows),
+      // not O(bytes of every straddled file), delta's DV DML shape.
+      val useDv = dvEnabled(head) && probedTouched.nonEmpty
       val rewritten = set match {
         case None =>
           // DELETE never creates rows: survivors already satisfied every
@@ -1574,6 +1623,11 @@ object DeltaTable {
           if (useDv || probedTouched.isEmpty) None
           else Some(readFiles(spark, table, schema, head.partitionColumns,
             probedTouched).filter(not(cond)))
+        case Some(s) if useDv =>
+          // DV UPDATE: only the POST-IMAGES of matched rows are new data
+          // (old incarnations go behind the vectors / whole-file removes)
+          Some(enforceConstraints(applySet(matched, s, unconditional = true),
+            head.configuration, Some(schema)))
         case Some(s) => Some(enforceConstraints(
           applySet(df, s, unconditional = false), head.configuration,
           Some(schema)))
@@ -1664,12 +1718,20 @@ object DeltaTable {
           }
           (sureMatch.map(f => removeAction(f.path, now, dv = f.dv)) ++
             dvTombstones(sureMatch) ++ dvTombstones(changed) ++ acts,
-            Seq.empty[org.json4s.JValue],
+            adds0, // UPDATE's staged post-images; empty for DELETE
             results.flatMap(_._2).filter(_.storageType == "u").toSeq)
         }
+      // first DV on the table upgrades the protocol to (3, 7) listing
+      // the feature — down-level foreign readers then refuse instead of
+      // ignoring the vectors and resurrecting deleted rows
+      val protocolActs =
+        if (!useDv) Seq.empty
+        else DeltaLog.protocolUpgrade(head, 3, 7, "deletionVectors",
+          activeLegacy = if (ColumnMapping.hasMapping(schema))
+            Set("columnMapping") else Set.empty)
       done = commit(spark, table, head.version + 1,
         commitInfoAction(if (set.isEmpty) "DELETE" else "UPDATE", now) +:
-          (cdc ++ removes ++ adds))
+          (protocolActs ++ cdc ++ removes ++ adds))
       if (!done) {
         (cdc ++ adds).foreach { a =>
           fs.delete(new Path(tbl, actionPath(a)), false)

@@ -1,0 +1,159 @@
+package graft.sources.delta
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+
+/** Generated and identity columns on the from-scratch log, stamped as
+  * field metadata under delta-spark's keys so the schema round-trips
+  * through commits, checkpoints and other readers:
+  *
+  *   - `delta.generationExpression` — `GENERATED ALWAYS AS (expr)`.
+  *     Writes missing the column COMPUTE it from the expression; writes
+  *     providing it must satisfy `value <=> expr` per row (delta's
+  *     write-time equality check) — both inside the write's own pass.
+  *   - `delta.identity.{start,step,allowExplicitInsert,highWaterMark}` —
+  *     `GENERATED ALWAYS [BY DEFAULT] AS IDENTITY`. Writes missing the
+  *     column allocate values task-side from the table's high-water
+  *     mark: `hwm + step · (monotonically_increasing_id() + 1)` — no
+  *     shuffle, no count pass, no driver coordination; the partition
+  *     stride makes values SPARSE, which is the documented delta
+  *     contract too (identity guarantees uniqueness and direction, not
+  *     density). The commit advances the high-water mark to the actual
+  *     written extremum read from the staged files' FOOTER STATS
+  *     (metadata IO the write already does), and a commit retry that
+  *     finds the mark moved by a concurrent writer REFUSES loudly —
+  *     two writers allocating from one mark is silent id duplication.
+  *
+  * 100 TB shape: generation is a per-row projection inside the write;
+  * identity allocation is a per-row expression with per-partition
+  * strides — nothing scales with table size, only the metadata commit.
+  */
+object GeneratedColumns {
+
+  val GenerationExprKey = "delta.generationExpression"
+  val IdentityStartKey = "delta.identity.start"
+  val IdentityStepKey = "delta.identity.step"
+  val IdentityAllowExplicitKey = "delta.identity.allowExplicitInsert"
+  val IdentityHighWaterMarkKey = "delta.identity.highWaterMark"
+
+  final case class IdentitySpec(name: String, start: Long, step: Long,
+                                allowExplicit: Boolean, hwm: Option[Long]) {
+    /** Last value considered allocated; the next one is base + step. */
+    def base: Long = hwm.getOrElse(start - step)
+  }
+
+  def generatedOf(schema: StructType): Seq[(StructField, String)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains(GenerationExprKey) =>
+        f -> f.metadata.getString(GenerationExprKey)
+    }
+
+  def identityOf(schema: StructType): Seq[IdentitySpec] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains(IdentityStartKey) =>
+        IdentitySpec(f.name,
+          f.metadata.getLong(IdentityStartKey),
+          f.metadata.getLong(IdentityStepKey),
+          f.metadata.contains(IdentityAllowExplicitKey) &&
+            f.metadata.getBoolean(IdentityAllowExplicitKey),
+          if (f.metadata.contains(IdentityHighWaterMarkKey))
+            Some(f.metadata.getLong(IdentityHighWaterMarkKey)) else None)
+    }
+
+  def hasAny(schema: StructType): Boolean =
+    schema.fields.exists(f => f.metadata.contains(GenerationExprKey) ||
+      f.metadata.contains(IdentityStartKey))
+
+  /** Prepare an incoming DataFrame for a write into `target`: compute
+    * generated columns, allocate identity values, restore the target
+    * column order. Returns the prepared frame plus the identity specs
+    * this write ALLOCATED from (their bases are what the commit loop
+    * must verify against concurrent movement).
+    *
+    * NULL drives per-row semantics because Spark's INSERT resolution
+    * NULL-fills columns the statement omitted — by the time the engine
+    * sees the rows, "omitted" and "explicit NULL" are one value:
+    *   - generated column: NULL → computed; non-NULL → must equal the
+    *     expression (per-row check, delta's write-time contract);
+    *   - GENERATED ALWAYS identity: any non-NULL value refuses per-row;
+    *     NULLs allocate;
+    *   - BY DEFAULT identity: non-NULLs keep (the mark still advances
+    *     past them via [[hwmFromAdds]]); NULLs allocate. */
+  def prepareWrite(df: DataFrame, target: StructType): (DataFrame, Seq[IdentitySpec]) = {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, monotonically_increasing_id, raise_error, struct, to_json, when}
+    var out = df
+    generatedOf(target).foreach { case (f, genExpr) =>
+      val v = expr(genExpr).cast(f.dataType)
+      if (!out.columns.contains(f.name)) out = out.withColumn(f.name, v)
+      else {
+        val cols = out.columns.toSeq
+        out = out.withColumn(f.name,
+          when(col(f.name).isNull, v)
+            .when(col(f.name) <=> v, col(f.name))
+            .otherwise(raise_error(concat(
+              lit(s"delta: GENERATED ALWAYS AS column `${f.name}` must " +
+                s"equal ($genExpr); got row "),
+              to_json(struct(cols.map(col): _*)))).cast(f.dataType)))
+      }
+    }
+    val allocated = identityOf(target).flatMap { s =>
+      val alloc = (lit(s.base) + lit(s.step) *
+        (monotonically_increasing_id() + 1L)).cast(LongType)
+      if (!out.columns.contains(s.name)) {
+        out = out.withColumn(s.name, alloc)
+        Some(s)
+      } else if (s.allowExplicit) {
+        out = out.withColumn(s.name, when(col(s.name).isNull, alloc)
+          .otherwise(col(s.name)))
+        Some(s)
+      } else {
+        out = out.withColumn(s.name, when(col(s.name).isNull, alloc)
+          .otherwise(raise_error(concat(
+            lit(s"delta: `${s.name}` is GENERATED ALWAYS AS IDENTITY — " +
+              "explicit values are refused (BY DEFAULT is the opt-in); got "),
+            col(s.name).cast("string"))).cast(LongType)))
+        Some(s)
+      }
+    }
+    val names = out.columns.toSet
+    require(target.fieldNames.forall(names),
+      s"delta: write misses columns ${target.fieldNames.filterNot(names).toSeq}")
+    (out.select(target.fieldNames.toSeq.map(col): _*), allocated)
+  }
+
+  /** New high-water mark per identity column from the STAGED adds'
+    * footer stats (physical names under column mapping): the actual
+    * written extremum in the step's direction, clamped to never move
+    * backwards. Explicit BY DEFAULT writes advance it too — a later
+    * allocation must not collide with user-written ids. Columns whose
+    * staged files carry no stats (nothing written) report nothing. */
+  def hwmFromAdds(adds: Seq[org.json4s.JValue], target: StructType,
+                  physMap: Map[String, String]): Map[String, Long] =
+    identityOf(target).flatMap { s =>
+      val phys = physMap.getOrElse(s.name, s.name)
+      val extrema = adds.flatMap { a =>
+        (a \ "add" \ "stats") match {
+          case org.json4s.JString(st) => DeltaLog.parseStats(st).flatMap(p =>
+            if (s.step > 0) p.maxValues.get(phys) else p.minValues.get(phys))
+          case _ => None
+        }
+      }
+      if (extrema.isEmpty) None
+      else {
+        val written = if (s.step > 0) extrema.max else extrema.min
+        val next = if (s.step > 0) math.max(s.base, written)
+                   else math.min(s.base, written)
+        if (s.hwm.contains(next)) None else Some(s.name -> next)
+      }
+    }.toMap
+
+  /** Schema with the given identity high-water marks stamped. */
+  def withHwm(schema: StructType, updates: Map[String, Long]): StructType =
+    StructType(schema.fields.map { f =>
+      updates.get(f.name) match {
+        case None => f
+        case Some(v) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong(IdentityHighWaterMarkKey, v).build())
+      }
+    })
+}

@@ -107,6 +107,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       DeltaStreamDataSource.logSchema(p.toString, Some(v)), opts)
   }
 
+  /** The Column[] overload is where Spark delivers GENERATED ALWAYS AS
+    * (expr) and GENERATED ALWAYS AS IDENTITY specs (the default
+    * StructType conversion DROPS both) — stamp them into field metadata
+    * under delta-spark's keys so the log round-trips them and the write
+    * paths ([[DeltaTable]], [[GeneratedColumns]]) enforce/compute them. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val base = org.apache.spark.sql.graft.ColumnBridge
+      .v2ColumnsToStructType(columns)
+    val fields = base.fields.zip(columns).map { case (f, c) =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      Option(c.generationExpression()).foreach { e =>
+        mb.putString(GeneratedColumns.GenerationExprKey, e)
+      }
+      Option(c.identityColumnSpec()).foreach { s =>
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"graft catalog: identity column `${f.name}` must be BIGINT, " +
+            s"got ${f.dataType.catalogString}")
+        mb.putLong(GeneratedColumns.IdentityStartKey, s.getStart)
+        mb.putLong(GeneratedColumns.IdentityStepKey, s.getStep)
+        mb.putBoolean(GeneratedColumns.IdentityAllowExplicitKey,
+          s.isAllowExplicitInsert)
+      }
+      f.copy(metadata = mb.build())
+    }
+    createTable(ident, StructType(fields), partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -143,7 +174,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     // scoped honestly: property changes and additive top-level columns

@@ -33,6 +33,22 @@ case class SqlUpdateRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // INSERT INTO a table with generated/identity columns: by post-hoc
+    // time Spark has NULL-filled the omitted columns, so the v2 sink
+    // would land NULLs as real values. Route the resolved query through
+    // the engine's DataFrame write path instead, whose
+    // [[GeneratedColumns.prepareWrite]] computes/allocates per row
+    // (NULL → computed; the sink refuses these tables as the backstop).
+    case a: org.apache.spark.sql.catalyst.plans.logical.AppendData
+        if a.query.resolved && (a.table match {
+          case r: DataSourceV2Relation => r.table.isInstanceOf[DeltaStreamTable]
+          case _ => false
+        }) =>
+      val t = a.table.asInstanceOf[DataSourceV2Relation]
+        .table.asInstanceOf[DeltaStreamTable]
+      if (!GeneratedColumns.hasAny(t.schema())) a
+      else GraftGeneratedInsertCommand(t.path, a.query)
+
     case u @ UpdateTable(rel, assignments, condition) if u.resolved =>
       rel.collectFirst {
         case r: DataSourceV2Relation if r.table.isInstanceOf[DeltaStreamTable] =>
@@ -172,6 +188,18 @@ case class GraftUpdateCommand(path: String, set: Map[String, Column],
                               cond: Column) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     DeltaTable.update(spark, path, cond, set)
+    Seq.empty
+  }
+}
+
+/** INSERT INTO a generated/identity-column table, rerouted to the
+  * engine's append path (see the AppendData case above). */
+case class GraftGeneratedInsertCommand(path: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaTable.write(ColumnBridge.ofRows(spark, query), path,
+      org.apache.spark.sql.SaveMode.Append)
     Seq.empty
   }
 }

@@ -24,6 +24,15 @@ object ColumnBridge {
     spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(conf))
 
+  /** The `private[sql]` v2 Column[] → StructType conversion (keeps
+    * default-value metadata; generation/identity specs are the
+    * CALLER's to stamp — the util drops them). */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+    : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
+
   /** A DataFrame over an analyzed logical plan — the `private[sql]`
     * `Dataset.ofRows`, for extension rules that hand a resolved
     * sub-plan (e.g. a MERGE source) to engine APIs taking DataFrames. */

@@ -131,17 +131,35 @@ class DeletionVectorSpec extends SparkSpec {
 
   // ----------------------------------------------- UPDATE & maintenance
 
-  test("UPDATE on a DV'd file rewrites it and retires the vector") {
+  test("UPDATE stages only post-images; old rows go behind the vector") {
     val t = tmp()
     dvTable(t, 1 to 10)
     DeltaTable.delete(spark, t, col("id") <= 2)
+    val before = livePaths(t)
     DeltaTable.update(spark, t, col("id") === 9,
       Map("s" -> org.apache.spark.sql.functions.lit("updated")))
     val head = DeltaLog.snapshot(spark, t)
-    assert(head.files.forall(_.dv.isEmpty), "rewrite purges the DV")
+    // the original file survives with its vector EXTENDED (2 deleted +
+    // 1 updated-away); one new file holds the single post-image row
+    assert(before.subsetOf(head.files.map(_.path).toSet))
+    assert(head.files.exists(_.dv.exists(_.cardinality == 3L)),
+      s"expected merged dv of 3, got ${head.files.flatMap(_.dv)}")
+    val newFiles = head.files.filterNot(f => before(f.path))
+    assert(newFiles.size == 1 &&
+      newFiles.head.stats.exists(_.numRecords == 1L),
+      "UPDATE must stage exactly the post-image rows")
     val got = DeltaTable.read(spark, t).collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet
     assert(got === (3 to 10).map(i => (i, if (i == 9) "updated" else s"s$i")).toSet)
+    // a full-cover UPDATE retires the file outright
+    DeltaTable.update(spark, t, col("id") >= 0,
+      Map("s" -> org.apache.spark.sql.functions.lit("all")))
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.files.forall(_.dv.isEmpty),
+      "every pre-image row updated → files replaced, no vectors left")
+    assert(DeltaTable.read(spark, t).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+      === (3 to 10).map(i => (i, "all")).toSet)
   }
 
   test("purgeDeletionVectors rewrites only DV files, dataChange=false") {
