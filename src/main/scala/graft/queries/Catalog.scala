@@ -692,22 +692,10 @@ object Catalog {
     }
   }
 
-  /** Partitioned MERGE through the Delta log (q89): `documents` written
-    * to a scratch Delta table Hive-partitioned by `lang`, then ONE merge
-    * batch that exercises every upsert shape at once — in-place updates
-    * (doc_id % 7, n_chars bumped), cross-partition MOVES (doc_id % 21
-    * additionally re-langs to 'xx', so the row must leave its old Hive
-    * dir and land in a new one inside the same atomic commit), and
-    * inserts into a brand-new partition (shifted keys under lang 'new').
-    * The oracle replays the same merge relationally (anti-join ∪
-    * updates), so the gate proves the two-phase candidate selection
-    * (partition+stats pruning, then the contains-a-key probe) and the
-    * partition-aware re-staging lose no rows, duplicate no keys, and
-    * leave every row in the partition its lang says it belongs to.
-    * Scratch table deleted before returning (q80 convention). */
-  val q89PartitionedMerge: Q = Q(
-    "q89_partitioned_merge",
-    Some("""
+  /** Shared by q89 (rewrite-path merge) and q103 (deletion-vector
+    * merge): both must produce the SAME relational result — the DV
+    * mode changes only the physical commit shape. */
+  private val mergeOracle: String = """
       WITH updates AS (
         SELECT doc_id,
                CASE WHEN doc_id % 21 = 0 THEN 'xx' ELSE lang END AS lang,
@@ -725,7 +713,83 @@ object Catalog {
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM merged
-      GROUP BY lang""")) { (spark, dir) =>
+      GROUP BY lang"""
+
+  /** Deletion-vector MERGE (q103): q89's exact scenario — in-place
+    * updates, cross-partition moves, new-partition inserts — but with
+    * `delta.enableDeletionVectors=true` and driven through the
+    * multi-clause [[graft.sources.delta.DeltaTable.mergeInto]]: matched
+    * rows go behind per-file vectors, ONLY their post-images (plus the
+    * inserts) stage as new files, and no straddled file is rewritten
+    * (require-asserted: the original per-lang files all survive by
+    * path, each carrying a vector). Same oracle as q89 — DV mode may
+    * change only the commit's physical shape, never the rows. */
+  val q103DvMerge: Q = Q(
+    "q103_dv_merge",
+    Some(mergeOracle)) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.{DeltaLog, DeltaTable, MergeClause}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q103")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      DeltaTable.write(docs, t, SaveMode.Append, partitionBy = Seq("lang"))
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableDeletionVectors" -> "true"))
+      val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+      val src = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(21)) === 0, lit("xx"))
+            .otherwise(col("lang")).as("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("new").as("lang"), lit(500L).as("n_chars")))
+      DeltaTable.mergeInto(src, t, targetKey = "doc_id", sourceKey = "doc_id",
+        matched = Seq(MergeClause.Update(None, Map(
+          "lang" -> DeltaTable.src("lang"),
+          "n_chars" -> DeltaTable.src("n_chars")))),
+        notMatched = Seq(MergeClause.Insert(None, Map(
+          "doc_id" -> DeltaTable.src("doc_id"),
+          "lang" -> DeltaTable.src("lang"),
+          "n_chars" -> DeltaTable.src("n_chars")))))
+      val head = DeltaLog.snapshot(spark, t)
+      require(before.subsetOf(head.files.map(_.path).toSet),
+        "q103: a DV merge must not rewrite or drop the straddled files")
+      require(head.files.filter(f => before(f.path))
+          .forall(_.dv.exists(_.cardinality > 0)),
+        "q103: every original file holds matched rows → must carry a vector")
+      val agg = DeltaTable.read(spark, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Partitioned MERGE through the Delta log (q89): `documents` written
+    * to a scratch Delta table Hive-partitioned by `lang`, then ONE merge
+    * batch that exercises every upsert shape at once — in-place updates
+    * (doc_id % 7, n_chars bumped), cross-partition MOVES (doc_id % 21
+    * additionally re-langs to 'xx', so the row must leave its old Hive
+    * dir and land in a new one inside the same atomic commit), and
+    * inserts into a brand-new partition (shifted keys under lang 'new').
+    * The oracle replays the same merge relationally (anti-join ∪
+    * updates), so the gate proves the two-phase candidate selection
+    * (partition+stats pruning, then the contains-a-key probe) and the
+    * partition-aware re-staging lose no rows, duplicate no keys, and
+    * leave every row in the partition its lang says it belongs to.
+    * Scratch table deleted before returning (q80 convention). */
+  val q89PartitionedMerge: Q = Q(
+    "q89_partitioned_merge",
+    Some(mergeOracle)) { (spark, dir) =>
     import org.apache.spark.sql.SaveMode
     import graft.sources.delta.DeltaTable
     val scratch = java.nio.file.Files.createTempDirectory("graft_q89")
@@ -1613,7 +1677,7 @@ object Catalog {
         q92bMergeOnly,
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
         q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
-        q101GeneratedIdentity) ++
+        q101GeneratedIdentity, q103DvMerge) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

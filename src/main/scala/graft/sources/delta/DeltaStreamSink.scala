@@ -65,6 +65,16 @@ private[delta] class DeltaStreamingWrite(
       s"graft-delta sink: unsupported column type ${f.dataType.catalogString} " +
         s"for ${f.name}")
   }
+  // streaming into a generated/identity table would land the stream's
+  // literal values (incl. NULLs) without computing/allocating — refuse;
+  // foreachBatch + DeltaTable.appendWithTxn is the supported path (its
+  // write runs the per-row compute/allocate machinery)
+  DeltaLog.snapshot(spark, table).schemaJson
+    .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    .foreach(s => require(!GeneratedColumns.hasAny(s),
+      s"graft-delta sink: $table has generated/identity columns — stream " +
+        "via foreachBatch + DeltaTable.appendWithTxn, whose write path " +
+        "computes/allocates them per row"))
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {

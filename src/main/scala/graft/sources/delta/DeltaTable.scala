@@ -840,7 +840,11 @@ object DeltaTable {
         }
       val adds = stageData(merged, schema, tbl, fs, partitionBy = head.partitionColumns)
       val now = System.currentTimeMillis()
-      val removes = touched.map(f => removeAction(f.path, now))
+      // rewrite retires the inputs' vectors: removes carry them (CDF
+      // pre-image exactness), retired sidecars get retention tombstones
+      val removes = touched.map(f => removeAction(f.path, now, dv = f.dv)) ++
+        touched.flatMap(_.dv).filter(_.storageType != "i")
+          .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false))
       done = commit(spark, table, head.version + 1,
         commitInfoAction("MERGE", now) +: (cdc ++ removes ++ adds))
       if (!done) (cdc ++ adds).foreach { a =>
@@ -1022,8 +1026,13 @@ object DeltaTable {
           }
         }
       val touchedAll = touched ++ bsTouched
+      // DV mode: matched/by-source rows that fire a clause go behind
+      // per-file vectors; only post-images + inserts stage as new files
+      val useDv = dvEnabled(head) && touchedAll.nonEmpty
       val touchedDf =
         if (touchedAll.isEmpty) None
+        else if (useDv) Some(readFilesMeta(spark, table, schema,
+          head.partitionColumns, touchedAll))
         else Some(readFiles(spark, table, schema, head.partitionColumns, touchedAll))
       // ordered-clause machinery: first applicable clause index, -1 = none
       def firstIdx(conds: Seq[Option[Column]]): Column =
@@ -1060,12 +1069,20 @@ object DeltaTable {
               .otherwise(lit(-1)))
       }
       // survivors: carry-over (-1 in both branches) and update-clause
-      // rows, with updates applied; delete-clause rows drop out here
+      // rows, with updates applied; delete-clause rows drop out here.
+      // DV mode stages ONLY the fired updates' post-images — carry-over
+      // rows stay in their files behind the vectors.
       def keepOf(cn: String, upd: Seq[Int]): Column =
         upd.foldLeft(col(cn) === -1)((acc, i) => acc || col(cn) === i)
-      val rewritten = fired.map(_
-        .filter(keepOf(clauseCol, updateIdxs) && keepOf(bsCol, bsUpdateIdxs))
-        .select(schema.fieldNames.toSeq.map(applied): _*))
+      def oneOf(cn: String, idxs: Seq[Int]): Column =
+        idxs.foldLeft(lit(false))((acc, i) => acc || col(cn) === i)
+      val rewritten = fired.map { f =>
+        (if (useDv) f.filter(oneOf(clauseCol, updateIdxs) ||
+            oneOf(bsCol, bsUpdateIdxs))
+         else f.filter(keepOf(clauseCol, updateIdxs) &&
+            keepOf(bsCol, bsUpdateIdxs)))
+          .select(schema.fieldNames.toSeq.map(applied): _*)
+      }
       // inserts: source rows whose key exists in no touched file (the
       // probe guarantees every matching target key lives in `touched`)
       val matchedKeys = touchedDf.map(
@@ -1090,8 +1107,6 @@ object DeltaTable {
         if (!changeFeedEnabled(spark, head)) Seq.empty
         else {
           val ct = "_change_type"
-          def oneOf(cn: String, idxs: Seq[Int]): Column =
-            idxs.foldLeft(lit(false))((acc, i) => acc || col(cn) === i)
           val deleteIdxs = matched.zipWithIndex.collect {
             case (_: MergeClause.Delete, i) => i }
           val bsDeleteIdxs = notMatchedBySource.zipWithIndex.collect {
@@ -1123,12 +1138,31 @@ object DeltaTable {
       if (touchedAll.isEmpty && adds.isEmpty && cdc.isEmpty && txn.isEmpty)
         return
       val now = System.currentTimeMillis()
-      val removes = touchedAll.map(f => removeAction(f.path, now))
+      val (removes, freshDvs) =
+        if (!useDv)
+          // a rewrite retires its inputs' vectors: removes carry them
+          // (CDF pre-image exactness) and sidecars get tombstones
+          (touchedAll.map(f => removeAction(f.path, now, dv = f.dv)) ++
+            touchedAll.flatMap(_.dv).filter(_.storageType != "i")
+              .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false)),
+            Seq.empty[DvDescriptor])
+        else stageDvMarks(spark, table, touchedAll,
+          fired.get.filter(col(clauseCol) >= 0 || col(bsCol) >= 0), now)
+      val protocolActs =
+        if (!useDv) Seq.empty
+        else DeltaLog.protocolUpgrade(head, 3, 7, "deletionVectors",
+          activeLegacy = if (ColumnMapping.hasMapping(schema))
+            Set("columnMapping") else Set.empty)
       val txnActs = txn.map { case (a, v) => txnAction(a, v) }.toSeq
       done = commit(spark, table, head.version + 1,
-        commitInfoAction("MERGE", now) +: (txnActs ++ cdc ++ removes ++ adds))
-      if (!done) (cdc ++ adds).foreach { a =>
-        fs.delete(new Path(tbl, actionPath(a)), false)
+        commitInfoAction("MERGE", now) +:
+          (protocolActs ++ txnActs ++ cdc ++ removes ++ adds))
+      if (!done) {
+        (cdc ++ adds).foreach { a =>
+          fs.delete(new Path(tbl, actionPath(a)), false)
+        }
+        freshDvs.foreach(d => DeletionVectors.deleteFile(
+          spark.sparkContext.hadoopConfiguration, table, d))
       }
     }
   }
@@ -1154,13 +1188,74 @@ object DeltaTable {
         .map(_.toBoolean))
       .getOrElse(false)
 
-  /** `delta.enableDeletionVectors=true` routes [[delete]]'s straddled
-    * files through deletion-vector sidecars instead of file rewrites —
-    * the property is the OPT-IN (delta-spark's too), because a DV'd
-    * table demands DV-aware readers. No session override: writers and
-    * readers must agree table-durably. */
+  /** `delta.enableDeletionVectors=true` routes [[delete]]/[[update]]/
+    * [[mergeInto]]'s straddled files through deletion-vector sidecars
+    * instead of file rewrites — the property is the OPT-IN
+    * (delta-spark's too), because a DV'd table demands DV-aware
+    * readers. No session override: writers and readers must agree
+    * table-durably. */
   private def dvEnabled(head: DeltaLog.Snapshot): Boolean =
     head.configuration.get("delta.enableDeletionVectors").exists(_.toBoolean)
+
+  /** Shared DV-DML machinery: mark `affected`'s
+    * ([[DvFileCol]], [[DvRowCol]]) rows deleted in `files` by writing
+    * per-file vectors and return ((remove+re-add | whole-file remove |
+    * retired-sidecar tombstone) actions, this attempt's fresh sidecars
+    * for race cleanup). Indexes group per file and each group's task
+    * writes that file's sidecar — deleted-row BYTES never visit the
+    * driver, only the O(#files) descriptors do (delta-spark's DV
+    * shape). `affected` MUST come from a DV-filtered
+    * [[readFilesMeta]] read, so new indexes are disjoint from the old
+    * vector's and the sorted union merges exactly. A file absent from
+    * the results matched a probe but not this pass (nondeterministic
+    * predicate edge): it carries over untouched rather than removing
+    * unverified rows. A vector covering every physical row removes the
+    * file outright. */
+  private def stageDvMarks(spark: SparkSession, table: String,
+                           files: Seq[AddFile], affected: DataFrame,
+                           now: Long): (Seq[org.json4s.JValue], Seq[DvDescriptor]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val path = new Path(table, p)
+      path.getFileSystem(hconf).makeQualified(path).toString
+    }
+    val byQ = files.map(f => qualified(f.path) -> f).toMap
+    val oldDescs = byQ.collect { case (q, f) if f.dv.isDefined => q -> f.dv.get }
+    val numRecs = byQ.collect { case (q, f) if f.stats.isDefined =>
+      q -> f.stats.get.numRecords }
+    val bconf = CB.broadcastHadoopConf(spark, hconf)
+    val tableStr = table
+    val results: Array[(String, Option[DvDescriptor])] = affected
+      .select(col(DvFileCol), col(DvRowCol)).as[(String, Long)]
+      .groupByKey(_._1).mapGroups { (file, it) =>
+        val news = it.map(_._2).toArray
+        java.util.Arrays.sort(news)
+        val merged = oldDescs.get(file) match {
+          case Some(d) => DeletionVectors.union(
+            DeletionVectors.load(bconf.value.value, tableStr, d), news)
+          case None => news
+        }
+        if (numRecs.get(file).contains(merged.length.toLong)) (file, None)
+        else (file, Some(DeletionVectors.write(bconf.value.value,
+          tableStr, merged)))
+      }.collect()
+    val resultMap = results.toMap
+    val changed = files.filter(f => resultMap.contains(qualified(f.path)))
+    val acts = changed.flatMap { f =>
+      val rm = removeAction(f.path, now, dv = f.dv)
+      resultMap(qualified(f.path)) match {
+        case Some(d) => Seq(rm, addAction(f.path, f.size,
+          f.modificationTime, f.stats, f.partitionValues,
+          dataChange = true, dv = Some(d)))
+        case None => Seq(rm)
+      }
+    } ++ changed.flatMap(_.dv).filter(_.storageType != "i")
+      .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false))
+    (acts, results.flatMap(_._2).filter(_.storageType == "u").toSeq)
+  }
 
   /** Set (or overwrite) table properties by committing a metaData
     * re-emission with the merged configuration — the protocol's way to
@@ -1663,63 +1758,15 @@ object DeltaTable {
           (touched.map(f => removeAction(f.path, now, dv = f.dv)) ++
             dvTombstones(touched), adds0, Seq.empty[DvDescriptor])
         else {
-          import spark.implicits._
-          import org.apache.spark.sql.graft.{ColumnBridge => CB}
-          def qualified(p: String): String = {
-            val path = new Path(table, p)
-            path.getFileSystem(hconf).makeQualified(path).toString
-          }
-          val byQ = probedTouched.map(f => qualified(f.path) -> f).toMap
-          val oldDescs = byQ.collect { case (q, f) if f.dv.isDefined => q -> f.dv.get }
-          val numRecs = byQ.collect { case (q, f) if f.stats.isDefined =>
-            q -> f.stats.get.numRecords }
-          val bconf = CB.broadcastHadoopConf(spark, hconf)
-          val tableStr = table
-          // one pruned scan of only the predicate's columns + provenance;
-          // indexes group per file and each group's task writes that
-          // file's sidecar — deleted-row BYTES never visit the driver,
-          // only the O(#files) descriptors do (delta-spark's DV shape)
-          val results: Array[(String, Option[DvDescriptor])] =
-            readFilesMeta(spark, table, schema, head.partitionColumns,
-              probedTouched)
-              .filter(cond)
-              .select(col(DvFileCol), col(DvRowCol)).as[(String, Long)]
-              .groupByKey(_._1).mapGroups { (file, it) =>
-                val news = it.map(_._2).toArray
-                java.util.Arrays.sort(news)
-                // the probe read was DV-filtered, so new indexes are
-                // disjoint from the old vector's — union merges sorted
-                val merged = oldDescs.get(file) match {
-                  case Some(d) => DeletionVectors.union(
-                    DeletionVectors.load(bconf.value.value, tableStr, d), news)
-                  case None => news
-                }
-                // every physical row deleted → the file itself goes
-                if (numRecs.get(file).contains(merged.length.toLong))
-                  (file, None)
-                else
-                  (file, Some(DeletionVectors.write(bconf.value.value,
-                    tableStr, merged)))
-              }.collect()
-          val resultMap = results.toMap
-          // a probed file ABSENT from the results matched during the
-          // probe but not in this pass (nondeterministic predicate edge):
-          // carry it over untouched rather than removing unverified rows
-          val changed = probedTouched.filter(f =>
-            resultMap.contains(qualified(f.path)))
-          val acts = changed.flatMap { f =>
-            val rm = removeAction(f.path, now, dv = f.dv)
-            resultMap(qualified(f.path)) match {
-              case Some(d) => Seq(rm, addAction(f.path, f.size,
-                f.modificationTime, f.stats, f.partitionValues,
-                dataChange = true, dv = Some(d)))
-              case None => Seq(rm)
-            }
-          }
+          // one pruned scan of only the predicate's columns + provenance
+          val affected = readFilesMeta(spark, table, schema,
+            head.partitionColumns, probedTouched).filter(cond)
+          val (acts, fresh) =
+            stageDvMarks(spark, table, probedTouched, affected, now)
           (sureMatch.map(f => removeAction(f.path, now, dv = f.dv)) ++
-            dvTombstones(sureMatch) ++ dvTombstones(changed) ++ acts,
+            dvTombstones(sureMatch) ++ acts,
             adds0, // UPDATE's staged post-images; empty for DELETE
-            results.flatMap(_._2).filter(_.storageType == "u").toSeq)
+            fresh)
         }
       // first DV on the table upgrades the protocol to (3, 7) listing
       // the feature — down-level foreign readers then refuse instead of

@@ -326,6 +326,54 @@ class DeletionVectorSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === (4L to 10L))
   }
 
+  test("MERGE clauses take the DV path: vectors + post-images, no rewrite") {
+    import org.apache.spark.sql.functions.lit
+    val t = tmp()
+    dvTable(t, 1 to 10)
+    val before = livePaths(t)
+    // update ids 2,4; delete id 6; insert id 99
+    val src = Seq((2, "u2"), (4, "u4"), (6, "del"), (99, "new"))
+      .toDF("k", "v")
+    DeltaTable.mergeInto(src, t, targetKey = "id", sourceKey = "k",
+      matched = Seq(
+        MergeClause.Delete(Some(DeltaTable.src("v") === "del")),
+        MergeClause.Update(None, Map("s" -> DeltaTable.src("v")))),
+      notMatched = Seq(MergeClause.Insert(None,
+        Map("id" -> DeltaTable.src("k"), "s" -> DeltaTable.src("v")))))
+    val head = DeltaLog.snapshot(spark, t)
+    // original file survives with a 3-row vector (2 updated + 1 deleted)
+    assert(before.subsetOf(head.files.map(_.path).toSet),
+      "MERGE must not rewrite the straddled file")
+    assert(head.files.exists(_.dv.exists(_.cardinality == 3L)),
+      s"got ${head.files.flatMap(_.dv)}")
+    val newRows = head.files.filterNot(f => before(f.path))
+      .flatMap(_.stats.map(_.numRecords)).sum
+    assert(newRows == 3L, s"post-images + insert = 3 rows, got $newRows")
+    val got = DeltaTable.read(spark, t).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val expected = (1 to 10).filterNot(_ == 6).map {
+      case 2 => (2, "u2")
+      case 4 => (4, "u4")
+      case i => (i, s"s$i")
+    }.toSet + ((99, "new"))
+    assert(got === expected)
+    // protocol upgraded by the merge (first DV on the table)
+    assert(head.readerFeatures.contains("deletionVectors"))
+    // and a rewrite-path upsert (DeltaTable.merge) touching the DV'd
+    // file retires the vector cleanly: the remove carries it (CDF
+    // pre-image exactness), the rewritten file is vector-free, reads
+    // stay exact (id 7 still lives in the original file)
+    DeltaTable.merge(Seq((7, "uu7")).toDF("id", "s"), t, "id")
+    val afterUpsert = DeltaTable.read(spark, t).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(afterUpsert === expected - ((7, "s7")) + ((7, "uu7")))
+    val c = DeltaLog.readCommit(spark, t, DeltaLog.snapshot(spark, t).version)
+    assert(c.removes.exists(_.dv.exists(_.cardinality == 3L)),
+      "rewrite-path remove must carry the pre-image vector")
+    assert(DeltaLog.snapshot(spark, t).files.forall(_.dv.isEmpty),
+      "the rewrite replaced the only DV'd file")
+  }
+
   // ------------------------------------------------------------- vacuum
 
   test("vacuum keeps referenced sidecars, reclaims orphans and retired ones") {
