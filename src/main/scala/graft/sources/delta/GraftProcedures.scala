@@ -92,8 +92,17 @@ private[delta] object GraftProcedures {
       Seq("table" -> StringType, "target_table" -> StringType),
       unitProc((s, t, a) =>
         DeltaTable.cloneShallow(s, t, a(0).asInstanceOf[String]))),
+    Proc("purge_dvs",
+      "REORG APPLY (PURGE): rewrite only DV-bearing files without their " +
+        "deleted rows; returns the rewritten-file count",
+      Seq("table" -> StringType),
+      (s, t, _) => {
+        val n = DeltaTable.purgeDeletionVectors(s, t)
+        Some((StructType(Seq(StructField("purged_files", IntegerType))),
+          Array(InternalRow(n))))
+      }),
     Proc("detail",
-      "DESCRIBE DETAIL: version, file/byte counts, partitioning, properties",
+      "DESCRIBE DETAIL: version, file/byte counts, partitioning, DV counts, properties",
       Seq("table" -> StringType),
       (s, t, _) => {
         import org.apache.spark.unsafe.types.UTF8String
@@ -101,16 +110,21 @@ private[delta] object GraftProcedures {
         require(!head.isEmpty, s"delta: $t has no commits")
         val props = head.configuration.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString(",")
+        val dvs = head.files.flatMap(_.dv).filter(_.cardinality > 0)
         val row = InternalRow(
           head.version,
           head.files.size,
           head.files.map(_.size).sum,
+          dvs.size,
+          dvs.map(_.cardinality).sum,
           UTF8String.fromString(head.partitionColumns.mkString(",")),
           UTF8String.fromString(props))
         Some((StructType(Seq(
           StructField("version", LongType),
           StructField("num_files", IntegerType),
           StructField("size_bytes", LongType),
+          StructField("num_deletion_vectors", IntegerType),
+          StructField("deleted_rows", LongType),
           StructField("partition_columns", StringType),
           StructField("properties", StringType))), Array(row)))
       }),

@@ -401,6 +401,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ids(t) === (1 to 2000).filter(_ % 3 != 0).toSet)
   }
 
+  test("SQL maintenance surface: detail reports DVs, purge_dvs clears them") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_dvp").toString
+    spark.conf.set("spark.sql.catalog.gdvp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdvp.db")
+    spark.sql("""CREATE TABLE gdvp.db.t (id BIGINT, s STRING)
+                 TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')""")
+    spark.sql("INSERT INTO gdvp.db.t SELECT id, CAST(id AS STRING) " +
+      "FROM range(1, 9)")
+    spark.sql("DELETE FROM gdvp.db.t WHERE id IN (2, 5)")
+    val det = spark.sql("CALL gdvp.system.detail('db.t')").head()
+    assert(det.getInt(3) >= 1 && det.getLong(4) === 2L,
+      s"detail must report the vectors: $det")
+    val purged = spark.sql("CALL gdvp.system.purge_dvs('db.t')").head().getInt(0)
+    assert(purged >= 1)
+    val det2 = spark.sql("CALL gdvp.system.detail('db.t')").head()
+    assert(det2.getInt(3) === 0 && det2.getLong(4) === 0L)
+    assert(spark.sql("SELECT id FROM gdvp.db.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L, 6L, 7L, 8L))
+  }
+
   // ---------------------------------------------------------- streaming
 
   test("append tailing refuses a DV commit; snapshot re-read stays exact") {

@@ -219,7 +219,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(det.getLong(0) === DeltaLog.snapshot(spark, t).version)
     // post-restore state: v1's and v2's append files are live again
     assert(det.getInt(1) === 2 && det.getLong(2) > 0L)
-    assert(det.getString(4).contains("delta.enableChangeDataFeed=true"))
+    assert(det.getInt(3) === 0 && det.getLong(4) === 0L, "no DVs here")
+    assert(det.getString(6).contains("delta.enableChangeDataFeed=true"))
     // unknown procedure refuses with the available list
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.frobnicate('db6.t')")
