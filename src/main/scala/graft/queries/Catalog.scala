@@ -692,6 +692,51 @@ object Catalog {
     }
   }
 
+  /** q100's rewrite-mode sibling (q100b): the SAME two straddling
+    * DELETEs on the same 8-file layout with deletion vectors OFF — every
+    * straddled file rewrites, twice. Same oracle as q100 by
+    * construction; the bench pair q100-vs-q100b publishes the DV win
+    * (sidecar bytes vs full-file rewrites) as a tracked number. */
+  val q100bDeleteRewrite: Q = Q(
+    "q100b_delete_rewrite",
+    headline = true,
+    oracle = Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE doc_id % 10 <> 3 AND doc_id % 10 <> 7
+      GROUP BY lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q100b")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+      DeltaTable.write(docs, t, SaveMode.Append)
+      val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10)) === 3)
+      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10)) === 7)
+      val head = DeltaLog.snapshot(spark, t)
+      require(head.files.map(_.path).toSet.intersect(before).isEmpty,
+        "q100b: rewrite mode must replace every straddled file")
+      require(head.files.forall(_.dv.isEmpty), "q100b: no vectors here")
+      val agg = DeltaTable.read(spark, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Shared by q89 (rewrite-path merge) and q103 (deletion-vector
     * merge): both must produce the SAME relational result — the DV
     * mode changes only the physical commit shape. */
@@ -1677,7 +1722,7 @@ object Catalog {
         q92bMergeOnly,
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
         q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
-        q101GeneratedIdentity, q103DvMerge) ++
+        q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

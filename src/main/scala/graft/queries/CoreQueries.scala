@@ -96,6 +96,37 @@ object CoreQueries {
       .filter(col("prop_k") >= 50)
   }
 
+  /** q03's decode through Spark 4's native VARIANT type (q104):
+    * `parse_json` once into a variant column, then typed path
+    * extraction with `variant_get` / `try_variant_get` — the
+    * semi-structured path a modern lakehouse takes when the payload
+    * schema is open-ended (every Debezium envelope field the reference
+    * pulls with 7× get_json_object becomes one parse + cheap typed
+    * gets). `try_variant_get` of an absent path is NULL, not an error —
+    * pinned by the n_missing count staying zero. Oracle = DuckDB's
+    * JSON extraction over the same rows. */
+  val q104VariantJson: Q = Q(
+    "q104_variant_json",
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+               AS BIGINT) AS sum_k,
+             CAST(COUNT(CAST(json_extract_string(props, '$.missing')
+               AS INTEGER)) AS BIGINT) AS n_missing
+      FROM events
+      GROUP BY event_type""")) { (spark, dir) =>
+    table(spark, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        try_variant_get(col("v"), "$.missing", "int").as("missing"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).cast("long").as("sum_k"),
+        count(col("missing")).as("n_missing"))
+  }
+
   /** A1+J2: pre-aggregate the big (fact) side to one row per key *before*
     * the join (ref `read_delta.py:270,285`), then LEFT join so key-less
     * customers keep NULL stats (ref left-join null semantics §1.2). */
@@ -541,5 +572,6 @@ object CoreQueries {
     q05RegionRollup, q06BenefitReport, q07Masking, q08Validity,
     q09QualityChecks, q10TopkPerGroup, q11DistinctAgg, q12SetOps,
     q13SemiJoin, q14AntiJoin, q15HourlyEvents, q16Sessionize, q17RevenueTop,
-    q68RuntimeFiltered, q70CohortRetention, q72DashboardTiles)
+    q68RuntimeFiltered, q70CohortRetention, q72DashboardTiles,
+    q104VariantJson)
 }

@@ -490,10 +490,12 @@ object DeltaLog {
         var schemaJson: Option[String] = None
         var partCols: Option[Seq[String]] = None
         var metaId: Option[String] = None
+        var tailProtocol: Option[(Int, Int, Set[String])] = None
         var headV = cpV
         tailVs.foreach { v =>
           headV = v
           val c = readCommit(spark, table, v)
+          c.protocol.foreach(p => tailProtocol = Some(p))
           // same-commit re-adds supersede their removes (DV DELETE shape)
           val readded = c.adds.map(_.path).toSet
           c.adds.foreach(a => tailLive += a.path -> a)
@@ -510,6 +512,26 @@ object DeltaLog {
           if (metaId.isEmpty) metaId = c.metaDataId
         }
         val cpDf = spark.read.parquet(checkpointFile(tbl, cpV).toString)
+        // the protocol gate applies to the DISTRIBUTED replay too — a
+        // past-threshold table demanding an unimplemented reader must
+        // refuse here, not misread (the driver replay gates in snapshot)
+        val cpProto = if (!cpDf.columns.contains("protocol")) None else {
+          val hasFeats = cpDf.select("protocol.*").columns
+            .contains("readerFeatures")
+          cpDf.where(col("protocol").isNotNull)
+            .select(col("protocol.minReaderVersion"),
+              if (hasFeats) col("protocol.readerFeatures")
+              else org.apache.spark.sql.functions.lit(null)
+                .cast("array<string>").as("readerFeatures"))
+            .collect().headOption.map { r =>
+              (r.getInt(0),
+                if (r.isNullAt(1)) Set.empty[String]
+                else r.getSeq[String](1).toSet)
+            }
+        }
+        val effProto = tailProtocol.map(p => (p._1, p._3))
+          .orElse(cpProto).getOrElse((1, Set.empty[String]))
+        checkReadable(table, effProto._1, effProto._2)
         val metaRow = cpDf.where(col("metaData").isNotNull)
           .select(col("metaData.id"), col("metaData.schemaString"),
             col("metaData.partitionColumns"))

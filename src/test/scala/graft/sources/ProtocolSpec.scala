@@ -68,6 +68,20 @@ class ProtocolSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 7L)
   }
 
+  test("the distributed (pruned) replay gates the protocol too") {
+    val t = tmp()
+    DeltaTable.write((1 to 5).map(i => (i, s"s$i")).toDF("id", "s"),
+      t, SaveMode.Append)
+    DeltaLog.checkpoint(spark, t)
+    val head = DeltaLog.snapshot(spark, t)
+    assert(DeltaLog.commit(spark, t, head.version + 1, Seq(
+      DeltaLog.protocolAction(4, 7, Set.empty))))
+    val e = intercept[Exception] {
+      DeltaLog.prunedSnapshot(spark, t, Map.empty)
+    }
+    assert(e.getMessage.contains("requires reader protocol 4"), e.getMessage)
+  }
+
   test("tables demanding unimplemented versions or features refuse to read") {
     val t = tmp()
     DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)

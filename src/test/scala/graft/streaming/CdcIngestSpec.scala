@@ -157,6 +157,39 @@ class CdcIngestSpec extends SparkSpec {
     assert(head.txns.get("dm2").contains(0L))
   }
 
+  test("delta merge ingest over deletion vectors: same rows, no rewrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_dvmerge").toString
+    val t = s"$dir/t"
+    val s1 = MemoryStream[String]
+    s1.addData(env("c", 1, "run", 1000), env("c", 2, "walk", 1001),
+      env("c", 3, "bike", 1002))
+    CdcIngest.startIngestDeltaMerge(s1.toDF(), t, s"$dir/chk1",
+      appId = "dvm1", trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    graft.sources.delta.DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val before = graft.sources.delta.DeltaLog.snapshot(spark, t)
+      .files.map(_.path).toSet
+    val s2 = MemoryStream[String]
+    s2.addData(env("u", 2, "swim", 2000), env("d", 3, "bike", 2001),
+      env("c", 4, "hike", 2002))
+    CdcIngest.startIngestDeltaMerge(s2.toDF(), t, s"$dir/chk2",
+      appId = "dvm2", trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    val out = graft.sources.delta.DeltaTable.read(spark, t)
+    assert(out.select("id").collect().map(_.getInt(0)).toSet === Set(1, 2, 4))
+    assert(out.filter(col("id") === 2).select("sport_type").head().getString(0)
+      === "swim")
+    // the merge marked the old incarnations behind a vector — the
+    // bootstrap file survives by path — and carried the txn mark
+    val head = graft.sources.delta.DeltaLog.snapshot(spark, t)
+    assert(before.subsetOf(head.files.map(_.path).toSet),
+      "DV merge must not rewrite the bootstrap file")
+    assert(head.files.exists(_.dv.exists(_.cardinality == 2L)),
+      s"update+delete = 2 marked rows, got ${head.files.flatMap(_.dv)}")
+    assert(head.txns.get("dvm2").contains(0L))
+  }
+
   private def env(op: String, id: Int, sport: String, tsMs: Long): String = {
     val row = s"""{"id":$id,"id_employee":${id * 10},"first_name":"fn","last_name":"ln",""" +
       s""""start_datetime":1700000000000000,"sport_type":"$sport","distance":5,""" +
