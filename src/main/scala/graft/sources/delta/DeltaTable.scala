@@ -976,6 +976,21 @@ object DeltaTable {
         require(unknown.isEmpty,
           s"delta: merge clause assigns unknown columns $unknown")
       }
+      // generated/identity columns: update clauses augment like UPDATE
+      // (direct assignment refuses, dep assignments recompute in the
+      // same projection); insert clauses compute/equality-check
+      // generated values and demand explicit BY DEFAULT identity values
+      def augment(cs: Seq[MergeClause]): Seq[MergeClause] = cs.map {
+        case MergeClause.Update(c, s) => MergeClause.Update(c,
+          GeneratedColumns.augmentAssignments(spark, schema, s))
+        case other => other
+      }
+      val matchedA = augment(matched)
+      val bySourceA = augment(notMatchedBySource)
+      val notMatchedA =
+        if (!GeneratedColumns.hasAny(schema)) notMatched
+        else notMatched.map(i => MergeClause.Insert(i.condition,
+          GeneratedColumns.augmentInsertValues(spark, schema, i.values)))
       val touched =
         if (!hasKeys) Seq.empty[AddFile]
         else {
@@ -1056,14 +1071,14 @@ object DeltaTable {
                 .otherwise(acc)
             case (acc, _) => acc
           }
-        fold(fold(col(n), matched, clauseCol),
-          notMatchedBySource, bsCol).as(n)
+        fold(fold(col(n), matchedA, clauseCol),
+          bySourceA, bsCol).as(n)
       }
       val fired = touchedDf.map { t =>
         t.join(srcP, col(targetKey) === col(SrcPrefix + sourceKey), "left_outer")
           .withColumn(clauseCol,
             when(col(SrcPrefix + sourceKey).isNotNull,
-              firstIdx(matched.map(condOf))).otherwise(lit(-1)))
+              firstIdx(matchedA.map(condOf))).otherwise(lit(-1)))
           .withColumn(bsCol,
             when(col(SrcPrefix + sourceKey).isNull, firstIdx(bsConds))
               .otherwise(lit(-1)))
@@ -1090,10 +1105,10 @@ object DeltaTable {
       val unmatchedSrc = matchedKeys.fold(srcP)(k =>
         srcP.join(k, Seq(SrcPrefix + sourceKey), "left_anti"))
       val insFired = unmatchedSrc
-        .withColumn(clauseCol, firstIdx(notMatched.map(_.condition)))
+        .withColumn(clauseCol, firstIdx(notMatchedA.map(_.condition)))
         .filter(col(clauseCol) >= 0)
       val inserts = insFired.select(schema.fieldNames.toSeq.map { n =>
-        notMatched.zipWithIndex.foldLeft(lit(null).cast(schema(n).dataType)) {
+        notMatchedA.zipWithIndex.foldLeft(lit(null).cast(schema(n).dataType)) {
           case (acc, (MergeClause.Insert(_, vals), i)) if vals.contains(n) =>
             when(col(clauseCol) === i, vals(n).cast(schema(n).dataType))
               .otherwise(acc)
@@ -1645,7 +1660,15 @@ object DeltaTable {
       val head = snapshot(spark, table)
       if (head.isEmpty) return
       val schema = logSchema(head, table)
-      set.foreach { s =>
+      // generated columns: direct assignment refuses; assignments to
+      // their referenced columns RECOMPUTE them in the same projection
+      // (post-update values — the expression substitutes the
+      // assignments, delta's UPDATE semantics). Validation runs on the
+      // AUGMENTED map so a recomputed generated PARTITION column hits
+      // the partition-assign refusal, not a silent cross-dir move.
+      val setA = set.map(s =>
+        GeneratedColumns.augmentAssignments(spark, schema, s))
+      setA.foreach { s =>
         val unknown = s.keySet -- schema.fieldNames
         require(unknown.isEmpty, s"delta: update assigns unknown columns $unknown")
         val parts = s.keySet.filter(head.partitionColumns.contains)
@@ -1711,7 +1734,7 @@ object DeltaTable {
       // rows' post-images as new files — commit cost O(matched rows),
       // not O(bytes of every straddled file), delta's DV DML shape.
       val useDv = dvEnabled(head) && probedTouched.nonEmpty
-      val rewritten = set match {
+      val rewritten = setA match {
         case None =>
           // DELETE never creates rows: survivors already satisfied every
           // constraint, no enforcement pass needed
@@ -1729,7 +1752,7 @@ object DeltaTable {
       }
       val cdc =
         if (!changeFeedEnabled(spark, head)) Seq.empty
-        else stageChangeData(set match {
+        else stageChangeData(setA match {
           case None => matched.withColumn("_change_type", lit("delete"))
           case Some(s) =>
             matched.withColumn("_change_type", lit("update_preimage"))
@@ -2151,14 +2174,28 @@ object DeltaTable {
     * Single-writer maintenance op (same contract as upstream OPTIMIZE vs
     * concurrent writers). */
   def optimize(spark: SparkSession, table: String, zorderBy: Seq[String],
-               nFiles: Int): Unit = {
+               nFiles: Int,
+               partitionFilter: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.col
     require(zorderBy.size >= 2, "optimize: z-order needs >= 2 columns")
     val head = snapshot(spark, table)
     require(!head.isEmpty, s"delta: $table has no commits")
+    // OPTIMIZE WHERE: scope the pass to matching partitions — the 100 TB
+    // operational shape is "re-cluster this month's partition", not a
+    // full-table rewrite (same contract as compactFiles' filter)
+    require(partitionFilter.keySet.subsetOf(head.partitionColumns.toSet),
+      s"delta: ${partitionFilter.keySet} not all partition columns " +
+        s"${head.partitionColumns}")
+    val pfMap = ColumnMapping.physMap(logSchema(head, table))
+    val physPf = partitionFilter.map { case (k, v) => pfMap.getOrElse(k, k) -> v }
+    val scope = head.files.filter(f =>
+      physPf.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+    if (scope.isEmpty) return
     val laid = graft.operators.ZOrder.layoutN(
-      read(spark, table), zorderBy.map(col), nFiles)
-    maintenanceRewrite(spark, table, head, laid, head.files)
+      readFiles(spark, table, logSchema(head, table), head.partitionColumns,
+        scope),
+      zorderBy.map(col), nFiles)
+    maintenanceRewrite(spark, table, head, laid, scope)
   }
 
   /** REORG TABLE ... APPLY (PURGE): rewrite ONLY the files carrying a

@@ -147,6 +147,82 @@ object GeneratedColumns {
       }
     }.toMap
 
+  /** Augment an UPDATE/MERGE assignment map so generated columns stay
+    * consistent: direct assignment to a generated column REFUSES
+    * (delta's rule — the expression owns the value), and every
+    * generated column whose expression references an assigned column
+    * is RECOMPUTED with the post-update values — the generation
+    * expression's attribute references substitute to the assignment
+    * expressions, so `SET n = n + 1` yields `n2 = (n + 1) * 2` in the
+    * same projection, never a second pass. Identity columns refuse
+    * assignment outright (their values never change after allocation). */
+  def augmentAssignments(spark: org.apache.spark.sql.SparkSession,
+                         target: StructType,
+                         set: Map[String, org.apache.spark.sql.Column])
+      : Map[String, org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    identityOf(target).foreach(s => require(!set.contains(s.name),
+      s"delta: cannot UPDATE identity column `${s.name}`"))
+    val gens = generatedOf(target)
+    gens.foreach { case (f, _) => require(!set.contains(f.name),
+      s"delta: cannot UPDATE generated column `${f.name}` directly — its " +
+        "value is GENERATED ALWAYS AS; update the referenced columns") }
+    val recomputed = gens.flatMap { case (f, genExpr) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(genExpr)
+      val deps = parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.toSet
+      if (deps.intersect(set.keySet).isEmpty) None
+      else Some(f.name -> CB.column(parsed.transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if set.contains(a.name) => CB.expression(set(a.name))
+      }).cast(f.dataType))
+    }
+    set ++ recomputed
+  }
+
+  /** MERGE INSERT values through generated/identity columns: absent
+    * generated columns COMPUTE from the insert values (expression
+    * attributes substitute to the assigned value expressions; deps the
+    * clause leaves unassigned read as NULL, matching "unassigned target
+    * columns insert NULL"); provided ones must equal the computation
+    * per row. Identity columns must be explicitly assigned — and only
+    * BY DEFAULT tables accept explicit values — because MERGE has no
+    * allocation commit machinery; route pure inserts through the
+    * append path instead. */
+  def augmentInsertValues(spark: org.apache.spark.sql.SparkSession,
+                          target: StructType,
+                          values: Map[String, org.apache.spark.sql.Column])
+      : Map[String, org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{lit, raise_error, when, concat}
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    identityOf(target).foreach { s =>
+      require(values.contains(s.name) && s.allowExplicit,
+        s"delta: MERGE INSERT into identity column `${s.name}` needs an " +
+          "explicit value on a GENERATED BY DEFAULT table — allocation is " +
+          "the append path's (DeltaTable.write)")
+    }
+    val gens = generatedOf(target).map { case (f, genExpr) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(genExpr)
+      val computed = CB.column(parsed.transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          CB.expression(values.get(a.name)
+            .getOrElse(lit(null)).cast(target(a.name).dataType))
+      }).cast(f.dataType)
+      values.get(f.name) match {
+        case None => f.name -> computed
+        case Some(v) =>
+          val vc = v.cast(f.dataType)
+          f.name -> when(vc <=> computed, vc).otherwise(raise_error(concat(
+            lit(s"delta: GENERATED ALWAYS AS column `${f.name}` must equal " +
+              s"($genExpr) in MERGE INSERT; got "),
+            vc.cast("string"))).cast(f.dataType))
+      }
+    }
+    values ++ gens
+  }
+
   /** Schema with the given identity high-water marks stamped. */
   def withHwm(schema: StructType, updates: Map[String, Long]): StructType =
     StructType(schema.fields.map { f =>

@@ -324,6 +324,11 @@ class DeletionVectorSpec extends SparkSpec {
       .exists(_.dv.exists(_.cardinality > 0)))
     assert(spark.sql("SELECT id FROM gdv.db.t ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === (4L to 10L))
+    // SQL time travel below the DV delete reads the pre-image through
+    // the same DSv2 scan (no vector at that version)
+    val preV = DeltaLog.snapshot(spark, path).version - 1
+    assert(spark.sql(s"SELECT id FROM gdv.db.t VERSION AS OF $preV")
+      .collect().map(_.getLong(0)).toSet === (1L to 10L).toSet)
   }
 
   test("MERGE clauses take the DV path: vectors + post-images, no rewrite") {

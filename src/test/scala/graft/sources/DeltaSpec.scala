@@ -442,6 +442,32 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t, versionAsOf = Some(1L)).count() === 400L)
   }
 
+  test("OPTIMIZE WHERE: z-order scoped to one partition, others untouched") {
+    val t = tmp()
+    (0 to 1).foreach { p =>
+      val rows = (0 until 200).map(i => (i % 97, (i * 31) % 89, p))
+      // two interleaved files per partition
+      DeltaTable.write(rows.take(100).toDF("x", "y", "p").coalesce(1),
+        t, SaveMode.Append, partitionBy = Seq("p"))
+      DeltaTable.write(rows.drop(100).toDF("x", "y", "p").coalesce(1),
+        t, SaveMode.Append, partitionBy = Seq("p"))
+    }
+    val untouched = DeltaLog.snapshot(spark, t).files
+      .filter(_.partitionValues.get("p").contains("0")).map(_.path).toSet
+    DeltaTable.optimize(spark, t, Seq("x", "y"), nFiles = 4,
+      partitionFilter = Map("p" -> "1"))
+    val head = DeltaLog.snapshot(spark, t)
+    assert(untouched.subsetOf(head.files.map(_.path).toSet),
+      "partition 0's files must carry over with no action")
+    assert(head.files.count(_.partitionValues.get("p").contains("1")) === 4)
+    assert(DeltaTable.read(spark, t).count() === 400L)
+    // filter keys must be partition columns
+    val e = intercept[Exception] {
+      DeltaTable.optimize(spark, t, Seq("x", "y"), 4, Map("x" -> "1"))
+    }
+    assert(e.getMessage.contains("partition columns"))
+  }
+
   test("validated ingest: passing batches commit, failing batches quarantine whole") {
     import graft.operators.Expectations._
     val dir = java.nio.file.Files.createTempDirectory("vingest").toString
