@@ -294,13 +294,37 @@ private[delta] class DeltaScanBuilder(
 private[delta] class DeltaStreamScan(
     tableSchema: StructType, readSchemaPruned: StructType,
     filters: Array[sources.Filter],
-    options: CaseInsensitiveStringMap) extends Scan {
+    options: CaseInsensitiveStringMap) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = readSchemaPruned
+
+  /** Runtime (DPP-style) filtering: Spark hands predicates computed at
+    * EXECUTION time (e.g. the build side's join keys) and re-plans;
+    * they join the pushed set for log-level file skipping — a
+    * partitioned fact scan joined to a filtered dimension then opens
+    * only the partitions the dimension actually references. All columns
+    * are fair game because the skipping engine prunes on stats AND
+    * partitionValues; unconvertible predicates drop (pruning-only,
+    * Spark re-applies everything row-level). */
+  override def filterAttributes()
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns of the PRUNED read schema: Spark resolves these
+    // against the scan's output, which column pruning already shrank
+    readSchemaPruned.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+    : Unit =
+    batchScan.addRuntimeFilters(
+      org.apache.spark.sql.graft.ColumnBridge.predicatesToV1(predicates))
   override def description(): String =
     s"graft-delta ${DeltaStreamDataSource.tablePath(options)} " +
       s"PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${readSchemaPruned.catalogString}"
-  override def toBatch: Batch = {
+  // ONE batch scan instance: statistics and execution must describe the
+  // same pinned snapshot (and pay one log replay, not two)
+  private lazy val batchScan: DeltaBatchScan = {
     // batch CDF is DeltaTable.readChangeFeed(spark, table, from, to) —
     // the DSv2 batch path reads the CURRENT snapshot and would silently
     // NULL the meta columns if allowed through
@@ -311,6 +335,26 @@ private[delta] class DeltaStreamScan(
     new DeltaBatchScan(path, tableSchema, readSchemaPruned, filters,
       DeltaStreamDataSource.asOfVersion(options, path))
   }
+  override def toBatch: Batch = batchScan
+
+  /** Log-derived statistics over the FILTER-PRUNED live set: bytes from
+    * add-action sizes, rows from add-action numRecords minus deletion-
+    * vector cardinalities — what makes Spark's broadcast-join threshold
+    * and AQE work on graft-delta relations without an ANALYZE pass (a
+    * DSv2 scan without stats reports defaultSizeInBytes = "huge", so a
+    * KB-sized dimension table would shuffle-join forever). Streaming
+    * (CDF-mode) bindings report unknown. */
+  override def estimateStatistics()
+    : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private lazy val est: (Long, Option[Long]) =
+        if (DeltaStreamDataSource.cdfMode(options)) (Long.MaxValue, None)
+        else batchScan.estimate
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(est._1)
+      override def numRows(): java.util.OptionalLong =
+        est._2.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(DeltaStreamDataSource.versionAsOf(options).isEmpty &&
         options.get("timestampAsOf") == null,
@@ -651,16 +695,46 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     schema.fields.filter(f => partCols.contains(f.name))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Runtime filters land after planning starts ([[DeltaStreamScan
+    * .filter]]) and re-prune on the NEXT [[planInputPartitions]] call —
+    * which is why [[livePruned]] is a def over the cached snapshot, not
+    * a cached list. */
+  @volatile private var runtimeFilters: Array[sources.Filter] = Array.empty
+  private[delta] def addRuntimeFilters(fs: Array[sources.Filter]): Unit =
+    runtimeFilters = runtimeFilters ++ fs
+
+  /** Pushed-filter-pruned live file set — shared by partition planning
+    * and the statistics estimate (same pinned snapshot, same pruning). */
+  @transient private def livePruned: Seq[DeltaLog.AddFile] = {
     val head = snap
     val logSchema = logSchemaOf(head)
     // column mapping: stats + partitionValues are keyed physically
     val pred = ColumnMapping.physicalExpr(
-      DeltaBatchScan.filtersToPredicate(filters), logSchema)
+      DeltaBatchScan.filtersToPredicate(filters ++ runtimeFilters), logSchema)
     val skipSchema = if (ColumnMapping.hasMapping(logSchema))
       ColumnMapping.physicalSchema(logSchema) else logSchema
-    val live = head.files
+    head.files
       .filter(f => DataSkipping.mayMatchWithPartitions(f, pred, skipSchema))
+  }
+
+  /** (bytes, rows) of the pruned set, from the log alone: add-action
+    * sizes; numRecords minus DV cardinalities (rows None when any file
+    * lacks stats — a wrong row count misleads the optimizer harder than
+    * an absent one). */
+  private[delta] def estimate: (Long, Option[Long]) = {
+    val bytes = livePruned.map(_.size).sum
+    val rows =
+      if (livePruned.nonEmpty && livePruned.forall(_.stats.isDefined))
+        Some(livePruned.map(f => f.stats.get.numRecords -
+          f.dv.map(_.cardinality).getOrElse(0L)).sum)
+      else if (livePruned.isEmpty) Some(0L)
+      else None
+    (math.max(bytes, 1L), rows)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val head = snap
+    val live = livePruned
     val pf = partFields(head)
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val openCost = spark.sessionState.conf.filesOpenCostInBytes

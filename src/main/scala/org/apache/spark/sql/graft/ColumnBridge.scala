@@ -33,6 +33,14 @@ object ColumnBridge {
     org.apache.spark.sql.connector.catalog.CatalogV2Util
       .v2ColumnsToStructType(cols)
 
+  /** The `private[sql]` DSv2 Predicate → V1 Filter conversion (runtime
+    * filtering hands V2 predicates; the skipping engine speaks V1).
+    * Unconvertible predicates drop — sound for PRUNING only. */
+  def predicatesToV1(
+      preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+    : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(preds)
+
   /** A DataFrame over an analyzed logical plan — the `private[sql]`
     * `Dataset.ofRows`, for extension rules that hand a resolved
     * sub-plan (e.g. a MERGE source) to engine APIs taking DataFrames. */

@@ -212,4 +212,56 @@ class DeltaBatchReadSpec extends SparkSpec {
     assert(chain(e).contains("readChangeFeed"),
       s"must point at the batch API: ${chain(e)}")
   }
+
+  test("log statistics drive broadcast planning; DV rows excluded from the count") {
+    val root = java.nio.file.Files.createTempDirectory("dstats").toString
+    val dim = s"$root/dim"
+    DeltaTable.write((1 to 50).map(i => (i, s"name$i")).toDF("k", "name"),
+      dim, SaveMode.Append)
+    // a KB-sized graft-delta dimension joined to a larger fact must
+    // BROADCAST (without stats, DSv2 reports defaultSizeInBytes = huge
+    // and Spark shuffle-joins); no hint anywhere
+    val fact = spark.range(0, 200000)
+      .selectExpr("CAST(id % 50 + 1 AS INT) AS k", "id AS v")
+    val joined = fact.join(spark.read.format("graft-delta").load(dim), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join from log stats, got:\n$plan")
+    assert(joined.count() === 200000L)
+    // the reported row count subtracts deletion vectors
+    DeltaTable.setProperties(spark, dim,
+      Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.delete(spark, dim, col("k") <= 10)
+    val scan = new DeltaBatchScan(dim,
+      DeltaStreamDataSource.logSchema(dim),
+      DeltaStreamDataSource.logSchema(dim), Array.empty)
+    val (bytes, rows) = scan.estimate
+    assert(bytes > 0L)
+    assert(rows.contains(40L), s"50 - 10 DV'd rows, got $rows")
+  }
+
+  test("runtime V2 filters re-prune partitions (the DPP seam)") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val root = java.nio.file.Files.createTempDirectory("drt").toString
+    val t = s"$root/t"
+    (0 to 3).foreach { p =>
+      DeltaTable.write((1 to 10).map(i => (i, p)).toDF("id", "p").coalesce(1),
+        t, SaveMode.Append, partitionBy = Seq("p"))
+    }
+    val scan = new DeltaScanBuilder(
+      DeltaStreamDataSource.logSchema(t),
+      new CaseInsensitiveStringMap(java.util.Map.of("path", t))).build()
+    val batch0 = scan.toBatch.planInputPartitions().length
+    assert(batch0 >= 4, s"one partition per Hive dir at least, got $batch0")
+    // Spark hands the build side's keys at execution: p = 2
+    scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+      .filter(Array(new Predicate("=",
+        Array(Expressions.column("p"),
+          org.apache.spark.sql.connector.expressions.Expressions.literal(2)))))
+    val batch1 = scan.toBatch.planInputPartitions().length
+    assert(batch1 < batch0 && batch1 >= 1,
+      s"runtime filter must shrink the plan: $batch0 -> $batch1")
+  }
 }
