@@ -2216,6 +2216,48 @@ object DeltaTable {
     dvFiles.size
   }
 
+  /** `ALTER TABLE ... SYNC IDENTITY` (delta's spelling): recompute each
+    * identity column's high-water mark from the DATA — one aggregate
+    * scan per call — and commit the metaData when any mark moves in the
+    * step's direction. The escape hatch after bulk BY-DEFAULT loads
+    * whose explicit ids outran the recorded mark through paths that do
+    * not track it (e.g. a RESTORE to an older metaData). Marks never
+    * regress: ids may have been handed out from the current one.
+    * Returns the updated (column → mark) map, empty when in sync. */
+  def syncIdentity(spark: SparkSession, table: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    var attempts = 0
+    var result = Map.empty[String, Long]
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: syncIdentity gave up after $attempts conflicts")
+      val head = snapshot(spark, table)
+      require(!head.isEmpty, s"delta: $table has no commits")
+      val schema = logSchema(head, table)
+      val specs = GeneratedColumns.identityOf(schema)
+      require(specs.nonEmpty, s"delta: $table has no identity columns")
+      val aggs = specs.map(s =>
+        (if (s.step > 0) max(col(s.name)) else min(col(s.name))).as(s.name))
+      val row = read(spark, table).agg(aggs.head, aggs.tail: _*).head()
+      val updates = specs.zipWithIndex.flatMap { case (s, i) =>
+        if (row.isNullAt(i)) None // empty table / all-null: nothing written
+        else {
+          val written = row.getLong(i)
+          val advanced = if (s.step > 0) written > s.base else written < s.base
+          if (advanced) Some(s.name -> written) else None
+        }
+      }.toMap
+      result = updates
+      if (updates.isEmpty) return result
+      done = commit(spark, table, head.version + 1, Seq(
+        commitInfoAction("SYNC IDENTITY"),
+        metaDataAction(GeneratedColumns.withHwm(schema, updates).json,
+          head.partitionColumns, head.metaDataId, head.configuration)))
+    }
+    result
+  }
+
   /** Version history as (version, n_adds, n_removes) — the debugging /
     * audit view (`DESCRIBE HISTORY`'s skeleton; [[describeHistory]] is
     * the full form). */

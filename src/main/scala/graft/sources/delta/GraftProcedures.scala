@@ -92,6 +92,19 @@ private[delta] object GraftProcedures {
       Seq("table" -> StringType, "target_table" -> StringType),
       unitProc((s, t, a) =>
         DeltaTable.cloneShallow(s, t, a(0).asInstanceOf[String]))),
+    Proc("sync_identity",
+      "recompute identity high-water marks from the data (never regresses)",
+      Seq("table" -> StringType),
+      (s, t, _) => {
+        import org.apache.spark.unsafe.types.UTF8String
+        val updated = DeltaTable.syncIdentity(s, t)
+        Some((StructType(Seq(
+          StructField("column", StringType),
+          StructField("high_water_mark", LongType))),
+          updated.toSeq.sortBy(_._1).map { case (c, v) =>
+            InternalRow(UTF8String.fromString(c), v)
+          }.toArray))
+      }),
     Proc("purge_dvs",
       "REORG APPLY (PURGE): rewrite only DV-bearing files without their " +
         "deleted rows; returns the rewritten-file count",
