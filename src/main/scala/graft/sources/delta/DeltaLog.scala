@@ -108,7 +108,8 @@ object DeltaLog {
       configuration: Map[String, String] = Map.empty,
       minReaderVersion: Int = 1,
       minWriterVersion: Int = 2,
-      readerFeatures: Set[String] = Set.empty) {
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty) {
     def isEmpty: Boolean = version < 0
   }
 
@@ -119,6 +120,30 @@ object DeltaLog {
     * vectors and resurrecting deleted rows). */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping")
+
+  /** Writer features whose invariants this engine MAINTAINS when it
+    * writes. Legacy (writer 2-6) capabilities appear here under their
+    * feature names because writer-version-7 tables list them
+    * explicitly. A foreign table demanding one outside this set
+    * refuses to accept OUR commits — writing while ignoring a feature
+    * (say, row tracking) silently breaks the invariant every other
+    * writer maintains. */
+  val SupportedWriterFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "identityColumns",
+    "generatedColumns", "allowColumnDefaults", "checkConstraints",
+    "invariants", "appendOnly", "changeDataFeed", "timestampNtz")
+
+  private[delta] def checkWritable(table: String, head: Snapshot): Unit = {
+    require(head.minWriterVersion <= 7,
+      s"delta: $table requires writer protocol ${head.minWriterVersion}; " +
+        "this engine writes up to 7")
+    val unknown = head.writerFeatures -- SupportedWriterFeatures
+    require(unknown.isEmpty,
+      s"delta: $table requires writer features $unknown this engine does " +
+        "not maintain — refusing to write (a commit ignoring them would " +
+        s"silently break other writers' invariants; supported: " +
+        s"$SupportedWriterFeatures)")
+  }
 
   private[delta] def checkReadable(table: String, minReader: Int,
                                    features: Set[String]): Unit = {
@@ -162,7 +187,7 @@ object DeltaLog {
       timestampMs: Long = 0L,
       cdcFiles: Seq[CdcFile] = Seq.empty,
       configuration: Option[Map[String, String]] = None,
-      protocol: Option[(Int, Int, Set[String])] = None) {
+      protocol: Option[(Int, Int, Set[String], Set[String])] = None) {
     // removes carrying dataChange=true — an overwrite/merge, which an
     // append-only tailer cannot represent (a compaction's
     // dataChange=false removes it simply skips)
@@ -186,7 +211,7 @@ object DeltaLog {
     var operation: Option[String] = None
     var timestamp = 0L
     var configuration: Option[Map[String, String]] = None
-    var protocol: Option[(Int, Int, Set[String])] = None
+    var protocol: Option[(Int, Int, Set[String], Set[String])] = None
     def dataChangeOf(j: JValue): Boolean = j match {
       case JBool(b) => b
       case _ => true // protocol default when absent
@@ -271,11 +296,13 @@ object DeltaLog {
       (j \ "protocol" \ "minReaderVersion") match {
         case JInt(mr) =>
           val mw = longOf(j \ "protocol" \ "minWriterVersion", 2L).toInt
-          val feats = (j \ "protocol" \ "readerFeatures") match {
-            case JArray(fs) => fs.collect { case JString(s) => s }.toSet
-            case _ => Set.empty[String]
-          }
-          protocol = Some((mr.toInt, mw, feats))
+          def feats(field: String): Set[String] =
+            (j \ "protocol" \ field) match {
+              case JArray(fs) => fs.collect { case JString(s) => s }.toSet
+              case _ => Set.empty[String]
+            }
+          protocol = Some((mr.toInt, mw,
+            feats("readerFeatures"), feats("writerFeatures")))
         case _ => ()
       }
     }
@@ -342,7 +369,7 @@ object DeltaLog {
     val txns = scala.collection.mutable.Map.empty[String, Long]
     var metaId: Option[String] = None
     var configuration: Map[String, String] = Map.empty
-    var protocol: (Int, Int, Set[String]) = (1, 2, Set.empty)
+    var protocol: (Int, Int, Set[String], Set[String]) = (1, 2, Set.empty, Set.empty)
     val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     cp.foreach { cpV =>
       import org.apache.spark.sql.Row
@@ -385,13 +412,14 @@ object DeltaLog {
         struct("txn").foreach(t =>
           txns += t.getAs[String]("appId") -> t.getAs[Long]("version"))
         struct("protocol").foreach { p =>
-          // checkpoints from before the features column stay readable
-          val feats =
-            if (!p.schema.fieldNames.contains("readerFeatures") ||
-                p.isNullAt(p.fieldIndex("readerFeatures"))) Set.empty[String]
-            else p.getSeq[String](p.fieldIndex("readerFeatures")).toSet
+          // checkpoints from before the features columns stay readable
+          def feats(field: String): Set[String] =
+            if (!p.schema.fieldNames.contains(field) ||
+                p.isNullAt(p.fieldIndex(field))) Set.empty[String]
+            else p.getSeq[String](p.fieldIndex(field)).toSet
           protocol = (p.getAs[Int]("minReaderVersion"),
-            p.getAs[Int]("minWriterVersion"), feats)
+            p.getAs[Int]("minWriterVersion"),
+            feats("readerFeatures"), feats("writerFeatures"))
         }
       }
     }
@@ -419,7 +447,7 @@ object DeltaLog {
     checkReadable(table, protocol._1, protocol._3)
     Snapshot(vs.lastOption.orElse(cp).getOrElse(-1L), files.values.toSeq,
       schemaJson, txns.toMap, partCols, metaId, tombstones.toMap, configuration,
-      protocol._1, protocol._2, protocol._3)
+      protocol._1, protocol._2, protocol._3, protocol._4)
   }
 
   /** Driver-bounded partition-pruned file listing — the documented
@@ -490,7 +518,7 @@ object DeltaLog {
         var schemaJson: Option[String] = None
         var partCols: Option[Seq[String]] = None
         var metaId: Option[String] = None
-        var tailProtocol: Option[(Int, Int, Set[String])] = None
+        var tailProtocol: Option[(Int, Int, Set[String], Set[String])] = None
         var headV = cpV
         tailVs.foreach { v =>
           headV = v
@@ -652,7 +680,8 @@ object DeltaLog {
   // path with a per-checkpoint "Expr codegen error" warning — a per-row
   // slowdown at millions of add entries)
   private[delta] case class CpProtocol(minReaderVersion: Int, minWriterVersion: Int,
-                                       readerFeatures: Seq[String] = null)
+                                       readerFeatures: Seq[String] = null,
+                                       writerFeatures: Seq[String] = null)
   private[delta] case class CpMetaData(id: String, schemaString: String,
                                        partitionColumns: Seq[String],
                                        configuration: Map[String, String])
@@ -709,7 +738,9 @@ object DeltaLog {
     val rows =
       CpRow(Some(CpProtocol(head.minReaderVersion, head.minWriterVersion,
         if (head.readerFeatures.isEmpty) null
-        else head.readerFeatures.toSeq.sorted)), None, None, None, None) +:
+        else head.readerFeatures.toSeq.sorted,
+        if (head.writerFeatures.isEmpty) null
+        else head.writerFeatures.toSeq.sorted)), None, None, None, None) +:
         // the table's STABLE id carries through (PROTOCOL.md: metaData.id
         // is fixed at table creation); pre-id logs get one minted here
         CpRow(None, Some(CpMetaData(
@@ -799,43 +830,57 @@ object DeltaLog {
 
   // --- action builders (protocol JSON shapes) -------------------------------
 
-  def protocolAction: JValue = protocolAction(1, 2, Set.empty)
+  def protocolAction: JValue = protocolAction(1, 2, Set.empty, Set.empty)
 
   /** The protocol action, feature-complete form: reader version 3 lists
-    * `readerFeatures` (and 7 lists them as `writerFeatures` too — both
-    * engine features here are reader-writer features), the protocol's
-    * way to make a down-level reader FAIL on a table it would misread. */
+    * `readerFeatures`, writer version 7 lists `writerFeatures` — the
+    * protocol's way to make a down-level engine FAIL on a table it
+    * would misread or whose invariants it would silently break. */
   def protocolAction(minReader: Int, minWriter: Int,
-                     readerFeatures: Set[String]): JValue = {
+                     readerFeatures: Set[String],
+                     writerFeatures: Set[String]): JValue = {
     val base = List(
       "minReaderVersion" -> (JInt(minReader): JValue),
       "minWriterVersion" -> (JInt(minWriter): JValue))
-    val feats = readerFeatures.toList.sorted.map(JString(_): JValue)
+    def arr(fs: Set[String]) =
+      JArray(fs.toList.sorted.map(JString(_): JValue)): JValue
     val withFeats = base ++
-      (if (minReader >= 3) List("readerFeatures" -> (JArray(feats): JValue))
+      (if (minReader >= 3) List("readerFeatures" -> arr(readerFeatures))
        else Nil) ++
-      (if (minWriter >= 7) List("writerFeatures" -> (JArray(feats): JValue))
+      (if (minWriter >= 7) List("writerFeatures" -> arr(writerFeatures))
        else Nil)
     JObject("protocol" -> JObject(withFeats: _*))
   }
 
-  /** Actions upgrading `head`'s protocol so it covers `feature` at
-    * (`needReader`, `needWriter`) — empty when already covered. At
-    * reader 3 the feature LIST is the contract, so every active legacy
-    * feature rides along (`activeLegacy` — e.g. "columnMapping" when
-    * the schema carries mapping stamps). */
+  /** Actions upgrading `head`'s protocol so it covers `feature` (a
+    * reader-writer feature: it lands in BOTH lists) at (`needReader`,
+    * `needWriter`) — empty when already covered. At reader 3 /
+    * writer 7 the feature LISTS are the contract, so every active
+    * legacy feature rides along: reader-relevant ones
+    * (`activeLegacyReader` — e.g. columnMapping) in both lists,
+    * writer-only ones (`activeLegacyWriter` — constraints, CDF,
+    * identity, …) in the writer list, where a by-the-book foreign
+    * writer looks up which invariants to maintain. Writer-only names
+    * must never enter readerFeatures — foreign READERS would refuse a
+    * table they can read fine. */
   def protocolUpgrade(head: Snapshot, needReader: Int, needWriter: Int,
                       feature: String,
-                      activeLegacy: Set[String] = Set.empty): Seq[JValue] = {
+                      activeLegacyReader: Set[String] = Set.empty,
+                      activeLegacyWriter: Set[String] = Set.empty): Seq[JValue] = {
     val targetReader = math.max(head.minReaderVersion, needReader)
     val targetWriter = math.max(head.minWriterVersion, needWriter)
-    val features =
+    val readerFeats =
       if (targetReader < 3) Set.empty[String]
-      else head.readerFeatures ++ activeLegacy + feature
+      else head.readerFeatures ++ activeLegacyReader + feature
+    val writerFeats =
+      if (targetWriter < 7) Set.empty[String]
+      else head.writerFeatures ++ activeLegacyWriter ++ readerFeats
     if (targetReader == head.minReaderVersion &&
         targetWriter == head.minWriterVersion &&
-        features == head.readerFeatures) Seq.empty
-    else Seq(protocolAction(targetReader, targetWriter, features))
+        readerFeats == head.readerFeatures &&
+        writerFeats == head.writerFeatures) Seq.empty
+    else Seq(protocolAction(targetReader, targetWriter, readerFeats,
+      writerFeats))
   }
 
   def metaDataAction(schemaJson: String,

@@ -45,17 +45,22 @@ private[delta] class DeltaStreamingWrite(
 
   private def spark = SparkSession.active
 
+  // ONE pre-commit snapshot shared by every START-time check and the
+  // writer factory (the commit loop re-reads per epoch, as it must):
+  // each snapshot is a full log replay, and the checks below describe
+  // stream-lifetime-stable facts anyway
+  private val initHead = DeltaLog.snapshot(spark, table)
+
   // the table's partitioning binds at START: existing tables impose
   // theirs (a conflicting partitionBy option refuses), a table created
   // by this stream's first epoch uses the option
   private val partCols: Seq[String] = {
-    val head = DeltaLog.snapshot(spark, table)
-    if (head.isEmpty) partitionByOption
+    if (initHead.isEmpty) partitionByOption
     else {
-      require(partitionByOption.isEmpty || partitionByOption == head.partitionColumns,
-        s"graft-delta sink: table is partitioned by ${head.partitionColumns}, " +
+      require(partitionByOption.isEmpty || partitionByOption == initHead.partitionColumns,
+        s"graft-delta sink: table is partitioned by ${initHead.partitionColumns}, " +
           s"not $partitionByOption")
-      head.partitionColumns
+      initHead.partitionColumns
     }
   }
   partCols.foreach(c => require(writeSchema.fieldNames.contains(c),
@@ -69,26 +74,24 @@ private[delta] class DeltaStreamingWrite(
   // literal values (incl. NULLs) without computing/allocating — refuse;
   // foreachBatch + DeltaTable.appendWithTxn is the supported path (its
   // write runs the per-row compute/allocate machinery)
-  DeltaLog.snapshot(spark, table).schemaJson
+  initHead.schemaJson
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     .foreach(s => require(!GeneratedColumns.hasAny(s),
       s"graft-delta sink: $table has generated/identity columns — stream " +
         "via foreachBatch + DeltaTable.appendWithTxn, whose write path " +
         "computes/allocates them per row"))
-
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     // column mapping: tasks write files + Hive dirs under the table's
     // PHYSICAL names (rows are positional; constraints bind logically)
-    val head = DeltaLog.snapshot(spark, table)
-    val tableSchema = head.schemaJson
+    val tableSchema = initHead.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     DeltaSinkWriterFactory(table,
       ColumnMapping.physicalWriteSchema(writeSchema, tableSchema),
       ColumnMapping.physicalCols(partCols, tableSchema).toArray,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.sessionLocalTimeZone,
-      SinkConstraints.bind(spark, writeSchema, head))
+      SinkConstraints.bind(spark, writeSchema, initHead))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -113,6 +116,7 @@ private[delta] class DeltaStreamingWrite(
       require(attempts <= 50,
         s"graft-delta sink: gave up after $attempts commit conflicts")
       val head = DeltaLog.snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       // exactly-once: a restarted query replays its last epoch — the
       // recorded txn high-water mark rejects it and the staged files drop
       if (head.txns.get(appId).exists(_ >= epochId)) {
@@ -199,14 +203,17 @@ private[delta] class DeltaBatchWrite(
 
   private def spark = SparkSession.active
 
+  // ONE pre-commit snapshot for the planning-time checks and schemas
+  // (the commit re-reads per attempt, as it must)
+  private val initHead = DeltaLog.snapshot(spark, table)
+
   private val partCols: Seq[String] = {
-    val head = DeltaLog.snapshot(spark, table)
-    if (head.isEmpty) partitionByOption
+    if (initHead.isEmpty) partitionByOption
     else {
-      require(partitionByOption.isEmpty || partitionByOption == head.partitionColumns,
-        s"graft-delta sink: table is partitioned by ${head.partitionColumns}, " +
+      require(partitionByOption.isEmpty || partitionByOption == initHead.partitionColumns,
+        s"graft-delta sink: table is partitioned by ${initHead.partitionColumns}, " +
           s"not $partitionByOption")
-      head.partitionColumns
+      initHead.partitionColumns
     }
   }
   partCols.foreach(c => require(writeSchema.fieldNames.contains(c),
@@ -220,7 +227,7 @@ private[delta] class DeltaBatchWrite(
   // live in the DataFrame write path, reached for SQL INSERT through the
   // GraftExtensions rewrite ([[SqlUpdateRule]]); a direct sink write
   // would land Spark's NULL-fills as real values — refuse loudly
-  DeltaLog.snapshot(spark, table).schemaJson
+  initHead.schemaJson
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     .foreach(s => require(!GeneratedColumns.hasAny(s),
       s"graft-delta sink: $table has generated/identity columns — INSERTs " +
@@ -234,7 +241,7 @@ private[delta] class DeltaBatchWrite(
     * on a mapped table carries surviving columns' stamps forward and
     * stamps genuinely-new columns fresh. */
   private lazy val effSchema: StructType = {
-    val head = DeltaLog.snapshot(spark, table)
+    val head = initHead
     head.schemaJson.map(j =>
         DataType.fromJson(j).asInstanceOf[StructType]) match {
       case None => writeSchema
@@ -257,8 +264,7 @@ private[delta] class DeltaBatchWrite(
       spark.sessionState.conf.sessionLocalTimeZone,
       // overwrite replaces content wholesale, but the constraint set
       // rides the metaData that carries FORWARD — new rows still honor it
-      SinkConstraints.bind(spark, writeSchema,
-        DeltaLog.snapshot(spark, table)))
+      SinkConstraints.bind(spark, writeSchema, initHead))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val tbl = new Path(table)
@@ -278,6 +284,7 @@ private[delta] class DeltaBatchWrite(
       require(attempts <= 50,
         s"graft-delta sink: gave up after $attempts commit conflicts")
       val head = DeltaLog.snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(head.isEmpty || head.partitionColumns == partCols,
         s"graft-delta sink: concurrent writer changed partitioning to " +
           s"${head.partitionColumns}")

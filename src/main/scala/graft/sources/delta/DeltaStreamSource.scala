@@ -662,13 +662,17 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     s
   }
 
-  /** Deletion-vector descriptors of this snapshot, keyed by the EXACT
-    * url-encoded path [[planInputPartitions]] stamps on each
+  /** Deletion-vector descriptors of the PRUNED live set, keyed by the
+    * EXACT url-encoded path [[planInputPartitions]] stamps on each
     * `PartitionedFile` — the reader factory routes matching partitions
-    * through the row-index filter. Empty for DV-free tables (the
-    * common case), in which scans stay fully vectorized. */
-  @transient private lazy val dvByPath: Map[String, DvDescriptor] =
-    snap.files.iterator
+    * through the row-index filter. Keying on the pruned set (not the
+    * whole snapshot) keeps a query whose filters exclude every
+    * DV-bearing file fully VECTORIZED: one DELETE in last month's
+    * partition must not de-vectorize this month's scans. Runtime
+    * filters only shrink the planned set further, so a partition this
+    * factory ever receives is covered either way. */
+  @transient private def dvByPath: Map[String, DvDescriptor] =
+    livePruned.iterator
       .filter(_.dv.exists(_.cardinality > 0))
       .map { f =>
         org.apache.spark.paths.SparkPath.fromPath(new Path(table, f.path))
@@ -722,12 +726,13 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     * lacks stats — a wrong row count misleads the optimizer harder than
     * an absent one). */
   private[delta] def estimate: (Long, Option[Long]) = {
-    val bytes = livePruned.map(_.size).sum
+    val lp = livePruned // ONE skipping pass — livePruned is a def
+    val bytes = lp.map(_.size).sum
     val rows =
-      if (livePruned.nonEmpty && livePruned.forall(_.stats.isDefined))
-        Some(livePruned.map(f => f.stats.get.numRecords -
+      if (lp.nonEmpty && lp.forall(_.stats.isDefined))
+        Some(lp.map(f => f.stats.get.numRecords -
           f.dv.map(_.cardinality).getOrElse(0L)).sum)
-      else if (livePruned.isEmpty) Some(0L)
+      else if (lp.isEmpty) Some(0L)
       else None
     (math.max(bytes, 1L), rows)
   }
@@ -825,8 +830,9 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     // row-based — Spark requires partitions uniformly columnar — so
     // heavy readers should purgeDeletionVectors on their maintenance
     // tick to restore vectorized scans.
+    val dvs = dvByPath // one pruning pass — dvByPath is a def
     val base =
-      if (dvByPath.isEmpty) inner
+      if (dvs.isEmpty) inner
       else {
         // the TEMPORARY name is what ParquetRowIndexUtil matches; it must
         // be nullable or the reader refuses it as a required-but-missing
@@ -849,7 +855,7 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
             physFilters, None,
             new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
               Map.empty[String, String], sqlConf))
-        DvRoutingReaderFactory(inner, dvInner, dvByPath, table, bcDv,
+        DvRoutingReaderFactory(inner, dvInner, dvs, table, bcDv,
           rowIdxPos = readDataSchema.fields.length,
           innerFields = readDataSchemaDv.fields ++ partSchema.fields)
       }

@@ -296,6 +296,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: restore gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       val now = System.currentTimeMillis()
       val oldPaths = target.files.map(_.path).toSet
       val removes = head.files.filterNot(f => oldPaths.contains(f.path))
@@ -556,6 +557,7 @@ object DeltaTable {
     // answers the partition-adoption check and serves as the first
     // commit attempt's head; only a lost commit race re-reads
     var head = snapshot(spark, table)
+    if (!head.isEmpty) DeltaLog.checkWritable(table, head)
     // adopt an existing table's partitioning; refuse a conflicting one
     val existingParts = head.partitionColumns
     val parts =
@@ -610,6 +612,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: gave up after $attempts commit conflicts")
       if (attempts > 1) head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(head.partitionColumns == parts || head.isEmpty,
         s"delta: concurrent writer changed partitioning to ${head.partitionColumns}")
       // identity-allocation conflict: our staged ids were computed from
@@ -786,6 +789,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: merge gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       if (head.isEmpty) { write(updates, table, SaveMode.Append); return }
       val schema = logSchema(head, table)
       // schema contract BEFORE staging, on every path: when data skipping
@@ -960,6 +964,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: mergeInto gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       // exactly-once for streaming merges: a replayed (appId, version)
       // whose high-water mark is already in the log is a no-op —
@@ -1083,6 +1088,25 @@ object DeltaTable {
             when(col(SrcPrefix + sourceKey).isNull, firstIdx(bsConds))
               .otherwise(lit(-1)))
       }
+      // DV mode: marks, post-images and CDF rows all derive from the
+      // FIRED rows in separate jobs; a nondeterministic SOURCE must not
+      // let them diverge (post-imaged-but-never-vectored duplicates a
+      // row, the reverse loses one) — so the fired rows MATERIALIZE
+      // once (dml's DV discipline), which also pays the probe join ONCE
+      // instead of per consumer. `.staging-` is vacuum-exempt; dropped
+      // after the commit either way.
+      val dvScratch =
+        if (!useDv) None
+        else fired.map { f =>
+          val dir = new Path(tbl, s".staging-dvm-${java.util.UUID.randomUUID()}")
+          val sel = f.filter(col(clauseCol) >= 0 || col(bsCol) >= 0)
+          try sel.write.parquet(dir.toString)
+          catch { case e: Throwable => fs.delete(dir, true); throw e }
+          (dir, sel.schema)
+        }
+      val firedMat = dvScratch.map { case (dir, sch) =>
+        spark.read.schema(sch).parquet(dir.toString) }
+      val firedEff = firedMat.orElse(fired)
       // survivors: carry-over (-1 in both branches) and update-clause
       // rows, with updates applied; delete-clause rows drop out here.
       // DV mode stages ONLY the fired updates' post-images — carry-over
@@ -1091,7 +1115,7 @@ object DeltaTable {
         upd.foldLeft(col(cn) === -1)((acc, i) => acc || col(cn) === i)
       def oneOf(cn: String, idxs: Seq[Int]): Column =
         idxs.foldLeft(lit(false))((acc, i) => acc || col(cn) === i)
-      val rewritten = fired.map { f =>
+      val rewritten = firedEff.map { f =>
         (if (useDv) f.filter(oneOf(clauseCol, updateIdxs) ||
             oneOf(bsCol, bsUpdateIdxs))
          else f.filter(keepOf(clauseCol, updateIdxs) &&
@@ -1127,7 +1151,7 @@ object DeltaTable {
           val bsDeleteIdxs = notMatchedBySource.zipWithIndex.collect {
             case (_: MergeClause.Delete, i) => i }
           val orig = schema.fieldNames.toSeq.map(col)
-          val changes = fired match {
+          val changes = firedEff match {
             case None => inserts.withColumn(ct, lit("insert"))
             case Some(f) =>
               val upd = f.filter(oneOf(clauseCol, updateIdxs) ||
@@ -1161,13 +1185,13 @@ object DeltaTable {
             touchedAll.flatMap(_.dv).filter(_.storageType != "i")
               .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false)),
             Seq.empty[DvDescriptor])
-        else stageDvMarks(spark, table, touchedAll,
-          fired.get.filter(col(clauseCol) >= 0 || col(bsCol) >= 0), now)
+        else stageDvMarks(spark, table, touchedAll, firedMat.get, now)
       val protocolActs =
         if (!useDv) Seq.empty
         else DeltaLog.protocolUpgrade(head, 3, 7, "deletionVectors",
-          activeLegacy = if (ColumnMapping.hasMapping(schema))
-            Set("columnMapping") else Set.empty)
+          activeLegacyReader = if (ColumnMapping.hasMapping(schema))
+            Set("columnMapping") else Set.empty,
+          activeLegacyWriter = activeTableFeatures(head, schema))
       val txnActs = txn.map { case (a, v) => txnAction(a, v) }.toSeq
       done = commit(spark, table, head.version + 1,
         commitInfoAction("MERGE", now) +:
@@ -1179,6 +1203,7 @@ object DeltaTable {
         freshDvs.foreach(d => DeletionVectors.deleteFile(
           spark.sparkContext.hadoopConfiguration, table, d))
       }
+      dvScratch.foreach { case (dir, _) => fs.delete(dir, true) }
     }
   }
 
@@ -1211,6 +1236,26 @@ object DeltaTable {
     * table-durably. */
   private def dvEnabled(head: DeltaLog.Snapshot): Boolean =
     head.configuration.get("delta.enableDeletionVectors").exists(_.toBoolean)
+
+  /** The table's ACTIVE legacy features, by feature name — what a
+    * writer-version-7 protocol upgrade must LIST (the spec makes the
+    * list the contract at 7): a foreign writer consults it to know
+    * which invariants to maintain, so omitting, say, checkConstraints
+    * would let a by-the-book writer skip enforcement. */
+  private def activeTableFeatures(head: DeltaLog.Snapshot,
+                                  schema: StructType): Set[String] = {
+    var f = Set.empty[String]
+    if (ColumnMapping.hasMapping(schema)) f += "columnMapping"
+    if (changeFeedEnabled(SparkSession.active, head)) f += "changeDataFeed"
+    if (constraintsOf(head.configuration).nonEmpty) f += "checkConstraints"
+    if (schema.fields.exists(!_.nullable)) f += "invariants"
+    if (GeneratedColumns.identityOf(schema).nonEmpty) f += "identityColumns"
+    if (GeneratedColumns.generatedOf(schema).nonEmpty) f += "generatedColumns"
+    if (schema.fields.exists(_.metadata.contains(
+        org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .CURRENT_DEFAULT_COLUMN_METADATA_KEY))) f += "allowColumnDefaults"
+    f
+  }
 
   /** Shared DV-DML machinery: mark `affected`'s
     * ([[DvFileCol]], [[DvRowCol]]) rows deleted in `files` by writing
@@ -1285,6 +1330,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: setProperties gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       // a CHECK constraint arriving as a property (the pure-SQL ALTER
       // TABLE SET TBLPROPERTIES route) validates EXISTING data first,
@@ -1358,6 +1404,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: addColumns gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)
       val dup = cols.map(_.name).toSet.intersect(schema.fieldNames.toSet)
@@ -1397,6 +1444,7 @@ object DeltaTable {
       require(attempts <= 50,
         s"delta: updateColumnDefault gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)
       require(schema.fieldNames.contains(colName),
@@ -1454,6 +1502,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: renameColumn gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)
       require(schema.fieldNames.contains(from),
@@ -1489,6 +1538,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: dropColumn gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)
       require(schema.fieldNames.contains(name),
@@ -1522,6 +1572,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: unsetProperties gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       done = commit(spark, table, head.version + 1, Seq(
         commitInfoAction("UNSET TBLPROPERTIES"),
@@ -1658,6 +1709,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: dml gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       if (head.isEmpty) return
       val schema = logSchema(head, table)
       // generated columns: direct assignment refuses; assignments to
@@ -1734,6 +1786,29 @@ object DeltaTable {
       // rows' post-images as new files — commit cost O(matched rows),
       // not O(bytes of every straddled file), delta's DV DML shape.
       val useDv = dvEnabled(head) && probedTouched.nonEmpty
+      // DV mode derives THREE outputs from the matched set — vector
+      // marks, post-images (UPDATE), CDF rows — in separate jobs; a
+      // NONDETERMINISTIC predicate must not let them diverge (a row
+      // post-imaged but never vectored is a duplicate; the reverse is a
+      // lost row), so the matched rows MATERIALIZE once, provenance
+      // included, and every consumer reads the frozen copy. Also saves
+      // re-scanning the probed files per consumer. `.staging-` dirs are
+      // vacuum-exempt; dropped after the commit either way.
+      val dvScratch =
+        if (!useDv) None
+        else {
+          val dir = new Path(tbl, s".staging-dvm-${java.util.UUID.randomUUID()}")
+          try readFilesMeta(spark, table, schema, head.partitionColumns,
+            probedTouched).filter(cond).write.parquet(dir.toString)
+          catch { case e: Throwable => fs.delete(dir, true); throw e }
+          Some(dir)
+        }
+      val affSchema = schema
+        .add(DvFileCol, org.apache.spark.sql.types.StringType)
+        .add(DvRowCol, org.apache.spark.sql.types.LongType)
+      val dvAffected = dvScratch.map(d =>
+        spark.read.schema(affSchema).parquet(d.toString))
+      val dvMatched = dvAffected.map(_.drop(DvFileCol, DvRowCol))
       val rewritten = setA match {
         case None =>
           // DELETE never creates rows: survivors already satisfied every
@@ -1744,19 +1819,22 @@ object DeltaTable {
         case Some(s) if useDv =>
           // DV UPDATE: only the POST-IMAGES of matched rows are new data
           // (old incarnations go behind the vectors / whole-file removes)
-          Some(enforceConstraints(applySet(matched, s, unconditional = true),
+          Some(enforceConstraints(
+            applySet(dvMatched.get, s, unconditional = true),
             head.configuration, Some(schema)))
         case Some(s) => Some(enforceConstraints(
           applySet(df, s, unconditional = false), head.configuration,
           Some(schema)))
       }
+      // CDF rows come from the SAME frozen copy in DV mode
+      val cdcSource = dvMatched.getOrElse(matched)
       val cdc =
         if (!changeFeedEnabled(spark, head)) Seq.empty
         else stageChangeData(setA match {
-          case None => matched.withColumn("_change_type", lit("delete"))
+          case None => cdcSource.withColumn("_change_type", lit("delete"))
           case Some(s) =>
-            matched.withColumn("_change_type", lit("update_preimage"))
-              .unionByName(applySet(matched, s, unconditional = true)
+            cdcSource.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(applySet(cdcSource, s, unconditional = true)
                 .withColumn("_change_type", lit("update_postimage")))
         }, schema, tbl, fs, partitionBy = head.partitionColumns)
       val adds0 = rewritten.fold(Seq.empty[org.json4s.JValue])(r =>
@@ -1781,11 +1859,9 @@ object DeltaTable {
           (touched.map(f => removeAction(f.path, now, dv = f.dv)) ++
             dvTombstones(touched), adds0, Seq.empty[DvDescriptor])
         else {
-          // one pruned scan of only the predicate's columns + provenance
-          val affected = readFilesMeta(spark, table, schema,
-            head.partitionColumns, probedTouched).filter(cond)
+          // marks come from the SAME frozen matched set as post-images/CDF
           val (acts, fresh) =
-            stageDvMarks(spark, table, probedTouched, affected, now)
+            stageDvMarks(spark, table, probedTouched, dvAffected.get, now)
           (sureMatch.map(f => removeAction(f.path, now, dv = f.dv)) ++
             dvTombstones(sureMatch) ++ acts,
             adds0, // UPDATE's staged post-images; empty for DELETE
@@ -1797,8 +1873,9 @@ object DeltaTable {
       val protocolActs =
         if (!useDv) Seq.empty
         else DeltaLog.protocolUpgrade(head, 3, 7, "deletionVectors",
-          activeLegacy = if (ColumnMapping.hasMapping(schema))
-            Set("columnMapping") else Set.empty)
+          activeLegacyReader = if (ColumnMapping.hasMapping(schema))
+            Set("columnMapping") else Set.empty,
+          activeLegacyWriter = activeTableFeatures(head, schema))
       done = commit(spark, table, head.version + 1,
         commitInfoAction(if (set.isEmpty) "DELETE" else "UPDATE", now) +:
           (protocolActs ++ cdc ++ removes ++ adds))
@@ -1808,6 +1885,7 @@ object DeltaTable {
         }
         freshDvs.foreach(d => DeletionVectors.deleteFile(hconf, table, d))
       }
+      dvScratch.foreach(d => fs.delete(d, true))
     }
   }
 
@@ -2145,6 +2223,7 @@ object DeltaTable {
                    partitionFilter: Map[String, String] = Map.empty): Unit = {
     require(targetFiles >= 1, s"compactFiles: targetFiles=$targetFiles")
     val head = snapshot(spark, table)
+    if (!head.isEmpty) DeltaLog.checkWritable(table, head)
     if (head.isEmpty) return
     // OPTIMIZE WHERE: scope the pass to matching partitions — on a
     // 100 TB table the operational shape is "compact today's partition
@@ -2179,6 +2258,7 @@ object DeltaTable {
     import org.apache.spark.sql.functions.col
     require(zorderBy.size >= 2, "optimize: z-order needs >= 2 columns")
     val head = snapshot(spark, table)
+    if (!head.isEmpty) DeltaLog.checkWritable(table, head)
     require(!head.isEmpty, s"delta: $table has no commits")
     // OPTIMIZE WHERE: scope the pass to matching partitions — the 100 TB
     // operational shape is "re-cluster this month's partition", not a
@@ -2207,6 +2287,7 @@ object DeltaTable {
     * Returns the number of files rewritten. */
   def purgeDeletionVectors(spark: SparkSession, table: String): Int = {
     val head = snapshot(spark, table)
+    if (!head.isEmpty) DeltaLog.checkWritable(table, head)
     require(!head.isEmpty, s"delta: $table has no commits")
     val dvFiles = head.files.filter(_.dv.exists(_.cardinality > 0))
     if (dvFiles.isEmpty) return 0
@@ -2233,6 +2314,7 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50, s"delta: syncIdentity gave up after $attempts conflicts")
       val head = snapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)
       val specs = GeneratedColumns.identityOf(schema)

@@ -75,7 +75,7 @@ class ProtocolSpec extends SparkSpec {
     DeltaLog.checkpoint(spark, t)
     val head = DeltaLog.snapshot(spark, t)
     assert(DeltaLog.commit(spark, t, head.version + 1, Seq(
-      DeltaLog.protocolAction(4, 7, Set.empty))))
+      DeltaLog.protocolAction(4, 7, Set.empty, Set.empty))))
     val e = intercept[Exception] {
       DeltaLog.prunedSnapshot(spark, t, Map.empty)
     }
@@ -88,13 +88,53 @@ class ProtocolSpec extends SparkSpec {
     val head = DeltaLog.snapshot(spark, t)
     // a foreign writer demands reader 4
     assert(DeltaLog.commit(spark, t, head.version + 1, Seq(
-      DeltaLog.protocolAction(4, 7, Set.empty))))
+      DeltaLog.protocolAction(4, 7, Set.empty, Set.empty))))
     val e1 = intercept[Exception] { DeltaLog.snapshot(spark, t) }
     assert(e1.getMessage.contains("requires reader protocol 4"), e1.getMessage)
     // roll forward to a version-3 table with an unknown feature
     assert(DeltaLog.commit(spark, t, head.version + 2, Seq(
-      DeltaLog.protocolAction(3, 7, Set("v2Checkpoint")))))
+      DeltaLog.protocolAction(3, 7, Set("v2Checkpoint"), Set.empty))))
     val e2 = intercept[Exception] { DeltaLog.snapshot(spark, t) }
     assert(e2.getMessage.contains("v2Checkpoint"), e2.getMessage)
+  }
+
+  test("unknown writer features refuse WRITES but keep reads working") {
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    val head = DeltaLog.snapshot(spark, t)
+    // a foreign writer demands a writer feature this engine does not
+    // maintain — readable (reader demands are fine), not writable
+    assert(DeltaLog.commit(spark, t, head.version + 1, Seq(
+      DeltaLog.protocolAction(1, 7, Set.empty, Set("rowTracking")))))
+    assert(DeltaTable.read(spark, t).count() === 2L, "reads keep working")
+    val e = intercept[Exception] {
+      DeltaTable.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    }
+    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+    val e2 = intercept[Exception] {
+      DeltaTable.delete(spark, t, col("id") === 1)
+    }
+    assert(e2.getMessage.contains("rowTracking"), e2.getMessage)
+  }
+
+  test("writer-7 upgrades list active legacy features in writerFeatures only") {
+    val t = tmp()
+    DeltaTable.write((1 to 10).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1),
+      t, SaveMode.Append)
+    DeltaTable.setProperties(spark, t, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    DeltaTable.addConstraint(spark, t, "pos_id", "id > 0")
+    DeltaTable.delete(spark, t, col("id") <= 3)
+    val s = DeltaLog.snapshot(spark, t)
+    assert(s.readerFeatures === Set("deletionVectors"),
+      "writer-only names must never enter readerFeatures")
+    assert(Set("deletionVectors", "changeDataFeed", "checkConstraints")
+      .subsetOf(s.writerFeatures), s"got ${s.writerFeatures}")
+    // checkpoints round-trip BOTH lists
+    DeltaLog.checkpoint(spark, t)
+    val s2 = DeltaLog.snapshot(spark, t)
+    assert(s2.readerFeatures === s.readerFeatures)
+    assert(s2.writerFeatures === s.writerFeatures)
   }
 }
