@@ -1096,7 +1096,7 @@ object DeltaTable {
       // instead of per consumer. `.staging-` is vacuum-exempt; dropped
       // after the commit either way.
       val dvScratch =
-        if (!useDv) None
+        if (!useDv || !needsFreeze(Some(source))) None
         else fired.map { f =>
           val dir = new Path(tbl, s".staging-dvm-${java.util.UUID.randomUUID()}")
           val sel = f.filter(col(clauseCol) >= 0 || col(bsCol) >= 0)
@@ -1104,8 +1104,14 @@ object DeltaTable {
           catch { case e: Throwable => fs.delete(dir, true); throw e }
           (dir, sel.schema)
         }
-      val firedMat = dvScratch.map { case (dir, sch) =>
-        spark.read.schema(sch).parquet(dir.toString) }
+      val firedMat: Option[DataFrame] =
+        if (!useDv) None
+        else dvScratch match {
+          case Some((dir, sch)) =>
+            Some(spark.read.schema(sch).parquet(dir.toString))
+          case None => fired.map(
+            _.filter(col(clauseCol) >= 0 || col(bsCol) >= 0))
+        }
       val firedEff = firedMat.orElse(fired)
       // survivors: carry-over (-1 in both branches) and update-clause
       // rows, with updates applied; delete-clause rows drop out here.
@@ -1271,6 +1277,23 @@ object DeltaTable {
     * predicate edge): it carries over untouched rather than removing
     * unverified rows. A vector covering every physical row removes the
     * file outright. */
+  /** Must a DV DML freeze its matched/fired rows before fanning out to
+    * marks + post-images + CDF? Only when re-evaluation could DIFFER:
+    * a nondeterministic expression anywhere in the plan, or plan
+    * shapes whose row set is execution-dependent (LIMIT, SAMPLE) —
+    * delta-spark's merge-source materialization test. Deterministic
+    * plans over immutable files re-evaluate identically, so the common
+    * case skips the scratch write entirely. */
+  private def needsFreeze(df: Option[DataFrame], conds: Column*): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sample}
+    val planNondet = df.exists(_.queryExecution.analyzed.exists {
+      case _: LocalLimit | _: GlobalLimit | _: Sample => true
+      case p => p.expressions.exists(e => e.exists(!_.deterministic))
+    })
+    planNondet || conds.exists(c =>
+      !org.apache.spark.sql.graft.ColumnBridge.expression(c).deterministic)
+  }
+
   private def stageDvMarks(spark: SparkSession, table: String,
                            files: Seq[AddFile], affected: DataFrame,
                            now: Long): (Seq[org.json4s.JValue], Seq[DvDescriptor]) = {
@@ -1795,7 +1818,7 @@ object DeltaTable {
       // re-scanning the probed files per consumer. `.staging-` dirs are
       // vacuum-exempt; dropped after the commit either way.
       val dvScratch =
-        if (!useDv) None
+        if (!useDv || !needsFreeze(None, predicate)) None
         else {
           val dir = new Path(tbl, s".staging-dvm-${java.util.UUID.randomUUID()}")
           try readFilesMeta(spark, table, schema, head.partitionColumns,
@@ -1806,8 +1829,13 @@ object DeltaTable {
       val affSchema = schema
         .add(DvFileCol, org.apache.spark.sql.types.StringType)
         .add(DvRowCol, org.apache.spark.sql.types.LongType)
-      val dvAffected = dvScratch.map(d =>
-        spark.read.schema(affSchema).parquet(d.toString))
+      val dvAffected =
+        if (!useDv) None
+        else Some(dvScratch match {
+          case Some(d) => spark.read.schema(affSchema).parquet(d.toString)
+          case None => readFilesMeta(spark, table, schema,
+            head.partitionColumns, probedTouched).filter(cond)
+        })
       val dvMatched = dvAffected.map(_.drop(DvFileCol, DvRowCol))
       val rewritten = setA match {
         case None =>

@@ -427,6 +427,27 @@ class DeletionVectorSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L, 6L, 7L, 8L))
   }
 
+  test("nondeterministic DV delete freezes the matched set: marks, CDF and reads agree") {
+    import org.apache.spark.sql.functions.rand
+    val t = tmp()
+    dvTable(t, 1 to 1000)
+    DeltaTable.setProperties(spark, t, Map(
+      "delta.enableChangeDataFeed" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    DeltaTable.delete(spark, t, rand(seed = 7) < 0.5)
+    val head = DeltaLog.snapshot(spark, t)
+    val vectored = head.files.flatMap(_.dv).map(_.cardinality).sum
+    val live = DeltaTable.read(spark, t).count()
+    // every row is either readable or vectored — a diverged evaluation
+    // would double-count or drop rows
+    assert(live + vectored === 1000L,
+      s"live=$live vectored=$vectored must partition the file")
+    val feed = DeltaTable.readChangeFeed(spark, t, head.version)
+      .filter(col("_change_type") === "delete").count()
+    assert(feed === vectored,
+      s"CDF must report exactly the vectored rows: feed=$feed dv=$vectored")
+  }
+
   // ---------------------------------------------------------- streaming
 
   test("append tailing refuses a DV commit; snapshot re-read stays exact") {
