@@ -1713,6 +1713,119 @@ object Catalog {
     }
   }
 
+  /** Streaming CDF over a deletion-vector table (q105): `documents`
+    * lands as 8 files with BOTH `delta.enableChangeDataFeed` and
+    * `delta.enableDeletionVectors` on, then a DELETE (doc_id%10=3), an
+    * UPDATE (+5 chars on surviving doc_id%7=2) and a MERGE (source =
+    * doc_id%9=4 of the ORIGINAL rows: matched → n_chars+1000,
+    * not-matched → re-insert) land as three DV commits — zero file
+    * rewrites, require-asserted after the delete. A
+    * `readStream … option("readChangeFeed","true")` tails exactly those
+    * versions (startingVersion pins the cursor) under
+    * Trigger.AvailableNow; the delivered rows aggregate by change type
+    * × lang alongside the final table state. The oracle replays the
+    * three DMLs relationally, so the gate proves precise row-level
+    * capture THROUGH deletion vectors end-to-end: nothing resurrected
+    * from behind a vector, preimages carrying pre-DML values, and the
+    * stream's cursor arithmetic over DV commits exact. Scratch deleted
+    * before returning (q80 convention). */
+  val q105DvStreamCdf: Q = Q(
+    "q105_dv_stream_cdf",
+    headline = true,
+    oracle = Some("""
+      WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+      d1 AS (SELECT * FROM base WHERE doc_id % 10 = 3),
+      s1 AS (SELECT * FROM base WHERE doc_id % 10 <> 3),
+      u1m AS (SELECT * FROM s1 WHERE doc_id % 7 = 2),
+      s2 AS (SELECT doc_id, lang,
+                    CASE WHEN doc_id % 7 = 2 THEN n_chars + 5 ELSE n_chars END AS n_chars
+             FROM s1),
+      msrc AS (SELECT doc_id, lang, n_chars FROM base WHERE doc_id % 9 = 4),
+      mm AS (SELECT s2.doc_id, s2.lang, s2.n_chars AS old_chars,
+                    m.n_chars AS src_chars
+             FROM s2 JOIN msrc m ON s2.doc_id = m.doc_id),
+      mi AS (SELECT m.* FROM msrc m LEFT JOIN s2 ON s2.doc_id = m.doc_id
+             WHERE s2.doc_id IS NULL),
+      s3 AS (SELECT s2.doc_id, s2.lang,
+                    CASE WHEN mm.doc_id IS NOT NULL THEN mm.src_chars + 1000
+                         ELSE s2.n_chars END AS n_chars
+             FROM s2 LEFT JOIN mm ON s2.doc_id = mm.doc_id
+             UNION ALL SELECT doc_id, lang, n_chars FROM mi),
+      changes AS (
+        SELECT 'delete' AS change_type, lang, n_chars FROM d1
+        UNION ALL SELECT 'update_preimage', lang, n_chars FROM u1m
+        UNION ALL SELECT 'update_postimage', lang, n_chars + 5 FROM u1m
+        UNION ALL SELECT 'update_preimage', lang, old_chars FROM mm
+        UNION ALL SELECT 'update_postimage', lang, src_chars + 1000 FROM mm
+        UNION ALL SELECT 'insert', lang, n_chars FROM mi),
+      sections AS (
+        SELECT 'cdf_' || change_type AS section, lang,
+               COUNT(*) AS n_rows, SUM(n_chars) AS sum_chars
+        FROM changes GROUP BY 1, 2
+        UNION ALL
+        SELECT 'final', lang, COUNT(*), SUM(n_chars) FROM s3 GROUP BY 1, 2)
+      SELECT section, lang, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM sections""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.delta.{DeltaLog, DeltaTable, MergeClause}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q105")
+    val t = s"$scratch/t"
+    val outp = s"$scratch/out"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      DeltaTable.write(docs.repartitionByRange(8, col("doc_id")),
+        t, SaveMode.Append)                                               // v0
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableChangeDataFeed" -> "true",
+          "delta.enableDeletionVectors" -> "true"))                       // v1
+      val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10)) === 3)     // v2
+      require(DeltaLog.snapshot(spark, t).files.map(_.path).toSet == before,
+        "q105: the DV delete must not rewrite or drop files")
+      DeltaTable.update(spark, t, pmod(col("doc_id"), lit(7)) === 2,
+        Map("n_chars" -> (col("n_chars") + 5L)))                          // v3
+      val msrc = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+      DeltaTable.mergeInto(msrc, t, targetKey = "doc_id", sourceKey = "doc_id",
+        matched = Seq(MergeClause.Update(None, Map(
+          "n_chars" -> (DeltaTable.src("n_chars") + 1000L)))),
+        notMatched = Seq(MergeClause.Insert(None, Map(
+          "doc_id" -> DeltaTable.src("doc_id"),
+          "lang" -> DeltaTable.src("lang"),
+          "n_chars" -> DeltaTable.src("n_chars")))))                      // v4
+      // tail EXACTLY the three DV DML versions (cursor starts after v1)
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(t)
+        .writeStream.format("parquet").option("path", outp)
+        .option("checkpointLocation", s"$scratch/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val feed = spark.read.parquet(outp)
+      require(feed.select(col("_commit_version")).distinct().count() == 3L,
+        "q105: the stream must deliver exactly the three DML versions")
+      val cdfSec = feed
+        .select(concat(lit("cdf_"), col("_change_type")).as("section"),
+          col("lang"), col("n_chars"))
+      val finalSec = DeltaTable.read(spark, t)
+        .select(lit("final").as("section"), col("lang"), col("n_chars"))
+      val agg = cdfSec.unionByName(finalSec)
+        .groupBy(col("section"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -1722,7 +1835,8 @@ object Catalog {
         q92bMergeOnly,
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
         q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
-        q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge) ++
+        q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
+        q105DvStreamCdf) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -21,50 +21,158 @@ import org.json4s._
   * rewriting every straddled file — THE DML cost story at 100 TB, where
   * deleting 0.1% of rows otherwise rewrites ~every file.
   *
-  * Descriptor fields mirror the protocol's names; the encodings are
-  * graft-native (stated honestly — cross-engine DV readers expect
-  * roaring bitmaps, which this container lacks):
-  *   - `storageType` "i": `pathOrInlineDv` is base64 of [[DeletionVectors.serialize]];
-  *   - `storageType` "u": a path RELATIVE to the table root
-  *     (`_dv/dv-<uuid>.bin`), like data-file paths;
-  *   - `storageType` "p": an ABSOLUTE path — what [[DeltaTable.cloneShallow]]
-  *     rewrites "u" into, exactly as it absolutizes data paths.
+  * Fields AND encodings follow the protocol (a foreign Delta reader
+  * that supports `deletionVectors` reads these tables — the reference
+  * serves its tables to Trino's Delta connector, `trino/etc/catalog/
+  * delta.properties`):
+  *   - `storageType` "i": `pathOrInlineDv` is the Z85 (base-85)
+  *     encoding of the serialized bitmap (`sizeInBytes` recovers the
+  *     unpadded length); no `offset`;
+  *   - `storageType` "u": `pathOrInlineDv` is `<random prefix><z85
+  *     uuid>` (last 20 chars encode a UUID); the bytes live at
+  *     `<table>/<prefix>/deletion_vector_<uuid>.bin` at `offset`;
+  *   - `storageType` "p": an ABSOLUTE file path — what
+  *     [[DeltaTable.cloneShallow]] rewrites "u" into, exactly as it
+  *     absolutizes data paths.
   * `cardinality` is the deleted-row count (monotone per file: DVs only
   * grow until the file is rewritten or fully removed). */
 final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
-                              sizeInBytes: Long, cardinality: Long)
+                              sizeInBytes: Long, cardinality: Long,
+                              offset: Option[Long] = None)
 
 object DeletionVectors {
 
-  /** Wire format: [magic "GDV1"][version 1][count][count sorted longs],
-    * all big-endian. Sorted-ascending is the contract [[DvLookup]]'s
-    * binary search relies on. */
-  private val Magic = 0x47445631 // "GDV1"
-  private val Version = 1
+  /** Serialized-bitmap format (PROTOCOL.md "Deletion Vector Format"):
+    * `[magic 1681511377, 4B LE][RoaringBitmapArray "portable"]` where
+    * portable = `[#bitmaps, 8B LE]` then per non-empty bitmap in
+    * ascending key order `[key = high 32 bits, 4B LE][standard 32-bit
+    * RoaringBitmap serialization]`. The 32-bit serialization is
+    * delegated to `org.roaringbitmap.RoaringBitmap` (Spark's own
+    * shuffle-status dependency), whose wire format IS the
+    * RoaringFormatSpec the protocol cites — array/bitmap/run
+    * containers all round-trip. */
+  private val Magic = 1681511377
+  /** On-disk sidecar framing: `[version 0x01, 1 byte]` then per stored
+    * vector `[dataSize, 4B BE][data][CRC-32 of data, 4B BE]`; a
+    * descriptor's `offset` points at its dataSize field. */
+  private val FileFormatVersion: Byte = 1
 
   /** Inline-vs-sidecar threshold: a small DV rides inside the commit
     * JSON (no sidecar file, no extra read IO); past this it becomes a
-    * `_dv/` file so commit JSON stays metadata-sized. */
+    * sidecar file so commit JSON stays metadata-sized. */
   val InlineThresholdBytes: Int = 4096
 
   def serialize(sortedIndexes: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(16 + 8 * sortedIndexes.length)
-    bb.putInt(Magic).putInt(Version).putLong(sortedIndexes.length.toLong)
-    sortedIndexes.foreach(bb.putLong)
-    bb.array()
+    // group by high-32 key; input sorted ⇒ groups are runs, keys ascend
+    val bitmaps = scala.collection.mutable.ArrayBuffer.empty[(Int, org.roaringbitmap.RoaringBitmap)]
+    var i = 0
+    while (i < sortedIndexes.length) {
+      val key = (sortedIndexes(i) >>> 32).toInt
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      while (i < sortedIndexes.length && (sortedIndexes(i) >>> 32).toInt == key) {
+        rb.add((sortedIndexes(i) & 0xFFFFFFFFL).toInt)
+        i += 1
+      }
+      bitmaps += ((key, rb))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(Integer.reverseBytes(Magic))
+    out.writeLong(java.lang.Long.reverseBytes(bitmaps.length.toLong))
+    bitmaps.foreach { case (key, rb) =>
+      out.writeInt(Integer.reverseBytes(key))
+      rb.serialize(out) // RoaringFormatSpec bytes (the lib's native wire form)
+    }
+    out.flush()
+    bos.toByteArray
   }
 
   def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    require(bb.getInt() == Magic, "delta: bad deletion-vector magic")
-    require(bb.getInt() == Version, "delta: unsupported deletion-vector version")
-    val n = bb.getLong()
-    require(n >= 0 && 16 + 8 * n == bytes.length,
-      s"delta: deletion-vector length mismatch (count=$n, bytes=${bytes.length})")
-    val out = new Array[Long](n.toInt)
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val magic = Integer.reverseBytes(in.readInt())
+    require(magic == Magic,
+      s"delta: unsupported deletion-vector format magic $magic (want $Magic)")
+    val n = java.lang.Long.reverseBytes(in.readLong())
+    require(n >= 0 && n <= Int.MaxValue, s"delta: bad deletion-vector bitmap count $n")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var b = 0L
+    while (b < n) {
+      val key = Integer.reverseBytes(in.readInt()).toLong
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      rb.deserialize(in) // consumes exactly one spec-format bitmap
+      val it = rb.getIntIterator
+      while (it.hasNext) out += (key << 32) | (it.next().toLong & 0xFFFFFFFFL)
+      b += 1
+    }
+    out.toArray // keys ascend and each bitmap iterates in unsigned order ⇒ sorted
+  }
+
+  // --- Z85 (the base-85 variant the protocol names for UUIDs + inline) ----
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Decode: Array[Int] = {
+    val t = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => t(c.toInt) = i }
+    t
+  }
+
+  /** Z85-encode `bytes` (zero-padded up to a multiple of 4 — the
+    * decoder truncates back via the caller-known length, delta's
+    * Base85Codec convention). */
+  def z85Encode(bytes: Array[Byte]): String = {
+    val padded =
+      if (bytes.length % 4 == 0) bytes
+      else java.util.Arrays.copyOf(bytes, bytes.length + (4 - bytes.length % 4))
+    val sb = new java.lang.StringBuilder(padded.length / 4 * 5)
     var i = 0
-    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
-    out
+    while (i < padded.length) {
+      var v = ((padded(i) & 0xFFL) << 24) | ((padded(i + 1) & 0xFFL) << 16) |
+        ((padded(i + 2) & 0xFFL) << 8) | (padded(i + 3) & 0xFFL)
+      val chunk = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { chunk(j) = Z85Alphabet((v % 85).toInt); v /= 85; j -= 1 }
+      sb.append(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Decode a Z85 string to its first `outLen` bytes (padding drops). */
+  def z85Decode(s: String, outLen: Int): Array[Byte] = {
+    require(s.length % 5 == 0, s"delta: Z85 length ${s.length} not a multiple of 5")
+    val full = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) Z85Decode(c.toInt) else -1
+        require(d >= 0, s"delta: invalid Z85 character '$c'")
+        v = v * 85 + d
+        j += 1
+      }
+      val o = i / 5 * 4
+      full(o) = (v >>> 24).toByte; full(o + 1) = (v >>> 16).toByte
+      full(o + 2) = (v >>> 8).toByte; full(o + 3) = v.toByte
+      i += 5
+    }
+    require(outLen <= full.length, s"delta: Z85 payload shorter than $outLen")
+    if (outLen == full.length) full else java.util.Arrays.copyOf(full, outLen)
+  }
+
+  /** A UUID as the protocol's 20-char Z85 form (16 bytes, MSB first). */
+  def encodeUuid(u: java.util.UUID): String = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+    z85Encode(bb.array())
+  }
+
+  def decodeUuid(s: String): java.util.UUID = {
+    require(s.length == 20, s"delta: Z85 UUID must be 20 chars, got ${s.length}")
+    val bb = ByteBuffer.wrap(z85Decode(s, 16))
+    new java.util.UUID(bb.getLong(), bb.getLong())
   }
 
   /** Merge two sorted index arrays (duplicates collapse — idempotent
@@ -83,10 +191,35 @@ object DeletionVectors {
     if (k == out.length) out else java.util.Arrays.copyOf(out, k)
   }
 
+  /** "u" descriptors' table-relative sidecar path: the last 20 chars of
+    * `pathOrInlineDv` Z85-decode to the UUID, anything before them is a
+    * random directory prefix (the protocol's S3-key-spreading knob) —
+    * `<prefix>/deletion_vector_<uuid>.bin`. */
+  def relativePath(d: DvDescriptor): String = {
+    require(d.storageType == "u",
+      s"delta: storageType '${d.storageType}' has no relative path")
+    require(d.pathOrInlineDv.length >= 20,
+      s"delta: 'u' pathOrInlineDv too short: '${d.pathOrInlineDv}'")
+    val prefix = d.pathOrInlineDv.dropRight(20)
+    val uuid = decodeUuid(d.pathOrInlineDv.takeRight(20))
+    val name = s"deletion_vector_$uuid.bin"
+    if (prefix.isEmpty) name else s"$prefix/$name"
+  }
+
+  /** The path a tombstone for a retired sidecar should carry (None for
+    * inline): table-relative for "u" — same namespace as data-file
+    * paths, so [[DeltaTable.vacuumRemoved]]'s retention clock reclaims
+    * the bytes — absolute for "p". */
+  def tombstonePath(d: DvDescriptor): Option[String] = d.storageType match {
+    case "u" => Some(relativePath(d))
+    case "p" => Some(d.pathOrInlineDv)
+    case _ => None
+  }
+
   /** Resolve a descriptor to the path its bytes live at (file forms
     * only; inline has no path). */
   def resolvePath(table: String, d: DvDescriptor): Path = d.storageType match {
-    case "u" => new Path(table, d.pathOrInlineDv)
+    case "u" => new Path(table, relativePath(d))
     case "p" => new Path(d.pathOrInlineDv)
     case other => throw new IllegalArgumentException(
       s"delta: deletion-vector storageType '$other' has no path")
@@ -94,14 +227,28 @@ object DeletionVectors {
 
   def load(conf: Configuration, table: String, d: DvDescriptor): Array[Long] =
     d.storageType match {
-      case "i" => deserialize(java.util.Base64.getDecoder.decode(d.pathOrInlineDv))
+      case "i" =>
+        deserialize(z85Decode(d.pathOrInlineDv, d.sizeInBytes.toInt))
       case "u" | "p" =>
         val p = resolvePath(table, d)
         val fs = p.getFileSystem(conf)
         val in = fs.open(p)
         try {
-          val bytes = new Array[Byte](d.sizeInBytes.toInt)
-          in.readFully(0L, bytes)
+          // frame at `offset`: [dataSize 4B BE][data][CRC-32 4B BE]
+          val off = d.offset.getOrElse(1L)
+          val head = new Array[Byte](4)
+          in.readFully(off, head)
+          val size = ByteBuffer.wrap(head).getInt
+          require(size == d.sizeInBytes,
+            s"delta: sidecar size $size != descriptor sizeInBytes ${d.sizeInBytes} ($p)")
+          val bytes = new Array[Byte](size)
+          in.readFully(off + 4, bytes)
+          val tail = new Array[Byte](4)
+          in.readFully(off + 4 + size, tail)
+          val crc = new java.util.zip.CRC32()
+          crc.update(bytes)
+          require(ByteBuffer.wrap(tail).getInt == crc.getValue.toInt,
+            s"delta: deletion-vector checksum mismatch at $p:$off")
           deserialize(bytes)
         } finally in.close()
       case other => throw new IllegalArgumentException(
@@ -109,23 +256,33 @@ object DeletionVectors {
     }
 
   /** Write `sortedIndexes` as a descriptor: inline under the threshold,
-    * else a fresh `_dv/dv-<uuid>.bin` sidecar (UUID names — collision-
-    * free without coordination, exactly like data files; a crashed or
-    * losing writer's sidecar is an orphan [[DeltaTable.vacuumOrphans]]
+    * else a fresh `deletion_vector_<uuid>.bin` sidecar in the
+    * protocol's framing (UUID names — collision-free without
+    * coordination, exactly like data files; a crashed or losing
+    * writer's sidecar is an orphan [[DeltaTable.vacuumOrphans]]
     * reclaims). Callable executor-side: `conf` is the only context. */
   def write(conf: Configuration, table: String,
             sortedIndexes: Array[Long]): DvDescriptor = {
     val bytes = serialize(sortedIndexes)
     if (bytes.length <= InlineThresholdBytes)
-      DvDescriptor("i", java.util.Base64.getEncoder.encodeToString(bytes),
+      DvDescriptor("i", z85Encode(bytes),
         bytes.length.toLong, sortedIndexes.length.toLong)
     else {
-      val rel = s"_dv/dv-${java.util.UUID.randomUUID()}.bin"
-      val p = new Path(table, rel)
+      val uuid = java.util.UUID.randomUUID()
+      val p = new Path(table, s"deletion_vector_$uuid.bin")
       val fs = p.getFileSystem(conf)
       val out = fs.create(p, false)
-      try out.write(bytes) finally out.close()
-      DvDescriptor("u", rel, bytes.length.toLong, sortedIndexes.length.toLong)
+      try {
+        out.write(FileFormatVersion.toInt)
+        val frame = ByteBuffer.allocate(4)
+        out.write(frame.putInt(bytes.length).array())
+        out.write(bytes)
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes)
+        out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      } finally out.close()
+      DvDescriptor("u", encodeUuid(uuid), bytes.length.toLong,
+        sortedIndexes.length.toLong, offset = Some(1L))
     }
   }
 
@@ -140,10 +297,13 @@ object DeletionVectors {
   // --- action JSON (the `deletionVector` field of add/remove) ---------------
 
   def toJson(d: DvDescriptor): JValue = JObject(
-    "storageType" -> JString(d.storageType),
-    "pathOrInlineDv" -> JString(d.pathOrInlineDv),
-    "sizeInBytes" -> JLong(d.sizeInBytes),
-    "cardinality" -> JLong(d.cardinality))
+    List(
+      "storageType" -> (JString(d.storageType): JValue),
+      "pathOrInlineDv" -> JString(d.pathOrInlineDv)) ++
+      d.offset.map(o => "offset" -> (JLong(o): JValue)).toList ++
+      List(
+        "sizeInBytes" -> (JLong(d.sizeInBytes): JValue),
+        "cardinality" -> JLong(d.cardinality)): _*)
 
   def fromJson(j: JValue): Option[DvDescriptor] = j match {
     case JObject(_) =>
@@ -154,8 +314,13 @@ object DeletionVectors {
       }
       (j \ "storageType", j \ "pathOrInlineDv") match {
         case (JString(st), JString(p)) =>
+          val off = j \ "offset" match {
+            case JInt(n) => Some(n.toLong)
+            case JLong(n) => Some(n)
+            case _ => None
+          }
           Some(DvDescriptor(st, p, longOf(j \ "sizeInBytes"),
-            longOf(j \ "cardinality")))
+            longOf(j \ "cardinality"), off))
         case _ => None
       }
     case _ => None

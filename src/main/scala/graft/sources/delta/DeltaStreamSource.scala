@@ -822,14 +822,15 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
         None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
           Map.empty[String, String], sqlConf))
-    // deletion vectors: DV partitions read ROW-BASED through a second
-    // delegate whose readDataSchema appends Spark's temporary row-index
-    // column (the parquet readers populate it, split- and
-    // filter-correct); the routing factory drops recorded rows and the
-    // extra column. One DV file in the snapshot flips the WHOLE scan
-    // row-based — Spark requires partitions uniformly columnar — so
-    // heavy readers should purgeDeletionVectors on their maintenance
-    // tick to restore vectorized scans.
+    // deletion vectors: DV partitions read through a second delegate
+    // whose readDataSchema appends Spark's temporary row-index column
+    // (the parquet readers populate it, split- and filter-correct); the
+    // routing factory drops recorded rows and the extra column. The
+    // scan stays COLUMNAR either way: DV batches filter through
+    // selection-vector column views ([[SelectedColumnVector]] — one
+    // int[] gather map per batch), clean partitions' batches pass
+    // through untouched, so one DELETE in one file no longer
+    // de-vectorizes the other 10k files' scan.
     val dvs = dvByPath // one pruning pass — dvByPath is a def
     val base =
       if (dvs.isEmpty) inner
@@ -912,15 +913,21 @@ private[delta] case class DeltaPermutingReaderFactory(
   }
 }
 
-/** Routes deletion-vector partitions through a row-based filtered
-  * reader: the partition's single file's vector loads ONCE (task-side,
-  * from the descriptor — bitmap bytes never visit the driver), each row
+/** Routes deletion-vector partitions through a filtered reader: the
+  * partition's single file's vector loads ONCE (task-side, from the
+  * descriptor — bitmap bytes never visit the driver), each row
   * binary-searches its populated row index, survivors project the
-  * temporary column away. Clean partitions pass straight through to the
-  * vectorized delegate — but note [[supportColumnarReads]] answers
-  * false for ALL partitions: Spark requires a scan's partitions to be
-  * uniformly columnar, so one DV file makes the whole scan row-based
-  * (purge to restore vectorization). */
+  * temporary column away.
+  *
+  * The scan stays COLUMNAR: Spark requires a scan's partitions to be
+  * uniformly columnar, so instead of flipping everything row-based for
+  * one DV file, DV partitions' batches filter through
+  * [[SelectedColumnVector]] views — an int[] gather map per batch
+  * (computed in one pass over the row-index vector), each surviving
+  * column a position-translating view over the delegate's vector. The
+  * 10k clean files of a snapshot with one DELETE keep their untouched
+  * vectorized batches; the DV file pays one extra indirection per
+  * access, bytes-proportional to ITS rows only. */
 private[delta] case class DvRoutingReaderFactory(
     clean: PartitionReaderFactory,
     dvInner: PartitionReaderFactory,
@@ -931,6 +938,7 @@ private[delta] case class DvRoutingReaderFactory(
     innerFields: Array[StructField])
     extends PartitionReaderFactory {
   import org.apache.spark.sql.execution.datasources.FilePartition
+  import org.apache.spark.sql.vectorized.ColumnarBatch
 
   private def dvOf(p: InputPartition): Option[DvDescriptor] = p match {
     case fp: FilePartition =>
@@ -938,7 +946,13 @@ private[delta] case class DvRoutingReaderFactory(
     case _ => None
   }
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  /** Uniform answer for EVERY partition (Spark refuses mixed scans):
+    * columnar only when both delegates are — the dv delegate differs
+    * just by the appended long column, so they agree except at the
+    * codegen field-count cliff, where both routes fall back to rows. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    clean.supportColumnarReads(partition) &&
+      dvInner.supportColumnarReads(partition)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     dvOf(partition) match {
@@ -969,6 +983,79 @@ private[delta] case class DvRoutingReaderFactory(
           override def close(): Unit = inner.close()
         }
     }
+
+  override def createColumnarReader(partition: InputPartition)
+    : PartitionReader[ColumnarBatch] =
+    dvOf(partition) match {
+      case None => clean.createColumnarReader(partition)
+      case Some(desc) =>
+        val deleted = DeletionVectors.load(conf.value.value, table, desc)
+        val inner = dvInner.createColumnarReader(partition)
+        new PartitionReader[ColumnarBatch] {
+          override def next(): Boolean = inner.next()
+          override def get(): ColumnarBatch = {
+            val b = inner.get()
+            val n = b.numRows()
+            val rowIdx = b.column(rowIdxPos)
+            // one pass: gather map of surviving positions
+            val sel = new Array[Int](n)
+            var i = 0; var k = 0
+            while (i < n) {
+              if (java.util.Arrays.binarySearch(deleted, rowIdx.getLong(i)) < 0) {
+                sel(k) = i; k += 1
+              }
+              i += 1
+            }
+            val kept = Array.tabulate(b.numCols() - 1) { c =>
+              val src = b.column(if (c < rowIdxPos) c else c + 1)
+              // untouched batch (no deletes in range): pass the vector
+              if (k == n) src
+              else new SelectedColumnVector(src,
+                java.util.Arrays.copyOf(sel, k))
+                : org.apache.spark.sql.vectorized.ColumnVector
+            }
+            new ColumnarBatch(kept, k)
+          }
+          override def close(): Unit = inner.close()
+        }
+    }
+}
+
+/** A position-translating view over a delegate `ColumnVector`: row `i`
+  * of the view is row `sel(i)` of the delegate — the classic selection
+  * vector, as a vector wrapper so a deletion-vector filter can drop
+  * rows from a `ColumnarBatch` without copying any data and without
+  * leaving the columnar protocol. Struct children wrap with the SAME
+  * map (they share the parent's row space); array/map/variant getters
+  * delegate whole (their returns carry raw child offsets). Never owns
+  * memory: `close()` is a no-op, the delegate reader's own close frees
+  * its reused vectors. */
+private[delta] final class SelectedColumnVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType) {
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull // over-approx is sound
+  override def numNulls: Int = base.numNulls
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(sel(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+    : org.apache.spark.sql.types.Decimal = base.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    new SelectedColumnVector(base.getChild(ordinal), sel)
 }
 
 private[delta] object DeltaBatchScan {

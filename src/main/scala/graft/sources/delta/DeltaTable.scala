@@ -847,8 +847,8 @@ object DeltaTable {
       // rewrite retires the inputs' vectors: removes carry them (CDF
       // pre-image exactness), retired sidecars get retention tombstones
       val removes = touched.map(f => removeAction(f.path, now, dv = f.dv)) ++
-        touched.flatMap(_.dv).filter(_.storageType != "i")
-          .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false))
+        touched.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
+          .map(p => removeAction(p, now, dataChange = false))
       done = commit(spark, table, head.version + 1,
         commitInfoAction("MERGE", now) +: (cdc ++ removes ++ adds))
       if (!done) (cdc ++ adds).foreach { a =>
@@ -1188,8 +1188,8 @@ object DeltaTable {
           // a rewrite retires its inputs' vectors: removes carry them
           // (CDF pre-image exactness) and sidecars get tombstones
           (touchedAll.map(f => removeAction(f.path, now, dv = f.dv)) ++
-            touchedAll.flatMap(_.dv).filter(_.storageType != "i")
-              .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false)),
+            touchedAll.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
+              .map(p => removeAction(p, now, dataChange = false)),
             Seq.empty[DvDescriptor])
         else stageDvMarks(spark, table, touchedAll, firedMat.get, now)
       val protocolActs =
@@ -1335,8 +1335,8 @@ object DeltaTable {
           dataChange = true, dv = Some(d)))
         case None => Seq(rm)
       }
-    } ++ changed.flatMap(_.dv).filter(_.storageType != "i")
-      .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false))
+    } ++ changed.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
+      .map(p => removeAction(p, now, dataChange = false))
     (acts, results.flatMap(_._2).filter(_.storageType == "u").toSeq)
   }
 
@@ -1401,7 +1401,8 @@ object DeltaTable {
         dv = f.dv.map {
           case d if d.storageType == "u" =>
             d.copy(storageType = "p",
-              pathOrInlineDv = new Path(srcAbs, d.pathOrInlineDv).toString)
+              pathOrInlineDv =
+                DeletionVectors.resolvePath(srcAbs.toString, d).toString)
           case d => d
         })
     }
@@ -1880,8 +1881,8 @@ object DeltaTable {
       // ignores them and [[vacuumRemoved]]'s retention clock reclaims
       // the bytes — time travel inside retention still loads them.
       def dvTombstones(of: Seq[AddFile]): Seq[org.json4s.JValue] =
-        of.flatMap(_.dv).filter(_.storageType != "i")
-          .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false))
+        of.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
+          .map(p => removeAction(p, now, dataChange = false))
       val (removes, adds, freshDvs) =
         if (!useDv)
           (touched.map(f => removeAction(f.path, now, dv = f.dv)) ++
@@ -2226,8 +2227,8 @@ object DeltaTable {
     // exactness, and each retired sidecar gets a retention tombstone
     val removes = olds.map(f =>
       removeAction(f.path, now, dataChange = false, dv = f.dv)) ++
-      olds.flatMap(_.dv).filter(_.storageType != "i")
-        .map(d => removeAction(d.pathOrInlineDv, now, dataChange = false))
+      olds.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
+        .map(p => removeAction(p, now, dataChange = false))
     if (!commit(spark, table, head.version + 1,
         commitInfoAction("OPTIMIZE", now) +: (removes ++ adds))) {
       adds.foreach { a =>
@@ -2445,7 +2446,8 @@ object DeltaTable {
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val referenced = scala.collection.mutable.Set.empty[String]
     def refDv(dv: Option[DvDescriptor]): Unit =
-      dv.filter(_.storageType == "u").foreach(referenced += _.pathOrInlineDv)
+      dv.filter(_.storageType == "u")
+        .foreach(d => referenced += DeletionVectors.relativePath(d))
     versions(spark, table).foreach { v =>
       val c = DeltaLog.readCommit(spark, table, v)
       c.adds.foreach { a => referenced += a.path; refDv(a.dv) }
@@ -2481,10 +2483,12 @@ object DeltaTable {
         rel.startsWith("_delta_log") || rel.startsWith(".staging-")
       val oldEnough =
         s.getModificationTime <= System.currentTimeMillis() - olderThanMs
-      // `_dv/dv-*` sidecars reclaim by the same rule: a crashed or
-      // losing DELETE attempt's vector appears in NO retained artifact
+      // `deletion_vector_*.bin` sidecars reclaim by the same rule: a
+      // crashed or losing DELETE attempt's vector appears in NO
+      // retained artifact
       val isOrphanable = s.getPath.getName.startsWith("part-") ||
-        (rel.startsWith("_dv/") && s.getPath.getName.startsWith("dv-"))
+        (s.getPath.getName.startsWith("deletion_vector_") &&
+          s.getPath.getName.endsWith(".bin"))
       if (!inLogOrStaging && isOrphanable
           && !referenced.contains(rel) && oldEnough) {
         fs.delete(s.getPath, false)

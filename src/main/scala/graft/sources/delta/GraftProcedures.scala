@@ -130,6 +130,10 @@ private[delta] object GraftProcedures {
           head.files.map(_.size).sum,
           dvs.size,
           dvs.map(_.cardinality).sum,
+          // the PROTOCOL.md storage codes in use: "i" inline / "u"
+          // table-relative UUID sidecar / "p" absolute path
+          UTF8String.fromString(
+            dvs.map(_.storageType).distinct.sorted.mkString(",")),
           UTF8String.fromString(head.partitionColumns.mkString(",")),
           UTF8String.fromString(props))
         Some((StructType(Seq(
@@ -138,6 +142,7 @@ private[delta] object GraftProcedures {
           StructField("size_bytes", LongType),
           StructField("num_deletion_vectors", IntegerType),
           StructField("deleted_rows", LongType),
+          StructField("dv_storage_types", StringType),
           StructField("partition_columns", StringType),
           StructField("properties", StringType))), Array(row)))
       }),

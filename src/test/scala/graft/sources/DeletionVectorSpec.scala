@@ -10,8 +10,11 @@ import graft.SparkSpec
   * indexes instead of rewriting the file's bytes — the row-level-DML
   * cost story at 100 TB (delete 0.1% of rows without rewriting ~every
   * file). Reference anchor: the Delta feature the reference reaches
-  * through its delta-core jars (PROTOCOL.md "Deletion Vectors");
-  * encodings are graft-native, stated in [[DvDescriptor]]'s doc. */
+  * through its delta-core jars (PROTOCOL.md "Deletion Vectors"); the
+  * encodings are the PROTOCOL's — roaring-bitmap "portable" bytes, Z85
+  * UUID sidecar naming, version/size/CRC framing — so the foreign
+  * readers the reference serves (Trino's Delta connector,
+  * `trino/etc/catalog/delta.properties`) parse these descriptors. */
 class DeletionVectorSpec extends SparkSpec {
 
   import spark.implicits._
@@ -45,6 +48,90 @@ class DeletionVectorSpec extends SparkSpec {
       === Seq(0L, 1L, 5L, 9L, 12L))
     assert(DeletionVectors.union(Array.empty[Long], Array(3L)).toSeq === Seq(3L))
     assert(DeletionVectors.union(Array(3L), Array.empty[Long]).toSeq === Seq(3L))
+  }
+
+  test("bitmap bytes are the protocol's portable RoaringBitmapArray") {
+    // magic 1681511377 LE, then [#bitmaps 8B LE] and per bitmap
+    // [key 4B LE][RoaringFormatSpec bitmap] — checked structurally AND
+    // against the RoaringBitmap library as an independent decoder
+    val idx = Array(3L, 4L, 7L, 11L, 18L, 29L, (5L << 32) | 2L)
+    val bytes = DeletionVectors.serialize(idx)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt() === 1681511377, "portable-format magic")
+    assert(bb.getLong() === 2L, "two 32-bit bitmaps (keys 0 and 5)")
+    assert(bb.getInt() === 0, "first key ascending")
+    val rb = new org.roaringbitmap.RoaringBitmap()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+      bytes, bb.position(), bytes.length - bb.position()))
+    rb.deserialize(in)
+    assert(rb.toArray.toSeq === Seq(3, 4, 7, 11, 18, 29))
+    assert(DeletionVectors.deserialize(bytes).toSeq === idx.toSeq)
+  }
+
+  test("deserialize handles foreign container types (bitmap + run)") {
+    // a dense range forces a BITMAP container (cardinality > 4096);
+    // round-trip through our serialize covers array+bitmap. A
+    // RUN-container writer (runOptimize'd foreign engine) must also
+    // parse: hand-assemble its bytes with the library.
+    val dense = (0L until 5000L).toArray
+    assert(DeletionVectors.deserialize(
+      DeletionVectors.serialize(dense)).toSeq === dense.toSeq)
+    val rb = org.roaringbitmap.RoaringBitmap.bitmapOf(1, 2, 3, 4, 5, 100)
+    rb.runOptimize() // run container encoding (cookie 12347)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(Integer.reverseBytes(1681511377))
+    out.writeLong(java.lang.Long.reverseBytes(1L))
+    out.writeInt(Integer.reverseBytes(7)) // key 7
+    rb.serialize(out)
+    assert(DeletionVectors.deserialize(bos.toByteArray).toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L, 100L).map(v => (7L << 32) | v))
+  }
+
+  test("Z85 encodes the PROTOCOL.md sample UUID byte-for-byte") {
+    // the spec's deletionVectors example: pathOrInlineDv
+    // "ab^-aqEH.-t@S}K{vb[*k^" = prefix "ab" + the Z85 form of UUID
+    // d2c639aa-8816-431a-aaf6-d3fe2512ff61
+    val u = java.util.UUID.fromString("d2c639aa-8816-431a-aaf6-d3fe2512ff61")
+    assert(DeletionVectors.encodeUuid(u) === "^-aqEH.-t@S}K{vb[*k^")
+    assert(DeletionVectors.decodeUuid("^-aqEH.-t@S}K{vb[*k^") === u)
+    // prefixed form resolves under the prefix directory
+    val d = DvDescriptor("u", "ab^-aqEH.-t@S}K{vb[*k^", 40L, 6L, Some(1L))
+    assert(DeletionVectors.relativePath(d)
+      === s"ab/deletion_vector_$u.bin")
+    // arbitrary-byte Z85 pads to 4 and truncates back on decode
+    val raw = Array[Byte](1, 2, 3, 4, 5, 6, 7)
+    assert(DeletionVectors.z85Decode(
+      DeletionVectors.z85Encode(raw), raw.length).toSeq === raw.toSeq)
+  }
+
+  test("sidecar framing: version byte, BE size, CRC-32 — and load verifies") {
+    val t = java.nio.file.Files.createTempDirectory("dv_frame").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = (0L until 10000L).filter(_ % 2 == 0).toArray // > inline cap
+    val d = DeletionVectors.write(conf, t, idx)
+    assert(d.storageType == "u" && d.offset.contains(1L))
+    val p = DeletionVectors.resolvePath(t, d)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    assert(len === 1L + 4L + d.sizeInBytes + 4L,
+      "file = [version][size][data][crc]")
+    val in = fs.open(p)
+    val head = new Array[Byte](5)
+    in.readFully(0L, head)
+    assert(head(0) === 1.toByte, "format version byte")
+    assert(java.nio.ByteBuffer.wrap(head, 1, 4).getInt === d.sizeInBytes.toInt,
+      "big-endian size field at offset")
+    in.close()
+    assert(DeletionVectors.load(conf, t, d).toSeq === idx.toSeq)
+    // a flipped data byte must fail the CRC check loudly
+    val bytes = new Array[Byte](len.toInt)
+    val in2 = fs.open(p); in2.readFully(0L, bytes); in2.close()
+    bytes(7) = (bytes(7) ^ 0x5A).toByte
+    val out = fs.create(p, true); out.write(bytes); out.close()
+    val e = intercept[Exception](DeletionVectors.load(conf, t, d))
+    assert(e.getMessage.contains("checksum") || e.getMessage.contains("magic"))
   }
 
   // ------------------------------------------------------------ DELETE
@@ -86,17 +173,23 @@ class DeletionVectorSpec extends SparkSpec {
       "fully-deleted file must be removed outright, not carried as an all-rows DV")
   }
 
-  test("large vectors spill to a _dv sidecar and reads stay exact") {
+  test("large vectors spill to a UUID sidecar and reads stay exact") {
     val t = tmp()
-    dvTable(t, 1 to 2000)
-    DeltaTable.delete(spark, t, col("id") % 3 === 0) // 666 indexes > inline cap
-    assert(ids(t) === (1 to 2000).filter(_ % 3 != 0).toSet)
+    dvTable(t, 1 to 8000)
+    DeltaTable.delete(spark, t, col("id") % 3 === 0) // 2666 indexes > inline cap
+    assert(ids(t) === (1 to 8000).filter(_ % 3 != 0).toSet)
     val dv = DeltaLog.snapshot(spark, t).files.head.dv.get
-    assert(dv.storageType == "u" && dv.pathOrInlineDv.startsWith("_dv/dv-"))
-    assert(dv.cardinality == (1 to 2000).count(_ % 3 == 0).toLong)
+    // protocol "u" form: a Z85 UUID (20 chars, no prefix here), bytes at
+    // <table>/deletion_vector_<uuid>.bin, offset at the framed size field
+    assert(dv.storageType == "u" && dv.pathOrInlineDv.length == 20)
+    assert(dv.offset.contains(1L))
+    val rel = DeletionVectors.relativePath(dv)
+    assert(rel ==
+      s"deletion_vector_${DeletionVectors.decodeUuid(dv.pathOrInlineDv)}.bin")
+    assert(dv.cardinality == (1 to 8000).count(_ % 3 == 0).toLong)
     val fs = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(t, dv.pathOrInlineDv)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(t, rel)))
   }
 
   test("partition-predicate delete still drops whole files (no pointless DV)") {
@@ -256,14 +349,14 @@ class DeletionVectorSpec extends SparkSpec {
 
   test("shallow clone absolutizes sidecar vectors and reads exactly") {
     val t = tmp()
-    dvTable(t, 1 to 2000)
+    dvTable(t, 1 to 8000)
     DeltaTable.delete(spark, t, col("id") % 3 === 0) // sidecar-sized DV
     val c = tmp()
     DeltaTable.cloneShallow(spark, t, c)
     val cloned = DeltaLog.snapshot(spark, c).files.head.dv.get
     assert(cloned.storageType == "p" &&
       new org.apache.hadoop.fs.Path(cloned.pathOrInlineDv).isAbsolute)
-    assert(ids(c) === (1 to 2000).filter(_ % 3 != 0).toSet)
+    assert(ids(c) === (1 to 8000).filter(_ % 3 != 0).toSet)
     // clone stays independent: delete in the clone, source unchanged
     DeltaTable.delete(spark, c, col("id") === 1)
     assert(ids(t).contains(1))
@@ -271,20 +364,37 @@ class DeletionVectorSpec extends SparkSpec {
 
   test("DSv2/SQL scans filter deletion vectors (row-index routing)") {
     val t = tmp()
-    dvTable(t, 1 to 2000, 5000 to 5100)
+    dvTable(t, 1 to 8000, 9000 to 9100)
     DeltaTable.delete(spark, t, col("id") % 3 === 0) // sidecar DV on file 1,
                                                      // inline DV on file 2
-    val expected = ((1 to 2000) ++ (5000 to 5100)).filterNot(_ % 3 == 0)
+    val expected = ((1 to 8000) ++ (9000 to 9100)).filterNot(_ % 3 == 0)
     val df = spark.read.format("graft-delta").load(t)
     assert(df.select("id").collect().map(_.getInt(0)).toSet === expected.toSet)
     // pushed filter + projection over the DV branch stays exact
     assert(df.filter(col("id") > 1000).count()
       === expected.count(_ > 1000).toLong)
     // the clean/dv split survives mixed snapshots: delete ONE file whole
-    DeltaTable.delete(spark, t, col("id") >= 5000)
+    DeltaTable.delete(spark, t, col("id") >= 9000)
     assert(spark.read.format("graft-delta").load(t)
       .select("id").collect().map(_.getInt(0)).toSet
-      === (1 to 2000).filterNot(_ % 3 == 0).toSet)
+      === (1 to 8000).filterNot(_ % 3 == 0).toSet)
+  }
+
+  test("DSv2 scans of a DV table stay COLUMNAR (selection-vector batches)") {
+    val t = tmp()
+    dvTable(t, 1 to 8000, 9000 to 9100)
+    DeltaTable.delete(spark, t, col("id") % 3 === 0)
+    val df = spark.read.format("graft-delta").load(t)
+    // one DV file must NOT de-vectorize the scan: the executed plan
+    // keeps the ColumnarToRow boundary of a vectorized parquet read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected a columnar DV scan:\n$plan")
+    val expected = ((1 to 8000) ++ (9000 to 9100)).filterNot(_ % 3 == 0)
+    assert(df.select("id").collect().map(_.getInt(0)).toSet === expected.toSet)
+    // aggregates ride the same selected batches
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      === expected.map(_.toLong).sum)
   }
 
   test("DSv2 scans of a partitioned DV table restore partition columns") {
@@ -383,27 +493,28 @@ class DeletionVectorSpec extends SparkSpec {
 
   test("vacuum keeps referenced sidecars, reclaims orphans and retired ones") {
     val t = tmp()
-    dvTable(t, 1 to 2000)
+    dvTable(t, 1 to 8000)
     DeltaTable.delete(spark, t, col("id") % 3 === 0)
     val fs = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dvDir = new org.apache.hadoop.fs.Path(t, "_dv")
-    val live = DeltaLog.snapshot(spark, t).files.head.dv.get.pathOrInlineDv
-    // plant an orphan (a crashed attempt's sidecar)
-    val orphan = new org.apache.hadoop.fs.Path(t, "_dv/dv-orphan.bin")
+    val live = DeletionVectors.relativePath(
+      DeltaLog.snapshot(spark, t).files.head.dv.get)
+    // plant an orphan (a crashed attempt's sidecar — protocol naming)
+    val orphan = new org.apache.hadoop.fs.Path(t,
+      s"deletion_vector_${java.util.UUID.randomUUID()}.bin")
     val out = fs.create(orphan, false)
     out.write(DeletionVectors.serialize(Array(1L))); out.close()
     assert(DeltaTable.vacuumOrphans(spark, t, olderThanMs = 0L) >= 1)
     assert(!fs.exists(orphan), "orphan sidecar reclaimed")
     assert(fs.exists(new org.apache.hadoop.fs.Path(t, live)),
       "live sidecar survives vacuum")
-    assert(ids(t) === (1 to 2000).filter(_ % 3 != 0).toSet)
+    assert(ids(t) === (1 to 8000).filter(_ % 3 != 0).toSet)
     // purge retires the sidecar into a tombstone; retention reclaims it
     DeltaTable.purgeDeletionVectors(spark, t)
     assert(DeltaTable.vacuumRemoved(spark, t, retainMs = 0L) >= 1)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(t, live)),
       "retired sidecar reclaimed on the retention clock")
-    assert(ids(t) === (1 to 2000).filter(_ % 3 != 0).toSet)
+    assert(ids(t) === (1 to 8000).filter(_ % 3 != 0).toSet)
   }
 
   test("SQL maintenance surface: detail reports DVs, purge_dvs clears them") {
@@ -419,6 +530,8 @@ class DeletionVectorSpec extends SparkSpec {
     val det = spark.sql("CALL gdvp.system.detail('db.t')").head()
     assert(det.getInt(3) >= 1 && det.getLong(4) === 2L,
       s"detail must report the vectors: $det")
+    assert(det.getString(5) === "i", // 2 indexes ride inline, protocol code "i"
+      s"detail must report the protocol storage codes in use: $det")
     val purged = spark.sql("CALL gdvp.system.purge_dvs('db.t')").head().getInt(0)
     assert(purged >= 1)
     val det2 = spark.sql("CALL gdvp.system.detail('db.t')").head()

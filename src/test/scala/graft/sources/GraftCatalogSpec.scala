@@ -220,7 +220,7 @@ class GraftCatalogSpec extends SparkSpec {
     // post-restore state: v1's and v2's append files are live again
     assert(det.getInt(1) === 2 && det.getLong(2) > 0L)
     assert(det.getInt(3) === 0 && det.getLong(4) === 0L, "no DVs here")
-    assert(det.getString(6).contains("delta.enableChangeDataFeed=true"))
+    assert(det.getString(7).contains("delta.enableChangeDataFeed=true"))
     // unknown procedure refuses with the available list
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.frobnicate('db6.t')")
