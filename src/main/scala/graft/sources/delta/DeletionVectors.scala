@@ -286,6 +286,34 @@ object DeletionVectors {
     }
   }
 
+  /** Like [[write]], but sidecars land under an explicit `dir` as
+    * ABSOLUTE-path ("p") descriptors — table-root-agnostic, which is
+    * what transient position sets (row-level-operation marks staged
+    * under a `.staging-` scratch) need: any later reader resolves them
+    * without knowing the scratch layout. */
+  def writeAt(conf: Configuration, dir: String,
+              sortedIndexes: Array[Long]): DvDescriptor = {
+    val bytes = serialize(sortedIndexes)
+    if (bytes.length <= InlineThresholdBytes)
+      DvDescriptor("i", z85Encode(bytes),
+        bytes.length.toLong, sortedIndexes.length.toLong)
+    else {
+      val p = new Path(dir, s"deletion_vector_${java.util.UUID.randomUUID()}.bin")
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, false)
+      try {
+        out.write(FileFormatVersion.toInt)
+        out.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
+        out.write(bytes)
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes)
+        out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      } finally out.close()
+      DvDescriptor("p", fs.makeQualified(p).toString, bytes.length.toLong,
+        sortedIndexes.length.toLong, offset = Some(1L))
+    }
+  }
+
   /** Delete a descriptor's sidecar file if it has one (best-effort —
     * used on commit-race cleanup of a losing attempt's fresh DVs). */
   def deleteFile(conf: Configuration, table: String, d: DvDescriptor): Unit =

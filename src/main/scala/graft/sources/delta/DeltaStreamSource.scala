@@ -73,7 +73,8 @@ class DeltaStreamDataSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new DeltaStreamTable(schema, new CaseInsensitiveStringMap(properties))
+    DeltaStreamDataSource.makeTable(schema,
+      new CaseInsensitiveStringMap(properties))
 }
 
 private[delta] object DeltaStreamDataSource {
@@ -138,6 +139,27 @@ private[delta] object DeltaStreamDataSource {
     // metadata (the scan re-reads the stamped schema from its own
     // snapshot — delta-spark hides the stamps from reads identically)
     ColumnMapping.stripped(schema)
+  }
+
+  /** The table binding: the [[DeltaStreamTableRlo]] variant (native
+    * row-level DML + `_file`/`_pos` metadata columns) for plain current-
+    * head tables; the base class for everything whose DML must route
+    * through the engine's own write path — generated/identity columns
+    * and column mapping (their per-row semantics live in
+    * [[graft.GraftExtensions]]' rewrite), CDF-mode and time-travel
+    * bindings (read-only views), and not-yet-created sink targets. */
+  def makeTable(schema: StructType,
+                options: CaseInsensitiveStringMap): DeltaStreamTable = {
+    val eligible = schema.fields.nonEmpty &&
+      !cdfMode(options) && versionAsOf(options).isEmpty &&
+      options.get("timestampAsOf") == null && {
+        val snap = DeltaLog.snapshot(SparkSession.active, tablePath(options))
+        snap.schemaJson
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .forall(s => !GeneratedColumns.hasAny(s) && !ColumnMapping.hasMapping(s))
+      }
+    if (eligible) new DeltaStreamTableRlo(schema, options)
+    else new DeltaStreamTable(schema, options)
   }
 }
 
@@ -263,6 +285,30 @@ private[delta] class DeltaStreamTable(
         }
     }
   }
+}
+
+/** The plain table plus Spark-native row-level DML: advertises
+  * [[GraftMeta]] `_file`/`_pos` metadata columns and
+  * `SupportsRowLevelOperations`, so SQL DELETE/UPDATE/MERGE rewrite
+  * into `WriteDelta` plans against [[GraftRowLevelOperation]] WITHOUT
+  * [[graft.GraftExtensions]] registered. Only plain current-head
+  * tables get this class — [[DeltaStreamDataSource.makeTable]] keeps
+  * generated/identity/mapped tables on the base class so their DML
+  * still routes through the engine's own write path. */
+private[delta] class DeltaStreamTableRlo(
+    rloSchema: StructType, rloOptions: CaseInsensitiveStringMap)
+    extends DeltaStreamTable(rloSchema, rloOptions)
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def metadataColumns()
+    : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftMeta.columns
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(rloSchema, rloOptions, info.command())
 }
 
 /** DSv2 scan builder: Spark pushes its column requirements and data
@@ -689,6 +735,22 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
   @transient private lazy val physOf: Map[String, String] =
     ColumnMapping.physMap(logSchemaOf(snap))
 
+  /** The requested METADATA columns ([[GraftMeta]] `_file`/`_pos`) —
+    * present when a row-level operation's scan (or an explicit
+    * `SELECT _file, _pos`) asked for row provenance. A data column that
+    * happens to share the name shadows the metadata column (Spark's
+    * metadata-column conflict rule), so only names ABSENT from the
+    * table schema count. */
+  private val metaFieldNames: Set[String] =
+    Set(GraftMeta.FileCol, GraftMeta.PosCol).filter(n =>
+      schema.fieldNames.contains(n) && !tableSchema.fieldNames.contains(n))
+
+  /** [[schema]] minus the metadata columns: what the parquet delegate
+    * actually reads from the files. */
+  private val dataRequested: StructType =
+    if (metaFieldNames.isEmpty) schema
+    else StructType(schema.fields.filterNot(f => metaFieldNames.contains(f.name)))
+
   /** Requested partition fields, in their [[schema]] (requested) order.
     * The delegate parquet factory emits readDataSchema ++ partSchema;
     * [[DeltaPermutingReaderFactory]] restores the requested interleaved
@@ -696,7 +758,7 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     * shares it and its output schema is fixed at analysis). */
   private def partFields(head: DeltaLog.Snapshot): Array[StructField] = {
     val partCols = head.partitionColumns.toSet
-    schema.fields.filter(f => partCols.contains(f.name))
+    dataRequested.fields.filter(f => partCols.contains(f.name))
   }
 
   /** Runtime filters land after planning starts ([[DeltaStreamScan
@@ -763,8 +825,11 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     // together): the routing reader loads that file's vector once and
     // filters by row index — mixing files would leave the reader unable
     // to tell whose vector applies. Clean files bin-pack as always.
+    // Metadata-column scans (`_file`/`_pos` requested) plan EVERY file
+    // as its own partition: `_file` is a per-partition constant there.
     val (dvLive, cleanLive) =
-      live.partition(a => a.dv.exists(_.cardinality > 0))
+      if (metaFieldNames.nonEmpty) (live, Seq.empty[DeltaLog.AddFile])
+      else live.partition(a => a.dv.exists(_.cardinality > 0))
     // largest-first bin-packing, as FileSourceScanExec orders splits
     val packed = FilePartition.getFilePartitions(classic,
       cleanLive.flatMap(splitsOf).sortBy(-_.length), maxSplit)
@@ -786,7 +851,7 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     val dataSchema = StructType(
       logSchema.fields.filterNot(f => partCols.contains(f.name)).map(phys))
     val readDataSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)).map(phys))
+      dataRequested.fields.filterNot(f => partCols.contains(f.name)).map(phys))
     val partSchema = StructType(partFields(head).map(phys))
     val physFilters = DeltaBatchScan.filtersToPhysical(filters, physOf)
     val conf = spark.sessionState.newHadoopConf()
@@ -832,6 +897,39 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     // through untouched, so one DELETE in one file no longer
     // de-vectorizes the other 10k files' scan.
     val dvs = dvByPath // one pruning pass — dvByPath is a def
+    // metadata-column scans: every partition is one file; the reader
+    // appends `_file` (the add-action relative path, a per-partition
+    // constant) and `_pos` (the parquet row index the temp column
+    // populates), applies the file's deletion vector, and emits rows in
+    // the REQUESTED order directly (no permuting wrapper).
+    if (metaFieldNames.nonEmpty) {
+      val rowIdxField = org.apache.spark.sql.types.StructField(
+        org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+          .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      val readDataSchemaMeta = StructType(readDataSchema.fields :+ rowIdxField)
+      val confMeta = new org.apache.hadoop.conf.Configuration(conf)
+      confMeta.set("org.apache.spark.sql.parquet.row.requested_schema",
+        readDataSchemaMeta.json)
+      confMeta.set("org.apache.spark.sql.parquet.row.attributes",
+        readDataSchemaMeta.json)
+      val bcMeta = org.apache.spark.sql.graft.ColumnBridge
+        .broadcastHadoopConf(spark, confMeta)
+      val metaInner =
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
+          sqlConf, bcMeta, dataSchema, readDataSchemaMeta, partSchema,
+          physFilters, None,
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
+            Map.empty[String, String], sqlConf))
+      val relByPath = livePruned.map { f =>
+        org.apache.spark.paths.SparkPath.fromPath(new Path(table, f.path))
+          .urlEncoded -> f.path
+      }.toMap
+      return MetaColReaderFactory(metaInner, dvs, relByPath, table, bcMeta,
+        rowIdxPos = readDataSchema.fields.length,
+        innerFields = readDataSchemaMeta.fields ++ partSchema.fields,
+        outSchema = schema, metaNames = metaFieldNames, physOf = physOf)
+    }
     val base =
       if (dvs.isEmpty) inner
       else {
@@ -1019,6 +1117,71 @@ private[delta] case class DvRoutingReaderFactory(
           override def close(): Unit = inner.close()
         }
     }
+}
+
+/** Reader for metadata-column scans (`_file`/`_pos` requested — the
+  * row-provenance surface [[GraftRowLevelOperation]]'s scans and
+  * explicit SELECTs use): each partition is ONE file, `_file` is that
+  * file's add-action relative path as a per-partition constant, `_pos`
+  * copies the parquet row-index temp column, the file's deletion vector
+  * (if any) filters rows, and one projection emits the REQUESTED column
+  * order. Row-based: provenance scans feed row-level writes. */
+private[delta] case class MetaColReaderFactory(
+    inner: PartitionReaderFactory,
+    dvByPath: Map[String, DvDescriptor],
+    relByPath: Map[String, String],
+    table: String,
+    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+    rowIdxPos: Int,
+    innerFields: Array[StructField],
+    outSchema: StructType,
+    metaNames: Set[String],
+    physOf: Map[String, String])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val fp = partition.asInstanceOf[FilePartition]
+    val key = fp.files.head.filePath.urlEncoded
+    val rel = relByPath.getOrElse(key,
+      throw new IllegalStateException(s"graft-delta: unplanned file $key"))
+    val deleted = dvByPath.get(key)
+      .map(d => DeletionVectors.load(conf.value.value, table, d))
+      .getOrElse(Array.empty[Long])
+    val d = inner.createReader(partition)
+    val exprs: Seq[Expression] = outSchema.fields.toSeq.map { f =>
+      if (metaNames.contains(f.name) && f.name == GraftMeta.FileCol)
+        Literal(UTF8String.fromString(rel), StringType)
+      else if (metaNames.contains(f.name) && f.name == GraftMeta.PosCol)
+        BoundReference(rowIdxPos, LongType, nullable = false)
+      else {
+        val phys = physOf.getOrElse(f.name, f.name)
+        val i = innerFields.indexWhere(_.name == phys)
+        require(i >= 0, s"graft-delta: column `${f.name}` missing from the scan")
+        BoundReference(i, f.dataType, nullable = true)
+      }
+    }
+    val proj = UnsafeProjection.create(exprs)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (d.next()) {
+          val r = d.get()
+          if (deleted.length == 0 ||
+              java.util.Arrays.binarySearch(deleted, r.getLong(rowIdxPos)) < 0) {
+            current = proj(r)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = d.close()
+    }
+  }
 }
 
 /** A position-translating view over a delegate `ColumnVector`: row `i`

@@ -36,7 +36,7 @@ object DeltaTable {
     * under the PHYSICAL names (files, Hive dirs, partitionValues and
     * stats are all recorded physically) and renames to the logical names
     * at the end — one projection, folded into the scan's output. */
-  private def readFiles(spark: SparkSession, table: String, schema: StructType,
+  private[delta] def readFiles(spark: SparkSession, table: String, schema: StructType,
                         partCols: Seq[String], files: Seq[AddFile]): DataFrame =
     if (!ColumnMapping.hasMapping(schema))
       readFilesPhysical(spark, table, schema, partCols, files)
@@ -387,7 +387,7 @@ object DeltaTable {
     * action carries the protocol's per-file stats (numRecords + min/max
     * of the integer columns, read from the parquet FOOTER — metadata IO,
     * no data scan) — what [[merge]] / [[readRange]] data-skip on. */
-  private def stageData(df: DataFrame, schema: StructType, tbl: Path,
+  private[delta] def stageData(df: DataFrame, schema: StructType, tbl: Path,
                         fs: org.apache.hadoop.fs.FileSystem,
                         partitionBy: Seq[String] = Seq.empty,
                         dataChange: Boolean = true): Seq[org.json4s.JValue] = {
@@ -1226,7 +1226,7 @@ object DeltaTable {
     * (adds → inserts, removes → deletes) — correct as a change SET,
     * but rewrite commits then surface untouched rewritten rows as
     * delete+insert pairs. */
-  private def changeFeedEnabled(spark: SparkSession,
+  private[delta] def changeFeedEnabled(spark: SparkSession,
                                 head: DeltaLog.Snapshot): Boolean =
     spark.conf.getOption("spark.graft.delta.changeDataFeed")
       .map(_.toBoolean)
@@ -1240,7 +1240,7 @@ object DeltaTable {
     * (delta-spark's too), because a DV'd table demands DV-aware
     * readers. No session override: writers and readers must agree
     * table-durably. */
-  private def dvEnabled(head: DeltaLog.Snapshot): Boolean =
+  private[delta] def dvEnabled(head: DeltaLog.Snapshot): Boolean =
     head.configuration.get("delta.enableDeletionVectors").exists(_.toBoolean)
 
   /** The table's ACTIVE legacy features, by feature name — what a
@@ -1294,7 +1294,7 @@ object DeltaTable {
       !org.apache.spark.sql.graft.ColumnBridge.expression(c).deterministic)
   }
 
-  private def stageDvMarks(spark: SparkSession, table: String,
+  private[delta] def stageDvMarks(spark: SparkSession, table: String,
                            files: Seq[AddFile], affected: DataFrame,
                            now: Long): (Seq[org.json4s.JValue], Seq[DvDescriptor]) = {
     import spark.implicits._
@@ -1921,7 +1921,7 @@ object DeltaTable {
   private def addedPath(a: org.json4s.JValue): String =
     (a \ "add" \ "path").values.toString
 
-  private def actionPath(a: org.json4s.JValue): String =
+  private[delta] def actionPath(a: org.json4s.JValue): String =
     (a \ "add" \ "path") match {
       case org.json4s.JString(p) => p
       case _ => (a \ "cdc" \ "path").values.toString
@@ -1944,7 +1944,7 @@ object DeltaTable {
     * readers (which take partition columns from the ACTION, not the
     * file body) see them. Empty part files (the input's empty
     * partitions) are dropped. */
-  private def stageChangeData(df: DataFrame, schema: StructType, tbl: Path,
+  private[delta] def stageChangeData(df: DataFrame, schema: StructType, tbl: Path,
                               fs: org.apache.hadoop.fs.FileSystem,
                               partitionBy: Seq[String] = Seq.empty): Seq[org.json4s.JValue] = {
     // same physical-name rule as stageData; `_change_type` is outside

@@ -49,4 +49,21 @@ object ColumnBridge {
     : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A FRESH session on the same context with default (empty)
+    * extensions and its own state — the `private[sql]` constructor.
+    * What an extension-less Spark user's session looks like; specs use
+    * it to prove the connector's native row-level DML needs no
+    * [[graft.GraftExtensions]] registration. */
+  def bareSession(sc: org.apache.spark.SparkContext)
+    : org.apache.spark.sql.classic.SparkSession = {
+    // the constructor re-applies `spark.sql.extensions` from the context
+    // conf, which would smuggle the registered extensions back in — hide
+    // the key while the session builds (spec-only helper)
+    val key = "spark.sql.extensions"
+    val old = sc.conf.getOption(key)
+    sc.conf.remove(key)
+    try new org.apache.spark.sql.classic.SparkSession(sc)
+    finally old.foreach(sc.conf.set(key, _))
+  }
 }

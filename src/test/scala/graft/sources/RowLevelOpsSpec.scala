@@ -1,0 +1,194 @@
+package graft.sources.delta
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** Spark-native row-level operations (`SupportsRowLevelOperations` +
+  * `SupportsDelta`): SQL DELETE/UPDATE/MERGE against graft-delta
+  * catalog tables WITHOUT [[graft.GraftExtensions]] registered — the
+  * analyzer's own rewrite rules drive [[GraftRowLevelOperation]]'s
+  * position-delta write. The extension-less sessions here are REAL
+  * (`new classic.SparkSession(sc)` — fresh session state, default
+  * extensions), not simulations. */
+class RowLevelOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** A session sharing the context but with NO extensions registered
+    * and its own catalog conf — what a foreign Spark user gets. */
+  private def bareSession(): org.apache.spark.sql.classic.SparkSession = {
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .bareSession(spark.sparkContext)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
+  private def newCatalog(s: org.apache.spark.sql.SparkSession,
+                         name: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_wh_$name").toString
+    s.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    wh
+  }
+
+  test("extension-less SQL UPDATE / MERGE / row-level DELETE are exact") {
+    val s = bareSession()
+    // the session carries Spark's own extra resolution rules but NONE of
+    // the engine's (MaskPiiRule / SqlUpdateRule come from GraftExtensions)
+    assert((s.sessionState.analyzer.extendedResolutionRules ++
+        s.sessionState.analyzer.postHocResolutionRules)
+      .forall(r => !r.getClass.getName.toLowerCase.contains("graft") &&
+        !r.getClass.getName.contains("MaskPii") &&
+        !r.getClass.getName.contains("SqlUpdate")),
+      "the bare session must carry no engine extension rules")
+    val wh = newCatalog(s, "rlo1")
+    s.sql("CREATE TABLE rlo1.db.t (id BIGINT, s STRING, n BIGINT)")
+    s.sql("INSERT INTO rlo1.db.t SELECT id, CAST(id AS STRING), id * 10 " +
+      "FROM range(1, 9)")
+    // UPDATE through Spark's RewriteUpdateTable -> WriteDelta
+    s.sql("UPDATE rlo1.db.t SET n = n + 1 WHERE id % 2 = 0")
+    assert(s.sql("SELECT sum(n) FROM rlo1.db.t").head().getLong(0)
+      === (1L to 8L).map(i => i * 10 + (if (i % 2 == 0) 1 else 0)).sum)
+    // row-level DELETE: `%` has no source-filter translation, so the
+    // metadata path refuses and the WriteDelta path must carry it
+    s.sql("DELETE FROM rlo1.db.t WHERE id % 3 = 0")
+    assert(s.sql("SELECT id FROM rlo1.db.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === (1L to 8L).filter(_ % 3 != 0))
+    // multi-clause MERGE
+    s.sql(s"""
+      MERGE INTO rlo1.db.t AS t
+      USING (SELECT * FROM VALUES (1L, 'one', 100L), (2L, 'two', 200L),
+             (99L, 'new', 990L) AS s(id, s, n)) AS s
+      ON t.id = s.id
+      WHEN MATCHED AND s.id = 1 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET s = s.s, n = s.n
+      WHEN NOT MATCHED THEN INSERT (id, s, n) VALUES (s.id, s.s, s.n)""")
+    val got = s.sql("SELECT id, s, n FROM rlo1.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((2L, "two", 200L), (4L, "4", 41L), (5L, "5", 50L),
+      (7L, "7", 70L), (8L, "8", 81L), (99L, "new", 990L)), s"got $got")
+    // operations recorded with their own names
+    val ops = DeltaTable.describeHistory(s, s"$wh/db/t").map(_.operation)
+    assert(ops.contains("UPDATE") && ops.contains("MERGE") &&
+      ops.contains("DELETE"))
+  }
+
+  test("SQL UPDATE analyzes to the native WriteDelta plan (not the rule)") {
+    val wh = newCatalog(spark, "rlo2")
+    spark.sql("CREATE TABLE rlo2.db.p (id BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO rlo2.db.p VALUES (1, 10), (2, 20)")
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(
+        "UPDATE rlo2.db.p SET n = 0 WHERE id = 1")).analyzed
+    assert(analyzed.getClass.getSimpleName == "WriteDelta",
+      s"expected the SupportsDelta rewrite, got:\n$analyzed")
+  }
+
+  test("native MERGE stages precise CDF (delete/pre/post/insert)") {
+    val s = bareSession()
+    val wh = newCatalog(s, "rlo3")
+    s.sql("""CREATE TABLE rlo3.db.c (id BIGINT, s STRING)
+             TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""")
+    s.sql("INSERT INTO rlo3.db.c VALUES (1, 'a'), (2, 'b')")
+    s.sql("""
+      MERGE INTO rlo3.db.c AS t
+      USING (SELECT * FROM VALUES (1L, 'x', true), (2L, 'b2', false),
+             (3L, 'c', false) AS s(id, s, del)) AS s
+      ON t.id = s.id
+      WHEN MATCHED AND s.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET s = s.s
+      WHEN NOT MATCHED THEN INSERT (id, s) VALUES (s.id, s.s)""")
+    val t = s"$wh/db/c"
+    val v = DeltaLog.snapshot(s, t).version
+    val feed = DeltaTable.readChangeFeed(s, t, v, Some(v))
+      .select("id", "s", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set(
+      (1L, "a", "delete"),
+      (2L, "b", "update_preimage"), (2L, "b2", "update_postimage"),
+      (3L, "c", "insert")), s"got $feed")
+    assert(s.sql("SELECT id, s FROM rlo3.db.c ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "b2"), (3L, "c")))
+  }
+
+  test("native row-level DML takes the DV path on DV-enabled tables") {
+    val s = bareSession()
+    val wh = newCatalog(s, "rlo4")
+    s.sql("""CREATE TABLE rlo4.db.d (id BIGINT, n BIGINT)
+             TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')""")
+    s.sql("INSERT INTO rlo4.db.d SELECT id, id * 10 FROM range(1, 9)")
+    val t = s"$wh/db/d"
+    val before = DeltaLog.snapshot(s, t).files.map(_.path).toSet
+    s.sql("UPDATE rlo4.db.d SET n = 0 WHERE id % 2 = 0")
+    val mid = DeltaLog.snapshot(s, t)
+    assert(before.subsetOf(mid.files.map(_.path).toSet),
+      "a DV update must keep the straddled files")
+    assert(mid.files.filter(f => before(f.path))
+      .forall(_.dv.exists(_.cardinality > 0)),
+      "originals must carry vectors, post-images land in new files")
+    s.sql("DELETE FROM rlo4.db.d WHERE n = 0") // untranslatable enough? n=0 translates;
+    // n = 0 IS translatable -> metadata path; force row-level with %
+    s.sql("DELETE FROM rlo4.db.d WHERE id % 7 = 0")
+    assert(s.sql("SELECT id, n FROM rlo4.db.d ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === (1L to 8L).filter(i => i % 2 != 0 && i % 7 != 0).map(i => (i, i * 10)))
+  }
+
+  test("metadata columns _file/_pos: readable, DV-filtered, file-constant") {
+    val root = java.nio.file.Files.createTempDirectory("rlo_meta").toString
+    val t = s"$root/t"
+    DeltaTable.write((1 to 6).map(i => (i, s"s$i")).toDF("id", "s")
+      .coalesce(1), t, SaveMode.Append)
+    DeltaTable.write((7 to 9).map(i => (i, s"s$i")).toDF("id", "s")
+      .coalesce(1), t, SaveMode.Append)
+    val df = spark.read.format("graft-delta").load(t)
+      .select(col("id"), col("_file"), col("_pos"))
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === 9)
+    // _pos restarts per file; _file groups agree with the log
+    val files = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    assert(rows.map(_._2).toSet === files)
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === (0L until g.length).toSeq)
+    }
+    // behind a deletion vector, marked rows vanish from the provenance scan
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.delete(spark, t, col("id") === 2)
+    val after = spark.read.format("graft-delta").load(t)
+      .select(col("id"), col("_pos")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(!after.exists(_._1 == 2), "deleted row must not appear")
+    assert(after.exists { case (id, pos) => id == 3 && pos == 2L },
+      "_pos stays the PHYSICAL index (row 3 keeps index 2 behind the vector)")
+  }
+
+  test("generated/identity tables refuse extension-less DML loudly") {
+    val s = bareSession()
+    newCatalog(s, "rlo5")
+    s.sql("""CREATE TABLE rlo5.db.g (
+      id BIGINT GENERATED ALWAYS AS IDENTITY, n BIGINT)""")
+    val e = intercept[Exception] {
+      s.sql("UPDATE rlo5.db.g SET n = 1 WHERE n = 0")
+    }
+    def msg(x: Throwable): String =
+      Option(x.getMessage).getOrElse("") +
+        Option(x.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    // the plain table class advertises no row-level operation -> Spark
+    // itself refuses; nothing silently corrupts the identity column
+    assert(msg(e).nonEmpty)
+    // and the engine's own path (extensions registered) still works
+    spark.conf.set("spark.sql.catalog.rlo5",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rlo5.warehouse",
+      s.conf.get("spark.sql.catalog.rlo5.warehouse"))
+    spark.sql("INSERT INTO rlo5.db.g (n) VALUES (5)")
+    spark.sql("UPDATE rlo5.db.g SET n = 6 WHERE n = 5")
+    assert(spark.sql("SELECT id, n FROM rlo5.db.g").head().getLong(1) === 6L)
+  }
+}
