@@ -121,9 +121,16 @@ private[delta] object DeltaStreamDataSource {
     * sink target (its first epoch creates the log); the READ paths
     * refuse an empty schema loudly at scan-build time. Time travel
     * resolves the schema AS OF that version (evolution-correct). */
-  def logSchema(table: String, asOf: Option[Long] = None): StructType = {
+  def logSchema(table: String, asOf: Option[Long] = None): StructType =
+    logSchemas(table, asOf)._2
+
+  /** (raw log schema, user-facing stripped schema) from ONE replay —
+    * resolution paths that need both (table-variant eligibility reads
+    * the raw stamps) call this instead of paying two. */
+  def logSchemas(table: String,
+                 asOf: Option[Long] = None): (StructType, StructType) = {
     val snap = DeltaLog.snapshot(SparkSession.active, table, asOf)
-    if (snap.isEmpty) return new StructType()
+    if (snap.isEmpty) return (new StructType(), new StructType())
     val schema = snap.schemaJson
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(s"graft-delta: $table missing metaData"))
@@ -138,7 +145,7 @@ private[delta] object DeltaStreamDataSource {
     // user-facing: logical names without the column-mapping bookkeeping
     // metadata (the scan re-reads the stamped schema from its own
     // snapshot — delta-spark hides the stamps from reads identically)
-    ColumnMapping.stripped(schema)
+    (schema, ColumnMapping.stripped(schema))
   }
 
   /** The table binding: the [[DeltaStreamTableRlo]] variant (native
@@ -147,16 +154,23 @@ private[delta] object DeltaStreamDataSource {
     * through the engine's own write path — generated/identity columns
     * and column mapping (their per-row semantics live in
     * [[graft.GraftExtensions]]' rewrite), CDF-mode and time-travel
-    * bindings (read-only views), and not-yet-created sink targets. */
-  def makeTable(schema: StructType,
-                options: CaseInsensitiveStringMap): DeltaStreamTable = {
+    * bindings (read-only views), and not-yet-created sink targets.
+    *
+    * The eligibility facts come from the SAME snapshot replay
+    * [[logSchema]] already pays: the stripped user-facing schema tells
+    * nothing about mapping (the stamps are what got stripped), so the
+    * check reads the raw log schema — callers that just ran
+    * [[logSchema]] pass it via `rawSchema` to avoid a second replay. */
+  def makeTable(schema: StructType, options: CaseInsensitiveStringMap,
+                rawSchema: Option[StructType] = None): DeltaStreamTable = {
     val eligible = schema.fields.nonEmpty &&
       !cdfMode(options) && versionAsOf(options).isEmpty &&
       options.get("timestampAsOf") == null && {
-        val snap = DeltaLog.snapshot(SparkSession.active, tablePath(options))
-        snap.schemaJson
-          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-          .forall(s => !GeneratedColumns.hasAny(s) && !ColumnMapping.hasMapping(s))
+        val raw = rawSchema.orElse(
+          DeltaLog.snapshot(SparkSession.active, tablePath(options))
+            .schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType]))
+        raw.forall(s =>
+          !GeneratedColumns.hasAny(s) && !ColumnMapping.hasMapping(s))
       }
     if (eligible) new DeltaStreamTableRlo(schema, options)
     else new DeltaStreamTable(schema, options)
