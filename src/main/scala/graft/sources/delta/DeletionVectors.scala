@@ -94,17 +94,28 @@ object DeletionVectors {
       s"delta: unsupported deletion-vector format magic $magic (want $Magic)")
     val n = java.lang.Long.reverseBytes(in.readLong())
     require(n >= 0 && n <= Int.MaxValue, s"delta: bad deletion-vector bitmap count $n")
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var b = 0L
+    // two tiny passes over the (few) bitmaps so the output array
+    // allocates exact-size and primitive — this loads on the per-task
+    // hot path, where boxing millions of indexes would be GC noise
+    val bitmaps = new Array[(Long, org.roaringbitmap.RoaringBitmap)](n.toInt)
+    var b = 0
+    var total = 0L
     while (b < n) {
       val key = Integer.reverseBytes(in.readInt()).toLong
       val rb = new org.roaringbitmap.RoaringBitmap()
       rb.deserialize(in) // consumes exactly one spec-format bitmap
-      val it = rb.getIntIterator
-      while (it.hasNext) out += (key << 32) | (it.next().toLong & 0xFFFFFFFFL)
+      bitmaps(b) = (key, rb)
+      total += rb.getLongCardinality
       b += 1
     }
-    out.toArray // keys ascend and each bitmap iterates in unsigned order ⇒ sorted
+    require(total <= Int.MaxValue, s"delta: deletion vector too large ($total)")
+    val out = new Array[Long](total.toInt)
+    var k = 0
+    bitmaps.foreach { case (key, rb) =>
+      val it = rb.getIntIterator
+      while (it.hasNext) { out(k) = (key << 32) | (it.next().toLong & 0xFFFFFFFFL); k += 1 }
+    }
+    out // keys ascend and each bitmap iterates in unsigned order ⇒ sorted
   }
 
   // --- Z85 (the base-85 variant the protocol names for UUIDs + inline) ----
@@ -200,6 +211,15 @@ object DeletionVectors {
       s"delta: storageType '${d.storageType}' has no relative path")
     require(d.pathOrInlineDv.length >= 20,
       s"delta: 'u' pathOrInlineDv too short: '${d.pathOrInlineDv}'")
+    // pre-protocol graft builds stored a literal relative PATH here
+    // ("_dv/dv-<uuid>.bin") whose tail happens to be valid Z85 — refuse
+    // it loudly instead of decoding a garbage UUID and failing deep in
+    // a scan with FileNotFound
+    require(!d.pathOrInlineDv.endsWith(".bin"),
+      s"delta: '${d.pathOrInlineDv}' is a legacy graft DV path, not the " +
+        "protocol's <prefix><z85-uuid> form — purge the table's vectors " +
+        "(CALL graft.system.purge_dvs) with the build that wrote them, " +
+        "then re-delete under this one")
     val prefix = d.pathOrInlineDv.dropRight(20)
     val uuid = decodeUuid(d.pathOrInlineDv.takeRight(20))
     val name = s"deletion_vector_$uuid.bin"
@@ -234,8 +254,11 @@ object DeletionVectors {
         val fs = p.getFileSystem(conf)
         val in = fs.open(p)
         try {
-          // frame at `offset`: [dataSize 4B BE][data][CRC-32 4B BE]
-          val off = d.offset.getOrElse(1L)
+          // frame at `offset`: [dataSize 4B BE][data][CRC-32 4B BE].
+          // Absent offset defaults to 0 (delta-kernel's reading), NOT
+          // to "after the version byte" — a writer that omits it points
+          // the descriptor at the very start of its blob
+          val off = d.offset.getOrElse(0L)
           val head = new Array[Byte](4)
           in.readFully(off, head)
           val size = ByteBuffer.wrap(head).getInt
@@ -261,6 +284,24 @@ object DeletionVectors {
     * coordination, exactly like data files; a crashed or losing
     * writer's sidecar is an orphan [[DeltaTable.vacuumOrphans]]
     * reclaims). Callable executor-side: `conf` is the only context. */
+  /** Write one framed sidecar file: `[version 0x01][dataSize 4B BE]
+    * [data][CRC-32 4B BE]`; the returned offset points at the size
+    * field (the descriptor contract). */
+  private def writeFramed(conf: Configuration, p: Path,
+                          bytes: Array[Byte]): Long = {
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, false)
+    try {
+      out.write(FileFormatVersion.toInt)
+      out.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
+      out.write(bytes)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes)
+      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    } finally out.close()
+    1L
+  }
+
   def write(conf: Configuration, table: String,
             sortedIndexes: Array[Long]): DvDescriptor = {
     val bytes = serialize(sortedIndexes)
@@ -269,20 +310,10 @@ object DeletionVectors {
         bytes.length.toLong, sortedIndexes.length.toLong)
     else {
       val uuid = java.util.UUID.randomUUID()
-      val p = new Path(table, s"deletion_vector_$uuid.bin")
-      val fs = p.getFileSystem(conf)
-      val out = fs.create(p, false)
-      try {
-        out.write(FileFormatVersion.toInt)
-        val frame = ByteBuffer.allocate(4)
-        out.write(frame.putInt(bytes.length).array())
-        out.write(bytes)
-        val crc = new java.util.zip.CRC32()
-        crc.update(bytes)
-        out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
-      } finally out.close()
+      val off = writeFramed(conf,
+        new Path(table, s"deletion_vector_$uuid.bin"), bytes)
       DvDescriptor("u", encodeUuid(uuid), bytes.length.toLong,
-        sortedIndexes.length.toLong, offset = Some(1L))
+        sortedIndexes.length.toLong, offset = Some(off))
     }
   }
 
@@ -299,18 +330,9 @@ object DeletionVectors {
         bytes.length.toLong, sortedIndexes.length.toLong)
     else {
       val p = new Path(dir, s"deletion_vector_${java.util.UUID.randomUUID()}.bin")
-      val fs = p.getFileSystem(conf)
-      val out = fs.create(p, false)
-      try {
-        out.write(FileFormatVersion.toInt)
-        out.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
-        out.write(bytes)
-        val crc = new java.util.zip.CRC32()
-        crc.update(bytes)
-        out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
-      } finally out.close()
-      DvDescriptor("p", fs.makeQualified(p).toString, bytes.length.toLong,
-        sortedIndexes.length.toLong, offset = Some(1L))
+      val off = writeFramed(conf, p, bytes)
+      DvDescriptor("p", p.getFileSystem(conf).makeQualified(p).toString,
+        bytes.length.toLong, sortedIndexes.length.toLong, offset = Some(off))
     }
   }
 

@@ -60,10 +60,17 @@ class DeltaStreamDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
+  // Spark calls inferSchema then getTable on the SAME provider instance
+  // within one resolution; remembering the raw schema here spares
+  // getTable a second full log replay (worst case — a fresh instance or
+  // a different path — it just re-reads)
+  @volatile private var inferred: (String, StructType) = _
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = DeltaStreamDataSource.tablePath(options)
-    val base = DeltaStreamDataSource.logSchema(path,
+    val (raw, base) = DeltaStreamDataSource.logSchemas(path,
       DeltaStreamDataSource.asOfVersion(options, path))
+    inferred = (path, raw)
     if (DeltaStreamDataSource.cdfMode(options))
       DeltaStreamDataSource.cdfSchema(base)
     else base
@@ -72,9 +79,12 @@ class DeltaStreamDataSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    DeltaStreamDataSource.makeTable(schema,
-      new CaseInsensitiveStringMap(properties))
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val raw = Option(inferred)
+      .filter(_._1 == DeltaStreamDataSource.tablePath(opts)).map(_._2)
+    DeltaStreamDataSource.makeTable(schema, opts, rawSchema = raw)
+  }
 }
 
 private[delta] object DeltaStreamDataSource {
@@ -894,47 +904,42 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     conf.setBoolean(
       org.apache.spark.sql.internal.SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
       sqlConf.nestedSchemaPruningEnabled)
-    val bc = org.apache.spark.sql.graft.ColumnBridge.broadcastHadoopConf(spark, conf)
-    val inner =
-      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
-        sqlConf, bc, dataSchema, readDataSchema, partSchema, physFilters,
-        None,
+    // shared builder for the ROW-INDEX-augmented delegate (the DV
+    // routing and metadata-column paths both read through one): the
+    // TEMPORARY name is what ParquetRowIndexUtil matches; it must be
+    // nullable or the reader refuses it as a required-but-missing file
+    // column instead of generating it
+    def rowIdxFactory(): (PartitionReaderFactory, StructType,
+        org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.SerializableConfiguration]) = {
+      val rowIdxField = org.apache.spark.sql.types.StructField(
+        org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+          .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      val readDataSchemaIdx = StructType(readDataSchema.fields :+ rowIdxField)
+      val confIdx = new org.apache.hadoop.conf.Configuration(conf)
+      confIdx.set("org.apache.spark.sql.parquet.row.requested_schema",
+        readDataSchemaIdx.json)
+      confIdx.set("org.apache.spark.sql.parquet.row.attributes",
+        readDataSchemaIdx.json)
+      val bcIdx = org.apache.spark.sql.graft.ColumnBridge
+        .broadcastHadoopConf(spark, confIdx)
+      (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
+        sqlConf, bcIdx, dataSchema, readDataSchemaIdx, partSchema,
+        physFilters, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
-          Map.empty[String, String], sqlConf))
-    // deletion vectors: DV partitions read through a second delegate
-    // whose readDataSchema appends Spark's temporary row-index column
-    // (the parquet readers populate it, split- and filter-correct); the
-    // routing factory drops recorded rows and the extra column. The
-    // scan stays COLUMNAR either way: DV batches filter through
-    // selection-vector column views ([[SelectedColumnVector]] — one
-    // int[] gather map per batch), clean partitions' batches pass
-    // through untouched, so one DELETE in one file no longer
-    // de-vectorizes the other 10k files' scan.
+          Map.empty[String, String], sqlConf)),
+        readDataSchemaIdx, bcIdx)
+    }
     val dvs = dvByPath // one pruning pass — dvByPath is a def
     // metadata-column scans: every partition is one file; the reader
     // appends `_file` (the add-action relative path, a per-partition
     // constant) and `_pos` (the parquet row index the temp column
     // populates), applies the file's deletion vector, and emits rows in
-    // the REQUESTED order directly (no permuting wrapper).
+    // the REQUESTED order directly (no permuting wrapper, and no plain
+    // delegate built — this branch never uses one).
     if (metaFieldNames.nonEmpty) {
-      val rowIdxField = org.apache.spark.sql.types.StructField(
-        org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-          .ROW_INDEX_TEMPORARY_COLUMN_NAME,
-        org.apache.spark.sql.types.LongType, nullable = true)
-      val readDataSchemaMeta = StructType(readDataSchema.fields :+ rowIdxField)
-      val confMeta = new org.apache.hadoop.conf.Configuration(conf)
-      confMeta.set("org.apache.spark.sql.parquet.row.requested_schema",
-        readDataSchemaMeta.json)
-      confMeta.set("org.apache.spark.sql.parquet.row.attributes",
-        readDataSchemaMeta.json)
-      val bcMeta = org.apache.spark.sql.graft.ColumnBridge
-        .broadcastHadoopConf(spark, confMeta)
-      val metaInner =
-        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
-          sqlConf, bcMeta, dataSchema, readDataSchemaMeta, partSchema,
-          physFilters, None,
-          new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
-            Map.empty[String, String], sqlConf))
+      val (metaInner, readDataSchemaMeta, bcMeta) = rowIdxFactory()
       val relByPath = livePruned.map { f =>
         org.apache.spark.paths.SparkPath.fromPath(new Path(table, f.path))
           .urlEncoded -> f.path
@@ -944,30 +949,25 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
         innerFields = readDataSchemaMeta.fields ++ partSchema.fields,
         outSchema = schema, metaNames = metaFieldNames, physOf = physOf)
     }
+    val bc = org.apache.spark.sql.graft.ColumnBridge.broadcastHadoopConf(spark, conf)
+    val inner =
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
+        sqlConf, bc, dataSchema, readDataSchema, partSchema, physFilters,
+        None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
+          Map.empty[String, String], sqlConf))
+    // deletion vectors: DV partitions read through a second delegate
+    // whose readDataSchema appends the row-index column; the routing
+    // factory drops recorded rows and the extra column. The scan stays
+    // COLUMNAR either way: DV batches filter through selection-vector
+    // column views ([[SelectedColumnVector]] — one int[] gather map per
+    // batch), clean partitions' batches pass through untouched, so one
+    // DELETE in one file no longer de-vectorizes the other 10k files'
+    // scan.
     val base =
       if (dvs.isEmpty) inner
       else {
-        // the TEMPORARY name is what ParquetRowIndexUtil matches; it must
-        // be nullable or the reader refuses it as a required-but-missing
-        // file column instead of generating it
-        val rowIdxField = org.apache.spark.sql.types.StructField(
-          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-            .ROW_INDEX_TEMPORARY_COLUMN_NAME,
-          org.apache.spark.sql.types.LongType, nullable = true)
-        val readDataSchemaDv = StructType(readDataSchema.fields :+ rowIdxField)
-        val confDv = new org.apache.hadoop.conf.Configuration(conf)
-        confDv.set("org.apache.spark.sql.parquet.row.requested_schema",
-          readDataSchemaDv.json)
-        confDv.set("org.apache.spark.sql.parquet.row.attributes",
-          readDataSchemaDv.json)
-        val bcDv = org.apache.spark.sql.graft.ColumnBridge
-          .broadcastHadoopConf(spark, confDv)
-        val dvInner =
-          org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory(
-            sqlConf, bcDv, dataSchema, readDataSchemaDv, partSchema,
-            physFilters, None,
-            new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
-              Map.empty[String, String], sqlConf))
+        val (dvInner, readDataSchemaDv, bcDv) = rowIdxFactory()
         DvRoutingReaderFactory(inner, dvInner, dvs, table, bcDv,
           rowIdxPos = readDataSchema.fields.length,
           innerFields = readDataSchemaDv.fields ++ partSchema.fields)
@@ -1212,8 +1212,14 @@ private[delta] final class SelectedColumnVector(
     extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType) {
 
   override def close(): Unit = ()
-  override def hasNull: Boolean = base.hasNull // over-approx is sound
-  override def numNulls: Int = base.numNulls
+  // hasNull stays the delegate's answer: an over-approximation is sound
+  // (consumers only use `false` to skip null checks) and it keeps the
+  // hot codegen path allocation- and scan-free
+  override def hasNull: Boolean = base.hasNull
+  // numNulls is a concrete count, so answer for the SELECTED rows —
+  // computed lazily (stats-style callers only; never per-row)
+  private lazy val selNulls: Int = sel.count(base.isNullAt)
+  override def numNulls: Int = selNulls
   override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
   override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
   override def getByte(i: Int): Byte = base.getByte(sel(i))

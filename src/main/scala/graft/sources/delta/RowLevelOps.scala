@@ -82,16 +82,31 @@ private[delta] class GraftRowLevelOperation(
 
   private def table: String = DeltaStreamDataSource.tablePath(options)
 
+  /** ONE snapshot for the whole operation, pinned at construction: the
+    * scan reads AS OF it (versionAsOf injected below) and the commit
+    * refuses if the table moved past it — otherwise the scan and the
+    * write could silently pin DIFFERENT versions (they bind at
+    * different planning phases) and the staleness guard would compare
+    * the wrong pair. */
+  private val pinnedHead: DeltaLog.Snapshot =
+    DeltaLog.snapshot(SparkSession.active, table)
+
+  private[delta] def pinnedVersion: Long = pinnedHead.version
+
   override def command(): Command = cmd
   override def description(): String = s"graft-delta row-level $cmd ($table)"
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new DeltaScanBuilder(tableSchema, options)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    m.put("versionAsOf", pinnedHead.version.toString)
+    new DeltaScanBuilder(tableSchema, new CaseInsensitiveStringMap(m))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftRowLevelWrite(table, cmd, info)
+        new GraftRowLevelWrite(table, cmd, info, pinnedHead.version,
+          pinnedHead.partitionColumns)
     }
 
   override def rowId(): Array[NamedReference] = Array(
@@ -101,17 +116,32 @@ private[delta] class GraftRowLevelOperation(
 }
 
 /** The delta write: clustering by `_file` puts each file's marks in ONE
-  * task (its position set serializes once, executor-side), the
-  * `(_file, _pos)` sort makes those sets arrive in index order, and
-  * insert rows (NULL `_file`) cluster together. */
+  * task (its position set serializes once, executor-side) and the
+  * `(_file, _pos)` sort makes those sets arrive in index order. A
+  * MERGE's insert rows carry NULL `_file`, so for commands that write
+  * rows the cluster key extends with the table's PARTITION columns —
+  * a file's rows share their partition values (files are partition-
+  * scoped), so marks still land whole, while inserts spread across
+  * partition values instead of funnelling into the one NULL-key task.
+  * (Unpartitioned insert-heavy merges still serialize their inserts —
+  * the same single-key shape Iceberg's position-delta writes have.) */
 private[delta] class GraftRowLevelWrite(
-    table: String, cmd: Command, info: LogicalWriteInfo)
+    table: String, cmd: Command, info: LogicalWriteInfo,
+    pinnedVersion: Long, partCols: Seq[String])
     extends DeltaWrite with RequiresDistributionAndOrdering {
 
   override def description(): String = s"graft-delta row-level $cmd write"
 
-  override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(Expressions.column(GraftMeta.FileCol)))
+  override def requiredDistribution(): Distribution = {
+    // DELETE's query projects no data columns, so partition columns are
+    // not in its output — and it has no inserts to spread either
+    val cols =
+      if (cmd == Command.DELETE) Seq(GraftMeta.FileCol)
+      else GraftMeta.FileCol +: partCols
+    Distributions.clustered(
+      cols.map(c => Expressions.column(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
 
   override def requiredOrdering(): Array[SortOrder] = Array(
     Expressions.sort(Expressions.column(GraftMeta.FileCol),
@@ -120,7 +150,7 @@ private[delta] class GraftRowLevelWrite(
       SortDirection.ASCENDING))
 
   override def toBatch: DeltaBatchWrite =
-    new GraftRowLevelBatchWrite(table, cmd, info)
+    new GraftRowLevelBatchWrite(table, cmd, info, pinnedVersion)
 }
 
 /** Per-task result: staged insert / update-post-image files (the sink
@@ -133,17 +163,19 @@ private[delta] case class RowLevelCommitMessage(
     extends WriterCommitMessage
 
 private[delta] class GraftRowLevelBatchWrite(
-    table: String, cmd: Command, info: LogicalWriteInfo)
+    table: String, cmd: Command, info: LogicalWriteInfo,
+    pinnedVersion: Long)
     extends DeltaBatchWrite {
 
   import org.json4s.JValue
 
   private def spark = SparkSession.active
 
-  // pinned at write build; the commit refuses if the table moved — a
-  // row-level op's staged data is bound to the snapshot it scanned, so
-  // unlike the append sink there is no safe retry without re-scanning
-  private val initHead = DeltaLog.snapshot(spark, table)
+  // the OPERATION's pinned snapshot (the one the scan read AS OF); the
+  // commit refuses if the table moved past it — a row-level op's staged
+  // data is bound to the snapshot it scanned, so unlike the append sink
+  // there is no safe retry without re-scanning
+  private val initHead = DeltaLog.snapshot(spark, table, Some(pinnedVersion))
   require(!initHead.isEmpty, s"graft-delta: $table has no commits")
   DeltaLog.checkWritable(table, initHead)
 
@@ -316,7 +348,14 @@ private[delta] class GraftRowLevelBatchWrite(
             .drop(DeltaTable.DvFileCol, DeltaTable.DvRowCol)
         val adds = DeltaTable.stageData(survivors, logSchema, tbl, fs,
           partitionBy = partCols)
-        (touched.map(f => removeAction(f.path, now, dv = f.dv)) ++ adds,
+        // a rewrite retires its inputs' vectors (a table can carry DVs
+        // with the property later turned off): removes keep them for
+        // CDF pre-image exactness, retired sidecars get retention
+        // tombstones — the same shape as every other rewrite path
+        (touched.map(f => removeAction(f.path, now, dv = f.dv)) ++
+          touched.flatMap(_.dv)
+            .flatMap(d => DeletionVectors.tombstonePath(d))
+            .map(p => removeAction(p, now, dataChange = false)) ++ adds,
           Seq.empty)
       }
 

@@ -89,6 +89,17 @@ class DeletionVectorSpec extends SparkSpec {
       === Seq(1L, 2L, 3L, 4L, 5L, 100L).map(v => (7L << 32) | v))
   }
 
+  test("legacy pre-protocol 'u' path forms refuse loudly, not misparse") {
+    // round-10 descriptors stored a literal relative path whose tail is
+    // valid Z85 — decoding it would yield a garbage UUID and a deep
+    // FileNotFound instead of a diagnosis
+    val d = DvDescriptor("u",
+      "_dv/dv-3f2a41b2-1c2d-4e5f-8a9b-0c1d2e3f4a5b.bin", 10L, 1L)
+    val e = intercept[IllegalArgumentException](
+      DeletionVectors.relativePath(d))
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("Z85 encodes the PROTOCOL.md sample UUID byte-for-byte") {
     // the spec's deletionVectors example: pathOrInlineDv
     // "ab^-aqEH.-t@S}K{vb[*k^" = prefix "ab" + the Z85 form of UUID

@@ -168,6 +168,36 @@ class RowLevelOpsSpec extends SparkSpec {
       "_pos stays the PHYSICAL index (row 3 keeps index 2 behind the vector)")
   }
 
+  test("copy-on-write retires leftover vectors with retention tombstones") {
+    val s = bareSession()
+    val wh = newCatalog(s, "rlo6")
+    s.sql("""CREATE TABLE rlo6.db.w (id BIGINT, n BIGINT)
+             TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')""")
+    s.sql("INSERT INTO rlo6.db.w " +
+      "SELECT /*+ REPARTITION(1) */ id, id FROM range(1, 8001)")
+    val t = s"$wh/db/w"
+    s.sql("DELETE FROM rlo6.db.w WHERE id % 3 = 0") // sidecar-sized DV
+    val sidecars = DeltaLog.snapshot(s, t).files.flatMap(_.dv)
+      .filter(_.storageType == "u").map(DeletionVectors.relativePath)
+    assert(sidecars.nonEmpty, "expected an on-disk vector to retire")
+    // property off -> the next row-level DML takes the REWRITE branch,
+    // which must tombstone the now-retired sidecars like every other
+    // rewrite path (or vacuum can never reclaim them)
+    s.sql("""ALTER TABLE rlo6.db.w
+             SET TBLPROPERTIES ('delta.enableDeletionVectors' = 'false')""")
+    s.sql("DELETE FROM rlo6.db.w WHERE id % 5 = 0")
+    assert(s.sql("SELECT count(*) FROM rlo6.db.w").head().getLong(0)
+      === (1L to 8000L).count(i => i % 3 != 0 && i % 5 != 0).toLong)
+    assert(DeltaLog.snapshot(s, t).files.forall(_.dv.isEmpty),
+      "the rewrite drops all vectors")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    DeltaTable.vacuumRemoved(s, t, retainMs = 0L)
+    sidecars.foreach(rel =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(t, rel)),
+        s"retired sidecar $rel must reclaim on the retention clock"))
+  }
+
   test("generated/identity tables refuse extension-less DML loudly") {
     val s = bareSession()
     newCatalog(s, "rlo5")
