@@ -1826,6 +1826,89 @@ object Catalog {
     }
   }
 
+  /** Pure-SQL UPDATE through Spark's NATIVE row-level framework
+    * (q106): a partitioned catalog table with BOTH change-data-feed
+    * and deletion vectors on takes `UPDATE ... WHERE doc_id % 4 = 1`
+    * with no engine extension involved — the analyzer's own
+    * RewriteUpdateTable drives [[graft.sources.delta
+    * .GraftRowLevelOperation]]'s WriteDelta: the scan hands back
+    * (_file, _pos) row ids, marks become per-file deletion vectors
+    * (require-asserted: the straddled files survive un-rewritten),
+    * post-images stage as new files clustered by partition, and
+    * precise update_preimage/update_postimage CDF rows derive from the
+    * marks — all checked oracle-exact alongside the final state.
+    * Scratch deleted before returning (q80 convention). */
+  val q106SqlUpdate: Q = Q(
+    "q106_sql_update",
+    headline = true,
+    oracle = Some("""
+      WITH upd AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 4 = 1),
+      final AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 4 = 1 THEN n_chars + 7 ELSE n_chars END
+                 AS n_chars
+        FROM documents),
+      sections AS (
+        SELECT 'final' AS section, lang,
+               COUNT(*) AS n_rows, SUM(n_chars) AS sum_chars
+        FROM final GROUP BY lang
+        UNION ALL
+        SELECT 'cdf_update_preimage', lang, COUNT(*), SUM(n_chars)
+        FROM upd GROUP BY lang
+        UNION ALL
+        SELECT 'cdf_update_postimage', lang, COUNT(*), SUM(n_chars + 7)
+        FROM upd GROUP BY lang)
+      SELECT section, lang, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM sections""")) { (spark, dir) =>
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q106")
+    val cat = s"g106_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.delta.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+      spark.sql(s"CREATE NAMESPACE $cat.corpus")
+      spark.sql(s"""CREATE TABLE $cat.corpus.docs
+                    (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                    PARTITIONED BY (lang)
+                    TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true',
+                                   'delta.enableDeletionVectors' = 'true')""")
+      spark.sql(s"""INSERT INTO $cat.corpus.docs
+                    SELECT doc_id, lang, n_chars FROM docs_src_$cat""")
+      val t = s"$scratch/corpus/docs"
+      val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+      spark.sql(s"UPDATE $cat.corpus.docs SET n_chars = n_chars + 7 " +
+        "WHERE doc_id % 4 = 1")
+      val head = DeltaLog.snapshot(spark, t)
+      require(before.subsetOf(head.files.map(_.path).toSet),
+        "q106: a DV-table UPDATE must keep the straddled files")
+      require(head.files.filter(f => before(f.path))
+          .forall(_.dv.exists(_.cardinality > 0)),
+        "q106: every original file holds matched rows -> must carry a vector")
+      val finalSec = DeltaTable.read(spark, t)
+        .select(lit("final").as("section"), col("lang"), col("n_chars"))
+      val feed = DeltaTable.readChangeFeed(spark, t, head.version,
+          Some(head.version))
+        .select(concat(lit("cdf_"), col("_change_type")).as("section"),
+          col("lang"), col("n_chars"))
+      val agg = finalSec.unionByName(feed)
+        .groupBy(col("section"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -1836,7 +1919,7 @@ object Catalog {
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
         q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
         q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
-        q105DvStreamCdf) ++
+        q105DvStreamCdf, q106SqlUpdate) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
