@@ -168,6 +168,28 @@ class RowLevelOpsSpec extends SparkSpec {
       "_pos stays the PHYSICAL index (row 3 keeps index 2 behind the vector)")
   }
 
+  test("native MERGE enforces source-key cardinality (no double-update)") {
+    // the engine's mergeInto pre-checks source uniqueness; the native
+    // path relies on Spark's MergeRows runtime check — pin that it
+    // actually fires, or a duplicate-keyed source would mark the same
+    // position twice and stage two post-images
+    val s = bareSession()
+    newCatalog(s, "rlo7")
+    s.sql("CREATE TABLE rlo7.db.t (id BIGINT, n BIGINT)")
+    s.sql("INSERT INTO rlo7.db.t VALUES (1, 10), (2, 20)")
+    val e = intercept[Exception] {
+      s.sql("""MERGE INTO rlo7.db.t AS t
+               USING (SELECT * FROM VALUES (1L, 1L), (1L, 2L) AS s(id, n)) AS s
+               ON t.id = s.id
+               WHEN MATCHED THEN UPDATE SET n = s.n""")
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("MERGE_CARDINALITY_VIOLATION"), e.getMessage)
+    // nothing committed: the table still reads pre-merge
+    assert(s.sql("SELECT n FROM rlo7.db.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L, 20L))
+  }
+
   test("copy-on-write retires leftover vectors with retention tombstones") {
     val s = bareSession()
     val wh = newCatalog(s, "rlo6")
