@@ -1909,6 +1909,66 @@ object Catalog {
     }
   }
 
+  /** Checkpoint-seeded deletion-vector reads (q107): after DML commits
+    * vectors, `CALL`-style checkpointing writes the protocol's parquet
+    * checkpoint whose `add.deletionVector` is the five-field STRUCT
+    * (PROTOCOL.md checkpoint schema — what a foreign reader seeding
+    * from `_last_checkpoint` expects; pre-round-12 graft wrote a JSON
+    * string there, which readers still accept). The JSON history below
+    * the checkpoint is then RETIRED ([[graft.sources.delta.DeltaLog
+    * .cleanLog]]), so the final aggregate can only be right if the
+    * checkpoint row alone reconstructs the vector — the Trino-connector
+    * interop scenario, gated oracle-exact. */
+  val q107CheckpointDv: Q = Q(
+    "q107_checkpoint_dv",
+    oracle = Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE doc_id % 10 <> 3
+      GROUP BY lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q107")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+      DeltaTable.write(docs, t, SaveMode.Append)
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableDeletionVectors" -> "true"))
+      val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10)) === 3)
+      require(DeltaLog.snapshot(spark, t).files.map(_.path).toSet == before,
+        "q107: the DV delete must not rewrite or drop files")
+      val v = DeltaLog.checkpoint(spark, t)
+      // the checkpoint's dv column must be the protocol STRUCT
+      val cpSchema = spark.read.parquet(
+          s"$t/_delta_log/" + f"$v%020d" + ".checkpoint.parquet")
+        .schema("add").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(cpSchema("deletionVector").dataType
+          .isInstanceOf[org.apache.spark.sql.types.StructType],
+        "q107: checkpoint add.deletionVector must be the protocol struct")
+      // retire the JSON history below the checkpoint: the read below
+      // can only succeed from the checkpoint row's struct descriptor
+      DeltaLog.cleanLog(spark, t, retainMs = 0L)
+      val agg = spark.read.format("graft-delta").load(t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -1919,7 +1979,7 @@ object Catalog {
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
         q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
         q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
-        q105DvStreamCdf, q106SqlUpdate) ++
+        q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -214,8 +214,11 @@ object DeletionVectors {
     // pre-protocol graft builds stored a literal relative PATH here
     // ("_dv/dv-<uuid>.bin") whose tail happens to be valid Z85 — refuse
     // it loudly instead of decoding a garbage UUID and failing deep in
-    // a scan with FileNotFound
-    require(!d.pathOrInlineDv.endsWith(".bin"),
+    // a scan with FileNotFound. Keyed on the legacy form's "_dv/"
+    // directory, NOT on ".bin": '.' is a valid Z85 character, so a
+    // protocol-conformant foreign descriptor whose random prefix or
+    // encoded UUID happens to end in ".bin" must still decode.
+    require(!d.pathOrInlineDv.startsWith("_dv/"),
       s"delta: '${d.pathOrInlineDv}' is a legacy graft DV path, not the " +
         "protocol's <prefix><z85-uuid> form — purge the table's vectors " +
         "(CALL graft.system.purge_dvs) with the build that wrote them, " +
@@ -376,9 +379,10 @@ object DeletionVectors {
     case _ => None
   }
 
-  /** Checkpoint column form: the descriptor as one JSON string (same
-    * pattern as the `stats` column — a STRING survives checkpoint
-    * schema evolution; absent/null column means no DV). */
+  /** The descriptor as one JSON string — the wire form row-level-op
+    * commit messages carry, and the column form of PRE-round-12
+    * checkpoints (current checkpoints write the protocol's STRUCT,
+    * [[DeltaLog.CpDv]]; readers accept both). */
   def toJsonString(d: DvDescriptor): String =
     jackson.JsonMethods.compact(jackson.JsonMethods.render(toJson(d)))
 

@@ -386,11 +386,20 @@ object DeltaLog {
           val stats = Option(a.getAs[String]("stats")).flatMap(parseStats)
           val pvals = Option(a.getAs[Map[String, String]]("partitionValues"))
             .getOrElse(Map.empty)
-          // checkpoints from before deletion vectors existed read as no-DV
+          // checkpoints from before deletion vectors existed read as
+          // no-DV; the protocol's STRUCT form and the pre-round-12
+          // JSON-string form both parse
           val dv =
             if (!a.schema.fieldNames.contains("deletionVector")) None
-            else Option(a.getAs[String]("deletionVector"))
-              .flatMap(DeletionVectors.fromJsonString)
+            else a.schema(a.fieldIndex("deletionVector")).dataType match {
+              case _: org.apache.spark.sql.types.StructType =>
+                if (a.isNullAt(a.fieldIndex("deletionVector"))) None
+                else Some(CpDv.toDescriptor(
+                  a.getStruct(a.fieldIndex("deletionVector"))))
+              case _ =>
+                Option(a.getAs[String]("deletionVector"))
+                  .flatMap(DeletionVectors.fromJsonString)
+            }
           files += a.getAs[String]("path") ->
             AddFile(a.getAs[String]("path"), a.getAs[Long]("size"), stats, pvals,
               dataChange = true, modificationTime = longField(a, "modificationTime"),
@@ -575,11 +584,19 @@ object DeltaLog {
           if (cpAdds0.columns.contains("modificationTime")) cpAdds0
           else cpAdds0.withColumn("modificationTime", lit(0L))
         // deletion vectors must survive the distributed path — a pruned
-        // read that dropped them would resurrect deleted rows
+        // read that dropped them would resurrect deleted rows. The
+        // protocol STRUCT form (round 12+) normalizes through to_json so
+        // one string parse below covers it and the legacy string form.
         val withMt =
-          if (withMt0.columns.contains("deletionVector")) withMt0
-          else withMt0.withColumn("deletionVector",
-            lit(null).cast(org.apache.spark.sql.types.StringType))
+          if (!withMt0.columns.contains("deletionVector"))
+            withMt0.withColumn("deletionVector",
+              lit(null).cast(org.apache.spark.sql.types.StringType))
+          else withMt0.schema("deletionVector").dataType match {
+            case _: org.apache.spark.sql.types.StructType =>
+              withMt0.withColumn("deletionVector",
+                org.apache.spark.sql.functions.to_json(col("deletionVector")))
+            case _ => withMt0
+          }
         val physFilter = physFilterOf(schemaJson, parts)
         val pruned = physFilter.foldLeft(withMt) { case (df, (k, v)) =>
           df.where(element_at(col("partitionValues"), k) === lit(v))
@@ -686,10 +703,42 @@ object DeltaLog {
                                        partitionColumns: Seq[String],
                                        configuration: Map[String, String])
   private[delta] case class CpTxn(appId: String, version: Long)
+  /** The protocol's checkpoint form of `add.deletionVector`: a STRUCT of
+    * the five descriptor fields (PROTOCOL.md "Checkpoint Schema" —
+    * `offset`/`sizeInBytes` are ints there, `cardinality` a long), NOT
+    * the JSON string the `stats` column uses. A foreign reader seeding
+    * from `_last_checkpoint` of a DV table expects the struct; graft
+    * checkpoints before round 12 wrote a JSON string instead, and
+    * [[snapshot]]/[[prunedSnapshot]] keep reading BOTH forms. */
+  private[delta] case class CpDv(storageType: String, pathOrInlineDv: String,
+                                 offset: Option[Int], sizeInBytes: Int,
+                                 cardinality: Long)
+  private[delta] object CpDv {
+    def of(d: DvDescriptor): CpDv = {
+      require(d.sizeInBytes <= Int.MaxValue &&
+          d.offset.forall(_ <= Int.MaxValue),
+        s"delta: deletion-vector descriptor exceeds the checkpoint " +
+          s"schema's int fields (sizeInBytes=${d.sizeInBytes}, " +
+          s"offset=${d.offset})")
+      CpDv(d.storageType, d.pathOrInlineDv, d.offset.map(_.toInt),
+        d.sizeInBytes.toInt, d.cardinality)
+    }
+    def toDescriptor(r: org.apache.spark.sql.Row): DvDescriptor = {
+      def intOpt(name: String): Option[Long] =
+        if (!r.schema.fieldNames.contains(name) ||
+            r.isNullAt(r.fieldIndex(name))) None
+        else Some(r.getAs[Number](name).longValue())
+      DvDescriptor(r.getAs[String]("storageType"),
+        r.getAs[String]("pathOrInlineDv"),
+        intOpt("sizeInBytes").getOrElse(0L),
+        intOpt("cardinality").getOrElse(0L),
+        intOpt("offset"))
+    }
+  }
   private[delta] case class CpAdd(path: String, partitionValues: Map[String, String],
                                   size: Long, modificationTime: Long,
                                   dataChange: Boolean, stats: String,
-                                  deletionVector: String = null)
+                                  deletionVector: Option[CpDv] = None)
   private[delta] case class CpRemove(path: String, deletionTimestamp: Long,
                                      dataChange: Boolean)
   private[delta] case class CpRow(protocol: Option[CpProtocol],
@@ -753,7 +802,7 @@ object DeltaLog {
           CpRow(None, None, None, Some(CpAdd(a.path, a.partitionValues, a.size,
             a.modificationTime, dataChange = false,
             a.stats.map(renderStats).orNull,
-            a.dv.map(DeletionVectors.toJsonString).orNull)), None)
+            a.dv.map(CpDv.of))), None)
         } ++ head.tombstones.toSeq
           .filter { case (p, ts) => ts > tombCutoff || f.exists(new Path(tbl, p)) }
           .sortBy(_._1).map { case (p, ts) =>

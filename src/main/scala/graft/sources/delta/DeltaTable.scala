@@ -2458,13 +2458,24 @@ object DeltaTable {
       .filter(_.getPath.getName.endsWith(".checkpoint.parquet"))
       .foreach { st =>
         val cpDf = spark.read.parquet(st.getPath.toString)
-        val pathCols = Seq("add.path") ++
-          (if (cpDf.columns.contains("remove")) Seq("remove.path") else Seq.empty)
+        import org.apache.spark.sql.functions.{col, to_json}
+        val pathCols = Seq(col("add.path")) ++
+          (if (cpDf.columns.contains("remove")) Seq(col("remove.path"))
+           else Seq.empty)
+        // the DV column is the protocol STRUCT in round-12+ checkpoints
+        // and a JSON string in older ones — to_json normalizes the
+        // struct so one string parse covers both
+        val addSchema = cpDf.schema("add").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
         val dvCols =
-          if (cpDf.select("add.*").columns.contains("deletionVector"))
-            Seq("add.deletionVector") else Seq.empty
+          if (!addSchema.fieldNames.contains("deletionVector")) Seq.empty
+          else addSchema("deletionVector").dataType match {
+            case _: org.apache.spark.sql.types.StructType =>
+              Seq(to_json(col("add.deletionVector")))
+            case _ => Seq(col("add.deletionVector"))
+          }
         val cols = pathCols ++ dvCols
-        cpDf.select(cols.head, cols.tail: _*).collect().foreach { r =>
+        cpDf.select(cols: _*).collect().foreach { r =>
           (0 until r.length).foreach { i =>
             if (!r.isNullAt(i)) {
               if (i < pathCols.length) referenced += r.getString(i)

@@ -247,10 +247,17 @@ private[delta] class GraftRowLevelBatchWrite(
           "may be stale; rerun the statement")
     }
     val byRel = head.files.map(f => f.path -> f).toMap
+    // an unparseable mark descriptor is a HARD error: silently dropping
+    // it would commit the DML while skipping those rows — a wrong
+    // answer, strictly worse than failing the statement
     def descsOf(sel: RowLevelCommitMessage => Seq[(String, String)])
       : Map[String, Seq[DvDescriptor]] =
       msgs.flatMap(sel).groupBy(_._1).view
-        .mapValues(_.flatMap(p => DeletionVectors.fromJsonString(p._2)).toSeq)
+        .mapValues(_.map(p => DeletionVectors.fromJsonString(p._2).getOrElse(
+          throw new IllegalStateException(
+            s"graft-delta: unparseable row-level mark descriptor for " +
+              s"${p._1}: '${p._2}' — refusing to commit a $cmd that would " +
+              "skip its rows"))).toSeq)
         .toMap
     val delM = descsOf(_.deleteMarks)
     val updM = descsOf(_.updateMarks)

@@ -356,6 +356,97 @@ class DeletionVectorSpec extends SparkSpec {
       .select("id").collect().map(_.getInt(0)).toSet === (4 to 6).toSet)
   }
 
+  test("legacy-path refusal keys on _dv/, not on a .bin suffix") {
+    // '.' is a valid Z85 character: a protocol-conformant foreign
+    // descriptor whose random prefix happens to end in ".bin" must
+    // still resolve (the old endsWith(".bin") guard misdiagnosed it)
+    val u = java.util.UUID.randomUUID()
+    val okWeird = DvDescriptor("u", "ab.bin" + DeletionVectors.encodeUuid(u),
+      10L, 1L, Some(1L))
+    assert(DeletionVectors.relativePath(okWeird)
+      === s"ab.bin/deletion_vector_$u.bin")
+    // the actual legacy graft form refuses loudly
+    val legacy = DvDescriptor("u", s"_dv/dv-$u.bin", 10L, 1L, Some(1L))
+    val e = intercept[IllegalArgumentException](
+      DeletionVectors.relativePath(legacy))
+    assert(e.getMessage.contains("legacy graft DV path"))
+  }
+
+  test("checkpoints carry add.deletionVector as the protocol STRUCT") {
+    val t = tmp()
+    dvTable(t, 1 to 6)
+    DeltaTable.delete(spark, t, col("id") <= 2)
+    val v = DeltaLog.checkpoint(spark, t)
+    val cp = spark.read.parquet(
+      s"$t/_delta_log/" + f"$v%020d" + ".checkpoint.parquet")
+    // the protocol's checkpoint schema: a five-field struct, NOT a JSON
+    // string — what a foreign reader seeding from _last_checkpoint
+    // expects (the Trino delta-connector scenario)
+    val dvType = cp.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("deletionVector")
+      .dataType
+    val st = dvType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSet ===
+      Set("storageType", "pathOrInlineDv", "offset", "sizeInBytes",
+        "cardinality"))
+    assert(st("offset").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(st("sizeInBytes").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(st("cardinality").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val r = cp.where(col("add").isNotNull &&
+        col("add.deletionVector").isNotNull)
+      .select("add.deletionVector.*").head()
+    assert(r.getAs[String]("storageType") === "i") // 2 rows → inline
+    assert(r.getAs[Long]("cardinality") === 2L)
+    // replay FROM the checkpoint (no JSON tail after it) stays exact
+    assert(DeltaLog.snapshot(spark, t).files
+      .exists(_.dv.exists(_.cardinality == 2L)))
+    assert(ids(t) === (3 to 6).toSet)
+  }
+
+  test("pre-round-12 checkpoints (JSON-string deletionVector) still read") {
+    val t = tmp()
+    dvTable(t, 1 to 6)
+    DeltaTable.delete(spark, t, col("id") <= 2)
+    val v = DeltaLog.checkpoint(spark, t)
+    val cpPath = s"$t/_delta_log/" + f"$v%020d" + ".checkpoint.parquet"
+    // rewrite the checkpoint into the LEGACY form: deletionVector as a
+    // compact-JSON string column (what graft wrote before round 12)
+    val cp = spark.read.parquet(cpPath)
+    import org.apache.spark.sql.functions.{struct, to_json, when}
+    val legacyAdd = when(col("add").isNull, org.apache.spark.sql.functions
+        .lit(null))
+      .otherwise(struct(
+        col("add.path"), col("add.partitionValues"), col("add.size"),
+        col("add.modificationTime"), col("add.dataChange"),
+        col("add.stats"),
+        when(col("add.deletionVector").isNull,
+          org.apache.spark.sql.functions.lit(null).cast("string"))
+          .otherwise(to_json(col("add.deletionVector")))
+          .as("deletionVector")))
+    val legacy = cp.withColumn("add", legacyAdd).coalesce(1)
+    val tmpDir = java.nio.file.Files.createTempDirectory("legacy_cp")
+    legacy.write.mode("overwrite").parquet(tmpDir.toString)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir.toString))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.delete(new org.apache.hadoop.fs.Path(cpPath), false)
+    fs.rename(part, new org.apache.hadoop.fs.Path(cpPath))
+    // sanity: the rewritten checkpoint's dv column IS a string now
+    assert(spark.read.parquet(cpPath).schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("deletionVector")
+      .dataType === org.apache.spark.sql.types.StringType)
+    // both replay paths parse the legacy form
+    assert(DeltaLog.snapshot(spark, t).files
+      .exists(_.dv.exists(_.cardinality == 2L)))
+    assert(ids(t) === (3 to 6).toSet)
+    assert(DeltaLog.prunedSnapshot(spark, t, Map.empty).files
+      .exists(_.dv.exists(_.cardinality == 2L)))
+  }
+
   // -------------------------------------------------------- clone & SQL
 
   test("shallow clone absolutizes sidecar vectors and reads exactly") {
