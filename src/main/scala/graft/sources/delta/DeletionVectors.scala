@@ -55,7 +55,7 @@ object DeletionVectors {
   /** On-disk sidecar framing: `[version 0x01, 1 byte]` then per stored
     * vector `[dataSize, 4B BE][data][CRC-32 of data, 4B BE]`; a
     * descriptor's `offset` points at its dataSize field. */
-  private val FileFormatVersion: Byte = 1
+  private[delta] val FileFormatVersion: Byte = 1
 
   /** Inline-vs-sidecar threshold: a small DV rides inside the commit
     * JSON (no sidecar file, no extra read IO); past this it becomes a
@@ -282,42 +282,13 @@ object DeletionVectors {
     }
 
   /** Write `sortedIndexes` as a descriptor: inline under the threshold,
-    * else a fresh `deletion_vector_<uuid>.bin` sidecar in the
-    * protocol's framing (UUID names — collision-free without
-    * coordination, exactly like data files; a crashed or losing
-    * writer's sidecar is an orphan [[DeltaTable.vacuumOrphans]]
-    * reclaims). Callable executor-side: `conf` is the only context. */
-  /** Write one framed sidecar file: `[version 0x01][dataSize 4B BE]
-    * [data][CRC-32 4B BE]`; the returned offset points at the size
-    * field (the descriptor contract). */
-  private def writeFramed(conf: Configuration, p: Path,
-                          bytes: Array[Byte]): Long = {
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, false)
-    try {
-      out.write(FileFormatVersion.toInt)
-      out.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
-      out.write(bytes)
-      val crc = new java.util.zip.CRC32()
-      crc.update(bytes)
-      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
-    } finally out.close()
-    1L
-  }
-
+    * else a fresh single-vector `deletion_vector_<uuid>.bin` sidecar
+    * (one-shot convenience over [[DvSidecarWriter]] — batch paths that
+    * write many vectors must hold one writer per task instead). */
   def write(conf: Configuration, table: String,
             sortedIndexes: Array[Long]): DvDescriptor = {
-    val bytes = serialize(sortedIndexes)
-    if (bytes.length <= InlineThresholdBytes)
-      DvDescriptor("i", z85Encode(bytes),
-        bytes.length.toLong, sortedIndexes.length.toLong)
-    else {
-      val uuid = java.util.UUID.randomUUID()
-      val off = writeFramed(conf,
-        new Path(table, s"deletion_vector_$uuid.bin"), bytes)
-      DvDescriptor("u", encodeUuid(uuid), bytes.length.toLong,
-        sortedIndexes.length.toLong, offset = Some(off))
-    }
+    val w = new DvSidecarWriter(conf, table, atTableRoot = true)
+    try w.write(sortedIndexes) finally w.close()
   }
 
   /** Like [[write]], but sidecars land under an explicit `dir` as
@@ -327,16 +298,8 @@ object DeletionVectors {
     * without knowing the scratch layout. */
   def writeAt(conf: Configuration, dir: String,
               sortedIndexes: Array[Long]): DvDescriptor = {
-    val bytes = serialize(sortedIndexes)
-    if (bytes.length <= InlineThresholdBytes)
-      DvDescriptor("i", z85Encode(bytes),
-        bytes.length.toLong, sortedIndexes.length.toLong)
-    else {
-      val p = new Path(dir, s"deletion_vector_${java.util.UUID.randomUUID()}.bin")
-      val off = writeFramed(conf, p, bytes)
-      DvDescriptor("p", p.getFileSystem(conf).makeQualified(p).toString,
-        bytes.length.toLong, sortedIndexes.length.toLong, offset = Some(off))
-    }
+    val w = new DvSidecarWriter(conf, dir, atTableRoot = false)
+    try w.write(sortedIndexes) finally w.close()
   }
 
   /** Delete a descriptor's sidecar file if it has one (best-effort —
@@ -388,6 +351,71 @@ object DeletionVectors {
 
   def fromJsonString(s: String): Option[DvDescriptor] =
     try fromJson(jackson.JsonMethods.parse(s)) catch { case _: Exception => None }
+}
+
+/** Appends MANY vectors into ONE framed sidecar file — the protocol's
+  * shape (a sidecar holds multiple vectors; each descriptor's `offset`
+  * locates its frame). At 100 TB a wide DELETE straddling 50k files
+  * must not write 50k tiny objects (S3 put-amplification); instead
+  * each TASK holds one of these and appends its files' vectors, so a
+  * commit writes O(tasks) sidecars, not O(files). The file opens
+  * LAZILY on the first oversized vector (all-inline tasks create
+  * nothing) under a fresh UUID name — collision-free without
+  * coordination, exactly like data files; a crashed or losing writer's
+  * sidecar is an orphan [[DeltaTable.vacuumOrphans]] reclaims.
+  *
+  * `atTableRoot=true` emits the protocol's "u" descriptors (the shared
+  * file is `deletion_vector_<uuid>.bin` under the table root `dir`);
+  * false emits absolute-path "p" descriptors under a scratch `dir`
+  * (row-level-operation marks). Executor-callable: `conf` is the only
+  * context. Not thread-safe — one per task, like any file writer. */
+final class DvSidecarWriter(conf: Configuration, dir: String,
+                            atTableRoot: Boolean) {
+  private var uuid: java.util.UUID = _
+  private var path: Path = _
+  private var out: java.io.OutputStream = _
+  private var written: Long = 0L
+
+  /** Inline descriptor under the threshold; otherwise one appended
+    * frame `[dataSize 4B BE][data][CRC-32 4B BE]` whose descriptor
+    * offset points at its dataSize field. */
+  def write(sortedIndexes: Array[Long]): DvDescriptor = {
+    val bytes = DeletionVectors.serialize(sortedIndexes)
+    if (bytes.length <= DeletionVectors.InlineThresholdBytes)
+      DvDescriptor("i", DeletionVectors.z85Encode(bytes),
+        bytes.length.toLong, sortedIndexes.length.toLong)
+    else {
+      if (out == null) {
+        uuid = java.util.UUID.randomUUID()
+        path = new Path(dir, s"deletion_vector_$uuid.bin")
+        out = path.getFileSystem(conf).create(path, false)
+        out.write(DeletionVectors.FileFormatVersion.toInt)
+        written = 1L
+      }
+      val off = written
+      out.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
+      out.write(bytes)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes)
+      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      written += 8L + bytes.length
+      DvDescriptor(
+        if (atTableRoot) "u" else "p",
+        if (atTableRoot) DeletionVectors.encodeUuid(uuid)
+        else path.getFileSystem(conf).makeQualified(path).toString,
+        bytes.length.toLong, sortedIndexes.length.toLong,
+        offset = Some(off))
+    }
+  }
+
+  def close(): Unit = if (out != null) { out.close(); out = null }
+
+  /** Close and delete the sidecar (task-failure cleanup — don't wait
+    * for the vacuum cycle when the failure is observed in-line). */
+  def abort(): Unit = {
+    close()
+    if (path != null) path.getFileSystem(conf).delete(path, false)
+  }
 }
 
 /** Executor-side DV membership: qualified file path → deleted-index

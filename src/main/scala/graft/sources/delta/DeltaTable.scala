@@ -1311,19 +1311,44 @@ object DeltaTable {
       q -> f.stats.get.numRecords }
     val bconf = CB.broadcastHadoopConf(spark, hconf)
     val tableStr = table
+    // one task per hash-clustered file group, one SIDECAR per task: the
+    // partition iterates (file, pos) sorted, so each file's positions
+    // arrive contiguous and its merged vector appends one frame to the
+    // task's shared sidecar ([[DvSidecarWriter]]) — a wide DELETE
+    // straddling 50k files writes O(tasks) sidecar objects, not 50k
     val results: Array[(String, Option[DvDescriptor])] = affected
       .select(col(DvFileCol), col(DvRowCol)).as[(String, Long)]
-      .groupByKey(_._1).mapGroups { (file, it) =>
-        val news = it.map(_._2).toArray
-        java.util.Arrays.sort(news)
-        val merged = oldDescs.get(file) match {
-          case Some(d) => DeletionVectors.union(
-            DeletionVectors.load(bconf.value.value, tableStr, d), news)
-          case None => news
-        }
-        if (numRecs.get(file).contains(merged.length.toLong)) (file, None)
-        else (file, Some(DeletionVectors.write(bconf.value.value,
-          tableStr, merged)))
+      .repartition(col(DvFileCol))
+      .sortWithinPartitions(col(DvFileCol), col(DvRowCol))
+      .mapPartitions { it =>
+        val w = new DvSidecarWriter(bconf.value.value, tableStr,
+          atTableRoot = true)
+        try {
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[(String, Option[DvDescriptor])]
+          var curFile: String = null
+          val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+          def flush(): Unit = if (curFile != null) {
+            val news = buf.result() // sorted: partition order is (file, pos)
+            buf.clear()
+            val merged = oldDescs.get(curFile) match {
+              case Some(d) => DeletionVectors.union(
+                DeletionVectors.load(bconf.value.value, tableStr, d), news)
+              case None => news
+            }
+            out += ((curFile,
+              if (numRecs.get(curFile).contains(merged.length.toLong)) None
+              else Some(w.write(merged))))
+          }
+          it.foreach { case (f, p) =>
+            if (f != curFile) { flush(); curFile = f }
+            buf += p
+          }
+          flush()
+          out.iterator // fully materialized above — safe to close the writer
+        } catch {
+          case e: Throwable => w.abort(); throw e
+        } finally w.close()
       }.collect()
     val resultMap = results.toMap
     val changed = files.filter(f => resultMap.contains(qualified(f.path)))
@@ -1336,6 +1361,11 @@ object DeltaTable {
         case None => Seq(rm)
       }
     } ++ changed.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
+      // distinct: packed sidecars are SHARED, so two retired descriptors
+      // can point at one file — one tombstone each, not duplicates (and
+      // vacuumRemoved additionally refuses while any live descriptor
+      // still references the file)
+      .distinct
       .map(p => removeAction(p, now, dataChange = false))
     (acts, results.flatMap(_._2).filter(_.storageType == "u").toSeq)
   }
@@ -2410,6 +2440,12 @@ object DeltaTable {
     val head = snapshot(spark, table)
     val cutoff = System.currentTimeMillis() - retainMs
     val live = head.files.map(_.path).toSet
+    // packed DV sidecars are SHARED: a retired descriptor's tombstone
+    // can name a file another LIVE file's vector still reads at a
+    // different offset — deleting it would break that scan. The live
+    // reference set uses the same path namespace as the tombstones.
+    val liveDv = head.files.flatMap(_.dv)
+      .flatMap(DeletionVectors.tombstonePath).toSet
     var removed = 0
     head.tombstones.foreach { case (p, ts) =>
       // the live check is belt-and-braces: a re-added path drops its
@@ -2417,7 +2453,7 @@ object DeltaTable {
       // the HEAD references. Absolute tombstones are CLONED-IN
       // references ([[cloneShallow]]) — another table's data, never
       // this vacuum's to reclaim.
-      if (ts <= cutoff && !live(p) && !new Path(p).isAbsolute
+      if (ts <= cutoff && !live(p) && !liveDv(p) && !new Path(p).isAbsolute
           && fs.delete(new Path(tbl, p), false))
         removed += 1
     }

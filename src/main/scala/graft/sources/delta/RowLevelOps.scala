@@ -478,15 +478,22 @@ private[delta] class GraftRowLevelWriter(
       if (updateUsed)
         updateW.commit().asInstanceOf[DeltaSinkCommitMessage].files
       else Seq.empty
-    def descs(m: mutable.LinkedHashMap[String, mutable.ArrayBuffer[Long]])
-      : Seq[(String, String)] =
-      m.toSeq.map { case (rel, buf) =>
-        val arr = buf.toArray
-        java.util.Arrays.sort(arr) // declared ordering makes this a no-op
-        rel -> DeletionVectors.toJsonString(
-          DeletionVectors.writeAt(hadoopConf, marksDir, arr))
-      }
-    RowLevelCommitMessage(ins, upd, descs(delMarks), descs(updMarks))
+    // ONE scratch sidecar for ALL this task's oversized mark vectors
+    // (delete and update alike) — descriptors carry distinct offsets
+    // into it, so a task marking thousands of files writes one object
+    val dvw = new DvSidecarWriter(hadoopConf, marksDir, atTableRoot = false)
+    try {
+      def descs(m: mutable.LinkedHashMap[String, mutable.ArrayBuffer[Long]])
+        : Seq[(String, String)] =
+        m.toSeq.map { case (rel, buf) =>
+          val arr = buf.toArray
+          java.util.Arrays.sort(arr) // declared ordering makes this a no-op
+          rel -> DeletionVectors.toJsonString(dvw.write(arr))
+        }
+      RowLevelCommitMessage(ins, upd, descs(delMarks), descs(updMarks))
+    } catch {
+      case e: Throwable => dvw.abort(); throw e
+    } finally dvw.close()
   }
 
   override def abort(): Unit = {

@@ -356,6 +356,98 @@ class DeletionVectorSpec extends SparkSpec {
       .select("id").collect().map(_.getInt(0)).toSet === (4 to 6).toSet)
   }
 
+  test("one sidecar holds many vectors at distinct offsets") {
+    val dir = java.nio.file.Files.createTempDirectory("dv_packed").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val w = new DvSidecarWriter(conf, dir, atTableRoot = true)
+    // two oversized vectors (above the inline threshold) + one inline
+    val a = (0L until 40000L by 2L).toArray
+    val b = (1L until 30000L by 3L).toArray
+    val (da, db) = try {
+      val da = w.write(a)
+      val db = w.write(b)
+      val di = w.write(Array(5L))
+      assert(di.storageType === "i")
+      assert(da.storageType === "u" && db.storageType === "u")
+      // SAME sidecar file, DIFFERENT offsets — the protocol's
+      // many-vectors-per-file shape
+      assert(da.pathOrInlineDv === db.pathOrInlineDv)
+      assert(da.offset !== db.offset)
+      (da, db)
+    } finally w.close() // loads read AFTER the task closes, as in real use
+    // both load exactly (size + CRC framing at each offset)
+    assert(DeletionVectors.load(conf, dir, da).toSeq === a.toSeq)
+    assert(DeletionVectors.load(conf, dir, db).toSeq === b.toSeq)
+    // exactly one file was created
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val bins = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("deletion_vector_"))
+    assert(bins.length === 1)
+    assert(DeletionVectors.relativePath(da) === bins.head.getPath.getName)
+  }
+
+  test("a wide DELETE packs its vectors into per-task sidecars") {
+    val t = tmp()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      // 3 files × 12000 rows; delete every other row → 3 sidecar-sized
+      // vectors, all marked by the single shuffle task → ONE sidecar
+      dvTable(t, 0 until 12000, 20000 until 32000, 40000 until 52000)
+      DeltaTable.delete(spark, t, col("id") % 2 === 0)
+      val head = DeltaLog.snapshot(spark, t)
+      val descs = head.files.flatMap(_.dv)
+      assert(descs.length === 3)
+      assert(descs.forall(_.storageType == "u"))
+      assert(descs.map(_.pathOrInlineDv).distinct.length === 1,
+        "all three descriptors must share one packed sidecar")
+      assert(descs.map(_.offset).distinct.length === 3)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val bins = fs.listStatus(new org.apache.hadoop.fs.Path(t))
+        .filter(_.getPath.getName.startsWith("deletion_vector_"))
+      assert(bins.length === 1, "one task -> one sidecar object")
+      assert(ids(t) === ((0 until 12000) ++ (20000 until 32000) ++
+        (40000 until 52000)).filter(_ % 2 == 1).toSet)
+      // a second DELETE merges into the packed vectors and retires the
+      // shared sidecar with ONE tombstone; reads stay exact
+      DeltaTable.delete(spark, t, col("id") % 3 === 0)
+      assert(ids(t) === ((0 until 12000) ++ (20000 until 32000) ++
+        (40000 until 52000)).filter(i => i % 2 == 1 && i % 3 != 0).toSet)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("vacuum never deletes a shared sidecar a live vector still reads") {
+    val t = tmp()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      dvTable(t, 0 until 12000, 20000 until 32000)
+      // pass 1 packs BOTH files' vectors into one sidecar
+      DeltaTable.delete(spark, t, col("id") % 2 === 0)
+      val shared = DeltaLog.snapshot(spark, t).files.flatMap(_.dv)
+        .map(DeletionVectors.relativePath).distinct
+      assert(shared.length === 1)
+      // pass 2 re-marks ONLY file 1 → its old descriptor retires with a
+      // tombstone naming the shared sidecar — which file 2 still reads
+      DeltaTable.delete(spark, t, col("id") < 6000 && col("id") % 3 === 0)
+      val head = DeltaLog.snapshot(spark, t)
+      assert(head.tombstones.contains(shared.head),
+        "the retired descriptor must tombstone its sidecar")
+      assert(head.files.flatMap(_.dv).exists(d =>
+        DeletionVectors.relativePath(d) == shared.head),
+        "file 2's live vector still references the shared sidecar")
+      // retention 0: everything expired — the guard alone protects it
+      DeltaTable.vacuumRemoved(spark, t, retainMs = 0L)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/${shared.head}")),
+        "vacuum must keep a sidecar a live descriptor references")
+      assert(ids(t) === ((0 until 12000) ++ (20000 until 32000))
+        .filter(i => i % 2 == 1 && !(i < 6000 && i % 3 == 0)).toSet)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("legacy-path refusal keys on _dv/, not on a .bin suffix") {
     // '.' is a valid Z85 character: a protocol-conformant foreign
     // descriptor whose random prefix happens to end in ".bin" must
