@@ -845,21 +845,15 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
           Array.empty, 0L, a.size)
       }
     }
-    // DV-bearing files plan ONE partition per FILE (its splits stay
-    // together): the routing reader loads that file's vector once and
-    // filters by row index — mixing files would leave the reader unable
-    // to tell whose vector applies. Clean files bin-pack as always.
-    // Metadata-column scans (`_file`/`_pos` requested) plan EVERY file
-    // as its own partition: `_file` is a per-partition constant there.
-    val (dvLive, cleanLive) =
-      if (metaFieldNames.nonEmpty) (live, Seq.empty[DeltaLog.AddFile])
-      else live.partition(a => a.dv.exists(_.cardinality > 0))
-    // largest-first bin-packing, as FileSourceScanExec orders splits
-    val packed = FilePartition.getFilePartitions(classic,
-      cleanLive.flatMap(splitsOf).sortBy(-_.length), maxSplit)
-    (packed ++ dvLive.zipWithIndex.map { case (a, i) =>
-      FilePartition(packed.size + i, splitsOf(a).toArray)
-    }).toArray
+    // EVERY file bin-packs (largest-first, as FileSourceScanExec orders
+    // splits) — DV-bearing files and metadata-column scans included:
+    // the routing factories build PER-FILE readers
+    // ([[FilePartitionReaderFactory.buildReader]]), so each
+    // PartitionedFile resolves its own vector and relative path and a
+    // DML whose predicate doesn't prune on a many-small-files table
+    // plans O(bytes/maxSplit) partitions, not O(#files).
+    FilePartition.getFilePartitions(classic,
+      live.flatMap(splitsOf).sortBy(-_.length), maxSplit).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1025,15 +1019,22 @@ private[delta] case class DeltaPermutingReaderFactory(
   }
 }
 
-/** Routes deletion-vector partitions through a filtered reader: the
-  * partition's single file's vector loads ONCE (task-side, from the
+/** Routes each deletion-vector FILE through a filtered reader: the
+  * file's vector loads in the task that reads it (from the
   * descriptor — bitmap bytes never visit the driver), each row
   * binary-searches its populated row index, survivors project the
   * temporary column away.
   *
+  * A [[org.apache.spark.sql.execution.datasources.v2
+  * .FilePartitionReaderFactory]]: routing happens PER
+  * `PartitionedFile`, not per partition, so DV-bearing files BIN-PACK
+  * with clean ones instead of each claiming a whole partition — after
+  * a wide DELETE marks every file, a scan still plans
+  * O(bytes/maxSplit) tasks, not O(#files).
+  *
   * The scan stays COLUMNAR: Spark requires a scan's partitions to be
   * uniformly columnar, so instead of flipping everything row-based for
-  * one DV file, DV partitions' batches filter through
+  * one DV file, DV files' batches filter through
   * [[SelectedColumnVector]] views — an int[] gather map per batch
   * (computed in one pass over the row-index vector), each surviving
   * column a position-translating view over the delegate's vector. The
@@ -1048,15 +1049,21 @@ private[delta] case class DvRoutingReaderFactory(
     conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
     rowIdxPos: Int,
     innerFields: Array[StructField])
-    extends PartitionReaderFactory {
-  import org.apache.spark.sql.execution.datasources.FilePartition
+    extends org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory {
+  import org.apache.spark.sql.execution.datasources.PartitionedFile
+  import org.apache.spark.sql.execution.datasources.v2.{FilePartitionReaderFactory => FPRF}
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  private def dvOf(p: InputPartition): Option[DvDescriptor] = p match {
-    case fp: FilePartition =>
-      fp.files.headOption.flatMap(f => dvByPath.get(f.filePath.urlEncoded))
-    case _ => None
-  }
+  private def cleanF = clean.asInstanceOf[FPRF]
+  private def dvF = dvInner.asInstanceOf[FPRF]
+
+  // built at DRIVER construction (SQLConf.get = the planning session, the
+  // same fallback the parquet delegate's own options use); the delegate's
+  // options field is Scala-protected, so it cannot be forwarded
+  private val fileOptions = new org.apache.spark.sql.catalyst.FileSourceOptions(
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(Map.empty[String, String]))
+  override protected def options: org.apache.spark.sql.catalyst.FileSourceOptions =
+    fileOptions
 
   /** Uniform answer for EVERY partition (Spark refuses mixed scans):
     * columnar only when both delegates are — the dv delegate differs
@@ -1066,12 +1073,12 @@ private[delta] case class DvRoutingReaderFactory(
     clean.supportColumnarReads(partition) &&
       dvInner.supportColumnarReads(partition)
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    dvOf(partition) match {
-      case None => clean.createReader(partition)
+  override def buildReader(file: PartitionedFile): PartitionReader[InternalRow] =
+    dvByPath.get(file.filePath.urlEncoded) match {
+      case None => cleanF.buildReader(file)
       case Some(desc) =>
         val deleted = DeletionVectors.load(conf.value.value, table, desc)
-        val inner = dvInner.createReader(partition)
+        val inner = dvF.buildReader(file)
         val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
           innerFields.zipWithIndex.collect { case (f, i) if i != rowIdxPos =>
             org.apache.spark.sql.catalyst.expressions.BoundReference(
@@ -1096,13 +1103,13 @@ private[delta] case class DvRoutingReaderFactory(
         }
     }
 
-  override def createColumnarReader(partition: InputPartition)
+  override def buildColumnarReader(file: PartitionedFile)
     : PartitionReader[ColumnarBatch] =
-    dvOf(partition) match {
-      case None => clean.createColumnarReader(partition)
+    dvByPath.get(file.filePath.urlEncoded) match {
+      case None => cleanF.buildColumnarReader(file)
       case Some(desc) =>
         val deleted = DeletionVectors.load(conf.value.value, table, desc)
-        val inner = dvInner.createColumnarReader(partition)
+        val inner = dvF.buildColumnarReader(file)
         new PartitionReader[ColumnarBatch] {
           override def next(): Boolean = inner.next()
           override def get(): ColumnarBatch = {
@@ -1135,11 +1142,14 @@ private[delta] case class DvRoutingReaderFactory(
 
 /** Reader for metadata-column scans (`_file`/`_pos` requested — the
   * row-provenance surface [[GraftRowLevelOperation]]'s scans and
-  * explicit SELECTs use): each partition is ONE file, `_file` is that
-  * file's add-action relative path as a per-partition constant, `_pos`
-  * copies the parquet row-index temp column, the file's deletion vector
-  * (if any) filters rows, and one projection emits the REQUESTED column
-  * order. Row-based: provenance scans feed row-level writes. */
+  * explicit SELECTs use): a per-FILE factory
+  * ([[org.apache.spark.sql.execution.datasources.v2
+  * .FilePartitionReaderFactory]], so files bin-pack normally), where
+  * `_file` is each file's add-action relative path as a per-reader
+  * constant, `_pos` copies the parquet row-index temp column, the
+  * file's deletion vector (if any) filters rows, and one projection
+  * emits the REQUESTED column order. Row-based: provenance scans feed
+  * row-level writes. */
 private[delta] case class MetaColReaderFactory(
     inner: PartitionReaderFactory,
     dvByPath: Map[String, DvDescriptor],
@@ -1151,21 +1161,29 @@ private[delta] case class MetaColReaderFactory(
     outSchema: StructType,
     metaNames: Set[String],
     physOf: Map[String, String])
-    extends PartitionReaderFactory {
+    extends org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory {
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
-  import org.apache.spark.sql.execution.datasources.FilePartition
+  import org.apache.spark.sql.execution.datasources.PartitionedFile
+
+  private def fileInner = inner.asInstanceOf[
+    org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory]
+
+  // driver-constructed (see DvRoutingReaderFactory.fileOptions)
+  private val fileOptions = new org.apache.spark.sql.catalyst.FileSourceOptions(
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(Map.empty[String, String]))
+  override protected def options: org.apache.spark.sql.catalyst.FileSourceOptions =
+    fileOptions
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val fp = partition.asInstanceOf[FilePartition]
-    val key = fp.files.head.filePath.urlEncoded
+  override def buildReader(file: PartitionedFile): PartitionReader[InternalRow] = {
+    val key = file.filePath.urlEncoded
     val rel = relByPath.getOrElse(key,
       throw new IllegalStateException(s"graft-delta: unplanned file $key"))
     val deleted = dvByPath.get(key)
       .map(d => DeletionVectors.load(conf.value.value, table, d))
       .getOrElse(Array.empty[Long])
-    val d = inner.createReader(partition)
+    val d = fileInner.buildReader(file)
     val exprs: Seq[Expression] = outSchema.fields.toSeq.map { f =>
       if (metaNames.contains(f.name) && f.name == GraftMeta.FileCol)
         Literal(UTF8String.fromString(rel), StringType)

@@ -168,6 +168,38 @@ class RowLevelOpsSpec extends SparkSpec {
       "_pos stays the PHYSICAL index (row 3 keeps index 2 behind the vector)")
   }
 
+  test("DV and metadata scans BIN-PACK files — no O(#files) partitions") {
+    val root = java.nio.file.Files.createTempDirectory("rlo_pack").toString
+    val t = s"$root/t"
+    // 64 small files in one commit; the DELETE straddles every one
+    DeltaTable.write((1 to 6400).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartition(64), t, SaveMode.Append)
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.delete(spark, t, col("id") % 10 === 3)
+    val head = DeltaLog.snapshot(spark, t)
+    assert(head.files.length === 64)
+    assert(head.files.forall(_.dv.exists(_.cardinality > 0)))
+    val expected = (1 to 6400).filter(_ % 10 != 3)
+    // a DV on every file must NOT plan one partition per file — the
+    // per-PartitionedFile routing lets Spark's bin-packing apply
+    val plain = spark.read.format("graft-delta").load(t)
+    assert(plain.rdd.getNumPartitions < 64,
+      s"DV files must bin-pack, got ${plain.rdd.getNumPartitions} partitions")
+    assert(plain.select("id").collect().map(_.getInt(0)).toSet
+      === expected.toSet)
+    // metadata-column scans (every native DML's read) pack the same way
+    // while _file still resolves per FILE inside a packed partition
+    val meta = spark.read.format("graft-delta").load(t)
+      .select(col("id"), col("_file"), col("_pos"))
+    assert(meta.rdd.getNumPartitions < 64,
+      s"metadata scans must bin-pack, got ${meta.rdd.getNumPartitions}")
+    val rows = meta.collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.map(_._1).toSet === expected.toSet)
+    assert(rows.map(_._2).distinct.length === 64,
+      "_file must stay exact per file inside packed partitions")
+  }
+
   test("native MERGE enforces source-key cardinality (no double-update)") {
     // the engine's mergeInto pre-checks source uniqueness; the native
     // path relies on Spark's MergeRows runtime check — pin that it
