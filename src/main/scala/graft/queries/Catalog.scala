@@ -1969,6 +1969,92 @@ object Catalog {
     }
   }
 
+  /** SQL DML on a COLUMN-MAPPED table through the native row-level
+    * framework (q108): a catalog table renames `n_chars` → `chars`
+    * (a pure-metadata commit — column mapping stamps physical names),
+    * then pure-SQL UPDATE and DELETE land as deletion vectors + staged
+    * post-images with the scan/write translating logical↔physical
+    * ([[graft.sources.delta.GraftRowLevelOperation]] — round 12 made
+    * mapped tables eligible). Final state + precise CDF (logical
+    * names) aggregate oracle-exact. */
+  val q108MappedSqlDml: Q = Q(
+    "q108_mapped_sql_dml",
+    oracle = Some("""
+      WITH upd AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 6 = 2),
+      after_upd AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 6 = 2 THEN n_chars + 11 ELSE n_chars END
+                 AS chars
+        FROM documents),
+      final AS (SELECT * FROM after_upd WHERE doc_id % 5 <> 0),
+      sections AS (
+        SELECT 'final' AS section, lang,
+               COUNT(*) AS n_rows, SUM(chars) AS sum_chars
+        FROM final GROUP BY lang
+        UNION ALL
+        SELECT 'cdf_update_preimage', lang, COUNT(*), SUM(n_chars)
+        FROM upd GROUP BY lang
+        UNION ALL
+        SELECT 'cdf_update_postimage', lang, COUNT(*), SUM(n_chars + 11)
+        FROM upd GROUP BY lang
+        UNION ALL
+        SELECT 'cdf_delete', lang, COUNT(*), SUM(chars)
+        FROM after_upd WHERE doc_id % 5 = 0 GROUP BY lang)
+      SELECT section, lang, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM sections""")) { (spark, dir) =>
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q108")
+    val cat = s"g108_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.delta.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+      spark.sql(s"CREATE NAMESPACE $cat.corpus")
+      spark.sql(s"""CREATE TABLE $cat.corpus.docs
+                    (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                    TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true',
+                                   'delta.enableDeletionVectors' = 'true')""")
+      spark.sql(s"""INSERT INTO $cat.corpus.docs
+                    SELECT /*+ REPARTITION(8) */ doc_id, lang, n_chars
+                    FROM docs_src_$cat""")
+      // metadata-only rename engages column mapping: no file rewrites
+      val t = s"$scratch/corpus/docs"
+      val filesBefore = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+      spark.sql(s"ALTER TABLE $cat.corpus.docs RENAME COLUMN n_chars TO chars")
+      require(DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+          == filesBefore,
+        "q108: RENAME COLUMN must be a pure-metadata commit")
+      spark.sql(s"UPDATE $cat.corpus.docs SET chars = chars + 11 " +
+        "WHERE doc_id % 6 = 2")
+      val updV = DeltaLog.snapshot(spark, t).version
+      require(DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+          .intersect(filesBefore) == filesBefore,
+        "q108: a DV-table UPDATE must keep the straddled files")
+      spark.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id % 5 = 0")
+      val delV = DeltaLog.snapshot(spark, t).version
+      val finalSec = spark.sql(s"SELECT lang, chars FROM $cat.corpus.docs")
+        .select(lit("final").as("section"), col("lang"), col("chars"))
+      val feed = DeltaTable.readChangeFeed(spark, t, updV, Some(delV))
+        .select(concat(lit("cdf_"), col("_change_type")).as("section"),
+          col("lang"), col("chars"))
+      val agg = finalSec.unionByName(feed)
+        .groupBy(col("section"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("chars")).cast("long").as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -1979,7 +2065,8 @@ object Catalog {
         q93Dsv2Scan, q94SchemaEvolution, q96ShallowClone, q97ColumnMapping,
         q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
         q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
-        q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv) ++
+        q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
+        q108MappedSqlDml) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -159,18 +159,20 @@ private[delta] object DeltaStreamDataSource {
   }
 
   /** The table binding: the [[DeltaStreamTableRlo]] variant (native
-    * row-level DML + `_file`/`_pos` metadata columns) for plain current-
-    * head tables; the base class for everything whose DML must route
-    * through the engine's own write path — generated/identity columns
-    * and column mapping (their per-row semantics live in
-    * [[graft.GraftExtensions]]' rewrite), CDF-mode and time-travel
-    * bindings (read-only views), and not-yet-created sink targets.
+    * row-level DML + `_file`/`_pos` metadata columns) for current-head
+    * tables — COLUMN-MAPPED ones included, the scan and write both
+    * translate logical→physical; the base class for everything whose
+    * DML must route through the engine's own write path —
+    * generated/identity columns (their per-row compute/allocation
+    * semantics live in [[graft.GraftExtensions]]' rewrite), CDF-mode
+    * and time-travel bindings (read-only views), and not-yet-created
+    * sink targets.
     *
     * The eligibility facts come from the SAME snapshot replay
     * [[logSchema]] already pays: the stripped user-facing schema tells
-    * nothing about mapping (the stamps are what got stripped), so the
-    * check reads the raw log schema — callers that just ran
-    * [[logSchema]] pass it via `rawSchema` to avoid a second replay. */
+    * nothing about generated columns' expressions, so the check reads
+    * the raw log schema — callers that just ran [[logSchema]] pass it
+    * via `rawSchema` to avoid a second replay. */
   def makeTable(schema: StructType, options: CaseInsensitiveStringMap,
                 rawSchema: Option[StructType] = None): DeltaStreamTable = {
     val eligible = schema.fields.nonEmpty &&
@@ -179,8 +181,7 @@ private[delta] object DeltaStreamDataSource {
         val raw = rawSchema.orElse(
           DeltaLog.snapshot(SparkSession.active, tablePath(options))
             .schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType]))
-        raw.forall(s =>
-          !GeneratedColumns.hasAny(s) && !ColumnMapping.hasMapping(s))
+        raw.forall(s => !GeneratedColumns.hasAny(s))
       }
     if (eligible) new DeltaStreamTableRlo(schema, options)
     else new DeltaStreamTable(schema, options)
@@ -315,10 +316,11 @@ private[delta] class DeltaStreamTable(
   * [[GraftMeta]] `_file`/`_pos` metadata columns and
   * `SupportsRowLevelOperations`, so SQL DELETE/UPDATE/MERGE rewrite
   * into `WriteDelta` plans against [[GraftRowLevelOperation]] WITHOUT
-  * [[graft.GraftExtensions]] registered. Only plain current-head
-  * tables get this class — [[DeltaStreamDataSource.makeTable]] keeps
-  * generated/identity/mapped tables on the base class so their DML
-  * still routes through the engine's own write path. */
+  * [[graft.GraftExtensions]] registered. Current-head tables get this
+  * class, column-mapped ones included (scan and write translate
+  * logical→physical) — [[DeltaStreamDataSource.makeTable]] keeps
+  * generated/identity tables on the base class so their DML still
+  * routes through the engine's own write path. */
 private[delta] class DeltaStreamTableRlo(
     rloSchema: StructType, rloOptions: CaseInsensitiveStringMap)
     extends DeltaStreamTable(rloSchema, rloOptions)

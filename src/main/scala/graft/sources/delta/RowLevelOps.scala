@@ -43,12 +43,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * condition may match (log skipping), and the CDF derivation reads
   * O(marked files), not O(table).
   *
-  * Tables with generated/identity columns or column mapping do NOT
+  * COLUMN-MAPPED (renamed/dropped-column) tables take this path too:
+  * the scan already resolves logical→physical, and the write stages
+  * post-images under physical names — the same translation the DSv2
+  * sink applies. Only tables with generated/identity columns do NOT
   * advertise the operation ([[GraftCatalog.loadTable]] keeps them on
-  * the plain table class): their per-row recompute/allocation semantics
-  * live in the engine's own DML, reached through [[SqlUpdateRule]] —
-  * in an extension-less session those tables refuse SQL DML loudly
-  * instead of corrupting silently. */
+  * the plain table class): their per-row recompute/allocation
+  * semantics live in the engine's own DML, reached through
+  * [[SqlUpdateRule]] — in an extension-less session those tables
+  * refuse SQL DML loudly instead of corrupting silently. */
 private[delta] object GraftMeta {
   val FileCol = "_file"
   val PosCol = "_pos"
@@ -183,14 +186,10 @@ private[delta] class GraftRowLevelBatchWrite(
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     .getOrElse(throw new IllegalStateException(
       s"graft-delta: $table missing metaData"))
-  // backstops — the catalog already keeps such tables off this path
+  // backstop — the catalog already keeps such tables off this path
   require(!GeneratedColumns.hasAny(logSchema),
     s"graft-delta: $table has generated/identity columns — SQL DML routes " +
       "through the engine's own write path; register " +
-      "spark.sql.extensions=graft.GraftExtensions")
-  require(!ColumnMapping.hasMapping(logSchema),
-    s"graft-delta: $table has renamed/dropped columns (column mapping) — " +
-      "SQL DML routes through the engine's own write path; register " +
       "spark.sql.extensions=graft.GraftExtensions")
 
   private val partCols: Seq[String] = initHead.partitionColumns
@@ -213,8 +212,13 @@ private[delta] class GraftRowLevelBatchWrite(
 
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DeltaWriterFactory =
-    GraftRowLevelWriterFactory(table, marksDir, rowSchema,
-      partCols.toArray,
+    // column mapping: staged post-image/insert files and their Hive
+    // dirs carry the table's PHYSICAL names (rows are positional;
+    // constraints bind over the LOGICAL row schema) — the same
+    // translation the DSv2 sink factory applies
+    GraftRowLevelWriterFactory(table, marksDir,
+      ColumnMapping.physicalWriteSchema(rowSchema, Some(logSchema)),
+      ColumnMapping.physicalCols(partCols, Some(logSchema)).toArray,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.sessionLocalTimeZone,
       if (rowSchema.fields.isEmpty) Seq.empty

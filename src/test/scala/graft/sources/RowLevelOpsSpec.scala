@@ -252,6 +252,60 @@ class RowLevelOpsSpec extends SparkSpec {
         s"retired sidecar $rel must reclaim on the retention clock"))
   }
 
+  test("column-mapped tables take native DML in bare sessions, exactly") {
+    val s = bareSession()
+    val wh = newCatalog(s, "rlo8")
+    s.sql("""CREATE TABLE rlo8.db.m (id BIGINT, amount BIGINT, tag STRING)
+             TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true',
+                            'delta.enableDeletionVectors' = 'true')""")
+    s.sql("INSERT INTO rlo8.db.m " +
+      "SELECT /*+ REPARTITION(2) */ id, id * 10, concat('t', id % 3) " +
+      "FROM range(1, 101)")
+    // RENAME upgrades to column mapping: amount's physical name stays
+    // `amount` while the logical name becomes `amt`
+    s.sql("ALTER TABLE rlo8.db.m RENAME COLUMN amount TO amt")
+    val t = s"$wh/db/m"
+    val raw = DeltaLog.snapshot(s, t).schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).get
+    assert(ColumnMapping.hasMapping(raw), "rename must engage mapping")
+    // native UPDATE through WriteDelta (no extensions in this session):
+    // post-images stage under PHYSICAL names, marks become vectors
+    val before = DeltaLog.snapshot(s, t).files.map(_.path).toSet
+    s.sql("UPDATE rlo8.db.m SET amt = amt + 7 WHERE id % 4 = 1")
+    val head = DeltaLog.snapshot(s, t)
+    assert(before.subsetOf(head.files.map(_.path).toSet),
+      "DV-table UPDATE must keep the straddled files")
+    assert(s.sql("SELECT sum(amt) FROM rlo8.db.m").head().getLong(0)
+      === (1L to 100L).map(i => i * 10 + (if (i % 4 == 1) 7 else 0)).sum)
+    // native DELETE
+    s.sql("DELETE FROM rlo8.db.m WHERE id % 5 = 0")
+    assert(s.sql("SELECT count(*), sum(amt) FROM rlo8.db.m").head() match {
+      case r => r.getLong(0) == 80L &&
+        r.getLong(1) == (1L to 100L).filter(_ % 5 != 0)
+          .map(i => i * 10 + (if (i % 4 == 1) 7 else 0)).sum
+    })
+    // native MERGE (update + insert) over the renamed column
+    s.sql("""MERGE INTO rlo8.db.m t
+             USING (SELECT id * 2 AS id, 999 AS v FROM range(48, 53)) src
+             ON t.id = src.id
+             WHEN MATCHED THEN UPDATE SET amt = src.v
+             WHEN NOT MATCHED THEN INSERT (id, amt, tag)
+               VALUES (src.id, src.v, 'new')""")
+    val got = s.sql("SELECT id, amt FROM rlo8.db.m WHERE id >= 96")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ids 96..104 even: 96,98 survive (not %5) and match -> 999;
+    // 100 was deleted (%5) -> re-inserted as 999; 102,104 new -> 999
+    assert(got.filter(_._2 == 999L).map(_._1) ===
+      Set(96L, 98L, 100L, 102L, 104L))
+    // precise CDF derived from the marks, logical names in the feed
+    val feed = DeltaTable.readChangeFeed(s, t, head.version, Some(head.version))
+    assert(feed.columns.contains("amt") && !feed.columns.contains("amount"))
+    val pre = feed.filter(org.apache.spark.sql.functions
+        .col("_change_type") === "update_preimage").count()
+    assert(pre === (1L to 100L).count(_ % 4 == 1).toLong)
+  }
+
   test("generated/identity tables refuse extension-less DML loudly") {
     val s = bareSession()
     newCatalog(s, "rlo5")
