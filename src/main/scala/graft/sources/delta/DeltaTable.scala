@@ -1104,15 +1104,33 @@ object DeltaTable {
           catch { case e: Throwable => fs.delete(dir, true); throw e }
           (dir, sel.schema)
         }
+      // multi-consumer fan-out: the fired rows feed post-images, DV
+      // marks, the matched-key anti-join and (CDF on) three change-row
+      // branches — without a cache each consumer re-runs the probe join
+      // over the touched files. Deterministic sources CACHE (eviction
+      // recomputes identically — a perf lever only); nondeterministic
+      // ones already materialized to scratch above (correctness). The
+      // cache is dropped after the commit attempt either way.
+      val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def cachePlan(df: DataFrame): DataFrame = {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += df
+        df
+      }
       val firedMat: Option[DataFrame] =
         if (!useDv) None
         else dvScratch match {
           case Some((dir, sch)) =>
             Some(spark.read.schema(sch).parquet(dir.toString))
-          case None => fired.map(
-            _.filter(col(clauseCol) >= 0 || col(bsCol) >= 0))
+          case None => fired.map(f =>
+            cachePlan(f.filter(col(clauseCol) >= 0 || col(bsCol) >= 0)))
         }
-      val firedEff = firedMat.orElse(fired)
+      // the rewrite path's fired rows fan out too (survivor restage +
+      // three CDF branches) when the feed is on
+      val firedEff =
+        if (useDv || firedMat.isDefined) firedMat.orElse(fired)
+        else if (changeFeedEnabled(spark, head)) fired.map(cachePlan)
+        else fired
       // survivors: carry-over (-1 in both branches) and update-clause
       // rows, with updates applied; delete-clause rows drop out here.
       // DV mode stages ONLY the fired updates' post-images — carry-over
@@ -1210,6 +1228,7 @@ object DeltaTable {
           spark.sparkContext.hadoopConfiguration, table, d))
       }
       dvScratch.foreach { case (dir, _) => fs.delete(dir, true) }
+      cached.foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -1857,6 +1876,17 @@ object DeltaTable {
           catch { case e: Throwable => fs.delete(dir, true); throw e }
           Some(dir)
         }
+      // DETERMINISTIC DV predicates skip the scratch write but still
+      // fan out to several consumers (marks, post-images, CDF pre/post)
+      // — CACHE the matched set so each consumer reads it instead of
+      // re-running the probed-file scan (eviction recomputes
+      // identically; a perf lever only, dropped after the attempt)
+      val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def cachePlan(d: DataFrame): DataFrame = {
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += d
+        d
+      }
       val affSchema = schema
         .add(DvFileCol, org.apache.spark.sql.types.StringType)
         .add(DvRowCol, org.apache.spark.sql.types.LongType)
@@ -1864,8 +1894,8 @@ object DeltaTable {
         if (!useDv) None
         else Some(dvScratch match {
           case Some(d) => spark.read.schema(affSchema).parquet(d.toString)
-          case None => readFilesMeta(spark, table, schema,
-            head.partitionColumns, probedTouched).filter(cond)
+          case None => cachePlan(readFilesMeta(spark, table, schema,
+            head.partitionColumns, probedTouched).filter(cond))
         })
       val dvMatched = dvAffected.map(_.drop(DvFileCol, DvRowCol))
       val rewritten = setA match {
@@ -1945,6 +1975,7 @@ object DeltaTable {
         freshDvs.foreach(d => DeletionVectors.deleteFile(hconf, table, d))
       }
       dvScratch.foreach(d => fs.delete(d, true))
+      cached.foreach(_.unpersist(blocking = false))
     }
   }
 
