@@ -302,6 +302,19 @@ object DeletionVectors {
     try w.write(sortedIndexes) finally w.close()
   }
 
+  /** [[load]] through the executor-level [[DvVectorCache]] for
+    * file-backed forms — a split-up data file's readers land in
+    * several tasks, and each would otherwise re-read and re-deserialize
+    * the file's ENTIRE vector. Inline ("i") descriptors skip the cache:
+    * their decode is bounded by [[InlineThresholdBytes]] and the
+    * payload itself would be the key. */
+  def loadCached(conf: Configuration, table: String,
+                 d: DvDescriptor): Array[Long] =
+    if (d.storageType == "i") load(conf, table, d)
+    else DvVectorCache.get(
+      s"$table|${d.storageType}|${d.pathOrInlineDv}|${d.offset.getOrElse(0L)}")(
+      load(conf, table, d))
+
   /** Delete a descriptor's sidecar file if it has one (best-effort —
     * used on commit-race cleanup of a losing attempt's fresh DVs). */
   def deleteFile(conf: Configuration, table: String, d: DvDescriptor): Unit =
@@ -321,12 +334,21 @@ object DeletionVectors {
         "sizeInBytes" -> (JLong(d.sizeInBytes): JValue),
         "cardinality" -> JLong(d.cardinality)): _*)
 
+  /** Parse the `deletionVector` field of an add/remove action (or its
+    * checkpoint JSON-string form). Absent field → None; a PRESENT but
+    * malformed descriptor THROWS — treating it as "no DV" would drop
+    * the vector from scan routing and silently resurrect its deleted
+    * rows, the one failure mode a reader must never have. Only
+    * `offset` is optional (delta-kernel omits it for offset 0). */
   def fromJson(j: JValue): Option[DvDescriptor] = j match {
     case JObject(_) =>
-      def longOf(v: JValue): Long = v match {
+      def bad(what: String): Nothing = throw new IllegalStateException(
+        s"delta: malformed deletionVector descriptor ($what): " +
+          jackson.JsonMethods.compact(jackson.JsonMethods.render(j)))
+      def longOf(name: String): Long = (j \ name) match {
         case JInt(n) => n.toLong
         case JLong(n) => n
-        case _ => 0L
+        case _ => bad(s"missing $name")
       }
       (j \ "storageType", j \ "pathOrInlineDv") match {
         case (JString(st), JString(p)) =>
@@ -335,9 +357,9 @@ object DeletionVectors {
             case JLong(n) => Some(n)
             case _ => None
           }
-          Some(DvDescriptor(st, p, longOf(j \ "sizeInBytes"),
-            longOf(j \ "cardinality"), off))
-        case _ => None
+          Some(DvDescriptor(st, p, longOf("sizeInBytes"),
+            longOf("cardinality"), off))
+        case _ => bad("missing storageType/pathOrInlineDv")
       }
     case _ => None
   }
@@ -349,8 +371,50 @@ object DeletionVectors {
   def toJsonString(d: DvDescriptor): String =
     jackson.JsonMethods.compact(jackson.JsonMethods.render(toJson(d)))
 
+  /** [[fromJson]] over a JSON string. JSON that does not even parse
+    * returns None (callers with a non-descriptor string context, e.g.
+    * the row-level commit path, escalate that to their own hard
+    * error); a parsed-but-malformed descriptor throws via
+    * [[fromJson]]'s strictness. */
   def fromJsonString(s: String): Option[DvDescriptor] =
-    try fromJson(jackson.JsonMethods.parse(s)) catch { case _: Exception => None }
+    try fromJson(jackson.JsonMethods.parse(s))
+    catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+}
+
+/** Executor-level (per-JVM) LRU of loaded deletion vectors, bounded by
+  * TOTAL retained positions (not entry count — vectors vary from a few
+  * indexes to tens of millions). Sidecar bytes are immutable once
+  * written (UUID names, create-fail-if-exists), so entries never go
+  * stale. Loads happen OUTSIDE the lock — two concurrent misses may
+  * both read the file (wasted IO, never a wrong answer) rather than
+  * serialize every task's first access behind one reader. */
+private[delta] object DvVectorCache {
+  private val MaxLongs = 16L << 20 // ~128 MB of cached positions
+  private var total = 0L
+  private val map =
+    new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true)
+
+  def get(key: String)(load: => Array[Long]): Array[Long] = {
+    synchronized {
+      val v = map.get(key)
+      if (v != null) return v
+    }
+    val arr = load
+    synchronized {
+      val existing = map.get(key)
+      if (existing != null) existing
+      else {
+        map.put(key, arr)
+        total += arr.length
+        val it = map.entrySet().iterator()
+        while (total > MaxLongs && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { total -= e.getValue.length; it.remove() }
+        }
+        arr
+      }
+    }
+  }
 }
 
 /** Appends MANY vectors into ONE framed sidecar file — the protocol's
@@ -370,25 +434,34 @@ object DeletionVectors {
   * (row-level-operation marks). Executor-callable: `conf` is the only
   * context. Not thread-safe — one per task, like any file writer. */
 final class DvSidecarWriter(conf: Configuration, dir: String,
-                            atTableRoot: Boolean) {
+                            atTableRoot: Boolean,
+                            rolloverBytes: Long = Int.MaxValue.toLong) {
   private var uuid: java.util.UUID = _
   private var path: Path = _
   private var out: java.io.OutputStream = _
   private var written: Long = 0L
+  private val allPaths = scala.collection.mutable.ArrayBuffer.empty[Path]
 
   /** Inline descriptor under the threshold; otherwise one appended
     * frame `[dataSize 4B BE][data][CRC-32 4B BE]` whose descriptor
-    * offset points at its dataSize field. */
+    * offset points at its dataSize field. The file ROLLS OVER before an
+    * offset would cross `rolloverBytes` (default `Int.MaxValue`):
+    * the protocol's checkpoint schema types `offset` as an int, so a
+    * task packing enough vectors to pass 2 GiB must start a fresh
+    * sidecar or every future checkpoint of the table would refuse. */
   def write(sortedIndexes: Array[Long]): DvDescriptor = {
     val bytes = DeletionVectors.serialize(sortedIndexes)
     if (bytes.length <= DeletionVectors.InlineThresholdBytes)
       DvDescriptor("i", DeletionVectors.z85Encode(bytes),
         bytes.length.toLong, sortedIndexes.length.toLong)
     else {
+      if (out != null && written + 8L + bytes.length > rolloverBytes)
+        close() // next write opens a fresh UUID file
       if (out == null) {
         uuid = java.util.UUID.randomUUID()
         path = new Path(dir, s"deletion_vector_$uuid.bin")
         out = path.getFileSystem(conf).create(path, false)
+        allPaths += path
         out.write(DeletionVectors.FileFormatVersion.toInt)
         written = 1L
       }
@@ -410,11 +483,12 @@ final class DvSidecarWriter(conf: Configuration, dir: String,
 
   def close(): Unit = if (out != null) { out.close(); out = null }
 
-  /** Close and delete the sidecar (task-failure cleanup — don't wait
-    * for the vacuum cycle when the failure is observed in-line). */
+  /** Close and delete EVERY sidecar this writer created, rolled-over
+    * ones included (task-failure cleanup — don't wait for the vacuum
+    * cycle when the failure is observed in-line). */
   def abort(): Unit = {
     close()
-    if (path != null) path.getFileSystem(conf).delete(path, false)
+    allPaths.foreach(p => p.getFileSystem(conf).delete(p, false))
   }
 }
 
@@ -441,7 +515,7 @@ final class DvLookup(table: String,
     var arr = if (f == lastFile) lastArr else null
     if (arr == null) {
       arr = cache.computeIfAbsent(f, k => descriptors.get(k) match {
-        case Some(d) => DeletionVectors.load(conf.value.value, table, d)
+        case Some(d) => DeletionVectors.loadCached(conf.value.value, table, d)
         case None => Empty
       })
       lastFile = f

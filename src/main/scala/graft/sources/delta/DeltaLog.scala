@@ -728,10 +728,25 @@ object DeltaLog {
         if (!r.schema.fieldNames.contains(name) ||
             r.isNullAt(r.fieldIndex(name))) None
         else Some(r.getAs[Number](name).longValue())
-      DvDescriptor(r.getAs[String]("storageType"),
-        r.getAs[String]("pathOrInlineDv"),
-        intOpt("sizeInBytes").getOrElse(0L),
-        intOpt("cardinality").getOrElse(0L),
+      // only `offset` is optional per the protocol; a struct missing
+      // the others must FAIL the replay — defaulting cardinality to 0
+      // would drop the vector from the scan's routing and silently
+      // resurrect its deleted rows (same stance as the row-level mark
+      // parse: wrong answers beat no answers never)
+      def req(name: String): Long = intOpt(name).getOrElse(
+        throw new IllegalStateException(
+          s"delta: checkpoint deletionVector struct is missing required " +
+            s"field `$name` — refusing to replay (a defaulted descriptor " +
+            "would resurrect deleted rows)"))
+      DvDescriptor(
+        Option(r.getAs[String]("storageType")).getOrElse(
+          throw new IllegalStateException(
+            "delta: checkpoint deletionVector struct has null storageType")),
+        Option(r.getAs[String]("pathOrInlineDv")).getOrElse(
+          throw new IllegalStateException(
+            "delta: checkpoint deletionVector struct has null pathOrInlineDv")),
+        req("sizeInBytes"),
+        req("cardinality"),
         intOpt("offset"))
     }
   }

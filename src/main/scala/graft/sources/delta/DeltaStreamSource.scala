@@ -1079,7 +1079,7 @@ private[delta] case class DvRoutingReaderFactory(
     dvByPath.get(file.filePath.urlEncoded) match {
       case None => cleanF.buildReader(file)
       case Some(desc) =>
-        val deleted = DeletionVectors.load(conf.value.value, table, desc)
+        val deleted = DeletionVectors.loadCached(conf.value.value, table, desc)
         val inner = dvF.buildReader(file)
         val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
           innerFields.zipWithIndex.collect { case (f, i) if i != rowIdxPos =>
@@ -1110,7 +1110,7 @@ private[delta] case class DvRoutingReaderFactory(
     dvByPath.get(file.filePath.urlEncoded) match {
       case None => cleanF.buildColumnarReader(file)
       case Some(desc) =>
-        val deleted = DeletionVectors.load(conf.value.value, table, desc)
+        val deleted = DeletionVectors.loadCached(conf.value.value, table, desc)
         val inner = dvF.buildColumnarReader(file)
         new PartitionReader[ColumnarBatch] {
           override def next(): Boolean = inner.next()
@@ -1183,7 +1183,7 @@ private[delta] case class MetaColReaderFactory(
     val rel = relByPath.getOrElse(key,
       throw new IllegalStateException(s"graft-delta: unplanned file $key"))
     val deleted = dvByPath.get(key)
-      .map(d => DeletionVectors.load(conf.value.value, table, d))
+      .map(d => DeletionVectors.loadCached(conf.value.value, table, d))
       .getOrElse(Array.empty[Long])
     val d = fileInner.buildReader(file)
     val exprs: Seq[Expression] = outSchema.fields.toSeq.map { f =>

@@ -18,6 +18,26 @@ import DeltaLog._
   * NO snapshot references (invisible to readers, reclaimable by a vacuum
   * walk) and never a torn table.
   */
+/** Tracks the `persist()`ed plans of ONE DML attempt so its fan-out
+  * consumers (post-images, DV marks, CDF branches) share a
+  * materialization instead of re-running the probe scan — and drops
+  * them in the caller's `finally`: CacheManager holds STRONG references
+  * until uncache, so a failed attempt would otherwise pin its cache for
+  * the session's lifetime. Eviction merely recomputes a deterministic
+  * plan (the nondeterministic paths freeze to scratch parquet instead). */
+private[delta] final class PlanCache {
+  private val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  def apply(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached += df
+    df
+  }
+  def drop(): Unit = {
+    cached.foreach(_.unpersist(blocking = false))
+    cached.clear()
+  }
+}
+
 object DeltaTable {
 
   /** Read the table (optionally `VERSION AS OF`). Schema comes from the
@@ -1107,128 +1127,124 @@ object DeltaTable {
       // multi-consumer fan-out: the fired rows feed post-images, DV
       // marks, the matched-key anti-join and (CDF on) three change-row
       // branches — without a cache each consumer re-runs the probe join
-      // over the touched files. Deterministic sources CACHE (eviction
-      // recomputes identically — a perf lever only); nondeterministic
-      // ones already materialized to scratch above (correctness). The
-      // cache is dropped after the commit attempt either way.
-      val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      def cachePlan(df: DataFrame): DataFrame = {
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached += df
-        df
-      }
-      val firedMat: Option[DataFrame] =
-        if (!useDv) None
-        else dvScratch match {
-          case Some((dir, sch)) =>
-            Some(spark.read.schema(sch).parquet(dir.toString))
-          case None => fired.map(f =>
-            cachePlan(f.filter(col(clauseCol) >= 0 || col(bsCol) >= 0)))
-        }
-      // the rewrite path's fired rows fan out too (survivor restage +
-      // three CDF branches) when the feed is on
-      val firedEff =
-        if (useDv || firedMat.isDefined) firedMat.orElse(fired)
-        else if (changeFeedEnabled(spark, head)) fired.map(cachePlan)
-        else fired
-      // survivors: carry-over (-1 in both branches) and update-clause
-      // rows, with updates applied; delete-clause rows drop out here.
-      // DV mode stages ONLY the fired updates' post-images — carry-over
-      // rows stay in their files behind the vectors.
-      def keepOf(cn: String, upd: Seq[Int]): Column =
-        upd.foldLeft(col(cn) === -1)((acc, i) => acc || col(cn) === i)
-      def oneOf(cn: String, idxs: Seq[Int]): Column =
-        idxs.foldLeft(lit(false))((acc, i) => acc || col(cn) === i)
-      val rewritten = firedEff.map { f =>
-        (if (useDv) f.filter(oneOf(clauseCol, updateIdxs) ||
-            oneOf(bsCol, bsUpdateIdxs))
-         else f.filter(keepOf(clauseCol, updateIdxs) &&
-            keepOf(bsCol, bsUpdateIdxs)))
-          .select(schema.fieldNames.toSeq.map(applied): _*)
-      }
-      // inserts: source rows whose key exists in no touched file (the
-      // probe guarantees every matching target key lives in `touched`)
-      val matchedKeys = touchedDf.map(
-        _.select(col(targetKey).as(SrcPrefix + sourceKey)).distinct())
-      val unmatchedSrc = matchedKeys.fold(srcP)(k =>
-        srcP.join(k, Seq(SrcPrefix + sourceKey), "left_anti"))
-      val insFired = unmatchedSrc
-        .withColumn(clauseCol, firstIdx(notMatchedA.map(_.condition)))
-        .filter(col(clauseCol) >= 0)
-      val inserts = insFired.select(schema.fieldNames.toSeq.map { n =>
-        notMatchedA.zipWithIndex.foldLeft(lit(null).cast(schema(n).dataType)) {
-          case (acc, (MergeClause.Insert(_, vals), i)) if vals.contains(n) =>
-            when(col(clauseCol) === i, vals(n).cast(schema(n).dataType))
-              .otherwise(acc)
-          case (acc, _) => acc
-        }.as(n)
-      }: _*)
-      val output = enforceConstraints(
-        rewritten.fold(inserts)(_.unionByName(inserts)), head.configuration,
-        Some(schema))
-      val cdc =
-        if (!changeFeedEnabled(spark, head)) Seq.empty
-        else {
-          val ct = "_change_type"
-          val deleteIdxs = matched.zipWithIndex.collect {
-            case (_: MergeClause.Delete, i) => i }
-          val bsDeleteIdxs = notMatchedBySource.zipWithIndex.collect {
-            case (_: MergeClause.Delete, i) => i }
-          val orig = schema.fieldNames.toSeq.map(col)
-          val changes = firedEff match {
-            case None => inserts.withColumn(ct, lit("insert"))
-            case Some(f) =>
-              val upd = f.filter(oneOf(clauseCol, updateIdxs) ||
-                oneOf(bsCol, bsUpdateIdxs))
-              upd.select(orig: _*).withColumn(ct, lit("update_preimage"))
-                .unionByName(upd.select(schema.fieldNames.toSeq.map(applied): _*)
-                  .withColumn(ct, lit("update_postimage")))
-                .unionByName(f.filter(oneOf(clauseCol, deleteIdxs) ||
-                    oneOf(bsCol, bsDeleteIdxs)).select(orig: _*)
-                  .withColumn(ct, lit("delete")))
-                .unionByName(inserts.withColumn(ct, lit("insert")))
+      // over the touched files. Deterministic sources CACHE via
+      // [[PlanCache]] (nondeterministic ones already materialized to
+      // scratch above for correctness); the finally drops the cache on
+      // EVERY exit — commit, no-op return, or failure.
+      val cachePlan = new PlanCache
+      try {
+        val firedMat: Option[DataFrame] =
+          if (!useDv) None
+          else dvScratch match {
+            case Some((dir, sch)) =>
+              Some(spark.read.schema(sch).parquet(dir.toString))
+            case None => fired.map(f =>
+              cachePlan(f.filter(col(clauseCol) >= 0 || col(bsCol) >= 0)))
           }
-          stageChangeData(changes, schema, tbl, fs, partitionBy = head.partitionColumns)
+        // the rewrite path's fired rows fan out too (survivor restage +
+        // three CDF branches) when the feed is on
+        val firedEff =
+          if (useDv) firedMat // defined exactly when useDv
+          else if (changeFeedEnabled(spark, head)) fired.map(cachePlan(_))
+          else fired
+        // survivors: carry-over (-1 in both branches) and update-clause
+        // rows, with updates applied; delete-clause rows drop out here.
+        // DV mode stages ONLY the fired updates' post-images — carry-over
+        // rows stay in their files behind the vectors.
+        def keepOf(cn: String, upd: Seq[Int]): Column =
+          upd.foldLeft(col(cn) === -1)((acc, i) => acc || col(cn) === i)
+        def oneOf(cn: String, idxs: Seq[Int]): Column =
+          idxs.foldLeft(lit(false))((acc, i) => acc || col(cn) === i)
+        val rewritten = firedEff.map { f =>
+          (if (useDv) f.filter(oneOf(clauseCol, updateIdxs) ||
+              oneOf(bsCol, bsUpdateIdxs))
+           else f.filter(keepOf(clauseCol, updateIdxs) &&
+              keepOf(bsCol, bsUpdateIdxs)))
+            .select(schema.fieldNames.toSeq.map(applied): _*)
         }
-      val adds = stageData(output, schema, tbl, fs, partitionBy = head.partitionColumns)
-        .filter { a =>
-          val keep = addedRecords(a) != 0L
-          if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
-          keep // all touched rows deleted: no empty replacement file
+        // inserts: source rows whose key exists in no touched file (the
+        // probe guarantees every matching target key lives in `touched`)
+        val matchedKeys = touchedDf.map(
+          _.select(col(targetKey).as(SrcPrefix + sourceKey)).distinct())
+        val unmatchedSrc = matchedKeys.fold(srcP)(k =>
+          srcP.join(k, Seq(SrcPrefix + sourceKey), "left_anti"))
+        val insFired = unmatchedSrc
+          .withColumn(clauseCol, firstIdx(notMatchedA.map(_.condition)))
+          .filter(col(clauseCol) >= 0)
+        val inserts = insFired.select(schema.fieldNames.toSeq.map { n =>
+          notMatchedA.zipWithIndex.foldLeft(lit(null).cast(schema(n).dataType)) {
+            case (acc, (MergeClause.Insert(_, vals), i)) if vals.contains(n) =>
+              when(col(clauseCol) === i, vals(n).cast(schema(n).dataType))
+                .otherwise(acc)
+            case (acc, _) => acc
+          }.as(n)
+        }: _*)
+        val output = enforceConstraints(
+          rewritten.fold(inserts)(_.unionByName(inserts)), head.configuration,
+          Some(schema))
+        val cdc =
+          if (!changeFeedEnabled(spark, head)) Seq.empty
+          else {
+            val ct = "_change_type"
+            val deleteIdxs = matched.zipWithIndex.collect {
+              case (_: MergeClause.Delete, i) => i }
+            val bsDeleteIdxs = notMatchedBySource.zipWithIndex.collect {
+              case (_: MergeClause.Delete, i) => i }
+            val orig = schema.fieldNames.toSeq.map(col)
+            val changes = firedEff match {
+              case None => inserts.withColumn(ct, lit("insert"))
+              case Some(f) =>
+                val upd = f.filter(oneOf(clauseCol, updateIdxs) ||
+                  oneOf(bsCol, bsUpdateIdxs))
+                upd.select(orig: _*).withColumn(ct, lit("update_preimage"))
+                  .unionByName(upd.select(schema.fieldNames.toSeq.map(applied): _*)
+                    .withColumn(ct, lit("update_postimage")))
+                  .unionByName(f.filter(oneOf(clauseCol, deleteIdxs) ||
+                      oneOf(bsCol, bsDeleteIdxs)).select(orig: _*)
+                    .withColumn(ct, lit("delete")))
+                  .unionByName(inserts.withColumn(ct, lit("insert")))
+            }
+            stageChangeData(changes, schema, tbl, fs, partitionBy = head.partitionColumns)
+          }
+        val adds = stageData(output, schema, tbl, fs, partitionBy = head.partitionColumns)
+          .filter { a =>
+            val keep = addedRecords(a) != 0L
+            if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
+            keep // all touched rows deleted: no empty replacement file
+          }
+        // a no-op merge still commits when it carries a txn high-water
+        // mark: the replay guard needs the version recorded
+        if (touchedAll.isEmpty && adds.isEmpty && cdc.isEmpty && txn.isEmpty)
+          return
+        val now = System.currentTimeMillis()
+        val (removes, freshDvs) =
+          if (!useDv)
+            // a rewrite retires its inputs' vectors: removes carry them
+            // (CDF pre-image exactness) and sidecars get tombstones
+            (touchedAll.map(f => removeAction(f.path, now, dv = f.dv)) ++
+              touchedAll.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
+                .map(p => removeAction(p, now, dataChange = false)),
+              Seq.empty[DvDescriptor])
+          else stageDvMarks(spark, table, touchedAll, firedMat.get, now)
+        val protocolActs =
+          if (!useDv) Seq.empty
+          else DeltaLog.protocolUpgrade(head, 3, 7, "deletionVectors",
+            activeLegacyReader = if (ColumnMapping.hasMapping(schema))
+              Set("columnMapping") else Set.empty,
+            activeLegacyWriter = activeTableFeatures(head, schema))
+        val txnActs = txn.map { case (a, v) => txnAction(a, v) }.toSeq
+        done = commit(spark, table, head.version + 1,
+          commitInfoAction("MERGE", now) +:
+            (protocolActs ++ txnActs ++ cdc ++ removes ++ adds))
+        if (!done) {
+          (cdc ++ adds).foreach { a =>
+            fs.delete(new Path(tbl, actionPath(a)), false)
+          }
+          freshDvs.foreach(d => DeletionVectors.deleteFile(
+            spark.sparkContext.hadoopConfiguration, table, d))
         }
-      // a no-op merge still commits when it carries a txn high-water
-      // mark: the replay guard needs the version recorded
-      if (touchedAll.isEmpty && adds.isEmpty && cdc.isEmpty && txn.isEmpty)
-        return
-      val now = System.currentTimeMillis()
-      val (removes, freshDvs) =
-        if (!useDv)
-          // a rewrite retires its inputs' vectors: removes carry them
-          // (CDF pre-image exactness) and sidecars get tombstones
-          (touchedAll.map(f => removeAction(f.path, now, dv = f.dv)) ++
-            touchedAll.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
-              .map(p => removeAction(p, now, dataChange = false)),
-            Seq.empty[DvDescriptor])
-        else stageDvMarks(spark, table, touchedAll, firedMat.get, now)
-      val protocolActs =
-        if (!useDv) Seq.empty
-        else DeltaLog.protocolUpgrade(head, 3, 7, "deletionVectors",
-          activeLegacyReader = if (ColumnMapping.hasMapping(schema))
-            Set("columnMapping") else Set.empty,
-          activeLegacyWriter = activeTableFeatures(head, schema))
-      val txnActs = txn.map { case (a, v) => txnAction(a, v) }.toSeq
-      done = commit(spark, table, head.version + 1,
-        commitInfoAction("MERGE", now) +:
-          (protocolActs ++ txnActs ++ cdc ++ removes ++ adds))
-      if (!done) {
-        (cdc ++ adds).foreach { a =>
-          fs.delete(new Path(tbl, actionPath(a)), false)
-        }
-        freshDvs.foreach(d => DeletionVectors.deleteFile(
-          spark.sparkContext.hadoopConfiguration, table, d))
-      }
-      dvScratch.foreach { case (dir, _) => fs.delete(dir, true) }
-      cached.foreach(_.unpersist(blocking = false))
+        dvScratch.foreach { case (dir, _) => fs.delete(dir, true) }
+      } finally cachePlan.drop()
     }
   }
 
@@ -1878,104 +1894,99 @@ object DeltaTable {
         }
       // DETERMINISTIC DV predicates skip the scratch write but still
       // fan out to several consumers (marks, post-images, CDF pre/post)
-      // — CACHE the matched set so each consumer reads it instead of
-      // re-running the probed-file scan (eviction recomputes
-      // identically; a perf lever only, dropped after the attempt)
-      val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      def cachePlan(d: DataFrame): DataFrame = {
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached += d
-        d
-      }
-      val affSchema = schema
-        .add(DvFileCol, org.apache.spark.sql.types.StringType)
-        .add(DvRowCol, org.apache.spark.sql.types.LongType)
-      val dvAffected =
-        if (!useDv) None
-        else Some(dvScratch match {
-          case Some(d) => spark.read.schema(affSchema).parquet(d.toString)
-          case None => cachePlan(readFilesMeta(spark, table, schema,
-            head.partitionColumns, probedTouched).filter(cond))
-        })
-      val dvMatched = dvAffected.map(_.drop(DvFileCol, DvRowCol))
-      val rewritten = setA match {
-        case None =>
-          // DELETE never creates rows: survivors already satisfied every
-          // constraint, no enforcement pass needed
-          if (useDv || probedTouched.isEmpty) None
-          else Some(readFiles(spark, table, schema, head.partitionColumns,
-            probedTouched).filter(not(cond)))
-        case Some(s) if useDv =>
-          // DV UPDATE: only the POST-IMAGES of matched rows are new data
-          // (old incarnations go behind the vectors / whole-file removes)
-          Some(enforceConstraints(
-            applySet(dvMatched.get, s, unconditional = true),
-            head.configuration, Some(schema)))
-        case Some(s) => Some(enforceConstraints(
-          applySet(df, s, unconditional = false), head.configuration,
-          Some(schema)))
-      }
-      // CDF rows come from the SAME frozen copy in DV mode
-      val cdcSource = dvMatched.getOrElse(matched)
-      val cdc =
-        if (!changeFeedEnabled(spark, head)) Seq.empty
-        else stageChangeData(setA match {
-          case None => cdcSource.withColumn("_change_type", lit("delete"))
-          case Some(s) =>
-            cdcSource.withColumn("_change_type", lit("update_preimage"))
-              .unionByName(applySet(cdcSource, s, unconditional = true)
-                .withColumn("_change_type", lit("update_postimage")))
-        }, schema, tbl, fs, partitionBy = head.partitionColumns)
-      val adds0 = rewritten.fold(Seq.empty[org.json4s.JValue])(r =>
-        stageData(r, schema, tbl, fs, partitionBy = head.partitionColumns))
-        .filter { a =>
-          val keep = addedRecords(a) != 0L
-          if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
-          keep // a candidate fully deleted needs no empty replacement file
+      // — CACHE the matched set via [[PlanCache]]; the finally drops it
+      // on every exit, failed attempts included
+      val cachePlan = new PlanCache
+      try {
+        val affSchema = schema
+          .add(DvFileCol, org.apache.spark.sql.types.StringType)
+          .add(DvRowCol, org.apache.spark.sql.types.LongType)
+        val dvAffected =
+          if (!useDv) None
+          else Some(dvScratch match {
+            case Some(d) => spark.read.schema(affSchema).parquet(d.toString)
+            case None => cachePlan(readFilesMeta(spark, table, schema,
+              head.partitionColumns, probedTouched).filter(cond))
+          })
+        val dvMatched = dvAffected.map(_.drop(DvFileCol, DvRowCol))
+        val rewritten = setA match {
+          case None =>
+            // DELETE never creates rows: survivors already satisfied every
+            // constraint, no enforcement pass needed
+            if (useDv || probedTouched.isEmpty) None
+            else Some(readFiles(spark, table, schema, head.partitionColumns,
+              probedTouched).filter(not(cond)))
+          case Some(s) if useDv =>
+            // DV UPDATE: only the POST-IMAGES of matched rows are new data
+            // (old incarnations go behind the vectors / whole-file removes)
+            Some(enforceConstraints(
+              applySet(dvMatched.get, s, unconditional = true),
+              head.configuration, Some(schema)))
+          case Some(s) => Some(enforceConstraints(
+            applySet(df, s, unconditional = false), head.configuration,
+            Some(schema)))
         }
-      val now = System.currentTimeMillis()
-      val hconf = spark.sparkContext.hadoopConfiguration
-      // retired sidecars (a rewrite or whole-file delete ends its file's
-      // DV; a DV merge ends the PREVIOUS sidecar) get dataChange=false
-      // tombstones: `_dv/` paths never collide with add paths, so replay
-      // ignores them and [[vacuumRemoved]]'s retention clock reclaims
-      // the bytes — time travel inside retention still loads them.
-      def dvTombstones(of: Seq[AddFile]): Seq[org.json4s.JValue] =
-        of.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
-          .map(p => removeAction(p, now, dataChange = false))
-      val (removes, adds, freshDvs) =
-        if (!useDv)
-          (touched.map(f => removeAction(f.path, now, dv = f.dv)) ++
-            dvTombstones(touched), adds0, Seq.empty[DvDescriptor])
-        else {
-          // marks come from the SAME frozen matched set as post-images/CDF
-          val (acts, fresh) =
-            stageDvMarks(spark, table, probedTouched, dvAffected.get, now)
-          (sureMatch.map(f => removeAction(f.path, now, dv = f.dv)) ++
-            dvTombstones(sureMatch) ++ acts,
-            adds0, // UPDATE's staged post-images; empty for DELETE
-            fresh)
+        // CDF rows come from the SAME frozen copy in DV mode
+        val cdcSource = dvMatched.getOrElse(matched)
+        val cdc =
+          if (!changeFeedEnabled(spark, head)) Seq.empty
+          else stageChangeData(setA match {
+            case None => cdcSource.withColumn("_change_type", lit("delete"))
+            case Some(s) =>
+              cdcSource.withColumn("_change_type", lit("update_preimage"))
+                .unionByName(applySet(cdcSource, s, unconditional = true)
+                  .withColumn("_change_type", lit("update_postimage")))
+          }, schema, tbl, fs, partitionBy = head.partitionColumns)
+        val adds0 = rewritten.fold(Seq.empty[org.json4s.JValue])(r =>
+          stageData(r, schema, tbl, fs, partitionBy = head.partitionColumns))
+          .filter { a =>
+            val keep = addedRecords(a) != 0L
+            if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
+            keep // a candidate fully deleted needs no empty replacement file
+          }
+        val now = System.currentTimeMillis()
+        val hconf = spark.sparkContext.hadoopConfiguration
+        // retired sidecars (a rewrite or whole-file delete ends its file's
+        // DV; a DV merge ends the PREVIOUS sidecar) get dataChange=false
+        // tombstones: `_dv/` paths never collide with add paths, so replay
+        // ignores them and [[vacuumRemoved]]'s retention clock reclaims
+        // the bytes — time travel inside retention still loads them.
+        def dvTombstones(of: Seq[AddFile]): Seq[org.json4s.JValue] =
+          of.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
+            .map(p => removeAction(p, now, dataChange = false))
+        val (removes, adds, freshDvs) =
+          if (!useDv)
+            (touched.map(f => removeAction(f.path, now, dv = f.dv)) ++
+              dvTombstones(touched), adds0, Seq.empty[DvDescriptor])
+          else {
+            // marks come from the SAME frozen matched set as post-images/CDF
+            val (acts, fresh) =
+              stageDvMarks(spark, table, probedTouched, dvAffected.get, now)
+            (sureMatch.map(f => removeAction(f.path, now, dv = f.dv)) ++
+              dvTombstones(sureMatch) ++ acts,
+              adds0, // UPDATE's staged post-images; empty for DELETE
+              fresh)
+          }
+        // first DV on the table upgrades the protocol to (3, 7) listing
+        // the feature — down-level foreign readers then refuse instead of
+        // ignoring the vectors and resurrecting deleted rows
+        val protocolActs =
+          if (!useDv) Seq.empty
+          else DeltaLog.protocolUpgrade(head, 3, 7, "deletionVectors",
+            activeLegacyReader = if (ColumnMapping.hasMapping(schema))
+              Set("columnMapping") else Set.empty,
+            activeLegacyWriter = activeTableFeatures(head, schema))
+        done = commit(spark, table, head.version + 1,
+          commitInfoAction(if (set.isEmpty) "DELETE" else "UPDATE", now) +:
+            (protocolActs ++ cdc ++ removes ++ adds))
+        if (!done) {
+          (cdc ++ adds).foreach { a =>
+            fs.delete(new Path(tbl, actionPath(a)), false)
+          }
+          freshDvs.foreach(d => DeletionVectors.deleteFile(hconf, table, d))
         }
-      // first DV on the table upgrades the protocol to (3, 7) listing
-      // the feature — down-level foreign readers then refuse instead of
-      // ignoring the vectors and resurrecting deleted rows
-      val protocolActs =
-        if (!useDv) Seq.empty
-        else DeltaLog.protocolUpgrade(head, 3, 7, "deletionVectors",
-          activeLegacyReader = if (ColumnMapping.hasMapping(schema))
-            Set("columnMapping") else Set.empty,
-          activeLegacyWriter = activeTableFeatures(head, schema))
-      done = commit(spark, table, head.version + 1,
-        commitInfoAction(if (set.isEmpty) "DELETE" else "UPDATE", now) +:
-          (protocolActs ++ cdc ++ removes ++ adds))
-      if (!done) {
-        (cdc ++ adds).foreach { a =>
-          fs.delete(new Path(tbl, actionPath(a)), false)
-        }
-        freshDvs.foreach(d => DeletionVectors.deleteFile(hconf, table, d))
-      }
-      dvScratch.foreach(d => fs.delete(d, true))
-      cached.foreach(_.unpersist(blocking = false))
+        dvScratch.foreach(d => fs.delete(d, true))
+      } finally cachePlan.drop()
     }
   }
 
@@ -2531,17 +2542,22 @@ object DeltaTable {
            else Seq.empty)
         // the DV column is the protocol STRUCT in round-12+ checkpoints
         // and a JSON string in older ones — to_json normalizes the
-        // struct so one string parse covers both
-        val addSchema = cpDf.schema("add").dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val dvCols =
-          if (!addSchema.fieldNames.contains("deletionVector")) Seq.empty
-          else addSchema("deletionVector").dataType match {
+        // struct so one string parse covers both. BOTH action kinds
+        // walk: graft removes don't carry DVs into checkpoints, but a
+        // foreign (delta-spark-style) checkpoint's remove.deletionVector
+        // is a live reference its sidecar must survive.
+        def dvColsOf(action: String): Seq[org.apache.spark.sql.Column] = {
+          if (!cpDf.columns.contains(action)) return Seq.empty
+          val s = cpDf.schema(action).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          if (!s.fieldNames.contains("deletionVector")) Seq.empty
+          else s("deletionVector").dataType match {
             case _: org.apache.spark.sql.types.StructType =>
-              Seq(to_json(col("add.deletionVector")))
-            case _ => Seq(col("add.deletionVector"))
+              Seq(to_json(col(s"$action.deletionVector")))
+            case _ => Seq(col(s"$action.deletionVector"))
           }
-        val cols = pathCols ++ dvCols
+        }
+        val cols = pathCols ++ dvColsOf("add") ++ dvColsOf("remove")
         cpDf.select(cols: _*).collect().foreach { r =>
           (0 until r.length).foreach { i =>
             if (!r.isNullAt(i)) {

@@ -448,6 +448,51 @@ class DeletionVectorSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("sidecar writer rolls over before offsets cross the int cap") {
+    // the protocol's checkpoint schema types offset as an INT: a task
+    // packing past 2 GiB must start a fresh file or every future
+    // checkpoint would refuse (CpDv.of). Tiny cap forces the roll here.
+    val dir = java.nio.file.Files.createTempDirectory("dv_roll").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val w = new DvSidecarWriter(conf, dir, atTableRoot = true,
+      rolloverBytes = 10000L)
+    val a = (0L until 40000L by 2L).toArray // ~8 KB serialized (bitmap container)
+    val b = (1L until 40000L by 2L).toArray
+    val (da, db) = try (w.write(a), w.write(b)) finally w.close()
+    assert(da.pathOrInlineDv !== db.pathOrInlineDv,
+      "second vector must land in a fresh rolled-over sidecar")
+    assert(db.offset === Some(1L)) // fresh file: first frame after version byte
+    assert(DeletionVectors.load(conf, dir, da).toSeq === a.toSeq)
+    assert(DeletionVectors.load(conf, dir, db).toSeq === b.toSeq)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    def bins() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("deletion_vector_"))
+    assert(bins().length === 2)
+    // abort() reclaims EVERY file the writer created, rolled ones too
+    val w2 = new DvSidecarWriter(conf, dir, atTableRoot = true,
+      rolloverBytes = 10000L)
+    w2.write(a); w2.write(b)
+    assert(bins().length === 4)
+    w2.abort()
+    assert(bins().length === 2)
+  }
+
+  test("a PRESENT but malformed descriptor refuses, never reads as no-DV") {
+    import org.json4s.jackson.JsonMethods
+    // missing cardinality: defaulting it to 0 would drop the vector
+    // from scan routing and silently resurrect its deleted rows
+    val e = intercept[IllegalStateException](DeletionVectors.fromJson(
+      JsonMethods.parse("""{"storageType":"u","pathOrInlineDv":"x","sizeInBytes":10}""")))
+    assert(e.getMessage.contains("cardinality"))
+    val e2 = intercept[IllegalStateException](DeletionVectors.fromJson(
+      JsonMethods.parse("""{"sizeInBytes":10,"cardinality":1}""")))
+    assert(e2.getMessage.contains("storageType"))
+    // absent field stays None (the common clean-file case)
+    assert(DeletionVectors.fromJson(org.json4s.JNothing) === None)
+    // non-JSON string in a known-nullable context stays None
+    assert(DeletionVectors.fromJsonString("not json") === None)
+  }
+
   test("legacy-path refusal keys on _dv/, not on a .bin suffix") {
     // '.' is a valid Z85 character: a protocol-conformant foreign
     // descriptor whose random prefix happens to end in ".bin" must
