@@ -338,8 +338,9 @@ object DeltaLog {
   def snapshot(spark: SparkSession, table: String,
                asOf: Option[Long] = None): Snapshot = {
     val tbl = new Path(table)
-    val cp = lastCheckpointVersion(spark, table)
-      .filter(cpV => asOf.forall(cpV <= _))
+    val cpMeta = lastCheckpoint(spark, table)
+      .filter(m => asOf.forall(m.version <= _))
+    val cp = cpMeta.map(_.version)
     val allVs = versions(spark, table)
     asOf.foreach(a => require(a < 0 || (allVs.nonEmpty && a <= allVs.max),
       s"delta: version $a does not exist at $table " +
@@ -371,9 +372,10 @@ object DeltaLog {
     var configuration: Map[String, String] = Map.empty
     var protocol: (Int, Int, Set[String], Set[String]) = (1, 2, Set.empty, Set.empty)
     val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    cp.foreach { cpV =>
+    cpMeta.foreach { m =>
       import org.apache.spark.sql.Row
-      spark.read.parquet(checkpointFile(tbl, cpV).toString).collect().foreach { r =>
+      spark.read.parquet(checkpointPaths(tbl, m.version, m.parts)
+          .map(_.toString): _*).collect().foreach { r =>
         // fieldNames guard: checkpoints written before a column existed
         // (e.g. `remove`) stay readable
         def struct(name: String): Option[Row] =
@@ -505,13 +507,14 @@ object DeltaLog {
         .filter { case (k, _) => !onlyPartitionKeys || parts.contains(k) }
         .map { case (k, v) => m.getOrElse(k, k) -> v }
     }
-    lastCheckpointVersion(spark, table) match {
+    lastCheckpoint(spark, table) match {
       case None =>
         val s = snapshot(spark, table)
         val pf = physFilterOf(s.schemaJson, s.partitionColumns)
         s.copy(files = s.files.filter(f =>
           pf.forall { case (k, v) => f.partitionValues.get(k).contains(v) }))
-      case Some(cpV) =>
+      case Some(cpMeta) =>
+        val cpV = cpMeta.version
         val tbl = new Path(table)
         // replay the JSON tail driver-side ONCE: live tail adds, removes
         // that reach back into the checkpoint, metadata overrides. Same
@@ -548,7 +551,8 @@ object DeltaLog {
           c.partitionColumns.foreach(p => partCols = Some(p))
           if (metaId.isEmpty) metaId = c.metaDataId
         }
-        val cpDf = spark.read.parquet(checkpointFile(tbl, cpV).toString)
+        val cpDf = spark.read.parquet(
+          checkpointPaths(tbl, cpV, cpMeta.parts).map(_.toString): _*)
         // the protocol gate applies to the DISTRIBUTED replay too — a
         // past-threshold table demanding an unimplemented reader must
         // refuse here, not misread (the driver replay gates in snapshot)
@@ -632,8 +636,29 @@ object DeltaLog {
 
   private[delta] def checkpointFile(table: Path, v: Long) =
     new Path(logDir(table), f"$v%020d.checkpoint.parquet")
+  /** One part of a MULTI-PART checkpoint (PROTOCOL.md's
+    * `n.checkpoint.o.p.parquet`, o ∈ 1..p): the scale form — a 100 TB
+    * table's millions of add rows split across `p` files written in
+    * parallel instead of one coalesced object. Readers read ALL parts;
+    * which action lands in which part is unspecified. */
+  private[delta] def checkpointPartFile(table: Path, v: Long,
+                                        part: Int, parts: Int) =
+    new Path(logDir(table), f"$v%020d.checkpoint.$part%010d.$parts%010d.parquet")
+  /** The file set of checkpoint `v`: the single classic file, or all
+    * `parts` of the multi-part form. */
+  private[delta] def checkpointPaths(table: Path, v: Long,
+                                     parts: Option[Int]): Seq[Path] =
+    parts match {
+      case Some(p) if p > 1 => (1 to p).map(i => checkpointPartFile(table, v, i, p))
+      case _ => Seq(checkpointFile(table, v))
+    }
   private def lastCheckpointPath(table: Path) =
     new Path(logDir(table), "_last_checkpoint")
+
+  /** `_last_checkpoint` contents: version, row count, and (multi-part
+    * form only) the part count. */
+  private[delta] final case class CheckpointMeta(version: Long, size: Long,
+                                                 parts: Option[Int])
 
   /** Newest checkpoint version per `_last_checkpoint`, if present. A
     * torn/empty pointer (crash mid-write before the atomic-rename
@@ -651,7 +676,12 @@ object DeltaLog {
     * replay. A pointer predating the size field reports the count from
     * the checkpoint parquet's FOOTER instead (metadata IO, no data
     * scan). */
-  def lastCheckpointInfo(spark: SparkSession, table: String): Option[(Long, Long)] = {
+  def lastCheckpointInfo(spark: SparkSession, table: String): Option[(Long, Long)] =
+    lastCheckpoint(spark, table).map(m => (m.version, m.size))
+
+  /** Full `_last_checkpoint` contents, multi-part `parts` included. */
+  private[delta] def lastCheckpoint(spark: SparkSession,
+                                    table: String): Option[CheckpointMeta] = {
     val tbl = new Path(table)
     val f = fs(spark, tbl)
     val p = lastCheckpointPath(tbl)
@@ -661,18 +691,16 @@ object DeltaLog {
       finally in.close()
     try {
       val parsed = JsonMethods.parse(body)
-      val version = (parsed \ "version") match {
+      def longField(name: String): Option[Long] = (parsed \ name) match {
         case JInt(v) => Some(v.toLong)
         case JLong(v) => Some(v)
         case _ => None
       }
-      version.map { v =>
-        val size = (parsed \ "size") match {
-          case JInt(s) => s.toLong
-          case JLong(s) => s
-          case _ => footerRowCount(spark, checkpointFile(tbl, v))
-        }
-        (v, size)
+      longField("version").map { v =>
+        val parts = longField("parts").map(_.toInt).filter(_ > 1)
+        val size = longField("size").getOrElse(
+          footerRowCount(spark, checkpointFile(tbl, v)))
+        CheckpointMeta(v, size, parts)
       }
     } catch { case _: Exception => None }
   }
@@ -792,10 +820,11 @@ object DeltaLog {
     // work when the checkpoint for this exact version is already
     // durable): a current pointer means nothing to do at all; a stale
     // one is refreshed from the existing file
+    if (lastCheckpointVersion(spark, table).contains(head.version))
+      return head.version
     if (f.exists(dst)) {
-      if (!lastCheckpointVersion(spark, table).contains(head.version))
-        writePointer(spark, f, tbl, head.version,
-          spark.read.parquet(dst.toString).count())
+      writePointer(spark, f, tbl, head.version,
+        spark.read.parquet(dst.toString).count())
       return head.version
     }
     val tombCutoff = System.currentTimeMillis() - tombstoneRetainMs
@@ -825,16 +854,42 @@ object DeltaLog {
             // checkpoint-seeded reader (or VACUUM) still sees them
             CpRow(None, None, None, None, Some(CpRemove(p, ts, dataChange = false)))
           })
+    // multi-part form past the per-part row target (PROTOCOL.md's
+    // `n.checkpoint.o.p.parquet`): a 100 TB table's millions of add
+    // rows write as P parallel files instead of one coalesced object —
+    // the write distributes, and foreign readers list the parts from
+    // the pointer's `parts` field exactly as we do
+    val partRows = spark.conf.getOption("spark.graft.delta.checkpointPartRows")
+      .map(_.toInt).getOrElse(1000000)
+    val parts = math.max(1, ((rows.length + partRows - 1) / partRows))
     val tmp = new Path(logDir(tbl), s".cp-tmp-${java.util.UUID.randomUUID()}")
-    rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = f.listStatus(tmp).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException("delta: checkpoint write produced no file"))
-    require(f.rename(part, dst), s"delta: checkpoint rename failed: $dst")
+    val df = rows.toDF()
+    (if (parts == 1) df.coalesce(1) else df.repartition(parts))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val written = f.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    require(written.nonEmpty, "delta: checkpoint write produced no file")
+    if (parts == 1) {
+      require(written.length == 1,
+        s"delta: single-part checkpoint wrote ${written.length} files")
+      require(f.rename(written.head, dst), s"delta: checkpoint rename failed: $dst")
+    } else {
+      // crashed earlier attempts may have left part files for this
+      // version — remove them so the renames land cleanly
+      f.listStatus(logDir(tbl))
+        .map(_.getPath)
+        .filter(_.getName.startsWith(f"${head.version}%020d.checkpoint."))
+        .foreach(p => f.delete(p, false))
+      written.zipWithIndex.foreach { case (p, i) =>
+        val d = checkpointPartFile(tbl, head.version, i + 1, written.length)
+        require(f.rename(p, d), s"delta: checkpoint part rename failed: $d")
+      }
+    }
     f.delete(tmp, true)
     // _last_checkpoint last: readers either see the old pointer (and
     // replay JSON) or the new one (and find the checkpoint durable)
-    writePointer(spark, f, tbl, head.version, rows.length.toLong)
+    writePointer(spark, f, tbl, head.version, rows.length.toLong,
+      if (parts == 1) None else Some(written.length))
     head.version
   }
 
@@ -844,9 +899,13 @@ object DeltaLog {
     * replay, but never half-written, which used to wedge every read on a
     * parse error until manual repair). */
   private def writePointer(spark: SparkSession, f: FileSystem, tbl: Path,
-                           version: Long, size: Long): Unit =
+                           version: Long, size: Long,
+                           parts: Option[Int] = None): Unit =
     LogStore.forSession(spark).overwrite(f, lastCheckpointPath(tbl),
-      s"""{"version":$version,"size":$size}""".getBytes("UTF-8"))
+      (parts match {
+        case Some(p) => s"""{"version":$version,"size":$size,"parts":$p}"""
+        case None => s"""{"version":$version,"size":$size}"""
+      }).getBytes("UTF-8"))
 
   /** Log-retention cleaning (upstream's `delta.logRetentionDuration`):
     * delete JSON commit files STRICTLY BELOW the newest checkpoint once

@@ -2533,7 +2533,12 @@ object DeltaTable {
     }
     val logD = DeltaLog.logDir(tbl)
     if (fs.exists(logD)) fs.listStatus(logD)
-      .filter(_.getPath.getName.endsWith(".checkpoint.parquet"))
+      // classic `n.checkpoint.parquet` AND multi-part
+      // `n.checkpoint.o.p.parquet` forms both walk
+      .filter { s =>
+        val n = s.getPath.getName
+        n.contains(".checkpoint.") && n.endsWith(".parquet")
+      }
       .foreach { st =>
         val cpDf = spark.read.parquet(st.getPath.toString)
         import org.apache.spark.sql.functions.{col, to_json}

@@ -347,6 +347,47 @@ class DeltaSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet === Set(1))
   }
 
+  test("multi-part checkpoints: protocol part names, parts pointer, both replays") {
+    val t = tmp()
+    // 6 files -> 6 add rows (+protocol/metaData/tombstone rows); a
+    // 3-row part target forces the multi-part form
+    (1 to 6).foreach(i => DeltaTable.write(
+      Seq((i, s"s$i")).toDF("id", "s").coalesce(1), t, SaveMode.Append))
+    spark.conf.set("spark.graft.delta.checkpointPartRows", "3")
+    try {
+      val cpV = DeltaLog.checkpoint(spark, t)
+      assert(cpV === 5L)
+      // pointer carries the parts field; part files use the protocol's
+      // n.checkpoint.o.p.parquet names and the single form is ABSENT
+      val pointer = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint")), "UTF-8")
+      val partsRe = """"parts":(\d+)""".r
+      val p = partsRe.findFirstMatchIn(pointer)
+        .map(_.group(1).toInt)
+        .getOrElse(fail(s"pointer must carry parts: $pointer"))
+      assert(p >= 2)
+      assert(pointer.contains(""""version":5"""))
+      val names = new java.io.File(s"$t/_delta_log").listFiles()
+        .map(_.getName).filter(_.contains(".checkpoint.")).toSet
+      assert(!names.contains("00000000000000000005.checkpoint.parquet"))
+      (1 to p).foreach(i => assert(names.contains(
+        f"00000000000000000005.checkpoint.$i%010d.$p%010d.parquet")))
+      // checkpointing again at the same head is a no-op
+      assert(DeltaLog.checkpoint(spark, t) === 5L)
+      // driver replay seeds from ALL parts
+      assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet
+        === (1 to 6).toSet)
+      assert(DeltaLog.snapshot(spark, t).files.size === 6)
+      // distributed pruned replay reads the parts too
+      assert(DeltaLog.prunedSnapshot(spark, t, Map.empty).files.size === 6)
+      // the JSON history below can retire: parts alone reconstruct
+      DeltaLog.cleanLog(spark, t, retainMs = 0L)
+      DeltaTable.write(Seq((7, "s7")).toDF("id", "s"), t, SaveMode.Append)
+      assert(DeltaTable.read(spark, t).collect().map(_.getInt(0)).toSet
+        === (1 to 7).toSet)
+    } finally spark.conf.unset("spark.graft.delta.checkpointPartRows")
+  }
+
   test("checkpoint on a partitioned table preserves partitionValues and pruning") {
     val t = tmp()
     DeltaTable.write(Seq((1, "fr", 1.0), (2, "de", 2.0)).toDF("id", "lang", "v"),
