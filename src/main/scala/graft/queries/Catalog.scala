@@ -2055,6 +2055,99 @@ object Catalog {
     }
   }
 
+  /** Native (extension-less) DML on a GENERATED/IDENTITY table (q109):
+    * a BARE session — fresh session state, Spark's default rules only,
+    * no [[graft.GraftExtensions]] — drives INSERT (AppendData through
+    * the sink's bound per-row transform) and a two-clause MERGE
+    * (Spark's own `RewriteMergeIntoTable` → the connector's
+    * position-delta write) against a scratch catalog table carrying
+    * `id GENERATED ALWAYS AS IDENTITY` and
+    * `twice GENERATED ALWAYS AS (n_chars * 2)`. The write itself
+    * recomputes the generated column from post-images, allocates
+    * identity values from the high-water mark, and advances the mark in
+    * the same commit ([[graft.sources.delta.GeneratedColumns
+    * .bindRowTransforms]]) — require-asserted invariants: ids all
+    * distinct, the MERGE batch allocates strictly above the INSERT
+    * batch's recorded mark, and `twice = n_chars * 2` holds row-for-row
+    * after the matched-UPDATE shifted half the dependencies. The
+    * oracle-expressible surface (per-lang counts + generated sums over
+    * the final state) is exact against DuckDB computing the arithmetic
+    * relationally. */
+  val q109NativeGeneratedDml: Q = Q(
+    "q109_native_generated_dml",
+    oracle = Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN (n_chars + 5) * 2
+                           ELSE n_chars * 2 END) AS BIGINT) AS sum_twice
+      FROM documents
+      GROUP BY lang""")) { (spark, dir) =>
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q109")
+    val cat = s"g109_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    val bare = org.apache.spark.sql.graft.ColumnBridge
+      .bareSession(spark.sparkContext)
+    try {
+      bare.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      require(!bare.sessionState.analyzer.postHocResolutionRules
+          .exists(_.getClass.getName.contains("graft")),
+        "q109: the bare session must carry no engine extension rules")
+      Seq(spark, bare).foreach { s =>
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.delta.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      }
+      bare.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView(s"docs_src_$cat")
+      bare.sql(s"CREATE NAMESPACE $cat.gen")
+      bare.sql(s"""CREATE TABLE $cat.gen.docs
+                   (id BIGINT GENERATED ALWAYS AS IDENTITY,
+                    doc_id BIGINT, lang STRING, n_chars BIGINT,
+                    twice BIGINT GENERATED ALWAYS AS (n_chars * 2))""")
+      // batch 1: extension-less INSERT — the sink's native transform
+      // allocates ids and computes `twice` from the NULL-filled columns
+      bare.sql(s"""INSERT INTO $cat.gen.docs (doc_id, lang, n_chars)
+                   SELECT doc_id, lang, n_chars FROM docs_src_$cat
+                   WHERE doc_id % 2 = 0""")
+      val batch1Max = bare.sql(s"SELECT MAX(id) FROM $cat.gen.docs")
+        .head().getLong(0)
+      // batch 2: extension-less MERGE — matched rows shift a generation
+      // DEPENDENCY (recompute proves the post-image transform), unmatched
+      // rows allocate identity and compute `twice` on the insert side
+      bare.sql(s"""
+        MERGE INTO $cat.gen.docs AS t
+        USING docs_src_$cat AS s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 5
+        WHEN NOT MATCHED THEN
+          INSERT (id, doc_id, lang, n_chars, twice)
+          VALUES (NULL, s.doc_id, s.lang, s.n_chars, NULL)""")
+      val inv = bare.sql(s"""
+        SELECT COUNT(*), COUNT(DISTINCT id),
+               MIN(CASE WHEN doc_id % 2 = 1 THEN id END),
+               SUM(CASE WHEN twice <> n_chars * 2 THEN 1 ELSE 0 END)
+        FROM $cat.gen.docs""").head()
+      require(inv.getLong(0) == inv.getLong(1),
+        s"q109: identity ids must stay unique across the native INSERT + " +
+          s"MERGE (${inv.getLong(0)} rows, ${inv.getLong(1)} distinct)")
+      require(inv.getLong(2) > batch1Max,
+        "q109: the MERGE must allocate above the INSERT batch's mark")
+      require(inv.getLong(3) == 0L,
+        "q109: twice = n_chars * 2 must hold after the native recompute")
+      val agg = spark.sql(s"""
+        SELECT lang, COUNT(*) AS n_rows, SUM(twice) AS sum_twice
+        FROM $cat.gen.docs GROUP BY lang""")
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2066,7 +2159,7 @@ object Catalog {
         q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
         q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
         q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
-        q108MappedSqlDml) ++
+        q108MappedSqlDml, q109NativeGeneratedDml) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -223,17 +223,31 @@ private[delta] class DeltaBatchWrite(
       s"graft-delta sink: unsupported column type ${f.dataType.catalogString} " +
         s"for ${f.name}")
   }
-  // generated/identity tables: the per-row compute/allocate semantics
-  // live in the DataFrame write path, reached for SQL INSERT through the
-  // GraftExtensions rewrite ([[SqlUpdateRule]]); a direct sink write
-  // would land Spark's NULL-fills as real values — refuse loudly
-  initHead.schemaJson
+  // generated/identity tables take the APPEND path natively: the same
+  // per-row NULL-driven contract as the engine's [[GeneratedColumns
+  // .prepareWrite]] (NULL generated → computed, non-NULL must equal the
+  // expression; NULL identity → allocated, non-NULL refused unless BY
+  // DEFAULT), bound once here and evaluated task-side — by sink time
+  // Spark has NULL-filled omitted columns, so NULL IS the omitted form.
+  // This is what an extension-less `INSERT INTO` and an insert-only
+  // MERGE (which Spark plans as AppendData, not WriteDelta) run on; a
+  // registered [[SqlUpdateRule]] reroutes AppendData to the engine
+  // before it ever reaches here. Schema-replacing OVERWRITEs still
+  // refuse: whether the replaced schema's generation metadata survives
+  // is a statement-level decision the engine path owns.
+  private val rawLogSchema: Option[StructType] = initHead.schemaJson
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    .foreach(s => require(!GeneratedColumns.hasAny(s),
-      s"graft-delta sink: $table has generated/identity columns — INSERTs " +
-        "must route through the engine's write path; register " +
-        "spark.sql.extensions=graft.GraftExtensions (SQL) or use " +
-        "DeltaTable.write"))
+  private val genTransforms: Option[GeneratedColumns.RowTransforms] =
+    rawLogSchema.filter(GeneratedColumns.hasAny) match {
+      case None => None
+      case Some(raw) =>
+        require(!truncate,
+          s"graft-delta sink: $table has generated/identity columns — " +
+            "OVERWRITE must route through the engine's write path; register " +
+            "spark.sql.extensions=graft.GraftExtensions (SQL) or use " +
+            "DeltaTable.write")
+        GeneratedColumns.bindRowTransforms(spark, writeSchema, raw)
+    }
 
   /** Effective TARGET schema: what the staged files' physical names and
     * a truncate's re-emitted metaData must agree on. Appends write under
@@ -264,7 +278,8 @@ private[delta] class DeltaBatchWrite(
       spark.sessionState.conf.sessionLocalTimeZone,
       // overwrite replaces content wholesale, but the constraint set
       // rides the metaData that carries FORWARD — new rows still honor it
-      SinkConstraints.bind(spark, writeSchema, initHead))
+      SinkConstraints.bind(spark, writeSchema, initHead),
+      insertExprs = genTransforms.map(_.insert))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val tbl = new Path(table)
@@ -295,6 +310,30 @@ private[delta] class DeltaBatchWrite(
         s"graft-delta sink: write schema ${writeSchema.catalogString} does " +
           "not match the table schema — append enforces schema (overwrite " +
           "may change it)")
+      val headRaw = head.schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      // identity-allocation conflict: the staged ids were computed from
+      // the PLANNING-time marks — any concurrent movement means possible
+      // collision; refuse loudly (a rerun re-allocates from the new mark)
+      genTransforms.foreach { t =>
+        val cur = headRaw.map(r => GeneratedColumns.identityOf(r)
+          .map(s => s.name -> s.base).toMap).getOrElse(Map.empty)
+        t.allocates.foreach(s => require(cur.get(s.name).contains(s.base),
+          s"graft-delta sink: concurrent writer advanced identity " +
+            s"`${s.name}`'s high-water mark — this write's allocated ids " +
+            "may collide; re-run the statement"))
+      }
+      // advanced identity marks commit WITH the data (footer stats of
+      // the staged files, explicit BY DEFAULT values included)
+      val hwmMeta = (genTransforms, headRaw) match {
+        case (Some(_), Some(raw)) =>
+          val upd = GeneratedColumns.hwmFromAdds(adds, raw,
+            ColumnMapping.physMap(raw))
+          if (upd.isEmpty) Seq.empty
+          else Seq(metaDataAction(GeneratedColumns.withHwm(raw, upd).json,
+            partCols, head.metaDataId, head.configuration))
+        case _ => Seq.empty
+      }
       val meta =
         if (head.isEmpty) Seq(protocolAction,
           metaDataAction(writeSchema.json, partCols))
@@ -303,7 +342,7 @@ private[delta] class DeltaBatchWrite(
           // under its (carried-forward/fresh) physical stamps
           Seq(metaDataAction(effSchema.json, partCols, head.metaDataId,
             head.configuration))
-        else Seq.empty
+        else hwmMeta
       val removes =
         if (truncate) head.files.map(f => removeAction(f.path, now))
         else Seq.empty
@@ -373,12 +412,15 @@ private[delta] case class DeltaSinkWriterFactory(
     table: String, schema: StructType, partCols: Array[String],
     conf: SerializableHadoopConf, sessionTimeZone: String,
     constraints: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    insertExprs: Option[Seq[
+      org.apache.spark.sql.catalyst.expressions.Expression]] = None)
     extends StreamingDataWriterFactory with DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new DeltaSinkDataWriter(table, schema, partCols, conf.value,
-      java.time.ZoneId.of(sessionTimeZone), constraints)
+      java.time.ZoneId.of(sessionTimeZone), constraints,
+      insertExprs, partitionId)
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId, 0L)
@@ -393,8 +435,21 @@ private[delta] class DeltaSinkDataWriter(
     hadoopConf: org.apache.hadoop.conf.Configuration,
     zone: java.time.ZoneId,
     constraints: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    insertExprs: Option[Seq[
+      org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    partitionId: Int = 0)
     extends DataWriter[InternalRow] {
+
+  // generated/identity transform (plain tables carry None and pay
+  // nothing): applied BEFORE the constraint checks, so CHECK/NOT NULL
+  // see the computed/allocated values, not the incoming NULLs
+  private lazy val insertProj = insertExprs.map { es =>
+    val p = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(es.toArray)
+    p.initialize(partitionId)
+    p
+  }
 
   private val dataFields: Array[(StructField, Int)] =
     schema.fields.zipWithIndex.filterNot { case (f, _) => partCols.contains(f.name) }
@@ -420,7 +475,8 @@ private[delta] class DeltaSinkDataWriter(
       s"${f.name}=$rendered"
     }.mkString("/")
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row0: InternalRow): Unit = {
+    val row = insertProj.map(p => p(row0): InternalRow).getOrElse(row0)
     checkPreds.foreach { case (what, sql, p) =>
       if (!p.eval(row)) throw new IllegalArgumentException(
         s"graft-delta sink: $what ($sql) violated")

@@ -175,13 +175,25 @@ private[delta] object DeltaStreamDataSource {
     * via `rawSchema` to avoid a second replay. */
   def makeTable(schema: StructType, options: CaseInsensitiveStringMap,
                 rawSchema: Option[StructType] = None): DeltaStreamTable = {
+    // generated/identity tables: when [[graft.GraftExtensions]] IS
+    // registered, their DML keeps routing through the engine's own
+    // write path (SqlUpdateRule fires during post-hoc resolution, but
+    // Spark's RewriteUpdateTable fires EARLIER in analysis for Rlo
+    // tables — so statement-level semantics like refusing a direct
+    // `SET gen = …` survive only if the table stays off the Rlo class
+    // there). In an EXTENSION-LESS session there is no engine route, so
+    // the Rlo class takes them: the row-level write recomputes
+    // generated columns, allocates identity values, and advances the
+    // high-water mark ([[GeneratedColumns.bindRowTransforms]]).
     val eligible = schema.fields.nonEmpty &&
       !cdfMode(options) && versionAsOf(options).isEmpty &&
       options.get("timestampAsOf") == null && {
         val raw = rawSchema.orElse(
           DeltaLog.snapshot(SparkSession.active, tablePath(options))
             .schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType]))
-        raw.forall(s => !GeneratedColumns.hasAny(s))
+        raw.forall(s => !GeneratedColumns.hasAny(s)) ||
+          !SparkSession.active.sessionState.analyzer.postHocResolutionRules
+            .exists(_.isInstanceOf[SqlUpdateRule])
       }
     if (eligible) new DeltaStreamTableRlo(schema, options)
     else new DeltaStreamTable(schema, options)
@@ -329,7 +341,10 @@ private[delta] class DeltaStreamTableRlo(
 
   override def metadataColumns()
     : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    GraftMeta.columns
+    // identity tables additionally expose per-column pre-image values
+    // (`__graft_old__<col>`) so the native row-level write can refuse
+    // per-row identity changes; plain tables stay exactly `_file`/`_pos`
+    GraftMeta.columns ++ GraftMeta.oldIdentityColumns(rloSchema)
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -768,8 +783,13 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     * metadata-column conflict rule), so only names ABSENT from the
     * table schema count. */
   private val metaFieldNames: Set[String] =
-    Set(GraftMeta.FileCol, GraftMeta.PosCol).filter(n =>
-      schema.fieldNames.contains(n) && !tableSchema.fieldNames.contains(n))
+    (Set(GraftMeta.FileCol, GraftMeta.PosCol) ++
+      // identity pre-image columns (`__graft_old__<col>`): requested by
+      // the row-level UPDATE/MERGE scan; the reader copies the stored
+      // column value under the metadata name
+      schema.fieldNames.filter(_.startsWith(GraftMeta.OldIdPrefix)))
+      .filter(n =>
+        schema.fieldNames.contains(n) && !tableSchema.fieldNames.contains(n))
 
   /** [[schema]] minus the metadata columns: what the parquet delegate
     * actually reads from the files. */
@@ -1191,7 +1211,17 @@ private[delta] case class MetaColReaderFactory(
         Literal(UTF8String.fromString(rel), StringType)
       else if (metaNames.contains(f.name) && f.name == GraftMeta.PosCol)
         BoundReference(rowIdxPos, LongType, nullable = false)
-      else {
+      else if (metaNames.contains(f.name) &&
+          f.name.startsWith(GraftMeta.OldIdPrefix)) {
+        // identity pre-image: the stored value of the underlying
+        // column, under its physical name in the delegate's output
+        val base = f.name.stripPrefix(GraftMeta.OldIdPrefix)
+        val phys = physOf.getOrElse(base, base)
+        val i = innerFields.indexWhere(_.name == phys)
+        require(i >= 0, s"graft-delta: identity column `$base` missing " +
+          s"from the scan that requested its pre-image `${f.name}`")
+        BoundReference(i, f.dataType, nullable = true)
+      } else {
         val phys = physOf.getOrElse(f.name, f.name)
         val i = innerFields.indexWhere(_.name == phys)
         require(i >= 0, s"graft-delta: column `${f.name}` missing from the scan")

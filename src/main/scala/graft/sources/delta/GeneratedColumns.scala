@@ -223,6 +223,121 @@ object GeneratedColumns {
     values ++ gens
   }
 
+  /** Per-row transforms for the NATIVE row-level write path
+    * ([[GraftRowLevelBatchWrite]] — Spark's own `RewriteUpdateTable` /
+    * `RewriteMergeIntoTable` rewrites, reached in extension-less
+    * sessions where [[graft.GraftExtensions]]' clause-level
+    * augmentation cannot run): one bound expression per `rowSchema`
+    * field for UPDATE post-images and one for MERGE inserts, built
+    * once driver-side (parse → analyze → bind to row ordinals, the
+    * [[SinkConstraints]] pattern) and evaluated task-side through a
+    * codegen'd projection. `None` when the target carries no
+    * generated/identity columns — the writer then skips the
+    * projection entirely.
+    *
+    * Semantics relative to the engine path (which sees the STATEMENT,
+    * not just rows):
+    *   - UPDATE: generated columns RECOMPUTE from the post-image
+    *     unconditionally. The engine path refuses a direct
+    *     `SET gen = …`; by row-level write time assignment is
+    *     indistinguishable from a stale pre-image value, so the native
+    *     path keeps the table invariant (`gen <=> expr`) by always
+    *     recomputing — a directly-assigned value is overridden, never
+    *     persisted inconsistent. Identity columns are guarded
+    *     separately against their pre-image ([[GraftRowLevelWriter]]'s
+    *     old-value metadata) — value changes refuse per row.
+    *   - INSERT: same per-row NULL-driven contract as [[prepareWrite]]
+    *     (NULL generated → computed, non-NULL must equal the
+    *     expression; NULL identity → allocated from the high-water
+    *     mark with sparse per-partition strides, non-NULL refuses
+    *     unless BY DEFAULT). */
+  final case class RowTransforms(
+      update: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      insert: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      allocates: Seq[IdentitySpec])
+
+  def bindRowTransforms(spark: org.apache.spark.sql.SparkSession,
+                        rowSchema: StructType,
+                        target: StructType): Option[RowTransforms] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Add, Alias, BindReferences, Cast, CaseWhen, EqualNullSafe, Expression, IsNull, Literal, MonotonicallyIncreasingID, Multiply}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    import org.apache.spark.sql.types.StringType
+    if (rowSchema.fields.isEmpty) return None
+    val present = rowSchema.fieldNames.toSet
+    val gens = generatedOf(target).filter { case (f, _) => present(f.name) }
+    val ids = identityOf(target).filter(s => present(s.name))
+    if (gens.isEmpty && ids.isEmpty) return None
+    val genByName = gens.map { case (f, e) => f.name -> e }.toMap
+    val idByName = ids.map(s => s.name -> s).toMap
+    // pure Catalyst nodes (no Column DSL: its lazily-converted column
+    // nodes don't resolve through a bare `analyzer.execute`); the
+    // unresolved function/attribute leaves resolve exactly like
+    // [[SinkConstraints]]' parsed CHECK expressions do
+    def ref(name: String): Expression = UnresolvedAttribute.quoted(name)
+    def fn(name: String, args: Expression*): Expression =
+      UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
+    def raiseAs(msg: String, got: Expression,
+                t: org.apache.spark.sql.types.DataType): Expression =
+      Cast(fn("raise_error",
+        fn("concat", Literal(msg), Cast(got, StringType))), t)
+    def computedOf(f: StructField, genExpr: String): Expression =
+      Cast(spark.sessionState.sqlParser.parseExpression(genExpr), f.dataType)
+    val updateCols = rowSchema.fields.toSeq.map { f =>
+      genByName.get(f.name) match {
+        case Some(g) => computedOf(f, g)
+        case None => ref(f.name)
+      }
+    }
+    val insertCols = rowSchema.fields.toSeq.map { f =>
+      genByName.get(f.name) match {
+        case Some(g) =>
+          val v = computedOf(f, g)
+          CaseWhen(Seq(
+            IsNull(ref(f.name)) -> v,
+            EqualNullSafe(ref(f.name), v) -> ref(f.name)),
+            Some(raiseAs(
+              s"delta: GENERATED ALWAYS AS column `${f.name}` must " +
+                s"equal ($g); got ", ref(f.name), f.dataType)))
+        case None => idByName.get(f.name) match {
+          case Some(s) =>
+            // the engine's sparse allocation shape: per-partition
+            // strides off the pinned high-water mark, no shuffle, no
+            // driver coordination; the commit advances the mark from
+            // the staged files' footer stats ([[hwmFromAdds]])
+            val alloc = Cast(Add(Literal(s.base), Multiply(Literal(s.step),
+              Add(MonotonicallyIncreasingID(), Literal(1L)))), LongType)
+            if (s.allowExplicit)
+              CaseWhen(Seq(IsNull(ref(f.name)) -> alloc), Some(ref(f.name)))
+            else
+              CaseWhen(Seq(IsNull(ref(f.name)) -> alloc),
+                Some(raiseAs(
+                  s"delta: `${s.name}` is GENERATED ALWAYS AS IDENTITY — " +
+                    "explicit INSERT values are refused (BY DEFAULT is " +
+                    "the opt-in); got ", ref(f.name), LongType)))
+          case None => ref(f.name)
+        }
+      }
+    }
+    val attrs =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(rowSchema)
+    def bind(cols: Seq[Expression]): Seq[Expression] = {
+      val aliases = cols.zipWithIndex.map { case (c, i) => Alias(c, s"c$i")() }
+      val analyzed = spark.sessionState.analyzer
+        .execute(Project(aliases, LocalRelation(attrs)))
+      val list = analyzed.collectFirst { case p: Project => p.projectList }
+        .getOrElse(throw new IllegalStateException(
+          "delta: row-transform projection did not analyze"))
+      require(list.forall(_.resolved),
+        s"delta: row-transform projection did not resolve: $list")
+      list.map {
+        case a: Alias => BindReferences.bindReference(a.child, attrs)
+        case other => BindReferences.bindReference(other: Expression, attrs)
+      }
+    }
+    Some(RowTransforms(bind(updateCols), bind(insertCols), ids))
+  }
+
   /** Schema with the given identity high-water marks stamped. */
   def withHwm(schema: StructType, updates: Map[String, Long]): StructType =
     StructType(schema.fields.map { f =>

@@ -56,6 +56,30 @@ private[delta] object GraftMeta {
   val FileCol = "_file"
   val PosCol = "_pos"
 
+  /** Metadata-column prefix for a row's PRE-IMAGE identity value
+    * (`__graft_old__<col>`): the scan copies the identity column's
+    * stored value under this name, so the row-level writer can refuse
+    * an UPDATE that changes it — identity values never change after
+    * allocation (delta's rule), and by write time the assignment list
+    * is gone, so the pre/post comparison is the only per-row check
+    * left that can enforce it. */
+  val OldIdPrefix = "__graft_old__"
+  def oldIdentityName(col: String): String = OldIdPrefix + col
+
+  /** One pre-image metadata column per identity column of `schema`
+    * (empty for tables without identity columns — the metadata surface
+    * stays exactly `_file`/`_pos` for them). */
+  def oldIdentityColumns(schema: StructType): Array[MetadataColumn] =
+    GeneratedColumns.identityOf(schema).map { s =>
+      new MetadataColumn {
+        override def name(): String = oldIdentityName(s.name)
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          s"pre-image value of identity column `${s.name}`"
+      }: MetadataColumn
+    }.toArray
+
   def columns: Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = FileCol
@@ -114,6 +138,15 @@ private[delta] class GraftRowLevelOperation(
 
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(GraftMeta.FileCol), Expressions.column(GraftMeta.PosCol))
+
+  /** Identity pre-images ride along as metadata for UPDATE-capable
+    * commands, so the writer can refuse per-row identity changes.
+    * DELETE never changes values — nothing extra to read. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (cmd == Command.DELETE) Array.empty
+    else GeneratedColumns.identityOf(tableSchema)
+      .map(s => Expressions.column(GraftMeta.oldIdentityName(s.name))
+        : NamedReference).toArray
 
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 }
@@ -186,12 +219,6 @@ private[delta] class GraftRowLevelBatchWrite(
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     .getOrElse(throw new IllegalStateException(
       s"graft-delta: $table missing metaData"))
-  // backstop — the catalog already keeps such tables off this path
-  require(!GeneratedColumns.hasAny(logSchema),
-    s"graft-delta: $table has generated/identity columns — SQL DML routes " +
-      "through the engine's own write path; register " +
-      "spark.sql.extensions=graft.GraftExtensions")
-
   private val partCols: Seq[String] = initHead.partitionColumns
   private val rowSchema: StructType = info.schema()
   private val rowIdSchema: StructType = {
@@ -203,6 +230,33 @@ private[delta] class GraftRowLevelBatchWrite(
     require(DeltaGroupWriter.supported(f.dataType),
       s"graft-delta: unsupported column type ${f.dataType.catalogString} " +
         s"for ${f.name} in a row-level write")
+  }
+
+  /** Generated-column recompute + identity allocation for this write
+    * (None for plain tables): built once here, evaluated task-side.
+    * The analyzer's rewrite has no knowledge of the generation
+    * expressions, so the post-image rows it produces carry STALE
+    * generated values whenever a dependency changed — the writer's
+    * projection recomputes them, and MERGE-insert rows allocate their
+    * identity values from the pinned high-water mark. */
+  private val rowTransforms: Option[GeneratedColumns.RowTransforms] =
+    GeneratedColumns.bindRowTransforms(spark, rowSchema, logSchema)
+
+  /** (row ordinal, metadata ordinal, column name) per identity column:
+    * the writer refuses an UPDATE whose post-image changes the value
+    * (identity never changes after allocation). The metadata ordinal
+    * points at the scan-provided pre-image
+    * ([[GraftMeta.oldIdentityName]]). */
+  private val identityGuards: Seq[(Int, Int, String)] = {
+    val metaSchema = info.metadataSchema()
+    if (!metaSchema.isPresent) Seq.empty
+    else GeneratedColumns.identityOf(logSchema).flatMap { s =>
+      val old = GraftMeta.oldIdentityName(s.name)
+      if (!metaSchema.get().fieldNames.contains(old) ||
+          !rowSchema.fieldNames.contains(s.name)) None
+      else Some((rowSchema.fieldIndex(s.name),
+        metaSchema.get().fieldIndex(old), s.name))
+    }
   }
 
   /** Scratch dir for oversized mark descriptors — `.staging-` prefix
@@ -224,7 +278,10 @@ private[delta] class GraftRowLevelBatchWrite(
       if (rowSchema.fields.isEmpty) Seq.empty
       else SinkConstraints.bind(spark, rowSchema, initHead),
       fileIdx = rowIdSchema.fieldIndex(GraftMeta.FileCol),
-      posIdx = rowIdSchema.fieldIndex(GraftMeta.PosCol))
+      posIdx = rowIdSchema.fieldIndex(GraftMeta.PosCol),
+      updateExprs = rowTransforms.map(_.update),
+      insertExprs = rowTransforms.map(_.insert),
+      identityGuards = identityGuards)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     import org.apache.spark.sql.functions.{col, lit, not}
@@ -379,13 +436,29 @@ private[delta] class GraftRowLevelBatchWrite(
       fs.delete(new Path(marksDir), true)
       return // nothing matched, nothing to commit — DML no-op
     }
+    // identity high-water marks: MERGE-insert allocations (and explicit
+    // BY DEFAULT values) advance the mark from the STAGED files' footer
+    // stats, exactly like the engine's append path — the version check
+    // above already refused any concurrent movement of the mark this
+    // write allocated from (the whole table is version-pinned, a
+    // stricter gate than the engine's per-mark comparison)
+    val hwmMeta: Seq[JValue] =
+      if (rowTransforms.isEmpty || stagedAdds.isEmpty) Seq.empty
+      else {
+        val upd = GeneratedColumns.hwmFromAdds(stagedAdds, logSchema,
+          ColumnMapping.physMap(logSchema))
+        if (upd.isEmpty) Seq.empty
+        else Seq(DeltaLog.metaDataAction(
+          GeneratedColumns.withHwm(logSchema, upd).json, partCols,
+          head.metaDataId, head.configuration))
+      }
     val opName = cmd match {
       case Command.DELETE => "DELETE"
       case Command.UPDATE => "UPDATE"
       case _ => "MERGE"
     }
     val ok = DeltaLog.commit(sp, table, head.version + 1,
-      commitInfoAction(opName, now) +: (cdc ++ rmAdd ++ stagedAdds))
+      commitInfoAction(opName, now) +: (hwmMeta ++ cdc ++ rmAdd ++ stagedAdds))
     if (!ok) {
       cdc.foreach(a =>
         fs.delete(new Path(tbl, DeltaTable.actionPath(a)), false))
@@ -419,11 +492,16 @@ private[delta] case class GraftRowLevelWriterFactory(
     partCols: Array[String], conf: SerializableHadoopConf, zone: String,
     constraints: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)],
-    fileIdx: Int, posIdx: Int) extends DeltaWriterFactory {
+    fileIdx: Int, posIdx: Int,
+    updateExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    insertExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    identityGuards: Seq[(Int, Int, String)] = Seq.empty)
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DeltaWriter[InternalRow] =
     new GraftRowLevelWriter(table, marksDir, rowSchema, partCols,
-      conf.value, zone, constraints, fileIdx, posIdx)
+      conf.value, zone, constraints, fileIdx, posIdx,
+      updateExprs, insertExprs, identityGuards, partitionId)
 }
 
 /** Task-side delta writer: marks buffer per file (arriving sorted under
@@ -437,9 +515,30 @@ private[delta] class GraftRowLevelWriter(
     hadoopConf: org.apache.hadoop.conf.Configuration, zone: String,
     constraints: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)],
-    fileIdx: Int, posIdx: Int) extends DeltaWriter[InternalRow] {
+    fileIdx: Int, posIdx: Int,
+    updateExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    insertExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    identityGuards: Seq[(Int, Int, String)] = Seq.empty,
+    partitionId: Int = 0) extends DeltaWriter[InternalRow] {
 
   import scala.collection.mutable
+
+  // generated/identity transforms (plain tables carry None and pay
+  // nothing): codegen'd projections, initialized with the partition id
+  // so identity allocation strides per partition (the
+  // monotonically_increasing_id contract)
+  private lazy val updateProj = updateExprs.map { es =>
+    val p = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(es.toArray)
+    p.initialize(partitionId)
+    p
+  }
+  private lazy val insertProj = insertExprs.map { es =>
+    val p = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(es.toArray)
+    p.initialize(partitionId)
+    p
+  }
 
   private lazy val insertW = new DeltaSinkDataWriter(table, rowSchema,
     partCols, hadoopConf, java.time.ZoneId.of(zone), constraints)
@@ -460,14 +559,24 @@ private[delta] class GraftRowLevelWriter(
 
   override def update(meta: InternalRow, id: InternalRow,
                       row: InternalRow): Unit = {
+    // identity never changes after allocation: the post-image must
+    // carry the pre-image value (scan-provided metadata), per row
+    identityGuards.foreach { case (ri, mi, name) =>
+      val oldNull = meta.isNullAt(mi)
+      if (oldNull != row.isNullAt(ri) ||
+          (!oldNull && meta.getLong(mi) != row.getLong(ri)))
+        throw new IllegalArgumentException(
+          s"graft-delta: cannot UPDATE identity column `$name` — its value " +
+            "is allocated once and never changes")
+    }
     mark(updMarks, id)
     updateUsed = true
-    updateW.write(row)
+    updateW.write(updateProj.map(p => p(row): InternalRow).getOrElse(row))
   }
 
   override def insert(row: InternalRow): Unit = {
     insertUsed = true
-    insertW.write(row)
+    insertW.write(insertProj.map(p => p(row): InternalRow).getOrElse(row))
   }
 
   override def reinsert(meta: InternalRow, row: InternalRow): Unit =

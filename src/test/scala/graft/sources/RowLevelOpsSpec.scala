@@ -306,27 +306,36 @@ class RowLevelOpsSpec extends SparkSpec {
     assert(pre === (1L to 100L).count(_ % 4 == 1).toLong)
   }
 
-  test("generated/identity tables refuse extension-less DML loudly") {
+  test("generated/identity tables take extension-less DML natively") {
+    // round 13: these tables used to refuse bare-session DML; the
+    // row-level write now recomputes/allocates per row
+    // ([[NativeGeneratedDmlSpec]] pins the semantics in depth) — here:
+    // the native and engine paths interleave on ONE table correctly
     val s = bareSession()
     newCatalog(s, "rlo5")
     s.sql("""CREATE TABLE rlo5.db.g (
       id BIGINT GENERATED ALWAYS AS IDENTITY, n BIGINT)""")
-    val e = intercept[Exception] {
-      s.sql("UPDATE rlo5.db.g SET n = 1 WHERE n = 0")
+    // bare-session INSERT allocates (AppendData through the sink's
+    // native transform), bare-session UPDATE preserves the identity
+    s.sql("INSERT INTO rlo5.db.g (n) VALUES (0)")
+    s.sql("UPDATE rlo5.db.g SET n = 1 WHERE n = 0")
+    val (id0, n0) = {
+      val r = s.sql("SELECT id, n FROM rlo5.db.g").head()
+      (r.getLong(0), r.getLong(1))
     }
-    def msg(x: Throwable): String =
-      Option(x.getMessage).getOrElse("") +
-        Option(x.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
-    // the plain table class advertises no row-level operation -> Spark
-    // itself refuses; nothing silently corrupts the identity column
-    assert(msg(e).nonEmpty)
-    // and the engine's own path (extensions registered) still works
+    assert(n0 === 1L)
+    // the engine's own path (extensions registered) interleaves on the
+    // same table and keeps allocating ABOVE the native write's mark
     spark.conf.set("spark.sql.catalog.rlo5",
       classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.rlo5.warehouse",
       s.conf.get("spark.sql.catalog.rlo5.warehouse"))
     spark.sql("INSERT INTO rlo5.db.g (n) VALUES (5)")
     spark.sql("UPDATE rlo5.db.g SET n = 6 WHERE n = 5")
-    assert(spark.sql("SELECT id, n FROM rlo5.db.g").head().getLong(1) === 6L)
+    val rows = spark.sql("SELECT id, n FROM rlo5.db.g ORDER BY n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.map(_._2) === Seq(1L, 6L))
+    assert(rows.head._1 === id0, "identity must survive both UPDATE paths")
+    assert(rows.map(_._1).distinct.size === 2, "ids must stay unique")
   }
 }
