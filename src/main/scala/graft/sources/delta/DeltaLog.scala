@@ -790,6 +790,16 @@ object DeltaLog {
                                   add: Option[CpAdd],
                                   remove: Option[CpRemove])
 
+  /** Normalized add/remove rows of the PREVIOUS checkpoint, as read by
+    * the distributed checkpoint path (see [[checkpoint]]): the DV is a
+    * JSON string here (struct forms normalize through `to_json`) so one
+    * executor-side parse covers every vintage. */
+  private[delta] case class RawCpAdd(path: String,
+                                     partitionValues: Map[String, String],
+                                     size: Long, modificationTime: Long,
+                                     stats: String, dvJson: String)
+  private[delta] case class RawCpRemove(path: String, deletionTimestamp: Long)
+
   /** Write a parquet checkpoint of the CURRENT head: one row per action
     * (protocol, metaData, every txn high-water mark, every live add) plus
     * `_last_checkpoint` — after which snapshot construction replays only
@@ -809,24 +819,49 @@ object DeltaLog {
     *        cycle — the two maintenance ops stay order-independent. */
   def checkpoint(spark: SparkSession, table: String,
                  tombstoneRetainMs: Long = 7L * 24 * 3600 * 1000): Long = {
-    import spark.implicits._
-    val head = snapshot(spark, table)
-    require(!head.isEmpty, s"delta: $table has no commits to checkpoint")
     val tbl = new Path(table)
     val f = fs(spark, tbl)
-    val dst = checkpointFile(tbl, head.version)
+    val prevCp = lastCheckpoint(spark, table)
+    val headV = versions(spark, table).lastOption
+      .orElse(prevCp.map(_.version)).getOrElse(-1L)
+    require(headV >= 0, s"delta: $table has no commits to checkpoint")
+    val dst = checkpointFile(tbl, headV)
     // idempotent re-checkpoint, decided BEFORE any row building (the row
     // pass probes the filesystem once per expired tombstone — wasted
     // work when the checkpoint for this exact version is already
     // durable): a current pointer means nothing to do at all; a stale
     // one is refreshed from the existing file
-    if (lastCheckpointVersion(spark, table).contains(head.version))
-      return head.version
+    if (prevCp.exists(_.version == headV)) return headV
     if (f.exists(dst)) {
-      writePointer(spark, f, tbl, head.version,
+      writePointer(spark, f, tbl, headV,
         spark.read.parquet(dst.toString).count())
-      return head.version
+      return headV
     }
+    // route by the PREVIOUS checkpoint's row count (metadata-only, the
+    // same threshold the read side uses): past it, the add rows build
+    // from the checkpoint DataFrame + the small JSON tail and never
+    // materialize on the driver — a million-file table checkpoints
+    // distributed without a code change; below it, the driver replay
+    // skips the extra jobs. Both paths are spec-pinned row-identical.
+    val threshold = spark.conf
+      .getOption("spark.graft.delta.distributedReplayThreshold")
+      .map(_.toLong).getOrElse(200000L)
+    prevCp match {
+      case Some(cp) if cp.size > threshold && cp.version < headV =>
+        checkpointDistributed(spark, table, cp, headV, tombstoneRetainMs)
+      case _ => checkpointDriver(spark, table, tombstoneRetainMs)
+    }
+  }
+
+  /** The driver-replay checkpoint path (tables below the distributed
+    * threshold): full [[snapshot]], rows built in memory. */
+  private def checkpointDriver(spark: SparkSession, table: String,
+                               tombstoneRetainMs: Long): Long = {
+    import spark.implicits._
+    val head = snapshot(spark, table)
+    require(!head.isEmpty, s"delta: $table has no commits to checkpoint")
+    val tbl = new Path(table)
+    val f = fs(spark, tbl)
     val tombCutoff = System.currentTimeMillis() - tombstoneRetainMs
     val rows =
       CpRow(Some(CpProtocol(head.minReaderVersion, head.minWriterVersion,
@@ -854,43 +889,265 @@ object DeltaLog {
             // checkpoint-seeded reader (or VACUUM) still sees them
             CpRow(None, None, None, None, Some(CpRemove(p, ts, dataChange = false)))
           })
-    // multi-part form past the per-part row target (PROTOCOL.md's
-    // `n.checkpoint.o.p.parquet`): a 100 TB table's millions of add
-    // rows write as P parallel files instead of one coalesced object —
-    // the write distributes, and foreign readers list the parts from
-    // the pointer's `parts` field exactly as we do
+    writeCheckpointParquet(spark, f, tbl, head.version, rows.toDF(),
+      estRows = rows.length.toLong, exactRows = Some(rows.length.toLong))
+    head.version
+  }
+
+  /** The distributed checkpoint path: add rows build from the PREVIOUS
+    * checkpoint's DataFrame plus the (small, by construction) JSON tail
+    * — nothing O(#files) ever materializes on the driver. The tail
+    * replays driver-side exactly like [[prunedSnapshot]]'s (it is
+    * O(commits-since-checkpoint)); checkpoint adds anti-join the
+    * tail-superseded paths out; checkpoint tombstones carry forward
+    * under the same retention-or-still-exists rule as the driver path,
+    * with the existence probes running EXECUTOR-side. Row content is
+    * spec-pinned identical to [[checkpointDriver]]'s. */
+  private def checkpointDistributed(spark: SparkSession, table: String,
+                                    cp: CheckpointMeta, headV: Long,
+                                    tombstoneRetainMs: Long): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, to_json}
+    import spark.implicits._
+    val tbl = new Path(table)
+    val f = fs(spark, tbl)
+    // --- JSON tail replay (driver-side, O(commits since checkpoint))
+    val tailVs = versions(spark, table).filter(v => v > cp.version && v <= headV)
+    require(tailVs.isEmpty || tailVs == (cp.version + 1 to tailVs.last),
+      s"delta: $table's log is missing commits in (${cp.version}, " +
+        s"${tailVs.lastOption.getOrElse(cp.version)}] — refusing to " +
+        "checkpoint partial state")
+    require(tailVs.lastOption.forall(_ == headV),
+      s"delta: checkpoint head $headV disagrees with the retained tail")
+    val tailLive = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val tailAddedEver = scala.collection.mutable.Set.empty[String]
+    val tailTombs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val removedFromCp = scala.collection.mutable.Set.empty[String]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    var schemaJson: Option[String] = None
+    var partColsO: Option[Seq[String]] = None
+    var metaId: Option[String] = None
+    var configO: Option[Map[String, String]] = None
+    var protoO: Option[(Int, Int, Set[String], Set[String])] = None
+    tailVs.foreach { v =>
+      val c = readCommit(spark, table, v)
+      // same-commit re-adds supersede their removes (DV DELETE shape)
+      val readded = c.adds.map(_.path).toSet
+      c.adds.foreach { a =>
+        tailLive += a.path -> a; tailAddedEver += a.path; tailTombs -= a.path
+      }
+      c.removes.filterNot(r => readded(r.path)).foreach { r =>
+        tailLive -= r.path
+        removedFromCp += r.path
+        tailTombs += r.path -> r.deletionTimestamp
+      }
+      c.schemaJson.foreach(s => schemaJson = Some(s))
+      c.partitionColumns.foreach(p => partColsO = Some(p))
+      if (metaId.isEmpty) metaId = c.metaDataId
+      c.configuration.foreach(cfg => configO = Some(cfg))
+      c.protocol.foreach(p => protoO = Some(p))
+      txns ++= c.txns
+    }
+    // --- checkpoint-side metadata (tiny collects: one row each)
+    val cpDf = spark.read.parquet(
+      checkpointPaths(tbl, cp.version, cp.parts).map(_.toString): _*)
+    def cpStructField(action: String, field: String): Boolean =
+      cpDf.columns.contains(action) &&
+        cpDf.schema(action).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.contains(field)
+    val cpProto: Option[(Int, Int, Set[String], Set[String])] =
+      if (!cpDf.columns.contains("protocol")) None
+      else {
+        def featCol(n: String) =
+          if (cpStructField("protocol", n)) col(s"protocol.$n")
+          else lit(null).cast("array<string>").as(n)
+        cpDf.where(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion"),
+            col("protocol.minWriterVersion"),
+            featCol("readerFeatures"), featCol("writerFeatures"))
+          .collect().headOption.map { r =>
+            def feats(i: Int): Set[String] =
+              if (r.isNullAt(i)) Set.empty else r.getSeq[String](i).toSet
+            (r.getInt(0), r.getInt(1), feats(2), feats(3))
+          }
+      }
+    val proto = protoO.orElse(cpProto).getOrElse((1, 2,
+      Set.empty[String], Set.empty[String]))
+    checkReadable(table, proto._1, proto._3)
+    val metaRow = cpDf.where(col("metaData").isNotNull)
+      .select(col("metaData.id"), col("metaData.schemaString"),
+        col("metaData.partitionColumns"),
+        if (cpStructField("metaData", "configuration"))
+          col("metaData.configuration")
+        else lit(null).cast("map<string,string>").as("configuration"))
+      .head()
+    val outSchemaJson = schemaJson
+      .orElse(Option(metaRow.getString(1)).filter(_.nonEmpty)).getOrElse("")
+    val outPartCols = partColsO.getOrElse(metaRow.getSeq[String](2).toList)
+    val outMetaId = metaId.orElse(Option(metaRow.getString(0)))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val outConfig = configO.getOrElse(
+      if (metaRow.isNullAt(3)) Map.empty[String, String]
+      else metaRow.getMap[String, String](3).toMap)
+    val cpTxns: Map[String, Long] =
+      if (!cpDf.columns.contains("txn")) Map.empty
+      else cpDf.where(col("txn").isNotNull)
+        .select(col("txn.appId"), col("txn.version"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outTxns = (cpTxns ++ txns).toSeq.sortBy(_._1)
+    // --- driver-sized rows (protocol, metaData, txns, tail adds/tombs)
+    val tombCutoff = System.currentTimeMillis() - tombstoneRetainMs
+    val driverRows: Seq[CpRow] =
+      CpRow(Some(CpProtocol(proto._1, proto._2,
+        if (proto._3.isEmpty) null else proto._3.toSeq.sorted,
+        if (proto._4.isEmpty) null else proto._4.toSeq.sorted)),
+        None, None, None, None) +:
+        CpRow(None, Some(CpMetaData(outMetaId, outSchemaJson, outPartCols,
+          outConfig)), None, None, None) +:
+        (outTxns.map { case (app, v) =>
+          CpRow(None, None, Some(CpTxn(app, v)), None, None)
+        } ++ tailLive.values.toSeq.map { a =>
+          CpRow(None, None, None, Some(CpAdd(a.path, a.partitionValues,
+            a.size, a.modificationTime, dataChange = false,
+            a.stats.map(renderStats).orNull, a.dv.map(CpDv.of))), None)
+        } ++ tailTombs.toSeq
+          .filter { case (p, ts) => ts > tombCutoff || f.exists(new Path(tbl, p)) }
+          .sortBy(_._1).map { case (p, ts) =>
+            CpRow(None, None, None, None,
+              Some(CpRemove(p, ts, dataChange = false)))
+          })
+    // --- checkpoint adds (DataFrame end-to-end): normalize vintages
+    // (missing modificationTime/DV columns; struct DVs → JSON string),
+    // anti-join the tail-superseded paths, re-encode as CpRow rows.
+    // stats pass through VERBATIM (the previous checkpoint's rendering
+    // is already parse-compatible — no driver-side re-render).
+    val adds0 = cpDf.where(col("add").isNotNull).select(col("add.*"))
+    val withMt =
+      if (adds0.columns.contains("modificationTime")) adds0
+      else adds0.withColumn("modificationTime", lit(0L))
+    val withStats =
+      if (withMt.columns.contains("stats")) withMt
+      else withMt.withColumn("stats",
+        lit(null).cast(org.apache.spark.sql.types.StringType))
+    val withDv =
+      if (!withStats.columns.contains("deletionVector"))
+        withStats.withColumn("deletionVector",
+          lit(null).cast(org.apache.spark.sql.types.StringType))
+      else withStats.schema("deletionVector").dataType match {
+        case _: org.apache.spark.sql.types.StructType =>
+          withStats.withColumn("deletionVector",
+            to_json(col("deletionVector")))
+        case _ => withStats
+      }
+    val rawAdds = withDv.select(col("path"), col("partitionValues"),
+      col("size"), col("modificationTime"), col("stats"),
+      col("deletionVector").as("dvJson"))
+    val excluded = (removedFromCp ++ tailLive.keySet).toSeq
+    val keptAdds =
+      (if (excluded.isEmpty) rawAdds
+       else rawAdds.join(broadcast(excluded.toDF("path")),
+         Seq("path"), "left_anti")).as[RawCpAdd]
+    val tableStr = table
+    val addRows = keptAdds.map { r =>
+      // a PRESENT-but-malformed descriptor refuses the checkpoint: a
+      // dropped DV would resurrect its deleted rows for every
+      // checkpoint-seeded reader
+      val dv = Option(r.dvJson).map(s =>
+        DeletionVectors.fromJsonString(s).getOrElse(
+          throw new IllegalStateException(
+            s"delta: unparseable deletionVector for ${r.path} in " +
+              s"$tableStr's checkpoint — refusing to checkpoint")))
+      CpRow(None, None, None, Some(CpAdd(r.path,
+        Option(r.partitionValues).getOrElse(Map.empty), r.size,
+        r.modificationTime, dataChange = false, r.stats,
+        dv.map(CpDv.of))), None)
+    }
+    // --- checkpoint tombstones: drop only past retention AND gone
+    // (the probes run executor-side — O(expired tombstones) FS calls
+    // spread across tasks, not a driver loop)
+    val bconf = org.apache.spark.sql.graft.ColumnBridge
+      .broadcastHadoopConf(spark, spark.sparkContext.hadoopConfiguration)
+    val rmRows: org.apache.spark.sql.Dataset[CpRow] =
+      if (!cpDf.columns.contains("remove")) spark.emptyDataset[CpRow]
+      else {
+        val rm0 = cpDf.where(col("remove").isNotNull)
+          .select(col("remove.path"),
+            if (cpStructField("remove", "deletionTimestamp"))
+              col("remove.deletionTimestamp")
+            else lit(0L).as("deletionTimestamp"))
+        val rmExcluded = (tailAddedEver ++ tailTombs.keySet).toSeq
+        val kept =
+          (if (rmExcluded.isEmpty) rm0
+           else rm0.join(broadcast(rmExcluded.toDF("path")),
+             Seq("path"), "left_anti")).as[RawCpRemove]
+        kept.mapPartitions { it =>
+          lazy val fsx = new Path(tableStr)
+            .getFileSystem(bconf.value.value)
+          it.filter(r => r.deletionTimestamp > tombCutoff ||
+              fsx.exists(new Path(tableStr, r.path)))
+            .map(r => CpRow(None, None, None, None,
+              Some(CpRemove(r.path, r.deletionTimestamp,
+                dataChange = false))))
+        }
+      }
+    val rowsDf = spark.createDataset(driverRows).toDF()
+      .unionByName(addRows.toDF()).unionByName(rmRows.toDF())
+    // parts from an ESTIMATE (prior size + tail): exact counting would
+    // cost an extra pass; the pointer's size field is computed exactly
+    // from the written footers afterwards
+    writeCheckpointParquet(spark, f, tbl, headV, rowsDf,
+      estRows = cp.size + driverRows.length, exactRows = None)
+    headV
+  }
+
+  /** Shared tmp-write / rename / pointer tail of both checkpoint paths:
+    * multi-part form past the per-part row target (PROTOCOL.md's
+    * `n.checkpoint.o.p.parquet`) — a 100 TB table's millions of add
+    * rows write as P parallel files instead of one coalesced object,
+    * and foreign readers list the parts from the pointer's `parts`
+    * field exactly as we do. The pointer's row count comes from the
+    * written files' footers when the caller has no exact count. */
+  private def writeCheckpointParquet(spark: SparkSession, f: FileSystem,
+                                     tbl: Path, version: Long,
+                                     df: org.apache.spark.sql.DataFrame,
+                                     estRows: Long,
+                                     exactRows: Option[Long]): Unit = {
+    val dst = checkpointFile(tbl, version)
     val partRows = spark.conf.getOption("spark.graft.delta.checkpointPartRows")
       .map(_.toInt).getOrElse(1000000)
-    val parts = math.max(1, ((rows.length + partRows - 1) / partRows))
+    val parts = math.max(1L, (estRows + partRows - 1) / partRows).toInt
     val tmp = new Path(logDir(tbl), s".cp-tmp-${java.util.UUID.randomUUID()}")
-    val df = rows.toDF()
     (if (parts == 1) df.coalesce(1) else df.repartition(parts))
       .write.mode("overwrite").parquet(tmp.toString)
     val written = f.listStatus(tmp).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     require(written.nonEmpty, "delta: checkpoint write produced no file")
-    if (parts == 1) {
-      require(written.length == 1,
-        s"delta: single-part checkpoint wrote ${written.length} files")
-      require(f.rename(written.head, dst), s"delta: checkpoint rename failed: $dst")
-    } else {
-      // crashed earlier attempts may have left part files for this
-      // version — remove them so the renames land cleanly
-      f.listStatus(logDir(tbl))
-        .map(_.getPath)
-        .filter(_.getName.startsWith(f"${head.version}%020d.checkpoint."))
-        .foreach(p => f.delete(p, false))
-      written.zipWithIndex.foreach { case (p, i) =>
-        val d = checkpointPartFile(tbl, head.version, i + 1, written.length)
-        require(f.rename(p, d), s"delta: checkpoint part rename failed: $d")
+    val size = exactRows.getOrElse(
+      written.map(p => footerRowCount(spark, p)).sum)
+    val dests =
+      if (parts == 1) {
+        require(written.length == 1,
+          s"delta: single-part checkpoint wrote ${written.length} files")
+        require(f.rename(written.head, dst),
+          s"delta: checkpoint rename failed: $dst")
+        Seq(dst)
+      } else {
+        // crashed earlier attempts may have left part files for this
+        // version — remove them so the renames land cleanly
+        f.listStatus(logDir(tbl))
+          .map(_.getPath)
+          .filter(_.getName.startsWith(f"$version%020d.checkpoint."))
+          .foreach(p => f.delete(p, false))
+        written.zipWithIndex.map { case (p, i) =>
+          val d = checkpointPartFile(tbl, version, i + 1, written.length)
+          require(f.rename(p, d), s"delta: checkpoint part rename failed: $d")
+          d
+        }.toSeq
       }
-    }
     f.delete(tmp, true)
     // _last_checkpoint last: readers either see the old pointer (and
     // replay JSON) or the new one (and find the checkpoint durable)
-    writePointer(spark, f, tbl, head.version, rows.length.toLong,
-      if (parts == 1) None else Some(written.length))
-    head.version
+    writePointer(spark, f, tbl, version, size,
+      if (parts == 1) None else Some(dests.length))
   }
 
   /** Pointer update with no TORN state: delegated to the session store's
