@@ -2520,6 +2520,13 @@ object DeltaTable {
     * single-writer maintenance windows). */
   def vacuumOrphans(spark: SparkSession, table: String,
                     olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    // past the distributed-replay threshold the referenced set stays a
+    // DataFrame and the listing anti-joins against it in batches —
+    // the driver never holds an O(#files) Set (round-13 closure of the
+    // vacuum walk ceiling); below it, the driver walk skips the jobs.
+    // Both paths are spec-pinned decision-identical.
+    if (chooseDistributedReplay(spark, table))
+      return vacuumOrphansDistributed(spark, table, olderThanMs)
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val referenced = scala.collection.mutable.Set.empty[String]
@@ -2595,6 +2602,142 @@ object DeltaTable {
       }
     }
     removed
+  }
+
+  /** [[vacuumOrphans]] for tables past the distributed-replay
+    * threshold: the referenced-path set — adds AND removes of every
+    * retained JSON commit (one `spark.read.json` over the commit
+    * files), plus adds/tombstones and their DV sidecars from every
+    * checkpoint parquet — stays a DataFrame end-to-end; the recursive
+    * listing streams through the driver in bounded batches
+    * (`spark.graft.delta.vacuumBatchSize`, default 500k candidate
+    * names), each batch anti-joins the referenced frame, and the
+    * surviving orphans delete EXECUTOR-side. Driver memory is
+    * O(batch), never O(#files); reclaim decisions are spec-pinned
+    * identical to the driver walk, `liveDv` semantics included (a
+    * sidecar referenced by ANY retained artifact survives — exactly
+    * the driver walk's rule, via the same DV-path extraction). */
+  private def vacuumOrphansDistributed(spark: SparkSession, table: String,
+                                       olderThanMs: Long): Int = {
+    import org.apache.spark.sql.functions.{col, lit, to_json}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    import spark.implicits._
+    val tbl = new Path(table)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableStr = table
+    // --- referenced frame: (rel) strings from commits + checkpoints
+    def refsOfPathDv(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[String] =
+      // (path, dvJson) rows → path ++ the 'u'-form sidecar path; a
+      // present-but-malformed descriptor REFUSES the vacuum (deleting a
+      // possibly-live sidecar is data loss, strictly worse than failing)
+      df.as[(String, String)].flatMap { case (p, dvJson) =>
+        Option(p).toSeq ++ Option(dvJson).toSeq
+          .map(s => DeletionVectors.fromJsonString(s).getOrElse(
+            throw new IllegalStateException(
+              s"delta: unparseable deletionVector in $tableStr's log " +
+                s"('$s') — refusing to vacuum")))
+          .filter(_.storageType == "u")
+          .map(DeletionVectors.relativePath)
+      }
+    val frames = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Dataset[String]]
+    val commitFiles = DeltaLog.versions(spark, table)
+      .map(v => DeltaLog.logFile(tbl, v).toString)
+    if (commitFiles.nonEmpty) {
+      val dvStruct = StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType)))
+      val act = StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionVector", dvStruct)))
+      val commits = spark.read.schema(StructType(Seq(
+        StructField("add", act), StructField("remove", act))))
+        .json(commitFiles: _*)
+      Seq("add", "remove").foreach { a =>
+        frames += commits.where(col(a).isNotNull)
+          .select(col(s"$a.path"), to_json(col(s"$a.deletionVector")))
+          .as[(String, String)].flatMap { case (p, dvJson) =>
+            // the partial-schema to_json re-parse would reject a valid
+            // descriptor for its missing counters — extract directly
+            Option(p).toSeq ++ Option(dvJson).toSeq.flatMap { s =>
+              DeletionVectors.fromJsonString(
+                // counters are irrelevant to the path; splice them in
+                s.stripSuffix("}") + ",\"sizeInBytes\":0,\"cardinality\":0}")
+                .filter(_.storageType == "u")
+                .map(DeletionVectors.relativePath)
+            }
+          }
+      }
+    }
+    val logD = DeltaLog.logDir(tbl)
+    if (fs.exists(logD)) fs.listStatus(logD)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.contains(".checkpoint.") && n.endsWith(".parquet")
+      }
+      .foreach { st =>
+        val cpDf = spark.read.parquet(st.getPath.toString)
+        Seq("add", "remove").foreach { a =>
+          if (cpDf.columns.contains(a)) {
+            val s = cpDf.schema(a).dataType.asInstanceOf[StructType]
+            val dvCol =
+              if (!s.fieldNames.contains("deletionVector"))
+                lit(null).cast(StringType)
+              else s("deletionVector").dataType match {
+                case _: StructType => to_json(col(s"$a.deletionVector"))
+                case _ => col(s"$a.deletionVector")
+              }
+            frames += refsOfPathDv(cpDf.where(col(a).isNotNull)
+              .select(col(s"$a.path"), dvCol))
+          }
+        }
+      }
+    require(frames.nonEmpty,
+      s"delta: $table has no log artifacts — nothing to vacuum against")
+    val referenced = frames.reduce(_ union _).toDF("rel").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bconf = CB.broadcastHadoopConf(spark,
+        spark.sparkContext.hadoopConfiguration)
+      val batchSize = spark.conf
+        .getOption("spark.graft.delta.vacuumBatchSize")
+        .map(_.toInt).getOrElse(500000)
+      val base = tbl.toUri.getPath
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      var removed = 0
+      val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = {
+        if (batch.isEmpty) return
+        val cand = spark.createDataset(batch.toSeq).toDF("rel")
+        removed += cand.join(referenced, Seq("rel"), "left_anti")
+          .as[String].mapPartitions { rels =>
+            lazy val fsx = new Path(tableStr)
+              .getFileSystem(bconf.value.value)
+            Iterator.single(
+              rels.count(r => fsx.delete(new Path(tableStr, r), false)))
+          }.collect().sum
+        batch.clear()
+      }
+      val it = fs.listFiles(tbl, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val rel = s.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        val inLogOrStaging =
+          rel.startsWith("_delta_log") || rel.startsWith(".staging-")
+        val isOrphanable = s.getPath.getName.startsWith("part-") ||
+          (s.getPath.getName.startsWith("deletion_vector_") &&
+            s.getPath.getName.endsWith(".bin"))
+        if (!inLogOrStaging && isOrphanable &&
+            s.getModificationTime <= cutoff) {
+          batch += rel
+          if (batch.length >= batchSize) flush()
+        }
+      }
+      flush()
+      removed
+    } finally referenced.unpersist()
   }
 }
 

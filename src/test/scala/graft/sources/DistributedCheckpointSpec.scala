@@ -114,6 +114,62 @@ class DistributedCheckpointSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 30L)
   }
 
+  test("distributed vacuumOrphans reclaims exactly what the driver walk does") {
+    val t = java.nio.file.Files.createTempDirectory("graft_dvac").toString + "/t"
+    val tbl = new Path(t)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DeltaTable.write((1L to 30000L).toDF("id").repartition(4), t,
+      SaveMode.Append)
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.delete(spark, t, pmod(col("id"), lit(3L)) === 0)
+    val liveSidecar = DeletionVectors.relativePath(
+      DeltaLog.snapshot(spark, t).files
+        .flatMap(_.dv).find(_.storageType == "u")
+        .getOrElse(fail("expected at least one file-backed ('u') vector")))
+    // a rewrite-path upsert retires ONE file's vector: the removed data
+    // file and its retired sidecar are tombstone-referenced — the
+    // orphan walk must keep both (they belong to vacuumRemoved's clock)
+    DeltaTable.merge(Seq(2L).toDF("id"), t, "id")
+    val lastCommit = DeltaLog.readCommit(spark, t,
+      DeltaLog.snapshot(spark, t).version)
+    val tombstonedData = lastCommit.removes.filter(_.dataChange).map(_.path)
+    val retiredSidecars = lastCommit.removes.filterNot(_.dataChange).map(_.path)
+    assert(tombstonedData.nonEmpty && retiredSidecars.nonEmpty)
+    DeltaLog.checkpoint(spark, t) // routing needs a checkpoint
+    // plant true crash orphans: a data file and a sidecar no artifact
+    // references
+    val orphanData = new Path(tbl, "part-orphan.snappy.parquet")
+    val o1 = fs.create(orphanData, false); o1.write(1); o1.close()
+    val orphanDv = new Path(tbl,
+      s"deletion_vector_${java.util.UUID.randomUUID()}.bin")
+    val o2 = fs.create(orphanDv, false)
+    o2.write(DeletionVectors.serialize(Array(1L))); o2.close()
+    val n = withThreshold(0L) {
+      DeltaTable.vacuumOrphans(spark, t, olderThanMs = 0L)
+    }
+    assert(n === 2, s"exactly the two planted orphans reclaim, got $n")
+    assert(!fs.exists(orphanData) && !fs.exists(orphanDv))
+    assert(fs.exists(new Path(tbl, liveSidecar)),
+      "live sidecar must survive the distributed walk")
+    tombstonedData.foreach(p => assert(fs.exists(new Path(tbl, p)),
+      "tombstoned data file belongs to vacuumRemoved, not the orphan walk"))
+    retiredSidecars.foreach(p => assert(fs.exists(new Path(tbl, p)),
+      "retired sidecar is tombstone-referenced and must survive"))
+    // fixed point: the DRIVER walk on the same state reclaims nothing
+    // more (decision-identity from both sides)
+    assert(DeltaTable.vacuumOrphans(spark, t, olderThanMs = 0L) === 0)
+    // and on a CLEANED log the distributed walk still runs off retained
+    // artifacts; reads stay exact
+    DeltaLog.cleanLog(spark, t, retainMs = 0L)
+    assert(withThreshold(0L) {
+      DeltaTable.vacuumOrphans(spark, t, olderThanMs = 0L)
+    } === 0)
+    val got = DeltaTable.read(spark, t).agg(
+      org.apache.spark.sql.functions.count(lit(1))).head().getLong(0)
+    assert(got === (1L to 30000L).count(_ % 3 != 0).toLong)
+  }
+
   test("distributed checkpoint writes the multi-part form with a footer-exact pointer") {
     val t = java.nio.file.Files.createTempDirectory("graft_dcp3").toString + "/t"
     DeltaTable.write((0L until 100L).toDF("id").repartition(6), t,
