@@ -92,17 +92,38 @@ object Bench {
       q.name -> (times, if (good.size < passes) -1.0 else good.min)
     }
     val failed = results.count(_._2._2 < 0)
-    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + v }
+    // 3-decimal mins (1 ms granularity is below host noise): the
+    // driver's artifact keeps only a bounded tail of this line, and
+    // full-precision doubles pushed the per-query minimums past it —
+    // r12's board ratios couldn't be re-derived from the committed
+    // artifact (round-12 ADVICE)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // full pass distribution, so tail latencies are machine-readable
     // (Locale.ROOT: a comma-decimal default locale would emit broken JSON)
     val passJson = results.map { case (k, (ts, _)) =>
-      "\"" + k + "\":" + ts.map(t =>
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-        .mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"passes":$passJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"passes":$passJson,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full line under the repo so every board's raw
+    // pass lists survive as a committed artifact regardless of how the
+    // driver truncates its copy (round-12 ADVICE: board ratios and
+    // floor comparisons must be re-derivable from the repo)
+    try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_runs"))
+      java.nio.file.Files.createDirectories(dir)
+      val sfName = new java.io.File(sfDir).getName
+      java.nio.file.Files.writeString(
+        dir.resolve(s"bench_${sfName}_${System.currentTimeMillis()}.json"),
+        line + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
