@@ -461,6 +461,99 @@ object DeltaLog {
       protocol._1, protocol._2, protocol._3, protocol._4)
   }
 
+  /** [[snapshot]] WITHOUT the file/tombstone state — for APPEND-shaped
+    * commits, which need the head's version, schema, partitioning,
+    * configuration, protocol and txn marks but never its file list.
+    * The checkpoint side reads COLUMN-PRUNED parquet (protocol /
+    * metaData / txn columns only — a million add rows never
+    * deserialize), the JSON tail replays metadata-only, and the result
+    * is [[snapshot]]'s minus `files`/`tombstones` (spec-pinned
+    * field-identical). This is what keeps a plain append and every
+    * streaming-sink epoch O(tail commits + 3 checkpoint rows) on the
+    * driver instead of O(#files) — the last routine O(#files) driver
+    * cost on the write path (round 13; checkpointing and the vacuum
+    * walk distribute the same round).
+    *
+    * Same reconstruction guards as [[snapshot]]: an unrooted or gapped
+    * replay refuses rather than reporting partial metadata (a missing
+    * metaData would let an append commit a WRONG schema). */
+  def metaSnapshot(spark: SparkSession, table: String): Snapshot = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tbl = new Path(table)
+    val cpMeta = lastCheckpoint(spark, table)
+    val cp = cpMeta.map(_.version)
+    val vs = versions(spark, table).filter(v => cp.forall(v > _))
+    require(cp.nonEmpty || vs.isEmpty || vs.head == 0L,
+      s"delta: $table's log starts at version ${vs.headOption.getOrElse(-1L)} " +
+        "with no covering checkpoint — cleaned below the retention " +
+        "horizon; this state is no longer reconstructible")
+    require(vs.isEmpty || vs.size.toLong == vs.last - vs.head + 1,
+      s"delta: $table's log has a gap in versions ${vs.head}..${vs.last} — " +
+        "refusing to replay partial state")
+    require(vs.isEmpty || cp.forall(_ + 1 == vs.head),
+      s"delta: $table's log is missing versions ${cp.get + 1}..${vs.head - 1} " +
+        "between the checkpoint and the retained tail — refusing to " +
+        "replay partial state")
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Seq.empty
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    var metaId: Option[String] = None
+    var configuration: Map[String, String] = Map.empty
+    var protocol: (Int, Int, Set[String], Set[String]) =
+      (1, 2, Set.empty, Set.empty)
+    cpMeta.foreach { m =>
+      val cpDf = spark.read.parquet(
+        checkpointPaths(tbl, m.version, m.parts).map(_.toString): _*)
+      def has(action: String, field: String): Boolean =
+        cpDf.columns.contains(action) &&
+          cpDf.schema(action).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.contains(field)
+      if (cpDf.columns.contains("protocol")) {
+        def featCol(n: String) =
+          if (has("protocol", n)) col(s"protocol.$n")
+          else lit(null).cast("array<string>").as(n)
+        cpDf.where(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion"),
+            col("protocol.minWriterVersion"),
+            featCol("readerFeatures"), featCol("writerFeatures"))
+          .collect().headOption.foreach { r =>
+            def feats(i: Int): Set[String] =
+              if (r.isNullAt(i)) Set.empty else r.getSeq[String](i).toSet
+            protocol = (r.getInt(0), r.getInt(1), feats(2), feats(3))
+          }
+      }
+      val metaRow = cpDf.where(col("metaData").isNotNull)
+        .select(col("metaData.id"), col("metaData.schemaString"),
+          col("metaData.partitionColumns"),
+          if (has("metaData", "configuration")) col("metaData.configuration")
+          else lit(null).cast("map<string,string>").as("configuration"))
+        .head()
+      schemaJson = Option(metaRow.getString(1)).filter(_.nonEmpty)
+      metaId = Option(metaRow.getString(0))
+      partCols = metaRow.getSeq[String](2).toList
+      if (!metaRow.isNullAt(3))
+        configuration = metaRow.getMap[String, String](3).toMap
+      if (cpDf.columns.contains("txn"))
+        cpDf.where(col("txn").isNotNull)
+          .select(col("txn.appId"), col("txn.version"))
+          .collect().foreach(r => txns += r.getString(0) -> r.getLong(1))
+    }
+    vs.foreach { v =>
+      val c = readCommit(spark, table, v)
+      c.schemaJson.foreach(s => schemaJson = Some(s))
+      c.partitionColumns.foreach(p => partCols = p)
+      if (metaId.isEmpty) metaId = c.metaDataId
+      c.configuration.foreach(cfg => configuration = cfg)
+      c.protocol.foreach(p => protocol = p)
+      txns ++= c.txns
+    }
+    checkReadable(table, protocol._1, protocol._3)
+    Snapshot(vs.lastOption.orElse(cp).getOrElse(-1L), Seq.empty,
+      schemaJson, txns.toMap, partCols, metaId, Map.empty, configuration,
+      protocol._1, protocol._2, protocol._3, protocol._4)
+  }
+
   /** Driver-bounded partition-pruned file listing — the documented
     * escape hatch for SCALE.md's snapshot driver-memory ceiling (a 100 TB
     * table at small-file granularity has millions of add entries; a full

@@ -47,9 +47,10 @@ private[delta] class DeltaStreamingWrite(
 
   // ONE pre-commit snapshot shared by every START-time check and the
   // writer factory (the commit loop re-reads per epoch, as it must):
-  // each snapshot is a full log replay, and the checks below describe
-  // stream-lifetime-stable facts anyway
-  private val initHead = DeltaLog.snapshot(spark, table)
+  // METADATA-ONLY — the streaming sink is append-shaped and never
+  // consumes the file list, so neither START nor any epoch pays the
+  // O(#files) replay on a checkpointed table
+  private val initHead = DeltaLog.metaSnapshot(spark, table)
 
   // the table's partitioning binds at START: existing tables impose
   // theirs (a conflicting partitionBy option refuses), a table created
@@ -115,7 +116,9 @@ private[delta] class DeltaStreamingWrite(
       attempts += 1
       require(attempts <= 50,
         s"graft-delta sink: gave up after $attempts commit conflicts")
-      val head = DeltaLog.snapshot(spark, table)
+      // metadata-only head: the append-shaped epoch commit never
+      // consumes the file list
+      val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       // exactly-once: a restarted query replays its last epoch — the
       // recorded txn high-water mark rejects it and the staged files drop
@@ -298,7 +301,11 @@ private[delta] class DeltaBatchWrite(
       attempts += 1
       require(attempts <= 50,
         s"graft-delta sink: gave up after $attempts commit conflicts")
-      val head = DeltaLog.snapshot(spark, table)
+      // appends read the metadata-only head (no file list consumed);
+      // an overwrite needs the files for its remove actions
+      val head =
+        if (truncate) DeltaLog.snapshot(spark, table)
+        else DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(head.isEmpty || head.partitionColumns == partCols,
         s"graft-delta sink: concurrent writer changed partitioning to " +

@@ -575,8 +575,14 @@ object DeltaTable {
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // ONE log replay on the happy path: the pre-staging snapshot both
     // answers the partition-adoption check and serves as the first
-    // commit attempt's head; only a lost commit race re-reads
-    var head = snapshot(spark, table)
+    // commit attempt's head; only a lost commit race re-reads.
+    // Appends never consume the file list (only Overwrite's removes
+    // do), so they read the METADATA-ONLY head — O(tail commits), not
+    // O(#files), per append on a checkpointed table
+    def readHead(): DeltaLog.Snapshot =
+      if (mode == SaveMode.Append) DeltaLog.metaSnapshot(spark, table)
+      else snapshot(spark, table)
+    var head = readHead()
     if (!head.isEmpty) DeltaLog.checkWritable(table, head)
     // adopt an existing table's partitioning; refuse a conflicting one
     val existingParts = head.partitionColumns
@@ -631,7 +637,7 @@ object DeltaTable {
     while (!committed) {
       attempts += 1
       require(attempts <= 50, s"delta: gave up after $attempts commit conflicts")
-      if (attempts > 1) head = snapshot(spark, table)
+      if (attempts > 1) head = readHead()
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(head.partitionColumns == parts || head.isEmpty,
         s"delta: concurrent writer changed partitioning to ${head.partitionColumns}")
