@@ -71,16 +71,25 @@ private[delta] class DeltaStreamingWrite(
       s"graft-delta sink: unsupported column type ${f.dataType.catalogString} " +
         s"for ${f.name}")
   }
-  // streaming into a generated/identity table would land the stream's
-  // literal values (incl. NULLs) without computing/allocating — refuse;
-  // foreachBatch + DeltaTable.appendWithTxn is the supported path (its
-  // write runs the per-row compute/allocate machinery)
-  initHead.schemaJson
-    .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    .foreach(s => require(!GeneratedColumns.hasAny(s),
-      s"graft-delta sink: $table has generated/identity columns — stream " +
-        "via foreachBatch + DeltaTable.appendWithTxn, whose write path " +
-        "computes/allocates them per row"))
+  // GENERATED columns compute per row inside the stream's writers
+  // (deterministic — epoch-safe); IDENTITY tables refuse, matching
+  // upstream delta-spark: the factory binds ONCE at START, so every
+  // epoch would allocate from the same frozen high-water mark and
+  // collide — foreachBatch + DeltaTable.appendWithTxn re-reads the
+  // mark per batch and is the supported path
+  private val streamGenTransforms: Option[GeneratedColumns.RowTransforms] =
+    initHead.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .filter(GeneratedColumns.hasAny) match {
+      case None => None
+      case Some(raw) =>
+        require(GeneratedColumns.identityOf(raw).isEmpty,
+          s"graft-delta sink: $table has identity columns — streaming " +
+            "allocation would reuse the START-time high-water mark every " +
+            "epoch; stream via foreachBatch + DeltaTable.appendWithTxn, " +
+            "whose write re-reads the mark per batch")
+        GeneratedColumns.bindRowTransforms(spark, writeSchema, raw)
+    }
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     // column mapping: tasks write files + Hive dirs under the table's
@@ -92,7 +101,8 @@ private[delta] class DeltaStreamingWrite(
       ColumnMapping.physicalCols(partCols, tableSchema).toArray,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       spark.sessionState.conf.sessionLocalTimeZone,
-      SinkConstraints.bind(spark, writeSchema, initHead))
+      SinkConstraints.bind(spark, writeSchema, initHead),
+      insertExprs = streamGenTransforms.map(_.insert))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -244,11 +254,16 @@ private[delta] class DeltaBatchWrite(
     rawLogSchema.filter(GeneratedColumns.hasAny) match {
       case None => None
       case Some(raw) =>
-        require(!truncate,
-          s"graft-delta sink: $table has generated/identity columns — " +
-            "OVERWRITE must route through the engine's write path; register " +
-            "spark.sql.extensions=graft.GraftExtensions (SQL) or use " +
-            "DeltaTable.write")
+        // same-schema overwrites (INSERT OVERWRITE) compute/allocate
+        // like appends — the identity mark stays monotonic through the
+        // truncation; a SCHEMA-REPLACING overwrite refuses, because
+        // whether the replaced schema's generation/identity metadata
+        // survives is a statement-level decision the engine path owns
+        require(!truncate || raw.catalogString == writeSchema.catalogString,
+          s"graft-delta sink: $table has generated/identity columns — a " +
+            "schema-changing OVERWRITE must route through the engine's " +
+            "write path; register spark.sql.extensions=graft.GraftExtensions " +
+            "(SQL) or use DeltaTable.write")
         GeneratedColumns.bindRowTransforms(spark, writeSchema, raw)
     }
 

@@ -1,5 +1,6 @@
 package graft.sources.delta
 
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.SparkSpec
@@ -192,6 +193,94 @@ class NativeGeneratedDmlSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT (n, twice) VALUES (s.n, 12)""")
     assert(s.sql("SELECT twice FROM ngd5.db.t WHERE n = 6")
       .head().getLong(0) === 12L)
+  }
+
+  test("bare-session INSERT OVERWRITE recomputes on generated/identity tables; identity marks stay monotonic") {
+    val s = bareSession()
+    val wh = newCatalog(s, "ngd7")
+    spark.sql("""CREATE TABLE ngd7.db.t
+                 (id BIGINT GENERATED ALWAYS AS IDENTITY,
+                  n BIGINT, twice BIGINT GENERATED ALWAYS AS (n * 2))""")
+    spark.sql("INSERT INTO ngd7.db.t (n) SELECT id FROM range(0, 20)")
+    val hwm0 = hwmOf(wh, "t", "id").get
+    // same-schema overwrite through the bare session: Spark NULL-fills
+    // the omitted generated/identity columns; the sink computes and
+    // allocates — and the mark never moves backwards through the
+    // truncation (later allocations must not collide with pre-overwrite
+    // ids a reader may still time-travel to)
+    s.sql("INSERT OVERWRITE ngd7.db.t (n) SELECT id * 100 FROM range(0, 5)")
+    val rows = s.sql("SELECT id, n, twice FROM ngd7.db.t ORDER BY n").collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getLong(2) === r.getLong(1) * 2))
+    assert(rows.map(_.getLong(0)).distinct.length === 5)
+    assert(rows.map(_.getLong(0)).forall(_ > hwm0),
+      "post-overwrite allocations must land above the pre-overwrite mark")
+    assert(hwmOf(wh, "t", "id").exists(_ >= hwm0))
+  }
+
+  test("streaming sink computes generated columns per epoch; identity tables refuse at start") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val r = java.nio.file.Files.createTempDirectory("ngd_stream").toString
+    val t = s"$r/t"
+    // seed the table (schema with a generated column) via the engine
+    spark.sql(s"SELECT CAST(1 AS BIGINT) AS n").createOrReplaceTempView("seed_ngd8")
+    DeltaTable.write(
+      spark.table("seed_ngd8").sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("twice",
+            org.apache.spark.sql.types.LongType,
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("delta.generationExpression", "n * 2").build())))),
+      t, SaveMode.Append)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // the stream supplies only `n` (twice arrives NULL → computed)
+    val q = mem.toDF().toDF("n")
+      .withColumn("twice", org.apache.spark.sql.functions
+        .lit(null).cast("bigint"))
+      .writeStream.format("graft-delta")
+      .option("path", t).option("checkpointLocation", s"$r/chk")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      mem.addData(3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = DeltaTable.read(spark, t).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 4L), (3L, 6L)),
+      "generated column must compute inside each epoch's writers")
+    // identity tables refuse the streaming sink (START-frozen mark
+    // would collide across epochs — upstream delta refuses these too)
+    val t2 = s"$r/t2"
+    newCatalog(spark, "ngd8")
+    spark.sql("""CREATE TABLE ngd8.db.ident
+                 (id BIGINT GENERATED ALWAYS AS IDENTITY, n BIGINT)""")
+    val wh8 = spark.conf.get("spark.sql.catalog.ngd8.warehouse")
+    val mem2 = MemoryStream[Long]
+    val e = intercept[Exception] {
+      val q2 = mem2.toDF().toDF("n")
+        .withColumn("id", org.apache.spark.sql.functions
+          .lit(null).cast("bigint"))
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("n"))
+        .writeStream.format("graft-delta")
+        .option("path", s"$wh8/db/ident")
+        .option("checkpointLocation", s"$r/chk2")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try { mem2.addData(1L); q2.processAllAvailable() } finally q2.stop()
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("identity columns")),
+      s"expected the streaming identity refusal, got: ${messages(e)}")
   }
 
   test("extension session keeps routing generated/identity DML through the engine") {
