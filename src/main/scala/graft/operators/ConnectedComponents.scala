@@ -33,9 +33,20 @@ object ConnectedComponents {
 
   /** (id, component_id) for every node appearing in `edges` (a_id, b_id).
     * component_id = min node id reachable in the undirected graph.
-    */
+    *
+    * Size-gated like a broadcast join: an integer-id edge list at or
+    * below `spark.graft.cc.driverEdgeThreshold` (default 1M edges —
+    * tens of MB collected) closes with one driver-side union-find pass
+    * instead of shuffle rounds. Near-dup edge sets are SPARSE by
+    * construction (LSH emits only candidate pairs, a tiny fraction of
+    * the corpus), so even very large corpora often fit the gate; past
+    * it — or for non-integer ids — the distributed min-label loop runs
+    * unchanged. Both paths are spec-pinned result-identical; the gate
+    * costs the distributed path one count over the already-persisted
+    * edge cache. */
   def components(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     import org.apache.spark.storage.StorageLevel
     // The checkpointed blocks of round i-1 are dead once round i is
     // materialized; without explicit release they sit in the block
@@ -44,10 +55,63 @@ object ConnectedComponents {
     def ckptRdds(df: DataFrame) =
       df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }
 
-    // Undirected: propagate along both directions of every edge.
-    val und = edges
+    val spark = edges.sparkSession
+    val intIds = edges.schema.fields.take(2).forall(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
+    val threshold = spark.conf
+      .getOption("spark.graft.cc.driverEdgeThreshold")
+      .map(_.toLong).getOrElse(1000000L)
+    // persisted ONCE either way for int ids: the gate's count, the
+    // driver collect, and (past the gate) the undirected build all read
+    // this cache — the upstream edge pipeline (LSH) never re-executes
+    val pairs = edges
+      .select(col(edges.columns(0)).cast("long").as("u"),
+        col(edges.columns(1)).cast("long").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (intIds && pairs.count() <= threshold) {
+      // driver union-find, union-by-min so the root IS the component's
+      // minimum id — the exact labels the distributed loop converges to
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      val it = pairs.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      pairs.unpersist(blocking = false)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach(id => out += ((id.longValue(), find(id))))
+      import spark.implicits._
+      return out.toSeq.toDF("id", "component_id")
+        // the callers' column types follow the input ids; cast back so
+        // int-id graphs round-trip their type like the distributed path
+        .select(col("id").cast(edges.schema.fields(0).dataType),
+          col("component_id").cast(edges.schema.fields(0).dataType))
+        .toDF("id", "component_id")
+    }
+
+    // Undirected: propagate along both directions of every edge. For
+    // int-id graphs past the gate this builds from the pairs CACHE (the
+    // count above already materialized it); non-int graphs skip the
+    // gate entirely and build from the source relation as before.
+    val srcTpe = edges.schema.fields(0).dataType
+    val und = (if (intIds)
+      pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+    else edges
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Init fused with propagation round 0: every node of an undirected
@@ -58,6 +122,9 @@ object ConnectedComponents {
     var labels = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
       .localCheckpoint()
+    // und is materialized by the localCheckpoint job above — the pairs
+    // cache can release now (int-id path; a no-op otherwise)
+    pairs.unpersist(blocking = false)
     var prev = ckptRdds(labels)
     var changed = 1L
     while (changed > 0) {
@@ -80,7 +147,11 @@ object ConnectedComponents {
       prev = ckptRdds(next)
     }
     und.unpersist()
-    labels.select(col("id"), col("label").as("component_id"))
+    // int-id graphs propagated as longs (the shared pairs cache); cast
+    // back so the output schema matches the input ids either way
+    labels.select(col("id").cast(if (intIds) srcTpe else labels.schema("id").dataType),
+      col("label").cast(if (intIds) srcTpe else labels.schema("label").dataType)
+        .as("component_id"))
   }
 
   /** Cluster membership with sizes: (doc_id, component_id, csize). The

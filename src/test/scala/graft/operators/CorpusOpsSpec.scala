@@ -58,6 +58,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cc(edges) === wantNorm)
   }
 
+  test("components: driver union-find and distributed propagation agree (gate parity)") {
+    // round 13: small integer-id graphs close driver-side (the default
+    // gate); threshold 0 forces the distributed min-label loop — both
+    // must produce identical labels, and the distributed path must
+    // still handle multi-round chains
+    val edges = (0 until 400).map { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((i, "gate"))
+      val a = math.floorMod(h, 250).toLong
+      val b = math.floorMod(h >> 7, 250).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2) ++ Seq((500L, 501L), (501L, 502L), (502L, 503L))
+    val driver = cc(edges)
+    val dist =
+      try {
+        spark.conf.set("spark.graft.cc.driverEdgeThreshold", "0")
+        cc(edges)
+      } finally spark.conf.unset("spark.graft.cc.driverEdgeThreshold")
+    assert(driver === dist)
+    assert(driver(503L) === 500L, "chain must close transitively on both paths")
+    // int-typed ids keep their type through the gate's long cast
+    import org.apache.spark.sql.functions.col
+    val intDf = ConnectedComponents.components(
+      Seq((1, 2), (2, 3)).toDF("a_id", "b_id"))
+    assert(intDf.schema.fields.forall(_.dataType ===
+      org.apache.spark.sql.types.IntegerType))
+    assert(intDf.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      Set((1, 1), (2, 1), (3, 1)))
+  }
+
   test("dedupClusters: sizes are per-component and canonical id is the min") {
     val out = ConnectedComponents
       .dedupClusters(Seq((4L, 9L), (9L, 2L), (30L, 40L)).toDF("a_id", "b_id"))
