@@ -1298,8 +1298,44 @@ object DeltaLog {
     f.mkdirs(logDir(tbl))
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n").getBytes("UTF-8")
-    LogStore.forSession(spark).putIfAbsent(f, logFile(tbl, v), body)
+    val ok = LogStore.forSession(spark).putIfAbsent(f, logFile(tbl, v), body)
+    if (ok) maybeAutoCheckpoint(spark, table, v)
+    ok
   }
+
+  /** Post-commit AUTO-CHECKPOINTING (upstream's `delta.checkpointInterval`,
+    * default 10): every Nth commit writes a checkpoint from the WRITE
+    * path, so a table fed by thousands of streaming epochs or CDC
+    * batches never accumulates an unbounded JSON tail waiting for a
+    * manual `CALL graft.system.checkpoint`. The session default rides
+    * `spark.graft.delta.checkpointInterval` (0 disables); a table-level
+    * `delta.checkpointInterval` property COARSENS or disables it, read
+    * from the metadata-only head (one cheap read every Nth commit, none
+    * on the other N-1 — which is also why a FINER table interval is
+    * bounded below by the session cadence: the property is only
+    * consulted on session-interval boundaries). BEST-EFFORT by
+    * contract: the commit is already durable
+    * when this runs, so a checkpoint failure logs and moves on — the
+    * next interval (or a manual call) retries; correctness never
+    * depends on a checkpoint existing. Two writers racing the same
+    * interval boundary both call [[checkpoint]], whose idempotent
+    * early-returns and crash-safe renames make that a no-op. */
+  private def maybeAutoCheckpoint(spark: SparkSession, table: String,
+                                  v: Long): Unit =
+    try {
+      val session = spark.conf
+        .getOption("spark.graft.delta.checkpointInterval")
+        .map(_.toInt).getOrElse(10)
+      if (session <= 0 || v <= 0 || v % session != 0) return
+      val eff = metaSnapshot(spark, table).configuration
+        .get("delta.checkpointInterval").map(_.toInt).getOrElse(session)
+      if (eff > 0 && v % eff == 0) checkpoint(spark, table)
+    } catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft-delta: auto-checkpoint of $table at v$v failed " +
+            s"(commit is durable; next interval retries): ${e.getMessage}")
+    }
 
   // --- action builders (protocol JSON shapes) -------------------------------
 

@@ -62,6 +62,38 @@ class MetaSnapshotSpec extends SparkSpec {
     assertParity(t)
   }
 
+  test("auto-checkpoint fires every Nth commit; property coarsens; conf disables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_acp").toString
+    val t = s"$dir/t"
+    spark.conf.set("spark.graft.delta.checkpointInterval", "4")
+    try {
+      (0 until 4).foreach(i =>
+        DeltaTable.write(Seq(i.toLong).toDF("id"), t, SaveMode.Append))
+      // commits v0..v3: the 4th commit (v3) is not a multiple — no
+      // checkpoint yet; v4 lands one from the WRITE path itself
+      assert(DeltaLog.lastCheckpointVersion(spark, t).isEmpty)
+      DeltaTable.write(Seq(4L).toDF("id"), t, SaveMode.Append) // v4
+      assert(DeltaLog.lastCheckpointVersion(spark, t).contains(4L),
+        "the interval commit must auto-checkpoint")
+      // the table property coarsens the cadence: v8 skips (8 % 16 != 0)
+      DeltaTable.setProperties(spark, t,
+        Map("delta.checkpointInterval" -> "16")) // v5
+      (6 to 9).foreach(i =>
+        DeltaTable.write(Seq(i.toLong).toDF("id"), t, SaveMode.Append))
+      assert(DeltaLog.lastCheckpointVersion(spark, t).contains(4L),
+        "a coarser table interval must suppress the session cadence")
+      assert(DeltaTable.read(spark, t).count() === 9L)
+    } finally spark.conf.unset("spark.graft.delta.checkpointInterval")
+    // conf 0 disables entirely
+    val t2 = s"$dir/t2"
+    spark.conf.set("spark.graft.delta.checkpointInterval", "0")
+    try {
+      (0 until 12).foreach(i =>
+        DeltaTable.write(Seq(i.toLong).toDF("id"), t2, SaveMode.Append))
+      assert(DeltaLog.lastCheckpointVersion(spark, t2).isEmpty)
+    } finally spark.conf.unset("spark.graft.delta.checkpointInterval")
+  }
+
   test("metaSnapshot refuses the same partial states snapshot refuses") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ms2").toString
     val t = s"$dir/t"

@@ -88,6 +88,27 @@ class NativeGeneratedDmlSpec extends SparkSpec {
       .head().getLong(0) === 0L)
   }
 
+  test("bare-session MERGE matched-UPDATE that changes an identity value refuses per row") {
+    val s = bareSession()
+    newCatalog(s, "ngd2b")
+    spark.sql("""CREATE TABLE ngd2b.db.t
+                 (id BIGINT GENERATED ALWAYS AS IDENTITY, n BIGINT)""")
+    spark.sql("INSERT INTO ngd2b.db.t (n) SELECT id FROM range(0, 5)")
+    val e = intercept[Exception] {
+      s.sql("""
+        MERGE INTO ngd2b.db.t AS t
+        USING (SELECT 2L AS n) AS s ON t.n = s.n
+        WHEN MATCHED THEN UPDATE SET id = 999""")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("identity column `id`")),
+      s"expected the identity-change refusal through MERGE, got: ${messages(e)}")
+    assert(s.sql("SELECT count(*) FROM ngd2b.db.t WHERE id = 999")
+      .head().getLong(0) === 0L)
+  }
+
   test("bare-session MERGE allocates identity, computes generated, advances the mark") {
     val s = bareSession()
     val wh = newCatalog(s, "ngd3")
