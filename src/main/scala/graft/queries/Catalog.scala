@@ -2148,6 +2148,62 @@ object Catalog {
     }
   }
 
+  /** Self-maintaining ingest (q110): `documents` lands in a scratch
+    * Delta table as TWELVE exactly-once batches
+    * ([[graft.sources.delta.DeltaTable.appendWithTxn]]) and the log
+    * maintains ITSELF — the 10th commit auto-checkpoints from the write
+    * path (`spark.graft.delta.checkpointInterval`, round 13), each
+    * append reads only the metadata-only head, and `cleanLog` then
+    * retires the pre-checkpoint JSON. Require-asserted: the checkpoint
+    * exists WITHOUT any manual call, a replayed batch is refused by its
+    * txn mark, and the post-clean state reconstructs from the
+    * checkpoint + tail alone. The final per-lang aggregate is exact
+    * against DuckDB over the same rows. */
+  val q110AutoCheckpoint: Q = Q(
+    "q110_auto_checkpoint",
+    oracle = Some("""
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY lang""")) { (spark, dir) =>
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q110")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (0L until 12L).foreach { i =>
+        require(DeltaTable.appendWithTxn(
+          docs.filter(pmod(col("doc_id"), lit(12L)) === i), t, "q110", i),
+          s"q110: batch $i must commit")
+      }
+      // the write path checkpointed itself at the interval commit
+      val cpV = DeltaLog.lastCheckpointVersion(spark, t)
+      require(cpV.exists(_ >= 9L),
+        s"q110: the interval commit must auto-checkpoint (got $cpV)")
+      // exactly-once: replaying an already-committed batch is a no-op
+      require(!DeltaTable.appendWithTxn(
+        docs.filter(pmod(col("doc_id"), lit(12L)) === 3), t, "q110", 3),
+        "q110: a replayed batch must be refused by its txn mark")
+      // retire the pre-checkpoint JSON: the state must reconstruct from
+      // the auto-written checkpoint + the tail alone
+      DeltaLog.cleanLog(spark, t, retainMs = 0L)
+      val agg = DeltaTable.read(spark, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      // materialize before the scratch table is deleted below
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2159,7 +2215,7 @@ object Catalog {
         q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
         q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
         q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
-        q108MappedSqlDml, q109NativeGeneratedDml) ++
+        q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
