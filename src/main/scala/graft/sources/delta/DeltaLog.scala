@@ -987,30 +987,31 @@ object DeltaLog {
     head.version
   }
 
-  /** The distributed checkpoint path: add rows build from the PREVIOUS
-    * checkpoint's DataFrame plus the (small, by construction) JSON tail
-    * — nothing O(#files) ever materializes on the driver. The tail
-    * replays driver-side exactly like [[prunedSnapshot]]'s (it is
-    * O(commits-since-checkpoint)); checkpoint adds anti-join the
-    * tail-superseded paths out; checkpoint tombstones carry forward
-    * under the same retention-or-still-exists rule as the driver path,
-    * with the existence probes running EXECUTOR-side. Row content is
-    * spec-pinned identical to [[checkpointDriver]]'s. */
-  private def checkpointDistributed(spark: SparkSession, table: String,
-                                    cp: CheckpointMeta, headV: Long,
-                                    tombstoneRetainMs: Long): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, to_json}
-    import spark.implicits._
-    val tbl = new Path(table)
-    val f = fs(spark, tbl)
-    // --- JSON tail replay (driver-side, O(commits since checkpoint))
-    val tailVs = versions(spark, table).filter(v => v > cp.version && v <= headV)
-    require(tailVs.isEmpty || tailVs == (cp.version + 1 to tailVs.last),
-      s"delta: $table's log is missing commits in (${cp.version}, " +
-        s"${tailVs.lastOption.getOrElse(cp.version)}] — refusing to " +
-        "checkpoint partial state")
+  /** Driver-side replay of the JSON tail past a checkpoint — the
+    * O(commits-since-checkpoint) half every distributed maintenance
+    * path shares ([[checkpointDistributed]], [[graft.sources.delta
+    * .DeltaTable.vacuumRemoved]]'s distributed route). Mirrors
+    * [[snapshot]]'s replay rules exactly: same-commit re-adds supersede
+    * their removes, any add drops an existing tombstone, metadata
+    * overrides apply in order, and gaps refuse. */
+  private[delta] final case class TailReplay(
+      tailLive: Seq[AddFile], tailAddedEver: Set[String],
+      tailTombs: Seq[(String, Long)], removedFromCp: Set[String],
+      schemaJson: Option[String], partCols: Option[Seq[String]],
+      metaId: Option[String], configuration: Option[Map[String, String]],
+      protocol: Option[(Int, Int, Set[String], Set[String])],
+      txns: Map[String, Long])
+
+  private[delta] def replayTail(spark: SparkSession, table: String,
+                                cpVersion: Long, headV: Long): TailReplay = {
+    val tailVs = versions(spark, table)
+      .filter(v => v > cpVersion && v <= headV)
+    require(tailVs.isEmpty || tailVs == (cpVersion + 1 to tailVs.last),
+      s"delta: $table's log is missing commits in ($cpVersion, " +
+        s"${tailVs.lastOption.getOrElse(cpVersion)}] — refusing to " +
+        "replay partial state")
     require(tailVs.lastOption.forall(_ == headV),
-      s"delta: checkpoint head $headV disagrees with the retained tail")
+      s"delta: head $headV disagrees with the retained tail $tailVs")
     val tailLive = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val tailAddedEver = scala.collection.mutable.Set.empty[String]
     val tailTombs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -1040,6 +1041,87 @@ object DeltaLog {
       c.protocol.foreach(p => protoO = Some(p))
       txns ++= c.txns
     }
+    TailReplay(tailLive.values.toSeq, tailAddedEver.toSet,
+      tailTombs.toSeq, removedFromCp.toSet, schemaJson, partColsO, metaId,
+      configO, protoO, txns.toMap)
+  }
+
+  /** The previous checkpoint's add rows as a NORMALIZED DataFrame —
+    * (path, partitionValues, size, modificationTime, stats, dvJson) —
+    * covering every vintage: missing columns fill with nulls/zeros,
+    * protocol-struct DVs render to JSON strings so one executor-side
+    * parse serves all forms. */
+  private[delta] def cpAddsNormalized(
+      cpDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, to_json}
+    val adds0 = cpDf.where(col("add").isNotNull).select(col("add.*"))
+    val withMt =
+      if (adds0.columns.contains("modificationTime")) adds0
+      else adds0.withColumn("modificationTime", lit(0L))
+    val withStats =
+      if (withMt.columns.contains("stats")) withMt
+      else withMt.withColumn("stats",
+        lit(null).cast(org.apache.spark.sql.types.StringType))
+    val withDv =
+      if (!withStats.columns.contains("deletionVector"))
+        withStats.withColumn("deletionVector",
+          lit(null).cast(org.apache.spark.sql.types.StringType))
+      else withStats.schema("deletionVector").dataType match {
+        case _: org.apache.spark.sql.types.StructType =>
+          withStats.withColumn("deletionVector",
+            to_json(col("deletionVector")))
+        case _ => withStats
+      }
+    withDv.select(col("path"), col("partitionValues"),
+      col("size"), col("modificationTime"), col("stats"),
+      col("deletionVector").as("dvJson"))
+  }
+
+  /** The previous checkpoint's remove rows as (path, deletionTimestamp);
+    * empty frame when the column predates removes. */
+  private[delta] def cpRemovesNormalized(spark: SparkSession,
+      cpDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    if (!cpDf.columns.contains("remove"))
+      return spark.emptyDataset[RawCpRemove].toDF()
+    val s = cpDf.schema("remove").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    cpDf.where(col("remove").isNotNull)
+      .select(col("remove.path"),
+        if (s.fieldNames.contains("deletionTimestamp"))
+          col("remove.deletionTimestamp")
+        else lit(0L).as("deletionTimestamp"))
+  }
+
+  /** The distributed checkpoint path: add rows build from the PREVIOUS
+    * checkpoint's DataFrame plus the (small, by construction) JSON tail
+    * — nothing O(#files) ever materializes on the driver. The tail
+    * replays driver-side exactly like [[prunedSnapshot]]'s (it is
+    * O(commits-since-checkpoint)); checkpoint adds anti-join the
+    * tail-superseded paths out; checkpoint tombstones carry forward
+    * under the same retention-or-still-exists rule as the driver path,
+    * with the existence probes running EXECUTOR-side. Row content is
+    * spec-pinned identical to [[checkpointDriver]]'s. */
+  private def checkpointDistributed(spark: SparkSession, table: String,
+                                    cp: CheckpointMeta, headV: Long,
+                                    tombstoneRetainMs: Long): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import spark.implicits._
+    val tbl = new Path(table)
+    val f = fs(spark, tbl)
+    // --- JSON tail replay (driver-side, O(commits since checkpoint))
+    val tail = replayTail(spark, table, cp.version, headV)
+    val tailLive = tail.tailLive
+    val tailAddedEver = tail.tailAddedEver
+    val tailTombs = tail.tailTombs
+    val removedFromCp = tail.removedFromCp
+    val txns = tail.txns
+    val schemaJson = tail.schemaJson
+    val partColsO = tail.partCols
+    val metaId = tail.metaId
+    val configO = tail.configuration
+    val protoO = tail.protocol
     // --- checkpoint-side metadata (tiny collects: one row each)
     val cpDf = spark.read.parquet(
       checkpointPaths(tbl, cp.version, cp.parts).map(_.toString): _*)
@@ -1098,11 +1180,11 @@ object DeltaLog {
           outConfig)), None, None, None) +:
         (outTxns.map { case (app, v) =>
           CpRow(None, None, Some(CpTxn(app, v)), None, None)
-        } ++ tailLive.values.toSeq.map { a =>
+        } ++ tailLive.map { a =>
           CpRow(None, None, None, Some(CpAdd(a.path, a.partitionValues,
             a.size, a.modificationTime, dataChange = false,
             a.stats.map(renderStats).orNull, a.dv.map(CpDv.of))), None)
-        } ++ tailTombs.toSeq
+        } ++ tailTombs
           .filter { case (p, ts) => ts > tombCutoff || f.exists(new Path(tbl, p)) }
           .sortBy(_._1).map { case (p, ts) =>
             CpRow(None, None, None, None,
@@ -1113,28 +1195,8 @@ object DeltaLog {
     // anti-join the tail-superseded paths, re-encode as CpRow rows.
     // stats pass through VERBATIM (the previous checkpoint's rendering
     // is already parse-compatible — no driver-side re-render).
-    val adds0 = cpDf.where(col("add").isNotNull).select(col("add.*"))
-    val withMt =
-      if (adds0.columns.contains("modificationTime")) adds0
-      else adds0.withColumn("modificationTime", lit(0L))
-    val withStats =
-      if (withMt.columns.contains("stats")) withMt
-      else withMt.withColumn("stats",
-        lit(null).cast(org.apache.spark.sql.types.StringType))
-    val withDv =
-      if (!withStats.columns.contains("deletionVector"))
-        withStats.withColumn("deletionVector",
-          lit(null).cast(org.apache.spark.sql.types.StringType))
-      else withStats.schema("deletionVector").dataType match {
-        case _: org.apache.spark.sql.types.StructType =>
-          withStats.withColumn("deletionVector",
-            to_json(col("deletionVector")))
-        case _ => withStats
-      }
-    val rawAdds = withDv.select(col("path"), col("partitionValues"),
-      col("size"), col("modificationTime"), col("stats"),
-      col("deletionVector").as("dvJson"))
-    val excluded = (removedFromCp ++ tailLive.keySet).toSeq
+    val rawAdds = cpAddsNormalized(cpDf)
+    val excluded = (removedFromCp ++ tailLive.map(_.path)).toSeq
     val keptAdds =
       (if (excluded.isEmpty) rawAdds
        else rawAdds.join(broadcast(excluded.toDF("path")),
@@ -1162,12 +1224,8 @@ object DeltaLog {
     val rmRows: org.apache.spark.sql.Dataset[CpRow] =
       if (!cpDf.columns.contains("remove")) spark.emptyDataset[CpRow]
       else {
-        val rm0 = cpDf.where(col("remove").isNotNull)
-          .select(col("remove.path"),
-            if (cpStructField("remove", "deletionTimestamp"))
-              col("remove.deletionTimestamp")
-            else lit(0L).as("deletionTimestamp"))
-        val rmExcluded = (tailAddedEver ++ tailTombs.keySet).toSeq
+        val rm0 = cpRemovesNormalized(spark, cpDf)
+        val rmExcluded = (tailAddedEver ++ tailTombs.map(_._1)).toSeq
         val kept =
           (if (rmExcluded.isEmpty) rm0
            else rm0.join(broadcast(rmExcluded.toDF("path")),

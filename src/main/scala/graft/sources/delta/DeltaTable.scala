@@ -2483,6 +2483,12 @@ object DeltaTable {
     * O(versions × files). Returns the number of files deleted. */
   def vacuumRemoved(spark: SparkSession, table: String,
                     retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    // past the distributed-replay threshold the live and tombstone sets
+    // stay DataFrames and the reclaim decision is an anti-join — the
+    // driver never holds O(#files) Sets (round 13, completing the
+    // maintenance surface: checkpoint, orphan walk, retention walk)
+    if (chooseDistributedReplay(spark, table))
+      return vacuumRemovedDistributed(spark, table, retainMs)
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = snapshot(spark, table)
@@ -2506,6 +2512,73 @@ object DeltaTable {
         removed += 1
     }
     removed
+  }
+
+  /** [[vacuumRemoved]] for tables past the distributed-replay
+    * threshold: the head's live files (checkpoint adds anti-joined
+    * against the tail's removals, tail adds unioned in) and its
+    * tombstones (checkpoint removes anti-joined against tail re-adds,
+    * tail tombstones unioned in) both stay DataFrames; the reclaim set
+    * is `expired tombstones LEFT ANTI (live paths ∪ live DV sidecar
+    * paths)`, deletes run executor-side, and absolute (cloned-in)
+    * tombstones are excluded exactly like the driver walk. Decisions
+    * are spec-pinned identical. */
+  private def vacuumRemovedDistributed(spark: SparkSession, table: String,
+                                       retainMs: Long): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    import spark.implicits._
+    val tbl = new Path(table)
+    val tableStr = table
+    val cp = DeltaLog.lastCheckpoint(spark, table).getOrElse(
+      // routing requires a checkpoint; defensive fallback
+      return vacuumRemoved(spark, table, retainMs))
+    val headV = DeltaLog.versions(spark, table).lastOption
+      .getOrElse(cp.version).max(cp.version)
+    val tail = DeltaLog.replayTail(spark, table, cp.version, headV)
+    val cpDf = spark.read.parquet(
+      DeltaLog.checkpointPaths(tbl, cp.version, cp.parts).map(_.toString): _*)
+    val cutoff = System.currentTimeMillis() - retainMs
+    // --- live paths + live DV sidecar paths (the shared-sidecar guard:
+    // a retired descriptor's tombstone can name a file a LIVE vector
+    // still reads at another offset)
+    def dvPathsOf(dvJson: String): Seq[String] =
+      Option(dvJson).toSeq
+        .flatMap(s => DeletionVectors.fromJsonString(s))
+        .flatMap(DeletionVectors.tombstonePath)
+    val cpAdds = DeltaLog.cpAddsNormalized(cpDf)
+      .select(col("path"), col("dvJson"))
+    val tailGone = (tail.removedFromCp ++ tail.tailLive.map(_.path)).toSeq
+    val cpLive =
+      (if (tailGone.isEmpty) cpAdds
+       else cpAdds.join(
+         org.apache.spark.sql.functions.broadcast(tailGone.toDF("path")),
+         Seq("path"), "left_anti")).as[(String, String)]
+        .flatMap { case (p, dvJson) => p +: dvPathsOf(dvJson) }
+    val tailLiveRefs = tail.tailLive.flatMap(a =>
+      a.path +: a.dv.flatMap(DeletionVectors.tombstonePath).toSeq)
+    val live = cpLive.toDF("ref")
+      .unionByName(tailLiveRefs.toDF("ref")).distinct()
+    // --- tombstones: checkpoint removes minus tail re-adds, plus the
+    // tail's own (both under the same expiry + non-absolute rules)
+    val rmEx = (tail.tailAddedEver ++ tail.tailTombs.map(_._1)).toSeq
+    val cpRm = DeltaLog.cpRemovesNormalized(spark, cpDf)
+    val tombs =
+      (if (rmEx.isEmpty) cpRm
+       else cpRm.join(
+         org.apache.spark.sql.functions.broadcast(rmEx.toDF("path")),
+         Seq("path"), "left_anti"))
+        .unionByName(tail.tailTombs.toDF("path", "deletionTimestamp"))
+    val expired = tombs.where(col("deletionTimestamp") <= lit(cutoff))
+      .select(col("path").as("ref"))
+    val bconf = CB.broadcastHadoopConf(spark,
+      spark.sparkContext.hadoopConfiguration)
+    expired.join(live, Seq("ref"), "left_anti").as[String]
+      .mapPartitions { refs =>
+        lazy val fsx = new Path(tableStr).getFileSystem(bconf.value.value)
+        Iterator.single(refs.count(p =>
+          !new Path(p).isAbsolute && fsx.delete(new Path(tableStr, p), false)))
+      }.collect().sum
   }
 
   /** Delete data files no retained log artifact references (the

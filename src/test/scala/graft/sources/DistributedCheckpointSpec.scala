@@ -170,6 +170,47 @@ class DistributedCheckpointSpec extends SparkSpec {
     assert(got === (1L to 30000L).count(_ % 3 != 0).toLong)
   }
 
+  test("distributed vacuumRemoved reclaims exactly what the driver walk does") {
+    val t = java.nio.file.Files.createTempDirectory("graft_dvr").toString + "/t"
+    val tbl = new Path(t)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DeltaTable.write((1L to 30000L).toDF("id").repartition(4), t,
+      SaveMode.Append)
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.delete(spark, t, pmod(col("id"), lit(3L)) === 0)
+    val liveSidecar = DeletionVectors.relativePath(
+      DeltaLog.snapshot(spark, t).files
+        .flatMap(_.dv).find(_.storageType == "u")
+        .getOrElse(fail("expected a file-backed vector")))
+    // a rewrite-path upsert tombstones ONE data file AND retires its
+    // sidecar reference (dataChange=false remove) — the retention walk
+    // may reclaim both once expired, but must never touch live state
+    DeltaTable.merge(Seq(2L).toDF("id"), t, "id")
+    val lastCommit = DeltaLog.readCommit(spark, t,
+      DeltaLog.snapshot(spark, t).version)
+    val tombstonedData = lastCommit.removes.filter(_.dataChange).map(_.path)
+    assert(tombstonedData.nonEmpty)
+    DeltaLog.checkpoint(spark, t) // routing needs a checkpoint
+    val liveBefore = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    val n = withThreshold(0L) {
+      DeltaTable.vacuumRemoved(spark, t, retainMs = 0L)
+    }
+    assert(n >= tombstonedData.size,
+      s"expired tombstones must reclaim through the distributed walk ($n)")
+    tombstonedData.foreach(p => assert(!fs.exists(new Path(tbl, p)),
+      s"tombstoned data file $p must be reclaimed"))
+    assert(fs.exists(new Path(tbl, liveSidecar)),
+      "a sidecar still referenced by LIVE vectors must survive")
+    liveBefore.foreach(p => assert(fs.exists(new Path(tbl, p)),
+      "live data files must survive the retention walk"))
+    // fixed point: the DRIVER walk reclaims nothing more
+    assert(DeltaTable.vacuumRemoved(spark, t, retainMs = 0L) === 0)
+    val got = DeltaTable.read(spark, t).agg(
+      org.apache.spark.sql.functions.count(lit(1))).head().getLong(0)
+    assert(got === (1L to 30000L).count(_ % 3 != 0).toLong)
+  }
+
   test("distributed checkpoint writes the multi-part form with a footer-exact pointer") {
     val t = java.nio.file.Files.createTempDirectory("graft_dcp3").toString + "/t"
     DeltaTable.write((0L until 100L).toDF("id").repartition(6), t,
