@@ -2533,8 +2533,11 @@ object DeltaTable {
     val cp = DeltaLog.lastCheckpoint(spark, table).getOrElse(
       // routing requires a checkpoint; defensive fallback
       return vacuumRemoved(spark, table, retainMs))
-    val headV = DeltaLog.versions(spark, table).lastOption
-      .getOrElse(cp.version).max(cp.version)
+    // metadata-only head: carries the version AND applies the protocol
+    // reader gate — an engine that cannot READ the table must not
+    // vacuum it (it could misidentify a live reference), exactly like
+    // the driver walk's snapshot() does
+    val headV = DeltaLog.metaSnapshot(spark, table).version
     val tail = DeltaLog.replayTail(spark, table, cp.version, headV)
     val cpDf = spark.read.parquet(
       DeltaLog.checkpointPaths(tbl, cp.version, cp.parts).map(_.toString): _*)

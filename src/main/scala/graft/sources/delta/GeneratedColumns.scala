@@ -338,6 +338,52 @@ object GeneratedColumns {
     Some(RowTransforms(bind(updateCols), bind(insertCols), ids))
   }
 
+  /** CREATE-time validation of a generation expression (delta's rules):
+    * it must analyze against the table's NON-generated, NON-identity
+    * columns (so a reference to another generated/identity column fails
+    * resolution with a clear message), must be deterministic (a
+    * nondeterministic expression would make the write-time equality
+    * check and every recompute path inconsistent by construction), and
+    * must not contain subqueries. Refusing here beats failing the first
+    * write — the table never exists in an unusable state. */
+  def validateGenerationExpr(spark: org.apache.spark.sql.SparkSession,
+                             schema: StructType, colName: String,
+                             genExpr: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    val referencable = StructType(schema.fields.filterNot(f =>
+      f.metadata.contains(GenerationExprKey) ||
+        f.metadata.contains(IdentityStartKey)))
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(referencable)
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(genExpr)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"delta: generated column `$colName`'s expression ($genExpr) " +
+          s"does not parse: ${e.getMessage}") }
+    require(!parsed.exists(_.isInstanceOf[SubqueryExpression]),
+      s"delta: generated column `$colName`'s expression must not " +
+        "contain a subquery")
+    val analyzed =
+      try spark.sessionState.analyzer
+        .execute(Project(Seq(Alias(parsed, "g")()), LocalRelation(attrs)))
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"delta: generated column `$colName`'s expression ($genExpr) " +
+          "does not resolve — it may reference only the table's " +
+          s"non-generated, non-identity columns: ${e.getMessage}") }
+    val expr = analyzed.collectFirst { case p: Project => p.projectList.head }
+      .getOrElse(throw new IllegalStateException(
+        s"delta: generation expression for `$colName` did not analyze"))
+    require(expr.resolved,
+      s"delta: generated column `$colName`'s expression ($genExpr) did " +
+        "not resolve — it may reference only the table's non-generated, " +
+        "non-identity columns")
+    require(expr.deterministic,
+      s"delta: generated column `$colName`'s expression ($genExpr) is " +
+        "nondeterministic — recompute and the write-time equality check " +
+        "would disagree row to row")
+  }
+
   /** Schema with the given identity high-water marks stamped. */
   def withHwm(schema: StructType, updates: Map[String, Long]): StructType =
     StructType(schema.fields.map { f =>

@@ -136,7 +136,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       f.copy(metadata = mb.build())
     }
-    createTable(ident, StructType(fields), partitions, properties)
+    val schema = StructType(fields)
+    // generation expressions validate at CREATE (parse, resolve against
+    // the non-generated columns, deterministic, no subqueries) — the
+    // table never exists in a state its own writes would refuse
+    GeneratedColumns.generatedOf(schema).foreach { case (f, e) =>
+      GeneratedColumns.validateGenerationExpr(spark, schema, f.name, e)
+    }
+    createTable(ident, schema, partitions, properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -304,6 +304,44 @@ class NativeGeneratedDmlSpec extends SparkSpec {
       s"expected the streaming identity refusal, got: ${messages(e)}")
   }
 
+  test("CREATE refuses nondeterministic / self-referential generation expressions") {
+    newCatalog(spark, "ngd9")
+    val e1 = intercept[Exception] {
+      spark.sql("""CREATE TABLE ngd9.db.bad1
+                   (n BIGINT, r DOUBLE GENERATED ALWAYS AS (rand()))""")
+    }
+    // Spark's own analysis refuses first when the statement arrives via
+    // SQL ([UNSUPPORTED_EXPRESSION_GENERATED_COLUMN] … not deterministic);
+    // the catalog's validation is the backstop for programmatic creates
+    assert(Option(e1.getMessage).exists(m =>
+        m.contains("nondeterministic") || m.contains("not deterministic")),
+      s"expected the determinism refusal, got: $e1")
+    val e2 = intercept[Exception] {
+      spark.sql("""CREATE TABLE ngd9.db.bad2
+                   (n BIGINT, a BIGINT GENERATED ALWAYS AS (n * 2),
+                    b BIGINT GENERATED ALWAYS AS (a + 1))""")
+    }
+    assert(Option(e2.getMessage).exists(m =>
+        m.contains("does not resolve") || m.contains("non-generated") ||
+          m.contains("another generated column")),
+      s"expected the generated-reference refusal, got: $e2")
+    val e3 = intercept[Exception] {
+      spark.sql("""CREATE TABLE ngd9.db.bad3
+                   (id BIGINT GENERATED ALWAYS AS IDENTITY,
+                    c BIGINT GENERATED ALWAYS AS (id + 1))""")
+    }
+    assert(Option(e3.getMessage).exists(m =>
+        m.contains("does not resolve") || m.contains("non-generated") ||
+          m.contains("generation expression")),
+      s"expected the identity-reference refusal, got: $e3")
+    // neither table exists after the refusals; a valid one still creates
+    assert(spark.sql("SHOW TABLES IN ngd9.db").count() === 0)
+    spark.sql("""CREATE TABLE ngd9.db.ok
+                 (n BIGINT, t BIGINT GENERATED ALWAYS AS (n * 2 + 1))""")
+    spark.sql("INSERT INTO ngd9.db.ok (n) VALUES (3)")
+    assert(spark.sql("SELECT t FROM ngd9.db.ok").head().getLong(0) === 7L)
+  }
+
   test("extension session keeps routing generated/identity DML through the engine") {
     // the statement-level semantics (refusing a direct `SET gen = …`)
     // only exist on the engine path; the catalog must keep these tables
