@@ -115,7 +115,8 @@ object Bench {
     // floor comparisons must be re-derivable from the repo)
     try {
       val dir = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_runs"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          sys.props.getOrElse("user.dir", ".") + "/bench_runs"))
       java.nio.file.Files.createDirectories(dir)
       val sfName = new java.io.File(sfDir).getName
       java.nio.file.Files.writeString(

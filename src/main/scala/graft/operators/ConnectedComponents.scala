@@ -41,9 +41,16 @@ object ConnectedComponents {
     * construction (LSH emits only candidate pairs, a tiny fraction of
     * the corpus), so even very large corpora often fit the gate; past
     * it — or for non-integer ids — the distributed min-label loop runs
-    * unchanged. Both paths are spec-pinned result-identical; the gate
-    * costs the distributed path one count over the already-persisted
-    * edge cache. */
+    * unchanged off the SAME persisted edge cache (the upstream LSH
+    * pipeline computes exactly once on either path; the gate's count IS
+    * the cache materialization both paths need, so small graphs — the
+    * common case for near-dup output — never compute twice; a
+    * past-threshold graph briefly holds pairs (1×) + undirected (2×)
+    * until the first round materializes, then pairs release).
+    * Null-endpoint edges are skipped by the union-find (they cannot
+    * connect anything); integer-id inputs round-trip their type, with
+    * MIXED int/long inputs widening to long exactly like a distributed
+    * union's coercion. Both paths are spec-pinned label-identical. */
   def components(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -56,62 +63,98 @@ object ConnectedComponents {
       df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }
 
     val spark = edges.sparkSession
-    val intIds = edges.schema.fields.take(2).forall(f =>
-      f.dataType == LongType || f.dataType == IntegerType)
+    val idTypes = edges.schema.fields.take(2).map(_.dataType)
+    val intIds = idTypes.forall(t => t == LongType || t == IntegerType)
     val threshold = spark.conf
       .getOption("spark.graft.cc.driverEdgeThreshold")
       .map(_.toLong).getOrElse(1000000L)
-    // persisted ONCE either way for int ids: the gate's count, the
-    // driver collect, and (past the gate) the undirected build all read
-    // this cache — the upstream edge pipeline (LSH) never re-executes
-    val pairs = edges
-      .select(col(edges.columns(0)).cast("long").as("u"),
-        col(edges.columns(1)).cast("long").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (intIds && pairs.count() <= threshold) {
-      // driver union-find, union-by-min so the root IS the component's
-      // minimum id — the exact labels the distributed loop converges to
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x // path compression
-        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
-        r
-      }
-      val it = pairs.toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next()
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+    // mixed int/long inputs widen to long (a distributed union's
+    // coercion); uniform inputs round-trip their own type
+    val outTpe =
+      if (idTypes.forall(_ == IntegerType)) IntegerType else LongType
+    if (intIds) {
+      val pairs = edges
+        .select(col(edges.columns(0)).cast("long").as("u"),
+          col(edges.columns(1)).cast("long").as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // the count doubles as the cache materialization every consumer
+      // below needs — the edge pipeline (LSH) executes exactly once
+      val small = pairs.count() <= threshold
+      if (small) {
+        // driver union-find, union-by-min so the root IS the component's
+        // minimum id — the exact labels the distributed loop converges to
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
         }
+        val it = pairs.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          // a null endpoint cannot connect anything — skip, like the
+          // distributed groupBy (null keys never beat a real min label)
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val (a, b) = (row.getLong(0), row.getLong(1))
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+            }
+          }
+        }
+        pairs.unpersist(blocking = false)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.keySet().forEach(id => out += ((id.longValue(), find(id))))
+        import spark.implicits._
+        return out.toSeq.toDF("id", "component_id")
+          .select(col("id").cast(outTpe),
+            col("component_id").cast(outTpe))
+          .toDF("id", "component_id")
       }
+      // past the gate: the distributed loop reads the SAME cache —
+      // labels carry long and cast back to outTpe at the end
+      val und = pairs
+        .union(pairs.select(col("v").as("u"), col("u").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
+        .localCheckpoint()
+      // und materialized by the job above; the 1× pairs copy releases
       pairs.unpersist(blocking = false)
-      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-      parent.keySet().forEach(id => out += ((id.longValue(), find(id))))
-      import spark.implicits._
-      return out.toSeq.toDF("id", "component_id")
-        // the callers' column types follow the input ids; cast back so
-        // int-id graphs round-trip their type like the distributed path
-        .select(col("id").cast(edges.schema.fields(0).dataType),
-          col("component_id").cast(edges.schema.fields(0).dataType))
+      var prev = ckptRdds(labels)
+      var changed = 1L
+      while (changed > 0) {
+        val fromNbrs = und
+          .join(labels.select(col("id").as("vid"), col("label").as("nl")),
+            col("v") === col("vid"))
+          .groupBy(col("u").as("id"))
+          .agg(min(col("nl")).as("nbr_label"))
+        val next = labels
+          .join(fromNbrs, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+            (col("nbr_label") < col("label")).as("moved"))
+          .localCheckpoint()
+        changed = next.filter(col("moved")).count()
+        labels = next.select(col("id"), col("label"))
+        prev.foreach(_.unpersist(blocking = false))
+        prev = ckptRdds(next)
+      }
+      und.unpersist()
+      return labels.select(col("id").cast(outTpe),
+        col("label").cast(outTpe).as("component_id"))
         .toDF("id", "component_id")
     }
 
-    // Undirected: propagate along both directions of every edge. For
-    // int-id graphs past the gate this builds from the pairs CACHE (the
-    // count above already materialized it); non-int graphs skip the
-    // gate entirely and build from the source relation as before.
-    val srcTpe = edges.schema.fields(0).dataType
-    val und = (if (intIds)
-      pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
-    else edges
+    // Non-integer ids: the distributed loop over the source relation,
+    // exactly as before the gate existed.
+    val und = edges
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(edges.select(col("b_id").as("u"), col("a_id").as("v"))))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Init fused with propagation round 0: every node of an undirected
@@ -122,9 +165,6 @@ object ConnectedComponents {
     var labels = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
       .localCheckpoint()
-    // und is materialized by the localCheckpoint job above — the pairs
-    // cache can release now (int-id path; a no-op otherwise)
-    pairs.unpersist(blocking = false)
     var prev = ckptRdds(labels)
     var changed = 1L
     while (changed > 0) {
@@ -147,11 +187,7 @@ object ConnectedComponents {
       prev = ckptRdds(next)
     }
     und.unpersist()
-    // int-id graphs propagated as longs (the shared pairs cache); cast
-    // back so the output schema matches the input ids either way
-    labels.select(col("id").cast(if (intIds) srcTpe else labels.schema("id").dataType),
-      col("label").cast(if (intIds) srcTpe else labels.schema("label").dataType)
-        .as("component_id"))
+    labels.select(col("id"), col("label").as("component_id"))
   }
 
   /** Cluster membership with sizes: (doc_id, component_id, csize). The

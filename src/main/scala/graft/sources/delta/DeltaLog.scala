@@ -461,6 +461,72 @@ object DeltaLog {
       protocol._1, protocol._2, protocol._3, protocol._4)
   }
 
+  /** Protocol/metaData/txn content of a checkpoint DataFrame, in ONE
+    * column-pruned pass (the add rows never deserialize) — shared by
+    * [[metaSnapshot]] (where it runs on every append and streaming
+    * epoch, so job count matters) and [[checkpointDistributed]] (whose
+    * metadata must stay bound to ITS checkpoint, not a fresh listing —
+    * a concurrent commit between the two would otherwise mix a newer
+    * metaData with older add rows). Vintage guards: missing
+    * feature/configuration/txn columns read as absent. */
+  private[delta] final case class CpMetaContent(
+      protocol: Option[(Int, Int, Set[String], Set[String])],
+      metaId: Option[String], schemaJson: Option[String],
+      partCols: Seq[String], configuration: Map[String, String],
+      txns: Map[String, Long])
+
+  private[delta] def readCpMeta(
+      cpDf: org.apache.spark.sql.DataFrame): CpMetaContent = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def has(action: String): Boolean = cpDf.columns.contains(action)
+    def hasField(action: String, field: String): Boolean =
+      has(action) && cpDf.schema(action).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.contains(field)
+    def optCol(action: String, field: String, t: String) =
+      if (hasField(action, field)) col(s"$action.$field")
+      else lit(null).cast(t).as(field)
+    val rows = cpDf
+      .where((if (has("protocol")) col("protocol").isNotNull else lit(false)) ||
+        (if (has("metaData")) col("metaData").isNotNull else lit(false)) ||
+        (if (has("txn")) col("txn").isNotNull else lit(false)))
+      .select(
+        optCol("protocol", "minReaderVersion", "int"),
+        optCol("protocol", "minWriterVersion", "int"),
+        optCol("protocol", "readerFeatures", "array<string>"),
+        optCol("protocol", "writerFeatures", "array<string>"),
+        optCol("metaData", "id", "string"),
+        optCol("metaData", "schemaString", "string"),
+        optCol("metaData", "partitionColumns", "array<string>"),
+        optCol("metaData", "configuration", "map<string,string>"),
+        optCol("txn", "appId", "string"),
+        optCol("txn", "version", "bigint"))
+      .collect()
+    var proto: Option[(Int, Int, Set[String], Set[String])] = None
+    var metaId: Option[String] = None
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Seq.empty
+    var configuration: Map[String, String] = Map.empty
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    rows.foreach { r =>
+      def feats(i: Int): Set[String] =
+        if (r.isNullAt(i)) Set.empty else r.getSeq[String](i).toSet
+      if (!r.isNullAt(0))
+        proto = Some((r.getInt(0), r.getInt(1), feats(2), feats(3)))
+      if (!r.isNullAt(4) || !r.isNullAt(5)) { // metaData row
+        metaId = Option(r.getString(4))
+        schemaJson = Option(r.getString(5)).filter(_.nonEmpty)
+        partCols =
+          if (r.isNullAt(6)) Seq.empty else r.getSeq[String](6).toList
+        if (!r.isNullAt(7))
+          configuration = r.getMap[String, String](7).toMap
+      }
+      if (!r.isNullAt(8)) txns += r.getString(8) -> r.getLong(9)
+    }
+    CpMetaContent(proto, metaId, schemaJson, partCols, configuration,
+      txns.toMap)
+  }
+
   /** [[snapshot]] WITHOUT the file/tombstone state — for APPEND-shaped
     * commits, which need the head's version, schema, partitioning,
     * configuration, protocol and txn marks but never its file list.
@@ -502,42 +568,16 @@ object DeltaLog {
     var protocol: (Int, Int, Set[String], Set[String]) =
       (1, 2, Set.empty, Set.empty)
     cpMeta.foreach { m =>
-      val cpDf = spark.read.parquet(
-        checkpointPaths(tbl, m.version, m.parts).map(_.toString): _*)
-      def has(action: String, field: String): Boolean =
-        cpDf.columns.contains(action) &&
-          cpDf.schema(action).dataType
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-            .fieldNames.contains(field)
-      if (cpDf.columns.contains("protocol")) {
-        def featCol(n: String) =
-          if (has("protocol", n)) col(s"protocol.$n")
-          else lit(null).cast("array<string>").as(n)
-        cpDf.where(col("protocol").isNotNull)
-          .select(col("protocol.minReaderVersion"),
-            col("protocol.minWriterVersion"),
-            featCol("readerFeatures"), featCol("writerFeatures"))
-          .collect().headOption.foreach { r =>
-            def feats(i: Int): Set[String] =
-              if (r.isNullAt(i)) Set.empty else r.getSeq[String](i).toSet
-            protocol = (r.getInt(0), r.getInt(1), feats(2), feats(3))
-          }
-      }
-      val metaRow = cpDf.where(col("metaData").isNotNull)
-        .select(col("metaData.id"), col("metaData.schemaString"),
-          col("metaData.partitionColumns"),
-          if (has("metaData", "configuration")) col("metaData.configuration")
-          else lit(null).cast("map<string,string>").as("configuration"))
-        .head()
-      schemaJson = Option(metaRow.getString(1)).filter(_.nonEmpty)
-      metaId = Option(metaRow.getString(0))
-      partCols = metaRow.getSeq[String](2).toList
-      if (!metaRow.isNullAt(3))
-        configuration = metaRow.getMap[String, String](3).toMap
-      if (cpDf.columns.contains("txn"))
-        cpDf.where(col("txn").isNotNull)
-          .select(col("txn.appId"), col("txn.version"))
-          .collect().foreach(r => txns += r.getString(0) -> r.getLong(1))
+      // ONE column-pruned job for protocol + metaData + txn rows —
+      // this runs per append / per epoch commit, so job count matters
+      val c = readCpMeta(spark.read.parquet(
+        checkpointPaths(tbl, m.version, m.parts).map(_.toString): _*))
+      c.protocol.foreach(p => protocol = p)
+      schemaJson = c.schemaJson
+      metaId = c.metaId
+      partCols = c.partCols
+      configuration = c.configuration
+      txns ++= c.txns
     }
     vs.foreach { v =>
       val c = readCommit(spark, table, v)
@@ -1125,50 +1165,20 @@ object DeltaLog {
     // --- checkpoint-side metadata (tiny collects: one row each)
     val cpDf = spark.read.parquet(
       checkpointPaths(tbl, cp.version, cp.parts).map(_.toString): _*)
-    def cpStructField(action: String, field: String): Boolean =
-      cpDf.columns.contains(action) &&
-        cpDf.schema(action).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-          .fieldNames.contains(field)
-    val cpProto: Option[(Int, Int, Set[String], Set[String])] =
-      if (!cpDf.columns.contains("protocol")) None
-      else {
-        def featCol(n: String) =
-          if (cpStructField("protocol", n)) col(s"protocol.$n")
-          else lit(null).cast("array<string>").as(n)
-        cpDf.where(col("protocol").isNotNull)
-          .select(col("protocol.minReaderVersion"),
-            col("protocol.minWriterVersion"),
-            featCol("readerFeatures"), featCol("writerFeatures"))
-          .collect().headOption.map { r =>
-            def feats(i: Int): Set[String] =
-              if (r.isNullAt(i)) Set.empty else r.getSeq[String](i).toSet
-            (r.getInt(0), r.getInt(1), feats(2), feats(3))
-          }
-      }
-    val proto = protoO.orElse(cpProto).getOrElse((1, 2,
+    // one column-pruned pass for the checkpoint's protocol/metaData/txn
+    // content (shared reader with metaSnapshot) — bound to THIS
+    // checkpoint, so a concurrent commit cannot mix newer metadata with
+    // these add rows; the tail's overrides then apply on top
+    val cpContent = readCpMeta(cpDf)
+    val proto = protoO.orElse(cpContent.protocol).getOrElse((1, 2,
       Set.empty[String], Set.empty[String]))
     checkReadable(table, proto._1, proto._3)
-    val metaRow = cpDf.where(col("metaData").isNotNull)
-      .select(col("metaData.id"), col("metaData.schemaString"),
-        col("metaData.partitionColumns"),
-        if (cpStructField("metaData", "configuration"))
-          col("metaData.configuration")
-        else lit(null).cast("map<string,string>").as("configuration"))
-      .head()
-    val outSchemaJson = schemaJson
-      .orElse(Option(metaRow.getString(1)).filter(_.nonEmpty)).getOrElse("")
-    val outPartCols = partColsO.getOrElse(metaRow.getSeq[String](2).toList)
-    val outMetaId = metaId.orElse(Option(metaRow.getString(0)))
+    val outSchemaJson = schemaJson.orElse(cpContent.schemaJson).getOrElse("")
+    val outPartCols = partColsO.getOrElse(cpContent.partCols)
+    val outMetaId = metaId.orElse(cpContent.metaId)
       .getOrElse(java.util.UUID.randomUUID().toString)
-    val outConfig = configO.getOrElse(
-      if (metaRow.isNullAt(3)) Map.empty[String, String]
-      else metaRow.getMap[String, String](3).toMap)
-    val cpTxns: Map[String, Long] =
-      if (!cpDf.columns.contains("txn")) Map.empty
-      else cpDf.where(col("txn").isNotNull)
-        .select(col("txn.appId"), col("txn.version"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val outTxns = (cpTxns ++ txns).toSeq.sortBy(_._1)
+    val outConfig = configO.getOrElse(cpContent.configuration)
+    val outTxns = (cpContent.txns ++ txns).toSeq.sortBy(_._1)
     // --- driver-sized rows (protocol, metaData, txns, tail adds/tombs)
     val tombCutoff = System.currentTimeMillis() - tombstoneRetainMs
     val driverRows: Seq[CpRow] =
