@@ -47,8 +47,9 @@ object ConnectedComponents {
     * common case for near-dup output — never compute twice; a
     * past-threshold graph briefly holds pairs (1×) + undirected (2×)
     * until the first round materializes, then pairs release).
-    * Null-endpoint edges are skipped by the union-find (they cannot
-    * connect anything); integer-id inputs round-trip their type, with
+    * Null-endpoint edges are filtered at the shared source (they cannot
+    * connect anything, and filtering BEFORE the gate keeps both paths
+    * identical on such inputs); integer-id inputs round-trip their type, with
     * MIXED int/long inputs widening to long exactly like a distributed
     * union's coercion. Both paths are spec-pinned label-identical. */
   def components(edges: DataFrame): DataFrame = {
@@ -73,9 +74,15 @@ object ConnectedComponents {
     val outTpe =
       if (idTypes.forall(_ == IntegerType)) IntegerType else LongType
     if (intIds) {
+      // null-endpoint edges drop HERE, before either path: a null id
+      // cannot name a node, and filtering at the shared source keeps
+      // the driver union-find and the distributed loop label-identical
+      // across the threshold (the union-find skips them; an unfiltered
+      // distributed groupBy would emit rows for the non-null side)
       val pairs = edges
         .select(col(edges.columns(0)).cast("long").as("u"),
           col(edges.columns(1)).cast("long").as("v"))
+        .where(col("u").isNotNull && col("v").isNotNull)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the count doubles as the cache materialization every consumer
       // below needs — the edge pipeline (LSH) executes exactly once
@@ -154,7 +161,9 @@ object ConnectedComponents {
     // exactly as before the gate existed.
     val und = edges
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v"))
+        .where(col("u").isNotNull && col("v").isNotNull))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Init fused with propagation round 0: every node of an undirected

@@ -1173,10 +1173,19 @@ object DeltaLog {
     val proto = protoO.orElse(cpContent.protocol).getOrElse((1, 2,
       Set.empty[String], Set.empty[String]))
     checkReadable(table, proto._1, proto._3)
-    val outSchemaJson = schemaJson.orElse(cpContent.schemaJson).getOrElse("")
+    // metadata-less logs REFUSE here (matching the replay guards'
+    // refuse-rather-than-report-partial stance): minting a fresh id or
+    // an empty schema would silently rewrite the table's identity in
+    // the new checkpoint for every checkpoint-seeded reader
+    val outSchemaJson = schemaJson.orElse(cpContent.schemaJson)
+      .filter(_.nonEmpty).getOrElse(throw new IllegalStateException(
+        s"delta: neither $table's checkpoint v${cp.version} nor its " +
+          "tail carries a table schema — refusing to checkpoint"))
     val outPartCols = partColsO.getOrElse(cpContent.partCols)
     val outMetaId = metaId.orElse(cpContent.metaId)
-      .getOrElse(java.util.UUID.randomUUID().toString)
+      .getOrElse(throw new IllegalStateException(
+        s"delta: neither $table's checkpoint v${cp.version} nor its " +
+          "tail carries a metaData id — refusing to checkpoint"))
     val outConfig = configO.getOrElse(cpContent.configuration)
     val outTxns = (cpContent.txns ++ txns).toSeq.sortBy(_._1)
     // --- driver-sized rows (protocol, metaData, txns, tail adds/tombs)
@@ -1360,14 +1369,15 @@ object DeltaLog {
     * hard-link / HDFS create-no-overwrite; object stores plug a
     * CAS-backed store in via `spark.graft.delta.logStore`). */
   def commit(spark: SparkSession, table: String, v: Long,
-             actions: Seq[JValue]): Boolean = {
+             actions: Seq[JValue],
+             headConfig: Option[Map[String, String]] = None): Boolean = {
     val tbl = new Path(table)
     val f = fs(spark, tbl)
     f.mkdirs(logDir(tbl))
     val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     val ok = LogStore.forSession(spark).putIfAbsent(f, logFile(tbl, v), body)
-    if (ok) maybeAutoCheckpoint(spark, table, v)
+    if (ok) maybeAutoCheckpoint(spark, table, v, headConfig)
     ok
   }
 
@@ -1375,27 +1385,32 @@ object DeltaLog {
     * default 10): every Nth commit writes a checkpoint from the WRITE
     * path, so a table fed by thousands of streaming epochs or CDC
     * batches never accumulates an unbounded JSON tail waiting for a
-    * manual `CALL graft.system.checkpoint`. The session default rides
-    * `spark.graft.delta.checkpointInterval` (0 disables); a table-level
-    * `delta.checkpointInterval` property COARSENS or disables it, read
-    * from the metadata-only head (one cheap read every Nth commit, none
-    * on the other N-1 — which is also why a FINER table interval is
-    * bounded below by the session cadence: the property is only
-    * consulted on session-interval boundaries). BEST-EFFORT by
-    * contract: the commit is already durable
+    * manual `CALL graft.system.checkpoint`. A table-level
+    * `delta.checkpointInterval` property DIRECTLY governs cadence when
+    * present (matching upstream — a property of 5 checkpoints every 5
+    * commits, 15 every 15, 0 disables the table); the session default
+    * `spark.graft.delta.checkpointInterval` applies only when the
+    * property is absent, and session 0 is a global off-switch. Callers
+    * thread the table configuration they already hold (`headConfig`) so
+    * the property check costs ZERO extra reads on the hot append/epoch
+    * paths; external callers without one fall back to a metadata-only
+    * head read. BEST-EFFORT by contract: the commit is already durable
     * when this runs, so a checkpoint failure logs and moves on — the
     * next interval (or a manual call) retries; correctness never
     * depends on a checkpoint existing. Two writers racing the same
     * interval boundary both call [[checkpoint]], whose idempotent
     * early-returns and crash-safe renames make that a no-op. */
   private def maybeAutoCheckpoint(spark: SparkSession, table: String,
-                                  v: Long): Unit =
+                                  v: Long,
+                                  headConfig: Option[Map[String, String]])
+    : Unit =
     try {
       val session = spark.conf
         .getOption("spark.graft.delta.checkpointInterval")
         .map(_.toInt).getOrElse(10)
-      if (session <= 0 || v <= 0 || v % session != 0) return
-      val eff = metaSnapshot(spark, table).configuration
+      if (session <= 0 || v <= 0) return
+      val eff = headConfig
+        .getOrElse(metaSnapshot(spark, table).configuration)
         .get("delta.checkpointInterval").map(_.toInt).getOrElse(session)
       if (eff > 0 && v % eff == 0) checkpoint(spark, table)
     } catch {

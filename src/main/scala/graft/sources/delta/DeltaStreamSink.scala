@@ -152,7 +152,8 @@ private[delta] class DeltaStreamingWrite(
         else Seq.empty
       done = DeltaLog.commit(spark, table, head.version + 1,
         commitInfoAction("STREAMING UPDATE", now) +:
-          (meta ++ Seq(txnAction(appId, epochId)) ++ adds))
+          (meta ++ Seq(txnAction(appId, epochId)) ++ adds),
+        Some(head.configuration))
     }
     metricsHolder.foreach(_.recordCommit(epochId, rowsWritten, adds.size.toLong))
   }
@@ -370,7 +371,7 @@ private[delta] class DeltaBatchWrite(
         else Seq.empty
       done = DeltaLog.commit(spark, table, head.version + 1,
         commitInfoAction(if (truncate) "WRITE OVERWRITE" else "WRITE APPEND",
-          now) +: (meta ++ removes ++ adds))
+          now) +: (meta ++ removes ++ adds), Some(head.configuration))
     }
   }
 

@@ -331,8 +331,10 @@ private[delta] class DeltaStreamTable(
   * [[graft.GraftExtensions]] registered. Current-head tables get this
   * class, column-mapped ones included (scan and write translate
   * logical→physical) — [[DeltaStreamDataSource.makeTable]] keeps
-  * generated/identity tables on the base class so their DML still
-  * routes through the engine's own write path. */
+  * generated/identity tables on the base class only when
+  * [[graft.GraftExtensions]] is registered, so their DML routes
+  * through the engine's own write path there; extension-less
+  * sessions take the native row-level path with per-row guards. */
 private[delta] class DeltaStreamTableRlo(
     rloSchema: StructType, rloOptions: CaseInsensitiveStringMap)
     extends DeltaStreamTable(rloSchema, rloOptions)
@@ -341,10 +343,12 @@ private[delta] class DeltaStreamTableRlo(
 
   override def metadataColumns()
     : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    // identity tables additionally expose per-column pre-image values
-    // (`__graft_old__<col>`) so the native row-level write can refuse
-    // per-row identity changes; plain tables stay exactly `_file`/`_pos`
-    GraftMeta.columns ++ GraftMeta.oldIdentityColumns(rloSchema)
+    // identity/generated tables additionally expose per-column
+    // pre-image values (`__graft_old__<col>`) so the native row-level
+    // write can refuse per-row identity changes and explicit generated
+    // assignments; plain tables stay exactly `_file`/`_pos`
+    GraftMeta.columns ++ GraftMeta.oldIdentityColumns(rloSchema) ++
+      GraftMeta.oldGeneratedColumns(rloSchema)
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -1218,8 +1222,16 @@ private[delta] case class MetaColReaderFactory(
         val base = f.name.stripPrefix(GraftMeta.OldIdPrefix)
         val phys = physOf.getOrElse(base, base)
         val i = innerFields.indexWhere(_.name == phys)
-        require(i >= 0, s"graft-delta: identity column `$base` missing " +
-          s"from the scan that requested its pre-image `${f.name}`")
+        // pre-images are only requested by row-level UPDATE/MERGE scans,
+        // and those prune the base column exactly when the SET list
+        // assigned it a value not derived from it — so a missing base IS
+        // the direct-assignment case, refused here (identity values never
+        // change after allocation; generated columns compute from their
+        // expression)
+        require(i >= 0, s"graft-delta: cannot UPDATE column `$base` — " +
+          "GENERATED ALWAYS (identity/generated) columns compute from " +
+          "their definition; direct assignment is refused (the scan " +
+          s"pruned `$base`, so its pre-image `${f.name}` cannot be read)")
         BoundReference(i, f.dataType, nullable = true)
       } else {
         val phys = physOf.getOrElse(f.name, f.name)

@@ -332,7 +332,8 @@ object DeltaTable {
         else Seq(metaDataAction(target.schemaJson.getOrElse(""),
           target.partitionColumns, head.metaDataId, head.configuration))
       done = commit(spark, table, head.version + 1,
-        commitInfoAction("RESTORE", now) +: (meta ++ removes ++ adds))
+        commitInfoAction("RESTORE", now) +: (meta ++ removes ++ adds),
+        Some(head.configuration))
     }
   }
 
@@ -726,7 +727,7 @@ object DeltaTable {
         if (mode == SaveMode.Overwrite) "WRITE OVERWRITE"
         else if (txn.isDefined) "STREAMING UPDATE" else "WRITE APPEND")
       committed = commit(spark, table, head.version + 1,
-        op +: (meta ++ txns ++ removes ++ adds))
+        op +: (meta ++ txns ++ removes ++ adds), Some(head.configuration))
     }
     true
   }
@@ -876,7 +877,8 @@ object DeltaTable {
         touched.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
           .map(p => removeAction(p, now, dataChange = false))
       done = commit(spark, table, head.version + 1,
-        commitInfoAction("MERGE", now) +: (cdc ++ removes ++ adds))
+        commitInfoAction("MERGE", now) +: (cdc ++ removes ++ adds),
+        Some(head.configuration))
       if (!done) (cdc ++ adds).foreach { a =>
         fs.delete(new Path(tbl, actionPath(a)), false)
       }
@@ -1241,7 +1243,8 @@ object DeltaTable {
         val txnActs = txn.map { case (a, v) => txnAction(a, v) }.toSeq
         done = commit(spark, table, head.version + 1,
           commitInfoAction("MERGE", now) +:
-            (protocolActs ++ txnActs ++ cdc ++ removes ++ adds))
+            (protocolActs ++ txnActs ++ cdc ++ removes ++ adds),
+          Some(head.configuration))
         if (!done) {
           (cdc ++ adds).foreach { a =>
             fs.delete(new Path(tbl, actionPath(a)), false)
@@ -1438,7 +1441,8 @@ object DeltaTable {
       done = commit(spark, table, head.version + 1, Seq(
         commitInfoAction("SET TBLPROPERTIES"),
         metaDataAction(head.schemaJson.getOrElse(""), head.partitionColumns,
-          head.metaDataId, head.configuration ++ props)))
+          head.metaDataId, head.configuration ++ props)),
+        Some(head.configuration ++ props))
     }
   }
 
@@ -1513,7 +1517,7 @@ object DeltaTable {
       done = commit(spark, table, head.version + 1, Seq(
         commitInfoAction("ADD COLUMNS"),
         metaDataAction(merged.json, head.partitionColumns,
-          head.metaDataId, head.configuration)))
+          head.metaDataId, head.configuration)), Some(head.configuration))
     }
   }
 
@@ -1559,7 +1563,7 @@ object DeltaTable {
       done = commit(spark, table, head.version + 1, Seq(
         commitInfoAction("ALTER COLUMN DEFAULT"),
         metaDataAction(updated.json, head.partitionColumns,
-          head.metaDataId, head.configuration)))
+          head.metaDataId, head.configuration)), Some(head.configuration))
     }
   }
 
@@ -1615,7 +1619,8 @@ object DeltaTable {
       done = commit(spark, table, head.version + 1,
         commitInfoAction("RENAME COLUMN") +:
           (DeltaLog.protocolUpgrade(head, 2, 5, "columnMapping") :+
-            metaDataAction(renamed.json, parts, head.metaDataId, config)))
+            metaDataAction(renamed.json, parts, head.metaDataId, config)),
+        Some(config))
     }
   }
 
@@ -1652,7 +1657,7 @@ object DeltaTable {
         commitInfoAction("DROP COLUMN") +:
           (DeltaLog.protocolUpgrade(head, 2, 5, "columnMapping") :+
             metaDataAction(remaining.json, head.partitionColumns,
-              head.metaDataId, config)))
+              head.metaDataId, config)), Some(config))
     }
   }
 
@@ -1672,7 +1677,8 @@ object DeltaTable {
       done = commit(spark, table, head.version + 1, Seq(
         commitInfoAction("UNSET TBLPROPERTIES"),
         metaDataAction(head.schemaJson.getOrElse(""), head.partitionColumns,
-          head.metaDataId, head.configuration -- keys)))
+          head.metaDataId, head.configuration -- keys)),
+        Some(head.configuration -- keys))
     }
   }
 
@@ -1984,7 +1990,8 @@ object DeltaTable {
             activeLegacyWriter = activeTableFeatures(head, schema))
         done = commit(spark, table, head.version + 1,
           commitInfoAction(if (set.isEmpty) "DELETE" else "UPDATE", now) +:
-            (protocolActs ++ cdc ++ removes ++ adds))
+            (protocolActs ++ cdc ++ removes ++ adds),
+          Some(head.configuration))
         if (!done) {
           (cdc ++ adds).foreach { a =>
             fs.delete(new Path(tbl, actionPath(a)), false)
@@ -2308,7 +2315,8 @@ object DeltaTable {
       olds.flatMap(_.dv).flatMap(d => DeletionVectors.tombstonePath(d))
         .map(p => removeAction(p, now, dataChange = false))
     if (!commit(spark, table, head.version + 1,
-        commitInfoAction("OPTIMIZE", now) +: (removes ++ adds))) {
+        commitInfoAction("OPTIMIZE", now) +: (removes ++ adds),
+        Some(head.configuration))) {
       adds.foreach { a =>
         fs.delete(new Path(tbl, (a \ "add" \ "path").values.toString), false)
       }
@@ -2442,7 +2450,8 @@ object DeltaTable {
       done = commit(spark, table, head.version + 1, Seq(
         commitInfoAction("SYNC IDENTITY"),
         metaDataAction(GeneratedColumns.withHwm(schema, updates).json,
-          head.partitionColumns, head.metaDataId, head.configuration)))
+          head.partitionColumns, head.metaDataId, head.configuration)),
+        Some(head.configuration))
     }
     result
   }
@@ -2742,14 +2751,19 @@ object DeltaTable {
           .select(col(s"$a.path"), to_json(col(s"$a.deletionVector")))
           .as[(String, String)].flatMap { case (p, dvJson) =>
             // the partial-schema to_json re-parse would reject a valid
-            // descriptor for its missing counters — extract directly
-            Option(p).toSeq ++ Option(dvJson).toSeq.flatMap { s =>
-              DeletionVectors.fromJsonString(
-                // counters are irrelevant to the path; splice them in
+            // descriptor for its missing counters — splice zeros in
+            // (counters are irrelevant to the path); a descriptor that
+            // STILL fails to parse REFUSES the vacuum, exactly like
+            // [[refsOfPathDv]] — deleting a possibly-live sidecar is
+            // data loss, strictly worse than failing
+            Option(p).toSeq ++ Option(dvJson).toSeq
+              .map(s => DeletionVectors.fromJsonString(
                 s.stripSuffix("}") + ",\"sizeInBytes\":0,\"cardinality\":0}")
-                .filter(_.storageType == "u")
-                .map(DeletionVectors.relativePath)
-            }
+                .getOrElse(throw new IllegalStateException(
+                  s"delta: unparseable deletionVector in $tableStr's log " +
+                    s"('$s') — refusing to vacuum")))
+              .filter(_.storageType == "u")
+              .map(DeletionVectors.relativePath)
           }
       }
     }

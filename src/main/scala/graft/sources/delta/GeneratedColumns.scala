@@ -237,15 +237,16 @@ object GeneratedColumns {
     *
     * Semantics relative to the engine path (which sees the STATEMENT,
     * not just rows):
-    *   - UPDATE: generated columns RECOMPUTE from the post-image
-    *     unconditionally. The engine path refuses a direct
-    *     `SET gen = …`; by row-level write time assignment is
-    *     indistinguishable from a stale pre-image value, so the native
-    *     path keeps the table invariant (`gen <=> expr`) by always
-    *     recomputing — a directly-assigned value is overridden, never
-    *     persisted inconsistent. Identity columns are guarded
-    *     separately against their pre-image ([[GraftRowLevelWriter]]'s
-    *     old-value metadata) — value changes refuse per row.
+    *   - UPDATE: generated columns RECOMPUTE from the post-image.
+    *     The engine path refuses a direct `SET gen = …` at the
+    *     statement; the native path enforces the same semantics per
+    *     row via the scan-provided pre-image metadata
+    *     ([[GraftRowLevelWriter]]'s generated guards): post != pre is
+    *     exactly "the SET assigned this column" and refuses, while an
+    *     untouched column (post == pre, stale or not) recomputes here,
+    *     keeping the table invariant (`gen <=> expr`). Identity
+    *     columns are guarded the same way — value changes refuse per
+    *     row.
     *   - INSERT: same per-row NULL-driven contract as [[prepareWrite]]
     *     (NULL generated → computed, non-NULL must equal the
     *     expression; NULL identity → allocated from the high-water

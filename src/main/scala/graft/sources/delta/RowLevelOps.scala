@@ -46,12 +46,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * COLUMN-MAPPED (renamed/dropped-column) tables take this path too:
   * the scan already resolves logical→physical, and the write stages
   * post-images under physical names — the same translation the DSv2
-  * sink applies. Only tables with generated/identity columns do NOT
-  * advertise the operation ([[GraftCatalog.loadTable]] keeps them on
-  * the plain table class): their per-row recompute/allocation
-  * semantics live in the engine's own DML, reached through
-  * [[SqlUpdateRule]] — in an extension-less session those tables
-  * refuse SQL DML loudly instead of corrupting silently. */
+  * sink applies. Generated/identity tables take it only in
+  * EXTENSION-LESS sessions ([[DeltaStreamDataSource.makeTable]]'s
+  * eligibility check): there the writer recomputes generated columns,
+  * allocates identity values, and enforces the statement-level
+  * refusals per row from scan-provided pre-image metadata; with
+  * [[graft.GraftExtensions]] registered, their DML keeps routing
+  * through the engine's own write path via [[SqlUpdateRule]]. */
 private[delta] object GraftMeta {
   val FileCol = "_file"
   val PosCol = "_pos"
@@ -77,6 +78,25 @@ private[delta] object GraftMeta {
         override def isNullable: Boolean = true
         override def comment(): String =
           s"pre-image value of identity column `${s.name}`"
+      }: MetadataColumn
+    }.toArray
+
+  /** One pre-image metadata column per GENERATED ALWAYS AS column of
+    * `schema` (the column's own type): post-image != pre-image is
+    * exactly "the SET list assigned this column" (an untouched column
+    * carries its stored value into the post-image, stale or not), so
+    * the writer can refuse explicit assignment per row — the closest
+    * the row-level API gets to the engine path's statement-level
+    * `SET gen = …` refusal — while still recomputing untouched
+    * columns whose dependencies changed. */
+  def oldGeneratedColumns(schema: StructType): Array[MetadataColumn] =
+    GeneratedColumns.generatedOf(schema).map { case (f, _) =>
+      new MetadataColumn {
+        override def name(): String = oldIdentityName(f.name)
+        override def dataType(): DataType = f.dataType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          s"pre-image value of generated column `${f.name}`"
       }: MetadataColumn
     }.toArray
 
@@ -139,13 +159,15 @@ private[delta] class GraftRowLevelOperation(
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(GraftMeta.FileCol), Expressions.column(GraftMeta.PosCol))
 
-  /** Identity pre-images ride along as metadata for UPDATE-capable
-    * commands, so the writer can refuse per-row identity changes.
-    * DELETE never changes values — nothing extra to read. */
+  /** Identity AND generated pre-images ride along as metadata for
+    * UPDATE-capable commands, so the writer can refuse per-row identity
+    * changes and explicit generated-column assignments. DELETE never
+    * changes values — nothing extra to read. */
   override def requiredMetadataAttributes(): Array[NamedReference] =
     if (cmd == Command.DELETE) Array.empty
-    else GeneratedColumns.identityOf(tableSchema)
-      .map(s => Expressions.column(GraftMeta.oldIdentityName(s.name))
+    else (GeneratedColumns.identityOf(tableSchema).map(_.name) ++
+      GeneratedColumns.generatedOf(tableSchema).map(_._1.name))
+      .map(n => Expressions.column(GraftMeta.oldIdentityName(n))
         : NamedReference).toArray
 
   override def representUpdateAsDeleteAndInsert(): Boolean = false
@@ -259,6 +281,31 @@ private[delta] class GraftRowLevelBatchWrite(
     }
   }
 
+  /** (row ordinal, metadata ordinal, column name, type) per generated
+    * column: the writer refuses an UPDATE whose post-image DIFFERS from
+    * the scan-provided pre-image on a GENERATED ALWAYS AS column. By
+    * write time the assignment list is gone, and post != pre is exactly
+    * "the SET assigned this column" (an untouched column carries its
+    * stored — possibly stale — value, post == pre, and recomputes
+    * silently via [[rowTransforms]].update). Mirrors the engine path's
+    * statement-level refusal of `SET gen = …`. */
+  private val generatedGuards
+    : Seq[(Int, Int, String, org.apache.spark.sql.types.DataType)] = {
+    val metaSchema = info.metadataSchema()
+    if (!metaSchema.isPresent) Seq.empty
+    else GeneratedColumns.generatedOf(logSchema).toSeq.flatMap { case (f, _) =>
+      val old = GraftMeta.oldIdentityName(f.name)
+      if (!metaSchema.get().fieldNames.contains(old) ||
+          !rowSchema.fieldNames.contains(f.name)) None
+      else Some((rowSchema.fieldIndex(f.name),
+        metaSchema.get().fieldIndex(old), f.name, f.dataType))
+    }
+  }
+
+  private val metaArity: Int =
+    if (info.metadataSchema().isPresent) info.metadataSchema().get().size
+    else 0
+
   /** Scratch dir for oversized mark descriptors — `.staging-` prefix
     * keeps vacuum away; deleted when the commit lands or aborts. */
   private val marksDir =
@@ -281,7 +328,9 @@ private[delta] class GraftRowLevelBatchWrite(
       posIdx = rowIdSchema.fieldIndex(GraftMeta.PosCol),
       updateExprs = rowTransforms.map(_.update),
       insertExprs = rowTransforms.map(_.insert),
-      identityGuards = identityGuards)
+      identityGuards = identityGuards,
+      generatedGuards = generatedGuards,
+      metaArity = metaArity)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     import org.apache.spark.sql.functions.{col, lit, not}
@@ -458,7 +507,8 @@ private[delta] class GraftRowLevelBatchWrite(
       case _ => "MERGE"
     }
     val ok = DeltaLog.commit(sp, table, head.version + 1,
-      commitInfoAction(opName, now) +: (hwmMeta ++ cdc ++ rmAdd ++ stagedAdds))
+      commitInfoAction(opName, now) +: (hwmMeta ++ cdc ++ rmAdd ++ stagedAdds),
+      Some(head.configuration))
     if (!ok) {
       cdc.foreach(a =>
         fs.delete(new Path(tbl, DeltaTable.actionPath(a)), false))
@@ -495,13 +545,17 @@ private[delta] case class GraftRowLevelWriterFactory(
     fileIdx: Int, posIdx: Int,
     updateExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
     insertExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
-    identityGuards: Seq[(Int, Int, String)] = Seq.empty)
+    identityGuards: Seq[(Int, Int, String)] = Seq.empty,
+    generatedGuards: Seq[(Int, Int, String,
+      org.apache.spark.sql.types.DataType)] = Seq.empty,
+    metaArity: Int = 0)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DeltaWriter[InternalRow] =
     new GraftRowLevelWriter(table, marksDir, rowSchema, partCols,
       conf.value, zone, constraints, fileIdx, posIdx,
-      updateExprs, insertExprs, identityGuards, partitionId)
+      updateExprs, insertExprs, identityGuards, generatedGuards, metaArity,
+      partitionId)
 }
 
 /** Task-side delta writer: marks buffer per file (arriving sorted under
@@ -519,6 +573,9 @@ private[delta] class GraftRowLevelWriter(
     updateExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
     insertExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
     identityGuards: Seq[(Int, Int, String)] = Seq.empty,
+    generatedGuards: Seq[(Int, Int, String,
+      org.apache.spark.sql.types.DataType)] = Seq.empty,
+    metaArity: Int = 0,
     partitionId: Int = 0) extends DeltaWriter[InternalRow] {
 
   import scala.collection.mutable
@@ -557,6 +614,18 @@ private[delta] class GraftRowLevelWriter(
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     mark(delMarks, id)
 
+  // null-safe post-image == pre-image, per generated column, codegen'd
+  // once per task: evaluated over JoinedRow(meta, row), so the meta
+  // ordinal binds as-is and the row ordinal shifts by the meta arity
+  private lazy val genGuardPreds = generatedGuards.map { case (ri, mi, name, dt) =>
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, EqualNullSafe, Predicate}
+    (Predicate.create(EqualNullSafe(
+      BoundReference(mi, dt, nullable = true),
+      BoundReference(metaArity + ri, dt, nullable = true))), name)
+  }
+  private lazy val genGuardRow =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
   override def update(meta: InternalRow, id: InternalRow,
                       row: InternalRow): Unit = {
     // identity never changes after allocation: the post-image must
@@ -568,6 +637,18 @@ private[delta] class GraftRowLevelWriter(
         throw new IllegalArgumentException(
           s"graft-delta: cannot UPDATE identity column `$name` — its value " +
             "is allocated once and never changes")
+    }
+    // GENERATED ALWAYS AS columns compute from their expression, never
+    // from an assignment: a post-image that differs from the stored
+    // pre-image means the SET list assigned the column — refused, like
+    // the engine path's statement-level check (an untouched column
+    // arrives pre == post and recomputes below)
+    genGuardPreds.foreach { case (pred, name) =>
+      if (!pred.eval(genGuardRow.withLeft(meta).withRight(row)))
+        throw new IllegalArgumentException(
+          s"graft-delta: cannot UPDATE generated column `$name` — " +
+            "GENERATED ALWAYS AS columns compute from their expression; " +
+            "direct assignment is refused")
     }
     mark(updMarks, id)
     updateUsed = true

@@ -87,6 +87,32 @@ class CorpusOpsSpec extends SparkSpec {
       Set((1, 1), (2, 1), (3, 1)))
   }
 
+  test("components: null-endpoint edges drop identically on both paths") {
+    // a null id cannot name a node: edges with a null endpoint filter at
+    // the shared source, so crossing the driver/distributed gate must not
+    // change the output (round-14 parity fix)
+    val edges = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 3L), (7L, null), (null, 8L), (null, null), (10L, 11L))
+      .toDF("a_id", "b_id")
+    def run(): Map[Long, Long] = ConnectedComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = run()
+    val dist =
+      try {
+        spark.conf.set("spark.graft.cc.driverEdgeThreshold", "0")
+        run()
+      } finally spark.conf.unset("spark.graft.cc.driverEdgeThreshold")
+    assert(driver === dist,
+      "crossing the gate must not change output on null-endpoint inputs")
+    assert(driver === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the non-integer path drops them the same way
+    val strOut = ConnectedComponents.components(
+      Seq[(String, String)](("a", "b"), ("c", null), (null, null))
+        .toDF("a_id", "b_id"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strOut === Map("a" -> "a", "b" -> "a"))
+  }
+
   test("dedupClusters: sizes are per-component and canonical id is the min") {
     val out = ConnectedComponents
       .dedupClusters(Seq((4L, 9L), (9L, 2L), (30L, 40L)).toDF("a_id", "b_id"))

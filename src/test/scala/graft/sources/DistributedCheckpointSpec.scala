@@ -211,6 +211,63 @@ class DistributedCheckpointSpec extends SparkSpec {
     assert(got === (1L to 30000L).count(_ % 3 != 0).toLong)
   }
 
+  test("distributed checkpoint refuses a metadata-less log instead of minting an id") {
+    // round 14: fabricating a fresh metaData id (or an empty schema)
+    // would silently rewrite the table's identity for every
+    // checkpoint-seeded reader — refuse, like the replay guards do
+    val t = java.nio.file.Files.createTempDirectory("graft_dcp5").toString + "/t"
+    val tbl = new Path(t)
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DeltaTable.write((0L until 40L).toDF("id"), t, SaveMode.Append) // v0
+    val v1 = DeltaLog.checkpoint(spark, t)
+    DeltaTable.write((40L until 50L).toDF("id"), t, SaveMode.Append) // tail
+    // strip the metaData row from the checkpoint parquet (the tail is a
+    // plain append, so it carries no metaData either)
+    val cp = DeltaLog.lastCheckpoint(spark, t).get
+    val cpFile = DeltaLog.checkpointPaths(tbl, cp.version, cp.parts).head
+    val kept = spark.read.parquet(cpFile.toString)
+      .where(col("metaData").isNull)
+    val tmp = new Path(tbl, ".cp-rewrite-tmp")
+    kept.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.delete(cpFile, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, cpFile, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    val e = intercept[IllegalStateException] {
+      withThreshold(0L) { DeltaLog.checkpoint(spark, t) }
+    }
+    assert(e.getMessage.contains("refusing to checkpoint"),
+      s"expected the metadata-less refusal, got: ${e.getMessage}")
+  }
+
+  test("distributed vacuumOrphans refuses on a malformed DV descriptor in a commit") {
+    // a present-but-unparseable descriptor could be referencing a LIVE
+    // sidecar — treating it as "no DV" and reclaiming would be data
+    // loss; both the commit-JSON and checkpoint branches must refuse
+    // (round 14 closes the commit-JSON side)
+    import org.json4s.JsonDSL._
+    val t = java.nio.file.Files.createTempDirectory("graft_dvac2").toString + "/t"
+    DeltaTable.write((1L to 100L).toDF("id"), t, SaveMode.Append) // v0
+    DeltaLog.checkpoint(spark, t) // routing needs a checkpoint
+    val head = DeltaLog.snapshot(spark, t)
+    val bad: org.json4s.JValue =
+      "add" -> (("path" -> "planted.parquet") ~
+        ("partitionValues" -> org.json4s.JObject()) ~ ("size" -> 1L) ~
+        ("modificationTime" -> 1L) ~ ("dataChange" -> true) ~
+        ("deletionVector" -> ("pathOrInlineDv" -> "corrupt")))
+    assert(DeltaLog.commit(spark, t, head.version + 1, Seq(bad)))
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    val e = intercept[Exception] {
+      withThreshold(0L) { DeltaTable.vacuumOrphans(spark, t, olderThanMs = 0L) }
+    }
+    assert(messages(e).exists(_.contains("deletionVector")),
+      s"expected the malformed-descriptor refusal, got: ${messages(e)}")
+  }
+
   test("distributed checkpoint writes the multi-part form with a footer-exact pointer") {
     val t = java.nio.file.Files.createTempDirectory("graft_dcp3").toString + "/t"
     DeltaTable.write((0L until 100L).toDF("id").repartition(6), t,

@@ -94,6 +94,45 @@ class MetaSnapshotSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.delta.checkpointInterval")
   }
 
+  test("table checkpointInterval property directly governs cadence (finer and non-multiple)") {
+    // upstream semantics: the table property, when present, IS the
+    // cadence — not an lcm with the session default (round-14 fix; the
+    // property used to be consulted only on session-interval boundaries)
+    val dir = java.nio.file.Files.createTempDirectory("graft_acp2").toString
+    spark.conf.set("spark.graft.delta.checkpointInterval", "4")
+    try {
+      // FINER than the session default: property 2 fires at v2, where
+      // the session cadence alone would wait for v4
+      val t = s"$dir/fine"
+      DeltaTable.write(Seq(0L).toDF("id"), t, SaveMode.Append) // v0
+      DeltaTable.setProperties(spark, t,
+        Map("delta.checkpointInterval" -> "2")) // v1
+      DeltaTable.write(Seq(1L).toDF("id"), t, SaveMode.Append) // v2
+      assert(DeltaLog.lastCheckpointVersion(spark, t).contains(2L),
+        "a finer table interval must fire at its own cadence")
+      // NON-MULTIPLE of the session default: property 3 fires at v3
+      // (the old lcm effect would have postponed to v12)
+      val t2 = s"$dir/coarse"
+      DeltaTable.write(Seq(0L).toDF("id"), t2, SaveMode.Append) // v0
+      DeltaTable.setProperties(spark, t2,
+        Map("delta.checkpointInterval" -> "3")) // v1
+      DeltaTable.write(Seq(1L).toDF("id"), t2, SaveMode.Append) // v2
+      assert(DeltaLog.lastCheckpointVersion(spark, t2).isEmpty)
+      DeltaTable.write(Seq(2L).toDF("id"), t2, SaveMode.Append) // v3
+      assert(DeltaLog.lastCheckpointVersion(spark, t2).contains(3L),
+        "a non-multiple table interval must not degrade to the lcm")
+      // property 0 disables the table even with the session cadence on
+      val t3 = s"$dir/off"
+      DeltaTable.write(Seq(0L).toDF("id"), t3, SaveMode.Append) // v0
+      DeltaTable.setProperties(spark, t3,
+        Map("delta.checkpointInterval" -> "0")) // v1
+      (2 to 8).foreach(i =>
+        DeltaTable.write(Seq(i.toLong).toDF("id"), t3, SaveMode.Append))
+      assert(DeltaLog.lastCheckpointVersion(spark, t3).isEmpty,
+        "property 0 must disable auto-checkpointing for the table")
+    } finally spark.conf.unset("spark.graft.delta.checkpointInterval")
+  }
+
   test("metaSnapshot refuses the same partial states snapshot refuses") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ms2").toString
     val t = s"$dir/t"

@@ -81,7 +81,8 @@ class NativeGeneratedDmlSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("identity column `id`")),
+    assert(messages(e).exists(m =>
+        m.contains("cannot UPDATE") && m.contains("`id`")),
       s"expected the identity-change refusal, got: ${messages(e)}")
     // nothing committed: values intact
     assert(s.sql("SELECT count(*) FROM ngd2.db.t WHERE id = 999")
@@ -103,7 +104,8 @@ class NativeGeneratedDmlSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("identity column `id`")),
+    assert(messages(e).exists(m =>
+        m.contains("cannot UPDATE") && m.contains("`id`")),
       s"expected the identity-change refusal through MERGE, got: ${messages(e)}")
     assert(s.sql("SELECT count(*) FROM ngd2b.db.t WHERE id = 999")
       .head().getLong(0) === 0L)
@@ -340,6 +342,55 @@ class NativeGeneratedDmlSpec extends SparkSpec {
                  (n BIGINT, t BIGINT GENERATED ALWAYS AS (n * 2 + 1))""")
     spark.sql("INSERT INTO ngd9.db.ok (n) VALUES (3)")
     assert(spark.sql("SELECT t FROM ngd9.db.ok").head().getLong(0) === 7L)
+  }
+
+  test("bare-session UPDATE that assigns a generated column refuses per row") {
+    // round 14: the native path enforces the engine's statement-level
+    // `SET gen = …` refusal per row via pre-image metadata — post != pre
+    // is exactly "the SET assigned this column"; an untouched column
+    // (post == pre, stale or not) keeps recomputing silently
+    val s = bareSession()
+    newCatalog(s, "ngd10")
+    spark.sql("""CREATE TABLE ngd10.db.t
+                 (n BIGINT, twice BIGINT GENERATED ALWAYS AS (n * 2))""")
+    spark.sql("INSERT INTO ngd10.db.t (n) VALUES (1), (2)")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // a constant assignment prunes the base column from the scan — the
+    // reader's pre-image require IS the refusal there
+    val e = intercept[Exception] {
+      s.sql("UPDATE ngd10.db.t SET twice = 999 WHERE n = 1")
+    }
+    assert(messages(e).exists(m =>
+        m.contains("cannot UPDATE") && m.contains("`twice`")),
+      s"expected the generated-assignment refusal, got: ${messages(e)}")
+    // nothing committed
+    assert(s.sql("SELECT count(*) FROM ngd10.db.t WHERE twice = 999")
+      .head().getLong(0) === 0L)
+    // a self-referencing assignment keeps the base column in the scan —
+    // the WRITER's per-row pre-image guard refuses (post != pre)
+    val e1 = intercept[Exception] {
+      s.sql("UPDATE ngd10.db.t SET twice = twice + 1 WHERE n = 1")
+    }
+    assert(messages(e1).exists(_.contains("generated column `twice`")),
+      s"expected the per-row writer refusal, got: ${messages(e1)}")
+    // a dependency update still recomputes silently (stale carry-over)
+    s.sql("UPDATE ngd10.db.t SET n = 10 WHERE n = 2")
+    assert(s.sql("SELECT twice FROM ngd10.db.t WHERE n = 10")
+      .head().getLong(0) === 20L)
+    // MERGE matched-UPDATE assigning the generated column refuses too
+    val e2 = intercept[Exception] {
+      s.sql("""
+        MERGE INTO ngd10.db.t AS t
+        USING (SELECT 1 AS n) AS srcm ON t.n = srcm.n
+        WHEN MATCHED THEN UPDATE SET twice = 555""")
+    }
+    assert(messages(e2).exists(m =>
+        m.contains("cannot UPDATE") && m.contains("`twice`")),
+      s"expected the refusal through MERGE, got: ${messages(e2)}")
+    assert(s.sql("SELECT twice FROM ngd10.db.t WHERE n = 1")
+      .head().getLong(0) === 2L)
   }
 
   test("extension session keeps routing generated/identity DML through the engine") {
