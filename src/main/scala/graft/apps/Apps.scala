@@ -174,6 +174,57 @@ object ScanBench {
   }
 }
 
+/** Diagnostic (round-13 verdict ask #5): phase-time a COLD JVM's first
+  * q19_minhash_lsh pass — shingle build, signature aggregate, band
+  * explode + bucket join, exact-Jaccard verify — each phase timed on
+  * its FIRST run (cold: codegen + JIT) and again on a second run
+  * (warm), so the cold/warm ratio decomposes by phase instead of
+  * arriving as one alarming number on a board. Run in a FRESH JVM or
+  * the cold numbers mean nothing. Args: sfDir. */
+object Q19PhaseTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.DataFrame
+    def time(tag: String)(mk: => DataFrame): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      mk.write.mode("overwrite").format("noop").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[$tag] $s%.3f"); s
+    }
+    val docs = graft.Tables.table(spark, sfDir, "documents")
+    import graft.operators.TextDedup
+    def phases(run: String): Seq[(String, Double)] = Seq(
+      s"${run}_scan" -> time(s"$run scan")(docs),
+      s"${run}_shingles" -> time(s"$run shingles")(
+        TextDedup.shingles(docs, 3)),
+      s"${run}_signatures" -> time(s"$run signatures")(
+        TextDedup.minhashSignaturesSketch(TextDedup.shingles(docs, 3), 64)),
+      s"${run}_candidates" -> time(s"$run candidates")(
+        TextDedup.lshCandidates(TextDedup.lshBandsFromSig(
+          TextDedup.minhashSignaturesSketch(
+            TextDedup.shingles(docs, 3), 64), 16, 4))),
+      s"${run}_full_q19" -> time(s"$run full q19")(
+        TextDedup.minhashPairs(docs, n = 3, minJaccard = 0.5)))
+    val cold = phases("cold")
+    val warm = phases("warm")
+    val all = (cold ++ warm).map { case (k, v) =>
+      f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(all)
+    spark.stop()
+  }
+}
+
 /** Diagnostic: DSv2 sink write (task-side Group writer) vs the engine's
   * distributed parquet write (`DeltaTable.write`, Spark's vectorized
   * writer) vs raw `df.write.parquet` on the same input — decides
