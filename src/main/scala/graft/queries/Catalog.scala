@@ -2204,6 +2204,80 @@ object Catalog {
     }
   }
 
+  /** Distributed DML + streamed overwrite (q111, round 14): a
+    * checkpointed partitioned table past the replay threshold takes a
+    * partition-keyed DELETE (metadata-only wholesale drop), a
+    * partition-keyed UPDATE (rewrite), and a same-schema OVERWRITE —
+    * every head read metadata-only, candidate selection on the
+    * checkpoint frame ([[graft.sources.delta.DeltaTable]]
+    * `.candidatesDistributed`), and the overwrite's removes STREAMED
+    * into the commit ([[graft.sources.delta.DeltaLog.commitStreamed]])
+    * instead of materializing O(#files) driver-side. Require-asserted:
+    * the threshold routing is actually engaged (checkpoint rows exceed
+    * it) and the streamed overwrite tombstoned exactly the pre-overwrite
+    * live set, each path exactly once. Final state oracle-exact. */
+  val q111DistributedDml: Q = Q(
+    "q111_distributed_dml",
+    oracle = Some("""
+      WITH afterdel AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'de'),
+      upd AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'zh' THEN n_chars + 5 ELSE n_chars END
+                 AS n_chars
+        FROM afterdel),
+      fin AS (SELECT * FROM upd WHERE doc_id % 2 = 0)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM fin GROUP BY lang""")) { (spark, dir) =>
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q111")
+    val t = s"$scratch/t"
+    try {
+      DeltaTable.write(table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+        t, org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("lang"))
+      DeltaLog.checkpoint(spark, t)
+      val files = DeltaLog.snapshot(spark, t).files.size.toLong
+      // checkpoint rows = adds + protocol + metaData > files: setting the
+      // threshold AT the file count proves every statement below routes
+      // through the distributed forms while candidates stay under the cap
+      require(DeltaLog.checkpointRows(spark, t).exists(_ > files),
+        "q111: the checkpoint must exceed the threshold for routing")
+      spark.conf.set("spark.graft.delta.distributedReplayThreshold",
+        files.toString)
+      try {
+        DeltaTable.delete(spark, t, col("lang") === "de")
+        DeltaTable.update(spark, t, col("lang") === "zh",
+          Map("n_chars" -> (col("n_chars") + 5L)))
+        val liveBefore = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+        DeltaTable.write(
+          DeltaTable.read(spark, t).filter(pmod(col("doc_id"), lit(2L)) === 0),
+          t, org.apache.spark.sql.SaveMode.Overwrite)
+        val after = DeltaLog.snapshot(spark, t)
+        require(liveBefore.subsetOf(after.tombstones.keySet),
+          "q111: the streamed overwrite must tombstone every live file")
+        require(after.files.map(_.path).toSet.intersect(liveBefore).isEmpty,
+          "q111: no pre-overwrite file may stay live")
+        // commit-level set/once identity with the driver path is pinned
+        // in DistributedDmlSpec (readCommit is package-private)
+      } finally
+        spark.conf.unset("spark.graft.delta.distributedReplayThreshold")
+      val agg = DeltaTable.read(spark, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2215,7 +2289,8 @@ object Catalog {
         q98CdcMergeIngest, q99ColumnDefaults, q100DeletionVectors,
         q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
         q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
-        q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint) ++
+        q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
+        q111DistributedDml) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

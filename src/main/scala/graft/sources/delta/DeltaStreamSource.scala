@@ -732,23 +732,20 @@ private[delta] class DeltaBatchScan(table: String, tableSchema: StructType,
     * partitionValues) — the slim form planning actually needs (splits +
     * partition rows). Residual skipping on that list is
     * partition-value-only (stats-less files are conservative); Spark
-    * re-applies every filter row-level either way. Time travel past the
-    * threshold still refuses loudly (the distributed replay has no
-    * as-of form). */
+    * re-applies every filter row-level either way. Time travel rides
+    * the distributed replay too (round 14 — the row-level operation's
+    * scan pins the head version, which the newest checkpoint always
+    * covers): an asOf BELOW the newest checkpoint degrades to the full
+    * driver replay inside [[DeltaLog.prunedSnapshot]] — correct at any
+    * scale, and the only form that can reconstruct pre-checkpoint
+    * state. */
   @transient private lazy val snap: DeltaLog.Snapshot = {
     val s =
       if (!DeltaTable.chooseDistributedReplay(spark, table))
         DeltaLog.snapshot(spark, table, versionAsOf)
-      else {
-        require(versionAsOf.isEmpty,
-          s"graft-delta: $table's live-file manifest exceeds " +
-            "spark.graft.delta.distributedReplayThreshold rows and time " +
-            "travel replays the log driver-side; raise the threshold or " +
-            "read the head snapshot")
-        DeltaLog.prunedSnapshot(spark, table,
-          DeltaBatchScan.partitionEqualities(filters),
-          parseAddStats = false, onlyPartitionKeys = true)
-      }
+      else DeltaLog.prunedSnapshot(spark, table,
+        DeltaBatchScan.partitionEqualities(filters),
+        parseAddStats = false, onlyPartitionKeys = true, asOf = versionAsOf)
     require(!s.isEmpty, s"graft-delta: $table has no commits")
     s
   }

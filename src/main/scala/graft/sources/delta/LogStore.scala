@@ -36,6 +36,22 @@ trait LogStore {
   /** Replace `dst` with `body` such that readers see the old body or the
     * new one, never a torn intermediate. */
   def overwrite(fs: FileSystem, dst: Path, body: Array[Byte]): Unit
+
+  /** [[putIfAbsent]] with the body arriving as CHUNKS — the commit form a
+    * distributed overwrite needs: its remove actions stream off
+    * `toLocalIterator` (one shuffle partition in driver memory at a
+    * time) instead of materializing an O(#files) byte array. The default
+    * CONCATENATES and delegates, which is correct for every store and
+    * keeps pre-existing [[LogStore]] plug-ins working unchanged;
+    * [[LogStore.Hadoop]] overrides it to truly stream. Same contract:
+    * exactly-once per destination, losers return false, and a reader
+    * must never observe a torn prefix as a committed version. */
+  def putIfAbsentStreamed(fs: FileSystem, dst: Path,
+                          chunks: Iterator[Array[Byte]]): Boolean = {
+    val buf = new java.io.ByteArrayOutputStream()
+    chunks.foreach(buf.write)
+    putIfAbsent(fs, dst, buf.toByteArray)
+  }
 }
 
 object LogStore {
@@ -76,6 +92,35 @@ object LogStore {
       fs.delete(dst, false)
       require(fs.rename(tmp, dst), s"delta: pointer update failed at $dst")
     }
+
+    /** True streaming: local filesystems write the chunks to a temp file
+      * and commit via the same atomic hard link (readers can never see
+      * the temp as a version); other schemes stream straight into
+      * `create(overwrite = false)` — the same atomicity HDFS gives the
+      * byte-array form, since the file only becomes visible-complete on
+      * close under a create-no-overwrite lease. */
+    override def putIfAbsentStreamed(fs: FileSystem, dst: Path,
+                                     chunks: Iterator[Array[Byte]]): Boolean =
+      if (fs.getScheme == "file") {
+        val tmp = new Path(dst.getParent, s".tmp-${java.util.UUID.randomUUID()}.json")
+        val out = fs.create(tmp, true)
+        try chunks.foreach(out.write) finally out.close()
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally fs.delete(tmp, false)
+      } else {
+        if (fs.exists(dst)) return false
+        try {
+          val out = fs.create(dst, false)
+          try chunks.foreach(out.write) finally out.close()
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
   }
 
   private val instances =

@@ -134,9 +134,12 @@ private[delta] class GraftRowLevelOperation(
     * refuses if the table moved past it — otherwise the scan and the
     * write could silently pin DIFFERENT versions (they bind at
     * different planning phases) and the staleness guard would compare
-    * the wrong pair. */
+    * the wrong pair. METADATA-ONLY (round 14): the operation needs its
+    * version and partitioning, never its file list — the scan plans the
+    * files itself (distributed past the replay threshold) and the
+    * commit looks up only the TOUCHED rels. */
   private val pinnedHead: DeltaLog.Snapshot =
-    DeltaLog.snapshot(SparkSession.active, table)
+    DeltaLog.metaSnapshot(SparkSession.active, table)
 
   private[delta] def pinnedVersion: Long = pinnedHead.version
 
@@ -233,7 +236,10 @@ private[delta] class GraftRowLevelBatchWrite(
   // commit refuses if the table moved past it — a row-level op's staged
   // data is bound to the snapshot it scanned, so unlike the append sink
   // there is no safe retry without re-scanning
-  private val initHead = DeltaLog.snapshot(spark, table, Some(pinnedVersion))
+  // metadata-only, pinned at the scan's version: schema, partitioning,
+  // constraints and the staleness baseline — never the file list
+  private val initHead =
+    DeltaLog.metaSnapshot(spark, table, Some(pinnedVersion))
   require(!initHead.isEmpty, s"graft-delta: $table has no commits")
   DeltaLog.checkWritable(table, initHead)
 
@@ -342,7 +348,15 @@ private[delta] class GraftRowLevelBatchWrite(
     val hconf = sp.sparkContext.hadoopConfiguration
     val fs = tbl.getFileSystem(hconf)
     val now = System.currentTimeMillis()
-    val head = DeltaLog.snapshot(sp, table)
+    // metadata-only head + TOUCHED-rel file lookup (round 14): the
+    // commit needs version/protocol/config plus the AddFiles of exactly
+    // the files the tasks marked — below the replay threshold those come
+    // off the driver replay, past it off the checkpoint frame
+    // ([[DeltaTable.selectCandidates]]) — never the full manifest
+    val distributed = DeltaTable.chooseDistributedReplay(sp, table)
+    val head =
+      if (distributed) DeltaLog.metaSnapshot(sp, table)
+      else DeltaLog.snapshot(sp, table)
     DeltaLog.checkWritable(table, head)
     def cleanupStaged(): Unit = {
       msgs.flatMap(m => m.inserts ++ m.updates)
@@ -356,7 +370,6 @@ private[delta] class GraftRowLevelBatchWrite(
           s"${head.version} during the row-level $cmd — the scanned rows " +
           "may be stale; rerun the statement")
     }
-    val byRel = head.files.map(f => f.path -> f).toMap
     // an unparseable mark descriptor is a HARD error: silently dropping
     // it would commit the DML while skipping those rows — a wrong
     // answer, strictly worse than failing the statement
@@ -372,6 +385,12 @@ private[delta] class GraftRowLevelBatchWrite(
     val delM = descsOf(_.deleteMarks)
     val updM = descsOf(_.updateMarks)
     val touchedRels = (delM.keySet ++ updM.keySet).toSeq.sorted
+    val touchedSet = touchedRels.toSet
+    val byRel: Map[String, DeltaLog.AddFile] =
+      if (touchedRels.isEmpty) Map.empty // pure-insert MERGE: no lookup
+      else DeltaTable.selectCandidates(sp, table, head, distributed,
+        f => touchedSet.contains(f.path), s"row-level $cmd")
+        .map(f => f.path -> f).toMap
     touchedRels.foreach(r => require(byRel.contains(r),
       s"graft-delta: marked file $r is not live at v${head.version}"))
     val touched = touchedRels.map(byRel)

@@ -183,14 +183,26 @@ class DeltaBatchReadSpec extends SparkSpec {
       // a DATA-column equality must not zero out the pruning
       assert(spark.read.format("graft-delta").load(t)
         .filter(col("s") === "r4").select("id").head().getInt(0) === 4)
-      // time travel past the threshold still refuses with a named cause
+      // time travel rides the distributed replay too (round 14): an
+      // asOf AT/ABOVE the newest checkpoint (here v0) replays
+      // checkpoint + bounded tail
+      assert(spark.read.format("graft-delta").option("versionAsOf", "1")
+        .load(t).count() === 11L, "asOf above the checkpoint")
+      assert(spark.read.format("graft-delta").option("versionAsOf", "0")
+        .load(t).count() === 10L, "asOf AT the checkpoint")
+      // an asOf BELOW the newest checkpoint degrades to the (correct)
+      // full driver replay — the only form that can reconstruct it
+      DeltaLog.checkpoint(spark, t) // newest checkpoint now v1
+      assert(spark.read.format("graft-delta").option("versionAsOf", "0")
+        .load(t).count() === 10L, "asOf < newest checkpoint: driver fallback")
+      // a nonexistent version still refuses — never a silent older read
       val e = intercept[Exception] {
-        spark.read.format("graft-delta").option("versionAsOf", "0")
+        spark.read.format("graft-delta").option("versionAsOf", "99")
           .load(t).collect()
       }
       def chain(x: Throwable): String =
         if (x == null) "" else Option(x.getMessage).getOrElse("") + chain(x.getCause)
-      assert(chain(e).contains("distributedReplayThreshold"), chain(e))
+      assert(chain(e).contains("does not exist"), chain(e))
       // DeltaTable.read agrees (it routes through the same replay)
       assert(DeltaTable.read(spark, t).count() === 11L)
     } finally spark.conf.unset("spark.graft.delta.distributedReplayThreshold")

@@ -277,7 +277,12 @@ class DeltaMergeIntoSpec extends SparkSpec {
     assert(!rows(t).exists(_._2 == "late"))
   }
 
-  test("DML refuses a past-threshold manifest with a named cause, not an OOM") {
+  test("DML refuses a past-threshold CANDIDATE set with a named cause, not an OOM") {
+    // round 14: the refusal moved from the table's manifest (DML on any
+    // past-threshold table refused outright) to the CANDIDATE set —
+    // threshold 0 means a zero-file candidate budget, so any touching
+    // DML still refuses loudly; DistributedDmlSpec pins the paths that
+    // now RUN
     val t = tmp()
     base(t)
     DeltaLog.checkpoint(spark, t)
