@@ -88,6 +88,11 @@ object Bench {
       }
 
     val control = graft.queries.Catalog.headlines.find(_.name == controlName)
+    // a typo'd control name must not silently produce a board with
+    // controls:{} — the artifact's whole point is carrying contention
+    // evidence ("" is the documented opt-out)
+    require(controlName.isEmpty || control.isDefined,
+      s"SPARK_GRAFT_BENCH_CONTROL='$controlName' is not a headline query")
     // (query-it-ran-after → control seconds); "_warmup" = before pass 1
     val controls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def controlPass(after: String): Unit = control.foreach { c =>

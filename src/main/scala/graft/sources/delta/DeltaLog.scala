@@ -658,13 +658,14 @@ object DeltaLog {
     // any scale, and in the hot caller, the row-level scan, asOf is the
     // freshly-read head so the newest checkpoint always covers).
     // snapshot()'s existence validation applies — never a silent read of
-    // older state for a version that does not exist
-    asOf.foreach { a =>
-      val allVs = versions(spark, table)
+    // older state for a version that does not exist. ONE log listing
+    // serves the validation and the tail below (this runs per DSv2 scan
+    // planning, so FS round-trips matter).
+    val allVs = versions(spark, table)
+    asOf.foreach(a =>
       require(a < 0 || (allVs.nonEmpty && a <= allVs.max),
         s"delta: version $a does not exist at $table " +
-          s"(head: ${if (allVs.isEmpty) "none" else allVs.max.toString})")
-    }
+          s"(head: ${if (allVs.isEmpty) "none" else allVs.max.toString})"))
     lastCheckpoint(spark, table)
       .filter(m => asOf.forall(m.version <= _)) match {
       case None =>
@@ -679,8 +680,7 @@ object DeltaLog {
         // that reach back into the checkpoint, metadata overrides. Same
         // density guard as snapshot(): a gap in the tail is partial
         // state, never silently skipped.
-        val tailVs = versions(spark, table)
-          .filter(v => v > cpV && asOf.forall(v <= _))
+        val tailVs = allVs.filter(v => v > cpV && asOf.forall(v <= _))
         require(tailVs.isEmpty || tailVs == (cpV + 1 to tailVs.last),
           s"delta: $table's log is missing commits in ($cpV, " +
             s"${tailVs.lastOption.getOrElse(cpV)}] (retained: $tailVs) — " +
@@ -1568,7 +1568,7 @@ object DeltaLog {
     JObject("add" -> JObject(withDv: _*))
   }
 
-  private def renderStats(s: FileStats): String =
+  private[delta] def renderStats(s: FileStats): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       "numRecords" -> JLong(s.numRecords),
       "minValues" -> JObject(

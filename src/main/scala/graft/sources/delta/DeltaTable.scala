@@ -300,16 +300,34 @@ object DeltaTable {
     * (add back the old version's files, remove the current files not in
     * it); history is preserved, the restore itself is a versioned,
     * time-travelable operation, and the files re-added must still exist
-    * (a vacuumed history refuses loudly, as upstream). O(files in
-    * either snapshot) metadata — no data IO at all: the old files are
-    * still on disk, the log just points at them again. */
+    * — their DELETION-VECTOR sidecars included (round 14: a re-add used
+    * to drop `dv`, silently resurrecting the target version's deleted
+    * rows; a vacuumed file OR sidecar refuses loudly, as upstream).
+    * O(files in either snapshot) metadata — no data IO at all: the old
+    * files are still on disk, the log just points at them again.
+    *
+    * Past the replay threshold the whole operation DISTRIBUTES
+    * ([[restoreDistributed]]): both snapshots stay DataFrames, the
+    * add/remove deltas are anti-joins, existence probes run
+    * executor-side, and the action lines stream into the commit — the
+    * last O(#files) driver surface closed (the two-full-snapshot
+    * comparison is inherent to RESTORE's semantics, but holding them on
+    * the driver is not). */
   def restore(spark: SparkSession, table: String, version: Long): Unit = {
+    if (chooseDistributedReplay(spark, table))
+      return restoreDistributed(spark, table, version)
     val tbl = new Path(table)
     val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = snapshot(spark, table, Some(version))
     require(!target.isEmpty, s"delta: $table has no version $version")
-    target.files.foreach(f => require(fs.exists(new Path(tbl, f.path)),
-      s"delta: cannot restore to v$version — file ${f.path} was vacuumed"))
+    target.files.foreach { f =>
+      require(fs.exists(new Path(tbl, f.path)),
+        s"delta: cannot restore to v$version — file ${f.path} was vacuumed")
+      f.dv.flatMap(DeletionVectors.tombstonePath).foreach(p =>
+        require(fs.exists(new Path(tbl, p)),
+          s"delta: cannot restore to v$version — deletion-vector sidecar " +
+            s"$p of ${f.path} was vacuumed"))
+    }
     var attempts = 0
     var done = false
     while (!done) {
@@ -322,9 +340,11 @@ object DeltaTable {
       val removes = head.files.filterNot(f => oldPaths.contains(f.path))
         .map(f => removeAction(f.path, now))
       val headPaths = head.files.map(_.path).toSet
+      // the target version's DELETION VECTORS restore with their files —
+      // an add without them would resurrect that version's deleted rows
       val adds = target.files.filterNot(f => headPaths.contains(f.path))
         .map(f => addAction(f.path, f.size, f.modificationTime, f.stats,
-          f.partitionValues))
+          f.partitionValues, dv = f.dv))
       // schema resets with the content when it drifted since `version`
       val meta =
         if (head.schemaJson == target.schemaJson &&
@@ -334,6 +354,117 @@ object DeltaTable {
       done = commit(spark, table, head.version + 1,
         commitInfoAction("RESTORE", now) +: (meta ++ removes ++ adds),
         Some(head.configuration))
+    }
+  }
+
+  /** The 6-column normalized add frame ([[DeltaLog.cpAddsNormalized]]'s
+    * shape) of a version's live files: checkpoint side stays a
+    * DataFrame, the (small) tail joins as local rows. Fallback to the
+    * driver replay when no checkpoint covers `headV`. */
+  private def liveFrame(spark: SparkSession, table: String,
+                        headV: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partitionValues",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("size",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("stats",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("dvJson",
+        org.apache.spark.sql.types.StringType)))
+    def rowsOf(fs: Seq[AddFile]): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(fs.map(f => Row(f.path,
+        f.partitionValues, f.size, f.modificationTime,
+        f.stats.map(DeltaLog.renderStats).orNull,
+        f.dv.map(DeletionVectors.toJsonString).orNull)), 1), schema)
+    cpLiveState(spark, table, headV) match {
+      case Some((live, tail)) =>
+        import org.apache.spark.sql.functions.col
+        live.select(schema.fieldNames.toSeq.map(col): _*)
+          .unionByName(rowsOf(tail.tailLive))
+      case None => rowsOf(snapshot(spark, table, Some(headV)).files)
+    }
+  }
+
+  /** [[restore]] with BOUNDED driver memory: target and head live sets
+    * stay DataFrames, removes = head ∖ target and re-adds = target ∖
+    * head are anti-joins on path, the vacuum-existence probes (file AND
+    * sidecar) run executor-side, and both action streams render to the
+    * exact driver-path JSON lines executor-side before flowing through
+    * [[DeltaLog.commitStreamed]]. Same semantics, spec-pinned
+    * commit-identical (`DistributedDmlSpec`). */
+  private def restoreDistributed(spark: SparkSession, table: String,
+                                 version: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.json4s.jackson.JsonMethods
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val targetMeta = DeltaLog.metaSnapshot(spark, table, Some(version))
+    require(!targetMeta.isEmpty, s"delta: $table has no version $version")
+    // stable across retry attempts: the target version is immutable
+    val target = liveFrame(spark, table, version)
+    // executor-side vacuum probe: every target file and every target
+    // sidecar must still exist — collect a bounded sample of misses for
+    // the driver-path error shape
+    val tableStr = table
+    val bconf = org.apache.spark.sql.graft.ColumnBridge
+      .broadcastHadoopConf(spark, spark.sparkContext.hadoopConfiguration)
+    val missing = target.select(col("path"), col("dvJson")).as[(String, String)]
+      .mapPartitions { it =>
+        val tbl = new Path(tableStr)
+        val f = tbl.getFileSystem(bconf.value.value)
+        it.flatMap { case (p, dvJson) =>
+          val side = Option(dvJson).flatMap(DeletionVectors.fromJsonString)
+            .flatMap(DeletionVectors.tombstonePath)
+          (if (f.exists(new Path(tbl, p))) Seq.empty[String] else Seq(p)) ++
+            side.filterNot(s => f.exists(new Path(tbl, s)))
+              .map(s => s"$s (sidecar of $p)")
+        }
+      }.take(3)
+    require(missing.isEmpty,
+      s"delta: cannot restore to v$version — vacuumed: ${missing.mkString(", ")}")
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"delta: restore gave up after $attempts conflicts")
+      val head = DeltaLog.metaSnapshot(spark, table)
+      if (!head.isEmpty) DeltaLog.checkWritable(table, head)
+      val headF = liveFrame(spark, table, head.version)
+      val now = System.currentTimeMillis()
+      val removeLines = headF
+        .join(target.select(col("path")), Seq("path"), "left_anti")
+        .select(col("path")).as[String]
+        .mapPartitions(_.map(p => JsonMethods.compact(JsonMethods.render(
+          DeltaLog.removeAction(p, now)))))
+      val toAdd = rowToAddFile(table) _
+      val addLines = target
+        .join(headF.select(col("path")), Seq("path"), "left_anti")
+        .mapPartitions { it =>
+          it.map { r =>
+            val f = toAdd(r)
+            JsonMethods.compact(JsonMethods.render(DeltaLog.addAction(
+              f.path, f.size, f.modificationTime, f.stats,
+              f.partitionValues, dv = f.dv)))
+          }
+        }
+      val meta =
+        if (head.schemaJson == targetMeta.schemaJson &&
+            head.partitionColumns == targetMeta.partitionColumns) Seq.empty
+        else Seq(metaDataAction(targetMeta.schemaJson.getOrElse(""),
+          targetMeta.partitionColumns, head.metaDataId, head.configuration))
+      done = DeltaLog.commitStreamed(spark, table, head.version + 1,
+        commitInfoAction("RESTORE", now) +: meta,
+        removeLines.toLocalIterator.asScala ++
+          addLines.toLocalIterator.asScala,
+        Seq.empty, Some(head.configuration))
     }
   }
 
@@ -764,32 +895,24 @@ object DeltaTable {
     * path (`DistributedDmlSpec`). */
   private def overwriteRemoveLines(spark: SparkSession, table: String,
                                    headV: Long, now: Long): Iterator[String] = {
-    import org.apache.spark.sql.functions.{col, not}
+    import org.apache.spark.sql.functions.col
     import org.json4s.jackson.JsonMethods
     def line(path: String): String =
       JsonMethods.compact(JsonMethods.render(removeAction(path, now)))
-    DeltaLog.lastCheckpoint(spark, table).filter(_.version <= headV) match {
+    cpLiveState(spark, table, headV) match {
       case None =>
         // no covering checkpoint: the JSON log is driver-sized by
         // construction — replay it (routing normally guarantees a
         // checkpoint; this arm covers the checkpoint-raced-past-head gap)
         snapshot(spark, table, Some(headV)).files.iterator.map(f => line(f.path))
-      case Some(cp) =>
+      case Some((live, tail)) =>
         import scala.jdk.CollectionConverters._
         import spark.implicits._
-        val tbl = new Path(table)
-        val tail = DeltaLog.replayTail(spark, table, cp.version, headV)
-        val superseded = (tail.removedFromCp ++ tail.tailAddedEver).toSeq
-        val norm = DeltaLog.cpAddsNormalized(spark.read.parquet(
-          DeltaLog.checkpointPaths(tbl, cp.version, cp.parts)
-            .map(_.toString): _*)).select(col("path"))
-        val live =
-          if (superseded.isEmpty) norm
-          else norm.where(not(col("path").isin(superseded: _*)))
         val nowC = now
-        val rendered = live.as[String].mapPartitions(_.map(p =>
-          JsonMethods.compact(JsonMethods.render(
-            DeltaLog.removeAction(p, nowC)))))
+        val rendered = live.select(col("path")).as[String]
+          .mapPartitions(_.map(p =>
+            JsonMethods.compact(JsonMethods.render(
+              DeltaLog.removeAction(p, nowC)))))
         rendered.toLocalIterator.asScala ++
           tail.tailLive.iterator.map(f => line(f.path))
     }
@@ -1909,33 +2032,55 @@ object DeltaTable {
     * TABLE has. Bound to `headV`: the tail replays exactly to the head
     * the caller read, so a concurrent commit can't mix states (and the
     * optimistic commit race re-reads on conflict anyway). */
+  /** The live checkpoint-side state at `headV`, shared by every
+    * distributed write-path consumer ([[candidatesDistributed]],
+    * [[overwriteRemoveLines]]): the normalized add frame
+    * ([[DeltaLog.cpAddsNormalized]]) anti-filtered by the JSON tail's
+    * superseded paths (removed-or-re-added — re-adds come back in
+    * `tailLive` with CURRENT state), plus the driver-side tail replay.
+    * ONE definition of the supersede rule, so a future change cannot
+    * silently diverge the DML candidate set from the overwrite remove
+    * set. None when no checkpoint covers `headV` (callers fall back to
+    * the driver replay — the JSON log is driver-sized by construction,
+    * [[DeltaLog.checkpoint]] caps the tail). */
+  private def cpLiveState(spark: SparkSession, table: String, headV: Long)
+    : Option[(DataFrame, DeltaLog.TailReplay)] = {
+    import org.apache.spark.sql.functions.{col, not}
+    DeltaLog.lastCheckpoint(spark, table).filter(_.version <= headV).map { cp =>
+      val tbl = new Path(table)
+      val tail = DeltaLog.replayTail(spark, table, cp.version, headV)
+      val norm = DeltaLog.cpAddsNormalized(spark.read.parquet(
+        DeltaLog.checkpointPaths(tbl, cp.version, cp.parts)
+          .map(_.toString): _*))
+      val superseded = (tail.removedFromCp ++ tail.tailAddedEver).toSeq
+      val live =
+        if (superseded.isEmpty) norm
+        else norm.where(not(col("path").isin(superseded: _*)))
+      (live, tail)
+    }
+  }
+
   private def candidatesDistributed(spark: SparkSession, table: String,
                                     headV: Long, keep: AddFile => Boolean,
-                                    op: String): Seq[AddFile] = {
-    import org.apache.spark.sql.functions.{col, not}
+                                    op: String,
+                                    pathsOnly: Option[Set[String]])
+    : Seq[AddFile] = {
+    import org.apache.spark.sql.functions.col
     val threshold = spark.conf
       .getOption("spark.graft.delta.distributedReplayThreshold")
       .map(_.toLong).getOrElse(200000L)
-    val tbl = new Path(table)
     val cap = math.min(threshold, Int.MaxValue.toLong - 2L).toInt
-    val out = DeltaLog.lastCheckpoint(spark, table)
-      .filter(_.version <= headV) match {
+    val out = cpLiveState(spark, table, headV) match {
       case None =>
-        // no covering checkpoint: the JSON log is driver-sized by
-        // construction ([[DeltaLog.checkpoint]] caps the tail), replay it
         snapshot(spark, table, Some(headV)).files.filter(keep)
-      case Some(cp) =>
-        val tail = DeltaLog.replayTail(spark, table, cp.version, headV)
-        val cpDf = spark.read.parquet(
-          DeltaLog.checkpointPaths(tbl, cp.version, cp.parts)
-            .map(_.toString): _*)
-        val norm = DeltaLog.cpAddsNormalized(cpDf)
-        // paths the tail removed or re-added supersede their checkpoint
-        // rows (re-adds come back in tailLive below with CURRENT state)
-        val superseded = (tail.removedFromCp ++ tail.tailAddedEver).toSeq
-        val live =
-          if (superseded.isEmpty) norm
-          else norm.where(not(col("path").isin(superseded: _*)))
+      case Some((live0, tail)) =>
+        // path-set lookups (the DSv2 row-level commit's touched files)
+        // pre-filter with a PUSHED isin: parquet reads only matching row
+        // groups and nothing else deserializes its stats/DV strings —
+        // without this a million-row checkpoint would be scanned whole
+        // to look up a handful of marked files
+        val live = pathsOnly.fold(live0)(ps =>
+          live0.where(col("path").isin(ps.toSeq: _*)))
         val keepF = keep
         val toAdd = rowToAddFile(table) _
         val cpCand = live
@@ -1956,13 +2101,23 @@ object DeltaTable {
     * [[candidatesDistributed]] past it — `head` must be the matching
     * snapshot form ([[DeltaLog.metaSnapshot]] when `distributed`, full
     * [[snapshot]] otherwise; the DML loops and the DSv2 row-level
-    * commit read it that way). */
+    * commit read it that way). `pathsOnly` narrows the selection to a
+    * known path set BEFORE `keep` runs (pushed to the checkpoint scan on
+    * the distributed side). */
   private[delta] def selectCandidates(spark: SparkSession, table: String,
                                head: DeltaLog.Snapshot, distributed: Boolean,
                                keep: AddFile => Boolean,
-                               op: String): Seq[AddFile] =
-    if (distributed) candidatesDistributed(spark, table, head.version, keep, op)
-    else head.files.filter(keep)
+                               op: String,
+                               pathsOnly: Option[Set[String]] = None)
+    : Seq[AddFile] = {
+    val keepAll: AddFile => Boolean = pathsOnly match {
+      case Some(ps) => f => ps.contains(f.path) && keep(f)
+      case None => keep
+    }
+    if (distributed)
+      candidatesDistributed(spark, table, head.version, keepAll, op, pathsOnly)
+    else head.files.filter(keepAll)
+  }
 
   private def dml(spark: SparkSession, table: String, predicate: Column,
                   set: Option[Map[String, Column]]): Unit = {

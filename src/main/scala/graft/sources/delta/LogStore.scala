@@ -93,34 +93,39 @@ object LogStore {
       require(fs.rename(tmp, dst), s"delta: pointer update failed at $dst")
     }
 
-    /** True streaming: local filesystems write the chunks to a temp file
-      * and commit via the same atomic hard link (readers can never see
-      * the temp as a version); other schemes stream straight into
-      * `create(overwrite = false)` — the same atomicity HDFS gives the
-      * byte-array form, since the file only becomes visible-complete on
-      * close under a create-no-overwrite lease. */
+    /** True streaming — but never into `dst` directly: the chunk
+      * iterator is typically a LIVE Spark job (`toLocalIterator` over a
+      * checkpoint frame), and a task failure mid-stream must not leave a
+      * truncated-but-closed commit file that readers would treat as a
+      * committed version (the byte-array form materializes its body
+      * first, so it never had this window). Both branches stream to a
+      * TEMP file whose cleanup a finally guarantees even when the
+      * iterator throws, then commit atomically: local filesystems via
+      * the same hard link as [[putIfAbsent]], other schemes via
+      * `rename` — atomic and non-overwriting on HDFS-semantics stores
+      * (the same primitive upstream's HDFSLogStore commits with), so of
+      * two racers one rename wins and one observably fails. */
     override def putIfAbsentStreamed(fs: FileSystem, dst: Path,
-                                     chunks: Iterator[Array[Byte]]): Boolean =
-      if (fs.getScheme == "file") {
-        val tmp = new Path(dst.getParent, s".tmp-${java.util.UUID.randomUUID()}.json")
+                                     chunks: Iterator[Array[Byte]]): Boolean = {
+      val tmp = new Path(dst.getParent, s".tmp-${java.util.UUID.randomUUID()}.json")
+      try {
         val out = fs.create(tmp, true)
         try chunks.foreach(out.write) finally out.close()
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        } finally fs.delete(tmp, false)
-      } else {
-        if (fs.exists(dst)) return false
-        try {
-          val out = fs.create(dst, false)
-          try chunks.foreach(out.write) finally out.close()
-          true
-        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-      }
+        if (fs.getScheme == "file") {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          if (fs.exists(dst)) false
+          else fs.rename(tmp, dst)
+        }
+      } finally fs.delete(tmp, false)
+    }
   }
 
   private val instances =

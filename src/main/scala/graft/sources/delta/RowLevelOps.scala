@@ -389,7 +389,7 @@ private[delta] class GraftRowLevelBatchWrite(
     val byRel: Map[String, DeltaLog.AddFile] =
       if (touchedRels.isEmpty) Map.empty // pure-insert MERGE: no lookup
       else DeltaTable.selectCandidates(sp, table, head, distributed,
-        f => touchedSet.contains(f.path), s"row-level $cmd")
+        _ => true, s"row-level $cmd", pathsOnly = Some(touchedSet))
         .map(f => f.path -> f).toMap
     touchedRels.foreach(r => require(byRel.contains(r),
       s"graft-delta: marked file $r is not live at v${head.version}"))

@@ -42,25 +42,33 @@ class DistributedDmlSpec extends SparkSpec {
     dst
   }
 
-  /** A checkpointed, partitioned, 16-file table plus a JSON tail doing
-    * one more append — the state every parity test copies. Returns
-    * (path, add-row count). */
+  /** A checkpointed, partitioned, 8-file table plus a one-file JSON
+    * tail — the state every parity test copies. Returns (path, live
+    * file count). SIZED so that `withThreshold(files)` actually ROUTES:
+    * `chooseDistributedReplay` needs checkpoint rows (8 adds + protocol
+    * + metaData = 10) > threshold, and the candidate cap needs
+    * candidates <= threshold — files = 9 sits in (candidates .. rows).
+    * The first cut of this spec appended a 20-row tail (8 more files,
+    * files = 24 > 10 rows) and every "distributed" copy silently ran
+    * the driver path; [[parity]] now ASSERTS the routing. */
   private def staged(): (String, Long) = {
     val t = java.nio.file.Files.createTempDirectory("ddml").toString + "/t"
     val df = (0L until 400L).toDF("id")
       .withColumn("k", pmod(col("id"), lit(8L)))
       .withColumn("s", org.apache.spark.sql.functions.concat(
         lit("v"), col("id")))
-      .repartition(2)
+      .repartition(1)
     DeltaTable.write(df, t, SaveMode.Append, partitionBy = Seq("k"))
     DeltaLog.checkpoint(spark, t) // distributed routing needs one
-    // a JSON tail past the checkpoint: its adds must join the candidate
+    // a JSON tail past the checkpoint: its add must join the candidate
     // set through the driver-side tail replay
-    DeltaTable.write((400L until 420L).toDF("id")
-      .withColumn("k", pmod(col("id"), lit(8L)))
-      .withColumn("s", org.apache.spark.sql.functions.concat(
-        lit("v"), col("id"))), t, SaveMode.Append)
-    (t, DeltaLog.snapshot(spark, t).files.size.toLong)
+    DeltaTable.write(Seq((400L, 0L, "v400")).toDF("id", "k", "s"),
+      t, SaveMode.Append)
+    val files = DeltaLog.snapshot(spark, t).files.size.toLong
+    assert(DeltaLog.checkpointRows(spark, t).exists(_ > files),
+      "staged(): the checkpoint must out-row the live files or " +
+        "withThreshold(files) cannot route distributed")
+    (t, files)
   }
 
   private def contents(t: String): Set[(Long, Long, String)] =
@@ -77,7 +85,11 @@ class DistributedDmlSpec extends SparkSpec {
     val a = copyTable(t) // driver path (default threshold)
     val b = copyTable(t) // distributed path
     op(a)
-    withThreshold(threshold) { op(b) }
+    withThreshold(threshold) {
+      assert(DeltaTable.chooseDistributedReplay(spark, b),
+        "parity(): the lowered threshold must actually route distributed")
+      op(b)
+    }
     val (ca, cb) = (lastCommit(a), lastCommit(b))
     assert(cb.removes.map(r => (r.path, r.dataChange)).toSet ===
       ca.removes.map(r => (r.path, r.dataChange)).toSet,
@@ -122,7 +134,7 @@ class DistributedDmlSpec extends SparkSpec {
       notMatched = Seq(MergeClause.Insert(None,
         Map("id" -> src("id"), "k" -> src("k"), "s" -> src("s")))),
       notMatchedBySource = Seq(
-        MergeClause.Delete(Some(col("id") >= 410L)))))
+        MergeClause.Delete(Some(col("id") >= 400L)))))
   }
 
   test("tail removes supersede checkpoint rows in distributed candidates") {
@@ -205,11 +217,85 @@ class DistributedDmlSpec extends SparkSpec {
       .toSet === Set((1L, "extra")))
   }
 
+  test("distributed RESTORE matches the driver path, deletion vectors included") {
+    val (t, _) = staged()
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    // v3: a DV delete — the RESTORE TARGET state carries vectors, so a
+    // restore that dropped them would resurrect these rows (the round-14
+    // driver-path fix; the distributed path must carry them too)
+    DeltaTable.delete(spark, t, pmod(col("id"), lit(10L)) === 1L)
+    val targetV = DeltaLog.snapshot(spark, t).version
+    val want = contents(t)
+    // drift past the target: another delete and an append
+    DeltaTable.delete(spark, t, col("k") === 2L)
+    DeltaTable.write(Seq((500L, 5L, "drift")).toDF("id", "k", "s"),
+      t, SaveMode.Append)
+    val files = DeltaLog.snapshot(spark, t).files.size.toLong
+    val a = copyTable(t)
+    val b = copyTable(t)
+    DeltaTable.restore(spark, a, targetV)
+    withThreshold(files) {
+      assert(DeltaTable.chooseDistributedReplay(spark, b))
+      DeltaTable.restore(spark, b, targetV)
+    }
+    val (ca, cb) = (lastCommit(a), lastCommit(b))
+    assert(cb.removes.map(_.path).toSet === ca.removes.map(_.path).toSet,
+      "restore must tombstone exactly the driver path's set")
+    assert(cb.adds.map(f => (f.path,
+        f.dv.map(d => (d.storageType, d.cardinality)))).toSet ===
+      ca.adds.map(f => (f.path,
+        f.dv.map(d => (d.storageType, d.cardinality)))).toSet,
+      "re-adds must match, deletion vectors included")
+    assert(contents(a) === want && contents(b) === want,
+      "both paths must reproduce the target version's contents exactly")
+    // deleted rows STAY deleted: no id%10==1 row resurrected
+    assert(contents(b).forall(_._1 % 10 != 1))
+  }
+
+  test("RESTORE refuses when a target deletion-vector sidecar was vacuumed") {
+    // needs FILE-BACKED ('u') vectors: marks past InlineThresholdBytes —
+    // 10k positions over 4 files, the DistributedCheckpointSpec scale
+    val t = java.nio.file.Files.createTempDirectory("ddml_rsv").toString + "/t"
+    DeltaTable.write((1L to 30000L).toDF("id").repartition(4), t,
+      SaveMode.Append)
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.delete(spark, t, pmod(col("id"), lit(3L)) === 0)
+    val targetV = DeltaLog.snapshot(spark, t).version
+    // the TARGET version's sidecar — drift below merges vectors into
+    // fresh sidecars and retires this one; "vacuumRemoved reclaimed it"
+    // is exactly one fs.delete away
+    val side = DeltaLog.snapshot(spark, t, Some(targetV)).files
+      .flatMap(_.dv).flatMap(DeletionVectors.tombstonePath).headOption
+      .getOrElse(fail("expected a file-backed vector"))
+    DeltaLog.checkpoint(spark, t) // distributed routing needs one
+    DeltaTable.delete(spark, t, col("id") <= 7500L) // drift past the target
+    val files = DeltaLog.snapshot(spark, t).files.size.toLong
+    // copy first so both paths see the same damaged state
+    val a = copyTable(t)
+    val b = copyTable(t)
+    fs(a).delete(new Path(new Path(a), side), false)
+    fs(b).delete(new Path(new Path(b), side), false)
+    val eA = intercept[IllegalArgumentException] {
+      DeltaTable.restore(spark, a, targetV)
+    }
+    assert(eA.getMessage.contains("sidecar") ||
+      eA.getMessage.contains("vacuumed"), eA.getMessage)
+    withThreshold(files) {
+      assert(DeltaTable.chooseDistributedReplay(spark, b))
+      val eB = intercept[IllegalArgumentException] {
+        DeltaTable.restore(spark, b, targetV)
+      }
+      assert(eB.getMessage.contains("vacuumed"), eB.getMessage)
+    }
+  }
+
   test("a past-threshold CANDIDATE set refuses loudly; pruned DML on the same table runs") {
     val (t, files) = staged()
     withThreshold(5L) {
       // id-keyed predicate straddles every file's stats: candidates = all
-      // 18 files > 5 — the refusal names the knob and the fix
+      // 9 files > 5 — the refusal names the knob and the fix
       val e = intercept[IllegalArgumentException] {
         DeltaTable.delete(spark, t, pmod(col("id"), lit(10L)) === 7L)
       }

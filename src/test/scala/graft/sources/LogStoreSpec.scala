@@ -90,6 +90,53 @@ class LogStoreSpec extends SparkSpec {
     }
   }
 
+  test("streamed commit: mid-stream failure leaves no torn version and no tmp litter") {
+    // the chunk iterator is typically a LIVE Spark job; a task failure
+    // mid-stream must never persist a truncated commit file (readers
+    // would treat it as a committed version missing its adds) nor leak
+    // the temp file into _delta_log (round-14 review findings)
+    val t = java.nio.file.Files.createTempDirectory("lstore3").toString + "/t"
+    assert(DeltaLog.commit(spark, t, 0L, Seq(DeltaLog.protocolAction)))
+    val boom = new RuntimeException("executor lost mid-stream")
+    val e = intercept[RuntimeException] {
+      DeltaLog.commitStreamed(spark, t, 1L,
+        Seq(DeltaLog.commitInfoAction("TORN")),
+        Iterator("{\"remove\":{\"path\":\"a\"}}") ++ (throw boom),
+        Seq.empty)
+    }
+    assert(e eq boom)
+    assert(DeltaLog.versions(spark, t) === Seq(0L),
+      "a failed streamed commit must not install a version")
+    val logDir = java.nio.file.Paths.get(t, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val litter = java.nio.file.Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".tmp-")).toSeq
+    assert(litter.isEmpty, s"tmp litter left in _delta_log: $litter")
+    // the version slot is still free: a retry commits cleanly
+    assert(DeltaLog.commitStreamed(spark, t, 1L,
+      Seq(DeltaLog.commitInfoAction("RETRY")),
+      Iterator.empty, Seq.empty))
+    assert(DeltaLog.versions(spark, t) === Seq(0L, 1L))
+  }
+
+  test("the default (concatenating) streamed form keeps third-party stores working") {
+    spark.conf.set("spark.graft.delta.logStore",
+      classOf[NonAtomicVerifyingLogStore].getName)
+    try {
+      val t = java.nio.file.Files.createTempDirectory("lstore4").toString + "/t"
+      assert(DeltaLog.commitStreamed(spark, t, 0L,
+        Seq(DeltaLog.protocolAction),
+        Iterator("{\"commitInfo\":{\"operation\":\"STREAMED\"}}"),
+        Seq.empty), "the trait default must delegate to putIfAbsent")
+      assert(!DeltaLog.commitStreamed(spark, t, 0L,
+        Seq(DeltaLog.protocolAction), Iterator.empty, Seq.empty),
+        "losers must stay observable through the default form")
+      val body = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+      assert(body.contains("STREAMED") && body.endsWith("\n"))
+    } finally spark.conf.unset("spark.graft.delta.logStore")
+  }
+
   test("the full write path runs unchanged through a pluggable store") {
     spark.conf.set("spark.graft.delta.logStore",
       classOf[NonAtomicVerifyingLogStore].getName)
