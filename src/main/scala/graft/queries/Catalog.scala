@@ -2278,6 +2278,62 @@ object Catalog {
     }
   }
 
+  /** Distributed RESTORE + streamed CLONE (q112, round 14): on a
+    * checkpointed table past the replay threshold, a DV DELETE marks
+    * rows, a drift DELETE moves the head, RESTORE rewinds to the
+    * DV-state via the DISTRIBUTED path (anti-join deltas, executor-side
+    * existence probes, streamed action lines — and the re-adds must
+    * CARRY the deletion vectors, the round-14 driver-path fix), then
+    * SHALLOW CLONE streams the restored snapshot's absolute references
+    * into a new table. The gate reads the CLONE: its rows equal the
+    * target version's — deleted rows stay deleted through restore AND
+    * clone — oracle-exact. */
+  val q112DistributedRestore: Q = Q(
+    "q112_distributed_restore",
+    oracle = Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE doc_id % 10 <> 1
+      GROUP BY lang""")) { (spark, dir) =>
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q112")
+    val t = s"$scratch/t"
+    val c = s"$scratch/clone"
+    try {
+      DeltaTable.write(table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+        t, org.apache.spark.sql.SaveMode.Append)
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableDeletionVectors" -> "true"))
+      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10L)) === 1L)
+      val targetV = DeltaLog.snapshot(spark, t).version
+      DeltaLog.checkpoint(spark, t)
+      DeltaTable.delete(spark, t, col("lang") === "fr") // drift past target
+      val files = DeltaLog.snapshot(spark, t).files.size.toLong
+      require(DeltaLog.checkpointRows(spark, t).exists(_ > files),
+        "q112: the checkpoint must exceed the threshold for routing")
+      spark.conf.set("spark.graft.delta.distributedReplayThreshold",
+        files.toString)
+      try {
+        DeltaTable.restore(spark, t, targetV)
+        DeltaTable.cloneShallow(spark, t, c)
+      } finally
+        spark.conf.unset("spark.graft.delta.distributedReplayThreshold")
+      val agg = DeltaTable.read(spark, c)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2290,7 +2346,7 @@ object Catalog {
         q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
         q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
-        q111DistributedDml) ++
+        q111DistributedDml, q112DistributedRestore) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

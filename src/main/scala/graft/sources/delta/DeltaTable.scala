@@ -336,13 +336,21 @@ object DeltaTable {
       val head = snapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       val now = System.currentTimeMillis()
-      val oldPaths = target.files.map(_.path).toSet
-      val removes = head.files.filterNot(f => oldPaths.contains(f.path))
+      // the delta keys on (path, deletion vector), NOT path alone: a
+      // restore across a DV-only state change (DV DML keeps paths and
+      // swaps vectors) must re-commit those paths with the TARGET's
+      // vectors — remove(current) + add(target) in one commit, the DV
+      // DML shape replay already supersedes correctly. Path-only
+      // comparison silently NO-OPED such restores (round-14 q112 find).
+      val targetByPath = target.files.map(f => f.path -> f).toMap
+      val headByPath = head.files.map(f => f.path -> f).toMap
+      val removes = head.files
+        .filter(f => !targetByPath.get(f.path).exists(_.dv == f.dv))
         .map(f => removeAction(f.path, now))
-      val headPaths = head.files.map(_.path).toSet
       // the target version's DELETION VECTORS restore with their files —
       // an add without them would resurrect that version's deleted rows
-      val adds = target.files.filterNot(f => headPaths.contains(f.path))
+      val adds = target.files
+        .filter(f => !headByPath.get(f.path).exists(_.dv == f.dv))
         .map(f => addAction(f.path, f.size, f.modificationTime, f.stats,
           f.partitionValues, dv = f.dv))
       // schema resets with the content when it drifted since `version`
@@ -439,22 +447,61 @@ object DeltaTable {
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       val headF = liveFrame(spark, table, head.version)
       val now = System.currentTimeMillis()
-      val removeLines = headF
-        .join(target.select(col("path")), Seq("path"), "left_anti")
-        .select(col("path")).as[String]
-        .mapPartitions(_.map(p => JsonMethods.compact(JsonMethods.render(
-          DeltaLog.removeAction(p, now)))))
-      val toAdd = rowToAddFile(table) _
-      val addLines = target
-        .join(headF.select(col("path")), Seq("path"), "left_anti")
-        .mapPartitions { it =>
-          it.map { r =>
-            val f = toAdd(r)
-            JsonMethods.compact(JsonMethods.render(DeltaLog.addAction(
-              f.path, f.size, f.modificationTime, f.stats,
-              f.partitionValues, dv = f.dv)))
+      // ONE full-outer join on path; the action decision keys on
+      // (presence, CANONICAL deletion-vector state) per side — exactly
+      // the driver path's (path, dv) rule, so a DV-only state change
+      // re-commits its paths with the target's vectors. Canonicalizing
+      // through the parsed descriptor (not raw JSON strings) keeps the
+      // comparison stable across the checkpoint-struct and
+      // legacy-string encodings.
+      import org.apache.spark.sql.functions.lit
+      val tSide = target
+        .withColumnRenamed("dvJson", "tDvJson")
+        .withColumn("tPresent", lit(true))
+      val hSide = headF
+        .select(col("path"), col("dvJson").as("hDvJson"))
+        .withColumn("hPresent", lit(true))
+      val joined = tSide.join(hSide, Seq("path"), "full_outer")
+      val tableStr2 = table
+      val nowC = now
+      val lines = joined.mapPartitions { it =>
+        def dvKey(s: String): Option[(String, String, Option[Long], Long, Long)] =
+          Option(s).filter(x => x.nonEmpty && x != "null").map { x =>
+            val d = DeletionVectors.fromJsonString(x).getOrElse(
+              throw new IllegalStateException(
+                s"delta: unparseable deletionVector in $tableStr2's log " +
+                  "during restore — refusing rather than mis-restoring"))
+            (d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+              d.cardinality)
           }
+        it.flatMap { r =>
+          val p = r.getAs[String]("path")
+          val tP = !r.isNullAt(r.fieldIndex("tPresent"))
+          val hP = !r.isNullAt(r.fieldIndex("hPresent"))
+          val tDv = if (tP) dvKey(r.getAs[String]("tDvJson")) else None
+          val hDv = if (hP) dvKey(r.getAs[String]("hDvJson")) else None
+          val changed = tP && hP && tDv != hDv
+          val rem =
+            if (hP && (!tP || changed))
+              Seq(JsonMethods.compact(JsonMethods.render(
+                DeltaLog.removeAction(p, nowC))))
+            else Seq.empty
+          val add =
+            if (tP && (!hP || changed)) {
+              val stats = Option(r.getAs[String]("stats"))
+                .flatMap(DeltaLog.parseStats)
+              val pv = Option(r.getAs[Map[String, String]]("partitionValues"))
+                .getOrElse(Map.empty[String, String])
+              val dv = Option(r.getAs[String]("tDvJson"))
+                .filter(x => x.nonEmpty && x != "null")
+                .flatMap(DeletionVectors.fromJsonString)
+              Seq(JsonMethods.compact(JsonMethods.render(DeltaLog.addAction(
+                p, r.getAs[Long]("size"),
+                r.getAs[Long]("modificationTime"), stats, pv, dv = dv))))
+            } else Seq.empty
+          rem ++ add
         }
+      }
       val meta =
         if (head.schemaJson == targetMeta.schemaJson &&
             head.partitionColumns == targetMeta.partitionColumns) Seq.empty
@@ -462,8 +509,7 @@ object DeltaTable {
           targetMeta.partitionColumns, head.metaDataId, head.configuration))
       done = DeltaLog.commitStreamed(spark, table, head.version + 1,
         commitInfoAction("RESTORE", now) +: meta,
-        removeLines.toLocalIterator.asScala ++
-          addLines.toLocalIterator.asScala,
+        lines.toLocalIterator.asScala,
         Seq.empty, Some(head.configuration))
     }
   }

@@ -227,7 +227,10 @@ class DistributedDmlSpec extends SparkSpec {
     DeltaTable.delete(spark, t, pmod(col("id"), lit(10L)) === 1L)
     val targetV = DeltaLog.snapshot(spark, t).version
     val want = contents(t)
-    // drift past the target: another delete and an append
+    // drift past the target in all three shapes: a DV-ONLY state change
+    // (same paths, merged vectors — the q112 find: path-keyed deltas
+    // silently no-op this), a wholesale path removal, and an append
+    DeltaTable.delete(spark, t, pmod(col("id"), lit(10L)) === 6L)
     DeltaTable.delete(spark, t, col("k") === 2L)
     DeltaTable.write(Seq((500L, 5L, "drift")).toDF("id", "k", "s"),
       t, SaveMode.Append)
