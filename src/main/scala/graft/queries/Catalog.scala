@@ -2231,30 +2231,36 @@ object Catalog {
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM fin GROUP BY lang""")) { (spark, dir) =>
     import graft.sources.delta.{DeltaLog, DeltaTable}
+    // OWN child session (shared context, private SQLConf): Verify runs
+    // queries CONCURRENTLY on one session, and the threshold conf is
+    // session-global — setting it on `spark` would race every other
+    // delta query in the pool (and a racing unset would silently
+    // de-route this gate)
+    val sess = spark.newSession()
     val scratch = java.nio.file.Files.createTempDirectory("graft_q111")
     val t = s"$scratch/t"
     try {
-      DeltaTable.write(table(spark, dir, "documents")
+      DeltaTable.write(table(sess, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars")),
         t, org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("lang"))
-      DeltaLog.checkpoint(spark, t)
-      val files = DeltaLog.snapshot(spark, t).files.size.toLong
+      DeltaLog.checkpoint(sess, t)
+      val files = DeltaLog.snapshot(sess, t).files.size.toLong
       // checkpoint rows = adds + protocol + metaData > files: setting the
       // threshold AT the file count proves every statement below routes
       // through the distributed forms while candidates stay under the cap
-      require(DeltaLog.checkpointRows(spark, t).exists(_ > files),
+      require(DeltaLog.checkpointRows(sess, t).exists(_ > files),
         "q111: the checkpoint must exceed the threshold for routing")
-      spark.conf.set("spark.graft.delta.distributedReplayThreshold",
+      sess.conf.set("spark.graft.delta.distributedReplayThreshold",
         files.toString)
       try {
-        DeltaTable.delete(spark, t, col("lang") === "de")
-        DeltaTable.update(spark, t, col("lang") === "zh",
+        DeltaTable.delete(sess, t, col("lang") === "de")
+        DeltaTable.update(sess, t, col("lang") === "zh",
           Map("n_chars" -> (col("n_chars") + 5L)))
-        val liveBefore = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+        val liveBefore = DeltaLog.snapshot(sess, t).files.map(_.path).toSet
         DeltaTable.write(
-          DeltaTable.read(spark, t).filter(pmod(col("doc_id"), lit(2L)) === 0),
+          DeltaTable.read(sess, t).filter(pmod(col("doc_id"), lit(2L)) === 0),
           t, org.apache.spark.sql.SaveMode.Overwrite)
-        val after = DeltaLog.snapshot(spark, t)
+        val after = DeltaLog.snapshot(sess, t)
         require(liveBefore.subsetOf(after.tombstones.keySet),
           "q111: the streamed overwrite must tombstone every live file")
         require(after.files.map(_.path).toSet.intersect(liveBefore).isEmpty,
@@ -2262,8 +2268,8 @@ object Catalog {
         // commit-level set/once identity with the driver path is pinned
         // in DistributedDmlSpec (readCommit is package-private)
       } finally
-        spark.conf.unset("spark.graft.delta.distributedReplayThreshold")
-      val agg = DeltaTable.read(spark, t)
+        sess.conf.unset("spark.graft.delta.distributedReplayThreshold")
+      val agg = DeltaTable.read(sess, t)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
@@ -2296,30 +2302,32 @@ object Catalog {
       FROM documents WHERE doc_id % 10 <> 1
       GROUP BY lang""")) { (spark, dir) =>
     import graft.sources.delta.{DeltaLog, DeltaTable}
+    // own child session — same concurrency isolation as q111
+    val sess = spark.newSession()
     val scratch = java.nio.file.Files.createTempDirectory("graft_q112")
     val t = s"$scratch/t"
     val c = s"$scratch/clone"
     try {
-      DeltaTable.write(table(spark, dir, "documents")
+      DeltaTable.write(table(sess, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars")),
         t, org.apache.spark.sql.SaveMode.Append)
-      DeltaTable.setProperties(spark, t,
+      DeltaTable.setProperties(sess, t,
         Map("delta.enableDeletionVectors" -> "true"))
-      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10L)) === 1L)
-      val targetV = DeltaLog.snapshot(spark, t).version
-      DeltaLog.checkpoint(spark, t)
-      DeltaTable.delete(spark, t, col("lang") === "fr") // drift past target
-      val files = DeltaLog.snapshot(spark, t).files.size.toLong
-      require(DeltaLog.checkpointRows(spark, t).exists(_ > files),
+      DeltaTable.delete(sess, t, pmod(col("doc_id"), lit(10L)) === 1L)
+      val targetV = DeltaLog.snapshot(sess, t).version
+      DeltaLog.checkpoint(sess, t)
+      DeltaTable.delete(sess, t, col("lang") === "fr") // drift past target
+      val files = DeltaLog.snapshot(sess, t).files.size.toLong
+      require(DeltaLog.checkpointRows(sess, t).exists(_ > files),
         "q112: the checkpoint must exceed the threshold for routing")
-      spark.conf.set("spark.graft.delta.distributedReplayThreshold",
+      sess.conf.set("spark.graft.delta.distributedReplayThreshold",
         files.toString)
       try {
-        DeltaTable.restore(spark, t, targetV)
-        DeltaTable.cloneShallow(spark, t, c)
+        DeltaTable.restore(sess, t, targetV)
+        DeltaTable.cloneShallow(sess, t, c)
       } finally
-        spark.conf.unset("spark.graft.delta.distributedReplayThreshold")
-      val agg = DeltaTable.read(spark, c)
+        sess.conf.unset("spark.graft.delta.distributedReplayThreshold")
+      val agg = DeltaTable.read(sess, c)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))

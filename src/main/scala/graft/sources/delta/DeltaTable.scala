@@ -344,9 +344,18 @@ object DeltaTable {
       // comparison silently NO-OPED such restores (round-14 q112 find).
       val targetByPath = target.files.map(f => f.path -> f).toMap
       val headByPath = head.files.map(f => f.path -> f).toMap
-      val removes = head.files
+      // removes CARRY the removed incarnation's vector (the codebase-wide
+      // remove convention — readChangeFeed's derived pre-images need it
+      // or they would re-report rows the head's vector had already
+      // deleted), and each superseded head-side SIDECAR gets a retention
+      // tombstone (dataChange=false) so vacuumRemoved can reclaim it —
+      // its live-reference guard protects packed sidecars other files
+      // still use
+      val removedHead = head.files
         .filter(f => !targetByPath.get(f.path).exists(_.dv == f.dv))
-        .map(f => removeAction(f.path, now))
+      val removes = removedHead.map(f => removeAction(f.path, now, dv = f.dv)) ++
+        removedHead.flatMap(_.dv).flatMap(DeletionVectors.tombstonePath)
+          .distinct.map(p => removeAction(p, now, dataChange = false))
       // the target version's DELETION VECTORS restore with their files —
       // an add without them would resurrect that version's deleted rows
       val adds = target.files
@@ -465,26 +474,36 @@ object DeltaTable {
       val tableStr2 = table
       val nowC = now
       val lines = joined.mapPartitions { it =>
-        def dvKey(s: String): Option[(String, String, Option[Long], Long, Long)] =
+        // parsed ONCE per side per row; descriptor equality IS the
+        // driver path's `_.dv == f.dv` (case-class equality over the
+        // same five fields), stable across checkpoint-struct and
+        // legacy-string encodings
+        def dvOf(s: String): Option[DvDescriptor] =
           Option(s).filter(x => x.nonEmpty && x != "null").map { x =>
-            val d = DeletionVectors.fromJsonString(x).getOrElse(
+            DeletionVectors.fromJsonString(x).getOrElse(
               throw new IllegalStateException(
                 s"delta: unparseable deletionVector in $tableStr2's log " +
                   "during restore — refusing rather than mis-restoring"))
-            (d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
-              d.cardinality)
           }
+        // per-partition sidecar-tombstone dedup (packed sidecars shared
+        // by several files emit once per partition; a cross-partition
+        // duplicate tombstone is replay-idempotent)
+        val seenSidecars = scala.collection.mutable.Set.empty[String]
         it.flatMap { r =>
           val p = r.getAs[String]("path")
           val tP = !r.isNullAt(r.fieldIndex("tPresent"))
           val hP = !r.isNullAt(r.fieldIndex("hPresent"))
-          val tDv = if (tP) dvKey(r.getAs[String]("tDvJson")) else None
-          val hDv = if (hP) dvKey(r.getAs[String]("hDvJson")) else None
+          val tDv = if (tP) dvOf(r.getAs[String]("tDvJson")) else None
+          val hDv = if (hP) dvOf(r.getAs[String]("hDvJson")) else None
           val changed = tP && hP && tDv != hDv
           val rem =
             if (hP && (!tP || changed))
               Seq(JsonMethods.compact(JsonMethods.render(
-                DeltaLog.removeAction(p, nowC))))
+                DeltaLog.removeAction(p, nowC, dv = hDv)))) ++
+                hDv.flatMap(DeletionVectors.tombstonePath)
+                  .filter(seenSidecars.add)
+                  .map(s => JsonMethods.compact(JsonMethods.render(
+                    DeltaLog.removeAction(s, nowC, dataChange = false))))
             else Seq.empty
           val add =
             if (tP && (!hP || changed)) {
@@ -492,12 +511,9 @@ object DeltaTable {
                 .flatMap(DeltaLog.parseStats)
               val pv = Option(r.getAs[Map[String, String]]("partitionValues"))
                 .getOrElse(Map.empty[String, String])
-              val dv = Option(r.getAs[String]("tDvJson"))
-                .filter(x => x.nonEmpty && x != "null")
-                .flatMap(DeletionVectors.fromJsonString)
               Seq(JsonMethods.compact(JsonMethods.render(DeltaLog.addAction(
                 p, r.getAs[Long]("size"),
-                r.getAs[Long]("modificationTime"), stats, pv, dv = dv))))
+                r.getAs[Long]("modificationTime"), stats, pv, dv = tDv))))
             } else Seq.empty
           rem ++ add
         }
@@ -1718,16 +1734,20 @@ object DeltaTable {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(srcBase)
     val now = System.currentTimeMillis()
-    // deletion vectors absolutize exactly like data paths: the clone
-    // reads the SOURCE's sidecar bytes ("u" → "p"); inline DVs copy
+    val srcAbsStr = srcAbs.toString
+    // ONE absolutize definition for both clone paths (driver + streamed
+    // — a new storageType case must not diverge them): data paths
+    // qualify against the source root; deletion vectors absolutize the
+    // same way ("u" → "p", the clone reads the SOURCE's sidecar bytes);
+    // inline DVs copy. Serializable: captures only (srcAbsStr, now).
     def absolutize(f: AddFile): org.json4s.JValue =
-      addAction(new Path(srcAbs.toString, f.path).toString, f.size, now,
+      DeltaLog.addAction(new Path(srcAbsStr, f.path).toString, f.size, now,
         f.stats, f.partitionValues,
         dv = f.dv.map {
           case d if d.storageType == "u" =>
             d.copy(storageType = "p",
               pathOrInlineDv =
-                DeletionVectors.resolvePath(srcAbs.toString, d).toString)
+                DeletionVectors.resolvePath(srcAbsStr, d).toString)
           case d => d
         })
     // past the replay threshold the clone STREAMS: metadata-only source
@@ -1740,22 +1760,11 @@ object DeltaTable {
       import spark.implicits._
       val srcMeta = DeltaLog.metaSnapshot(spark, source, versionAsOf)
       require(!srcMeta.isEmpty, s"delta: $source has no commits")
-      val srcAbsStr = srcAbs.toString
       val toAdd = rowToAddFile(source) _
+      val abs = absolutize _
       val addLines = liveFrame(spark, source, srcMeta.version)
-        .mapPartitions(_.map { r =>
-          val f = toAdd(r)
-          JsonMethods.compact(JsonMethods.render(DeltaLog.addAction(
-            new Path(srcAbsStr, f.path).toString, f.size, now,
-            f.stats, f.partitionValues,
-            dv = f.dv.map {
-              case d if d.storageType == "u" =>
-                d.copy(storageType = "p",
-                  pathOrInlineDv =
-                    DeletionVectors.resolvePath(srcAbsStr, d).toString)
-              case d => d
-            })))
-        })
+        .mapPartitions(_.map(r =>
+          JsonMethods.compact(JsonMethods.render(abs(toAdd(r))))))
       val done = DeltaLog.commitStreamed(spark, target, 0L,
         Seq(commitInfoAction("CLONE", now), protocolAction,
           metaDataAction(srcMeta.schemaJson.getOrElse(""),
@@ -2147,7 +2156,8 @@ object DeltaTable {
   private def candidatesDistributed(spark: SparkSession, table: String,
                                     headV: Long, keep: AddFile => Boolean,
                                     op: String,
-                                    pathsOnly: Option[Set[String]])
+                                    pathsOnly: Option[Set[String]],
+                                    degradeOnOverflow: Boolean = false)
     : Seq[AddFile] = {
     import org.apache.spark.sql.functions.col
     val threshold = spark.conf
@@ -2172,6 +2182,12 @@ object DeltaTable {
           .take(cap + 1).map(toAdd).toSeq
         cpCand ++ tail.tailLive.filter(keep)
     }
+    if (out.size > cap && degradeOnOverflow)
+      // READ paths degrade to the (correct, driver-heavy) full replay —
+      // their pre-round-14 contract was "never a wrong result", and a
+      // predicate skipping can't prune must not start throwing. Only
+      // WRITE paths refuse: their machinery needs the list driver-side.
+      return snapshot(spark, table, Some(headV)).files.filter(keep)
     require(out.size <= cap,
       s"delta: $op on $table straddles more than " +
         s"$threshold files (spark.graft.delta.distributedReplayThreshold) " +
@@ -2192,14 +2208,16 @@ object DeltaTable {
                                head: DeltaLog.Snapshot, distributed: Boolean,
                                keep: AddFile => Boolean,
                                op: String,
-                               pathsOnly: Option[Set[String]] = None)
+                               pathsOnly: Option[Set[String]] = None,
+                               degradeOnOverflow: Boolean = false)
     : Seq[AddFile] = {
     val keepAll: AddFile => Boolean = pathsOnly match {
       case Some(ps) => f => ps.contains(f.path) && keep(f)
       case None => keep
     }
     if (distributed)
-      candidatesDistributed(spark, table, head.version, keepAll, op, pathsOnly)
+      candidatesDistributed(spark, table, head.version, keepAll, op,
+        pathsOnly, degradeOnOverflow)
     else head.files.filter(keepAll)
   }
 
@@ -2617,7 +2635,7 @@ object DeltaTable {
     val physKey = ColumnMapping.physMap(schema).getOrElse(keyCol, keyCol)
     val vs = values.toSet
     val files = selectCandidates(spark, table, s, distributed,
-      f => f.partitionValues.get(physKey).exists(vs), "readPartitionsIn")
+      f => f.partitionValues.get(physKey).exists(vs), "readPartitionsIn", degradeOnOverflow = true)
     readFiles(spark, table, schema, s.partitionColumns, files)
   }
 
@@ -2643,7 +2661,7 @@ object DeltaTable {
     val schema = logSchema(s, table)
     val predExpr = DataSkipping.resolvePredicate(spark, schema, predicate)
     val files = selectCandidates(spark, table, s, distributed,
-      mappedSkipper(predExpr, schema), "readWhere")
+      mappedSkipper(predExpr, schema), "readWhere", degradeOnOverflow = true)
     readFiles(spark, table, schema, s.partitionColumns, files)
       .filter(predicate)
   }
@@ -2662,7 +2680,7 @@ object DeltaTable {
     val schema = logSchema(s, table)
     val physKey = ColumnMapping.physMap(schema).getOrElse(keyCol, keyCol)
     val files = selectCandidates(spark, table, s, distributed,
-      overlaps(_, physKey, lo, hi), "readRange")
+      overlaps(_, physKey, lo, hi), "readRange", degradeOnOverflow = true)
     readFiles(spark, table, schema, s.partitionColumns, files)
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
@@ -2686,7 +2704,7 @@ object DeltaTable {
       f.stats.flatMap(st =>
         for { mn <- st.minStrings.get(physKey); mx <- st.maxStrings.get(physKey) }
           yield utf8Lte(lo, mx) && utf8Lte(mn, hi)
-      ).getOrElse(true), "readRangeString") // no stats -> conservatively in range
+      ).getOrElse(true), "readRangeString", degradeOnOverflow = true) // no stats -> conservatively in range
     readFiles(spark, table, schema, s.partitionColumns, files)
       .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }

@@ -254,6 +254,20 @@ class DistributedDmlSpec extends SparkSpec {
       "both paths must reproduce the target version's contents exactly")
     // deleted rows STAY deleted: no id%10==1 row resurrected
     assert(contents(b).forall(_._1 % 10 != 1))
+    // CDF pre-image exactness (round-14 review find): the restore's
+    // removes must CARRY the head's vectors, or the derived feed
+    // re-reports rows the head had already deleted as fresh deletes
+    def feed(x: String): Set[(Long, String)] = {
+      val v = DeltaLog.snapshot(spark, x).version
+      DeltaTable.readChangeFeed(spark, x, v, Some(v))
+        .select(col("id"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    val (fa, fb) = (feed(a), feed(b))
+    assert(fb === fa, "restore CDF must match across the paths")
+    assert(!fa.exists { case (id, ct) =>
+      ct == "delete" && (id % 10 == 1 || id % 10 == 6) },
+      "rows already deleted at head must not re-report as restore deletes")
   }
 
   test("RESTORE refuses when a target deletion-vector sidecar was vacuumed") {
