@@ -27,6 +27,17 @@ import graft.queries.Catalog
   * host-normalize from the committed artifact alone, without post-hoc
   * isolated reruns. ~4.5 s per 36-query board.
   *
+  * SECOND control class (round-15, r14 verdict ask #2): the 0.1 s
+  * metadata control cannot see the contention mode that starves a HEAVY
+  * shuffle query (r14's q52 sat at 3.8× floor beside a control at only
+  * 1.5×) — CPU oversubscription hits a 32-thread shuffle stage much
+  * harder than a one-task metadata read. A ~1 s shuffle-class control
+  * (default q17_revenue_top: wide join + agg, every core engaged)
+  * interleaves the same way into `controls2`, so a board can
+  * discriminate CPU starvation (control2 elevated too) from a genuine
+  * plan regression (control2 at floor, query elevated). ~30 s per
+  * board, bought once per round.
+  *
   * Session recycling: r13 measured the DML-tail queries 2× slower
   * IN-BOARD than isolated on identical code (q100b 3.21 vs 1.56) — 30+
   * prior queries of JIT/codegen classes and heap wear, not plans.
@@ -53,6 +64,9 @@ object Bench {
     // ("" disables; see the scaladoc)
     val controlName = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROL",
       "q93_dsv2_scan")
+    // shuffle-class contention control ("" disables; see the scaladoc)
+    val control2Name = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROL2",
+      "q17_revenue_top")
     // queries that get a FRESH SparkSession (see the scaladoc)
     val freshBefore = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH",
       "q100_deletion_vectors").split(',').filter(_.nonEmpty).toSet
@@ -88,23 +102,32 @@ object Bench {
       }
 
     val control = graft.queries.Catalog.headlines.find(_.name == controlName)
+    val control2 = graft.queries.Catalog.headlines.find(_.name == control2Name)
     // a typo'd control name must not silently produce a board with
     // controls:{} — the artifact's whole point is carrying contention
     // evidence ("" is the documented opt-out)
     require(controlName.isEmpty || control.isDefined,
       s"SPARK_GRAFT_BENCH_CONTROL='$controlName' is not a headline query")
+    require(control2Name.isEmpty || control2.isDefined,
+      s"SPARK_GRAFT_BENCH_CONTROL2='$control2Name' is not a headline query")
     // (query-it-ran-after → control seconds); "_warmup" = before pass 1
     val controls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def controlPass(after: String): Unit = control.foreach { c =>
+    val controls2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def samplePass(c: graft.queries.Q, into: scala.collection.mutable
+        .LinkedHashMap[String, Double], after: String): Unit = {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       val ok = once(c)
       val t = (System.nanoTime() - t0) / 1e9
       if (ok) {
-        controls += after -> t
+        into += after -> t
         System.err.println(f"[control after $after] ${c.name} $t%.3f")
       }
+    }
+    def controlPass(after: String): Unit = {
+      control.foreach(samplePass(_, controls, after))
+      control2.foreach(samplePass(_, controls2, after))
     }
 
     // Untimed warmup pass: codegen compilation + file-index caches, so the
@@ -147,9 +170,11 @@ object Bench {
         System.err.println(s"[pass $i/$passes] ${q.name} " + (if (ok) f"$t%.3f" else "FAILED"))
         if (ok) t else -1.0
       }
-      // the contention sample rides between queries, same hygiene; the
-      // control query's own slot skips it (it would double-measure)
-      if (q.name != controlName) controlPass(q.name)
+      // the contention samples ride between queries, same hygiene; a
+      // control query's own slot skips ITS class (double-measure)
+      if (q.name != controlName) control.foreach(samplePass(_, controls, q.name))
+      if (q.name != control2Name)
+        control2.foreach(samplePass(_, controls2, q.name))
       val good = times.filter(_ >= 0)
       // any failed pass marks the query failed: a partial minimum would
       // silently understate a flaky query's cost
@@ -174,8 +199,10 @@ object Bench {
     // query each sample ran AFTER (see the scaladoc)
     val controlJson = controls.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val control2Json = controls2.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"passes":$passJson,"control":"$controlName","controls":$controlJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"passes":$passJson,"control":"$controlName","controls":$controlJson,"control2":"$control2Name","controls2":$control2Json,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line under the repo so every board's raw
     // pass lists survive as a committed artifact regardless of how the

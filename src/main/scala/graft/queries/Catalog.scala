@@ -2342,6 +2342,98 @@ object Catalog {
     }
   }
 
+  /** OVERWRITE on a deletion-vector table (q113, round 15): removes
+    * must carry the removed incarnations' deletion vectors + sidecar
+    * retention tombstones (the codebase-wide remove convention —
+    * round-14 verdict's K2 gap). Two heads, both gated: (a) the DERIVED
+    * change feed over the overwrite commit must NOT re-report rows an
+    * earlier DV DELETE already deleted ([[graft.sources.delta
+    * .DeltaTable.readChangeFeed]] reads remove DVs into the pre-image
+    * scan) — delete counts oracle-exact; (b) the superseded sidecar
+    * must be RECLAIMABLE: `vacuumRemoved(retain=0)` deletes it, which
+    * only happens if the overwrite wrote its dataChange=false retention
+    * tombstone. */
+  val q113OverwriteDvCdf: Q = Q(
+    "q113_overwrite_dv_cdf",
+    oracle = Some("""
+      WITH base AS (SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),
+      pre AS (SELECT * FROM base WHERE l_orderkey % 2 <> 1),
+      ins AS (SELECT * FROM base WHERE l_orderkey % 4 = 0),
+      changes AS (
+        SELECT 'delete' AS change_type, l_returnflag, l_quantity FROM pre
+        UNION ALL SELECT 'insert', l_returnflag, l_quantity FROM ins),
+      sections AS (
+        SELECT 'cdf_' || change_type AS section, l_returnflag,
+               COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+        FROM changes GROUP BY 1, 2
+        UNION ALL
+        SELECT 'final', l_returnflag, COUNT(*), SUM(l_quantity)
+        FROM ins GROUP BY 1, 2)
+      SELECT section, l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(sum_qty AS BIGINT) AS sum_qty
+      FROM sections""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.{DeletionVectors, DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q113")
+    val t = s"$scratch/t"
+    try {
+      // lineitem in ONE file, 50% deleted: the vector must CROSS the
+      // 4 KiB inline threshold at every verify scale (sf0.001's ~3k
+      // entries = ~6 KiB) so the superseded DV is a real sidecar FILE —
+      // documents/smaller fractions stay inline and would leave the
+      // reclaim head untested
+      val docs = table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      DeltaTable.write(docs.repartition(1),
+        t, SaveMode.Append)                                               // v0
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableDeletionVectors" -> "true"))                     // v1
+      DeltaTable.delete(spark, t,
+        pmod(col("l_orderkey"), lit(2L)) === 1L)                          // v2
+      val dvHead = DeltaLog.snapshot(spark, t)
+      val sidecars = dvHead.files.flatMap(_.dv)
+        .flatMap(DeletionVectors.tombstonePath).distinct
+      require(sidecars.nonEmpty, "q113: the DV delete must leave sidecars")
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      sidecars.foreach(s => require(
+        fs.exists(new org.apache.hadoop.fs.Path(s"$t/$s")),
+        s"q113: sidecar $s must exist before the overwrite"))
+      DeltaTable.write(docs.filter(pmod(col("l_orderkey"), lit(4L)) === 0),
+        t, SaveMode.Overwrite)                                            // v3
+      // (a) derived feed over JUST the overwrite commit: deletes are the
+      // pre-overwrite live rows — DV-deleted rows must NOT re-report
+      val feed = DeltaTable.readChangeFeed(spark, t, 3L, Some(3L))
+      val cdfSec = feed
+        .select(concat(lit("cdf_"), col("_change_type")).as("section"),
+          col("l_returnflag"), col("l_quantity"))
+      val finalSec = DeltaTable.read(spark, t)
+        .select(lit("final").as("section"), col("l_returnflag"),
+          col("l_quantity"))
+      val agg = cdfSec.unionByName(finalSec)
+        .groupBy(col("section"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+      // materialize BEFORE vacuum reclaims the pre-overwrite files
+      val rows = agg.collect().toSeq
+      // (b) the superseded sidecars reclaim — possible only because the
+      // overwrite wrote their dataChange=false retention tombstones
+      DeltaTable.vacuumRemoved(spark, t, retainMs = 0L)
+      sidecars.foreach(s => require(
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$t/$s")),
+        s"q113: superseded sidecar $s must be reclaimable after overwrite"))
+      require(DeltaTable.read(spark, t).count() > 0,
+        "q113: the table must stay readable after the vacuum")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2354,7 +2446,7 @@ object Catalog {
         q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
         q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
-        q111DistributedDml, q112DistributedRestore) ++
+        q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -342,12 +342,14 @@ object DeltaLog {
       .filter(m => asOf.forall(m.version <= _))
     val cp = cpMeta.map(_.version)
     val allVs = versions(spark, table)
-    asOf.foreach(a => require(a < 0 || (allVs.nonEmpty && a <= allVs.max),
+    // a >= 0 included: a negative version must hit THIS named refusal,
+    // not surface downstream as an empty snapshot / "has no commits"
+    asOf.foreach(a => require(a >= 0 && allVs.nonEmpty && a <= allVs.max,
       s"delta: version $a does not exist at $table " +
         s"(head: ${if (allVs.isEmpty) "none" else allVs.max.toString})"))
     val vs = allVs.filter(v => asOf.forall(v <= _))
       .filter(v => cp.forall(v > _))
-    asOf.foreach(a => require(vs.nonEmpty || cp.nonEmpty || a < 0,
+    asOf.foreach(a => require(vs.nonEmpty || cp.nonEmpty,
       s"delta: no committed version <= $a at $table"))
     // reconstruction guards: without a checkpoint seed the JSON replay
     // must start at version 0, and either way the replayed range must be
@@ -554,12 +556,14 @@ object DeltaLog {
       .filter(m => asOf.forall(m.version <= _))
     val cp = cpMeta.map(_.version)
     val allVs = versions(spark, table)
-    asOf.foreach(a => require(a < 0 || (allVs.nonEmpty && a <= allVs.max),
+    // a >= 0 included: a negative version must hit THIS named refusal,
+    // not surface downstream as an empty snapshot / "has no commits"
+    asOf.foreach(a => require(a >= 0 && allVs.nonEmpty && a <= allVs.max,
       s"delta: version $a does not exist at $table " +
         s"(head: ${if (allVs.isEmpty) "none" else allVs.max.toString})"))
     val vs = allVs.filter(v => asOf.forall(v <= _))
       .filter(v => cp.forall(v > _))
-    asOf.foreach(a => require(vs.nonEmpty || cp.nonEmpty || a < 0,
+    asOf.foreach(a => require(vs.nonEmpty || cp.nonEmpty,
       s"delta: no committed version <= $a at $table"))
     require(cp.nonEmpty || vs.isEmpty || vs.head == 0L,
       s"delta: $table's log starts at version ${vs.headOption.getOrElse(-1L)} " +
@@ -663,7 +667,7 @@ object DeltaLog {
     // planning, so FS round-trips matter).
     val allVs = versions(spark, table)
     asOf.foreach(a =>
-      require(a < 0 || (allVs.nonEmpty && a <= allVs.max),
+      require(a >= 0 && allVs.nonEmpty && a <= allVs.max,
         s"delta: version $a does not exist at $table " +
           s"(head: ${if (allVs.isEmpty) "none" else allVs.max.toString})"))
     lastCheckpoint(spark, table)

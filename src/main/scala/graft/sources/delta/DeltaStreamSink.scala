@@ -366,8 +366,14 @@ private[delta] class DeltaBatchWrite(
           Seq(metaDataAction(effSchema.json, partCols, head.metaDataId,
             head.configuration))
         else hwmMeta
+      // truncate removes carry the removed incarnation's deletion
+      // vector + sidecar retention tombstones (the codebase-wide remove
+      // convention — derived CDF pre-images and vacuumRemoved need them)
       val removes =
-        if (truncate) head.files.map(f => removeAction(f.path, now))
+        if (truncate)
+          head.files.map(f => removeAction(f.path, now, dv = f.dv)) ++
+            head.files.flatMap(_.dv).flatMap(DeletionVectors.tombstonePath)
+              .distinct.map(p => removeAction(p, now, dataChange = false))
         else Seq.empty
       done = DeltaLog.commit(spark, table, head.version + 1,
         commitInfoAction(if (truncate) "WRITE OVERWRITE" else "WRITE APPEND",

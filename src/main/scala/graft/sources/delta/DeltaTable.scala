@@ -396,17 +396,33 @@ object DeltaTable {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("dvJson",
         org.apache.spark.sql.types.StringType)))
-    def rowsOf(fs: Seq[AddFile]): DataFrame = spark.createDataFrame(
-      spark.sparkContext.parallelize(fs.map(f => Row(f.path,
-        f.partitionValues, f.size, f.modificationTime,
-        f.stats.map(DeltaLog.renderStats).orNull,
-        f.dv.map(DeletionVectors.toJsonString).orNull)), 1), schema)
+    def rowsOf(fs: Seq[AddFile], parts: Int = 1): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(fs.map(f => Row(f.path,
+          f.partitionValues, f.size, f.modificationTime,
+          f.stats.map(DeltaLog.renderStats).orNull,
+          f.dv.map(DeletionVectors.toJsonString).orNull)), parts), schema)
     cpLiveState(spark, table, headV) match {
       case Some((live, tail)) =>
         import org.apache.spark.sql.functions.col
         live.select(schema.fieldNames.toSeq.map(col): _*)
           .unionByName(rowsOf(tail.tailLive))
-      case None => rowsOf(snapshot(spark, table, Some(headV)).files)
+      case None =>
+        // no covering checkpoint: the replay IS driver-sized here (the
+        // JSON log up to `headV` predates the newest checkpoint), but
+        // scale the RDD's partitioning to the list — a one-partition
+        // parallelize would serialize the whole list into one task —
+        // and say so when the table is past the threshold, so a restore
+        // to a deep-history version on a big table is diagnosable
+        // rather than silently driver-heavy
+        val files = snapshot(spark, table, Some(headV)).files
+        if (chooseDistributedReplay(spark, table))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft-delta: no checkpoint covers $table@v$headV — " +
+              s"replaying ${files.size} add actions driver-side (the " +
+              "distributed path needs a covering checkpoint; consider " +
+              "checkpointing before deep-history RESTORE/CLONE)")
+        rowsOf(files, math.max(1, files.size / 5000))
     }
   }
 
@@ -594,6 +610,19 @@ object DeltaTable {
                     txnVersion: Long,
                     partitionBy: Seq[String] = Seq.empty): Boolean =
     writeInternal(df, table, SaveMode.Append, txn = Some(appId -> txnVersion),
+      partitionBy = partitionBy)
+
+  /** [[appendWithTxn]]'s OVERWRITE form — the exactly-once REBASE
+    * commit an incremental-MV maintainer needs when its base table was
+    * rewritten ([[changesOrRebase]]): replace the table's contents and
+    * record (appId, txnVersion) atomically; a replayed rebase whose
+    * txnVersion is <= the recorded mark is skipped (returns false)
+    * BEFORE any remove is computed, so a duplicate maintenance tick
+    * cannot double-overwrite. */
+  def overwriteWithTxn(df: DataFrame, table: String, appId: String,
+                       txnVersion: Long,
+                       partitionBy: Seq[String] = Seq.empty): Boolean =
+    writeInternal(df, table, SaveMode.Overwrite, txn = Some(appId -> txnVersion),
       partitionBy = partitionBy)
 
   /** Distributed data write into a staging dir, then per-file renames
@@ -866,10 +895,18 @@ object DeltaTable {
       }
       val now = System.currentTimeMillis()
       // distOverwrite streams its removes at commit time (below); the
-      // driver path materializes them here from the replayed head
+      // driver path materializes them here from the replayed head.
+      // Removes CARRY the removed incarnation's deletion vector (the
+      // codebase-wide remove convention — readChangeFeed's derived
+      // pre-images exclude rows the head's vector had already deleted),
+      // and each superseded sidecar gets a dataChange=false retention
+      // tombstone so vacuumRemoved can reclaim it — same shape as the
+      // restore/DML remove writers.
       val removes =
         if (mode == SaveMode.Overwrite && !distOverwrite)
-          head.files.map(f => removeAction(f.path, now))
+          head.files.map(f => removeAction(f.path, now, dv = f.dv)) ++
+            head.files.flatMap(_.dv).flatMap(DeletionVectors.tombstonePath)
+              .distinct.map(p => removeAction(p, now, dataChange = false))
         else Seq.empty
       // schema contract: appends must match the table schema (silent
       // NULL-poisoning otherwise — the reader applies the LOG's schema to
@@ -959,24 +996,52 @@ object DeltaTable {
                                    headV: Long, now: Long): Iterator[String] = {
     import org.apache.spark.sql.functions.col
     import org.json4s.jackson.JsonMethods
-    def line(path: String): String =
-      JsonMethods.compact(JsonMethods.render(removeAction(path, now)))
+    // removes carry the removed incarnation's DV + sidecar retention
+    // tombstones (dataChange=false) — the codebase-wide remove
+    // convention; byte-identical to the driver path's lines
+    def lines(path: String, dv: Option[DvDescriptor],
+              seenSidecars: scala.collection.mutable.Set[String]): Seq[String] =
+      Seq(JsonMethods.compact(JsonMethods.render(
+        DeltaLog.removeAction(path, now, dv = dv)))) ++
+        dv.flatMap(DeletionVectors.tombstonePath).filter(seenSidecars.add)
+          .map(s => JsonMethods.compact(JsonMethods.render(
+            DeltaLog.removeAction(s, now, dataChange = false))))
     cpLiveState(spark, table, headV) match {
       case None =>
         // no covering checkpoint: the JSON log is driver-sized by
         // construction — replay it (routing normally guarantees a
         // checkpoint; this arm covers the checkpoint-raced-past-head gap)
-        snapshot(spark, table, Some(headV)).files.iterator.map(f => line(f.path))
+        val seen = scala.collection.mutable.Set.empty[String]
+        snapshot(spark, table, Some(headV)).files.iterator
+          .flatMap(f => lines(f.path, f.dv, seen))
       case Some((live, tail)) =>
         import scala.jdk.CollectionConverters._
         import spark.implicits._
         val nowC = now
-        val rendered = live.select(col("path")).as[String]
-          .mapPartitions(_.map(p =>
-            JsonMethods.compact(JsonMethods.render(
-              DeltaLog.removeAction(p, nowC)))))
+        val tableStr = table
+        val rendered = live.select(col("path"), col("dvJson"))
+          .as[(String, String)]
+          .mapPartitions { it =>
+            // per-partition sidecar-tombstone dedup (packed sidecars
+            // shared by several files emit once per partition; a
+            // cross-partition duplicate tombstone is replay-idempotent)
+            val seenSidecars = scala.collection.mutable.Set.empty[String]
+            it.flatMap { case (p, dvJson) =>
+              val dv = Option(dvJson).filter(x => x.nonEmpty && x != "null")
+                .map(x => DeletionVectors.fromJsonString(x).getOrElse(
+                  throw new IllegalStateException(
+                    s"delta: unparseable deletionVector in $tableStr's log " +
+                      "during overwrite — refusing rather than dropping it")))
+              Seq(JsonMethods.compact(JsonMethods.render(
+                DeltaLog.removeAction(p, nowC, dv = dv)))) ++
+                dv.flatMap(DeletionVectors.tombstonePath).filter(seenSidecars.add)
+                  .map(s => JsonMethods.compact(JsonMethods.render(
+                    DeltaLog.removeAction(s, nowC, dataChange = false))))
+            }
+          }
+        val seenTail = scala.collection.mutable.Set.empty[String]
         rendered.toLocalIterator.asScala ++
-          tail.tailLive.iterator.map(f => line(f.path))
+          tail.tailLive.iterator.flatMap(f => lines(f.path, f.dv, seenTail))
     }
   }
 
@@ -2747,6 +2812,37 @@ object DeltaTable {
         "append-only tailing cannot represent removes; re-read the full snapshot")
     (readFiles(spark, table, logSchema(head, table), head.partitionColumns,
       commits.flatMap(_.adds).filter(_.dataChange)), head.version)
+  }
+
+  /** [[changesSince]] that DEGRADES to a rebase instead of raising:
+    * same append-only tail and cursor semantics, but when the window
+    * cannot be represented as appends — a data-changing remove
+    * (overwrite / row-level DML / merge / restore) landed in it, or log
+    * cleaning dropped unread commits past the cursor — it returns the
+    * FULL head snapshot with `rebase = true`, telling the consumer to
+    * REPLACE its derived state rather than fold a delta. This is the
+    * right consumption shape for self-maintainable aggregates over a
+    * rewritten base: the derived change feed would surface an overwrite
+    * as delete+insert pairs of every (mostly untouched) row — correct
+    * but O(table) churn — while one aggregate over the new snapshot is
+    * the same answer at the same cost WITHOUT pushing the churn through
+    * the MV's delta log (round-14 verdict ask #4; consumed by
+    * [[graft.streaming.IncrementalAgg]]`.maintainFromBase`). */
+  def changesOrRebase(spark: SparkSession, table: String,
+                      sinceVersion: Long): (DataFrame, Long, Boolean) = {
+    val head = DeltaLog.metaSnapshot(spark, table)
+    require(!head.isEmpty, s"delta: $table has no commits")
+    val allVs = versions(spark, table)
+    val newVersions = allVs.filter(v => v > sinceVersion && v <= head.version)
+    val dense = newVersions == (sinceVersion + 1 to head.version)
+    if (!dense)
+      return (read(spark, table), head.version, true)
+    val commits = newVersions.map(DeltaLog.readCommit(spark, table, _))
+    if (commits.exists(_.dataChangingRemoves > 0))
+      (read(spark, table), head.version, true)
+    else
+      (readFiles(spark, table, logSchema(head, table), head.partitionColumns,
+        commits.flatMap(_.adds).filter(_.dataChange)), head.version, false)
   }
 
   /** A maintenance rewrite: remove `olds`, add the staged rewrite of

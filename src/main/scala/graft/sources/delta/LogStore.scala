@@ -102,9 +102,13 @@ object LogStore {
       * TEMP file whose cleanup a finally guarantees even when the
       * iterator throws, then commit atomically: local filesystems via
       * the same hard link as [[putIfAbsent]], other schemes via
-      * `rename` — atomic and non-overwriting on HDFS-semantics stores
-      * (the same primitive upstream's HDFSLogStore commits with), so of
-      * two racers one rename wins and one observably fails. */
+      * `create(dst, overwrite = false)` + copy-from-tmp — the SAME
+      * primitive [[putIfAbsent]]'s byte form commits with, so the
+      * exactly-once guarantee is identical (an exists-then-rename here
+      * would let two racers both pass the check on stores whose rename
+      * overwrites, and the loser would clobber the winner's commit).
+      * The tmp body is complete and driver-local by then, so the copy
+      * has no mid-stream-failure window. */
     override def putIfAbsentStreamed(fs: FileSystem, dst: Path,
                                      chunks: Iterator[Array[Byte]]): Boolean = {
       val tmp = new Path(dst.getParent, s".tmp-${java.util.UUID.randomUUID()}.json")
@@ -121,8 +125,15 @@ object LogStore {
             case _: java.nio.file.FileAlreadyExistsException => false
           }
         } else {
-          if (fs.exists(dst)) false
-          else fs.rename(tmp, dst)
+          try {
+            val dstOut = fs.create(dst, false)
+            try {
+              val in = fs.open(tmp)
+              try org.apache.hadoop.io.IOUtils.copyBytes(in, dstOut, 65536, false)
+              finally in.close()
+            } finally dstOut.close()
+            true
+          } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
         }
       } finally fs.delete(tmp, false)
     }

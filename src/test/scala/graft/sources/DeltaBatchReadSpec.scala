@@ -203,6 +203,14 @@ class DeltaBatchReadSpec extends SparkSpec {
       def chain(x: Throwable): String =
         if (x == null) "" else Option(x.getMessage).getOrElse("") + chain(x.getCause)
       assert(chain(e).contains("does not exist"), chain(e))
+      // a NEGATIVE version hits the same named refusal (round-15 ADVICE:
+      // the old `a < 0 ||` escape surfaced it downstream as an empty
+      // snapshot / "has no commits" instead)
+      val eNeg = intercept[Exception] {
+        spark.read.format("graft-delta").option("versionAsOf", "-1")
+          .load(t).collect()
+      }
+      assert(chain(eNeg).contains("does not exist"), chain(eNeg))
       // DeltaTable.read agrees (it routes through the same replay)
       assert(DeltaTable.read(spark, t).count() === 11L)
     } finally spark.conf.unset("spark.graft.delta.distributedReplayThreshold")

@@ -324,6 +324,54 @@ class DeltaSpec extends SparkSpec {
     assert(state() === Set(("run", 15L, 3L)))
   }
 
+  test("MV over a base table REBASES on overwrite instead of replaying churn") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import graft.streaming.IncrementalAgg
+    val base = tmp(); val mv = tmp()
+    def mvState() = IncrementalAgg.viewDelta(spark, mv, "sport_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def baseAgg() = DeltaTable.read(spark, base).groupBy("sport_type")
+      .agg(sum(col("distance")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def tick(cursor: Long) = IncrementalAgg.maintainFromBase(
+      spark, base, mv, "sport_type", "distance", cursor)
+    // appends fold in as O(|new rows|) delta layers
+    DeltaTable.write(Seq(("run", 5L), ("bike", 20L))
+      .toDF("sport_type", "distance"), base, SaveMode.Append)          // v0
+    var cur = tick(-1L)
+    assert(cur === 0L)
+    assert(mvState() === Set(("run", 5L, 1L), ("bike", 20L, 1L)))
+    DeltaTable.write(Seq(("run", 7L)).toDF("sport_type", "distance"),
+      base, SaveMode.Append)                                           // v1
+    cur = tick(cur)
+    assert(mvState() === Set(("run", 12L, 2L), ("bike", 20L, 1L)))
+    // idle tick: same cursor, no MV commit
+    val idleVer = DeltaLog.snapshot(spark, mv).version
+    assert(tick(cur) === cur)
+    assert(DeltaLog.snapshot(spark, mv).version === idleVer)
+    // base OVERWRITE: the maintainer REBASES — ONE overwrite commit
+    // whose content is the head aggregate, not O(table) derived churn
+    DeltaTable.write(Seq(("swim", 100L), ("run", 1L))
+      .toDF("sport_type", "distance"), base, SaveMode.Overwrite)       // v2
+    cur = tick(cur)
+    assert(cur === 2L)
+    assert(mvState() === baseAgg())
+    assert(mvState() === Set(("swim", 100L, 1L), ("run", 1L, 1L)))
+    assert(DeltaLog.snapshot(spark, mv).version === idleVer + 1,
+      "the rebase must be exactly one MV commit")
+    // at-least-once maintenance: a replayed tick (stale cursor) is
+    // refused by the MV log's txn mark, never double-applied
+    assert(tick(1L) === 2L)
+    assert(DeltaLog.snapshot(spark, mv).version === idleVer + 1)
+    assert(mvState() === Set(("swim", 100L, 1L), ("run", 1L, 1L)))
+    // appends after the rebase keep folding incrementally
+    DeltaTable.write(Seq(("swim", 50L)).toDF("sport_type", "distance"),
+      base, SaveMode.Append)                                           // v3
+    cur = tick(cur)
+    assert(mvState() === Set(("swim", 150L, 2L), ("run", 1L, 1L)))
+    assert(mvState() === baseAgg())
+  }
+
   test("checkpoint: seeds the snapshot, JSON replays on top, txns + time travel survive") {
     val t = tmp()
     DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)       // v0

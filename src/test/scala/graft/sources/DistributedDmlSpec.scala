@@ -91,9 +91,10 @@ class DistributedDmlSpec extends SparkSpec {
       op(b)
     }
     val (ca, cb) = (lastCommit(a), lastCommit(b))
-    assert(cb.removes.map(r => (r.path, r.dataChange)).toSet ===
-      ca.removes.map(r => (r.path, r.dataChange)).toSet,
-      "the distributed path must remove exactly the driver path's files")
+    assert(cb.removes.map(r => (r.path, r.dataChange, r.dv)).toSet ===
+      ca.removes.map(r => (r.path, r.dataChange, r.dv)).toSet,
+      "the distributed path must remove exactly the driver path's files, " +
+        "deletion vectors included")
     assert(cb.adds.size === ca.adds.size,
       "both paths must stage the same number of replacement files")
     assert(contents(b) === contents(a),
@@ -192,6 +193,47 @@ class DistributedDmlSpec extends SparkSpec {
     DeltaTable.write(Seq((3L, 2L, "r3")).toDF("id", "k", "s"), b,
       SaveMode.Append)
     assert(DeltaTable.read(spark, b).count() === 3L)
+  }
+
+  test("OVERWRITE removes on a DV table carry the vectors + sidecar tombstones") {
+    val (t, _) = staged()
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    // DV DELETE marks rows in place; checkpoint AFTER it so the streamed
+    // overwrite's remove lines render from the checkpoint frame's dvJson
+    DeltaTable.delete(spark, t, pmod(col("id"), lit(10L)) === 1L)
+    DeltaLog.checkpoint(spark, t)
+    // plus one DV-bearing file in the JSON tail (the driver-side arm of
+    // the streamed form)
+    DeltaTable.write(Seq((500L, 0L, "v500"), (501L, 0L, "v501"))
+      .toDF("id", "k", "s"), t, SaveMode.Append)
+    DeltaTable.delete(spark, t, col("id") === 500L)
+    val head = DeltaLog.snapshot(spark, t)
+    val dvByPath = head.files.flatMap(f => f.dv.map(f.path -> _)).toMap
+    assert(dvByPath.nonEmpty, "staging must leave DV-bearing live files")
+    val files = head.files.size.toLong
+    val replacement = Seq((1L, 0L, "r1")).toDF("id", "k", "s")
+    val a = copyTable(t)
+    val b = copyTable(t)
+    DeltaTable.write(replacement, a, SaveMode.Overwrite)
+    withThreshold(files) {
+      assert(DeltaTable.chooseDistributedReplay(spark, b),
+        "the lowered threshold must actually route the streamed overwrite")
+      DeltaTable.write(replacement, b, SaveMode.Overwrite)
+    }
+    val (ca, cb) = (lastCommit(a), lastCommit(b))
+    val sidecars = dvByPath.values.flatMap(DeletionVectors.tombstonePath).toSet
+    for (c <- Seq(ca, cb)) {
+      val fileRemoves = c.removes.filter(_.dataChange)
+      assert(fileRemoves.flatMap(r => r.dv.map(r.path -> _)).toMap === dvByPath,
+        "overwrite removes must carry each removed incarnation's vector")
+      assert(c.removes.filterNot(_.dataChange).map(_.path).toSet === sidecars,
+        "each superseded sidecar must get a retention tombstone")
+    }
+    assert(cb.removes.map(r => (r.path, r.dataChange, r.dv)).toSet ===
+      ca.removes.map(r => (r.path, r.dataChange, r.dv)).toSet,
+      "streamed and driver overwrite removes must be set-identical, dv included")
+    assert(contents(a) === contents(b))
   }
 
   test("distributed schema-changing OVERWRITE re-emits metaData like the driver path") {
