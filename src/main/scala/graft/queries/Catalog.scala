@@ -2434,6 +2434,88 @@ object Catalog {
     }
   }
 
+  /** In-commit timestamps (q114, round 15): the `inCommitTimestamp`
+    * writer feature makes commit times part of the COMMIT — monotonic,
+    * storage-independent — so TIMESTAMP AS OF and the change feed
+    * survive the log-migration mtime reset a long-lived 100 TB table
+    * actually goes through. The gate enables the feature, runs DML,
+    * RESETS every log file's mtime to year 2000 (the migration), and
+    * proves timestamp resolution + feed stamps still read the icts;
+    * content oracle-exact at both the as-of point and the head. */
+  val q114InCommitTs: Q = Q(
+    "q114_in_commit_ts",
+    oracle = Some("""
+      WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+      afterdel AS (SELECT * FROM base WHERE doc_id % 10 <> 2),
+      appended AS (SELECT * FROM base WHERE doc_id % 7 = 3),
+      fin AS (SELECT * FROM afterdel UNION ALL SELECT * FROM appended),
+      sections AS (
+        SELECT 'asof_v2' AS section, lang, COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars
+        FROM afterdel GROUP BY 2
+        UNION ALL
+        SELECT 'final', lang, COUNT(*), SUM(n_chars) FROM fin GROUP BY 2)
+      SELECT section, lang, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM sections""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q114")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      DeltaTable.write(docs.repartitionByRange(4, col("doc_id")),
+        t, SaveMode.Append)                                               // v0
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableInCommitTimestamps" -> "true",
+          "delta.enableDeletionVectors" -> "true"))                       // v1
+      val head1 = DeltaLog.snapshot(spark, t)
+      require(head1.writerFeatures.contains("inCommitTimestamp"),
+        "q114: enabling must list the writer feature")
+      require(head1.configuration.get(
+        "delta.inCommitTimestampEnablementVersion").contains("1"),
+        "q114: the enablement version must record the enabling commit")
+      DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10L)) === 2L)   // v2
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(7L)) === 3),
+        t, SaveMode.Append)                                               // v3
+      // the feed's _commit_timestamp carries the icts: strictly
+      // increasing with version — the protocol's monotonic guarantee
+      val stamps = DeltaTable.readChangeFeed(spark, t, 2L, Some(3L))
+        .select(col("_commit_version"), col("_commit_timestamp"))
+        .distinct().collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+      require(stamps.size == 2 && stamps(2L) < stamps(3L),
+        s"q114: icts must be strictly increasing, got $stamps")
+      // THE MIGRATION: every commit file's mtime resets — an
+      // mtime-derived history would collapse; icts must not care
+      new java.io.File(s"$t/_delta_log").listFiles()
+        .filter(_.getName.endsWith(".json"))
+        .foreach(f => require(f.setLastModified(946684800000L)))
+      require(DeltaTable.versionAtTimestamp(spark, t, stamps(2L)) == 2L,
+        "q114: TIMESTAMP AS OF must resolve by ict after the migration")
+      require(DeltaTable.versionAtTimestamp(spark, t, stamps(3L)) == 3L,
+        "q114: the head ict must resolve to the head")
+      val asofV = DeltaTable.versionAtTimestamp(spark, t, stamps(2L))
+      val asof = DeltaTable.read(spark, t, Some(asofV))
+        .select(lit("asof_v2").as("section"), col("lang"), col("n_chars"))
+      val fin = DeltaTable.read(spark, t)
+        .select(lit("final").as("section"), col("lang"), col("n_chars"))
+      val agg = asof.unionByName(fin)
+        .groupBy(col("section"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2446,7 +2528,8 @@ object Catalog {
         q100bDeleteRewrite, q101GeneratedIdentity, q103DvMerge,
         q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
-        q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf) ++
+        q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
+        q114InCommitTs) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -131,7 +131,8 @@ object DeltaLog {
   val SupportedWriterFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "identityColumns",
     "generatedColumns", "allowColumnDefaults", "checkConstraints",
-    "invariants", "appendOnly", "changeDataFeed", "timestampNtz")
+    "invariants", "appendOnly", "changeDataFeed", "timestampNtz",
+    "inCommitTimestamp")
 
   private[delta] def checkWritable(table: String, head: Snapshot): Unit = {
     require(head.minWriterVersion <= 7,
@@ -185,6 +186,7 @@ object DeltaLog {
       metaDataId: Option[String],
       operation: Option[String] = None,
       timestampMs: Long = 0L,
+      ictMs: Option[Long] = None,
       cdcFiles: Seq[CdcFile] = Seq.empty,
       configuration: Option[Map[String, String]] = None,
       protocol: Option[(Int, Int, Set[String], Set[String])] = None) {
@@ -210,6 +212,7 @@ object DeltaLog {
     var metaId: Option[String] = None
     var operation: Option[String] = None
     var timestamp = 0L
+    var ict: Option[Long] = None
     var configuration: Option[Map[String, String]] = None
     var protocol: Option[(Int, Int, Set[String], Set[String])] = None
     def dataChangeOf(j: JValue): Boolean = j match {
@@ -291,6 +294,10 @@ object DeltaLog {
         case JString(op) =>
           operation = Some(op)
           timestamp = longOf(j \ "commitInfo" \ "timestamp")
+          ict = longOf(j \ "commitInfo" \ "inCommitTimestamp", -1L) match {
+            case -1L => None
+            case t => Some(t)
+          }
         case _ => ()
       }
       (j \ "protocol" \ "minReaderVersion") match {
@@ -307,7 +314,7 @@ object DeltaLog {
       }
     }
     CommitActions(adds.toSeq, removes.toSeq, schemaJson, partCols, txns.toMap,
-      metaId, operation, timestamp, cdcs.toSeq, configuration, protocol)
+      metaId, operation, timestamp, ict, cdcs.toSeq, configuration, protocol)
   }
 
   /** Best-available commit time: `commitInfo.timestamp` when the commit
@@ -317,11 +324,15 @@ object DeltaLog {
     * (upstream's CDCReader falls back the same way). */
   private[delta] def commitTimestamp(spark: SparkSession, table: String,
                                      v: Long, c: CommitActions): Long =
-    if (c.timestampMs > 0) c.timestampMs
-    else {
-      val tbl = new Path(table)
-      fs(spark, tbl).getFileStatus(logFile(tbl, v)).getModificationTime
-    }
+    // preference order mirrors upstream: the protocol's monotonic
+    // inCommitTimestamp when the table writes them, else the advisory
+    // commitInfo.timestamp, else the file's mtime (external commits)
+    c.ictMs.getOrElse(
+      if (c.timestampMs > 0) c.timestampMs
+      else {
+        val tbl = new Path(table)
+        fs(spark, tbl).getFileStatus(logFile(tbl, v)).getModificationTime
+      })
 
   /** Replay the log through `asOf` (or to the head): seed from the
     * newest usable parquet CHECKPOINT if one exists (protocol
@@ -1393,19 +1404,103 @@ object DeltaLog {
     removed
   }
 
+  /** Is the `inCommitTimestamp` writer feature active per the table
+    * configuration this commit writes under? */
+  private[delta] def ictEnabled(config: Map[String, String]): Boolean =
+    config.get("delta.enableInCommitTimestamps").exists(_.toBoolean)
+
+  /** The commit `v`'s inCommitTimestamp, read as ONE buffered first
+    * line — under the ICT feature commitInfo MUST be the commit's first
+    * action, so this never materializes the body (which is O(#files)
+    * on an overwrite). None: the file was retired by log cleaning, or
+    * the commit predates enablement. */
+  private[delta] def ictOf(f: FileSystem, tbl: Path, v: Long): Option[Long] = {
+    if (v < 0) return None
+    try {
+      val in = f.open(logFile(tbl, v))
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        Option(br.readLine()).flatMap { l =>
+          JsonMethods.parse(l) \ "commitInfo" \ "inCommitTimestamp" match {
+            case JInt(n) => Some(n.toLong)
+            case JLong(n) => Some(n)
+            case _ => None
+          }
+        }
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Stamp the protocol's MONOTONIC in-commit timestamp onto `actions`'
+    * leading commitInfo (PROTOCOL.md "In-Commit Timestamps"): the
+    * enabling commit itself takes the enablement timestamp its
+    * metaData records (`delta.inCommitTimestampEnablementVersion` /
+    * `...EnablementTimestamp`, written by [[DeltaTable.setProperties]]
+    * in the same commit); every later commit takes
+    * `max(now, parent's ict + 1)` — never regressing under clock skew,
+    * which is the whole point: TIMESTAMP AS OF and history stay
+    * correct across log migration (mtime resets) and multi-writer
+    * clock drift, the failure mode a 100 TB table's storage lifecycle
+    * actually hits. A commitInfo already carrying the field keeps it
+    * (idempotent across retry loops that rebuilt the action list); a
+    * caller-supplied action list WITHOUT a leading commitInfo gets one
+    * prepended, because the feature requires commitInfo first. */
+  private def withIct(f: FileSystem, tbl: Path, v: Long,
+                      actions: Seq[JValue],
+                      config: Map[String, String]): Seq[JValue] = {
+    val already = actions.headOption.exists {
+      case JObject(fields) => fields.exists {
+        case ("commitInfo", JObject(ci)) =>
+          ci.exists(_._1 == "inCommitTimestamp")
+        case _ => false
+      }
+      case _ => false
+    }
+    if (already) return actions
+    val fromEnablement = for {
+      ev <- config.get("delta.inCommitTimestampEnablementVersion")
+        .flatMap(x => scala.util.Try(x.toLong).toOption)
+      if ev == v
+      et <- config.get("delta.inCommitTimestampEnablementTimestamp")
+        .flatMap(x => scala.util.Try(x.toLong).toOption)
+    } yield et
+    val ict = fromEnablement.getOrElse(
+      math.max(System.currentTimeMillis(),
+        ictOf(f, tbl, v - 1).map(_ + 1L).getOrElse(0L)))
+    actions.headOption match {
+      case Some(JObject(fields)) if fields.exists(_._1 == "commitInfo") =>
+        JObject(fields.map {
+          case ("commitInfo", JObject(ci)) =>
+            "commitInfo" -> (JObject(
+              ci :+ ("inCommitTimestamp" -> (JLong(ict): JValue)): _*): JValue)
+          case other => other
+        }: _*) +: actions.tail
+      case _ =>
+        JObject("commitInfo" -> JObject(
+          "timestamp" -> (JLong(ict): JValue),
+          "operation" -> (JString("COMMIT"): JValue),
+          "inCommitTimestamp" -> (JLong(ict): JValue))) +: actions
+    }
+  }
+
   /** Atomically commit `actions` as version `v`. Returns false when v
     * already exists (another writer won — re-read the snapshot and
     * retry), true on success. The atomic create-if-absent is the
     * session's [[LogStore]] ([[LogStore.Hadoop]] by default: local
     * hard-link / HDFS create-no-overwrite; object stores plug a
-    * CAS-backed store in via `spark.graft.delta.logStore`). */
+    * CAS-backed store in via `spark.graft.delta.logStore`). Tables with
+    * in-commit timestamps enabled get the leading commitInfo stamped
+    * here ([[withIct]]) — the ONE funnel every writer goes through. */
   def commit(spark: SparkSession, table: String, v: Long,
              actions: Seq[JValue],
              headConfig: Option[Map[String, String]] = None): Boolean = {
     val tbl = new Path(table)
     val f = fs(spark, tbl)
     f.mkdirs(logDir(tbl))
-    val body = actions.map(a => JsonMethods.compact(JsonMethods.render(a)))
+    val acts = headConfig.filter(ictEnabled)
+      .map(c => withIct(f, tbl, v, actions, c)).getOrElse(actions)
+    val body = acts.map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     val ok = LogStore.forSession(spark).putIfAbsent(f, logFile(tbl, v), body)
     if (ok) maybeAutoCheckpoint(spark, table, v, headConfig)
@@ -1426,10 +1521,14 @@ object DeltaLog {
     val tbl = new Path(table)
     val f = fs(spark, tbl)
     f.mkdirs(logDir(tbl))
+    // the in-commit timestamp rides the PRE section's leading
+    // commitInfo, exactly like the byte-form path
+    val effPre = headConfig.filter(ictEnabled)
+      .map(c => withIct(f, tbl, v, pre, c)).getOrElse(pre)
     def render(as: Seq[JValue]): Iterator[Array[Byte]] =
       as.iterator.map(a =>
         (JsonMethods.compact(JsonMethods.render(a)) + "\n").getBytes("UTF-8"))
-    val chunks = render(pre) ++
+    val chunks = render(effPre) ++
       streamedLines.map(l => (l + "\n").getBytes("UTF-8")) ++ render(post)
     val ok = LogStore.forSession(spark)
       .putIfAbsentStreamed(f, logFile(tbl, v), chunks)
@@ -1529,6 +1628,24 @@ object DeltaLog {
         writerFeats == head.writerFeatures) Seq.empty
     else Seq(protocolAction(targetReader, targetWriter, readerFeats,
       writerFeats))
+  }
+
+  /** [[protocolUpgrade]] for a WRITER-ONLY feature: the reader side is
+    * untouched (reader version and features stay as they are — foreign
+    * READERS can read an ICT table with no new capability), the writer
+    * side bumps to `needWriter` and lists `feature` plus every active
+    * legacy writer capability (at writer 7 the list IS the contract). */
+  def protocolUpgradeWriter(head: Snapshot, needWriter: Int, feature: String,
+                            activeLegacyWriter: Set[String] = Set.empty): Seq[JValue] = {
+    val targetWriter = math.max(head.minWriterVersion, needWriter)
+    val writerFeats =
+      if (targetWriter < 7) Set.empty[String]
+      else head.writerFeatures ++ activeLegacyWriter ++
+        head.readerFeatures + feature
+    if (targetWriter == head.minWriterVersion &&
+        writerFeats == head.writerFeatures) Seq.empty
+    else Seq(protocolAction(head.minReaderVersion, targetWriter,
+      head.readerFeatures, writerFeats))
   }
 
   def metaDataAction(schemaJson: String,

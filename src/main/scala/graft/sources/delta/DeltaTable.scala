@@ -1771,11 +1771,38 @@ object DeltaTable {
         if (k.startsWith(ConstraintPrefix) && !head.configuration.get(k).contains(v))
           validateConstraint(spark, table, k.stripPrefix(ConstraintPrefix), v)
       }
-      done = commit(spark, table, head.version + 1, Seq(
-        commitInfoAction("SET TBLPROPERTIES"),
-        metaDataAction(head.schemaJson.getOrElse(""), head.partitionColumns,
-          head.metaDataId, head.configuration ++ props)),
-        Some(head.configuration ++ props))
+      // enabling IN-COMMIT TIMESTAMPS (PROTOCOL.md): the enabling commit
+      // itself must (a) list the writer-only feature so by-the-book
+      // foreign writers maintain monotonicity, (b) record the enablement
+      // version + timestamp properties — the timestamp IS this commit's
+      // inCommitTimestamp (DeltaLog.withIct reads them back for exactly
+      // this version), which is how mixed-history TIMESTAMP AS OF knows
+      // where ICT authority begins. Recomputed per retry attempt: the
+      // version moves with the conflict loop.
+      val enablingIct =
+        props.get("delta.enableInCommitTimestamps").exists(_.toBoolean) &&
+          !head.configuration.get("delta.enableInCommitTimestamps")
+            .exists(_.toBoolean)
+      val ictProps =
+        if (!enablingIct) Map.empty[String, String]
+        else Map(
+          "delta.inCommitTimestampEnablementVersion" ->
+            (head.version + 1).toString,
+          "delta.inCommitTimestampEnablementTimestamp" ->
+            System.currentTimeMillis().toString)
+      val protocolActs =
+        if (!enablingIct) Seq.empty
+        else DeltaLog.protocolUpgradeWriter(head, 7, "inCommitTimestamp",
+          activeLegacyWriter = head.schemaJson
+            .map(j => activeTableFeatures(head,
+              DataType.fromJson(j).asInstanceOf[StructType]))
+            .getOrElse(Set.empty))
+      val newConfig = head.configuration ++ props ++ ictProps
+      done = commit(spark, table, head.version + 1,
+        commitInfoAction("SET TBLPROPERTIES") +: (protocolActs :+
+          metaDataAction(head.schemaJson.getOrElse(""), head.partitionColumns,
+            head.metaDataId, newConfig)),
+        Some(newConfig))
     }
   }
 
@@ -2835,11 +2862,16 @@ object DeltaTable {
     val allVs = versions(spark, table)
     val newVersions = allVs.filter(v => v > sinceVersion && v <= head.version)
     val dense = newVersions == (sinceVersion + 1 to head.version)
+    // the rebase read PINS at the version returned as the cursor — a
+    // commit racing in between the snapshot and the read would
+    // otherwise be baked into this rebase AND re-delivered by the next
+    // tick's window (the same double-delivery changesSince's
+    // head-bounded window exists to prevent)
     if (!dense)
-      return (read(spark, table), head.version, true)
+      return (read(spark, table, Some(head.version)), head.version, true)
     val commits = newVersions.map(DeltaLog.readCommit(spark, table, _))
     if (commits.exists(_.dataChangingRemoves > 0))
-      (read(spark, table), head.version, true)
+      (read(spark, table, Some(head.version)), head.version, true)
     else
       (readFiles(spark, table, logSchema(head, table), head.partitionColumns,
         commits.flatMap(_.adds).filter(_.dataChange)), head.version, false)
