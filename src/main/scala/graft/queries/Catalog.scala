@@ -2516,6 +2516,70 @@ object Catalog {
     }
   }
 
+  /** MV-over-base maintenance with overwrite REBASE (q115, round 15):
+    * [[graft.streaming.IncrementalAgg]]`.maintainFromBase` tails a base
+    * graft-delta table — appends fold into the MV as O(|new rows|)
+    * delta layers, and an OVERWRITE of the base triggers ONE exactly-
+    * once rebase commit instead of replaying the derived O(table)
+    * delete+insert churn ([[graft.sources.delta.DeltaTable]]
+    * `.changesOrRebase`). Require-asserted: the rebase is exactly one
+    * MV commit, and a replayed maintenance tick (stale cursor) is
+    * refused by the MV's txn mark. Final MV content oracle-exact. */
+  val q115MvRebase: Q = Q(
+    "q115_mv_rebase",
+    oracle = Some("""
+      WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+      ow AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+      i3 AS (SELECT * FROM base WHERE doc_id % 5 = 4),
+      fin AS (SELECT * FROM ow UNION ALL SELECT * FROM i3)
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_m,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM fin GROUP BY lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    import graft.streaming.IncrementalAgg
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q115")
+    val base = s"$scratch/base"
+    val mv = s"$scratch/mv"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def tick(cur: Long): Long = IncrementalAgg.maintainFromBase(
+        spark, base, mv, "lang", "n_chars", cur)
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+        base, SaveMode.Append)                                            // v0
+      var cur = tick(-1L)
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(3L)) === 1),
+        base, SaveMode.Append)                                            // v1
+      cur = tick(cur)
+      val mvVerBefore = DeltaLog.snapshot(spark, mv).version
+      // base OVERWRITE → the maintainer REBASES in one commit
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        base, SaveMode.Overwrite)                                         // v2
+      cur = tick(cur)
+      require(DeltaLog.snapshot(spark, mv).version == mvVerBefore + 1,
+        "q115: the rebase must be exactly one MV commit")
+      // a replayed tick with a stale cursor is refused by the txn mark
+      require(tick(cur - 1) == cur,
+        "q115: a replayed tick must re-resolve to the current cursor")
+      require(DeltaLog.snapshot(spark, mv).version == mvVerBefore + 1,
+        "q115: the replayed tick must not commit")
+      // appends after the rebase keep folding incrementally
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(5L)) === 4),
+        base, SaveMode.Append)                                            // v3
+      cur = tick(cur)
+      val view = IncrementalAgg.viewDelta(spark, mv, "lang")
+      val rows = view.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), view.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2529,7 +2593,7 @@ object Catalog {
         q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
         q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
-        q114InCommitTs) ++
+        q114InCommitTs, q115MvRebase) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
