@@ -163,13 +163,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val config = properties.asScala.toMap -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
       TableCatalog.PROP_OWNER - TableCatalog.PROP_COMMENT
+    // creation-time IN-COMMIT-TIMESTAMP enablement delegates to the
+    // setProperties path: enabling is more than a property (the writer
+    // feature must be LISTED and the enablement version/timestamp
+    // recorded, or foreign by-the-book writers would not maintain the
+    // monotonic line) — creating with the bare property in v0's config
+    // would stamp commits while advertising nothing
+    val ictAtCreate =
+      config.get("delta.enableInCommitTimestamps").exists(_.toBoolean)
+    val createConfig =
+      if (ictAtCreate) config - "delta.enableInCommitTimestamps" else config
     // the creation IS a log commit: version 0 with protocol+metaData and
     // no files — every engine that can read the log sees the new table
     require(DeltaLog.commit(spark, p.toString, 0L, Seq(
       DeltaLog.commitInfoAction("CREATE TABLE"),
       DeltaLog.protocolAction,
-      DeltaLog.metaDataAction(schema.json, partCols, configuration = config))),
+      DeltaLog.metaDataAction(schema.json, partCols,
+        configuration = createConfig))),
       s"graft catalog: concurrent creation of $ident")
+    if (ictAtCreate)
+      DeltaTable.setProperties(spark, p.toString,
+        Map("delta.enableInCommitTimestamps" -> "true"))
     loadTable(ident)
   }
 

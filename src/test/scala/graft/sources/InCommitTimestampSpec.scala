@@ -108,6 +108,36 @@ class InCommitTimestampSpec extends SparkSpec {
     assert(feed(2L) === ict2 && feed(3L) === ict3)
   }
 
+  test("CREATE TABLE ... TBLPROPERTIES(ict) enables conformantly via the enabling commit") {
+    val warehouse =
+      java.nio.file.Files.createTempDirectory("ictcat").toString
+    spark.conf.set("spark.sql.catalog.graftict",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftict.warehouse", warehouse)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftict.db")
+      spark.sql("""CREATE TABLE graftict.db.t (id BIGINT, s STRING)
+                   TBLPROPERTIES('delta.enableInCommitTimestamps'='true')""")
+      val t = s"$warehouse/db/t"
+      val head = DeltaLog.snapshot(spark, t)
+      // creation delegated enabling to its own commit (v1): the feature
+      // is LISTED and the enablement props point at the enabling commit
+      // — a bare v0 property would have stamped while advertising nothing
+      assert(head.writerFeatures.contains("inCommitTimestamp"))
+      assert(head.configuration.get(
+        "delta.inCommitTimestampEnablementVersion").contains("1"))
+      assert(commitOf(t, 1L).ictMs.isDefined)
+      spark.sql("INSERT INTO graftict.db.t VALUES (1, 'a')")
+      val icts = (1L to DeltaLog.snapshot(spark, t).version)
+        .map(v => commitOf(t, v).ictMs.get)
+      assert(icts === icts.sorted && icts.distinct.size === icts.size)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graftict.db.t")
+      spark.conf.unset("spark.sql.catalog.graftict")
+      spark.conf.unset("spark.sql.catalog.graftict.warehouse")
+    }
+  }
+
   test("the streamed commit path stamps the same way (overwrite past the threshold)") {
     val t = tmp()
     val df = (0L until 200L).toDF("id")
