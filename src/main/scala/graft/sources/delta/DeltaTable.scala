@@ -1858,10 +1858,19 @@ object DeltaTable {
         .mapPartitions(_.map(r =>
           JsonMethods.compact(JsonMethods.render(abs(toAdd(r))))))
       val done = DeltaLog.commitStreamed(spark, target, 0L,
-        Seq(commitInfoAction("CLONE", now), protocolAction,
+        Seq(commitInfoAction("CLONE", now),
+          // the SOURCE's protocol, not the default: the clone's adds
+          // carry the source's deletion-vector descriptors / mapped
+          // physical names — a (1,2) target would tell protocol-honoring
+          // foreign readers to ignore the vectors and RESURRECT deleted
+          // rows (round-15 review find)
+          DeltaLog.protocolAction(srcMeta.minReaderVersion,
+            srcMeta.minWriterVersion, srcMeta.readerFeatures,
+            srcMeta.writerFeatures),
           metaDataAction(srcMeta.schemaJson.getOrElse(""),
             srcMeta.partitionColumns, configuration = srcMeta.configuration)),
-        addLines.toLocalIterator.asScala, Seq.empty)
+        addLines.toLocalIterator.asScala, Seq.empty,
+        Some(srcMeta.configuration))
       require(done, s"delta: clone target $target already exists")
       return
     }
@@ -1870,9 +1879,11 @@ object DeltaTable {
     val adds = src.files.map(absolutize)
     val done = commit(spark, target, 0L,
       commitInfoAction("CLONE", now) +:
-        (Seq(protocolAction,
+        (Seq(DeltaLog.protocolAction(src.minReaderVersion,
+            src.minWriterVersion, src.readerFeatures, src.writerFeatures),
           metaDataAction(src.schemaJson.getOrElse(""), src.partitionColumns,
-            configuration = src.configuration)) ++ adds))
+            configuration = src.configuration)) ++ adds),
+      Some(src.configuration))
     require(done, s"delta: clone target $target already exists")
   }
 

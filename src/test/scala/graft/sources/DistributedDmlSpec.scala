@@ -394,6 +394,20 @@ class DistributedDmlSpec extends SparkSpec {
     assert(contents(b) === contents(a) && contents(b) === contents(t))
     assert(contents(b).forall(_._1 % 10 != 1),
       "the clone must honor the source's deletion vectors")
+    // the clone carries the SOURCE's protocol, not the default: its adds
+    // reference DV descriptors, and a (1,2) target would tell a
+    // protocol-honoring foreign reader to ignore them and resurrect the
+    // deleted rows (round-15 review find)
+    val srcHead = DeltaLog.snapshot(spark, t)
+    for (x <- Seq(a, b)) {
+      val h = DeltaLog.snapshot(spark, x)
+      assert((h.minReaderVersion, h.minWriterVersion) ===
+        ((srcHead.minReaderVersion, srcHead.minWriterVersion)))
+      assert(h.readerFeatures === srcHead.readerFeatures &&
+        h.writerFeatures === srcHead.writerFeatures)
+      assert(h.readerFeatures.contains("deletionVectors"),
+        "a DV-bearing clone must DECLARE deletionVectors")
+    }
   }
 
   test("a past-threshold CANDIDATE set refuses loudly; pruned DML on the same table runs") {
