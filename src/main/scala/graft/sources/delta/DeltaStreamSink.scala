@@ -147,7 +147,8 @@ private[delta] class DeltaStreamingWrite(
         s"graft-delta sink: stream schema ${writeSchema.catalogString} does " +
           "not match the table schema — appends enforce schema")
       val meta =
-        if (head.isEmpty) Seq(protocolAction,
+        if (head.isEmpty) Seq(
+          DeltaTable.creationProtocol(writeSchema, Map.empty),
           metaDataAction(writeSchema.json, partCols))
         else Seq.empty
       done = DeltaLog.commit(spark, table, head.version + 1,
@@ -358,7 +359,8 @@ private[delta] class DeltaBatchWrite(
         case _ => Seq.empty
       }
       val meta =
-        if (head.isEmpty) Seq(protocolAction,
+        if (head.isEmpty) Seq(
+          DeltaTable.creationProtocol(writeSchema, Map.empty),
           metaDataAction(writeSchema.json, partCols))
         else if (truncate && !sameSchema)
           // effSchema, not writeSchema: the staged files were written

@@ -958,7 +958,9 @@ object DeltaTable {
             if (s.step > 0) v > s.base else v < s.base) }
         }
       val meta =
-        if (head.isEmpty) Seq(protocolAction, metaDataAction(effSchema.json, parts))
+        if (head.isEmpty)
+          Seq(creationProtocol(effSchema, Map.empty),
+            metaDataAction(effSchema.json, parts))
         else if (metaSchema.isEmpty && effHwm.isEmpty) Seq.empty
         else Seq(metaDataAction(
           GeneratedColumns.withHwm(
@@ -1624,6 +1626,49 @@ object DeltaTable {
     * list the contract at 7): a foreign writer consults it to know
     * which invariants to maintain, so omitting, say, checkConstraints
     * would let a by-the-book writer skip enforcement. */
+  /** The protocol action a table CREATION must declare for this
+    * schema + configuration, per PROTOCOL.md's legacy-version capability
+    * ladder: column DEFAULTs and in-commit timestamps are table-features
+    * ONLY (writer 7 with the active capability list — a by-the-book
+    * foreign writer reads the list to know which invariants to
+    * maintain); identity columns imply writer 6; generated columns and
+    * change data feed writer 4; CHECK constraints writer 3; plain
+    * tables stay at the (1, 2) default. Creating an identity table at
+    * (1, 2) was the round-15 review find: a protocol-honoring foreign
+    * writer would have appended without maintaining the high-water
+    * mark, silently breaking allocation. CDF intent is read from the
+    * PROPERTY only (never the session override — a session conf must
+    * not change what a table's log permanently declares). */
+  private[delta] def creationProtocol(schema: StructType,
+                                      config: Map[String, String]): org.json4s.JValue = {
+    val hasDefaults = schema.fields.exists(_.metadata.contains(
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+    val ict = DeltaLog.ictEnabled(config)
+    val hasIdentity = GeneratedColumns.identityOf(schema).nonEmpty
+    val hasGenerated = GeneratedColumns.generatedOf(schema).nonEmpty
+    val cdf = config.get("delta.enableChangeDataFeed").exists(_.toBoolean)
+    val constraints = constraintsOf(config).nonEmpty
+    if (hasDefaults || ict) {
+      var feats = Set.empty[String]
+      if (hasDefaults) feats += "allowColumnDefaults"
+      if (ict) feats += "inCommitTimestamp"
+      if (hasIdentity) feats += "identityColumns"
+      if (hasGenerated) feats += "generatedColumns"
+      if (cdf) feats += "changeDataFeed"
+      if (constraints) feats += "checkConstraints"
+      if (schema.fields.exists(!_.nullable)) feats += "invariants"
+      DeltaLog.protocolAction(1, 7, Set.empty, feats)
+    } else {
+      val w =
+        if (hasIdentity) 6
+        else if (hasGenerated || cdf) 4
+        else if (constraints) 3
+        else 2
+      DeltaLog.protocolAction(1, w, Set.empty, Set.empty)
+    }
+  }
+
   private def activeTableFeatures(head: DeltaLog.Snapshot,
                                   schema: StructType): Set[String] = {
     var f = Set.empty[String]
@@ -1790,14 +1835,41 @@ object DeltaTable {
             (head.version + 1).toString,
           "delta.inCommitTimestampEnablementTimestamp" ->
             System.currentTimeMillis().toString)
-      val protocolActs =
-        if (!enablingIct) Seq.empty
-        else DeltaLog.protocolUpgradeWriter(head, 7, "inCommitTimestamp",
-          activeLegacyWriter = head.schemaJson
-            .map(j => activeTableFeatures(head,
-              DataType.fromJson(j).asInstanceOf[StructType]))
-            .getOrElse(Set.empty))
       val newConfig = head.configuration ++ props ++ ictProps
+      // capability floors for properties (PROTOCOL.md's ladder): CDF
+      // needs writer 4 and a CHECK constraint writer 3 — below the
+      // floor a by-the-book foreign writer would not maintain the new
+      // capability. Active features compute against the NEW config so
+      // enabling CDF + ICT in one call lists both.
+      val effHead = head.copy(configuration = newConfig)
+      val activeFeats = head.schemaJson
+        .map(j => activeTableFeatures(effHead,
+          DataType.fromJson(j).asInstanceOf[StructType]))
+        .getOrElse(Set.empty)
+      val enablingCdf =
+        props.get("delta.enableChangeDataFeed").exists(_.toBoolean) &&
+          !head.configuration.get("delta.enableChangeDataFeed")
+            .exists(_.toBoolean)
+      val addingConstraint = props.keys.exists(_.startsWith(ConstraintPrefix))
+      val legacyFloor = math.max(
+        if (enablingCdf) 4 else 2, if (addingConstraint) 3 else 2)
+      val protocolActs =
+        if (enablingIct)
+          DeltaLog.protocolUpgradeWriter(head, 7, "inCommitTimestamp",
+            activeLegacyWriter = activeFeats)
+        else if (head.minWriterVersion >= 7) {
+          val want =
+            (if (enablingCdf) Set("changeDataFeed") else Set.empty[String]) ++
+              (if (addingConstraint) Set("checkConstraints")
+               else Set.empty[String])
+          if ((want -- head.writerFeatures).isEmpty) Seq.empty
+          else Seq(DeltaLog.protocolAction(head.minReaderVersion,
+            head.minWriterVersion, head.readerFeatures,
+            head.writerFeatures ++ want))
+        } else if (legacyFloor > head.minWriterVersion)
+          Seq(DeltaLog.protocolAction(head.minReaderVersion, legacyFloor,
+            head.readerFeatures, Set.empty))
+        else Seq.empty
       done = commit(spark, table, head.version + 1,
         commitInfoAction("SET TBLPROPERTIES") +: (protocolActs :+
           metaDataAction(head.schemaJson.getOrElse(""), head.partitionColumns,
@@ -1960,10 +2032,17 @@ object DeltaTable {
           f.copy(metadata = mb.build())
         }
       })
-      done = commit(spark, table, head.version + 1, Seq(
-        commitInfoAction("ALTER COLUMN DEFAULT"),
-        metaDataAction(updated.json, head.partitionColumns,
-          head.metaDataId, head.configuration)), Some(head.configuration))
+      // column DEFAULTs are a table-features-ONLY capability
+      // (PROTOCOL.md): SET DEFAULT lists allowColumnDefaults at
+      // writer 7 so foreign writers know to fill missing columns
+      val protocolActs =
+        if (default.isEmpty) Seq.empty
+        else DeltaLog.protocolUpgradeWriter(head, 7, "allowColumnDefaults",
+          activeLegacyWriter = activeTableFeatures(head, updated))
+      done = commit(spark, table, head.version + 1,
+        commitInfoAction("ALTER COLUMN DEFAULT") +: (protocolActs :+
+          metaDataAction(updated.json, head.partitionColumns,
+            head.metaDataId, head.configuration)), Some(head.configuration))
     }
   }
 

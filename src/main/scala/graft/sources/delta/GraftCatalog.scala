@@ -177,7 +177,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // no files — every engine that can read the log sees the new table
     require(DeltaLog.commit(spark, p.toString, 0L, Seq(
       DeltaLog.commitInfoAction("CREATE TABLE"),
-      DeltaLog.protocolAction,
+      // the creation DECLARES what the schema/config demand of writers
+      // (identity -> writer 6, generated/CDF -> 4, constraints -> 3,
+      // defaults -> the writer-7 feature list) -- a (1,2) identity
+      // table would let by-the-book foreign writers skip the
+      // high-water-mark invariant (round-15 review find)
+      DeltaTable.creationProtocol(schema, createConfig),
       DeltaLog.metaDataAction(schema.json, partCols,
         configuration = createConfig))),
       s"graft catalog: concurrent creation of $ident")

@@ -68,6 +68,65 @@ class ProtocolSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 7L)
   }
 
+  test("creations and property enables declare PROTOCOL.md's capability floors") {
+    import org.apache.spark.sql.types._
+    // identity column at CREATE -> legacy writer 6 (a (1,2) identity
+    // table would let a by-the-book foreign writer skip the
+    // high-water-mark invariant — round-15 review find)
+    val warehouse = java.nio.file.Files.createTempDirectory("protocat").toString
+    spark.conf.set("spark.sql.catalog.protog", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.protog.warehouse", warehouse)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS protog.db")
+      spark.sql("""CREATE TABLE protog.db.ident (
+                     id BIGINT GENERATED ALWAYS AS IDENTITY, s STRING)""")
+      val hI = DeltaLog.snapshot(spark, s"$warehouse/db/ident")
+      assert((hI.minReaderVersion, hI.minWriterVersion) === ((1, 6)))
+      // generated column -> writer 4
+      spark.sql("""CREATE TABLE protog.db.gen (
+                     id BIGINT, d BIGINT GENERATED ALWAYS AS (id * 2))""")
+      val hG = DeltaLog.snapshot(spark, s"$warehouse/db/gen")
+      assert(hG.minWriterVersion === 4)
+      // column DEFAULT -> table-features only: writer 7 + the feature
+      spark.sql("""CREATE TABLE protog.db.dflt (
+                     id BIGINT, s STRING DEFAULT 'x')""")
+      val hD = DeltaLog.snapshot(spark, s"$warehouse/db/dflt")
+      assert(hD.minWriterVersion === 7)
+      assert(hD.writerFeatures.contains("allowColumnDefaults"))
+      // plain tables STAY at (1, 2)
+      spark.sql("CREATE TABLE protog.db.plain (id BIGINT, s STRING)")
+      val hP = DeltaLog.snapshot(spark, s"$warehouse/db/plain")
+      assert((hP.minReaderVersion, hP.minWriterVersion) === ((1, 2)))
+    } finally {
+      Seq("ident", "gen", "dflt", "plain")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS protog.db.$n"))
+      spark.conf.unset("spark.sql.catalog.protog")
+      spark.conf.unset("spark.sql.catalog.protog.warehouse")
+    }
+    // property enables floor the writer version on existing tables
+    val t = tmp()
+    DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaTable.setProperties(spark, t,
+      Map("delta.constraints.pos" -> "id > 0"))
+    assert(DeltaLog.snapshot(spark, t).minWriterVersion === 3,
+      "a CHECK constraint needs writer 3")
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    assert(DeltaLog.snapshot(spark, t).minWriterVersion === 4,
+      "change data feed needs writer 4")
+    // SET DEFAULT on an existing table lists allowColumnDefaults at 7
+    DeltaTable.updateColumnDefault(spark, t, "s", Some("'y'"))
+    val hAfter = DeltaLog.snapshot(spark, t)
+    assert(hAfter.minWriterVersion === 7)
+    assert(hAfter.writerFeatures.contains("allowColumnDefaults"))
+    assert(hAfter.writerFeatures.contains("checkConstraints") &&
+      hAfter.writerFeatures.contains("changeDataFeed"),
+      "the 7-upgrade lists the active legacy capabilities")
+    // still writable by THIS engine after every upgrade
+    DeltaTable.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    assert(DeltaTable.read(spark, t).count() === 2L)
+  }
+
   test("the distributed (pruned) replay gates the protocol too") {
     val t = tmp()
     DeltaTable.write((1 to 5).map(i => (i, s"s$i")).toDF("id", "s"),
