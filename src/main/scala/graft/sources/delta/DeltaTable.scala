@@ -962,10 +962,14 @@ object DeltaTable {
           Seq(creationProtocol(effSchema, Map.empty),
             metaDataAction(effSchema.json, parts))
         else if (metaSchema.isEmpty && effHwm.isEmpty) Seq.empty
-        else Seq(metaDataAction(
-          GeneratedColumns.withHwm(
-            metaSchema.getOrElse(logSchema(head, table)), effHwm).json,
-          parts, head.metaDataId, head.configuration))
+        else
+          // a replacing/grown schema can INTRODUCE identity/generated/
+          // default columns — floor the protocol with the re-emission
+          metaSchema.toSeq.flatMap(m => schemaFloorActs(head, m)) :+
+            metaDataAction(
+              GeneratedColumns.withHwm(
+                metaSchema.getOrElse(logSchema(head, table)), effHwm).json,
+              parts, head.metaDataId, head.configuration)
       val txns = txn.toSeq.map { case (app, v) => txnAction(app, v) }
       val op = commitInfoAction(
         if (mode == SaveMode.Overwrite) "WRITE OVERWRITE"
@@ -1666,6 +1670,39 @@ object DeltaTable {
         else if (constraints) 3
         else 2
       DeltaLog.protocolAction(1, w, Set.empty, Set.empty)
+    }
+  }
+
+  /** Protocol actions (possibly empty) raising `head`'s WRITER side to
+    * what `schema` demands — the schema-EVOLUTION twin of
+    * [[creationProtocol]]: an overwrite or mergeSchema re-emission can
+    * introduce identity/generated/default columns on a table created
+    * without them, and the re-emitted metaData must not outrun the
+    * declared protocol. */
+  private def schemaFloorActs(head: DeltaLog.Snapshot,
+                              schema: StructType): Seq[org.json4s.JValue] = {
+    val hasDefaults = schema.fields.exists(_.metadata.contains(
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+    val hasIdentity = GeneratedColumns.identityOf(schema).nonEmpty
+    val hasGenerated = GeneratedColumns.generatedOf(schema).nonEmpty
+    if (head.minWriterVersion >= 7) {
+      val want =
+        (if (hasDefaults) Set("allowColumnDefaults") else Set.empty[String]) ++
+          (if (hasIdentity) Set("identityColumns") else Set.empty[String]) ++
+          (if (hasGenerated) Set("generatedColumns") else Set.empty[String])
+      if ((want -- head.writerFeatures).isEmpty) Seq.empty
+      else Seq(DeltaLog.protocolAction(head.minReaderVersion,
+        head.minWriterVersion, head.readerFeatures,
+        head.writerFeatures ++ want))
+    } else if (hasDefaults)
+      DeltaLog.protocolUpgradeWriter(head, 7, "allowColumnDefaults",
+        activeLegacyWriter = activeTableFeatures(head, schema))
+    else {
+      val w = if (hasIdentity) 6 else if (hasGenerated) 4 else 2
+      if (w <= head.minWriterVersion) Seq.empty
+      else Seq(DeltaLog.protocolAction(head.minReaderVersion, w,
+        head.readerFeatures, Set.empty))
     }
   }
 

@@ -127,6 +127,32 @@ class ProtocolSpec extends SparkSpec {
     assert(DeltaTable.read(spark, t).count() === 2L)
   }
 
+  test("a schema-changing overwrite that introduces identity floors the protocol") {
+    import org.apache.spark.sql.types._
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("id", "s"), t, SaveMode.Append)
+    assert(DeltaLog.snapshot(spark, t).minWriterVersion === 2)
+    // overwrite with a schema whose id column carries identity metadata
+    // (the shape a DF read back from an identity table carries)
+    val identMeta = new MetadataBuilder()
+      .putLong(GeneratedColumns.IdentityStartKey, 1L)
+      .putLong(GeneratedColumns.IdentityStepKey, 1L)
+      .putBoolean(GeneratedColumns.IdentityAllowExplicitKey, true)
+      .build()
+    // the replacing schema must actually DIFFER in names/types or the
+    // overwrite keeps the old metaData (catalogString-based sameSchema)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, identMeta),
+      StructField("s", StringType),
+      StructField("extra", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(5L, "x", "y")), 1), schema)
+    DeltaTable.write(df, t, SaveMode.Overwrite)
+    assert(DeltaLog.snapshot(spark, t).minWriterVersion === 6,
+      "the re-emitted identity schema must not outrun the protocol")
+  }
+
   test("the distributed (pruned) replay gates the protocol too") {
     val t = tmp()
     DeltaTable.write((1 to 5).map(i => (i, s"s$i")).toDF("id", "s"),
