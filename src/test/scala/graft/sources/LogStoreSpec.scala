@@ -90,6 +90,33 @@ class LogStoreSpec extends SparkSpec {
     }
   }
 
+  test("streamed commit on a non-local scheme uses create-if-absent (loser cannot clobber)") {
+    // a local fs masquerading under a foreign scheme drives the
+    // NON-local branch: commit must go through create(overwrite=false)
+    // + copy-from-tmp — the round-15 ADVICE fix; the old
+    // exists-then-rename let two racers both pass the check on stores
+    // whose rename overwrites, and the loser clobbered the winner
+    val fs = new org.apache.hadoop.fs.LocalFileSystem() {
+      override def getScheme: String = "mock"
+    }
+    fs.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("lstore_mock").toString
+    val dst = new Path(dir, "00000000000000000000.json")
+    assert(LogStore.Hadoop.putIfAbsentStreamed(fs, dst,
+      Iterator("line-one\n".getBytes("UTF-8"))))
+    // second streamed commit to the same version: observably lost,
+    // winner's body intact
+    assert(!LogStore.Hadoop.putIfAbsentStreamed(fs, dst,
+      Iterator("line-two\n".getBytes("UTF-8"))))
+    val kept = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dst.toUri.getPath)), "UTF-8")
+    assert(kept === "line-one\n", "the loser must not clobber the winner")
+    // both attempts cleaned their temp files
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith(".tmp-")) === 0, "no tmp litter")
+  }
+
   test("streamed commit: mid-stream failure leaves no torn version and no tmp litter") {
     // the chunk iterator is typically a LIVE Spark job; a task failure
     // mid-stream must never persist a truncated commit file (readers
