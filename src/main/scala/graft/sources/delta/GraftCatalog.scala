@@ -163,32 +163,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val config = properties.asScala.toMap -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
       TableCatalog.PROP_OWNER - TableCatalog.PROP_COMMENT
-    // creation-time IN-COMMIT-TIMESTAMP enablement delegates to the
-    // setProperties path: enabling is more than a property (the writer
-    // feature must be LISTED and the enablement version/timestamp
-    // recorded, or foreign by-the-book writers would not maintain the
-    // monotonic line) — creating with the bare property in v0's config
-    // would stamp commits while advertising nothing
+    // creation-time IN-COMMIT-TIMESTAMP enablement stamps v0 ITSELF as
+    // the enabling commit: the writer feature is LISTED by
+    // creationProtocol's writer-7 ladder and the enablement props name
+    // v0 with this commit's own ict (DeltaLog.withIct reads them back
+    // for exactly this version). One commit — the previous
+    // create-then-setProperties pair left a crash window where the
+    // created table silently lacked the property the user asked for
+    // (round-15 verdict #2).
     val ictAtCreate =
       config.get("delta.enableInCommitTimestamps").exists(_.toBoolean)
+    val now = System.currentTimeMillis()
     val createConfig =
-      if (ictAtCreate) config - "delta.enableInCommitTimestamps" else config
+      if (!ictAtCreate) config
+      else config ++ Map(
+        "delta.inCommitTimestampEnablementVersion" -> "0",
+        "delta.inCommitTimestampEnablementTimestamp" -> now.toString)
     // the creation IS a log commit: version 0 with protocol+metaData and
     // no files — every engine that can read the log sees the new table
     require(DeltaLog.commit(spark, p.toString, 0L, Seq(
-      DeltaLog.commitInfoAction("CREATE TABLE"),
+      DeltaLog.commitInfoAction("CREATE TABLE", now),
       // the creation DECLARES what the schema/config demand of writers
       // (identity -> writer 6, generated/CDF -> 4, constraints -> 3,
-      // defaults -> the writer-7 feature list) -- a (1,2) identity
+      // defaults/ict -> the writer-7 feature list) -- a (1,2) identity
       // table would let by-the-book foreign writers skip the
       // high-water-mark invariant (round-15 review find)
       DeltaTable.creationProtocol(schema, createConfig),
       DeltaLog.metaDataAction(schema.json, partCols,
-        configuration = createConfig))),
+        configuration = createConfig)),
+      headConfig = if (ictAtCreate) Some(createConfig) else None),
       s"graft catalog: concurrent creation of $ident")
-    if (ictAtCreate)
-      DeltaTable.setProperties(spark, p.toString,
-        Map("delta.enableInCommitTimestamps" -> "true"))
     loadTable(ident)
   }
 

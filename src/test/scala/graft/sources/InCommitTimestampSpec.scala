@@ -108,7 +108,7 @@ class InCommitTimestampSpec extends SparkSpec {
     assert(feed(2L) === ict2 && feed(3L) === ict3)
   }
 
-  test("CREATE TABLE ... TBLPROPERTIES(ict) enables conformantly via the enabling commit") {
+  test("CREATE TABLE ... TBLPROPERTIES(ict) enables in v0 itself — one commit, no crash window") {
     val warehouse =
       java.nio.file.Files.createTempDirectory("ictcat").toString
     spark.conf.set("spark.sql.catalog.graftict",
@@ -120,15 +120,25 @@ class InCommitTimestampSpec extends SparkSpec {
                    TBLPROPERTIES('delta.enableInCommitTimestamps'='true')""")
       val t = s"$warehouse/db/t"
       val head = DeltaLog.snapshot(spark, t)
-      // creation delegated enabling to its own commit (v1): the feature
-      // is LISTED and the enablement props point at the enabling commit
-      // — a bare v0 property would have stamped while advertising nothing
+      // v0 IS the enabling commit: the feature is listed, the enablement
+      // props name v0, and v0's ict equals the recorded enablement
+      // timestamp — the create-then-setProperties pair used to leave a
+      // crash window where the property was silently absent
+      assert(head.version === 0L,
+        "creation with ICT must be ONE commit, not create + enable")
       assert(head.writerFeatures.contains("inCommitTimestamp"))
+      assert(head.minWriterVersion === 7)
       assert(head.configuration.get(
-        "delta.inCommitTimestampEnablementVersion").contains("1"))
-      assert(commitOf(t, 1L).ictMs.isDefined)
+        "delta.enableInCommitTimestamps").contains("true"))
+      assert(head.configuration.get(
+        "delta.inCommitTimestampEnablementVersion").contains("0"))
+      val et = head.configuration(
+        "delta.inCommitTimestampEnablementTimestamp").toLong
+      assert(commitOf(t, 0L).ictMs === Some(et),
+        "v0's ict IS the recorded enablement timestamp")
       spark.sql("INSERT INTO graftict.db.t VALUES (1, 'a')")
-      val icts = (1L to DeltaLog.snapshot(spark, t).version)
+      spark.sql("INSERT INTO graftict.db.t VALUES (2, 'b')")
+      val icts = (0L to DeltaLog.snapshot(spark, t).version)
         .map(v => commitOf(t, v).ictMs.get)
       assert(icts === icts.sorted && icts.distinct.size === icts.size)
     } finally {
@@ -136,6 +146,108 @@ class InCommitTimestampSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.graftict")
       spark.conf.unset("spark.sql.catalog.graftict.warehouse")
     }
+  }
+
+  test("TIMESTAMP AS OF never parses a commit body, and the enablement boundary splits the clocks") {
+    // handcrafted log: pre-ICT commits WITHOUT commitInfo (external
+    // writer) whose mtimes are FORWARD-skewed past the enablement
+    // timestamp (a migration rewrote them), then ICT commits. Every
+    // commit carries a poisoned NON-FIRST line that throws if parsed —
+    // proving resolution is first-line-only (round-15 verdict #1) —
+    // and the skewed pre-ICT clocks must not mask the ICT regime
+    // (round-15 verdict #4: the protocol's enablement-boundary rule).
+    val dir = java.nio.file.Files.createTempDirectory("ictbound").toString
+    val t = s"$dir/t"
+    val log = new java.io.File(s"$t/_delta_log")
+    assert(log.mkdirs())
+    val poison = "this is not json {{{"
+    def write(v: Long, lines: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(log, f"$v%020d.json")
+      val w = new java.io.FileWriter(f)
+      try w.write(lines.mkString("", "\n", "\n")) finally w.close()
+      assert(f.setLastModified(mtime))
+    }
+    val et = 1700000000000L            // enablement instant (v2's ict)
+    val skewed = et + 999999999L       // migrated pre-ICT mtimes: FUTURE
+    // v0, v1: external pre-ICT commits — no commitInfo at all, so their
+    // clock is the (skewed) mtime; bodies poisoned
+    write(0L, Seq(poison, poison), skewed)
+    write(1L, Seq(poison, poison), skewed + 1000L)
+    // v2, v3: ICT commits — first line carries the ict, body poisoned
+    def ictLine(ts: Long) =
+      s"""{"commitInfo":{"operation":"T","timestamp":$ts,"inCommitTimestamp":$ts}}"""
+    write(2L, Seq(ictLine(et), poison), skewed + 2000L)
+    write(3L, Seq(ictLine(et + 5000L), poison), skewed + 3000L)
+    // at/after the enablement timestamp: ICT regime — the forward-skewed
+    // pre-ICT mtimes (all > et) must not mask it
+    assert(DeltaTable.versionAtTimestamp(spark, t, et) === 2L)
+    assert(DeltaTable.versionAtTimestamp(spark, t, et + 4999L) === 2L)
+    assert(DeltaTable.versionAtTimestamp(spark, t, et + 5000L) === 3L)
+    // far future (past even the skewed mtimes): still ICT regime — head
+    assert(DeltaTable.versionAtTimestamp(spark, t, skewed + 999999L) === 3L)
+    // before the enablement timestamp: pre-ICT regime only — and with
+    // both pre-ICT clocks skewed after it, nothing resolves (the
+    // migration's garbage mtimes lose the pre-ICT history, never
+    // misresolve it)
+    val e = intercept[IllegalArgumentException](
+      DeltaTable.versionAtTimestamp(spark, t, et - 1L))
+    assert(e.getMessage.contains("pre-ICT") ||
+      e.getMessage.contains("no commit at or before"))
+
+    // SANE pre-ICT clocks: a pre-enablement query timestamp resolves
+    // among pre-ICT versions by mtime, and the regimes never interleave
+    val t2 = s"$dir/t2"
+    val log2 = new java.io.File(s"$t2/_delta_log")
+    assert(log2.mkdirs())
+    def write2(v: Long, lines: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(log2, f"$v%020d.json")
+      val w = new java.io.FileWriter(f)
+      try w.write(lines.mkString("", "\n", "\n")) finally w.close()
+      assert(f.setLastModified(mtime))
+    }
+    write2(0L, Seq(poison, poison), et - 10000L)
+    write2(1L, Seq(poison, poison), et - 9000L)
+    write2(2L, Seq(ictLine(et), poison), et - 8000L) // mtime lies; ict rules
+    assert(DeltaTable.versionAtTimestamp(spark, t2, et - 9500L) === 0L)
+    assert(DeltaTable.versionAtTimestamp(spark, t2, et - 9000L) === 1L)
+    assert(DeltaTable.versionAtTimestamp(spark, t2, et - 1L) === 1L,
+      "just below the enablement timestamp resolves to the last pre-ICT " +
+        "version, even though v2's (lying) mtime is earlier")
+    assert(DeltaTable.versionAtTimestamp(spark, t2, et) === 2L)
+  }
+
+  test("CLONE of an ICT table re-derives enablement at the clone's v0 — monotonic from birth") {
+    val src = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("id", "s"), src, SaveMode.Append) // v0
+    DeltaTable.setProperties(spark, src, Enable)                           // v1 = enablement
+    DeltaTable.write(Seq((2L, "b")).toDF("id", "s"), src, SaveMode.Append) // v2
+    val srcEt = DeltaLog.snapshot(spark, src).configuration(
+      "delta.inCommitTimestampEnablementTimestamp").toLong
+    val tgt = tmp()
+    DeltaTable.cloneShallow(spark, src, tgt)                               // clone v0
+    val head = DeltaLog.snapshot(spark, tgt)
+    // copying the source's enablement props verbatim would make the
+    // clone's v1 fire withIct's enablement branch and stamp the
+    // source's OLD enablement timestamp — regressing below the clone's
+    // v0 ict and breaking the monotonic line (round-15 advice)
+    assert(head.configuration.get(
+      "delta.inCommitTimestampEnablementVersion").contains("0"),
+      "the clone's enablement names ITS OWN v0, not the source's version")
+    val tgtEt = head.configuration(
+      "delta.inCommitTimestampEnablementTimestamp").toLong
+    assert(commitOf(tgt, 0L).ictMs === Some(tgtEt),
+      "the clone commit's ict IS its recorded enablement timestamp")
+    assert(tgtEt >= srcEt, "the clone is born after the source enabled")
+    DeltaTable.write(Seq((3L, "c")).toDF("id", "s"), tgt, SaveMode.Append) // clone v1
+    DeltaTable.write(Seq((4L, "d")).toDF("id", "s"), tgt, SaveMode.Append) // clone v2
+    val icts = (0L to DeltaLog.snapshot(spark, tgt).version)
+      .map(v => commitOf(tgt, v).ictMs.get)
+    assert(icts === icts.sorted && icts.distinct.size === icts.size,
+      s"the clone's ict line is strictly monotonic from v0: $icts")
+    // TIMESTAMP AS OF on the clone resolves by the clone's own icts
+    assert(DeltaTable.versionAtTimestamp(spark, tgt, icts(1)) === 1L)
+    assert(DeltaTable.versionAtTimestamp(spark, tgt, icts(2)) === 2L)
+    assert(DeltaTable.read(spark, tgt).count() === 4L)
   }
 
   test("the streamed commit path stamps the same way (overwrite past the threshold)") {
