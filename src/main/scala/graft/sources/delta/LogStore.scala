@@ -59,9 +59,69 @@ object LogStore {
   /** Local/HDFS-semantics store (the default): local filesystems commit
     * via an atomic hard link (link(2) fails if the destination exists,
     * closing the check-then-create race); every other Hadoop filesystem
-    * uses `create(overwrite = false)`, HDFS-atomic per the protocol's
-    * LogStore contract. Pointer overwrite is temp-write + rename. */
+    * commits temp-write + [[commitTmp]] (atomic rename-no-overwrite
+    * where the scheme has a FileContext, create-no-overwrite + copy
+    * with slot recovery otherwise). Pointer overwrite is temp-write +
+    * rename. */
   object Hadoop extends LogStore {
+
+    /** Commit a FULLY-WRITTEN tmp file into the version slot `dst`,
+      * exactly-once. True = owned; false = lost the race. Two paths:
+      *
+      *  - Schemes with a `FileContext` (HDFS semantics — upstream
+      *    HDFSLogStore's primitive): atomic rename-no-overwrite. The
+      *    destination appears complete or not at all — no reader can
+      *    parse a prefix of a half-copied commit as a committed
+      *    version, and a crash mid-commit leaves only the tmp file,
+      *    never a torn dst poisoning the slot (round-15 verdict #3).
+      *    Rename-onto-existing throws, so a loser stays observable —
+      *    this is NOT the exists-then-rename clobber the round-15 fix
+      *    removed (rename itself refuses, no check window).
+      *  - Schemes WITHOUT one (the documented plug-in point for object
+      *    stores): create-no-overwrite + copy — create is the atomic
+      *    claim, but the copy has a mid-failure window; any failure
+      *    after the claim DELETES the partial dst (best-effort) before
+      *    rethrowing, so a retry finds the slot free instead of
+      *    treating the torn file as an existing commit. */
+    private def commitTmp(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+      val viaRename: Option[Boolean] =
+        Option(dst.toUri.getScheme).flatMap { _ =>
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              dst.toUri, fs.getConf)
+            try { fc.rename(tmp, dst); Some(true) }
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+                Some(false)
+            }
+          } catch {
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              None
+          }
+        }
+      viaRename.getOrElse {
+        try {
+          val dstOut = fs.create(dst, false)
+          try {
+            try {
+              val in = fs.open(tmp)
+              try org.apache.hadoop.io.IOUtils.copyBytes(in, dstOut, 65536, false)
+              finally in.close()
+            } finally dstOut.close()
+          } catch {
+            case t: Throwable =>
+              // the claim succeeded but the body didn't land: a torn
+              // dst would make every retry see "exists" and wedge the
+              // table at this version — unpoison the slot, then loud
+              try fs.delete(dst, false) catch { case _: Throwable => () }
+              throw t
+          }
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      }
+    }
 
     override def putIfAbsent(fs: FileSystem, dst: Path, body: Array[Byte]): Boolean =
       if (fs.getScheme == "file") {
@@ -78,11 +138,12 @@ object LogStore {
         } finally fs.delete(tmp, false)
       } else {
         if (fs.exists(dst)) return false
+        val tmp = new Path(dst.getParent, s".tmp-${java.util.UUID.randomUUID()}.json")
         try {
-          val out = fs.create(dst, false)
+          val out = fs.create(tmp, true)
           try { out.write(body) } finally out.close()
-          true
-        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+          commitTmp(fs, tmp, dst)
+        } finally fs.delete(tmp, false)
       }
 
     override def overwrite(fs: FileSystem, dst: Path, body: Array[Byte]): Unit = {
@@ -101,14 +162,9 @@ object LogStore {
       * first, so it never had this window). Both branches stream to a
       * TEMP file whose cleanup a finally guarantees even when the
       * iterator throws, then commit atomically: local filesystems via
-      * the same hard link as [[putIfAbsent]], other schemes via
-      * `create(dst, overwrite = false)` + copy-from-tmp — the SAME
-      * primitive [[putIfAbsent]]'s byte form commits with, so the
-      * exactly-once guarantee is identical (an exists-then-rename here
-      * would let two racers both pass the check on stores whose rename
-      * overwrites, and the loser would clobber the winner's commit).
-      * The tmp body is complete and driver-local by then, so the copy
-      * has no mid-stream-failure window. */
+      * the same hard link as [[putIfAbsent]], other schemes via the
+      * SAME [[commitTmp]] as the byte form — identical exactly-once
+      * guarantee, identical torn-destination recovery. */
     override def putIfAbsentStreamed(fs: FileSystem, dst: Path,
                                      chunks: Iterator[Array[Byte]]): Boolean = {
       val tmp = new Path(dst.getParent, s".tmp-${java.util.UUID.randomUUID()}.json")
@@ -124,17 +180,7 @@ object LogStore {
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
           }
-        } else {
-          try {
-            val dstOut = fs.create(dst, false)
-            try {
-              val in = fs.open(tmp)
-              try org.apache.hadoop.io.IOUtils.copyBytes(in, dstOut, 65536, false)
-              finally in.close()
-            } finally dstOut.close()
-            true
-          } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-        }
+        } else commitTmp(fs, tmp, dst)
       } finally fs.delete(tmp, false)
     }
   }

@@ -38,6 +38,36 @@ object NonAtomicVerifyingLogStore {
   @volatile var betweenHook: Path => Unit = _ => ()
 }
 
+/** A local fs masquerading as a foreign scheme whose NEXT destination
+  * create returns a stream that lands a torn prefix and then fails —
+  * the mid-copy network-failure window of the create-no-overwrite +
+  * copy fallback (round-15 verdict #3 / ADVICE). Temp-file writes are
+  * never failed: the window under test is strictly after the slot is
+  * claimed. */
+class FailingCopyFileSystem extends org.apache.hadoop.fs.LocalFileSystem {
+  override def getScheme: String = "mockfail"
+  override def create(f: Path,
+                      overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+    val out = super.create(f, overwrite)
+    if (FailingCopyFileSystem.failNext && !overwrite &&
+        !f.getName.startsWith(".tmp-")) {
+      FailingCopyFileSystem.failNext = false
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.FilterOutputStream(out) {
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+            out.write(b, off, math.min(len, 4)) // a torn prefix lands
+            out.flush()
+            throw new java.io.IOException("mid-copy network failure")
+          }
+        }, null)
+    } else out
+  }
+}
+
+object FailingCopyFileSystem {
+  @volatile var failNext: Boolean = false
+}
+
 class LogStoreSpec extends SparkSpec {
 
   import spark.implicits._
@@ -115,6 +145,75 @@ class LogStoreSpec extends SparkSpec {
     // both attempts cleaned their temp files
     assert(new java.io.File(dir).listFiles()
       .count(_.getName.startsWith(".tmp-")) === 0, "no tmp litter")
+  }
+
+  test("non-local commit: a mid-copy failure cannot poison the version slot") {
+    // create-no-overwrite claims the slot, then the copy dies mid-body:
+    // without recovery the torn dst makes every retry see "exists" and
+    // the table wedges at this version (round-15 verdict #3). The store
+    // must delete the partial destination before rethrowing.
+    val fs = new FailingCopyFileSystem()
+    fs.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("lstore_torn").toString
+    val body = "{\"commitInfo\":{\"operation\":\"FULL COMMIT\"}}\n"
+    // streamed form
+    val dst1 = new Path(dir, "00000000000000000001.json")
+    FailingCopyFileSystem.failNext = true
+    val e1 = intercept[java.io.IOException](LogStore.Hadoop
+      .putIfAbsentStreamed(fs, dst1, Iterator(body.getBytes("UTF-8"))))
+    assert(e1.getMessage.contains("mid-copy"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "00000000000000000001.json")),
+      "the torn destination must be deleted, not left claiming the slot")
+    // the slot is retryable and the retry's body lands complete
+    assert(LogStore.Hadoop.putIfAbsentStreamed(fs, dst1,
+      Iterator(body.getBytes("UTF-8"))), "retry must find the slot free")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "00000000000000000001.json")),
+      "UTF-8") === body)
+    // byte form shares the same recovery
+    val dst2 = new Path(dir, "00000000000000000002.json")
+    FailingCopyFileSystem.failNext = true
+    val e2 = intercept[java.io.IOException](
+      LogStore.Hadoop.putIfAbsent(fs, dst2, body.getBytes("UTF-8")))
+    assert(e2.getMessage.contains("mid-copy"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "00000000000000000002.json")))
+    assert(LogStore.Hadoop.putIfAbsent(fs, dst2, body.getBytes("UTF-8")))
+    // no tmp litter from any of the four attempts
+    assert(new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith(".tmp-") &&
+        !f.getName.endsWith(".crc")) === 0, "no tmp litter")
+  }
+
+  test("non-local commit on a FileContext scheme goes through atomic rename; loser observable") {
+    // a scheme-qualified destination on a filesystem that HAS a
+    // FileContext takes the rename-no-overwrite path (upstream
+    // HDFSLogStore's primitive): the destination is never visible
+    // half-written, and rename-onto-existing reports the lost race
+    val fs = new org.apache.hadoop.fs.LocalFileSystem() {
+      override def getScheme: String = "mock"
+    }
+    fs.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("lstore_fc").toString
+    val dst = new Path(s"file:$dir/00000000000000000000.json")
+    assert(LogStore.Hadoop.putIfAbsentStreamed(fs, dst,
+      Iterator("line-one\n".getBytes("UTF-8"))))
+    assert(!LogStore.Hadoop.putIfAbsentStreamed(fs, dst,
+      Iterator("line-two\n".getBytes("UTF-8"))),
+      "rename onto an existing version must report the lost race")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "00000000000000000000.json")),
+      "UTF-8") === "line-one\n", "the loser must not clobber the winner")
+    // byte form: same primitive
+    val dst1 = new Path(s"file:$dir/00000000000000000001.json")
+    assert(LogStore.Hadoop.putIfAbsent(fs, dst1, "b1\n".getBytes("UTF-8")))
+    assert(!LogStore.Hadoop.putIfAbsent(fs, dst1, "b2\n".getBytes("UTF-8")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "00000000000000000001.json")),
+      "UTF-8") === "b1\n")
   }
 
   test("streamed commit: mid-stream failure leaves no torn version and no tmp litter") {
