@@ -2580,6 +2580,157 @@ object Catalog {
     }
   }
 
+  /** ICT lifecycle across CLONE (q116, round 16): a shallow clone of an
+    * ICT + DV table re-derives the enablement properties at ITS v0 —
+    * copying the source's verbatim would make the clone's commit at the
+    * source's enablement version number stamp the source's OLD
+    * enablement timestamp, regressing the clone's monotonic line and
+    * making its TIMESTAMP AS OF ambiguous (round-15 advice). The gate
+    * clones a table whose live set rides deletion vectors, appends to
+    * the clone, and proves (a) enablement names the clone's v0 with the
+    * clone commit's own ict, (b) the clone's ict line is strictly
+    * monotonic, (c) TIMESTAMP AS OF at the clone's birth ict resolves
+    * to v0 — content at both points oracle-exact (DV'd rows stay
+    * deleted through the clone). */
+  val q116IctClone: Q = Q(
+    "q116_ict_clone",
+    oracle = Some("""
+      WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+      afterdel AS (SELECT * FROM base WHERE doc_id % 4 <> 1),
+      appended AS (SELECT * FROM base WHERE doc_id % 9 = 5),
+      fin AS (SELECT * FROM afterdel UNION ALL SELECT * FROM appended),
+      sections AS (
+        SELECT 'clone_asof' AS section, lang, COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars
+        FROM afterdel GROUP BY 2
+        UNION ALL
+        SELECT 'clone_final', lang, COUNT(*), SUM(n_chars) FROM fin GROUP BY 2)
+      SELECT section, lang, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(sum_chars AS BIGINT) AS sum_chars
+      FROM sections""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q116")
+    val src = s"$scratch/src"
+    val tgt = s"$scratch/clone"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      DeltaTable.write(docs.repartitionByRange(4, col("doc_id")),
+        src, SaveMode.Append)                                             // v0
+      DeltaTable.setProperties(spark, src,
+        Map("delta.enableInCommitTimestamps" -> "true",
+          "delta.enableDeletionVectors" -> "true"))                      // v1
+      DeltaTable.delete(spark, src, pmod(col("doc_id"), lit(4L)) === 1L) // v2
+      DeltaTable.cloneShallow(spark, src, tgt)                           // clone v0
+      val head0 = DeltaLog.snapshot(spark, tgt)
+      require(head0.configuration.get(
+        "delta.inCommitTimestampEnablementVersion").contains("0"),
+        "q116: the clone's enablement must name ITS OWN v0")
+      val et = head0.configuration(
+        "delta.inCommitTimestampEnablementTimestamp").toLong
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(9L)) === 5),
+        tgt, SaveMode.Append)                                            // clone v1
+      // history's timestamps ARE the icts on an ICT table
+      val icts = DeltaTable.describeHistory(spark, tgt)
+        .sortBy(_.version).map(_.timestampMs)
+      require(icts.head == et,
+        "q116: the clone commit's ict must be its enablement timestamp")
+      require(icts(0) < icts(1),
+        s"q116: the clone's ict line must be strictly monotonic: $icts")
+      require(DeltaTable.versionAtTimestamp(spark, tgt, et) == 0L,
+        "q116: TIMESTAMP AS OF the clone's birth ict must resolve to v0")
+      val asof = DeltaTable.read(spark, tgt, Some(0L))
+        .select(lit("clone_asof").as("section"), col("lang"), col("n_chars"))
+      val fin = DeltaTable.read(spark, tgt)
+        .select(lit("clone_final").as("section"), col("lang"), col("n_chars"))
+      val agg = asof.unionByName(fin)
+        .groupBy(col("section"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Append-only contract (q117, round 16): `delta.appendOnly=true` is
+    * both ADVERTISED (listed in the writer-7 feature list, where the
+    * list is the cross-engine contract) and ENFORCED on this engine's
+    * own remove-producing paths — DELETE, UPDATE, OVERWRITE and RESTORE
+    * refuse with a named cause while appends keep landing. Final
+    * content oracle-exact: exactly the two appended batches, nothing
+    * removed, nothing rewritten. */
+  val q117AppendOnly: Q = Q(
+    "q117_append_only",
+    oracle = Some("""
+      WITH a AS (SELECT doc_id, lang, n_chars FROM documents
+                 WHERE doc_id % 3 = 0),
+      b AS (SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 3 = 1),
+      fin AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM fin GROUP BY lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q117")
+    val t = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+        t, SaveMode.Append)                                               // v0
+      DeltaTable.setProperties(spark, t, Map("delta.appendOnly" -> "true")) // v1
+      DeltaTable.write(docs.filter(pmod(col("doc_id"), lit(3L)) === 1),
+        t, SaveMode.Append)                                               // v2
+      def refuses(op: => Unit, name: String): Unit = {
+        val msg = scala.util.Try(op) match {
+          case scala.util.Failure(e) => Option(e.getMessage).getOrElse("")
+          case scala.util.Success(_) =>
+            sys.error(s"q117: $name must refuse on an append-only table")
+        }
+        require(msg.contains("append-only"),
+          s"q117: $name must refuse with the NAMED append-only cause: $msg")
+      }
+      refuses(DeltaTable.delete(spark, t,
+        pmod(col("doc_id"), lit(3L)) === 0L), "DELETE")
+      refuses(DeltaTable.update(spark, t,
+        pmod(col("doc_id"), lit(3L)) === 0L,
+        Map("n_chars" -> lit(0L))), "UPDATE")
+      refuses(DeltaTable.write(docs.limit(1), t, SaveMode.Overwrite),
+        "OVERWRITE")
+      refuses(DeltaTable.restore(spark, t, 0L), "RESTORE")
+      // the refusals committed NOTHING: v2 is still the head
+      require(DeltaLog.snapshot(spark, t).version == 2L,
+        "q117: refused operations must not commit")
+      // the capability LISTS when the protocol reaches writer 7 — the
+      // list is what a by-the-book foreign writer enforces from
+      DeltaTable.setProperties(spark, t,
+        Map("delta.enableInCommitTimestamps" -> "true"))                  // v3
+      require(DeltaLog.snapshot(spark, t)
+        .writerFeatures.contains("appendOnly"),
+        "q117: the writer-7 feature list must carry appendOnly")
+      val agg = DeltaTable.read(spark, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2593,7 +2744,7 @@ object Catalog {
         q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
         q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
-        q114InCommitTs, q115MvRebase) ++
+        q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -1405,15 +1405,43 @@ object DeltaLog {
     * [[LogStore.overwrite]] (default: temp file + atomic rename — a
     * crash can leave the pointer briefly absent, which degrades to JSON
     * replay, but never half-written, which used to wedge every read on a
-    * parse error until manual repair). */
+    * parse error until manual repair). On ICT tables the pointer ALSO
+    * records the checkpointed version's ict (an extension field —
+    * foreign readers ignore unknown pointer fields): it is [[withIct]]'s
+    * monotonicity floor when the parent commit's JSON file is gone
+    * (external log cleaning), where a bare max(now, 0) under backward
+    * clock skew could regress below the cleaned parent's ict (round-15
+    * advice; upstream carries the last ict through checkpoint/CRC
+    * metadata the same way). */
   private def writePointer(spark: SparkSession, f: FileSystem, tbl: Path,
                            version: Long, size: Long,
-                           parts: Option[Int] = None): Unit =
+                           parts: Option[Int] = None): Unit = {
+    val ict = ictOf(f, tbl, version).map(t => s""","ict":$t""").getOrElse("")
     LogStore.forSession(spark).overwrite(f, lastCheckpointPath(tbl),
       (parts match {
-        case Some(p) => s"""{"version":$version,"size":$size,"parts":$p}"""
-        case None => s"""{"version":$version,"size":$size}"""
+        case Some(p) => s"""{"version":$version,"size":$size,"parts":$p$ict}"""
+        case None => s"""{"version":$version,"size":$size$ict}"""
       }).getBytes("UTF-8"))
+  }
+
+  /** The `ict` extension field of `_last_checkpoint`, by a direct fs
+    * read (no SparkSession — [[withIct]] runs inside the commit
+    * funnel). None: no pointer, no field, or unparseable. */
+  private[delta] def pointerIct(f: FileSystem, tbl: Path): Option[Long] =
+    try {
+      val p = lastCheckpointPath(tbl)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        JsonMethods.parse(body) \ "ict" match {
+          case JInt(n) => Some(n.toLong)
+          case JLong(n) => Some(n)
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => None }
 
   /** Log-retention cleaning (upstream's `delta.logRetentionDuration`):
     * delete JSON commit files STRICTLY BELOW the newest checkpoint once
@@ -1510,9 +1538,17 @@ object DeltaLog {
       et <- config.get("delta.inCommitTimestampEnablementTimestamp")
         .flatMap(x => scala.util.Try(x.toLong).toOption)
     } yield et
+    // the monotonic floor: the parent's ict + 1 — and when the parent's
+    // JSON file was retired (external log cleaning on a long-lived
+    // table), the newest CHECKPOINT POINTER's recorded ict stands in,
+    // so a backward-skewed clock can never regress the line below
+    // history that still resolves through the checkpoint (round-15
+    // advice; a bare 0 floor only remains for pre-enablement parents,
+    // where max(now, 0) = now is the correct first stamp)
     val ict = fromEnablement.getOrElse(
       math.max(System.currentTimeMillis(),
-        ictOf(f, tbl, v - 1).map(_ + 1L).getOrElse(0L)))
+        ictOf(f, tbl, v - 1).orElse(pointerIct(f, tbl))
+          .map(_ + 1L).getOrElse(0L)))
     actions.headOption match {
       case Some(JObject(fields)) if fields.exists(_._1 == "commitInfo") =>
         JObject(fields.map {

@@ -324,6 +324,8 @@ private[delta] class DeltaBatchWrite(
         if (truncate) DeltaLog.snapshot(spark, table)
         else DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
+      if (truncate && !head.isEmpty)
+        DeltaTable.checkAppendOnly(table, head, "WRITE OVERWRITE")
       require(head.isEmpty || head.partitionColumns == partCols,
         s"graft-delta sink: concurrent writer changed partitioning to " +
           s"${head.partitionColumns}")

@@ -313,10 +313,16 @@ object DeltaTable {
     // enablement commit (withIct stamps every commit from enablement
     // onward; earlier commits never have one). Reading config instead
     // would mean a metaSnapshot — a commit-BODY replay of the tail,
-    // exactly the cost this resolution path exists to avoid.
-    val boundary: Option[(Long, Long)] = vs.iterator
-      .map(v => v -> DeltaLog.ictOf(f, tbl, v))
-      .collectFirst { case (v, Some(t)) => (v, t) }
+    // exactly the cost this resolution path exists to avoid. The HEAD
+    // is probed first: an ICT table's head always carries an ict, so a
+    // bare head means no boundary exists and the generic scan keeps its
+    // early exit — no O(#versions) boundary walk on plain tables (and a
+    // disabled-later table resolves generically, by the same probe).
+    val boundary: Option[(Long, Long)] =
+      if (DeltaLog.ictOf(f, tbl, vs.last).isEmpty) None
+      else vs.iterator
+        .map(v => v -> DeltaLog.ictOf(f, tbl, v))
+        .collectFirst { case (v, Some(t)) => (v, t) }
     boundary match {
       case Some((ev, et)) if tsMs >= et =>
         // ICT regime: versions >= enablement resolve by their icts —
@@ -388,6 +394,7 @@ object DeltaTable {
       require(attempts <= 50, s"delta: restore gave up after $attempts conflicts")
       val head = snapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
+      if (!head.isEmpty) checkAppendOnly(table, head, "RESTORE")
       val now = System.currentTimeMillis()
       // the delta keys on (path, deletion vector), NOT path alone: a
       // restore across a DV-only state change (DV DML keeps paths and
@@ -523,6 +530,7 @@ object DeltaTable {
       require(attempts <= 50, s"delta: restore gave up after $attempts conflicts")
       val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
+      if (!head.isEmpty) checkAppendOnly(table, head, "RESTORE")
       val headF = liveFrame(spark, table, head.version)
       val now = System.currentTimeMillis()
       // ONE full-outer join on path; the action decision keys on
@@ -924,6 +932,8 @@ object DeltaTable {
         val h = readHead(); head = h._1; distOverwrite = h._2
       }
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
+      if (mode == SaveMode.Overwrite && !head.isEmpty)
+        checkAppendOnly(table, head, "OVERWRITE")
       require(head.partitionColumns == parts || head.isEmpty,
         s"delta: concurrent writer changed partitioning to ${head.partitionColumns}")
       // identity-allocation conflict: our staged ids were computed from
@@ -1223,6 +1233,10 @@ object DeltaTable {
             .map(r => new Path(r.getString(0)).getName).toSet
           candidates.filter(f => names.contains(new Path(f.path).getName))
         }
+      // rewriting touched files REMOVES their old incarnations — the
+      // append-only contract refuses exactly then (an upsert batch that
+      // matches nothing is a plain append and passes)
+      if (touched.nonEmpty) checkAppendOnly(table, head, "MERGE")
       val touchedDf =
         if (touched.isEmpty) None
         else Some(readFiles(spark, table, schema, head.partitionColumns, touched))
@@ -1423,6 +1437,10 @@ object DeltaTable {
             candidates.filter(f => names.contains(new Path(f.path).getName))
           }
         }
+      // rewriting touched files removes their old incarnations — the
+      // append-only contract refuses exactly then (an insert-only merge
+      // that touches no file is a plain append and passes)
+      if (touched.nonEmpty) checkAppendOnly(table, head, "MERGE")
       def condOf(c: MergeClause): Option[Column] = c match {
         case MergeClause.Update(cond, _) => cond
         case MergeClause.Delete(cond) => cond
@@ -1678,6 +1696,21 @@ object DeltaTable {
   private[delta] def dvEnabled(head: DeltaLog.Snapshot): Boolean =
     head.configuration.get("delta.enableDeletionVectors").exists(_.toBoolean)
 
+  /** Refuse operations that REMOVE or REWRITE data on an append-only
+    * table (`delta.appendOnly=true` — the protocol's legacy writer-2
+    * capability, listed as `appendOnly` at writer 7). This engine
+    * declares the feature in [[DeltaLog.SupportedWriterFeatures]], so
+    * it must ENFORCE it on its own write paths, not just advertise it
+    * to foreign writers (round-15 advice closed the advertising half).
+    * Compaction-style `dataChange=false` housekeeping is NOT covered —
+    * the capability constrains the logical content, not the layout. */
+  private[delta] def checkAppendOnly(table: String, head: DeltaLog.Snapshot,
+                                     op: String): Unit =
+    require(head.isEmpty ||
+        !head.configuration.get("delta.appendOnly").exists(_.toBoolean),
+      s"delta: $table is append-only (delta.appendOnly=true) — $op " +
+        "removes or rewrites data; only appends are permitted")
+
   /** The table's ACTIVE legacy features, by feature name — what a
     * writer-version-7 protocol upgrade must LIST (the spec makes the
     * list the contract at 7): a foreign writer consults it to know
@@ -1706,6 +1739,7 @@ object DeltaTable {
     val hasGenerated = GeneratedColumns.generatedOf(schema).nonEmpty
     val cdf = config.get("delta.enableChangeDataFeed").exists(_.toBoolean)
     val constraints = constraintsOf(config).nonEmpty
+    val appendOnly = config.get("delta.appendOnly").exists(_.toBoolean)
     if (hasDefaults || ict) {
       var feats = Set.empty[String]
       if (hasDefaults) feats += "allowColumnDefaults"
@@ -1715,6 +1749,11 @@ object DeltaTable {
       if (cdf) feats += "changeDataFeed"
       if (constraints) feats += "checkConstraints"
       if (schema.fields.exists(!_.nullable)) feats += "invariants"
+      // config-driven legacy capabilities list too — at writer 7 the
+      // list IS the contract, so omitting appendOnly here would tell a
+      // by-the-book foreign writer it need not enforce it (round-15
+      // advice)
+      if (appendOnly) feats += "appendOnly"
       DeltaLog.protocolAction(1, 7, Set.empty, feats)
     } else {
       val w =
@@ -1762,6 +1801,8 @@ object DeltaTable {
   private def activeTableFeatures(head: DeltaLog.Snapshot,
                                   schema: StructType): Set[String] = {
     var f = Set.empty[String]
+    if (head.configuration.get("delta.appendOnly").exists(_.toBoolean))
+      f += "appendOnly"
     if (ColumnMapping.hasMapping(schema)) f += "columnMapping"
     if (changeFeedEnabled(SparkSession.active, head)) f += "changeDataFeed"
     if (constraintsOf(head.configuration).nonEmpty) f += "checkConstraints"
@@ -2532,6 +2573,7 @@ object DeltaTable {
         else snapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
       if (head.isEmpty) return
+      checkAppendOnly(table, head, if (set.isDefined) "UPDATE" else "DELETE")
       val schema = logSchema(head, table)
       // generated columns: direct assignment refuses; assignments to
       // their referenced columns RECOMPUTE them in the same projection

@@ -242,6 +242,9 @@ private[delta] class GraftRowLevelBatchWrite(
     DeltaLog.metaSnapshot(spark, table, Some(pinnedVersion))
   require(!initHead.isEmpty, s"graft-delta: $table has no commits")
   DeltaLog.checkWritable(table, initHead)
+  // the DSv2 row-level path exists only for SQL DELETE/UPDATE/MERGE —
+  // all of which remove or rewrite rows
+  DeltaTable.checkAppendOnly(table, initHead, "row-level DML")
 
   private val logSchema: StructType = initHead.schemaJson
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])

@@ -220,7 +220,14 @@ object IncrementalAgg {
     * (round-14 verdict ask #4). Exactly-once on BOTH paths: the delta
     * appends and the rebase overwrite each commit with a `txn` mark at
     * the new cursor, so a replayed maintenance tick is refused by the
-    * MV's own log. Returns the new cursor (== `cursor` when idle). */
+    * MV's own log. The MV's recorded mark is ALSO the recovery floor:
+    * the effective cursor is max(caller's cursor, the MV's txn mark) —
+    * a caller whose externally-persisted cursor LAGS the mark (crash
+    * between the MV commit and the cursor persistence) would otherwise
+    * compute a window overlapping already-folded commits whose
+    * txnVersion exceeds the mark, pass the txn gate, and double-fold
+    * them (round-15 advice). Returns the new cursor (== the effective
+    * cursor when idle). */
   def maintainFromBase(
       spark: SparkSession,
       baseTable: String,
@@ -228,10 +235,15 @@ object IncrementalAgg {
       groupCol: String,
       measureCol: String,
       cursor: Long): Long = {
-    import graft.sources.delta.DeltaTable
+    import graft.sources.delta.{DeltaLog, DeltaTable}
+    val mvMark =
+      if (DeltaLog.versions(spark, mvTable).isEmpty) -1L
+      else DeltaLog.metaSnapshot(spark, mvTable).txns
+        .getOrElse(BaseMvAppId, -1L)
+    val effCursor = math.max(cursor, mvMark)
     val (df, newCursor, rebase) =
-      DeltaTable.changesOrRebase(spark, baseTable, cursor)
-    if (newCursor == cursor) return cursor
+      DeltaTable.changesOrRebase(spark, baseTable, effCursor)
+    if (newCursor == effCursor) return effCursor
     val delta = df.groupBy(col(groupCol))
       .agg(sum(coalesce(col(measureCol).cast("long"), lit(0L))).as("d_sum"),
         count(lit(1L)).as("d_cnt"))

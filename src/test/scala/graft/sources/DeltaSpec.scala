@@ -372,6 +372,36 @@ class DeltaSpec extends SparkSpec {
     assert(mvState() === baseAgg())
   }
 
+  test("maintainFromBase: a crash-lagged cursor cannot double-fold (MV mark is the floor)") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import graft.streaming.IncrementalAgg
+    val base = tmp(); val mv = tmp()
+    def mvState() = IncrementalAgg.viewDelta(spark, mv, "sport_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def baseAgg() = DeltaTable.read(spark, base).groupBy("sport_type")
+      .agg(sum(col("distance")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def tick(cursor: Long) = IncrementalAgg.maintainFromBase(
+      spark, base, mv, "sport_type", "distance", cursor)
+    DeltaTable.write(Seq(("run", 5L)).toDF("sport_type", "distance"),
+      base, SaveMode.Append)                                           // v0
+    assert(tick(-1L) === 0L)
+    DeltaTable.write(Seq(("run", 7L)).toDF("sport_type", "distance"),
+      base, SaveMode.Append)                                           // v1
+    assert(tick(0L) === 1L) // MV mark advances to 1 ...
+    // ... but the caller CRASHES before persisting its cursor (still 0),
+    // and the base keeps moving
+    DeltaTable.write(Seq(("run", 11L)).toDF("sport_type", "distance"),
+      base, SaveMode.Append)                                           // v2
+    // the recovered tick replays with the STALE cursor: without the
+    // mark-clamp its window (0, 2] would overlap the already-folded v1
+    // and commit at txn 2 > mark 1 — passing the txn gate and
+    // double-folding v1's rows (round-15 advice)
+    assert(tick(0L) === 2L)
+    assert(mvState() === baseAgg())
+    assert(mvState() === Set(("run", 23L, 3L)))
+  }
+
   test("checkpoint: seeds the snapshot, JSON replays on top, txns + time travel survive") {
     val t = tmp()
     DeltaTable.write(Seq((1, "a")).toDF("id", "s"), t, SaveMode.Append)       // v0

@@ -250,6 +250,46 @@ class InCommitTimestampSpec extends SparkSpec {
     assert(DeltaTable.read(spark, tgt).count() === 4L)
   }
 
+  test("the checkpoint pointer carries the last ict; a cleaned parent cannot regress the line") {
+    val t = tmp()
+    DeltaTable.write(Seq((1L, "a")).toDF("id", "s"), t, SaveMode.Append) // v0
+    DeltaTable.setProperties(spark, t, Enable)                           // v1
+    DeltaTable.write(Seq((2L, "b")).toDF("id", "s"), t, SaveMode.Append) // v2
+    DeltaLog.checkpoint(spark, t) // at v2 — pointer records v2's ict
+    val tbl = new org.apache.hadoop.fs.Path(t)
+    val f = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(DeltaLog.pointerIct(f, tbl) === commitOf(t, 2L).ictMs,
+      "the pointer's ict extension field records the checkpointed " +
+        "version's ict")
+    // simulate a FUTURE-skewed parent whose JSON was then retired by
+    // external log cleaning: patch the pointer's ict a year ahead and
+    // delete every commit file at or below the checkpoint — the next
+    // commit can only learn the line's high-water mark from the pointer
+    val future = System.currentTimeMillis() + 365L * 24 * 3600 * 1000
+    val pointerPath = java.nio.file.Paths.get(t, "_delta_log",
+      "_last_checkpoint")
+    val patched = new String(java.nio.file.Files.readAllBytes(pointerPath),
+      "UTF-8").replaceAll("\"ict\":\\d+", s""""ict":$future""")
+    java.nio.file.Files.write(pointerPath, patched.getBytes("UTF-8"))
+    // the out-of-band patch invalidates the local fs's checksum sibling
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t,
+      "_delta_log", "._last_checkpoint.crc"))
+    (0L to 2L).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(t, "_delta_log",
+        f"$v%020d.json"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t,
+        "_delta_log", f".$v%020d.json.crc"))
+    }
+    DeltaTable.write(Seq((3L, "c")).toDF("id", "s"), t, SaveMode.Append) // v3
+    assert(commitOf(t, 3L).ictMs === Some(future + 1L),
+      "with the parent's JSON gone, the new ict floors at the pointer's " +
+        "recorded ict + 1 — a backward-skewed clock (here: 'now', a year " +
+        "behind the skewed parent) must not regress the line")
+    // and the line keeps climbing from there
+    DeltaTable.write(Seq((4L, "d")).toDF("id", "s"), t, SaveMode.Append) // v4
+    assert(commitOf(t, 4L).ictMs === Some(future + 2L))
+  }
+
   test("the streamed commit path stamps the same way (overwrite past the threshold)") {
     val t = tmp()
     val df = (0L until 200L).toDF("id")

@@ -222,4 +222,76 @@ class ProtocolSpec extends SparkSpec {
     assert(s2.readerFeatures === s.readerFeatures)
     assert(s2.writerFeatures === s.writerFeatures)
   }
+
+  test("delta.appendOnly is listed at writer 7 and ENFORCED on every remove path") {
+    val t = tmp()
+    DeltaTable.write((1 to 10).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+      .coalesce(1), t, SaveMode.Append)
+    DeltaTable.setProperties(spark, t, Map("delta.appendOnly" -> "true"))
+    // legacy: the bare property stays at writer 2 (implied capability)
+    assert(DeltaLog.snapshot(spark, t).minWriterVersion === 2)
+    // appends keep working
+    DeltaTable.write(Seq((11L, "k")).toDF("id", "s"), t, SaveMode.Append)
+    assert(DeltaTable.read(spark, t).count() === 11L)
+    // every remove-producing path refuses with the named contract
+    def refused(op: => Unit): String =
+      intercept[IllegalArgumentException](op).getMessage
+    assert(refused(DeltaTable.delete(spark, t, col("id") === 1L))
+      .contains("append-only"))
+    assert(refused(DeltaTable.update(spark, t, col("id") === 1L,
+      Map("s" -> org.apache.spark.sql.functions.lit("x"))))
+      .contains("append-only"))
+    assert(refused(DeltaTable.write(Seq((1L, "z")).toDF("id", "s"), t,
+      SaveMode.Overwrite)).contains("append-only"))
+    assert(refused(DeltaTable.restore(spark, t, 0L)).contains("append-only"))
+    // an upsert that REWRITES a touched file refuses; an insert-only
+    // batch (no file touched) is a plain append and passes
+    assert(refused(DeltaTable.merge(Seq((1L, "clash")).toDF("id", "s"),
+      t, "id")).contains("append-only"))
+    DeltaTable.merge(Seq((99L, "new")).toDF("id", "s"), t, "id")
+    assert(DeltaTable.read(spark, t).count() === 12L)
+    // nothing above committed: the table still replays clean
+    assert(DeltaTable.read(spark, t).where(col("id") === 1L).count() === 1L)
+    // writer-7 upgrades LIST the active capability — at 7 the list IS
+    // the contract, and omitting appendOnly would tell a by-the-book
+    // foreign writer it need not enforce it (round-15 advice)
+    DeltaTable.setProperties(spark, t,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    val s7 = DeltaLog.snapshot(spark, t)
+    assert(s7.minWriterVersion === 7)
+    assert(s7.writerFeatures.contains("appendOnly"),
+      s"writer-7 list must carry appendOnly: ${s7.writerFeatures}")
+  }
+
+  test("creation with defaults + appendOnly lists both; SQL row-level DML refuses") {
+    val warehouse =
+      java.nio.file.Files.createTempDirectory("aocat").toString
+    spark.conf.set("spark.sql.catalog.graftao",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftao.warehouse", warehouse)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftao.db")
+      spark.sql("""CREATE TABLE graftao.db.t
+                   (id BIGINT, s STRING DEFAULT 'd')
+                   TBLPROPERTIES('delta.appendOnly'='true')""")
+      val t = s"$warehouse/db/t"
+      val v0 = DeltaLog.snapshot(spark, t)
+      assert(v0.minWriterVersion === 7)
+      assert(Set("allowColumnDefaults", "appendOnly")
+        .subsetOf(v0.writerFeatures), s"got ${v0.writerFeatures}")
+      spark.sql("INSERT INTO graftao.db.t VALUES (1, 'a'), (2, 'b')")
+      val e = intercept[Exception](
+        spark.sql("DELETE FROM graftao.db.t WHERE id = 1"))
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("append-only")),
+        s"SQL DELETE must hit the append-only refusal: ${messages(e)}")
+      assert(spark.sql("SELECT * FROM graftao.db.t").count() === 2L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graftao.db.t")
+      spark.conf.unset("spark.sql.catalog.graftao")
+      spark.conf.unset("spark.sql.catalog.graftao.warehouse")
+    }
+  }
 }
