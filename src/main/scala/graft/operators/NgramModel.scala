@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language-model scoring — the pipeline stage behind
+  * perplexity-style quality filters (CCNet buckets its corpus by LM
+  * perplexity; Gopher's quality rules are the same shape): score each
+  * document by how FAMILIAR its word bigrams are under a model built
+  * from the corpus itself, so downstream sampling can keep the fluent
+  * tail and drop the gibberish one.
+  *
+  * The score is deliberately INTEGER-EXACT: documents are scored by the
+  * sum of their bigrams' frequency RANKS in the corpus model (misses
+  * take rank K+1), not by float log-probabilities — floats cannot
+  * hash-match across engines, ranks can, so the whole operator is
+  * oracle-verifiable bit-for-bit (the repo's cross-engine float rule).
+  * Rank-sum and log-frequency-sum order documents near-identically for
+  * filtering purposes: both are monotone in "how common are this doc's
+  * bigrams", which is the signal the filter thresholds on.
+  *
+  * 100 TB shape: ONE shuffle builds the model (bigram → count, map-side
+  * combined; the explode is map-side over the document scan), the
+  * global top-K is Spark's TakeOrderedAndProject (per-partition top-K,
+  * K rows to the driver — never a full sort), the model BROADCASTS
+  * (K ≤ ~1M rows of (string, int)), and scoring is one more map-side
+  * join + per-doc partial aggregation. In production the model is
+  * built once and reused across scoring runs — the two passes over the
+  * bigram relation here are the build-and-score-in-one-job form. */
+object NgramModel {
+
+  /** One row per bigram OCCURRENCE (multiplicity kept — LM counting),
+    * over whitespace tokens, [[graft.operators.TextDedup.shingles]]'s
+    * split convention. Docs with fewer than two tokens have no bigrams
+    * and drop out; the doc-level dropDuplicates keeps replayed loads
+    * from double-counting the model. */
+  def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> concat_ws(' ', slice(w, i + 1, 2)))")).as("bigram"))
+
+  /** The top-`k` corpus bigrams ranked 1..k by (count DESC, bigram ASC)
+    * — the tie-break makes the rank DETERMINISTIC, so two engines (and
+    * two runs) build the identical model. The window sorts only the K
+    * surviving rows (post-limit), never the full vocabulary. */
+  def model(bi: DataFrame, k: Int): DataFrame =
+    bi.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bigram").asc)
+      .limit(k)
+      .select(col("bigram"),
+        row_number().over(
+          Window.orderBy(col("c").desc, col("bigram").asc)).as("r"))
+
+  /** Per-document familiarity: `n_bi` bigram occurrences, `hit_bi` of
+    * them inside the top-`k` model, and `sum_rank` — the sum of their
+    * model ranks with rank k+1 charged per miss. Low sum_rank/n_bi =
+    * fluent, corpus-typical text; high = rare or garbled. Integer
+    * columns only (the filter thresholds ride on ratios the CONSUMER
+    * computes at whatever precision it wants). */
+  def familiarity(docs: DataFrame, k: Int = 1000): DataFrame = {
+    val bi = bigrams(docs)
+    bi.join(broadcast(model(bi, k)), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bi"),
+        count(col("r")).as("hit_bi"),
+        sum(coalesce(col("r"), lit(k + 1)).cast("long")).as("sum_rank"))
+  }
+}

@@ -2731,6 +2731,41 @@ object Catalog {
     }
   }
 
+  /** Bigram-familiarity quality scoring (q118, round 16) — the
+    * perplexity-filter pipeline stage (CCNet/Gopher) in its
+    * integer-exact form: [[graft.operators.NgramModel.familiarity]]
+    * ranks the corpus's top-K bigrams deterministically and scores each
+    * document by rank-sum (misses charged K+1). Ranks, not float log
+    * probabilities, so the oracle hash-matches bit-for-bit — both are
+    * monotone in the signal the filter thresholds on. The DuckDB oracle
+    * rebuilds the model and the scores from scratch. */
+  val q118BigramQuality: Q = Q(
+    "q118_bigram_quality",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+      bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+             FROM (SELECT doc_id, w, UNNEST(range(1, len(w))) AS i
+                   FROM tok WHERE len(w) >= 2)),
+      model AS (SELECT bigram,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                          bigram ASC) AS r
+                FROM bi GROUP BY bigram
+                ORDER BY COUNT(*) DESC, bigram ASC LIMIT 1000),
+      scored AS (SELECT b.doc_id,
+                        COUNT(*) AS n_bi,
+                        COUNT(m.r) AS hit_bi,
+                        SUM(COALESCE(m.r, 1001)) AS sum_rank
+                 FROM bi b LEFT JOIN model m USING (bigram)
+                 GROUP BY 1)
+      SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bi,
+             CAST(hit_bi AS BIGINT) AS hit_bi,
+             CAST(sum_rank AS BIGINT) AS sum_rank
+      FROM scored""")) { (spark, dir) =>
+    graft.operators.NgramModel.familiarity(
+      table(spark, dir, "documents"), k = 1000)
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2744,7 +2779,8 @@ object Catalog {
         q105DvStreamCdf, q106SqlUpdate, q107CheckpointDv,
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
         q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
-        q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly) ++
+        q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly,
+        q118BigramQuality) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Bigram-familiarity scoring ([[NgramModel]]): the integer-exact
+  * analogue of a perplexity quality filter — model ranks are
+  * deterministic (count DESC, bigram ASC), misses charge rank k+1, and
+  * the whole score is hand-checkable on a four-document corpus. */
+class NgramModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat"),            // bigrams: "the cat", "cat sat"
+    (2L, "the cat ran"),            // "the cat", "cat ran"
+    (3L, "the cat sat"),            // duplicate text, distinct doc
+    (4L, "zz qq"),                  // "zz qq" — the rare tail
+    (5L, "one")                     // no bigram: drops out
+  ).toDF("doc_id", "text")
+
+  test("model ranks are deterministic: count desc, bigram asc") {
+    val m = NgramModel.model(NgramModel.bigrams(docs), k = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // counts: "the cat" 3, "cat sat" 2, "cat ran" 1, "zz qq" 1 —
+    // the k=3 cut keeps the tie's alphabetical winner ("cat ran")
+    assert(m === Map("the cat" -> 1, "cat sat" -> 2, "cat ran" -> 3))
+  }
+
+  test("familiarity scores by rank-sum with k+1 per miss; bigram-less docs drop") {
+    val got = NgramModel.familiarity(docs, k = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 2L, 3L)),  // ranks 1 + 2
+      2L -> ((2L, 2L, 4L)),  // ranks 1 + 3
+      3L -> ((2L, 2L, 3L)),  // duplicate text scores identically
+      4L -> ((1L, 0L, 4L))), // one miss: k + 1 = 4
+      s"got $got")
+    // doc 5 ("one") has no bigram and must not appear
+    assert(!got.contains(5L))
+  }
+
+  test("a replayed (duplicate) load does not inflate the model") {
+    val replayed = docs.union(docs)
+    val m = NgramModel.model(NgramModel.bigrams(replayed), k = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m === Map("the cat" -> 1, "cat sat" -> 2, "cat ran" -> 3),
+      "dropDuplicates(doc_id) must keep replayed rows from double-counting")
+  }
+
+  test("the model side stays broadcast and the top-k never full-sorts") {
+    val plan = NgramModel.familiarity(docs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the model join must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the global top-k must be TakeOrderedAndProject, not a full sort:\n$plan")
+  }
+}
