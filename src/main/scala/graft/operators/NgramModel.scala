@@ -64,11 +64,20 @@ object NgramModel {
     * computes at whatever precision it wants). */
   def familiarity(docs: DataFrame, k: Int = 1000): DataFrame = {
     val bi = bigrams(docs)
-    bi.join(broadcast(model(bi, k)), Seq("bigram"), "left")
+    scoreAgainst(bi, model(bi, k), k)
+  }
+
+  /** Score a bigram relation against a PRE-BUILT model — the production
+    * path: the model is built once (or maintained periodically) and
+    * reused across scoring runs, so each run is ONE pass over the new
+    * documents (map-side explode + broadcast join + per-doc partial
+    * aggregation, no model shuffle at all). [[familiarity]] is the
+    * build-and-score-in-one-job convenience over this. */
+  def scoreAgainst(bi: DataFrame, model: DataFrame, k: Int): DataFrame =
+    bi.join(broadcast(model), Seq("bigram"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bi"),
         count(col("r")).as("hit_bi"),
         sum(coalesce(col("r"), lit(k + 1)).cast("long")).as("sum_rank"))
-  }
 }

@@ -48,6 +48,18 @@ class NgramModelSpec extends SparkSpec {
       "dropDuplicates(doc_id) must keep replayed rows from double-counting")
   }
 
+  test("a pre-built model scores NEW documents in one pass (the reuse path)") {
+    val m = NgramModel.model(NgramModel.bigrams(docs), k = 3)
+    val fresh = Seq((10L, "the cat sat"), (11L, "qq zz")).toDF("doc_id", "text")
+    val got = NgramModel.scoreAgainst(NgramModel.bigrams(fresh), m, k = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === Map(
+      10L -> ((2L, 2L, 3L)),   // known bigrams score by the OLD model
+      11L -> ((1L, 0L, 4L))),  // "qq zz" was never in the model: miss
+      s"got $got")
+  }
+
   test("the model side stays broadcast and the top-k never full-sorts") {
     val plan = NgramModel.familiarity(docs, k = 3)
       .queryExecution.executedPlan.toString
