@@ -81,6 +81,69 @@ object VectorSearch {
       .select(col("qid"), col("nid"), col("rnk"), col("cosine"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: per anchor, the
+    * top-k most-similar corpus vectors whose `label` DIFFERS from the
+    * anchor's — same-label rows are the anchor's positive set, and the
+    * near-miss negatives just outside it are what contrastive losses
+    * (retrievers, rerankers, embedding models) learn the most from.
+    * Exact and deterministic via the scaled-integer conventions above —
+    * the correctness baseline and the oracle path;
+    * [[hardNegativesLsh]] is the scale path. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    labelCol: String = "label"): DataFrame = {
+    val q = withNorm(queries).select(col("vec_id").as("qid"),
+      col(labelCol).as("qlabel"), col("v").as("qv"), col("n2").as("qn2"))
+    val c = withNorm(corpus).select(col("vec_id").as("nid"),
+      col(labelCol).as("nlabel"), col("v").as("nv"), col("n2").as("nn2"))
+    val scored = q.crossJoin(c)
+      .filter(col("qid") =!= col("nid") && col("qlabel") =!= col("nlabel"))
+      .withColumn("dot", dotExact("qv", "nv"))
+      .withColumn("cosine",
+        col("dot").cast("double")
+          / (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("cosine"))
+  }
+
+  /** Scale path for [[hardNegatives]]: sign-LSH bucket candidates (the
+    * [[annLsh]] multi-table join replaces the cross join), the label
+    * exclusion applied on candidates, then the SAME exact scoring — any
+    * pair the buckets recall scores bit-identically to the exact path.
+    * Top-k is approximate exactly like [[annLsh]] (a negative missed by
+    * every bucket table cannot rank); for mining that is the standard
+    * trade — recall of the HIGH-cosine negatives, the ones that matter,
+    * approaches 1 by the same 1-(1-p^bits)^L bound that makes near-dup
+    * recall work. */
+  def hardNegativesLsh(
+      emb: DataFrame, k: Int, nBits: Int = 5, nTables: Int = 16,
+      dim: Int = 64, labelCol: String = "label"): DataFrame = {
+    val base = materialize(withNorm(emb).select(
+      col("vec_id"), col(labelCol).as("lbl"), col("v"), col("n2")))
+    val buckets = base.select(col("vec_id"),
+      posexplode(lshCodes("v", nTables, nBits, dim)).as(Seq("tbl", "code")))
+    // id-only candidates (the q38 lesson), vectors re-join once
+    val cands = buckets.select(col("tbl"), col("code"), col("vec_id").as("qid"))
+      .join(buckets.select(col("tbl"), col("code"), col("vec_id").as("nid")),
+        Seq("tbl", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val qv = base.select(col("vec_id").as("qid"), col("lbl").as("qlabel"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    val nv = base.select(col("vec_id").as("nid"), col("lbl").as("nlabel"),
+      col("v").as("nv"), col("n2").as("nn2"))
+    val scored = cands.join(qv, "qid").join(nv, "nid")
+      .filter(col("qlabel") =!= col("nlabel"))
+      .withColumn("cosine",
+        dotExact("qv", "nv").cast("double")
+          / (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): all a<b pairs
     * with cosine ≥ minCosine, exact/deterministic via the scaled-integer
     * dot product. Quadratic — the oracle/small-scale path; at scale run

@@ -2766,6 +2766,48 @@ object Catalog {
       table(spark, dir, "documents"), k = 1000)
   }
 
+  /** Hard-negative mining (q119, round 16) — contrastive-training data
+    * prep: per anchor (vec_id < 20), the top-3 most-similar embeddings
+    * whose LABEL differs (same-label rows are the anchor's positive
+    * set; the near-miss negatives just outside it are what retriever /
+    * reranker losses learn from). Exact scaled-integer cosine (q21's
+    * cross-engine float conventions); the scale path is
+    * [[graft.operators.VectorSearch.hardNegativesLsh]] (bucketed
+    * candidates, identical scoring), spec-verified against this exact
+    * baseline. */
+  val q119HardNegatives: Q = Q(
+    "q119_hard_negatives",
+    oracle = Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS v
+        FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 20),
+      idx AS (SELECT UNNEST(range(1, 65)) AS i),
+      pr AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               CAST(SUM(q.v[i] * e.v[i]) AS BIGINT) AS dot
+        FROM q, e, idx
+        WHERE q.vec_id <> e.vec_id AND q.label <> e.label
+        GROUP BY 1, 2),
+      n AS (
+        SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS n2
+        FROM e, idx GROUP BY 1),
+      c AS (
+        SELECT qid, nid,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+        FROM pr JOIN n qn ON pr.qid = qn.vec_id JOIN n nn ON pr.nid = nn.vec_id),
+      r AS (
+        SELECT qid, nid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rnk
+        FROM c)
+      SELECT qid, nid, rnk, cosine FROM r WHERE rnk <= 3""")) { (spark, dir) =>
+    val emb = table(spark, dir, "embeddings")
+    graft.operators.VectorSearch.hardNegatives(
+      emb.filter(col("vec_id") < 20), emb, k = 3)
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2780,7 +2822,7 @@ object Catalog {
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
         q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
         q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly,
-        q118BigramQuality) ++
+        q118BigramQuality, q119HardNegatives) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

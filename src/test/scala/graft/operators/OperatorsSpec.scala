@@ -200,6 +200,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: label exclusion holds; LSH path scores bit-identically with usable recall") {
+    val exact = VectorSearch.hardNegatives(emb.filter(col("vec_id") < 20), emb, k = 3)
+      .collect()
+    assert(exact.length === 60, "3 negatives per anchor, 20 anchors")
+    val labels = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    exact.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+        "a mined negative must never share the anchor's label (it would " +
+          "be a positive poisoning the contrastive loss)")
+    }
+    // the scale path: LSH-bucketed candidates, same exact scoring — any
+    // (anchor, negative) pair both paths surface carries the SAME cosine,
+    // and the top-1 hard negative (the pair that matters most) is
+    // recalled at a usable rate
+    val lsh = VectorSearch.hardNegativesLsh(emb, k = 3)
+      .collect()
+    lsh.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)))
+    }
+    val exactCos = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val shared = lsh.flatMap(r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).map(_ -> r.getDouble(3)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (e, l) => assert(e === l,
+      "LSH-recalled pairs must score bit-identically to the exact path") }
+    val exactTop1 = exact.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lshTop1 = lsh.filter(r => r.getInt(2) == 1 && r.getLong(0) < 20)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = exactTop1.count { case (q, n) => lshTop1.get(q).contains(n) }
+      .toDouble / exactTop1.size
+    assert(recall >= 0.5, s"top-1 hard-negative recall $recall too low")
+  }
+
   test("ann-lsh: recall vs brute force is usable, candidates bucket-bounded") {
     val brute = VectorSearch.bruteForceTopK(emb, emb, 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
