@@ -49,6 +49,33 @@ object Decontaminate {
     overlapsAgainst(TextDedup.shingles(train, n), TextDedup.shingles(eval, n),
       minOverlap, broadcastEval, maxShingleDf)
 
+  /** Per-EVAL-document contamination SEVERITY — of the eval doc's
+    * distinct n-gram shingles, how many appear ANYWHERE in the training
+    * corpus: (eval_id, n_sh, n_hit). [[overlaps]] answers "which train
+    * docs leak which eval doc"; this answers the release question —
+    * "how much of each benchmark item does the corpus contain" — whose
+    * n_hit/n_sh ratio drives the drop / keep / flag-the-score decision.
+    *
+    * 100 TB shape: the EVAL side is small (benchmarks), so its distinct
+    * shingle set BROADCASTS and the training corpus streams ONCE
+    * through a map-side semi join — no corpus-keyed shuffle at all; the
+    * surviving hit set is ≤ |eval shingles| and broadcasts back onto
+    * the per-doc counts. */
+  def severity(train: DataFrame, eval: DataFrame, n: Int = 3): DataFrame = {
+    val evalSh = TextDedup.shingles(eval, n)
+    val evalSet = evalSh.select(col("shingle")).distinct()
+    val hitSet = TextDedup.shingles(train, n).select(col("shingle"))
+      .join(broadcast(evalSet), Seq("shingle"), "left_semi").distinct()
+    val hits = evalSh.join(broadcast(hitSet), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    TextDedup.shingleSizes(evalSh)
+      .select(col("doc_id").as("eval_id"), col("n").as("n_sh"))
+      .join(hits.select(col("doc_id").as("eval_id"), col("n_hit")),
+        Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
   /** [[overlaps]] against pre-computed (doc_id, shingle) relations — the
     * form a streaming ingest uses: the benchmark's shingle relation is
     * computed and persisted ONCE, then reused by every micro-batch

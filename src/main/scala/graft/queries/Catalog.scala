@@ -2808,6 +2808,37 @@ object Catalog {
       emb.filter(col("vec_id") < 20), emb, k = 3)
   }
 
+  /** Contamination severity (q120, round 16):
+    * [[graft.operators.Decontaminate.severity]] — per EVAL document
+    * (doc_id < 20 stands in for the benchmark set), how many of its
+    * distinct word-3-gram shingles appear anywhere in the training
+    * corpus (the rest of `documents`). q51/q63 answer "which train docs
+    * leak which eval doc"; this is the release-time drop/keep/flag
+    * signal: n_hit/n_sh per benchmark item. Integer counts, oracle
+    * rebuilt from scratch in SQL. */
+  val q120ContaminationSeverity: Q = Q(
+    "q120_contamination_severity",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+      pos AS (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM pos),
+      ev AS (SELECT * FROM sh WHERE doc_id < 20),
+      tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id >= 20),
+      hits AS (SELECT e.doc_id, COUNT(*) AS n_hit
+               FROM ev e JOIN tr USING (shingle) GROUP BY 1),
+      sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ev GROUP BY 1)
+      SELECT sz.doc_id AS eval_id, CAST(n_sh AS BIGINT) AS n_sh,
+             CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit
+      FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id""")) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    graft.operators.Decontaminate.severity(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2822,7 +2853,7 @@ object Catalog {
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
         q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
         q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly,
-        q118BigramQuality, q119HardNegatives) ++
+        q118BigramQuality, q119HardNegatives, q120ContaminationSeverity) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

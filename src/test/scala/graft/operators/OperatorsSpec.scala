@@ -200,6 +200,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("contamination severity: per-eval hit counts exact; corpus streams once, eval broadcasts") {
+    import spark.implicits._
+    val eval = Seq(
+      (1L, "a b c d e"),      // shingles: "a b c","b c d","c d e"
+      (2L, "x y z w v")       // "x y z","y z w","z w v"
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "a b c d q"),    // contains "a b c","b c d"
+      (101L, "junk text here")
+    ).toDF("doc_id", "text")
+    val sev = graft.operators.Decontaminate.severity(train, eval)
+    val got = sev.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L)),  // 2 of 3 shingles contaminated
+      2L -> ((3L, 0L))), // clean
+      s"got $got")
+    // plan shape: the training corpus is never shuffle-keyed — both
+    // semi joins broadcast the (small) eval-derived side
+    val plan = sev.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftsemi"),
+      s"eval-side broadcast semi joins expected:\n$plan")
+  }
+
   test("hard negatives: label exclusion holds; LSH path scores bit-identically with usable recall") {
     val exact = VectorSearch.hardNegatives(emb.filter(col("vec_id") < 20), emb, k = 3)
       .collect()
