@@ -67,6 +67,25 @@ object NgramModel {
     scoreAgainst(bi, model(bi, k), k)
   }
 
+  /** Corpus VOCABULARY report — the stats pass a tokenizer-training run
+    * starts from: the top-`k` words by collection frequency (`cf`, all
+    * occurrences) with their document frequency (`df`, docs containing
+    * the word). Ties break by word ascending, so two engines (and two
+    * runs) report the identical cut. 100 TB shape: one word-keyed
+    * shuffle with map-side combine (the df half is Spark's standard
+    * two-phase distinct aggregate) and the global top-k is
+    * TakeOrderedAndProject — per-partition top-k, k rows to the driver,
+    * never a full vocabulary sort. */
+  def vocabulary(docs: DataFrame, k: Int = 1000): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("word").asc)
+      .limit(k)
+
   /** Score a bigram relation against a PRE-BUILT model — the production
     * path: the model is built once (or maintained periodically) and
     * reused across scoring runs, so each run is ONE pass over the new

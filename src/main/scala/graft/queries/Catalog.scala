@@ -2839,6 +2839,25 @@ object Catalog {
       docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
   }
 
+  /** Vocabulary report (q121, round 16):
+    * [[graft.operators.NgramModel.vocabulary]] — the corpus word-stats
+    * pass tokenizer training starts from: top-500 words by collection
+    * frequency with document frequency, ties broken by word so the cut
+    * is engine-identical. */
+  val q121VocabReport: Q = Q(
+    "q121_vocab_report",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+      words AS (SELECT doc_id, UNNEST(w) AS word FROM tok),
+      f AS (SELECT word, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+            FROM words WHERE word <> '' GROUP BY word)
+      SELECT word, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df
+      FROM f ORDER BY cf DESC, word ASC LIMIT 500""")) { (spark, dir) =>
+    graft.operators.NgramModel.vocabulary(
+      table(spark, dir, "documents"), k = 500)
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2853,7 +2872,7 @@ object Catalog {
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
         q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
         q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly,
-        q118BigramQuality, q119HardNegatives, q120ContaminationSeverity) ++
+        q118BigramQuality, q119HardNegatives, q120ContaminationSeverity, q121VocabReport) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -60,6 +60,20 @@ class NgramModelSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("vocabulary report: cf/df exact, ties by word, top-k never full-sorts") {
+    val vocab = NgramModel.vocabulary(docs, k = 4)
+    val got = vocab.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    // cf: the 3, cat 3, sat 2, ran 1, one 1, qq 1, zz 1 — the k=4 cut
+    // keeps the tie's alphabetical winner ("one")
+    assert(got.toSeq === Seq(
+      ("cat", 3L, 3L), ("the", 3L, 3L), ("sat", 2L, 2L), ("one", 1L, 1L))
+      .sortBy(w => (-w._2, w._1)), s"got ${got.toSeq}")
+    assert(vocab.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "the global top-k must be TakeOrderedAndProject, not a full sort")
+  }
+
   test("the model side stays broadcast and the top-k never full-sorts") {
     val plan = NgramModel.familiarity(docs, k = 3)
       .queryExecution.executedPlan.toString
