@@ -59,17 +59,36 @@ object LogStore {
   /** Local/HDFS-semantics store (the default): local filesystems commit
     * via an atomic hard link (link(2) fails if the destination exists,
     * closing the check-then-create race); every other Hadoop filesystem
-    * commits temp-write + [[commitTmp]] (atomic rename-no-overwrite
-    * where the scheme has a FileContext, create-no-overwrite + copy
-    * with slot recovery otherwise). Pointer overwrite is temp-write +
-    * rename. */
+    * commits temp-write + [[commitTmp]] (atomic rename-no-overwrite on
+    * HDFS-semantics schemes — [[renameSchemes]], configurable —
+    * create-no-overwrite + copy with slot recovery otherwise). Pointer
+    * overwrite is temp-write + rename. */
   object Hadoop extends LogStore {
 
+    /** Schemes whose `FileContext.rename` is a genuinely ATOMIC
+      * no-overwrite rename — HDFS semantics. Object-store connectors
+      * (s3a, the GCS connector) DO register an `AbstractFileSystem`,
+      * but their rename is a non-atomic copy that can overwrite, so
+      * "has a FileContext" must not be the gate (round-16 advice):
+      * on those schemes rename would be WEAKER than the
+      * create-no-overwrite fallback they get instead. Override per
+      * deployment with the Hadoop conf key
+      * `graft.delta.logStore.renameSchemes` (comma-separated), e.g. to
+      * admit a proprietary HDFS-compatible scheme. */
+    private def renameSchemes(fs: FileSystem): Set[String] =
+      fs.getConf.getTrimmedStrings("graft.delta.logStore.renameSchemes",
+        "hdfs", "viewfs", "webhdfs", "swebhdfs", "file").toSet
+
     /** Commit a FULLY-WRITTEN tmp file into the version slot `dst`,
-      * exactly-once. True = owned; false = lost the race. Two paths:
+      * exactly-once. True = owned; false = lost the race. The
+      * destination is QUALIFIED against `fs` first: a default-FS
+      * relative path (the common `/path` HDFS shape) has a null URI
+      * scheme, and routing it by raw scheme silently dropped it to the
+      * copy fallback — the exact torn-destination window the rename
+      * path exists to close (round-16 advice, medium). Two paths:
       *
-      *  - Schemes with a `FileContext` (HDFS semantics — upstream
-      *    HDFSLogStore's primitive): atomic rename-no-overwrite. The
+      *  - [[renameSchemes]] (HDFS semantics — upstream HDFSLogStore's
+      *    primitive): atomic rename-no-overwrite via `FileContext`. The
       *    destination appears complete or not at all — no reader can
       *    parse a prefix of a half-copied commit as a committed
       *    version, and a crash mid-commit leaves only the tmp file,
@@ -77,15 +96,25 @@ object LogStore {
       *    Rename-onto-existing throws, so a loser stays observable —
       *    this is NOT the exists-then-rename clobber the round-15 fix
       *    removed (rename itself refuses, no check window).
-      *  - Schemes WITHOUT one (the documented plug-in point for object
+      *  - Everything else (the documented plug-in point for object
       *    stores): create-no-overwrite + copy — create is the atomic
       *    claim, but the copy has a mid-failure window; any failure
       *    after the claim DELETES the partial dst (best-effort) before
       *    rethrowing, so a retry finds the slot free instead of
-      *    treating the torn file as an existing commit. */
-    private def commitTmp(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+      *    treating the torn file as an existing commit. A store may
+      *    signal "destination exists" from `create(dst, false)` with
+      *    either `FileAlreadyExistsException` OR a plain `IOException`
+      *    (the Hadoop contract allows both): on a plain IOException
+      *    the destination is probed, and an existing dst reports the
+      *    lost race instead of surfacing an error (round-16 verdict
+      *    #4 — the exception type no longer decides the outcome). */
+    private def commitTmp(fs: FileSystem, tmpRaw: Path, dstRaw: Path): Boolean = {
+      val dst = fs.makeQualified(dstRaw)
+      val tmp = fs.makeQualified(tmpRaw)
+      val scheme = dst.toUri.getScheme
       val viaRename: Option[Boolean] =
-        Option(dst.toUri.getScheme).flatMap { _ =>
+        if (scheme == null || !renameSchemes(fs).contains(scheme)) None
+        else {
           try {
             val fc = org.apache.hadoop.fs.FileContext.getFileContext(
               dst.toUri, fs.getConf)
@@ -100,25 +129,34 @@ object LogStore {
           }
         }
       viaRename.getOrElse {
-        try {
-          val dstOut = fs.create(dst, false)
-          try {
-            try {
-              val in = fs.open(tmp)
-              try org.apache.hadoop.io.IOUtils.copyBytes(in, dstOut, 65536, false)
-              finally in.close()
-            } finally dstOut.close()
-          } catch {
-            case t: Throwable =>
-              // the claim succeeded but the body didn't land: a torn
-              // dst would make every retry see "exists" and wedge the
-              // table at this version — unpoison the slot, then loud
-              try fs.delete(dst, false) catch { case _: Throwable => () }
-              throw t
+        // the atomic claim, separated from the copy so an exception here
+        // is known to mean "never claimed" — the copy's recovery (delete
+        // the partial dst) must not run for a slot another writer owns
+        val claimed =
+          try Some(fs.create(dst, false))
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+            case e: java.io.IOException =>
+              if (fs.exists(dst)) None else throw e
           }
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        claimed match {
+          case None => false
+          case Some(dstOut) =>
+            try {
+              try {
+                val in = fs.open(tmp)
+                try org.apache.hadoop.io.IOUtils.copyBytes(in, dstOut, 65536, false)
+                finally in.close()
+              } finally dstOut.close()
+            } catch {
+              case t: Throwable =>
+                // the claim succeeded but the body didn't land: a torn
+                // dst would make every retry see "exists" and wedge the
+                // table at this version — unpoison the slot, then loud
+                try fs.delete(dst, false) catch { case _: Throwable => () }
+                throw t
+            }
+            true
         }
       }
     }

