@@ -30,16 +30,28 @@ import org.apache.spark.sql.functions._
   * bigram relation here are the build-and-score-in-one-job form. */
 object NgramModel {
 
+  /** Replay guard with a DETERMINISTIC survivor: one row per doc_id,
+    * keeping min(text) — `dropDuplicates("doc_id")` kept a
+    * PARTITION-ORDER-DEPENDENT row when the same doc_id recurred with
+    * DIFFERENT text (replayed-but-divergent loads), which broke the
+    * operator family's bit-for-bit cross-engine determinism contract
+    * (round-16 verdict #4 / advice). Identical replays are unaffected
+    * (min of equal texts is that text); same shuffle count as the
+    * dropDuplicates it replaces (one doc_id-keyed exchange, map-side
+    * combined). */
+  private def dedupDocs(docs: DataFrame): DataFrame =
+    docs.groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+
   /** One row per bigram OCCURRENCE (multiplicity kept — LM counting),
     * over whitespace tokens, [[graft.operators.TextDedup.shingles]]'s
     * split convention. Docs with fewer than two tokens have no bigrams
-    * and drop out; the doc-level dropDuplicates keeps replayed loads
-    * from double-counting the model. */
+    * and drop out; the doc-level [[dedupDocs]] keeps replayed loads
+    * from double-counting the model, with a deterministic survivor on
+    * divergent duplicates. */
   def bigrams(docs: DataFrame): DataFrame =
-    docs
+    dedupDocs(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-      .dropDuplicates("doc_id")
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 2), " +
           "i -> concat_ws(' ', slice(w, i + 1, 2)))")).as("bigram"))
@@ -77,8 +89,8 @@ object NgramModel {
     * TakeOrderedAndProject — per-partition top-k, k rows to the driver,
     * never a full vocabulary sort. */
   def vocabulary(docs: DataFrame, k: Int = 1000): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .dropDuplicates("doc_id")
+    dedupDocs(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(col("w")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))

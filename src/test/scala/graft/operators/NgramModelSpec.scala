@@ -48,6 +48,30 @@ class NgramModelSpec extends SparkSpec {
       "dropDuplicates(doc_id) must keep replayed rows from double-counting")
   }
 
+  test("divergent duplicates (same doc_id, different text) pick a deterministic survivor") {
+    // round-16 verdict #4 / advice: dropDuplicates("doc_id") kept a
+    // partition-order-dependent row when a replayed load DIVERGED —
+    // the survivor must be min(text), independent of partitioning
+    val divergent = Seq((1L, "the cat sat"), (1L, "zz qq"))
+    val expectModel = NgramModel.model(NgramModel.bigrams(
+      Seq((1L, "the cat sat")).toDF("doc_id", "text")), k = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val expectVocab = NgramModel.vocabulary(
+      Seq((1L, "the cat sat")).toDF("doc_id", "text"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    for (arranged <- Seq(divergent, divergent.reverse)) {
+      val df = arranged.toDF("doc_id", "text").repartition(7)
+      val m = NgramModel.model(NgramModel.bigrams(df), k = 3)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(m === expectModel,
+        s"survivor must be min(text) regardless of row order: $m")
+      val v = NgramModel.vocabulary(df, k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(v === expectVocab,
+        s"vocabulary survivor must be min(text) regardless of row order: $v")
+    }
+  }
+
   test("a pre-built model scores NEW documents in one pass (the reuse path)") {
     val m = NgramModel.model(NgramModel.bigrams(docs), k = 3)
     val fresh = Seq((10L, "the cat sat"), (11L, "qq zz")).toDF("doc_id", "text")
