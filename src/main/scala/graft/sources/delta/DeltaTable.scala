@@ -394,7 +394,6 @@ object DeltaTable {
       require(attempts <= 50, s"delta: restore gave up after $attempts conflicts")
       val head = snapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
-      if (!head.isEmpty) checkAppendOnly(table, head, "RESTORE")
       val now = System.currentTimeMillis()
       // the delta keys on (path, deletion vector), NOT path alone: a
       // restore across a DV-only state change (DV DML keeps paths and
@@ -413,6 +412,12 @@ object DeltaTable {
       // still use
       val removedHead = head.files
         .filter(f => !targetByPath.get(f.path).exists(_.dv == f.dv))
+      // append-only gate AFTER the delta computation, mirroring the
+      // MERGE sites' touched.nonEmpty rule (round-16 advice): only a
+      // restore that actually PRODUCES data-changing removes is
+      // refused — a no-op restore (to the current content) passes, as
+      // upstream's dataChange-gated assertRemovable does
+      if (removedHead.nonEmpty) checkAppendOnly(table, head, "RESTORE")
       val removes = removedHead.map(f => removeAction(f.path, now, dv = f.dv)) ++
         removedHead.flatMap(_.dv).flatMap(DeletionVectors.tombstonePath)
           .distinct.map(p => removeAction(p, now, dataChange = false))
@@ -530,7 +535,6 @@ object DeltaTable {
       require(attempts <= 50, s"delta: restore gave up after $attempts conflicts")
       val head = DeltaLog.metaSnapshot(spark, table)
       if (!head.isEmpty) DeltaLog.checkWritable(table, head)
-      if (!head.isEmpty) checkAppendOnly(table, head, "RESTORE")
       val headF = liveFrame(spark, table, head.version)
       val now = System.currentTimeMillis()
       // ONE full-outer join on path; the action decision keys on
@@ -595,6 +599,19 @@ object DeltaTable {
           rem ++ add
         }
       }
+      // append-only gate AFTER the delta computation, mirroring the
+      // MERGE sites' touched.nonEmpty rule (round-16 advice): refuse
+      // only when the restore actually PRODUCES data-changing removes.
+      // Only append-only tables pay the probe pass; the remove lines
+      // are this engine's own rendering ([[DeltaLog.removeAction]]
+      // always writes "dataChange" explicitly), so the substring test
+      // is exact — retention tombstones (dataChange=false) don't trip
+      // it, matching the driver path's removedHead rule.
+      if (!head.isEmpty &&
+          head.configuration.get("delta.appendOnly").exists(_.toBoolean) &&
+          !lines.filter(l => l.startsWith("{\"remove\"") &&
+            l.contains("\"dataChange\":true")).isEmpty)
+        checkAppendOnly(table, head, "RESTORE")
       val meta =
         if (head.schemaJson == targetMeta.schemaJson &&
             head.partitionColumns == targetMeta.partitionColumns) Seq.empty

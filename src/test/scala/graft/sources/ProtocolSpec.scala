@@ -263,6 +263,43 @@ class ProtocolSpec extends SparkSpec {
       s"writer-7 list must carry appendOnly: ${s7.writerFeatures}")
   }
 
+  test("a no-op RESTORE passes on an append-only table; a removing one refuses (both replay paths)") {
+    // round-16 advice: the RESTORE gate must fire only when the restore
+    // actually PRODUCES data-changing removes — mirroring the MERGE
+    // sites' touched.nonEmpty rule and upstream's dataChange-gated
+    // assertRemovable — not unconditionally
+    val t = tmp()
+    DeltaTable.write((1 to 8).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+      .coalesce(1), t, SaveMode.Append)                                  // v0
+    DeltaTable.setProperties(spark, t, Map("delta.appendOnly" -> "true")) // v1
+    // driver path: restoring to the property commit's version changes
+    // no content — zero removes, and the gate must let it through
+    DeltaTable.restore(spark, t, 1L)                                      // v2
+    assert(DeltaLog.snapshot(spark, t).version === 2L,
+      "the no-op restore must commit (content unchanged, nothing removed)")
+    assert(DeltaTable.read(spark, t).count() === 8L)
+    DeltaTable.write(Seq((9L, "k")).toDF("id", "s"), t, SaveMode.Append)  // v3
+    // a restore BELOW the append removes v3's file: refused, named cause
+    val e = intercept[IllegalArgumentException](
+      DeltaTable.restore(spark, t, 2L))
+    assert(e.getMessage.contains("append-only"))
+    // distributed path: same two outcomes through the streamed restore
+    DeltaLog.checkpoint(spark, t)
+    spark.conf.set("spark.graft.delta.distributedReplayThreshold", "0")
+    try {
+      DeltaTable.restore(spark, t, 3L)                                    // v4: no-op
+      assert(DeltaLog.snapshot(spark, t).version === 4L,
+        "the distributed no-op restore must commit")
+      val e2 = intercept[IllegalArgumentException](
+        DeltaTable.restore(spark, t, 2L))
+      assert(e2.getMessage.contains("append-only"),
+        "the distributed removing restore must refuse with the named cause")
+      assert(DeltaLog.snapshot(spark, t).version === 4L,
+        "the refused restore must not commit")
+      assert(DeltaTable.read(spark, t).count() === 9L)
+    } finally spark.conf.unset("spark.graft.delta.distributedReplayThreshold")
+  }
+
   test("creation with defaults + appendOnly lists both; SQL row-level DML refuses") {
     val warehouse =
       java.nio.file.Files.createTempDirectory("aocat").toString
