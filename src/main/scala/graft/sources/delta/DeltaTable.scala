@@ -3334,18 +3334,32 @@ object DeltaTable {
   final case class HistoryEntry(version: Long, operation: String,
                                 timestampMs: Long, nAdds: Int, nRemoves: Int)
 
-  /** `DESCRIBE HISTORY`: version, operation name + timestamp (from the
-    * commit's `commitInfo` action — commits from before the action was
-    * emitted surface as "UNKNOWN" with the commit file's mtime as the
-    * timestamp, commitInfo being optional per the protocol), add/remove
-    * counts. Newest first, like upstream. */
-  def describeHistory(spark: SparkSession, table: String): Seq[HistoryEntry] =
+  /** `DESCRIBE HISTORY`: version, operation name + timestamp,
+    * add/remove counts. Newest first, like upstream.
+    *
+    * The timestamp column uses the SAME first-line resolution as
+    * `TIMESTAMP AS OF` ([[DeltaLog.commitTimeFirstLine]]: ict, else a
+    * leading commitInfo's advisory timestamp, else mtime) so the two
+    * surfaces AGREE: on a foreign-written non-ICT commit whose
+    * commitInfo is buried mid-body (legal — the protocol makes
+    * commitInfo optional and position-free outside the ICT feature),
+    * history used to show the buried commitInfo.timestamp while time
+    * travel resolved by mtime, and the history timestamp would not
+    * round-trip through `TIMESTAMP AS OF` (round-16 advice). The
+    * OPERATION column still comes from the body parse — it has no time
+    * travel counterpart to disagree with, and hiding a buried
+    * operation name would only lose information. Commits with no
+    * commitInfo at all surface as "UNKNOWN" with the file's mtime. */
+  def describeHistory(spark: SparkSession, table: String): Seq[HistoryEntry] = {
+    val tbl = new Path(table)
+    val f = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
     versions(spark, table).map { v =>
       val c = DeltaLog.readCommit(spark, table, v)
       HistoryEntry(v, c.operation.getOrElse("UNKNOWN"),
-        DeltaLog.commitTimestamp(spark, table, v, c),
+        DeltaLog.commitTimeFirstLine(f, tbl, v),
         c.adds.size, c.removes.size)
     }.reverse
+  }
 
   /** The RETENTION half of VACUUM ([[vacuumOrphans]] is the crash-orphan
     * half): delete data files whose remove tombstones are older than

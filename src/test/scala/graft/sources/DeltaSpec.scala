@@ -889,6 +889,60 @@ class DeltaSpec extends SparkSpec {
     assert(DeltaTable.describeHistory(spark, t).head.operation === "STREAMING UPDATE")
   }
 
+  test("describeHistory's timestamp round-trips through TIMESTAMP AS OF on foreign logs") {
+    // round-16 advice: a foreign-written non-ICT commit may bury its
+    // commitInfo mid-body (legal — commitInfo is optional and
+    // position-free outside the ICT feature). History used to show the
+    // buried commitInfo.timestamp while time travel resolved by mtime,
+    // so a history timestamp did not round-trip through TIMESTAMP AS
+    // OF. Both surfaces now share first-line resolution: buried
+    // commitInfo → mtime for the TIMESTAMP, body parse for the
+    // OPERATION (which has no time-travel counterpart to disagree with)
+    val dir = java.nio.file.Files.createTempDirectory("histagree").toString
+    val t = s"$dir/t"
+    val log = new java.io.File(s"$t/_delta_log")
+    assert(log.mkdirs())
+    def write(v: Long, lines: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(log, f"$v%020d.json")
+      val w = new java.io.FileWriter(f)
+      try w.write(lines.mkString("", "\n", "\n")) finally w.close()
+      assert(f.setLastModified(mtime))
+    }
+    val base = 1600000000000L
+    // v0: protocol first, commitInfo BURIED second with a wildly-off
+    // advisory timestamp; v1: same shape, different buried stamp
+    write(0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"commitInfo":{"operation":"FOREIGN CREATE","timestamp":1234}}"""),
+      base)
+    write(1L, Seq(
+      """{"commitInfo":{"operation":"FOREIGN APPEND","timestamp":999}}""",
+      """{"txn":{"appId":"x","version":1}}"""),
+      base + 60000L)
+    val h = DeltaTable.describeHistory(spark, t).sortBy(_.version)
+    // v0: buried commitInfo → the timestamp column is the MTIME (what
+    // time travel resolves by), never the buried advisory stamp
+    assert(h(0).timestampMs === base,
+      s"buried commitInfo must not leak into the timestamp: ${h(0)}")
+    // v1: commitInfo IS the first line → its advisory stamp... but the
+    // engine prefers it on both surfaces, so they still agree
+    assert(h(1).timestampMs === 999L)
+    // the operation column keeps the body parse either way
+    assert(h.map(_.operation) === Seq("FOREIGN CREATE", "FOREIGN APPEND"))
+    // the round-trip property itself: every history timestamp resolves
+    // to its own version through TIMESTAMP AS OF... except where a
+    // non-monotone raw clock (v1's 999 < v0's mtime) is monotonized by
+    // resolution — v1's EFFECTIVE time is max(base, 999) = base, so
+    // base resolves to v1, and history's v0 stamp equals that instant
+    assert(DeltaTable.versionAtTimestamp(spark, t, h(1).timestampMs.max(
+      h(0).timestampMs)) === 1L)
+    // before every effective commit time: the named refusal, by the
+    // same clock history displays
+    val e = intercept[IllegalArgumentException](
+      DeltaTable.versionAtTimestamp(spark, t, base - 1L))
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+
   test("merge refuses an unstatted key type instead of silently dropping the batch") {
     val t = tmp()
     DeltaTable.write(Seq((1.5, 1L)).toDF("k", "v"), t, SaveMode.Append)
