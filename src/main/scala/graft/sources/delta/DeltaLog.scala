@@ -1481,8 +1481,15 @@ object DeltaLog {
     * action, so this never materializes the body (which is O(#files)
     * on an overwrite). None: the file was retired by log cleaning, or
     * the commit predates enablement. */
+  /** Count of [[ictOf]] first-line probes — test instrumentation for
+    * the boundary-derivation cost bound (the binary search in
+    * [[DeltaTable.versionAtTimestamp]] must stay O(log #versions);
+    * round-16 verdict #2 asked the bound spec-pinned). */
+  private[delta] val ictProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[delta] def ictOf(f: FileSystem, tbl: Path, v: Long): Option[Long] = {
     if (v < 0) return None
+    ictProbes.incrementAndGet()
     try {
       val in = f.open(logFile(tbl, v))
       try {

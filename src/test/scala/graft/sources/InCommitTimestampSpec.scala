@@ -216,6 +216,62 @@ class InCommitTimestampSpec extends SparkSpec {
     assert(DeltaTable.versionAtTimestamp(spark, t2, et) === 2L)
   }
 
+  test("the ICT enablement boundary is found by binary search: O(log n) probes, poisoned bodies") {
+    // round-16 verdict #2: "carries an ict" is monotone in version, so
+    // boundary derivation must be O(log #versions) first-line reads,
+    // not a linear walk of the pre-enablement history. A 64-version
+    // handcrafted log, every NON-FIRST line poisoned (resolution must
+    // never open a body), ICT from v47; a pre-enablement query needs
+    // only the head probe + the binary search — probe count bounded by
+    // ceil(log2(64)) + 2.
+    val dir = java.nio.file.Files.createTempDirectory("ictbsearch").toString
+    val t = s"$dir/t"
+    val log = new java.io.File(s"$t/_delta_log")
+    assert(log.mkdirs())
+    val poison = "this is not json {{{"
+    def write(v: Long, lines: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(log, f"$v%020d.json")
+      val w = new java.io.FileWriter(f)
+      try w.write(lines.mkString("", "\n", "\n")) finally w.close()
+      assert(f.setLastModified(mtime))
+    }
+    val n = 64
+    val enableAt = 47
+    val et = 1700000000000L
+    def ictLine(ts: Long) =
+      s"""{"commitInfo":{"operation":"T","inCommitTimestamp":$ts}}"""
+    (0 until n).foreach { v =>
+      if (v < enableAt) // pre-ICT: sane mtimes, one second apart
+        write(v.toLong, Seq(poison, poison), et - (enableAt - v) * 1000L)
+      else
+        write(v.toLong, Seq(ictLine(et + (v - enableAt) * 1000L), poison),
+          et + (v - enableAt) * 1000L)
+    }
+    // pre-enablement query: resolution scans pre-ICT versions by mtime
+    // (commitTimeFirstLine, not ictOf) — the ONLY ictOf probes are the
+    // head probe and the boundary binary search
+    DeltaLog.ictProbes.set(0L)
+    assert(DeltaTable.versionAtTimestamp(spark, t, et - 1500L)
+      === (enableAt - 2).toLong)
+    val probes = DeltaLog.ictProbes.get()
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2.0)).toLong + 2L
+    assert(probes <= bound,
+      s"boundary derivation took $probes ictOf probes on $n versions — " +
+        s"must be <= ceil(log2($n)) + 2 = $bound (binary search, not a walk)")
+    // the derived boundary is exact: at the enablement instant the ICT
+    // regime takes over at v47
+    assert(DeltaTable.versionAtTimestamp(spark, t, et) === enableAt.toLong)
+    assert(DeltaTable.versionAtTimestamp(spark, t, et + 999L) === enableAt.toLong)
+    assert(DeltaTable.versionAtTimestamp(spark, t, et + 1000L)
+      === (enableAt + 1).toLong)
+    // head-most and earliest resolutions stay exact through the search
+    assert(DeltaTable.versionAtTimestamp(spark, t, et + 999999999L)
+      === (n - 1).toLong)
+    val e = intercept[IllegalArgumentException](
+      DeltaTable.versionAtTimestamp(spark, t, et - enableAt * 1000L - 1L))
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+
   test("CLONE of an ICT table re-derives enablement at the clone's v0 — monotonic from birth") {
     val src = tmp()
     DeltaTable.write(Seq((1L, "a")).toDF("id", "s"), src, SaveMode.Append) // v0
