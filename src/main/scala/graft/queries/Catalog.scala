@@ -2858,6 +2858,82 @@ object Catalog {
       table(spark, dir, "documents"), k = 500)
   }
 
+  /** The K-stage UNROLLED DuckDB replay of [[graft.operators.Bpe]] —
+    * shared prefix of the q122/q123 oracles: word counts, the
+    * self-delimited `|c||a||t|` initial state, then per round a global
+    * pair count, the deterministic top-1 (count DESC, pair ASC), and a
+    * `replace`-applied merge. `replace`'s non-overlapping
+    * original-string scan is IDENTICAL across engines on the
+    * self-delimited form (adjacent matches share no characters), which
+    * is what makes an iterative algorithm hash-exact cross-engine
+    * without recursive SQL. */
+  private def bpeOraclePrefix(k: Int): String = {
+    val sb = new StringBuilder(
+      """
+      WITH w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word),
+      s0 AS (
+        SELECT word, freq,
+               array_to_string(['|' || word[i] || '|'
+                                for i in range(1, len(word) + 1)], '') AS syms
+        FROM w)""")
+    for (i <- 1 to k) sb ++= s""",
+      p$i AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, UNNEST([t[j] || ' ' || t[j + 1]
+                                   for j in range(1, len(t))]) AS pair
+              FROM (SELECT freq, string_split(trim(syms, '|'), '||') AS t
+                    FROM s${i - 1})
+              WHERE len(t) >= 2)
+        GROUP BY pair),
+      b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s$i AS (
+        SELECT word, freq,
+               replace(syms, '|' || replace(b.pair, ' ', '||') || '|',
+                             '|' || replace(b.pair, ' ', '') || '|') AS syms
+        FROM s${i - 1}, b$i b)"""
+    sb.toString
+  }
+
+  /** BPE merge learning (q122, round 17 — the round-16 verdict's top
+    * ask): [[graft.operators.Bpe.learn]]'s ordered merge table,
+    * hash-exact against a DuckDB oracle that replays the identical
+    * greedy algorithm through [[bpeOraclePrefix]]'s unrolled rounds.
+    * K=8 reaches a SECOND-ORDER merge on this corpus (step 8 merges
+    * `p` with the `ar` symbol step 7 created), so the gate covers the
+    * merges-compose-on-merges case, not just character pairs. */
+  val q122BpeMerges: Q = Q(
+    "q122_bpe_merges",
+    oracle = Some(bpeOraclePrefix(8) + "\n" + (1 to 8).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS step, " +
+        s"string_split(pair, ' ')[1] AS lhs, " +
+        s"string_split(pair, ' ')[2] AS rhs, cnt FROM b$i")
+      .mkString("\nUNION ALL\n") + "\nORDER BY step")) { (spark, dir) =>
+    val wc = graft.operators.Bpe.wordCounts(table(spark, dir, "documents"))
+    val (merges, _) = graft.operators.Bpe.learn(spark, wc, k = 8)
+    graft.operators.Bpe.mergeTable(spark, merges)
+  }
+
+  /** BPE-tokenized corpus report (q123, round 17): apply the 8 learned
+    * merges and report the top-200 subword tokens by total occurrence
+    * (ties by token, engine-identical cut) — the token-count half of
+    * the verdict's "merge table + tokenized corpus" ask. */
+  val q123BpeTokenize: Q = Q(
+    "q123_bpe_tokenize",
+    oracle = Some(bpeOraclePrefix(8) + s""",
+      fin AS (SELECT freq, UNNEST(string_split(trim(syms, '|'), '||')) AS token
+              FROM s8)
+      SELECT token, CAST(SUM(freq) AS BIGINT) AS tf
+      FROM fin GROUP BY token ORDER BY tf DESC, token ASC LIMIT 200""")) {
+    (spark, dir) =>
+      val wc = graft.operators.Bpe.wordCounts(table(spark, dir, "documents"))
+      val (_, state) = graft.operators.Bpe.learn(spark, wc, k = 8)
+      graft.operators.Bpe.tokenFrequencies(state, topK = 200)
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2872,7 +2948,8 @@ object Catalog {
         q108MappedSqlDml, q109NativeGeneratedDml, q110AutoCheckpoint,
         q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
         q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly,
-        q118BigramQuality, q119HardNegatives, q120ContaminationSeverity, q121VocabReport) ++
+        q118BigramQuality, q119HardNegatives, q120ContaminationSeverity,
+        q121VocabReport, q122BpeMerges, q123BpeTokenize) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

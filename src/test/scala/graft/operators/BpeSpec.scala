@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Distributed BPE merge learning ([[Bpe]]): hand-checkable merges on a
+  * three-word corpus covering greedy-leftmost application on repeated
+  * symbols, merges composing on earlier merges, deterministic lexical
+  * tie-breaks, and early stop when the corpus runs dry of pairs. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // wordCounts: aaa -> 3, bb -> 1, ab -> 1 (and "B2!" filtered out)
+  private val docs = Seq(
+    (1L, "aaa bb"),
+    (2L, "aaa aaa ab B2!")
+  ).toDF("doc_id", "text")
+
+  test("hand-checked learning: greedy leftmost, composition, lexical ties, early stop") {
+    val wc = Bpe.wordCounts(docs)
+    assert(wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("aaa" -> 3L, "bb" -> 1L, "ab" -> 1L))
+    val (merges, state) = Bpe.learn(spark, wc, k = 8)
+    // round 1: (a,a) has 2 pairs x freq 3 = 6 — and GREEDY LEFTMOST
+    // application turns |a||a||a| into |aa||a|, never |a||aa|
+    // round 2: (aa,a) x3 — a merge COMPOSED on round 1's symbol
+    // rounds 3-4: (a,b) and (b,b) tie at 1 — "a b" < "b b" lexically
+    // round 5: no pairs remain — early stop at 4 merges despite k=8
+    assert(merges === Seq(
+      Bpe.Merge(1, "a", "a", 6L),
+      Bpe.Merge(2, "aa", "a", 3L),
+      Bpe.Merge(3, "a", "b", 1L),
+      Bpe.Merge(4, "b", "b", 1L)), s"got $merges")
+    val syms = state.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(syms === Map(
+      "aaa" -> "|aaa|", "bb" -> "|bb|", "ab" -> "|ab|"), s"got $syms")
+    // token report: fully-merged words, weighted by corpus frequency
+    val toks = Bpe.tokenFrequencies(state, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(toks === Seq(("aaa", 3L), ("ab", 1L), ("bb", 1L)), s"got $toks")
+  }
+
+  test("greedy leftmost on the shared-boundary shape (the space-join trap)") {
+    // word "babab" with merge (b,a): greedy leftmost gives [ba][ba][b].
+    // A space-joined state would replace ' b a ' once, eat the shared
+    // boundary space, and miss the second occurrence — the
+    // self-delimited form must not
+    val wc = Seq(("babab", 1L)).toDF("word", "freq")
+    val st = Bpe.encode(wc, Seq(Bpe.Merge(1, "b", "a", 0L)))
+    assert(st.collect().head.getString(2) === "|ba||ba||b|")
+    // and the run-of-three shape: |a||a||a| -> |aa||a| (leftmost wins)
+    val st2 = Bpe.encode(Seq(("aaa", 1L)).toDF("word", "freq"),
+      Seq(Bpe.Merge(1, "a", "a", 0L)))
+    assert(st2.collect().head.getString(2) === "|aa||a|")
+  }
+
+  test("encode with a learned table reproduces the training state (the reuse path)") {
+    val wc = Bpe.wordCounts(docs).cache()
+    val (merges, state) = Bpe.learn(spark, wc, k = 8)
+    val replayed = Bpe.encode(wc, merges)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val trained = state
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(replayed === trained,
+      "replaying the merge table must reproduce the final training state")
+  }
+
+  test("determinism: partitioning and row order never change the learned table") {
+    val wc = Bpe.wordCounts(docs)
+    val (m1, _) = Bpe.learn(spark, wc, k = 8)
+    val shuffled = Bpe.wordCounts(
+      docs.orderBy(org.apache.spark.sql.functions.col("doc_id").desc))
+      .repartition(7)
+    val (m2, _) = Bpe.learn(spark, shuffled, k = 8)
+    assert(m1 === m2)
+    // divergent-duplicate doc_ids dedupe to the min(text) survivor,
+    // the NgramModel convention
+    val divergent = Seq((1L, "zz"), (1L, "aa")).toDF("doc_id", "text")
+    assert(Bpe.wordCounts(divergent).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("aa" -> 1L))
+  }
+
+  test("merge application is map-side only; the round's top-1 never full-sorts") {
+    // encode = K chained replace projections: over an already-
+    // materialized word relation there must be NO shuffle at all
+    val wc = Seq(("abc", 2L), ("bc", 1L)).toDF("word", "freq")
+    val plan = Bpe.encode(wc, Seq(
+      Bpe.Merge(1, "b", "c", 0L), Bpe.Merge(2, "a", "bc", 0L)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"merge application must not shuffle:\n$plan")
+    // the token report's top-k is TakeOrderedAndProject (per-partition
+    // top-k, k rows to the driver), never a global sort
+    val topPlan = Bpe.tokenFrequencies(
+      Bpe.encode(wc, Seq(Bpe.Merge(1, "b", "c", 0L))), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(topPlan.contains("TakeOrderedAndProject"),
+      s"token top-k must be TakeOrderedAndProject:\n$topPlan")
+  }
+}
