@@ -28,6 +28,11 @@ object ExactStreamDedup {
 
   final case class KeyedDoc(key: String, doc_id: Long, text: String)
 
+  /** [[KeyedDoc]] plus the EVENT time the watermark variant keys its
+    * horizon on. */
+  final case class KeyedEventDoc(key: String, doc_id: Long, text: String,
+                                 event_ts: java.sql.Timestamp)
+
   /** md5-fingerprint a raw (doc_id, text) stream into [[KeyedDoc]]s —
     * the same exact-dedup fingerprint convention as the batch path
     * (q22's hash-groupBy). */
@@ -63,6 +68,86 @@ object ExactStreamDedup {
             // min doc_id, not iterator order: within-batch duplicates
             // must pick the same survivor on every replay
             Iterator(rows.minBy(_.doc_id))
+          }
+      }
+  }
+
+  /** md5-fingerprint a raw (doc_id, text, event_ts) stream into
+    * [[KeyedEventDoc]]s — [[byContent]] with the event clock kept. */
+  def byContentEvent(spark: SparkSession,
+                     docs: DataFrame): Dataset[KeyedEventDoc] = {
+    import spark.implicits._
+    docs.select(md5(col("text")).as("key"), col("doc_id"), col("text"),
+      col("event_ts")).as[KeyedEventDoc]
+  }
+
+  /** EVENT-TIME variant of [[firstPerKey]] — the
+    * `dropDuplicatesWithinWatermark`-parity form that closes
+    * [[firstPerKey]]'s one determinism hole (round-16 verdict): the
+    * processing-time TTL evicts by WALL clock, so replaying the same
+    * stream on a slower day can evict differently and change the
+    * output. Here the horizon rides the WATERMARK, which is derived
+    * from the DATA (max event time minus the configured delay, per
+    * batch): replaying identical batches produces identical watermarks
+    * and therefore identical dedup decisions, whatever the wall clock
+    * does between them.
+    *
+    * Contract: the first document per fingerprint passes (min doc_id
+    * within a batch, deterministic); later arrivals drop while the
+    * fingerprint is live; a fingerprint evicts once the watermark
+    * passes `lastSeenEventTime + horizonMs`, after which the key
+    * dedupes afresh. Eviction is checked on the DATA path against the
+    * current watermark, not just via the timeout callback — Spark only
+    * reports `hasTimedOut` on batches where the key is silent, and a
+    * duplicate arriving in the first batch AFTER the horizon passed
+    * must already re-open the key, exactly as
+    * `dropDuplicatesWithinWatermark` would. The timeout callback is
+    * pure state CLEANUP for keys that stay silent (state stays bounded
+    * by the fingerprints inside the horizon, the 100 TB requirement).
+    *
+    * `docs` must already carry a watermark on `event_ts`
+    * (`withWatermark("event_ts", delay)`) — the delay is the lateness
+    * tolerance, `horizonMs` the dedup window; the two knobs are
+    * deliberately separate, like upstream's. */
+  def firstPerKeyEventTime(
+      spark: SparkSession,
+      docs: Dataset[KeyedEventDoc],
+      horizonMs: Long): Dataset[KeyedEventDoc] = {
+    import spark.implicits._
+    docs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyedEventDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[KeyedEventDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // silent past the horizon: cleanup — eviction for ARRIVING
+            // duplicates is decided on the data path below, so this
+            // branch only bounds state
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val maxEv = rs.iterator.map(_.event_ts.getTime).max
+            val wm = state.getCurrentWatermarkMs()
+            val live = state.exists && wm < state.get + horizonMs
+            def arm(lastSeen: Long): Unit = {
+              state.update(lastSeen)
+              // cleanup timeout: fire once the watermark passes the
+              // horizon (must stay strictly above the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(lastSeen + horizonMs, wm + 1L))
+            }
+            if (live) {
+              // duplicate inside the horizon: drop, slide the horizon
+              // forward to the newest sighting (event clock, not wall)
+              arm(math.max(state.get, maxEv))
+              Iterator.empty
+            } else {
+              // fresh key OR horizon passed (even with state still
+              // present): dedupe afresh, deterministic survivor
+              arm(maxEv)
+              Iterator(rs.minBy(_.doc_id))
+            }
           }
       }
   }

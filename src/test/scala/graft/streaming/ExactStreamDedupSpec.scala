@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.streaming.ExactStreamDedup.KeyedDoc
+import graft.streaming.ExactStreamDedup.{KeyedDoc, KeyedEventDoc}
 
 /** Ingest-time exact dedup ([[ExactStreamDedup]]): first-per-fingerprint
   * across micro-batches with a deterministic within-batch survivor, a
@@ -88,6 +88,88 @@ class ExactStreamDedupSpec extends SparkSpec {
     val out = runOnce(source, cp, ttl = ttl, inputRows = 1L)
     assert(out.map(d => d.key -> d.doc_id) === Seq("a" -> 3L),
       s"the key must re-emit only after eviction: $out")
+  }
+
+  private def runEventOnce(source: MemoryStream[KeyedEventDoc], cp: String,
+                           horizonMs: Long, inputRows: Long): Seq[KeyedEventDoc] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[KeyedEventDoc]()
+    val q = ExactStreamDedup.firstPerKeyEventTime(spark,
+      source.toDS().withWatermark("event_ts", "10 seconds"), horizonMs)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeyedEventDoc], _: Long) =>
+        batch.collect().foreach(got.add)
+      }
+      .start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    def consumed(): Long = q.recentProgress.map(_.numInputRows).sum
+    while (consumed() < inputRows && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(consumed() >= inputRows, s"phase input not consumed in time")
+    Thread.sleep(500)
+    q.stop()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq
+  }
+
+  /** The full event-time scenario as one run: four phases, each a
+    * RESTART from the shared checkpoint, with `pauseMs` of wall-clock
+    * silence inserted between phases. Returns every emitted row in
+    * order. The event clock is FIXED data, so two runs with different
+    * pauses must emit identically — the replay-determinism property the
+    * processing-time TTL cannot offer (round-16 verdict #2 ask). */
+  private def eventScenario(pauseMs: Long): Seq[(String, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[KeyedEventDoc]
+    val cp = java.nio.file.Files.createTempDirectory("esdE").toString
+    val horizon = 60L * 1000 // fingerprints live 60s of EVENT time
+    val t0 = 1767261600000L  // a fixed event-clock origin
+    def ts(offsetS: Long) = new java.sql.Timestamp(t0 + offsetS * 1000)
+    val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEventDoc]
+    // phase 1: in-batch duplicate of "a" — min doc_id survives
+    source.addData(
+      KeyedEventDoc("a", 2L, "ta", ts(0)),
+      KeyedEventDoc("a", 1L, "ta", ts(1)),
+      KeyedEventDoc("b", 3L, "tb", ts(5)))
+    out ++= runEventOnce(source, cp, horizon, inputRows = 3L)
+    Thread.sleep(pauseMs)
+    // phase 2 (restart): "a" again, 6s of EVENT time later — inside
+    // the horizon, dropped no matter how long the WALL clock paused
+    source.addData(
+      KeyedEventDoc("a", 4L, "ta", ts(6)),
+      KeyedEventDoc("c", 5L, "tc", ts(7)))
+    out ++= runEventOnce(source, cp, horizon, inputRows = 2L)
+    Thread.sleep(pauseMs)
+    // phase 3: a far-future event advances the watermark past "a"'s
+    // horizon (lastSeen t0+6s + 60s)
+    source.addData(KeyedEventDoc("w", 6L, "tw", ts(300)))
+    out ++= runEventOnce(source, cp, horizon, inputRows = 1L)
+    Thread.sleep(pauseMs)
+    // phase 4: "a" re-arrives AFTER the horizon passed — it must
+    // re-open in the very first batch that sees it (data-path eviction,
+    // not just the silent-key timeout), dropDuplicatesWithinWatermark
+    // parity
+    source.addData(
+      KeyedEventDoc("a", 7L, "ta", ts(301)),
+      KeyedEventDoc("d", 8L, "td", ts(301)))
+    out ++= runEventOnce(source, cp, horizon, inputRows = 2L)
+    out.map(d => d.key -> d.doc_id).toSeq
+  }
+
+  test("event-time dedup: watermark horizon, restart-durable, deterministic under wall-clock shifts") {
+    val fast = eventScenario(pauseMs = 0L)
+    assert(fast.toSet === Set(
+      "a" -> 1L, "b" -> 3L, "c" -> 5L, "w" -> 6L, "a" -> 7L, "d" -> 8L),
+      s"got $fast")
+    assert(fast.size === 6, s"got $fast")
+    // the same DATA with multi-second wall-clock pauses between phases:
+    // identical output — eviction rides the event clock only (the
+    // processing-time TTL variant would have evicted during the pauses)
+    val slow = eventScenario(pauseMs = 2500L)
+    assert(slow.toSet === fast.toSet && slow.size === fast.size,
+      s"wall-clock pauses changed the output: fast=$fast slow=$slow")
   }
 
   test("byContent fingerprints match the batch exact-dedup convention (md5)") {
