@@ -81,7 +81,11 @@ object Bpe {
 
   /** Learn up to `k` merges over `wordCounts`; returns the ordered
     * merge table and the final per-word symbol state (word, freq,
-    * syms). Stops early if the corpus runs out of adjacent pairs.
+    * syms). Input contract: words must not contain the `|` delimiter
+    * or whitespace ([[wordCounts]] enforces the `[a-z]+` rule; a
+    * caller supplying its own relation owns that invariant — a `|` in
+    * a word would corrupt the self-delimited state).
+    * Stops early if the corpus runs out of adjacent pairs.
     * Round cost: one vocab-sized shuffle + a one-row collect; the
     * lazy state chain is cut by `localCheckpoint` every
     * `checkpointEvery` rounds so a large K cannot grow the plan
@@ -139,4 +143,30 @@ object Bpe {
       .groupBy(col("token")).agg(sum(col("freq")).as("tf"))
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topK)
+
+  /** Per-DOCUMENT token counts under a learned merge table — the
+    * tokenizer-eval metric (tokens per word / per char is THE
+    * compression number a tokenizer is judged by, and the budget
+    * number a training-data pipeline sizes its shards with): for each
+    * document, the `[a-z]+` word count, the total BPE token count
+    * after applying `merges`, and the total character count. Integer
+    * columns only; the consumer forms whatever ratio it wants.
+    *
+    * 100 TB shape: the per-word token table is VOCAB-sized and
+    * BROADCASTS; the corpus pass is one map-side explode + broadcast
+    * join + doc-keyed aggregation — tokenizing never shuffles anything
+    * but the final per-doc rows. */
+  def docTokenCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val enc = encode(wordCounts(docs), merges)
+      .select(col("word"),
+        size(split(trim(col("syms"), "|"), "\\|\\|")).as("n_tok"))
+    docs.groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+  }
 }

@@ -2934,6 +2934,31 @@ object Catalog {
       graft.operators.Bpe.tokenFrequencies(state, topK = 200)
   }
 
+  /** Per-document BPE token counts (q124, round 17): apply q122's
+    * learned merges to every document and report (n_words, n_tokens,
+    * n_chars) — the tokens-per-word / tokens-per-char compression
+    * metric a tokenizer is evaluated by and a pipeline budgets shards
+    * with. Completes the tokenizer surface: stats (q121) → training
+    * (q122) → corpus report (q123) → document application (q124). */
+  val q124BpeDocTokens: Q = Q(
+    "q124_bpe_doc_tokens",
+    oracle = Some(bpeOraclePrefix(8) + s""",
+      enc AS (SELECT word, len(string_split(trim(syms, '|'), '||')) AS n_tok
+              FROM s8),
+      wrds AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+               FROM documents),
+      fw AS (SELECT doc_id, word FROM wrds
+             WHERE regexp_matches(word, '^[a-z]+$$'))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(len(word)) AS BIGINT) AS n_chars
+      FROM fw JOIN enc USING (word) GROUP BY doc_id""")) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    val (merges, _) = graft.operators.Bpe.learn(spark,
+      graft.operators.Bpe.wordCounts(docs), k = 8)
+    graft.operators.Bpe.docTokenCounts(docs, merges)
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2949,7 +2974,7 @@ object Catalog {
         q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
         q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly,
         q118BigramQuality, q119HardNegatives, q120ContaminationSeverity,
-        q121VocabReport, q122BpeMerges, q123BpeTokenize) ++
+        q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

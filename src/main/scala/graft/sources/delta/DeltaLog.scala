@@ -1480,11 +1480,11 @@ object DeltaLog {
     * line — under the ICT feature commitInfo MUST be the commit's first
     * action, so this never materializes the body (which is O(#files)
     * on an overwrite). None: the file was retired by log cleaning, or
-    * the commit predates enablement. */
-  /** Count of [[ictOf]] first-line probes — test instrumentation for
-    * the boundary-derivation cost bound (the binary search in
-    * [[DeltaTable.versionAtTimestamp]] must stay O(log #versions);
-    * round-16 verdict #2 asked the bound spec-pinned). */
+    * the commit predates enablement. [[ictProbes]] counts invocations —
+    * test instrumentation for the boundary-derivation cost bound (the
+    * binary search in [[DeltaTable.versionAtTimestamp]] must stay
+    * O(log #versions); round-16 verdict #2 asked the bound
+    * spec-pinned). */
   private[delta] val ictProbes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[delta] def ictOf(f: FileSystem, tbl: Path, v: Long): Option[Long] = {

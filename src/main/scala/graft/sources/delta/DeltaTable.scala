@@ -318,9 +318,17 @@ object DeltaTable {
     // bare head means no boundary exists and the generic scan keeps its
     // early exit — no boundary probes at all on plain tables (and a
     // disabled-later table resolves generically, by the same probe).
-    // "Carries an ict" is MONOTONE in version, so the first carrier is
+    // "Carries an ict" is MONOTONE in version on every log this engine
+    // writes (withIct stamps from enablement onward; disable-only logs
+    // have a bare head and take the None arm), so the first carrier is
     // found by BINARY SEARCH — O(log #versions) first-line reads, not a
     // linear walk of the pre-enablement history (round-16 verdict #2).
+    // A FOREIGN log that disabled and later RE-enabled ict is the one
+    // non-monotone shape: the search then lands on a local boundary
+    // (some carrier whose predecessor is bare — the re-enablement,
+    // typically), which still splits the regimes consistently at that
+    // boundary; upstream's enablement properties track the most recent
+    // enablement the same way.
     val boundary: Option[(Long, Long)] =
       DeltaLog.ictOf(f, tbl, vs.last).map { lastIct =>
         var lo = 0

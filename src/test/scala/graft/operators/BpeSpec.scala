@@ -81,6 +81,21 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("aa" -> 1L))
   }
 
+  test("per-document token counts: hand-checked, broadcast-joined") {
+    val (merges, _) = Bpe.learn(spark, Bpe.wordCounts(docs), k = 8)
+    val per = Bpe.docTokenCounts(docs, merges)
+    val got = per.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 "aaa bb": 2 words, tokens |aaa| + |bb| = 2, 5 chars
+    // doc 2 "aaa aaa ab B2!": B2! filtered; 3 words, 3 tokens, 8 chars
+    assert(got === Map(
+      1L -> ((2L, 2L, 5L)), 2L -> ((3L, 3L, 8L))), s"got $got")
+    assert(per.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "the vocab-sized token table must broadcast")
+  }
+
   test("merge application is map-side only; the round's top-1 never full-sorts") {
     // encode = K chained replace projections: over an already-
     // materialized word relation there must be NO shuffle at all
