@@ -1453,7 +1453,21 @@ object DeltaLog {
     * replay tail. Deletes a PREFIX only — it stops at the first commit
     * that is too young or fails to delete, so the retained range stays
     * dense and [[snapshot]]'s gap guard never trips on a half-cleaned
-    * log. Returns the number of files deleted. */
+    * log. Returns the number of files deleted.
+    *
+    * THE CLEANING CONTRACT (for foreign cleaners too, round-16 verdict
+    * #5): cleaning must stay below-the-checkpoint, as this method and
+    * upstream's both do. The `_last_checkpoint` pointer's `ict` field
+    * is [[withIct]]'s monotonicity floor for parents AT OR BELOW the
+    * checkpointed version, so a cleaner honoring this contract can
+    * never expose a commit whose parent ict exceeds every surviving
+    * floor. A NONSTANDARD cleaner that retires commits ABOVE the
+    * checkpoint leaves the next writer's parent probe with neither the
+    * parent's JSON nor a covering pointer floor — combined with
+    * backward wall-clock skew the ict line could regress there. This
+    * engine never produces that state; a deployment with such a
+    * cleaner must checkpoint before (or instead of) cleaning the
+    * tail. */
   def cleanLog(spark: SparkSession, table: String,
                retainMs: Long = 30L * 24 * 3600 * 1000): Int = {
     val tbl = new Path(table)
