@@ -81,6 +81,26 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("aa" -> 1L))
   }
 
+  test("the lineage-cut path (checkpointEvery) learns the identical table") {
+    // a production-sized K cuts the lazy state chain with
+    // localCheckpoint every N rounds; the cut must be invisible to the
+    // result — same merges, same final state, whatever the cadence
+    val varied = (0 until 40).map { i =>
+      val w = Iterator.iterate(i * 2654435761L & 0x7fffffffL)(x =>
+        x * 6364136223846793005L + 1442695040888963407L & 0x7fffffffL)
+        .take(3 + i % 5).map(x => ('a' + (x % 6).toInt).toChar).mkString
+      (i.toLong, s"$w $w ${w.reverse}")
+    }.toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(varied).cache()
+    val (mDefault, sDefault) = Bpe.learn(spark, wc, k = 10)
+    val (mCut, sCut) = Bpe.learn(spark, wc, k = 10, checkpointEvery = 3)
+    assert(mDefault.size === 10, s"corpus too small for the spec: $mDefault")
+    assert(mCut === mDefault,
+      "localCheckpoint cadence must not change the learned merges")
+    assert(sCut.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      === sDefault.collect().map(r => r.getString(0) -> r.getString(2)).toMap)
+  }
+
   test("per-document token counts: hand-checked, broadcast-joined") {
     val (merges, _) = Bpe.learn(spark, Bpe.wordCounts(docs), k = 8)
     val per = Bpe.docTokenCounts(docs, merges)
