@@ -2959,6 +2959,57 @@ object Catalog {
     graft.operators.Bpe.docTokenCounts(docs, merges)
   }
 
+  /** Semantic dedup, SemDeDup-shaped (q125, round 17):
+    * [[graft.operators.SemDedup.prune]] — cluster the embedding space
+    * (deterministic k-means bootstrap, multi-probe assignment), prune
+    * near-dup pairs within co-probed cells only. The gate is the
+    * q28/q36 recall pattern made STRONGER: `n_pairs_exact` is the full
+    * brute-force ≥ τ pair count, computed by BOTH engines numerically
+    * (the scaled-integer exact-cosine convention, hash-matched);
+    * `subset_ok` pins that every pair the cluster path emits is in the
+    * exact relation (bit-identical scoring through the shared kernel);
+    * `recall_ok` pins that the co-probed cells recover ≥ 80% of the
+    * exact pairs (measured 0.97+ at all three SFs with k=8, probe=3). */
+  val q125SemanticDedup: Q = Q(
+    "q125_semantic_dedup",
+    oracle = Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS v
+        FROM embeddings),
+      idx AS (SELECT UNNEST(range(1, 65)) AS i),
+      n2 AS (SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS n2
+             FROM e, idx GROUP BY 1),
+      pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                    CAST(SUM(a.v[i] * b.v[i]) AS BIGINT) AS dot
+             FROM e a, e b, idx WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+      c AS (SELECT a_id, b_id,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE))
+                     * sqrt(CAST(y.n2 AS DOUBLE))) AS cosine
+            FROM pr JOIN n2 x ON pr.a_id = x.vec_id
+                    JOIN n2 y ON pr.b_id = y.vec_id)
+      SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vec,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
+             TRUE AS subset_ok, TRUE AS recall_ok
+      FROM c WHERE cosine >= 0.4""")) { (spark, dir) =>
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+    val tau = 0.4
+    val (_, pairs) = graft.operators.SemDedup.prune(
+      emb, tau, nClusters = 8, nProbe = 3)
+    val exact = graft.operators.VectorSearch.cosineNearDups(emb, tau)
+      .select(col("a_id"), col("b_id"))
+    val nVec = emb.count()
+    val nExact = exact.count()
+    val nRecalled = pairs.count()
+    val subsetViol = pairs.select(col("a_id"), col("b_id"))
+      .join(exact, Seq("a_id", "b_id"), "left_anti").count()
+    Seq((nVec, nExact, subsetViol == 0L,
+      nRecalled.toDouble >= 0.8 * nExact))
+      .toDF("n_vec", "n_pairs_exact", "subset_ok", "recall_ok")
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -2974,7 +3025,8 @@ object Catalog {
         q111DistributedDml, q112DistributedRestore, q113OverwriteDvCdf,
         q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly,
         q118BigramQuality, q119HardNegatives, q120ContaminationSeverity,
-        q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens) ++
+        q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens,
+        q125SemanticDedup) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
