@@ -11,6 +11,14 @@ case class MediaFeature(
     doc_id: Long, modality: String, n_bytes: Int,
     width: Int, height: Int, channels: Int)
 
+/** One sampled frame of a media blob. */
+case class MediaFrame(doc_id: Long, frame_idx: Int, offset: Int,
+                      n_frame_bytes: Int, checksum: Long)
+
+/** One nearest-neighbor-resized image. */
+case class ResizedImage(doc_id: Long, in_w: Int, in_h: Int,
+                        out_w: Int, out_h: Int, checksum: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded partition-wise.
   *
@@ -36,6 +44,72 @@ object Multimodal {
       col("n_chars"),
       col("text").cast("binary").as("bytes"))
       .as[MediaItem]
+  }
+
+  /** FRAME SAMPLING — the video half of the multimodal contract: one
+    * blob explodes into its sampled frames partition-wise (the
+    * `mapInPandas`-batch shape: rows stream, one decoder per partition,
+    * the 1→N fan-out never touches the driver). Frames are every
+    * `stride`-th complete `frameBytes` window of the blob, checksummed
+    * by unsigned byte sum; a REAL container demuxer replaces the
+    * window step (the offsets/indices plumbing, the fan-out, and the
+    * per-frame schema are what this verifies — the q126 oracle replays
+    * the identical byte arithmetic). The caller routes by modality
+    * (`.filter(_.modality == "video")`), as a real pipeline does —
+    * sampling is byte arithmetic, routing is policy. */
+  def frameSample(media: Dataset[MediaItem], frameBytes: Int,
+                  stride: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val nFrames = m.bytes.length / frameBytes
+        Iterator.range(0, nFrames, stride).map { f =>
+          val off = f * frameBytes
+          var s = 0L
+          var i = off
+          while (i < off + frameBytes) { s += (m.bytes(i) & 0xff); i += 1 }
+          MediaFrame(m.doc_id, f, off, frameBytes, s)
+        }
+      }
+    }
+  }
+
+  /** NEAREST-NEIGHBOR RESIZE — the image half: the stub "decodes" the
+    * blob as a row-major single-channel pixel array with the
+    * hash-derived dimensions [[extractFeatures]] reports (indices wrap
+    * modulo the blob length, since the stand-in blob is shorter than
+    * w×h), then samples the standard nearest-neighbor grid
+    * (src = out_index × in_dim / out_dim, integer division). The
+    * checksum is the unsigned byte sum over the out_w×out_h sampled
+    * pixels — deterministic byte arithmetic the q127 oracle replays
+    * exactly. A real decoder replaces the pixel fetch; the grid
+    * arithmetic, per-partition batching, and schema stay. */
+  def resize(media: Dataset[MediaItem], outW: Int,
+             outH: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val h = java.util.Arrays.hashCode(m.bytes)
+        val inW = 16 + Math.floorMod(h, 1024)
+        val inH = 16 + Math.floorMod(h >> 10, 1024)
+        val n = m.bytes.length
+        var s = 0L
+        var r = 0
+        while (r < outH) {
+          val sr = r * inH / outH
+          var c = 0
+          while (c < outW) {
+            val sc = c * inW / outW
+            s += (m.bytes(((sr.toLong * inW + sc) % n).toInt) & 0xff)
+            c += 1
+          }
+          r += 1
+        }
+        ResizedImage(m.doc_id, inW, inH, outW, outH, s)
+      }
+    }
   }
 
   /** STUB decoder: deterministic pseudo-features from a byte-content hash.

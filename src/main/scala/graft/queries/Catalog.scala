@@ -3010,6 +3010,76 @@ object Catalog {
       .toDF("n_vec", "n_pairs_exact", "subset_ok", "recall_ok")
   }
 
+  /** Video frame sampling (q126, round 17): the 1→N multimodal fan-out
+    * — [[graft.operators.Multimodal.frameSample]] explodes each video
+    * blob into every 4th complete 64-byte frame window partition-wise,
+    * per-frame unsigned byte checksums. The decode stays a stub (no
+    * container demuxer here); the plumbing under test — modality
+    * routing, offset/index arithmetic, streamed fan-out, per-frame
+    * schema — is real and the oracle replays the byte arithmetic
+    * exactly. */
+  val q126FrameSample: Q = Q(
+    "q126_frame_sample",
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents
+        WHERE (['image','audio','video'])[(length(source) % 3) + 1] = 'video'),
+      fr AS (SELECT doc_id, text, n, UNNEST(range(0, n // 64)) AS f FROM m)
+      SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+             CAST(f * 64 AS INTEGER) AS offset,
+             CAST(64 AS INTEGER) AS n_frame_bytes,
+             CAST(list_sum([ascii(text[j])
+                            for j in range(CAST(f*64+1 AS BIGINT),
+                                           CAST(f*64+65 AS BIGINT))])
+                  AS BIGINT) AS checksum
+      FROM fr WHERE f % 4 = 0""")) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    graft.operators.Multimodal.frameSample(
+      graft.operators.Multimodal.toMedia(table(spark, dir, "documents"))
+        .filter(col("modality") === "video"),
+      frameBytes = 64, stride = 4).toDF()
+  }
+
+  /** Nearest-neighbor media resize (q127, round 17):
+    * [[graft.operators.Multimodal.resize]] — the standard NN sampling
+    * grid (src = out×in/out per axis, integer division) over the stub
+    * decode's hash-derived dimensions, checksummed by unsigned byte
+    * sum; indices wrap modulo the blob length since the stand-in blob
+    * is shorter than w×h. Runs over EVERY blob (the grid arithmetic is
+    * modality-agnostic; routing is the caller's policy, q126-style and
+    * the fixture's source names derive no 'image' rows). The oracle
+    * replays the Java array-hash (q29's fragment) and the full 8×8
+    * grid exactly. */
+  val q127MediaResize: Q = Q(
+    "q127_media_resize",
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_reduce(
+                 list_prepend(CAST(1 AS BIGINT),
+                   list_transform(string_split(text, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                 (h, b) -> ((((h * 31 + b + 2147483648) % 4294967296)
+                   + 4294967296) % 4294967296) - 2147483648) AS h
+        FROM documents),
+      d AS (SELECT doc_id, text, n,
+                   CAST(16 + ((h % 1024) + 1024) % 1024 AS INTEGER) AS in_w,
+                   CAST(16 + ((CAST(floor(h / 1024.0) AS BIGINT) % 1024)
+                     + 1024) % 1024 AS INTEGER) AS in_h
+            FROM m),
+      px AS (SELECT *, UNNEST(range(0, 8)) AS r FROM d),
+      px2 AS (SELECT *, UNNEST(range(0, 8)) AS c FROM px)
+      SELECT doc_id, MIN(in_w) AS in_w, MIN(in_h) AS in_h,
+             CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+             CAST(SUM(ascii(text[CAST(((r*in_h//8)*in_w + (c*in_w//8)) % n + 1
+               AS BIGINT)])) AS BIGINT) AS checksum
+      FROM px2 GROUP BY doc_id""")) { (spark, dir) =>
+    graft.operators.Multimodal.resize(
+      graft.operators.Multimodal.toMedia(table(spark, dir, "documents")),
+      outW = 8, outH = 8).toDF()
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3026,7 +3096,7 @@ object Catalog {
         q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly,
         q118BigramQuality, q119HardNegatives, q120ContaminationSeverity,
         q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens,
-        q125SemanticDedup) ++
+        q125SemanticDedup, q126FrameSample, q127MediaResize) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -377,4 +377,39 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.filter(col("n_bytes") <= 0).count() === 0)
     assert(feats.select("modality").distinct().count() <= 3)
   }
+
+  test("frame sampling: hand-checked windows, stride, short-blob edge") {
+    import spark.implicits._
+    // a 200-byte blob at frameBytes=64: frames 0,1,2 complete (3*64=192,
+    // 8 bytes tail dropped); stride 2 samples frames 0 and 2
+    val blob = Array.tabulate[Byte](200)(i => (i % 7 + 1).toByte)
+    val media = spark.createDataset(Seq(
+      MediaItem(1L, "video", 200L, blob),
+      MediaItem(2L, "video", 10L, Array.tabulate[Byte](10)(_ => 3)),
+      MediaItem(3L, "video", 0L, Array.empty[Byte])))
+    val got = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.offset, f.checksum)).toSet
+    def sumW(off: Int) = blob.slice(off, off + 64).map(_.toLong & 0xff).sum
+    assert(got === Set(
+      (1L, 0, 0, sumW(0)), (1L, 2, 128, sumW(128))), s"got $got")
+    // doc 2 (10 bytes < one frame) and doc 3 (empty) emit nothing —
+    // the 1->N fan-out handles 1->0 without a crash
+  }
+
+  test("resize: hand-checked nearest-neighbor grid, wrap, determinism") {
+    import spark.implicits._
+    val bytes = "abcdefghij".getBytes("UTF-8")
+    val media = spark.createDataset(Seq(MediaItem(7L, "audio", 10L, bytes)))
+    val got = Multimodal.resize(media, outW = 8, outH = 8).collect()(0)
+    // reference: the exact arithmetic, independently computed
+    val h = java.util.Arrays.hashCode(bytes)
+    val inW = 16 + Math.floorMod(h, 1024)
+    val inH = 16 + Math.floorMod(h >> 10, 1024)
+    var s = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      s += (bytes((((r * inH / 8).toLong * inW + (c * inW / 8)) % 10).toInt) & 0xff)
+    assert(got === ResizedImage(7L, inW, inH, 8, 8, s), s"got $got")
+    val again = Multimodal.resize(media.repartition(3), 8, 8).collect()(0)
+    assert(again === got, "partitioning must not change the resize")
+  }
 }
