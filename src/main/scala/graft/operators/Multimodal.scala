@@ -84,13 +84,15 @@ object Multimodal {
     * checksum is the unsigned byte sum over the out_w×out_h sampled
     * pixels — deterministic byte arithmetic the q127 oracle replays
     * exactly. A real decoder replaces the pixel fetch; the grid
-    * arithmetic, per-partition batching, and schema stay. */
+    * arithmetic, per-partition batching, and schema stay. EMPTY blobs
+    * are excluded, not crashed on (there is no pixel array to sample
+    * — the undecodable-input rule every stub stage here shares). */
   def resize(media: Dataset[MediaItem], outW: Int,
              outH: Int): Dataset[ResizedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
+      it.filter(_.bytes.nonEmpty).map { m =>
         val h = java.util.Arrays.hashCode(m.bytes)
         val inW = 16 + Math.floorMod(h, 1024)
         val inH = 16 + Math.floorMod(h >> 10, 1024)

@@ -3062,7 +3062,7 @@ object Catalog {
                      c -> CAST(ascii(c) AS BIGINT))),
                  (h, b) -> ((((h * 31 + b + 2147483648) % 4294967296)
                    + 4294967296) % 4294967296) - 2147483648) AS h
-        FROM documents),
+        FROM documents WHERE length(text) > 0),
       d AS (SELECT doc_id, text, n,
                    CAST(16 + ((h % 1024) + 1024) % 1024 AS INTEGER) AS in_w,
                    CAST(16 + ((CAST(floor(h / 1024.0) AS BIGINT) % 1024)

@@ -399,8 +399,12 @@ class OperatorsSpec extends SparkSpec {
   test("resize: hand-checked nearest-neighbor grid, wrap, determinism") {
     import spark.implicits._
     val bytes = "abcdefghij".getBytes("UTF-8")
-    val media = spark.createDataset(Seq(MediaItem(7L, "audio", 10L, bytes)))
-    val got = Multimodal.resize(media, outW = 8, outH = 8).collect()(0)
+    val media = spark.createDataset(Seq(
+      MediaItem(7L, "audio", 10L, bytes),
+      MediaItem(8L, "audio", 0L, Array.empty[Byte]))) // excluded, no crash
+    val out = Multimodal.resize(media, outW = 8, outH = 8).collect()
+    assert(out.length === 1, "an empty blob must be excluded, not resized")
+    val got = out(0)
     // reference: the exact arithmetic, independently computed
     val h = java.util.Arrays.hashCode(bytes)
     val inW = 16 + Math.floorMod(h, 1024)
