@@ -266,4 +266,88 @@ class PropertySpec extends AnyFunSuite {
     assert(total(1) === want)
     assert(total(13) === want)
   }
+
+  test("BPE learning matches a driver-side reference on random corpora") {
+    // the distributed learner vs an independent in-test implementation
+    // of the same greedy algorithm (Sennrich merges, leftmost
+    // application, count-desc/pair-asc ties): merge tables AND final
+    // symbol states must agree exactly on seeded random corpora
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def refBpe(wc: Map[String, Long], k: Int)
+        : (Seq[graft.operators.Bpe.Merge], Map[String, List[String]]) = {
+      var state: Map[String, List[String]] =
+        wc.keys.map(w => w -> w.map(_.toString).toList).toMap
+      val merges = scala.collection.mutable.ArrayBuffer.empty[graft.operators.Bpe.Merge]
+      var step = 1
+      var done = false
+      while (step <= k && !done) {
+        val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        state.foreach { case (w, syms) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            cnt((p.head, p(1))) += wc(w)
+          }
+        }
+        if (cnt.isEmpty) done = true
+        else {
+          val ((a, b), c) = cnt.minBy { case ((x, y), n) => (-n, s"$x $y") }
+          merges += graft.operators.Bpe.Merge(step, a, b, c)
+          state = state.map { case (w, syms) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            w -> out.toList
+          }
+          step += 1
+        }
+      }
+      (merges.toSeq, state)
+    }
+    (1 to 3).foreach { round =>
+      val words = (1 to 25 + rnd.nextInt(15)).map { _ =>
+        (1 to 1 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val wc = words.map(w => w -> (1L + rnd.nextInt(20))).toMap
+      val docs = wc.toSeq.zipWithIndex.map { case ((w, f), i) =>
+        (i.toLong, Seq.fill(f.toInt)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val (gotM, gotState) = graft.operators.Bpe.learn(
+        spark, graft.operators.Bpe.wordCounts(docs), k = 6)
+      val (wantM, wantState) = refBpe(wc, 6)
+      assert(gotM === wantM, s"round $round: merge tables diverge")
+      val gotSyms = gotState.collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      val wantSyms = wantState.map { case (w, syms) =>
+        w -> syms.map(s => s"|$s|").mkString("")
+      }
+      assert(gotSyms === wantSyms, s"round $round: final states diverge")
+    }
+  }
+
+  test("SemDedup with exhaustive probing equals brute force on random vectors") {
+    // nProbe >= nClusters makes the cluster path exhaustive: pair sets
+    // AND cosines must match VectorSearch.cosineNearDups bit-for-bit
+    // on seeded random embeddings, at a random threshold
+    val spark = SparkSpec.session
+    import spark.implicits._
+    (1 to 3).foreach { round =>
+      val dim = 4 + rnd.nextInt(4)
+      val emb = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+      }.toDF("vec_id", "embedding")
+      val tau = 0.3 + rnd.nextDouble() * 0.5
+      val (_, pairs) = graft.operators.SemDedup.prune(
+        emb, tau, nClusters = 3, nProbe = 3)
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      val want = graft.operators.VectorSearch.cosineNearDups(emb, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want, s"round $round (tau=$tau, dim=$dim)")
+    }
+  }
 }
