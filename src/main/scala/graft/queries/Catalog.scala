@@ -3080,6 +3080,101 @@ object Catalog {
       outW = 8, outH = 8).toDF()
   }
 
+  /** Streaming exact ingest dedup, oracle-gated (q128, round 17):
+    * [[graft.streaming.ExactStreamDedup.firstPerKeyEventTime]] run
+    * END-TO-END — graft-delta stream source, two source commits
+    * processed as two AvailableNow runs over ONE checkpoint (so the
+    * gate crosses both micro-batches AND a restart), exactly-once
+    * appends via txn. Delivery is RANGE-BATCHED (lower doc_ids commit
+    * first), so the stream's first-arrival survivor IS the global
+    * min doc_id per md5 fingerprint — which DuckDB states directly:
+    * the oracle is a plain min-per-key over the documents table,
+    * upgrading the operator from spec-verified to oracle-exact. The
+    * horizon is effectively infinite here (pure first-per-key); the
+    * eviction semantics stay pinned by the operator's specs. */
+  val q128StreamExactDedup: Q = Q(
+    "q128_stream_exact_dedup",
+    oracle = Some("""
+      WITH k AS (SELECT md5(text) AS key, MIN(doc_id) AS doc_id
+                 FROM documents GROUP BY 1)
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(d.doc_id) AS BIGINT) AS sum_ids
+      FROM k JOIN documents d ON k.doc_id = d.doc_id
+      GROUP BY d.lang""")) { (spark, dir) =>
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.delta.DeltaTable
+    import graft.streaming.ExactStreamDedup
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q128")
+    val src = s"$scratch/src"; val dst = s"$scratch/dst"; val chk = s"$scratch/chk"
+    try {
+      // the synthetic event clock starts at +1s, NOT epoch 0: the
+      // initial watermark is 0 and the stateful late filter drops rows
+      // at-or-below it, so a doc_id-0 event at exactly epoch 0 would
+      // silently vanish from the stream
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          expr("timestamp_micros((doc_id + 1) * 1000000)").as("event_ts"))
+      def runOnce(expectSurvivors: Long): Unit = {
+        // the watermark delay covers the whole synthetic event range:
+        // a run may split a commit into several micro-batches in FILE
+        // order (not id order), and a zero-delay watermark would then
+        // overtake lower-id rows and drop them as late — the delay is
+        // the lateness-tolerance knob and must bound exactly that
+        val q = ExactStreamDedup.firstPerKeyEventTime(spark,
+          ExactStreamDedup.byContentEvent(spark,
+            spark.readStream.format("graft-delta").load(src))
+            .withWatermark("event_ts", "30 days"),
+          horizonMs = 365L * 24 * 3600 * 1000)
+          .writeStream.option("checkpointLocation", chk)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[ExactStreamDedup.KeyedEventDoc],
+             id: Long) =>
+              DeltaTable.appendWithTxn(df.toDF(), dst,
+                appId = "q128", txnVersion = id); ()
+          }.start()
+        // the wait-then-stop discipline the operator's specs use, but
+        // on the SEMANTIC target: waiting on consumed-row counts is
+        // wrong across restarts (a replayed-but-txn-skipped final
+        // batch counts as input without landing rows), so wait until
+        // the sink holds every expected survivor
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        def dstRows(): Long =
+          scala.util.Try(DeltaTable.read(spark, dst).count()).getOrElse(0L)
+        while (dstRows() < expectSurvivors && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        require(dstRows() >= expectSurvivors,
+          s"q128: sink has ${dstRows()} of $expectSurvivors survivors")
+        q.stop(); q.awaitTermination(60000)
+      }
+      // range-batched delivery: lower ids first, then a RESTART
+      val lo = docs.filter(col("doc_id") < 250)
+      val hi = docs.filter(col("doc_id") >= 250)
+      DeltaTable.write(lo, src, SaveMode.Append)
+      runOnce(lo.select(md5(col("text"))).distinct().count())
+      DeltaTable.write(hi, src, SaveMode.Append)
+      runOnce(docs.select(md5(col("text"))).distinct().count())
+      val agg = DeltaTable.read(spark, dst)
+        .select(col("doc_id").as("kept_id"))
+        .join(table(spark, dir, "documents"),
+          col("kept_id") === col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3096,7 +3191,8 @@ object Catalog {
         q114InCommitTs, q115MvRebase, q116IctClone, q117AppendOnly,
         q118BigramQuality, q119HardNegatives, q120ContaminationSeverity,
         q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens,
-        q125SemanticDedup, q126FrameSample, q127MediaResize) ++
+        q125SemanticDedup, q126FrameSample, q127MediaResize,
+        q128StreamExactDedup) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
