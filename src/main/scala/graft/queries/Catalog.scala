@@ -3175,6 +3175,45 @@ object Catalog {
     }
   }
 
+  /** Length-bucketed batching report (q129, round 17):
+    * [[graft.operators.LengthBucket]] — the padded-training loader's
+    * batching stage (HF group_by_length shape) with its padding
+    * economics: smallest power-of-two bucket per document's
+    * whitespace token count, batches of 32 in deterministic
+    * portable-hash order, per-bucket (n_seqs, n_batches, sum_tokens,
+    * padding). The oracle replays bucket assignment, the hash-ring
+    * batch positions, and the pad arithmetic independently — so the
+    * gate pins the two-phase prefix-sum path's positions, not just
+    * the counts. */
+  val q129LengthBuckets: Q = Q(
+    "q129_length_buckets",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok
+                 FROM documents),
+      b AS (SELECT doc_id, ntok,
+              CASE WHEN ntok <= 16 THEN 16 WHEN ntok <= 32 THEN 32
+                   WHEN ntok <= 64 THEN 64 WHEN ntok <= 128 THEN 128
+                   WHEN ntok <= 256 THEN 256 ELSE 512 END AS bucket_len,
+              LEAST(ntok, 512) AS tok_in,
+              (CAST(doc_id AS HUGEINT) * 2654435761) % 1000000007 AS h
+            FROM t),
+      p AS (SELECT bucket_len, tok_in,
+              CAST(row_number() OVER (PARTITION BY bucket_len
+                                      ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM b)
+      SELECT CAST(bucket_len AS INTEGER) AS bucket_len,
+             CAST(COUNT(*) AS BIGINT) AS n_seqs,
+             CAST(MAX(pos // 32) + 1 AS BIGINT) AS n_batches,
+             CAST(SUM(tok_in) AS BIGINT) AS sum_tokens,
+             CAST(COUNT(*) * bucket_len - SUM(tok_in) AS BIGINT) AS padding
+      FROM p GROUP BY bucket_len""")) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("ntok"))
+    graft.operators.LengthBucket.report(
+      graft.operators.LengthBucket.assign(
+        docs, col("doc_id"), col("ntok"), batchSize = 32))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3192,7 +3231,7 @@ object Catalog {
         q118BigramQuality, q119HardNegatives, q120ContaminationSeverity,
         q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens,
         q125SemanticDedup, q126FrameSample, q127MediaResize,
-        q128StreamExactDedup) ++
+        q128StreamExactDedup, q129LengthBuckets) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
