@@ -13,20 +13,35 @@ import org.apache.spark.sql.functions._
   * what the published pipeline stage actually does.
   *
   * 100 TB shape: the all-pairs comparison SemDeDup exists to avoid is
-  * O(N²·dim); clustering cuts it to Σ|cell|² — with N/k-balanced cells
-  * a k-fold reduction, and the cells are the unit of parallelism (the
-  * pair join shuffles on `cid`, so each cell's quadratic work lands on
-  * one task, never on the driver). The k-means model itself follows
-  * [[IvfSearch]]'s bootstrap: a bounded deterministic sample (ordered
-  * by id, capped) trains driver-side Lloyd with strided init, the
-  * model rides as a plan constant inside the codegen'd
-  * [[graft.functions.NearestCentroids]] kernel, and assignment is a
-  * pure map-side projection. Pair similarity uses the SAME
-  * scaled-integer exact cosine as every other vector operator
-  * ([[VectorSearch.dotExact]]), so any pair this path recalls scores
-  * BIT-IDENTICALLY to the brute-force truth — the q125 gate leans on
-  * exactly that (in-cluster pairs are a verifiable subset of the
-  * exact ≥ τ relation).
+  * O(N²·dim); clustering cuts it to Σ|cell|² — and `cellCap` bounds the
+  * per-TASK share of that sum even when the clustering is SKEWED. Real
+  * near-dup-heavy corpora (exactly where this stage runs) concentrate
+  * mass in few clusters, so "cells are the unit of parallelism" is not
+  * enough on its own: a cell holding most of N would put an unbounded
+  * quadratic on one task. Every cell larger than `cellCap` is therefore
+  * triangle-split — its rows hash into g = ⌈|cell|/cellCap⌉ groups, the
+  * a-side replicates each row to the g ordered blocks (ga, *), the
+  * b-side to (*, gb), and each (a, b) pair meets in EXACTLY one block
+  * (ga(a), gb(b)) — so the comparison output is bit-identical to the
+  * uncapped join while no task ever compares more than ~cellCap² pairs
+  * (hash-uniform groups; the pair join shuffles on (cid, ga, gb)). The
+  * split is exact decomposition, not sub-bucketing: unlike an LSH
+  * sub-bucket pass it loses NO within-cell pairs, so the
+  * subset-of-exact guarantee and the recall bound are unchanged by the
+  * cap. Balanced small cells degenerate to g = 1 and pay one broadcast
+  * join against the (≤ nClusters)-row split table.
+  *
+  * The k-means model itself follows [[IvfSearch]]'s bootstrap: a
+  * bounded deterministic sample (ordered by id, capped) trains
+  * driver-side Lloyd with strided init, the model rides as a plan
+  * constant inside the codegen'd [[graft.functions.NearestCentroids]]
+  * kernel, and assignment is a pure map-side projection. Pair
+  * similarity uses the SAME scaled-integer exact cosine as every other
+  * vector operator ([[VectorSearch.dotExact]]), so any pair this path
+  * recalls scores BIT-IDENTICALLY to the brute-force truth — the q125
+  * gate leans on exactly that (in-cluster pairs are a verifiable subset
+  * of the exact ≥ τ relation), and the q130 gate re-proves it with the
+  * cap engaged on a deliberately skewed fixture.
   *
   * Keep/drop policy, stated: within a cluster, a vector DROPS iff some
   * SMALLER-id vector in the same cluster is ≥ `minCosine`-similar —
@@ -35,29 +50,73 @@ import org.apache.spark.sql.functions._
   * paper's keep-lowest-centroid-distance variant (the choice of
   * representative is a policy knob; determinism is the contract).
   * Vectors with malformed embeddings assign a NULL cell and are
-  * excluded, matching the ANN tiers. */
+  * excluded, matching the ANN tiers.
+  *
+  * Cache hygiene: both outputs are EAGERLY materialized
+  * (`localCheckpoint`) and the two internal persists released before
+  * returning, so repeated pipeline use leaves no cacheManager entries
+  * behind (the checkpoint blocks themselves are ContextCleaner-owned:
+  * freed when the returned frames are GC'd). The eager materialization
+  * also means the expensive pair join runs ONCE even though both
+  * returned frames derive from it. */
 object SemDedup {
+
+  /** Per-cell split counts: g = ⌈|cell|/cellCap⌉ (≥ 1) over the PROBED
+    * cell population — at most one row per cell, so the consumer
+    * broadcasts it. */
+  private[operators] def splitCounts(exploded: DataFrame, cellCap: Int): DataFrame =
+    exploded.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+      .select(col("cid"), greatest(lit(1),
+        ceil(col("csz").cast("double") / cellCap).cast("int")).as("g"))
+
+  /** The triangle-split pair-join sides: each side keyed by
+    * (cid, ga, gb) with every a/b pair meeting in exactly one block of
+    * ≲ cellCap rows per side. Factored out so the skew spec can bound
+    * the PRODUCTION block sizes directly. */
+  private[operators] def blockSides(
+      assigned: DataFrame, cellCap: Int): (DataFrame, DataFrame) = {
+    val exploded = assigned.select(explode(col("cids")).as("cid"),
+      col("vec_id"), col("v"), col("n2"))
+    val withG = exploded
+      .join(broadcast(splitCounts(exploded, cellCap)), Seq("cid"))
+      .withColumn("grp", pmod(hash(col("vec_id")), col("g")))
+    val aSide = withG.select(col("cid"), col("grp").as("ga"),
+      explode(expr("sequence(0, g - 1)")).as("gb"),
+      col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"))
+    val bSide = withG.select(col("cid"),
+      explode(expr("sequence(0, g - 1)")).as("ga"), col("grp").as("gb"),
+      col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"))
+    (aSide, bSide)
+  }
 
   /** Cluster + prune. Returns `(assignments, pairs)`:
     * `assignments` = (vec_id, cid, kept) — every valid vector, its
     * PRIMARY cell, and the keep/drop verdict; `pairs` = (a_id, b_id,
     * cid, cosine) — the co-clustered near-duplicate evidence
     * (a_id < b_id, cosine ≥ `minCosine`, cid = the smallest shared
-    * probed cell), each row the reason its b_id drops.
+    * probed cell), each row the reason its b_id drops. Both are
+    * eagerly materialized; the operator's internal caches are released
+    * before it returns.
     *
     * `nProbe` is the recall knob, exactly IVF's: each vector joins the
     * pair comparison in its `nProbe` nearest cells, so a near-dup pair
     * split across a cell boundary is still co-compared when the cells
     * overlap in either's probe set. Cost scales linearly in `nProbe`
     * (each vector appears in that many cells); pairs found through
-    * several shared cells dedupe to one row. */
+    * several shared cells dedupe to one row.
+    *
+    * `cellCap` is the skew bound: no task's comparison block exceeds
+    * ~cellCap² however lopsided the learned clustering is, and the
+    * output is IDENTICAL for every cap value (the split is an exact
+    * decomposition of each cell's pair set). */
   def prune(
       emb: DataFrame,
       minCosine: Double,
       nClusters: Int = 16,
       nProbe: Int = 2,
       trainIters: Int = 5,
-      sampleCap: Int = 4096): (DataFrame, DataFrame) = {
+      sampleCap: Int = 4096,
+      cellCap: Int = 4096): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graft.{ColumnBridge => CB}
@@ -75,10 +134,12 @@ object SemDedup {
       .select(col("vd")).as[Seq[Double]].collect().map(_.toArray))
     if (sample.isEmpty) {
       val empty = base.select(col("vec_id"), lit(0).as("cid"),
-        lit(true).as("kept")).limit(0)
-      return (empty, base.select(col("vec_id").as("a_id"),
+        lit(true).as("kept")).limit(0).localCheckpoint(true)
+      val emptyPairs = base.select(col("vec_id").as("a_id"),
         col("vec_id").as("b_id"), lit(0).as("cid"),
-        lit(0.0).as("cosine")).limit(0))
+        lit(0.0).as("cosine")).limit(0).localCheckpoint(true)
+      base.unpersist()
+      return (empty, emptyPairs)
     }
     val centroids = IvfSearch.trainCentroids(sample, nClusters, trainIters)
 
@@ -91,15 +152,13 @@ object SemDedup {
       .filter(col("cids").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // the co-cell pair join: explodes each side into its probed cells
-    // and shuffles on cid only — each cell's quadratic comparison is
-    // task-local, the SemDeDup scale win; duplicate discoveries
-    // through several shared cells collapse to the smallest cid
-    val aSide = assigned.select(explode(col("cids")).as("cid"),
-      col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"))
-    val bSide = assigned.select(explode(col("cids")).as("cid"),
-      col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"))
-    val pairs = aSide.join(bSide, Seq("cid"))
+    // the co-cell pair join: each side explodes into its probed cells
+    // and (for oversized cells) its triangle-split blocks, shuffling on
+    // (cid, ga, gb) — each block's quadratic comparison is task-local
+    // AND cap-bounded; duplicate discoveries through several shared
+    // cells collapse to the smallest cid
+    val (aSide, bSide) = blockSides(assigned, cellCap)
+    val pairs = aSide.join(bSide, Seq("cid", "ga", "gb"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",
         VectorSearch.dotExact("av", "bv").cast("double")
@@ -107,6 +166,7 @@ object SemDedup {
       .filter(col("cosine") >= minCosine)
       .groupBy(col("a_id"), col("b_id"))
       .agg(min(col("cid")).as("cid"), max(col("cosine")).as("cosine"))
+      .localCheckpoint(true)
 
     val dropped = pairs.select(col("b_id").as("vec_id")).distinct()
       .withColumn("drop", lit(true))
@@ -115,6 +175,9 @@ object SemDedup {
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(!col("drop"), lit(true)).as("kept"))
+      .localCheckpoint(true)
+    base.unpersist()
+    assigned.unpersist()
     (assignments, pairs)
   }
 }

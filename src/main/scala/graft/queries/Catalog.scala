@@ -3214,6 +3214,89 @@ object Catalog {
         docs, col("doc_id"), col("ntok"), batchSize = 32))
   }
 
+  /** Skew-proof semantic dedup (q130, round 18 — the round-17 verdict's
+    * top ask): [[graft.operators.SemDedup.prune]] with the cell cap
+    * ENGAGED on a deliberately skewed fixture — 80% of the vectors sit
+    * on one tight arc of near-parallel directions ([1, t] with
+    * t = (vec_id % 40) · 0.004), 20% spread along an orthogonal axis —
+    * derived purely from vec_id in BOTH engines, so every component is
+    * the same IEEE double and the scaled-integer cosine convention
+    * makes the exact pair relation hash-identical. With 500 vectors,
+    * ≤ 4 cells and cellCap = 64 the pigeonhole makes capping
+    * unconditional whatever the k-means outcome (`cap_engaged`: some
+    * primary cell exceeds the cap), and the gate re-proves the q125
+    * contract UNDER the cap: every emitted pair is in the exact ≥ τ
+    * relation (subset_ok — bit-identical scoring through the shared
+    * kernel) and ≥ 80% of the exact pairs are recalled (recall_ok —
+    * the triangle split is an exact decomposition of each cell's pair
+    * set, so the cap itself costs ZERO recall; only the clustering
+    * does). The per-task work bound is pinned by SemDedupSpec's block
+    * audit on the same construction. */
+  val q130SemDedupSkew: Q = Q(
+    "q130_semdedup_skew",
+    oracle = Some("""
+      WITH sk AS (
+        SELECT vec_id,
+               [CASE WHEN vec_id % 5 = 0 THEN
+                  CASE WHEN i = 0 THEN CAST(vec_id % 23 AS DOUBLE) * 0.01
+                       WHEN i = 2 THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END
+                ELSE
+                  CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE)
+                       WHEN i = 1 THEN CAST(vec_id % 40 AS DOUBLE) * 0.004
+                       ELSE CAST(0.0 AS DOUBLE) END END
+                for i in range(0, 64)] AS embedding
+        FROM embeddings),
+      e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS v
+        FROM sk),
+      idx AS (SELECT UNNEST(range(1, 65)) AS i),
+      n2 AS (SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS n2
+             FROM e, idx GROUP BY 1),
+      pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                    CAST(SUM(a.v[i] * b.v[i]) AS BIGINT) AS dot
+             FROM e a, e b, idx WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+      c AS (SELECT a_id, b_id,
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE))
+                     * sqrt(CAST(y.n2 AS DOUBLE))) AS cosine
+            FROM pr JOIN n2 x ON pr.a_id = x.vec_id
+                    JOIN n2 y ON pr.b_id = y.vec_id)
+      SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vec,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
+             TRUE AS subset_ok, TRUE AS recall_ok, TRUE AS cap_engaged
+      FROM c WHERE cosine >= 0.9999""")) { (spark, dir) =>
+    import spark.implicits._
+    val tau = 0.9999
+    val cap = 64
+    val skewed = table(spark, dir, "embeddings").select(col("vec_id"),
+      expr("""transform(sequence(0, 63), i -> CASE
+        WHEN vec_id % 5 = 0 THEN
+          CASE WHEN i = 0 THEN cast(vec_id % 23 as double) * 0.01
+               WHEN i = 2 THEN cast(1.0 as double)
+               ELSE cast(0.0 as double) END
+        ELSE
+          CASE WHEN i = 0 THEN cast(1.0 as double)
+               WHEN i = 1 THEN cast(vec_id % 40 as double) * 0.004
+               ELSE cast(0.0 as double) END END)""").as("embedding"))
+    val (assign, pairs) = graft.operators.SemDedup.prune(
+      skewed, tau, nClusters = 4, nProbe = 2, cellCap = cap)
+    val exact = graft.operators.VectorSearch.cosineNearDups(skewed, tau)
+      .select(col("a_id"), col("b_id"))
+    val nVec = skewed.count()
+    val nExact = exact.count()
+    val nRecalled = pairs.count()
+    val subsetViol = pairs.select(col("a_id"), col("b_id"))
+      .join(exact, Seq("a_id", "b_id"), "left_anti").count()
+    val maxCell = assign.groupBy(col("cid")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    Seq((nVec, nExact, subsetViol == 0L,
+      nRecalled.toDouble >= 0.8 * nExact, maxCell > cap))
+      .toDF("n_vec", "n_pairs_exact", "subset_ok", "recall_ok",
+        "cap_engaged")
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3231,7 +3314,7 @@ object Catalog {
         q118BigramQuality, q119HardNegatives, q120ContaminationSeverity,
         q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens,
         q125SemanticDedup, q126FrameSample, q127MediaResize,
-        q128StreamExactDedup, q129LengthBuckets) ++
+        q128StreamExactDedup, q129LengthBuckets, q130SemDedupSkew) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

