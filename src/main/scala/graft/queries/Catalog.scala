@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -2867,9 +2867,8 @@ object Catalog {
     * self-delimited form (adjacent matches share no characters), which
     * is what makes an iterative algorithm hash-exact cross-engine
     * without recursive SQL. */
-  private def bpeOraclePrefix(k: Int): String = {
-    val sb = new StringBuilder(
-      """
+  private def bpeOraclePrefix(k: Int): String =
+    """
       WITH w AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
@@ -2879,7 +2878,13 @@ object Catalog {
         SELECT word, freq,
                array_to_string(['|' || word[i] || '|'
                                 for i in range(1, len(word) + 1)], '') AS syms
-        FROM w)""")
+        FROM w)""" + bpeOracleRounds(k)
+
+  /** The shared per-round body of the unrolled replay — identical for
+    * both pre-tokenization modes, since rounds operate only on the
+    * self-delimited state string. */
+  private def bpeOracleRounds(k: Int): String = {
+    val sb = new StringBuilder
     for (i <- 1 to k) sb ++= s""",
       p$i AS (
         SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -2897,6 +2902,46 @@ object Catalog {
         FROM s${i - 1}, b$i b)"""
     sb.toString
   }
+
+  /** The ACCENTED fixture the byte-level gates run on: the documents
+    * corpus is pure `[a-z ]` (synthetic), so real-corpus words —
+    * accents (the reference's data is French), digits, punctuation,
+    * multi-byte UTF-8 — are appended deterministically per doc_id, the
+    * SAME derivation in both engines ("voilà0".."voilà6", "n°0".."n°2",
+    * "fin!", and a high-frequency "àààà" that forces a multi-byte merge
+    * into the learned table). */
+  private def accentedDocsSql: String =
+    """
+      WITH d AS (
+        SELECT doc_id,
+               text || ' voilà' || (doc_id % 7) || ' n°' ||
+                 (doc_id % 3) || ' fin! àààà' AS text
+        FROM documents)"""
+
+  private def accentedDocs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" voilà"), (col("doc_id") % 7).cast("string"),
+        lit(" n°"), (col("doc_id") % 3).cast("string"),
+        lit(" fin! àààà")).as("text"))
+
+  /** Byte-level (GPT-2-style) replay prefix: EVERY non-empty word of
+    * the accented fixture trains; a word's initial state is its UTF-8
+    * byte sequence as fixed-width lowercase-hex symbols (`lower(hex(
+    * word))` chunked into byte pairs — DuckDB's `hex(VARCHAR)` hexes
+    * the UTF-8 bytes, exactly like Spark's `hex(encode(word,
+    * 'UTF-8'))`). The rounds are [[bpeOracleRounds]] — mode-agnostic. */
+  private def bpeByteOraclePrefix(k: Int): String =
+    accentedDocsSql + """,
+      w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM d)
+        WHERE word <> ''
+        GROUP BY word),
+      s0 AS (
+        SELECT word, freq,
+               regexp_replace(lower(hex(word)), '(..)', '|\1|', 'g') AS syms
+        FROM w)""" + bpeOracleRounds(k)
 
   /** BPE merge learning (q122, round 17 — the round-16 verdict's top
     * ask): [[graft.operators.Bpe.learn]]'s ordered merge table,
@@ -2934,29 +2979,33 @@ object Catalog {
       graft.operators.Bpe.tokenFrequencies(state, topK = 200)
   }
 
-  /** Per-document BPE token counts (q124, round 17): apply q122's
-    * learned merges to every document and report (n_words, n_tokens,
-    * n_chars) — the tokens-per-word / tokens-per-char compression
-    * metric a tokenizer is evaluated by and a pipeline budgets shards
-    * with. Completes the tokenizer surface: stats (q121) → training
-    * (q122) → corpus report (q123) → document application (q124). */
+  /** Per-document BPE token counts (q124, round 17; made BYTE-LEVEL in
+    * round 18 — the verdict's ask #2): apply the byte-level merges to
+    * every document of the ACCENTED fixture and report (n_words,
+    * n_tokens, n_chars) — the tokens-per-word / tokens-per-char
+    * compression metric a tokenizer is evaluated by and a pipeline
+    * budgets shards with. Counting is now over ALL non-empty words —
+    * the round-17 `[a-z]+` form UNDERCOUNTED any corpus with accents,
+    * digits, or punctuation, which is precisely what the metric must
+    * not do (the reference's data is French). Completes the tokenizer
+    * surface: stats (q121) → training (q122/q131) → corpus report
+    * (q123) → document application (q124). */
   val q124BpeDocTokens: Q = Q(
     "q124_bpe_doc_tokens",
-    oracle = Some(bpeOraclePrefix(8) + s""",
+    oracle = Some(bpeByteOraclePrefix(8) + """,
       enc AS (SELECT word, len(string_split(trim(syms, '|'), '||')) AS n_tok
               FROM s8),
       wrds AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
-               FROM documents),
-      fw AS (SELECT doc_id, word FROM wrds
-             WHERE regexp_matches(word, '^[a-z]+$$'))
+               FROM d),
+      fw AS (SELECT doc_id, word FROM wrds WHERE word <> '')
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
              CAST(SUM(len(word)) AS BIGINT) AS n_chars
       FROM fw JOIN enc USING (word) GROUP BY doc_id""")) { (spark, dir) =>
-    val docs = table(spark, dir, "documents")
+    val docs = accentedDocs(spark, dir)
     val (merges, _) = graft.operators.Bpe.learn(spark,
-      graft.operators.Bpe.wordCounts(docs), k = 8)
-    graft.operators.Bpe.docTokenCounts(docs, merges)
+      graft.operators.Bpe.wordCountsAll(docs), k = 8, byteLevel = true)
+    graft.operators.Bpe.docTokenCounts(docs, merges, byteLevel = true)
   }
 
   /** Semantic dedup, SemDeDup-shaped (q125, round 17):
@@ -3297,6 +3346,30 @@ object Catalog {
         "cap_engaged")
   }
 
+  /** Byte-level BPE merge learning (q131, round 18 — the verdict's ask
+    * #2): [[graft.operators.Bpe.learn]] with `byteLevel = true` over
+    * the ACCENTED fixture — every non-empty word trains, initial
+    * states are UTF-8 byte sequences as hex symbols, so the `[a-z]+`
+    * restriction is gone. Hash-exact against the DuckDB replay of the
+    * identical greedy algorithm ([[bpeByteOraclePrefix]]). K = 10
+    * covers the cases that matter: step 6 merges the two bytes of 'à'
+    * (`c3` + `a0` — a MULTI-BYTE UTF-8 character assembling from raw
+    * bytes, the byte-level signature move), and steps 9–10 merge onto
+    * already-merged symbols (second-order composition), both pinned by
+    * BpeSpec. */
+  val q131BpeByteMerges: Q = Q(
+    "q131_bpe_byte_merges",
+    oracle = Some(bpeByteOraclePrefix(10) + "\n" + (1 to 10).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS step, " +
+        s"string_split(pair, ' ')[1] AS lhs, " +
+        s"string_split(pair, ' ')[2] AS rhs, cnt FROM b$i")
+      .mkString("\nUNION ALL\n") + "\nORDER BY step")) { (spark, dir) =>
+    val wc = graft.operators.Bpe.wordCountsAll(accentedDocs(spark, dir))
+    val (merges, _) = graft.operators.Bpe.learn(spark, wc, k = 10,
+      byteLevel = true)
+    graft.operators.Bpe.mergeTable(spark, merges)
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3314,7 +3387,8 @@ object Catalog {
         q118BigramQuality, q119HardNegatives, q120ContaminationSeverity,
         q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens,
         q125SemanticDedup, q126FrameSample, q127MediaResize,
-        q128StreamExactDedup, q129LengthBuckets, q130SemDedupSkew) ++
+        q128StreamExactDedup, q129LengthBuckets, q130SemDedupSkew,
+        q131BpeByteMerges) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

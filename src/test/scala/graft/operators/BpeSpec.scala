@@ -116,6 +116,127 @@ class BpeSpec extends SparkSpec {
       "the vocab-sized token table must broadcast")
   }
 
+  test("byte-level: accents/digits/punctuation train; multi-byte chars assemble from raw bytes") {
+    // "àà" = UTF-8 c3 a0 c3 a0 — the [a-z]+ rule round 17 shipped
+    // would drop every one of these words; byte-level must train on
+    // all of them, and the dominant merge must REASSEMBLE the 'à'
+    // character from its two bytes (the GPT-2 signature move)
+    val docs = Seq((1L, "àà x1 àà"), (2L, "àà !b")).toDF("doc_id", "text")
+    val wc = Bpe.wordCountsAll(docs)
+    assert(wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("àà" -> 3L, "x1" -> 1L, "!b" -> 1L))
+    val (merges, state) = Bpe.learn(spark, wc, k = 8, byteLevel = true)
+    // round 1: (c3,a0) twice per "àà" x freq 3 = 6 — 'à' assembles
+    // round 2: (c3a0,c3a0) x3 — composition on a multi-byte symbol
+    // rounds 3-4: "21 62" < "78 31" lexically at tie; then dry
+    assert(merges === Seq(
+      Bpe.Merge(1, "c3", "a0", 6L),
+      Bpe.Merge(2, "c3a0", "c3a0", 3L),
+      Bpe.Merge(3, "21", "62", 1L),
+      Bpe.Merge(4, "78", "31", 1L)), s"got $merges")
+    val syms = state.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(syms === Map(
+      "àà" -> "|c3a0c3a0|", "x1" -> "|7831|", "!b" -> "|2162|"),
+      s"got $syms")
+  }
+
+  test("byte-level learner matches a driver-side reference on a random accented corpus") {
+    // the q122-pattern property check, byte-level: same greedy
+    // algorithm implemented independently over byte lists
+    val alphabet = "abcdefé à9!°".toCharArray
+    val rnd = new scala.util.Random(421L)
+    val words = Seq.fill(30)(
+      Seq.fill(2 + rnd.nextInt(5))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+        .replace(" ", "x"))
+    val wcMap = words.groupBy(identity).map { case (w, ws) =>
+      w -> ws.size.toLong
+    }
+    val docs = wcMap.toSeq.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, Seq.fill(f.toInt)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    def refBytes(wc: Map[String, Long], k: Int): Seq[Bpe.Merge] = {
+      var state: Map[String, List[String]] = wc.keys.map(w =>
+        w -> w.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").toList).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[Bpe.Merge]
+      var step = 1
+      var done = false
+      while (step <= k && !done) {
+        val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+        state.foreach { case (w, syms) =>
+          syms.sliding(2).foreach {
+            case List(a, b) =>
+              cnt((a, b)) = cnt.getOrElse((a, b), 0L) + wc(w)
+            case _ =>
+          }
+        }
+        if (cnt.isEmpty) done = true
+        else {
+          val ((a, b), c) = cnt.minBy { case ((x, y), n) => (-n, s"$x $y") }
+          out += Bpe.Merge(step, a, b, c)
+          state = state.map { case (w, syms) =>
+            val merged = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += a + b; i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            w -> merged.toList
+          }
+          step += 1
+        }
+      }
+      out.toSeq
+    }
+    val (got, _) = Bpe.learn(spark, Bpe.wordCountsAll(docs), k = 12,
+      byteLevel = true)
+    assert(got === refBytes(wcMap, 12),
+      "distributed byte-level learner must match the reference")
+  }
+
+  test("docTokenCounts size-gates the vocab broadcast (shuffle fallback, same rows)") {
+    val docs = Seq((1L, "àà x1 àà bb"), (2L, "àà !b bb bb")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.learn(spark, Bpe.wordCountsAll(docs), k = 4,
+      byteLevel = true)
+    // disable the size-based auto-broadcast so the plan shows OUR
+    // gate's decision, not Catalyst's small-table estimate (at real
+    // scale an over-threshold vocab is past the auto limit too — the
+    // auto path and the gate agree; only a tiny test table diverges)
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(autoKey)
+    val (viaBroadcast, viaShuffle) =
+      try {
+        spark.conf.set(autoKey, "-1")
+        val b = Bpe.docTokenCounts(docs, merges, byteLevel = true)
+        val s = Bpe.docTokenCounts(docs, merges, byteLevel = true,
+          broadcastMaxWords = 0L)
+        assert(b.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "under the threshold the vocab join must broadcast")
+        assert(!s.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "past the threshold the vocab join must fall back to a shuffle join")
+        (b, s)
+      } finally spark.conf.set(autoKey, saved)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows(viaBroadcast) === rows(viaShuffle),
+      "both join strategies must produce identical counts")
+    // byte-level counts ALL words: doc 1 has 4 words (àà, x1, àà, bb)
+    assert(rows(viaBroadcast).find(_._1 == 1L).get._2 === 4L)
+  }
+
+  test("cache hygiene: learn leaves no cacheManager entries behind") {
+    spark.sharedState.cacheManager.clearCache()
+    val (merges, state) = Bpe.learn(spark, Bpe.wordCounts(docs), k = 8)
+    assert(merges.nonEmpty && state.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "learn must release the initial-state cache before returning")
+  }
+
   test("merge application is map-side only; the round's top-1 never full-sorts") {
     // encode = K chained replace projections: over an already-
     // materialized word relation there must be NO shuffle at all
