@@ -47,7 +47,29 @@ class ExactStreamDedupSpec extends SparkSpec {
     got.asScala.toSeq
   }
 
-  test("first per fingerprint across batches and RESTARTS; min doc_id survives in-batch") {
+  /** The per-key state lives in the pluggable state store; at 100 TB
+    * fingerprint cardinalities the default HDFS-backed provider prices
+    * state in executor HEAP, so the scale deployment runs RocksDB
+    * (native memory + local disk). The restart and event-time specs run
+    * under BOTH providers — same checkpointed semantics, different
+    * storage engine (round-17 verdict ask #5). */
+  private val providers = Seq(
+    "hdfs-backed" -> ("org.apache.spark.sql.execution.streaming.state." +
+      "HDFSBackedStateStoreProvider"),
+    "rocksdb" -> ("org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"))
+
+  private def withProvider[T](providerClass: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try { spark.conf.set(key, providerClass); body }
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def firstPerKeyScenario(): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[KeyedDoc]
     val cp = java.nio.file.Files.createTempDirectory("esd1").toString
@@ -63,6 +85,12 @@ class ExactStreamDedupSpec extends SparkSpec {
     val out2 = runOnce(source, cp, ttl = 0L, inputRows = 2L)
     assert(out2.map(d => d.key -> d.doc_id).toMap === Map("c" -> 5L),
       s"a restarted query must still refuse seen fingerprints: $out2")
+  }
+
+  providers.foreach { case (label, cls) =>
+    test(s"first per fingerprint across batches and RESTARTS; min doc_id survives in-batch [$label]") {
+      withProvider(cls) { firstPerKeyScenario() }
+    }
   }
 
   test("a TTL evicts quiet fingerprints; the key dedupes afresh after it") {
@@ -91,10 +119,12 @@ class ExactStreamDedupSpec extends SparkSpec {
   }
 
   private def runEventOnce(source: MemoryStream[KeyedEventDoc], cp: String,
-                           horizonMs: Long, inputRows: Long): Seq[KeyedEventDoc] = {
+                           horizonMs: Long, inputRows: Long,
+                           slide: Boolean = true): Seq[KeyedEventDoc] = {
     val got = new java.util.concurrent.ConcurrentLinkedQueue[KeyedEventDoc]()
     val q = ExactStreamDedup.firstPerKeyEventTime(spark,
-      source.toDS().withWatermark("event_ts", "10 seconds"), horizonMs)
+      source.toDS().withWatermark("event_ts", "10 seconds"), horizonMs,
+      slideOnDuplicates = slide)
       .writeStream
       .option("checkpointLocation", cp)
       .outputMode("append").trigger(Trigger.AvailableNow())
@@ -170,6 +200,93 @@ class ExactStreamDedupSpec extends SparkSpec {
     val slow = eventScenario(pauseMs = 2500L)
     assert(slow.toSet === fast.toSet && slow.size === fast.size,
       s"wall-clock pauses changed the output: fast=$fast slow=$slow")
+  }
+
+  test("event-time dedup under RocksDB: identical output, state off the heap") {
+    // the 100 TB deployment form: same four-phase restart scenario,
+    // state in the RocksDB provider instead of executor heap
+    val out = withProvider(providers.toMap.apply("rocksdb")) {
+      eventScenario(pauseMs = 0L)
+    }
+    assert(out.toSet === Set(
+      "a" -> 1L, "b" -> 3L, "c" -> 5L, "w" -> 6L, "a" -> 7L, "d" -> 8L)
+      && out.size === 6, s"got $out")
+  }
+
+  test("boundary instant: the key evicts exactly when the watermark REACHES anchor + horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[KeyedEventDoc]
+    val cp = java.nio.file.Files.createTempDirectory("esdB").toString
+    val horizon = 60L * 1000
+    val t0 = 1767261600000L
+    def ts(offsetS: Long) = new java.sql.Timestamp(t0 + offsetS * 1000)
+    // anchor "a" at t0
+    source.addData(KeyedEventDoc("a", 1L, "ta", ts(0)))
+    assert(runEventOnce(source, cp, horizon, 1L).map(_.doc_id) === Seq(1L))
+    // advance the watermark to EXACTLY anchor + horizon: event at
+    // t0+70s minus the 10s delay = t0+60s — not one ms past it
+    source.addData(KeyedEventDoc("w", 2L, "tw", ts(70)))
+    assert(runEventOnce(source, cp, horizon, 1L).map(_.key) === Seq("w"))
+    // wm == anchor + horizon must already count as evicted (live is
+    // STRICTLY below), so "a" re-opens in this very batch
+    source.addData(KeyedEventDoc("a", 3L, "ta", ts(65)))
+    val out = runEventOnce(source, cp, horizon, 1L)
+    assert(out.map(d => d.key -> d.doc_id) === Seq("a" -> 3L),
+      s"at wm == anchor + horizon the key must dedupe afresh: $out")
+  }
+
+  test("anchor policy: sliding renews a repeater's horizon; first-arrival parity re-emits it") {
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = 60L * 1000
+    val t0 = 1767261600000L
+    def ts(offsetS: Long) = new java.sql.Timestamp(t0 + offsetS * 1000)
+    def scenario(slide: Boolean): Seq[(String, Long)] = {
+      val source = MemoryStream[KeyedEventDoc]
+      val cp = java.nio.file.Files.createTempDirectory("esdA").toString
+      // anchor at t0, duplicate sighting at t0+50s (inside horizon)
+      source.addData(KeyedEventDoc("a", 1L, "ta", ts(0)))
+      val o1 = runEventOnce(source, cp, horizon, 1L, slide)
+      source.addData(KeyedEventDoc("a", 2L, "ta", ts(50)))
+      val o2 = runEventOnce(source, cp, horizon, 1L, slide)
+      assert(o1.map(_.doc_id) === Seq(1L) && o2.isEmpty)
+      // advance wm to t0+65s (event t0+75s − 10s delay): past the FIRST
+      // arrival's horizon (t0+60s), inside the SLID one (t0+110s)
+      source.addData(KeyedEventDoc("w", 3L, "tw", ts(75)))
+      val o3 = runEventOnce(source, cp, horizon, 1L, slide)
+      // the repeater returns at t0+70s — the two policies now diverge
+      source.addData(KeyedEventDoc("a", 4L, "ta", ts(70)))
+      val o4 = runEventOnce(source, cp, horizon, 1L, slide)
+      (o3 ++ o4).map(d => d.key -> d.doc_id)
+    }
+    assert(scenario(slide = true) === Seq("w" -> 3L),
+      "sliding anchor: the duplicate sighting renewed the horizon, repeater stays dropped")
+    assert(scenario(slide = false) === Seq("w" -> 3L, "a" -> 4L),
+      "first-arrival anchor (dropDuplicatesWithinWatermark parity): horizon expired, repeater re-emits")
+  }
+
+  test("q128's end-to-end gate stays oracle-exact under RocksDB") {
+    // the driver runs q128 under the default provider; the scale
+    // deployment runs RocksDB — same stream, same checkpointed
+    // semantics, verified against the batch min-per-fingerprint truth
+    import org.apache.spark.sql.functions._
+    val got = withProvider(providers.toMap.apply("rocksdb")) {
+      graft.queries.Catalog.byName("q128_stream_exact_dedup")
+        .run(spark, sfDir)
+    }.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val docs = graft.Tables.table(spark, sfDir, "documents")
+    val want = docs.groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("kept_id"))
+      .join(docs, col("kept_id") === col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want, s"got $got\nwant $want")
   }
 
   test("byContent fingerprints match the batch exact-dedup convention (md5)") {
