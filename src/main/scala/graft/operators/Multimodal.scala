@@ -59,6 +59,11 @@ object Multimodal {
     * sampling is byte arithmetic, routing is policy. */
   def frameSample(media: Dataset[MediaItem], frameBytes: Int,
                   stride: Int): Dataset[MediaFrame] = {
+    // fail at plan time, not per-row in executors (frameBytes = 0
+    // would divide-by-zero and stride <= 0 would blow Iterator.range
+    // inside every task) — the LengthBucket.assign knob convention
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -89,6 +94,10 @@ object Multimodal {
     * — the undecodable-input rule every stub stage here shares). */
   def resize(media: Dataset[MediaItem], outW: Int,
              outH: Int): Dataset[ResizedImage] = {
+    // plan-time validation, frameSample-style: a non-positive grid is a
+    // caller bug, not a per-row executor exception
+    require(outW > 0 && outH > 0,
+      s"output grid must be positive, got ${outW}x$outH")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>

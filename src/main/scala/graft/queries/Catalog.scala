@@ -3099,7 +3099,15 @@ object Catalog {
     * modality-agnostic; routing is the caller's policy, q126-style and
     * the fixture's source names derive no 'image' rows). The oracle
     * replays the Java array-hash (q29's fragment) and the full 8×8
-    * grid exactly. */
+    * grid exactly.
+    *
+    * VALIDITY DOMAIN, pinned (round-18): the oracle replays Java's
+    * SIGNED byte hash with DuckDB's UNSIGNED `ascii()`, so the two
+    * agree only while every blob byte is < 0x80 — the gate asserts the
+    * fixture's ASCII-ness up front, so widening the fixture without
+    * making the oracle byte-signed fails HERE with a named cause
+    * instead of as silent hash drift. (Fixture-bound validity is the
+    * accepted trade for a stub stage a real decoder replaces.) */
   val q127MediaResize: Q = Q(
     "q127_media_resize",
     oracle = Some("""
@@ -3124,9 +3132,15 @@ object Catalog {
              CAST(SUM(ascii(text[CAST(((r*in_h//8)*in_w + (c*in_w//8)) % n + 1
                AS BIGINT)])) AS BIGINT) AS checksum
       FROM px2 GROUP BY doc_id""")) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    val nonAscii = docs
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .limit(1).count()
+    require(nonAscii == 0L,
+      "q127's oracle is exact only on ASCII blobs (signed vs unsigned " +
+        "byte hash) — widen the oracle before widening the fixture")
     graft.operators.Multimodal.resize(
-      graft.operators.Multimodal.toMedia(table(spark, dir, "documents")),
-      outW = 8, outH = 8).toDF()
+      graft.operators.Multimodal.toMedia(docs), outW = 8, outH = 8).toDF()
   }
 
   /** Streaming exact ingest dedup, oracle-gated (q128, round 17):

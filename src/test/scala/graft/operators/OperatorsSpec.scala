@@ -416,4 +416,25 @@ class OperatorsSpec extends SparkSpec {
     val again = Multimodal.resize(media.repartition(3), 8, 8).collect()(0)
     assert(again === got, "partitioning must not change the resize")
   }
+
+  test("multimodal knobs validate at plan time, not per-row in executors") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaItem(1L, "video", 4L, Array[Byte](1, 2, 3, 4))))
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(media, frameBytes = 0, stride = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(media, frameBytes = 64, stride = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(media, frameBytes = 64, stride = -2)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resize(media, outW = 0, outH = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resize(media, outW = 8, outH = -1)
+    }
+  }
 }
