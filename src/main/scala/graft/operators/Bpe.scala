@@ -209,6 +209,57 @@ object Bpe {
     * + doc-keyed aggregation. The gate costs one count over the
     * already-vocab-sized encoded relation, which is materialized once
     * so the count never re-runs the K merge projections. */
+  /** GPT-2-style token-ID assignment for a BYTE-LEVEL merge table: the
+    * 256 byte values are ids 0–255 (their symbols are the fixed-width
+    * hex strings), and merge k's product symbol gets id 255 + k — the
+    * id space every byte-level tokenizer ships (base alphabet, then
+    * merges in learned order). Rejects ambiguous tables up front: two
+    * merges CAN produce the same symbol string (e.g. (a,bc) and (ab,c)
+    * both yield "abc"), and an id map over such a table would be
+    * meaningless. */
+  def tokenIdMap(merges: Seq[Merge]): Map[String, Long] = {
+    val syms = merges.map(m => m.lhs + m.rhs)
+    require(syms.distinct.size == syms.size,
+      s"ambiguous merge table: duplicate product symbols " +
+        syms.diff(syms.distinct).distinct.mkString(", "))
+    val base = (0 until 256).map(b => f"$b%02x" -> b.toLong).toMap
+    base ++ merges.map(m => (m.lhs + m.rhs) -> (255L + m.step))
+  }
+
+  /** Per-document token IDS under a byte-level merge table — the step
+    * past [[docTokenCounts]]'s counts to what a training pipeline
+    * actually consumes: every token mapped through [[tokenIdMap]],
+    * reported as verifiable aggregates (count, id sum, id max — the
+    * max pins that MERGED symbols, ids > 255, really reach documents).
+    * The id map is a PLAN CONSTANT (a literal map expression of
+    * 256 + K entries — tokenization itself stays map-side and
+    * codegen'd); the per-word relation broadcasts under the same size
+    * gate as [[docTokenCounts]]. */
+  def docTokenIds(docs: DataFrame, merges: Seq[Merge],
+                  broadcastMaxWords: Long = 10000000L): DataFrame = {
+    val idMap = tokenIdMap(merges)
+    val mapCol = map(idMap.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val enc = encode(wordCountsAll(docs), merges, byteLevel = true)
+      .select(col("word"), split(trim(col("syms"), "|"), "\\|\\|").as("toks"))
+      .select(col("word"),
+        size(col("toks")).as("n_tok"),
+        aggregate(transform(col("toks"), t => element_at(mapCol, t)),
+          lit(0L), (acc, x) => acc + x).as("sum_id"),
+        array_max(transform(col("toks"), t => element_at(mapCol, t)))
+          .as("max_id"))
+      .localCheckpoint(true)
+    val encSide = if (enc.count() <= broadcastMaxWords) broadcast(enc) else enc
+    docs.groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(encSide, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("sum_id")).cast("long").as("sum_token_ids"),
+        max(col("max_id")).cast("long").as("max_token_id"))
+  }
+
   def docTokenCounts(docs: DataFrame, merges: Seq[Merge],
                      byteLevel: Boolean = false,
                      broadcastMaxWords: Long = 10000000L): DataFrame = {

@@ -3384,6 +3384,47 @@ object Catalog {
     graft.operators.Bpe.mergeTable(spark, merges)
   }
 
+  /** Per-document token IDS (q132, round 18): the step past q124's
+    * counts to what a training pipeline actually CONSUMES —
+    * [[graft.operators.Bpe.docTokenIds]] maps every token of the
+    * accented fixture through the GPT-2-style id space (bytes 0–255,
+    * merge k → 255 + k) and reports verifiable aggregates per
+    * document. `max_token_id` pins that merged symbols (ids > 255)
+    * really reach documents — the oracle rebuilds the identical id map
+    * from ITS independently learned merge table (256 printf'd hex
+    * symbols ∪ the b1..b8 product symbols), so a single id drift
+    * anywhere in train-or-encode breaks the hash. Completes the
+    * tokenizer surface end-to-end: stats (q121) → training
+    * (q122/q131) → corpus report (q123) → compression metric (q124) →
+    * token ids (q132). */
+  val q132BpeTokenIds: Q = Q(
+    "q132_bpe_token_ids",
+    oracle = Some(bpeByteOraclePrefix(8) + """,
+      mu AS (""" + (1 to 8).map(i =>
+      s"SELECT $i AS s, pair FROM b$i").mkString("\n           UNION ALL\n           ") + """),
+      idm AS (SELECT printf('%02x', i) AS sym, CAST(i AS BIGINT) AS id
+              FROM range(0, 256) t(i)
+              UNION ALL
+              SELECT replace(pair, ' ', '') AS sym, CAST(255 + s AS BIGINT) AS id
+              FROM mu),
+      encx AS (SELECT word, UNNEST(string_split(trim(syms, '|'), '||')) AS sym
+               FROM s8),
+      wi AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                    CAST(SUM(id) AS BIGINT) AS sum_id,
+                    CAST(MAX(id) AS BIGINT) AS max_id
+             FROM encx JOIN idm USING (sym) GROUP BY word),
+      wrds AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM d),
+      fw AS (SELECT doc_id, word FROM wrds WHERE word <> '')
+      SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(sum_id) AS BIGINT) AS sum_token_ids,
+             CAST(MAX(max_id) AS BIGINT) AS max_token_id
+      FROM fw JOIN wi USING (word) GROUP BY doc_id""")) { (spark, dir) =>
+    val docs = accentedDocs(spark, dir)
+    val (merges, _) = graft.operators.Bpe.learn(spark,
+      graft.operators.Bpe.wordCountsAll(docs), k = 8, byteLevel = true)
+    graft.operators.Bpe.docTokenIds(docs, merges)
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3402,7 +3443,7 @@ object Catalog {
         q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens,
         q125SemanticDedup, q126FrameSample, q127MediaResize,
         q128StreamExactDedup, q129LengthBuckets, q130SemDedupSkew,
-        q131BpeByteMerges) ++
+        q131BpeByteMerges, q132BpeTokenIds) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -229,6 +229,32 @@ class BpeSpec extends SparkSpec {
     assert(rows(viaBroadcast).find(_._1 == 1L).get._2 === 4L)
   }
 
+  test("token ids: GPT-2-style id space, hand-checked, merged ids reach documents") {
+    val docs = Seq((1L, "àà x1 àà"), (2L, "àà !b")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.learn(spark, Bpe.wordCountsAll(docs), k = 8,
+      byteLevel = true)
+    // learned table (pinned above): c3a0->256, c3a0c3a0->257, 2162->258,
+    // 7831->259; states: àà=[257], x1=[259], !b=[258]
+    val idm = Bpe.tokenIdMap(merges)
+    assert(idm("c3") === 0xc3L && idm("00") === 0L && idm("ff") === 0xffL)
+    assert(idm("c3a0") === 256L && idm("c3a0c3a0") === 257L
+      && idm("2162") === 258L && idm("7831") === 259L)
+    val got = Bpe.docTokenIds(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((3L, 257L + 259L + 257L, 259L)),
+      2L -> ((2L, 257L + 258L, 258L))), s"got $got")
+  }
+
+  test("token ids: ambiguous merge tables are rejected up front") {
+    // (a,bc) and (ab,c) both produce the symbol "abc" — an id map over
+    // such a table would silently mis-assign; tokenIdMap must refuse
+    val ambiguous = Seq(
+      Bpe.Merge(1, "61", "6263", 9L), Bpe.Merge(2, "6162", "63", 5L))
+    intercept[IllegalArgumentException] { Bpe.tokenIdMap(ambiguous) }
+  }
+
   test("cache hygiene: learn leaves no cacheManager entries behind") {
     spark.sharedState.cacheManager.clearCache()
     val (merges, state) = Bpe.learn(spark, Bpe.wordCounts(docs), k = 8)
