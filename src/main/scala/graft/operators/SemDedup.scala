@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * mass in few clusters, so "cells are the unit of parallelism" is not
   * enough on its own: a cell holding most of N would put an unbounded
   * quadratic on one task. Every cell larger than `cellCap` is therefore
-  * triangle-split — its rows hash into g = ⌈|cell|/cellCap⌉ groups, the
-  * a-side replicates each row to the g ordered blocks (ga, *), the
-  * b-side to (*, gb), and each (a, b) pair meets in EXACTLY one block
-  * (ga(a), gb(b)) — so the comparison output is bit-identical to the
-  * uncapped join while no task ever compares more than ~cellCap² pairs
-  * (hash-uniform groups; the pair join shuffles on (cid, ga, gb)). The
+  * triangle-split — its rows hash into g = ⌈|cell|/cellCap⌉ groups and
+  * the pair join runs over the g(g+1)/2 ORDERED blocks (ga ≤ gb) only:
+  * a row in group p ships to blocks (p, ≥p) as a-side and (≤p, p) as
+  * b-side — g+1 replicas, not the symmetric form's 2g, so the lower
+  * triangle never crosses the shuffle — and each UNORDERED pair meets
+  * in exactly one block (its group pair in order; diagonal blocks
+  * carry both orderings and the id filter restores exactly-once) — so
+  * the comparison output is bit-identical to the uncapped join while
+  * no task ever compares more than ~cellCap² pairs (hash-uniform
+  * groups; the pair join shuffles on (cid, ga, gb)). The
   * split is exact decomposition, not sub-bucketing: unlike an LSH
   * sub-bucket pass it loses NO within-cell pairs, so the
   * subset-of-exact guarantee and the recall bound are unchanged by the
@@ -69,10 +73,21 @@ object SemDedup {
       .select(col("cid"), greatest(lit(1),
         ceil(col("csz").cast("double") / cellCap).cast("int")).as("g"))
 
-  /** The triangle-split pair-join sides: each side keyed by
-    * (cid, ga, gb) with every a/b pair meeting in exactly one block of
-    * ≲ cellCap rows per side. Factored out so the skew spec can bound
-    * the PRODUCTION block sizes directly. */
+  /** The triangle-split pair-join sides in ORDERED-TRIANGLE form
+    * (round 19 — the round-18 verdict's ask #4): blocks are the
+    * g(g+1)/2 ordered keys (cid, ga ≤ gb). A row in hash group p ships
+    * as a-side to blocks (p, gb ≥ p) and as b-side to blocks
+    * (ga ≤ p, p) — g+1 replicas total instead of the symmetric form's
+    * 2g, so the lower triangle never crosses the shuffle. Every
+    * UNORDERED pair {x, y} still meets: with gx < gy exactly once, as
+    * (a = x, b = y) in block (gx, gy) — note the roles follow the
+    * GROUPS, so a_id > b_id rows are legitimate there and the consumer
+    * must normalize with least/greatest rather than filter — and with
+    * gx = gy twice (both orderings, in the diagonal block), where the
+    * `a_id < b_id` filter restores exactly-once. Block sizes are
+    * unchanged: each side of a block is one hash group, ≲ cellCap
+    * rows. Factored out so the skew spec can bound the PRODUCTION
+    * block sizes and meeting counts directly. */
   private[operators] def blockSides(
       assigned: DataFrame, cellCap: Int): (DataFrame, DataFrame) = {
     val exploded = assigned.select(explode(col("cids")).as("cid"),
@@ -81,10 +96,10 @@ object SemDedup {
       .join(broadcast(splitCounts(exploded, cellCap)), Seq("cid"))
       .withColumn("grp", pmod(hash(col("vec_id")), col("g")))
     val aSide = withG.select(col("cid"), col("grp").as("ga"),
-      explode(expr("sequence(0, g - 1)")).as("gb"),
+      explode(expr("sequence(grp, g - 1)")).as("gb"),
       col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"))
     val bSide = withG.select(col("cid"),
-      explode(expr("sequence(0, g - 1)")).as("ga"), col("grp").as("gb"),
+      explode(expr("sequence(0, grp)")).as("ga"), col("grp").as("gb"),
       col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"))
     (aSide, bSide)
   }
@@ -158,12 +173,19 @@ object SemDedup {
     // AND cap-bounded; duplicate discoveries through several shared
     // cells collapse to the smallest cid
     val (aSide, bSide) = blockSides(assigned, cellCap)
+    // ordered-triangle meeting contract (see blockSides): off-diagonal
+    // blocks hold each pair once in group order (either id order —
+    // normalize, don't filter); diagonal blocks hold both orderings —
+    // there the id filter both dedupes and drops self-pairs
     val pairs = aSide.join(bSide, Seq("cid", "ga", "gb"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("ga") < col("gb") || col("a_id") < col("b_id"))
       .withColumn("cosine",
         VectorSearch.dotExact("av", "bv").cast("double")
           / (sqrt(col("an2").cast("double")) * sqrt(col("bn2").cast("double"))))
       .filter(col("cosine") >= minCosine)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("cid"), col("cosine"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(min(col("cid")).as("cid"), max(col("cosine")).as("cosine"))
       .localCheckpoint(true)

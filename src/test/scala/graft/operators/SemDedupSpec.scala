@@ -92,7 +92,8 @@ class SemDedupSpec extends SparkSpec {
   test("skew audit: one cell holding ALL of N still bounds every block by ~cap²") {
     // worst case the verdict named: the clustering collapses and one
     // cell absorbs the whole corpus — blockSides must still split the
-    // quadratic into g² blocks of ≲ cap rows per side
+    // quadratic into the g(g+1)/2 ORDERED blocks (round 19: the lower
+    // triangle never ships) of ≲ cap rows per side
     import org.apache.spark.sql.functions.{array, expr, count => cnt, lit => l}
     val n = 200
     val cap = 32
@@ -101,23 +102,34 @@ class SemDedupSpec extends SparkSpec {
       expr("array(id, cast(1 as bigint))").as("v"), l(1L).as("n2"),
       array(l(0)).as("cids"))
     val (aSide, bSide) = SemDedup.blockSides(assigned, cap)
+    // ordered-triangle form: no side ever carries a lower-triangle key,
+    // and the total shuffle payload is g+1 replicas per row (symmetric
+    // form shipped 2g)
+    assert(aSide.filter(col("ga") > col("gb")).count() === 0L)
+    assert(bSide.filter(col("ga") > col("gb")).count() === 0L)
+    assert(aSide.count() + bSide.count() === n.toLong * (g + 1),
+      "each row must ship exactly g+1 replicas across the two sides")
     val blocks = aSide.groupBy("cid", "ga", "gb").agg(cnt(l(1)).as("na"))
       .join(bSide.groupBy("cid", "ga", "gb").agg(cnt(l(1)).as("nb")),
         Seq("cid", "ga", "gb"))
       .collect().map(r => (r.getLong(3), r.getLong(4)))
-    assert(blocks.length === g * g,
-      s"expected $g x $g blocks, got ${blocks.length}")
+    assert(blocks.length === g * (g + 1) / 2,
+      s"expected g(g+1)/2 = ${g * (g + 1) / 2} ordered blocks, " +
+        s"got ${blocks.length}")
     val maxWork = blocks.map { case (na, nb) => na * nb }.max
     assert(maxWork <= 4L * cap * cap,
       s"a block compared $maxWork pairs; bound is ~cap²=${cap * cap} " +
         "(4x slack for hash variance)")
     assert(maxWork < n.toLong * n,
       "the single-cell quadratic must never survive whole")
-    // exact decomposition at the block level: every a<b pair meets in
-    // EXACTLY one block
+    // exact decomposition at the block level: every UNORDERED pair
+    // meets in EXACTLY one block — off-diagonal rows arrive in group
+    // order (either id order; normalize), diagonal blocks carry both
+    // orderings and the id filter restores exactly-once
     val met = aSide.join(bSide, Seq("cid", "ga", "gb"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+      .filter(col("ga") < col("gb") || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("lo"),
+        greatest(col("a_id"), col("b_id")).as("hi"))
     assert(met.count() === n.toLong * (n - 1) / 2)
     assert(met.distinct().count() === n.toLong * (n - 1) / 2)
   }
