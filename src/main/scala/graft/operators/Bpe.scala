@@ -68,17 +68,21 @@ object Bpe {
     * convention. */
   def wordCounts(docs: DataFrame): DataFrame =
     docs.groupBy(col("doc_id")).agg(min(col("text")).as("text"))
-      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(split(col("text"), "\\s+")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** [[wordCounts]] without the ascii restriction: EVERY non-empty
     * whitespace-delimited word counts — the byte-level trainer's
     * corpus pass (real corpora are not `[a-z]+`; the round-17 verdict's
-    * ask #2). */
+    * ask #2). Pre-tokenization splits on the WHITESPACE CLASS (`\s+`),
+    * not the single space character (round 19 — the round-18 verdict's
+    * ask #3): real web corpora are full of tab- and newline-joined
+    * tokens, and a single-space split would fuse them into one "word",
+    * quietly skewing every downstream count. */
   def wordCountsAll(docs: DataFrame): DataFrame =
     docs.groupBy(col("doc_id")).agg(min(col("text")).as("text"))
-      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(split(col("text"), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
@@ -251,7 +255,7 @@ object Bpe {
       .localCheckpoint(true)
     val encSide = if (enc.count() <= broadcastMaxWords) broadcast(enc) else enc
     docs.groupBy(col("doc_id")).agg(min(col("text")).as("text"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .join(encSide, Seq("word"))
       .groupBy(col("doc_id"))
@@ -270,7 +274,7 @@ object Bpe {
       .localCheckpoint(true)
     val encSide = if (enc.count() <= broadcastMaxWords) broadcast(enc) else enc
     val words = docs.groupBy(col("doc_id")).agg(min(col("text")).as("text"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
     val filtered =
       if (byteLevel) words.filter(col("word") =!= "")
       else words.filter(col("word").rlike("^[a-z]+$"))

@@ -2871,7 +2871,8 @@ object Catalog {
     """
       WITH w AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        FROM (SELECT UNNEST(string_split_regex(text, '\s+')) AS word
+              FROM documents)
         WHERE regexp_matches(word, '^[a-z]+$')
         GROUP BY word),
       s0 AS (
@@ -2909,13 +2910,22 @@ object Catalog {
     * multi-byte UTF-8 — are appended deterministically per doc_id, the
     * SAME derivation in both engines ("voilà0".."voilà6", "n°0".."n°2",
     * "fin!", and a high-frequency "àààà" that forces a multi-byte merge
-    * into the learned table). */
+    * into the learned table). Every 11th document additionally carries
+    * a TAB- and NEWLINE-joined tail (`\t t1 \n n2` — round 19, the
+    * verdict's ask #3): under the whitespace-class split these are two
+    * real words; a single-space split would fuse them onto "àààà" and
+    * skew every count. Rare by construction (freq ≈ ndocs/11) so the
+    * top-k learned merges are unchanged — verified in the round-19
+    * DuckDB/python prototype before wiring. */
   private def accentedDocsSql: String =
     """
       WITH d AS (
         SELECT doc_id,
                text || ' voilà' || (doc_id % 7) || ' n°' ||
-                 (doc_id % 3) || ' fin! àààà' AS text
+                 (doc_id % 3) || ' fin! àààà' ||
+                 CASE WHEN doc_id % 11 = 0
+                      THEN chr(9) || 't1' || chr(10) || 'n2'
+                      ELSE '' END AS text
         FROM documents)"""
 
   private def accentedDocs(spark: SparkSession, dir: String): DataFrame =
@@ -2923,7 +2933,9 @@ object Catalog {
       concat(col("text"),
         lit(" voilà"), (col("doc_id") % 7).cast("string"),
         lit(" n°"), (col("doc_id") % 3).cast("string"),
-        lit(" fin! àààà")).as("text"))
+        lit(" fin! àààà"),
+        when(col("doc_id") % 11 === 0, lit("\tt1\nn2"))
+          .otherwise(lit(""))).as("text"))
 
   /** Byte-level (GPT-2-style) replay prefix: EVERY non-empty word of
     * the accented fixture trains; a word's initial state is its UTF-8
@@ -2935,7 +2947,8 @@ object Catalog {
     accentedDocsSql + """,
       w AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM d)
+        FROM (SELECT UNNEST(string_split_regex(text, '\s+')) AS word
+              FROM d)
         WHERE word <> ''
         GROUP BY word),
       s0 AS (
@@ -2995,7 +3008,7 @@ object Catalog {
     oracle = Some(bpeByteOraclePrefix(8) + """,
       enc AS (SELECT word, len(string_split(trim(syms, '|'), '||')) AS n_tok
               FROM s8),
-      wrds AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      wrds AS (SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS word
                FROM d),
       fw AS (SELECT doc_id, word FROM wrds WHERE word <> '')
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -3413,7 +3426,8 @@ object Catalog {
                     CAST(SUM(id) AS BIGINT) AS sum_id,
                     CAST(MAX(id) AS BIGINT) AS max_id
              FROM encx JOIN idm USING (sym) GROUP BY word),
-      wrds AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM d),
+      wrds AS (SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS word
+               FROM d),
       fw AS (SELECT doc_id, word FROM wrds WHERE word <> '')
       SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
              CAST(SUM(sum_id) AS BIGINT) AS sum_token_ids,
