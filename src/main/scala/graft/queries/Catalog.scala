@@ -2972,6 +2972,11 @@ object Catalog {
       .mkString("\nUNION ALL\n") + "\nORDER BY step")) { (spark, dir) =>
     val wc = graft.operators.Bpe.wordCounts(table(spark, dir, "documents"))
     val (merges, _) = graft.operators.Bpe.learn(spark, wc, k = 8)
+    // the oracle's unrolled rounds assume all k merges materialize — a
+    // dry round would silently empty every later oracle CTE while the
+    // Spark side stops early (ADVICE, round 19): fail loudly instead
+    require(merges.size == 8,
+      s"gate fixture ran dry at ${merges.size}/8 merges")
     graft.operators.Bpe.mergeTable(spark, merges)
   }
 
@@ -2988,7 +2993,9 @@ object Catalog {
       FROM fin GROUP BY token ORDER BY tf DESC, token ASC LIMIT 200""")) {
     (spark, dir) =>
       val wc = graft.operators.Bpe.wordCounts(table(spark, dir, "documents"))
-      val (_, state) = graft.operators.Bpe.learn(spark, wc, k = 8)
+      val (merges, state) = graft.operators.Bpe.learn(spark, wc, k = 8)
+      require(merges.size == 8,
+        s"gate fixture ran dry at ${merges.size}/8 merges")
       graft.operators.Bpe.tokenFrequencies(state, topK = 200)
   }
 
@@ -3018,6 +3025,8 @@ object Catalog {
     val docs = accentedDocs(spark, dir)
     val (merges, _) = graft.operators.Bpe.learn(spark,
       graft.operators.Bpe.wordCountsAll(docs), k = 8, byteLevel = true)
+    require(merges.size == 8,
+      s"gate fixture ran dry at ${merges.size}/8 merges")
     graft.operators.Bpe.docTokenCounts(docs, merges, byteLevel = true)
   }
 
@@ -3394,6 +3403,8 @@ object Catalog {
     val wc = graft.operators.Bpe.wordCountsAll(accentedDocs(spark, dir))
     val (merges, _) = graft.operators.Bpe.learn(spark, wc, k = 10,
       byteLevel = true)
+    require(merges.size == 10,
+      s"gate fixture ran dry at ${merges.size}/10 merges")
     graft.operators.Bpe.mergeTable(spark, merges)
   }
 
@@ -3436,6 +3447,15 @@ object Catalog {
     val docs = accentedDocs(spark, dir)
     val (merges, _) = graft.operators.Bpe.learn(spark,
       graft.operators.Bpe.wordCountsAll(docs), k = 8, byteLevel = true)
+    // the oracle rebuilds the id map assuming 8 per-step products, all
+    // distinct: a dry round OR a duplicate product would silently
+    // diverge — both now fail loudly at the gate (ADVICE, round 19;
+    // tokenIdMap itself resolves duplicates first-wins in production)
+    require(merges.size == 8,
+      s"gate fixture ran dry at ${merges.size}/8 merges")
+    val prods = merges.map(m => m.lhs + m.rhs)
+    require(prods.distinct.size == prods.size,
+      s"gate fixture learned duplicate product symbols: $prods")
     graft.operators.Bpe.docTokenIds(docs, merges)
   }
 

