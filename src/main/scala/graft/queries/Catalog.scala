@@ -3408,22 +3408,11 @@ object Catalog {
     graft.operators.Bpe.mergeTable(spark, merges)
   }
 
-  /** Per-document token IDS (q132, round 18): the step past q124's
-    * counts to what a training pipeline actually CONSUMES —
-    * [[graft.operators.Bpe.docTokenIds]] maps every token of the
-    * accented fixture through the GPT-2-style id space (bytes 0–255,
-    * merge k → 255 + k) and reports verifiable aggregates per
-    * document. `max_token_id` pins that merged symbols (ids > 255)
-    * really reach documents — the oracle rebuilds the identical id map
-    * from ITS independently learned merge table (256 printf'd hex
-    * symbols ∪ the b1..b8 product symbols), so a single id drift
-    * anywhere in train-or-encode breaks the hash. Completes the
-    * tokenizer surface end-to-end: stats (q121) → training
-    * (q122/q131) → corpus report (q123) → compression metric (q124) →
-    * token ids (q132). */
-  val q132BpeTokenIds: Q = Q(
-    "q132_bpe_token_ids",
-    oracle = Some(bpeByteOraclePrefix(8) + """,
+  /** The q132/q133 shared oracle: id map rebuilt from the oracle's OWN
+    * independently learned merges — the mapping SEMANTICS have one
+    * truth, so both the inline-literal and the joined-relation Spark
+    * paths must hash-match the same SQL. */
+  private lazy val tokenIdsOracleSql: String = bpeByteOraclePrefix(8) + """,
       mu AS (""" + (1 to 8).map(i =>
       s"SELECT $i AS s, pair FROM b$i").mkString("\n           UNION ALL\n           ") + """),
       idm AS (SELECT printf('%02x', i) AS sym, CAST(i AS BIGINT) AS id
@@ -3443,20 +3432,62 @@ object Catalog {
       SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
              CAST(SUM(sum_id) AS BIGINT) AS sum_token_ids,
              CAST(MAX(max_id) AS BIGINT) AS max_token_id
-      FROM fw JOIN wi USING (word) GROUP BY doc_id""")) { (spark, dir) =>
+      FROM fw JOIN wi USING (word) GROUP BY doc_id"""
+
+  /** The q132/q133 shared Spark prologue: learn the fixture table and
+    * assert the oracle's structural assumptions loudly (ADVICE, round
+    * 19) — the unrolled oracle assumes all 8 merges materialize (a dry
+    * round would silently empty later CTEs while the Spark side stops
+    * early) and its per-step id rebuild assumes distinct products
+    * (tokenIdMap itself resolves duplicates first-wins in
+    * production). */
+  private def learnedTokenIdMerges(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[graft.operators.Bpe.Merge]) = {
     val docs = accentedDocs(spark, dir)
     val (merges, _) = graft.operators.Bpe.learn(spark,
       graft.operators.Bpe.wordCountsAll(docs), k = 8, byteLevel = true)
-    // the oracle rebuilds the id map assuming 8 per-step products, all
-    // distinct: a dry round OR a duplicate product would silently
-    // diverge — both now fail loudly at the gate (ADVICE, round 19;
-    // tokenIdMap itself resolves duplicates first-wins in production)
     require(merges.size == 8,
       s"gate fixture ran dry at ${merges.size}/8 merges")
     val prods = merges.map(m => m.lhs + m.rhs)
     require(prods.distinct.size == prods.size,
       s"gate fixture learned duplicate product symbols: $prods")
+    (docs, merges)
+  }
+
+  /** Per-document token IDS (q132, round 18): the step past q124's
+    * counts to what a training pipeline actually CONSUMES —
+    * [[graft.operators.Bpe.docTokenIds]] maps every token of the
+    * accented fixture through the GPT-2-style id space (bytes 0–255,
+    * merge k → 255 + k) and reports verifiable aggregates per
+    * document. `max_token_id` pins that merged symbols (ids > 255)
+    * really reach documents — the oracle rebuilds the identical id map
+    * from ITS independently learned merge table (256 printf'd hex
+    * symbols ∪ the b1..b8 product symbols), so a single id drift
+    * anywhere in train-or-encode breaks the hash. Completes the
+    * tokenizer surface end-to-end: stats (q121) → training
+    * (q122/q131) → corpus report (q123) → compression metric (q124) →
+    * token ids (q132 inline-map path, q133 relation-join path). */
+  val q132BpeTokenIds: Q = Q(
+    "q132_bpe_token_ids",
+    oracle = Some(tokenIdsOracleSql)) { (spark, dir) =>
+    val (docs, merges) = learnedTokenIdMerges(spark, dir)
     graft.operators.Bpe.docTokenIds(docs, merges)
+  }
+
+  /** Token IDS through the RELATION-JOIN id-map path (q133, round 19 —
+    * the round-18 verdict's ask #2 "green through both paths"):
+    * identical semantics to q132, but `inlineIdMapMax = 0` forces the
+    * (tok, id) mapping to join as a relation instead of riding the
+    * plan as a 256+K-literal map — the form a real 30k-merge table
+    * must take. Same oracle as q132 BY CONSTRUCTION: the id space has
+    * one truth, so the fallback path is oracle-exact end-to-end at the
+    * driver's gate scale, not just spec-pinned equal to the inline
+    * path. */
+  val q133BpeTokenIdsRel: Q = Q(
+    "q133_bpe_token_ids_rel",
+    oracle = Some(tokenIdsOracleSql)) { (spark, dir) =>
+    val (docs, merges) = learnedTokenIdMerges(spark, dir)
+    graft.operators.Bpe.docTokenIds(docs, merges, inlineIdMapMax = 0)
   }
 
   val all: Seq[Q] =
@@ -3477,7 +3508,7 @@ object Catalog {
         q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens,
         q125SemanticDedup, q126FrameSample, q127MediaResize,
         q128StreamExactDedup, q129LengthBuckets, q130SemDedupSkew,
-        q131BpeByteMerges, q132BpeTokenIds) ++
+        q131BpeByteMerges, q132BpeTokenIds, q133BpeTokenIdsRel) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)
