@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document SEGMENT-level exact deduplication with order-preserving
+  * reassembly — the MassiveText/CCNet "remove duplicated paragraphs across
+  * documents" stage (Rae et al. 2021 §A.1.2; Wenzek et al. 2019 §3.1). The
+  * corpus is cut into non-overlapping k-word segments (the testdata corpus
+  * is single-line, so a fixed word window stands in for the paragraph
+  * boundary a real corpus would split on — the dataflow is identical);
+  * every re-occurrence of a segment already seen earlier in the corpus —
+  * in another document OR earlier in the same one — is dropped, and each
+  * document is reassembled from its surviving segments in original order.
+  *
+  * "Earlier" is the total order (doc_id, seg_idx): the globally FIRST
+  * occurrence of each distinct segment survives, so output is
+  * deterministic under any physical row order and a re-run reproduces it
+  * bit-for-bit.
+  *
+  * Spark-first shape — no UDFs, no windows:
+  *   - segmentation is in-row (`transform`/`slice` over the split word
+  *     array, whole-stage codegen);
+  *   - the first-occurrence relation is a `groupBy(fingerprint).agg(min
+  *     (struct(doc_id, seg_idx)))` — partial aggregation collapses a
+  *     mega-duplicated segment (license boilerplate repeated 10⁹×) to one
+  *     row PER MAP TASK before the shuffle, so segment skew never
+  *     concentrates on a reducer (the window-function formulation of
+  *     first-wins would ship every occurrence of the hottest segment to
+  *     one partition; this shape is why we don't use it);
+  *   - occurrences join the first-occurrence relation on the 128-bit md5
+  *     FINGERPRINT, not the segment text, so the dedup shuffle moves
+  *     16-byte keys where a real corpus' paragraphs are KBs;
+  *   - reassembly is one `groupBy(doc_id)` — collect surviving
+  *     (seg_idx, seg) structs, `array_sort` in-row, join with spaces.
+  *
+  * Scale (100 TB): two shuffles of the segment relation (fingerprint,
+  * then doc_id) plus the map-side-combined first-occurrence aggregate;
+  * everything between them is codegen'd projections. Per-doc state is one
+  * document's segments — bounded by max doc length, never by corpus size.
+  *
+  * Reference scope: the reference pipeline has no segment-level dedup
+  * (its dedup surface is whole-row SQL DISTINCT); this is part of the
+  * training-data extension surface alongside [[TextDedup]] (doc-level
+  * exact/MinHash/SimHash) and [[SemDedup]] (embedding-level).
+  */
+object SegmentDedup {
+
+  /** (doc_id [, carry…], seg_idx, seg): non-overlapping k-word segments in
+    * document order. Splits on the whitespace CLASS (`\s+`, matching the
+    * round-19 Bpe convention) so tab/newline-joined words segment
+    * honestly. A document shorter than k words is one (short) segment;
+    * `greatest(…, 1)` keeps a degenerate empty/whitespace-only text as a
+    * single empty segment rather than handing `sequence` a negative
+    * bound (Spark's `sequence(0, -1)` DESCENDS — it would emit ghost
+    * segments, not zero of them). */
+  def segments(docs: DataFrame, k: Int = 10, carry: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"segment width must be >= 1, got $k")
+    docs
+      .select(col("doc_id") +: carry.map(col) :+ split(col("text"), "\\s+").as("w"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ posexplode(expr(
+        s"""transform(sequence(0, greatest(cast(ceil(size(w) / $k.0) as int) - 1, 0)),
+           |          i -> concat_ws(' ', slice(w, i * $k + 1, $k)))""".stripMargin)): _*)
+      .withColumnRenamed("pos", "seg_idx")
+      .withColumnRenamed("col", "seg")
+  }
+
+  /** Segments of [[segments]] marked with `kept`: true iff this occurrence
+    * is the globally first (min (doc_id, seg_idx)) for its fingerprint. */
+  def markFirst(segs: DataFrame): DataFrame = {
+    val fp = segs.withColumn("fp", md5(col("seg")))
+    val first = fp
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    fp.join(first, "fp")
+      .withColumn("kept",
+        col("first.doc_id") === col("doc_id") && col("first.seg_idx") === col("seg_idx"))
+      .drop("fp", "first")
+  }
+
+  /** The cleaned corpus: per document, the surviving segments reassembled
+    * in original order, plus kept/dropped segment counts. A document whose
+    * every segment re-occurred earlier survives with empty `clean_text`
+    * (the caller decides whether to filter it — dropping the row would
+    * silently change corpus membership). */
+  def clean(docs: DataFrame, k: Int = 10): DataFrame =
+    markFirst(segments(docs, k))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN kept THEN struct(seg_idx, seg) END)), x -> x.seg)"), " ")
+          .as("clean_text"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        count(when(!col("kept"), 1)).as("n_dropped"))
+
+  /** Per-source dedup accounting — the "how much of each source is
+    * boilerplate already seen elsewhere" report a corpus build publishes
+    * next to its mixing weights. Same first-wins truth as [[clean]]. */
+  def stats(docs: DataFrame, k: Int = 10): DataFrame =
+    markFirst(segments(docs, k, carry = Seq("source")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(!col("kept"), 1)).as("n_dropped"),
+        (count(when(!col("kept"), 1)).cast("double") / count(lit(1)))
+          .as("drop_ratio"))
+}

@@ -3490,6 +3490,56 @@ object Catalog {
     graft.operators.Bpe.docTokenIds(docs, merges, inlineIdMapMax = 0)
   }
 
+  /** Cross-document segment-level dedup with reassembly (q134, round 19):
+    * the MassiveText/CCNet "drop paragraphs already seen elsewhere in the
+    * corpus" stage — first-wins on the (doc_id, seg_idx) total order, each
+    * document reassembled from its surviving 10-word segments in original
+    * order. The oracle states the same truth declaratively with a window
+    * (`row_number` over the fingerprint partition); the operator's
+    * groupBy-min + fingerprint-join form is the skew-safe production shape
+    * (see [[graft.operators.SegmentDedup]]). 151 of the sf0.01 corpus'
+    * 2,904 segments re-occur, so the gate exercises real drops, not an
+    * identity pass. */
+  val q134SegmentDedup: Q = Q(
+    "q134_segment_dedup",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      seg AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                     array_to_string(w[i*10+1 : i*10+10], ' ') AS seg
+              FROM w, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS INT))) AS t(i)),
+      r AS (SELECT doc_id, seg_idx, seg,
+                   row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+            FROM seg)
+      SELECT doc_id,
+             COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS clean_text,
+             CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+             CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+      FROM r GROUP BY doc_id""")) { (spark, dir) =>
+    graft.operators.SegmentDedup.clean(graft.Tables.table(spark, dir, "documents"))
+  }
+
+  /** Per-source segment-dedup accounting (q135, round 19): the "how much
+    * of each source is corpus-duplicated boilerplate" report published
+    * next to mixing weights — same first-wins truth as q134, aggregated
+    * by source instead of reassembled. */
+  val q135SegmentDedupStats: Q = Q(
+    "q135_segment_dedup_stats",
+    Some("""
+      WITH w AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS w FROM documents),
+      seg AS (SELECT doc_id, source, CAST(i AS INTEGER) AS seg_idx,
+                     array_to_string(w[i*10+1 : i*10+10], ' ') AS seg
+              FROM w, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS INT))) AS t(i)),
+      r AS (SELECT source, seg,
+                   row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+            FROM seg)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_segs,
+             CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+             CAST(COUNT(*) FILTER (WHERE rn > 1) AS DOUBLE) / COUNT(*) AS drop_ratio
+      FROM r GROUP BY source""")) { (spark, dir) =>
+    graft.operators.SegmentDedup.stats(graft.Tables.table(spark, dir, "documents"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3508,7 +3558,8 @@ object Catalog {
         q121VocabReport, q122BpeMerges, q123BpeTokenize, q124BpeDocTokens,
         q125SemanticDedup, q126FrameSample, q127MediaResize,
         q128StreamExactDedup, q129LengthBuckets, q130SemDedupSkew,
-        q131BpeByteMerges, q132BpeTokenIds, q133BpeTokenIdsRel) ++
+        q131BpeByteMerges, q132BpeTokenIds, q133BpeTokenIdsRel,
+        q134SegmentDedup, q135SegmentDedupStats) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

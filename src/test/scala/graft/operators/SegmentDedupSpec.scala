@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-document segment dedup ([[SegmentDedup]]): hand-checked
+  * first-wins semantics (cross-doc, within-doc, all-dropped, short tail),
+  * equivalence to a window-function reference on a random corpus, the
+  * skew-safe plan shape (no Window operator anywhere), the whitespace-class
+  * split, and the empty-text sequence guard. */
+class SegmentDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val A = (0 until 10).map(i => s"a$i").mkString(" ") // one full segment
+  private val B = (0 until 10).map(i => s"b$i").mkString(" ")
+  private val C = (0 until 10).map(i => s"c$i").mkString(" ")
+
+  test("hand-checked first-wins: cross-doc, within-doc, all-dropped, short tail") {
+    val docs = Seq(
+      (1L, s"$A $B"),          // both first occurrences
+      (2L, s"$B $C tail tip"), // B dropped (seen in doc 1); C + 2-word tail kept
+      (3L, s"$A $A"),          // within-doc repeat AND cross-doc: both dropped
+      (4L, s"$C tail tip")     // fully seen (C in doc 2, "tail tip" in doc 2): all dropped
+    ).toDF("doc_id", "text")
+    val got = SegmentDedup.clean(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((s"$A $B", 2L, 0L)),
+      2L -> ((s"$C tail tip", 2L, 1L)),
+      3L -> (("", 0L, 2L)),
+      4L -> (("", 0L, 2L))), s"got $got")
+  }
+
+  test("segments split on the whitespace class and keep original order") {
+    // tab/newline-joined words must segment like space-joined ones
+    val docs = Seq((1L, s"${A.replace(' ', '\t')}\n$B")).toDF("doc_id", "text")
+    val segs = SegmentDedup.segments(docs).orderBy("seg_idx")
+      .select("seg").as[String].collect()
+    assert(segs === Array(A, B))
+  }
+
+  test("empty/whitespace-only text is ONE empty segment, not ghost segments") {
+    // sequence(0, -1) in Spark DESCENDS; the greatest() guard pins this edge
+    val docs = Seq((1L, ""), (2L, "   "), (3L, A)).toDF("doc_id", "text")
+    val segs = SegmentDedup.segments(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), min("seg").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(segs(1L) === ((1L, "")))
+    assert(segs(3L) === ((1L, A)))
+    // doc 2: split("   ", "\s+") = ["", ""] → one segment of " " (concat_ws
+    // keeps empties) — a single segment, but distinct from doc 1's ""
+    assert(segs(2L) === ((1L, " ")))
+    // two EMPTY docs produce identical "" segments; first-wins dedups them
+    val twoEmpty = Seq((1L, ""), (2L, ""), (3L, A)).toDF("doc_id", "text")
+    val dropped = SegmentDedup.clean(twoEmpty)
+      .filter(col("doc_id") === 2L).select("n_dropped").as[Long].head()
+    assert(dropped === 1L)
+  }
+
+  test("equivalent to a window-function first-wins reference on a random corpus") {
+    val rnd = new scala.util.Random(19)
+    // small vocab + short segments so collisions actually happen
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until (5 + rnd.nextInt(40)))
+        .map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 3
+    val got = SegmentDedup.clean(docs, k)
+    val ref = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("seg"))).orderBy(col("doc_id"), col("seg_idx"))
+      SegmentDedup.segments(docs, k)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(expr("transform(array_sort(collect_list(" +
+            "CASE WHEN rn = 1 THEN struct(seg_idx, seg) END)), x -> x.seg)"), " ")
+            .as("clean_text"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          count(when(col("rn") > 1, 1)).as("n_dropped"))
+    }
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "groupBy-min form diverges from the window-function truth")
+    // the corpus exercised real drops
+    assert(got.agg(sum("n_dropped")).head.getLong(0) > 0)
+  }
+
+  test("plan shape: no Window operator — first-wins is the map-side-combinable aggregate") {
+    val docs = Seq((1L, A), (2L, B)).toDF("doc_id", "text")
+    val plan = SegmentDedup.clean(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"skew-unsafe window in plan:\n$plan")
+  }
+
+  test("counts are conserved: kept + dropped per doc == segments per doc") {
+    val docs = graft.Tables.table(spark, sfDir, "documents")
+    val cleaned = SegmentDedup.clean(docs)
+    val bySeg = SegmentDedup.segments(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val bad = cleaned.join(bySeg, "doc_id")
+      .filter(col("n_kept") + col("n_dropped") =!= col("n")).count()
+    assert(bad === 0L)
+    // and the corpus-wide kept count equals the number of DISTINCT segments
+    val distinctSegs = SegmentDedup.segments(docs).select("seg").distinct().count()
+    assert(cleaned.agg(sum("n_kept")).head.getLong(0) === distinctSegs)
+  }
+}
