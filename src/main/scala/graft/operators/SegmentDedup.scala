@@ -93,6 +93,55 @@ object SegmentDedup {
         count(when(col("kept"), 1)).as("n_kept"),
         count(when(!col("kept"), 1)).as("n_dropped"))
 
+  /** ExactSubstr-style duplicate SPAN removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §3.2): every sliding L-word window that re-occurs
+    * anywhere in the corpus — later doc, or later in the same doc — has
+    * all but its globally first occurrence cut out of the text; the
+    * union of the non-first windows' token positions is removed and the
+    * survivors rejoin in order. The arbitrary-boundary complement of
+    * [[clean]] (fixed k-word boundaries): a duplicated region of M ≥ L
+    * tokens is covered by its M−L+1 duplicate windows and disappears
+    * exactly, wherever it starts; an exact-duplicate document of ≥ L
+    * words empties entirely. Documents shorter than L words carry no
+    * windows and pass through untouched (the paper's minimum match
+    * length).
+    *
+    * Scale shape: the window relation is ~one row per corpus token but
+    * carries only (doc_id, start, 16-byte md5) — the window TEXT never
+    * leaves the map side. First-wins is the same map-side-combinable
+    * groupBy-min as [[markFirst]]. Coverage comes back to the document
+    * as one collect_set per doc (bounded by doc length), and the cut is
+    * IN-ROW (`filter` with the index lambda over the split array) — the
+    * corpus is never exploded into shuffled token rows. */
+  def spanRemove(docs: DataFrame, L: Int = 20): DataFrame = {
+    require(L >= 2, s"window length must be >= 2, got $L")
+    val words = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val wins = words
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $L), s -> md5(concat_ws(' ', slice(w, s + 1, $L))))")))
+      .toDF("doc_id", "start", "fp")
+    val first = wins
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("first"))
+    val covered = wins.join(first, "fp")
+      .filter(!(col("first.doc_id") === col("doc_id") &&
+        col("first.start") === col("start")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${L - 1})")).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("cov"))
+    words.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cov").isNull, array_join(col("w"), " "))
+          .otherwise(expr(
+            "array_join(filter(w, (x, i) -> NOT array_contains(cov, i)), ' ')"))
+          .as("clean_text"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"))
+  }
+
   /** Per-source dedup accounting — the "how much of each source is
     * boilerplate already seen elsewhere" report a corpus build publishes
     * next to its mixing weights. Same first-wins truth as [[clean]]. */

@@ -3540,6 +3540,41 @@ object Catalog {
     graft.operators.SegmentDedup.stats(graft.Tables.table(spark, dir, "documents"))
   }
 
+  /** ExactSubstr duplicate-span removal (q136, round 19; Lee et al. 2022):
+    * every 20-word window that re-occurs anywhere in the corpus is cut at
+    * all but its first occurrence and the document reassembles from the
+    * surviving tokens — the arbitrary-boundary removal q79 only DETECTS
+    * and q134's fixed segments can straddle. The oracle re-states
+    * first-wins with a window function and rebuilds the text by
+    * anti-joining covered token positions; the operator never explodes
+    * the corpus into token rows (coverage returns doc-keyed and the cut
+    * is an in-row indexed `filter` — see
+    * [[graft.operators.SegmentDedup.spanRemove]]). 23 sf0.01 docs lose
+    * 1,243 tokens, so the gate exercises real cuts. */
+  val q136SpanRemove: Q = Q(
+    "q136_span_remove",
+    Some("""
+      WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      win AS (SELECT doc_id, CAST(s AS INTEGER) AS start,
+                     md5(array_to_string(w[s+1 : s+20], ' ')) AS fp
+              FROM w, UNNEST(range(0, len(w) - 20 + 1)) AS t(s)),
+      r AS (SELECT doc_id, start, fp,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn
+            FROM win),
+      covered AS (SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS pos
+                  FROM r, UNNEST(range(start, start + 20)) AS t(p)
+                  WHERE rn > 1),
+      tok AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, w[i+1] AS tok
+              FROM w, UNNEST(range(0, len(w))) AS t(i))
+      SELECT t.doc_id,
+             COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos) FILTER (WHERE c.pos IS NULL), '') AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(c.pos) AS BIGINT) AS n_removed
+      FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      GROUP BY t.doc_id""")) { (spark, dir) =>
+    graft.operators.SegmentDedup.spanRemove(graft.Tables.table(spark, dir, "documents"))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3559,7 +3594,7 @@ object Catalog {
         q125SemanticDedup, q126FrameSample, q127MediaResize,
         q128StreamExactDedup, q129LengthBuckets, q130SemDedupSkew,
         q131BpeByteMerges, q132BpeTokenIds, q133BpeTokenIdsRel,
-        q134SegmentDedup, q135SegmentDedupStats) ++
+        q134SegmentDedup, q135SegmentDedupStats, q136SpanRemove) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

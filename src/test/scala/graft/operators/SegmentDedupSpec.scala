@@ -93,6 +93,67 @@ class SegmentDedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"skew-unsafe window in plan:\n$plan")
   }
 
+  test("spanRemove hand-checked: region cut wherever it starts, short docs untouched") {
+    val L = 5
+    val R = "r0 r1 r2 r3 r4 r5 r6" // 7-token region, duplicated with offset
+    val docs = Seq(
+      (1L, s"$A $R"),            // first occurrence of R's windows (tail of doc 1)
+      (2L, s"x0 x1 x2 $R y0"),   // R re-occurs mid-doc -> exactly its 7 tokens cut
+      (3L, "s0 s1 s2 s3"),       // < L words: no windows, untouched
+      (4L, s"$A $R")             // exact duplicate of doc 1: empties entirely
+    ).toDF("doc_id", "text")
+    val got = SegmentDedup.spanRemove(docs, L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((s"$A $R", 17L, 0L)), s"got ${got(1L)}")
+    assert(got(2L) === (("x0 x1 x2 y0", 11L, 7L)), s"got ${got(2L)}")
+    assert(got(3L) === (("s0 s1 s2 s3", 4L, 0L)))
+    assert(got(4L) === (("", 17L, 17L)), s"got ${got(4L)}")
+  }
+
+  test("spanRemove within-doc periodic repetition keeps one period") {
+    // "p p p ... p" (12 tokens): window at start 0 is first, all later
+    // starts are duplicates -> positions 1..11 covered, one token survives
+    val docs = Seq((1L, Seq.fill(12)("p").mkString(" "))).toDF("doc_id", "text")
+    val r = SegmentDedup.spanRemove(docs, 4).head()
+    assert((r.getString(1), r.getLong(2), r.getLong(3)) === (("p", 12L, 11L)))
+  }
+
+  test("spanRemove agrees with a window-function + token-explode reference") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 150).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(30)))
+        .map(_ => s"w${rnd.nextInt(4)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val L = 4
+    val got = SegmentDedup.spanRemove(docs, L)
+    val ref = {
+      import org.apache.spark.sql.expressions.Window
+      val words = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      val wfw = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("start"))
+      val covered = words.filter(size(col("w")) >= L)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(w) - $L), s -> md5(concat_ws(' ', slice(w, s + 1, $L))))")))
+        .toDF("doc_id", "start", "fp")
+        .withColumn("rn", row_number().over(wfw))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"), explode(expr(s"sequence(start, start + ${L - 1})")).as("pos"))
+        .distinct()
+      val toks = words.select(col("doc_id"), posexplode(col("w"))).toDF("doc_id", "pos", "tok")
+      toks.join(covered.withColumn("hit", lit(1)), Seq("doc_id", "pos"), "left")
+        .groupBy("doc_id")
+        .agg(
+          array_join(expr("transform(array_sort(collect_list(" +
+            "CASE WHEN hit IS NULL THEN struct(pos, tok) END)), x -> x.tok)"), " ")
+            .as("clean_text"),
+          count(lit(1)).as("n_tokens"),
+          count(col("hit")).as("n_removed"))
+    }
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "in-row cut diverges from the token-explode truth")
+    assert(got.agg(sum("n_removed")).head.getLong(0) > 0, "fixture exercised no cuts")
+  }
+
   test("counts are conserved: kept + dropped per doc == segments per doc") {
     val docs = graft.Tables.table(spark, sfDir, "documents")
     val cleaned = SegmentDedup.clean(docs)
