@@ -39,6 +39,9 @@ import org.apache.spark.sql.functions._
   * everything between them is codegen'd projections. Per-doc state is one
   * document's segments — bounded by max doc length, never by corpus size.
   *
+  * Input contract: `doc_id` is unique (two different texts under one id
+  * are a broken input either way — [[TextDedup.shingles]]' convention).
+  *
   * Reference scope: the reference pipeline has no segment-level dedup
   * (its dedup surface is whole-row SQL DISTINCT); this is part of the
   * training-data extension surface alongside [[TextDedup]] (doc-level
@@ -113,7 +116,12 @@ object SegmentDedup {
     * groupBy-min as [[markFirst]]. Coverage comes back to the document
     * as one collect_set per doc (bounded by doc length), and the cut is
     * IN-ROW (`filter` with the index lambda over the split array) — the
-    * corpus is never exploded into shuffled token rows. */
+    * corpus is never exploded into shuffled token rows. The membership
+    * test is linear in the doc's covered-position count, so a
+    * pathological fully-covered giant doc pays O(len·|cov|) in its own
+    * row; if that profile dominates a corpus, collapse `cov` to merged
+    * [start, end) intervals before the join — fewer elements, same
+    * dataflow. */
   def spanRemove(docs: DataFrame, L: Int = 20): DataFrame = {
     require(L >= 2, s"window length must be >= 2, got $L")
     val words = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
