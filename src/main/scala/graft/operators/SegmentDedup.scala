@@ -124,18 +124,62 @@ object SegmentDedup {
     * dataflow. */
   def spanRemove(docs: DataFrame, L: Int = 20): DataFrame = {
     require(L >= 2, s"window length must be >= 2, got $L")
-    val words = docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-    val wins = words
+    val words = splitWords(docs)
+    val wins = windows(words, L)
+    val first = wins
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("first"))
+    val dupStarts = wins.join(first, "fp")
+      .filter(!(col("first.doc_id") === col("doc_id") &&
+        col("first.start") === col("start")))
+    cutCovered(words, dupStarts, L)
+  }
+
+  /** Cross-corpus decontamination by SPAN SCRUBBING: every L-word window
+    * of `docs` whose content appears ANYWHERE in `evalDocs` (the
+    * benchmark/eval corpus) is cut — all its token positions, every
+    * occurrence, no first-occurrence exemption (the training set must
+    * not contain the eval text even once; cf. the n-gram overlap
+    * decontamination of GPT-3 appendix C / Brown et al. 2020). The
+    * removal complement of [[Decontaminate]]'s doc-level flag-and-drop:
+    * a 10k-token page quoting one contaminated paragraph loses the
+    * paragraph, not the page.
+    *
+    * Scale shape: eval windows reduce to DISTINCT 16-byte fingerprints
+    * (eval corpora are benchmark-sized — MBs against a 100 TB train
+    * side — so the LEFT SEMI join's build side is small and Catalyst
+    * broadcasts it by stats; past broadcast size it degrades to a
+    * shuffled semi join, still linear); everything else is
+    * [[spanRemove]]'s dataflow — map-side window fingerprints, doc-keyed
+    * coverage, in-row cut. */
+  def spanScrub(docs: DataFrame, evalDocs: DataFrame, L: Int = 20): DataFrame = {
+    require(L >= 2, s"window length must be >= 2, got $L")
+    val words = splitWords(docs)
+    val evalFps = windows(splitWords(evalDocs), L).select(col("fp")).distinct()
+    val hits = windows(words, L).join(evalFps, Seq("fp"), "left_semi")
+    cutCovered(words, hits, L)
+  }
+
+  /** (doc_id, w): the whitespace-class word split both span forms share. */
+  private def splitWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+
+  /** (doc_id, start, fp): every sliding L-word window's 128-bit
+    * fingerprint; sub-L docs carry no windows. The window TEXT never
+    * leaves this projection. */
+  private def windows(words: DataFrame, L: Int): DataFrame =
+    words
       .filter(size(col("w")) >= L)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(w) - $L), s -> md5(concat_ws(' ', slice(w, s + 1, $L))))")))
       .toDF("doc_id", "start", "fp")
-    val first = wins
-      .groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("start"))).as("first"))
-    val covered = wins.join(first, "fp")
-      .filter(!(col("first.doc_id") === col("doc_id") &&
-        col("first.start") === col("start")))
+
+  /** Cut the L-token spans at `starts` (doc_id, start, …) out of `words`
+    * and reassemble: coverage collapses to ONE position set per doc,
+    * the cut is the in-row indexed `filter`, and untouched docs pass
+    * through on the left join. */
+  private def cutCovered(words: DataFrame, starts: DataFrame, L: Int): DataFrame = {
+    val covered = starts
       .select(col("doc_id"),
         explode(expr(s"sequence(start, start + ${L - 1})")).as("pos"))
       .groupBy(col("doc_id"))

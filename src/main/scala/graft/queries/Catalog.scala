@@ -3575,6 +3575,44 @@ object Catalog {
     graft.operators.SegmentDedup.spanRemove(graft.Tables.table(spark, dir, "documents"))
   }
 
+  /** Cross-corpus decontamination by span scrubbing (q137, round 19):
+    * every 12-word window of the train split (source ≠ 'src0') whose
+    * content appears anywhere in the eval split (source = 'src0') is
+    * cut — every occurrence, no first-wins exemption — and the train
+    * documents reassemble from the survivors (GPT-3-style n-gram
+    * decontamination as REMOVAL, where q51/q63/q120 flag or drop whole
+    * documents). The eval side reduces to distinct fingerprints and
+    * semi-joins the train windows; the cut shares q136's dataflow.
+    * Two sf0.01 train docs lose 116 tokens to eval-overlapping spans. */
+  val q137SpanScrub: Q = Q(
+    "q137_span_scrub",
+    Some("""
+      WITH tr AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents WHERE source <> 'src0'),
+      ev AS (SELECT string_split_regex(text, '\s+') AS w
+             FROM documents WHERE source = 'src0'),
+      evw AS (SELECT DISTINCT md5(array_to_string(w[s+1 : s+12], ' ')) AS fp
+              FROM ev, UNNEST(range(0, len(w) - 12 + 1)) AS t(s)),
+      trw AS (SELECT doc_id, CAST(s AS INTEGER) AS start,
+                     md5(array_to_string(w[s+1 : s+12], ' ')) AS fp
+              FROM tr, UNNEST(range(0, len(w) - 12 + 1)) AS t(s)),
+      hit AS (SELECT doc_id, start FROM trw JOIN evw USING (fp)),
+      covered AS (SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS pos
+                  FROM hit, UNNEST(range(start, start + 12)) AS t(p)),
+      tok AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, w[i+1] AS tok
+              FROM tr, UNNEST(range(0, len(w))) AS t(i))
+      SELECT t.doc_id,
+             COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos) FILTER (WHERE c.pos IS NULL), '') AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(c.pos) AS BIGINT) AS n_removed
+      FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      GROUP BY t.doc_id""")) { (spark, dir) =>
+    val docs = graft.Tables.table(spark, dir, "documents")
+    graft.operators.SegmentDedup.spanScrub(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), L = 12)
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3594,7 +3632,8 @@ object Catalog {
         q125SemanticDedup, q126FrameSample, q127MediaResize,
         q128StreamExactDedup, q129LengthBuckets, q130SemDedupSkew,
         q131BpeByteMerges, q132BpeTokenIds, q133BpeTokenIdsRel,
-        q134SegmentDedup, q135SegmentDedupStats, q136SpanRemove) ++
+        q134SegmentDedup, q135SegmentDedupStats, q136SpanRemove,
+        q137SpanScrub) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

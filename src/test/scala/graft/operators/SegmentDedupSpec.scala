@@ -154,6 +154,39 @@ class SegmentDedupSpec extends SparkSpec {
     assert(got.agg(sum("n_removed")).head.getLong(0) > 0, "fixture exercised no cuts")
   }
 
+  test("spanScrub cuts EVERY eval-matching occurrence — no first-wins exemption") {
+    val L = 4
+    val E = "e0 e1 e2 e3 e4" // 5-token eval passage
+    val train = Seq(
+      (1L, s"$E x0"),          // leading eval passage -> 5 tokens cut
+      (2L, s"y0 $E y1 $E"),    // BOTH occurrences cut (10 tokens)
+      (3L, "z0 z1 z2 z3 z4")   // clean doc untouched
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, s"pre $E post")).toDF("doc_id", "text")
+    val got = SegmentDedup.spanScrub(train, eval_, L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> (("x0", 6L, 5L)),
+      2L -> (("y0 y1", 12L, 10L)),
+      3L -> (("z0 z1 z2 z3 z4", 5L, 0L))), s"got $got")
+    // and scrubbing is NOT spanRemove: within-train duplication alone
+    // (doc 2's repeated passage) is untouched when eval doesn't match
+    val noHit = SegmentDedup.spanScrub(train,
+      Seq((100L, "q0 q1 q2 q3")).toDF("doc_id", "text"), L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(noHit === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("spanScrub sub-L eval docs contribute no fingerprints; sub-L train docs pass through") {
+    val L = 6
+    val train = Seq((1L, "a b c"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c")).toDF("doc_id", "text") // 3 < L: no windows
+    val got = SegmentDedup.spanScrub(train, eval_, L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(got === Map(1L -> (("a b c", 0L)), 2L -> (("a b c d e f g", 0L))))
+  }
+
   test("counts are conserved: kept + dropped per doc == segments per doc") {
     val docs = graft.Tables.table(spark, sfDir, "documents")
     val cleaned = SegmentDedup.clean(docs)
