@@ -87,7 +87,43 @@ object SegmentDedup {
     * (the caller decides whether to filter it — dropping the row would
     * silently change corpus membership). */
   def clean(docs: DataFrame, k: Int = 10): DataFrame =
-    markFirst(segments(docs, k))
+    reassemble(markFirst(segments(docs, k)))
+
+  /** The distinct segment-fingerprint catalog of a corpus — what a
+    * production pipeline persists between refreshes so the NEXT batch
+    * dedups against history without rescanning it (feed to
+    * [[cleanAgainst]]; update by unioning the new batch's catalog and
+    * re-distincting). */
+  def segmentFingerprints(docs: DataFrame, k: Int = 10): DataFrame =
+    segments(docs, k).select(md5(col("seg")).as("fp")).distinct()
+
+  /** INCREMENTAL [[clean]]: dedup a NEW batch against the fingerprint
+    * catalog of everything already ingested, plus first-wins within the
+    * batch itself — exactly [[clean]]'s output over (history ++ batch)
+    * restricted to the batch's documents, bought WITHOUT rescanning
+    * history (spec-pinned equivalence). A segment in the catalog drops
+    * every batch occurrence (history always wins); a catalog-novel
+    * segment keeps its batch-first occurrence. At 100 TB this is the
+    * form that matters: each refresh touches only the new batch plus a
+    * catalog of 16-byte digests, and the catalog grows by
+    * novel-segments only. */
+  def cleanAgainst(newDocs: DataFrame, priorFps: DataFrame, k: Int = 10): DataFrame = {
+    val segs = segments(newDocs, k).withColumn("fp", md5(col("seg")))
+    val firstNew = segs
+      .join(priorFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    val marked = segs.join(firstNew, Seq("fp"), "left")
+      .withColumn("kept", col("first").isNotNull &&
+        col("first.doc_id") === col("doc_id") &&
+        col("first.seg_idx") === col("seg_idx"))
+    reassemble(marked)
+  }
+
+  /** Shared reassembly: (doc_id, seg_idx, seg, kept) → one row per doc
+    * with survivors rejoined in order plus kept/dropped counts. */
+  private def reassemble(marked: DataFrame): DataFrame =
+    marked
       .groupBy(col("doc_id"))
       .agg(
         array_join(expr("transform(array_sort(collect_list(" +

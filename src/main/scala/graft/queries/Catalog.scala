@@ -3613,6 +3613,44 @@ object Catalog {
       docs.filter(col("source") === "src0"), L = 12)
   }
 
+  /** Incremental segment dedup (q138, round 19): a NEW batch (source ≠
+    * 'src0') dedups against the fingerprint CATALOG of already-ingested
+    * history (source = 'src0') plus first-wins within the batch — the
+    * corpus-refresh form that never rescans history. A catalog hit
+    * drops EVERY batch occurrence (history always wins); catalog-novel
+    * segments keep their batch-first copy. 151 sf0.01 batch segments
+    * drop (11 through the catalog, 140 within-batch), so both
+    * mechanisms gate. Spec-pinned: equals full [[clean]] over
+    * history++batch restricted to batch docs. */
+  val q138SegmentDedupIncr: Q = Q(
+    "q138_segment_dedup_incr",
+    Some("""
+      WITH pw AS (SELECT string_split_regex(text, '\s+') AS w
+                  FROM documents WHERE source = 'src0'),
+      prior AS (SELECT DISTINCT md5(array_to_string(w[i*10+1 : i*10+10], ' ')) AS fp
+                FROM pw, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS INT))) AS t(i)),
+      nw AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+             FROM documents WHERE source <> 'src0'),
+      seg AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                     array_to_string(w[i*10+1 : i*10+10], ' ') AS seg,
+                     md5(array_to_string(w[i*10+1 : i*10+10], ' ')) AS fp
+              FROM nw, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS INT))) AS t(i)),
+      m AS (SELECT s.*, p.fp IS NOT NULL AS in_prior,
+                   row_number() OVER (PARTITION BY s.fp ORDER BY doc_id, seg_idx) AS rn
+            FROM seg s LEFT JOIN prior p USING (fp))
+      SELECT doc_id,
+             COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE NOT in_prior AND rn = 1), '') AS clean_text,
+             CAST(COUNT(*) FILTER (WHERE NOT in_prior AND rn = 1) AS BIGINT) AS n_kept,
+             CAST(COUNT(*) FILTER (WHERE in_prior OR rn > 1) AS BIGINT) AS n_dropped
+      FROM m GROUP BY doc_id""")) { (spark, dir) =>
+    val docs = graft.Tables.table(spark, dir, "documents")
+    graft.operators.SegmentDedup.cleanAgainst(
+      docs.filter(col("source") =!= "src0"),
+      graft.operators.SegmentDedup.segmentFingerprints(
+        docs.filter(col("source") === "src0")))
+  }
+
   val all: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupSimQueries.all ++
       CorpusQueries.all ++ RetrievalQueries.all ++
@@ -3633,7 +3671,7 @@ object Catalog {
         q128StreamExactDedup, q129LengthBuckets, q130SemDedupSkew,
         q131BpeByteMerges, q132BpeTokenIds, q133BpeTokenIdsRel,
         q134SegmentDedup, q135SegmentDedupStats, q136SpanRemove,
-        q137SpanScrub) ++
+        q137SpanScrub, q138SegmentDedupIncr) ++
       Seq(q31ApproxDistinct, q33Cube, q34AsofJoin, q35PartSupplier,
         q37AboveNationAvg, q40AttributionWindow, q41Pivot, q42Quantiles,
         q43ApproxQuantile, q44SessionWindow, q59SketchRollup, q60RollingWindow)

@@ -6,8 +6,8 @@ import graft.SparkSpec
 class EntryContractSpec extends SparkSpec {
   test("driver entry contract: rows > 0 on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size === 139)
-    assert(SparkEntry.oracleSql.size === 139)
+    assert(SparkEntry.queries.size === 140)
+    assert(SparkEntry.oracleSql.size === 140)
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
   }
 

@@ -187,6 +187,41 @@ class SegmentDedupSpec extends SparkSpec {
     assert(got === Map(1L -> (("a b c", 0L)), 2L -> (("a b c d e f g", 0L))))
   }
 
+  test("cleanAgainst hand-checked: catalog always wins, batch first-wins on novel segments") {
+    val prior = Seq((1L, s"$A $B")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"$A $C"),  // A in catalog -> drops (even as batch-first); C novel -> kept
+      (11L, s"$C $A")   // C seen at doc 10 -> drops; A in catalog -> drops
+    ).toDF("doc_id", "text")
+    val got = SegmentDedup.cleanAgainst(batch,
+      SegmentDedup.segmentFingerprints(prior)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      10L -> ((C, 1L, 1L)),
+      11L -> (("", 0L, 2L))), s"got $got")
+  }
+
+  test("cleanAgainst equals full clean over history++batch restricted to batch docs") {
+    val rnd = new scala.util.Random(31)
+    val mk = (ids: Range) => ids.map { i =>
+      (i.toLong, (0 until (5 + rnd.nextInt(35)))
+        .map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    val history = mk(0 until 120).toDF("doc_id", "text")
+    val batch = mk(1000 until 1100).toDF("doc_id", "text")
+    val k = 3
+    val incremental = SegmentDedup.cleanAgainst(batch,
+      SegmentDedup.segmentFingerprints(history, k), k)
+    // all history ids < batch ids, so full-corpus first-wins gives
+    // history priority — the incremental form must reproduce it exactly
+    val full = SegmentDedup.clean(history.union(batch), k)
+      .filter(col("doc_id") >= 1000L)
+    assert(incremental.exceptAll(full).isEmpty && full.exceptAll(incremental).isEmpty,
+      "incremental form diverges from the full-corpus truth")
+    assert(incremental.agg(sum("n_dropped")).head.getLong(0) > 0)
+  }
+
   test("counts are conserved: kept + dropped per doc == segments per doc") {
     val docs = graft.Tables.table(spark, sfDir, "documents")
     val cleaned = SegmentDedup.clean(docs)
