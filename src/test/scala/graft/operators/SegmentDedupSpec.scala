@@ -233,5 +233,10 @@ class SegmentDedupSpec extends SparkSpec {
     // and the corpus-wide kept count equals the number of DISTINCT segments
     val distinctSegs = SegmentDedup.segments(docs).select("seg").distinct().count()
     assert(cleaned.agg(sum("n_kept")).head.getLong(0) === distinctSegs)
+    // the dedup INVARIANT: surviving segment occurrences are pairwise
+    // distinct across the whole corpus (each fingerprint kept exactly once)
+    val kept = SegmentDedup.markFirst(SegmentDedup.segments(docs))
+      .filter(col("kept")).select("seg")
+    assert(kept.count() === kept.distinct().count())
   }
 }
