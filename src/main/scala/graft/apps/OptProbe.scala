@@ -1,0 +1,242 @@
+package graft.apps
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Round-19 optimization probe: phase-level timings for the expensive
+  * headline queries, so optimization targets the phase that actually costs
+  * (guide §1 — measure first). Mirrors the Bench session config exactly.
+  * Usage: runMain graft.apps.OptProbe <probe> [reps]
+  */
+object OptProbe {
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val probe = args.headOption.getOrElse("q105")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    (1 to reps).foreach { r =>
+      spark.catalog.clearCache()
+      System.gc()
+      println(s"=== rep $r ===")
+      probe match {
+        case "q105" => q105(spark, sfDir)
+        case "q63" => q63(spark, sfDir)
+        case "q19" => q19(spark, sfDir)
+        case "mergeloop" => mergeLoop(spark, sfDir)
+        case other => sys.error(s"unknown probe $other")
+      }
+    }
+    spark.stop()
+  }
+
+  private def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[phase] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f")
+    r
+  }
+
+  /** Per-job wall times inside a phase — which Spark jobs a DML op runs
+    * and what each costs (guide §1/§7: map stages back to operators). */
+  private def jobs[A](spark: SparkSession, label: String)(f: => A): A = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+    val phase0 = System.nanoTime()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val d = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        starts.put(e.jobId, (System.nanoTime(), d))
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        Option(starts.get(e.jobId)).foreach { case (t0, d) =>
+          lines.add(f"  job ${e.jobId}%3d at ${(t0 - phase0) / 1e9}%7.3f for ${(System.nanoTime() - t0) / 1e9}%7.3f  $d")
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try t(label)(f)
+    finally {
+      Thread.sleep(300) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(l)
+      import scala.jdk.CollectionConverters._
+      lines.asScala.toSeq.sorted.foreach(println)
+    }
+  }
+
+  private def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  /** q105 phase split: write+props / delete / update / merge / stream / agg. */
+  def q105(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.delta.{DeltaLog, DeltaTable, MergeClause}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q105p")
+    val tp = s"$scratch/t"
+    val outp = s"$scratch/out"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      t("write v0") {
+        DeltaTable.write(docs.repartitionByRange(8, col("doc_id")), tp, SaveMode.Append)
+      }
+      t("setProperties v1") {
+        DeltaTable.setProperties(spark, tp,
+          Map("delta.enableChangeDataFeed" -> "true",
+            "delta.enableDeletionVectors" -> "true"))
+      }
+      jobs(spark, "delete v2") {
+        DeltaTable.delete(spark, tp, pmod(col("doc_id"), lit(10)) === 3)
+      }
+      t("update v3") {
+        DeltaTable.update(spark, tp, pmod(col("doc_id"), lit(7)) === 2,
+          Map("n_chars" -> (col("n_chars") + 5L)))
+      }
+      jobs(spark, "merge v4") {
+        val msrc = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+        DeltaTable.mergeInto(msrc, tp, targetKey = "doc_id", sourceKey = "doc_id",
+          matched = Seq(MergeClause.Update(None, Map(
+            "n_chars" -> (DeltaTable.src("n_chars") + 1000L)))),
+          notMatched = Seq(MergeClause.Insert(None, Map(
+            "doc_id" -> DeltaTable.src("doc_id"),
+            "lang" -> DeltaTable.src("lang"),
+            "n_chars" -> DeltaTable.src("n_chars")))))
+      }
+      t("stream CDF") {
+        val q = spark.readStream.format("graft-delta")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "1").load(tp)
+          .writeStream.format("parquet").option("path", outp)
+          .option("checkpointLocation", s"$scratch/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      t("final agg") {
+        val feed = spark.read.parquet(outp)
+        val cdfSec = feed
+          .select(concat(lit("cdf_"), col("_change_type")).as("section"),
+            col("lang"), col("n_chars"))
+        val finalSec = DeltaTable.read(spark, tp)
+          .select(lit("final").as("section"), col("lang"), col("n_chars"))
+        val agg = cdfSec.unionByName(finalSec)
+          .groupBy(col("section"), col("lang"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+        agg.collect()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Repeated q105-shaped DV merges on fresh tables — a sampling window
+    * for driver profiling (jstack the main thread while this runs). */
+  def mergeLoop(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.delta.{DeltaTable, MergeClause}
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (1 to 20).foreach { i =>
+      val scratch = java.nio.file.Files.createTempDirectory("graft_mloop")
+      val tp = s"$scratch/t"
+      try {
+        DeltaTable.write(docs.repartitionByRange(8, col("doc_id")), tp, SaveMode.Append)
+        DeltaTable.setProperties(spark, tp,
+          Map("delta.enableChangeDataFeed" -> "true",
+            "delta.enableDeletionVectors" -> "true"))
+        val msrc = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+        t(s"merge $i") {
+          DeltaTable.mergeInto(msrc, tp, targetKey = "doc_id", sourceKey = "doc_id",
+            matched = Seq(MergeClause.Update(None, Map(
+              "n_chars" -> (DeltaTable.src("n_chars") + 1000L)))),
+            notMatched = Seq(MergeClause.Insert(None, Map(
+              "doc_id" -> DeltaTable.src("doc_id"),
+              "lang" -> DeltaTable.src("lang"),
+              "n_chars" -> DeltaTable.src("n_chars")))))
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(scratch)
+        try walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+  }
+
+  /** q63 phase split: eval shingle persist / bloom build / gated scan /
+    * verify join. */
+  def q63(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    import graft.functions.{BloomFilterAgg, BloomHits}
+    import graft.operators.TextDedup
+    val docs = table(spark, dir, "documents")
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val eval = docs.filter(col("doc_id") % 10 === 7)
+    val n = 3
+    val evalSh = TextDedup.shingles(eval, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom: Array[Long] = t("bloom build (+eval persist)") {
+      evalSh.agg(CB.column(
+        BloomFilterAgg(CB.expression(xxhash64(col("shingle"))), 1 << 20, 4)
+          .toAggregateExpression()).as("bloom"))
+        .head().getSeq[Long](0).toArray
+    }
+    val gated = train
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .filter(CB.column(graft.functions.ShingleBloomHits(
+        CB.expression(col("w")), n, bloom, 4)) >= 10)
+      .drop("w")
+    t("gated scan only") { noop(gated) }
+    t("verify join") {
+      noop(graft.operators.Decontaminate.overlapsAgainst(
+        TextDedup.shingles(gated, n), evalSh, 10))
+    }
+    evalSh.unpersist()
+    t("q51 whole (reference)") {
+      noop(graft.operators.Decontaminate.overlaps(train, eval, n, 10))
+    }
+  }
+
+  /** q19 phase split: shingle persist / signatures / bands+candidates /
+    * jaccard verify. */
+  def q19(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.TextDedup
+    val docs = table(spark, dir, "documents")
+    val sh = TextDedup.shingles(docs, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("shingles persist") { sh.count() }
+    val sigs = TextDedup.minhashSignaturesSketch(sh, 64)
+    t("signatures") { noop(sigs) }
+    val cands = TextDedup.lshCandidates(TextDedup.lshBandsFromSig(sigs, 16, 4))
+    t("bands+candidates") { noop(cands) }
+    t("jaccard verify") {
+      noop(TextDedup.jaccardFor(cands, sh).filter(col("jaccard") >= 0.5))
+    }
+    sh.unpersist()
+  }
+}

@@ -72,5 +72,16 @@ object GraftFunctions {
           children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_array"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "shingle_array(w ARRAY<STRING>, n INT literal) takes exactly 2 arguments")
+        require(children(1).foldable, "shingle_array: n must be a literal")
+        ShingleArray(
+          children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      })
   }
 }

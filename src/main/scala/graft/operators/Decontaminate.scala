@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{ColumnBridge => CB}
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{BloomFilterAgg, BloomHits}
+import graft.functions.{BloomFilterAgg, ShingleBloomHits}
 
 /** Benchmark decontamination: find training documents that share n-gram
   * content with an evaluation/benchmark set.
@@ -118,9 +118,10 @@ object Decontaminate {
   /** [[overlaps]] with a Bloom prefilter gating the training-side scan —
     * result is EXACTLY equal, by the filter's no-false-negative property:
     * a train doc's overlap with any single eval doc is bounded by its
-    * distinct-shingle hit count against the whole eval set's Bloom filter
-    * (shared shingles ⊆ eval shingles ⊆ Bloom positives), so every doc the
-    * gate drops had < minOverlap overlap with EVERY eval doc. False
+    * shingle hit count against the whole eval set's Bloom filter
+    * (shared shingles ⊆ eval shingles ⊆ Bloom positives, and the fused
+    * kernel's with-multiplicity count ≥ the distinct count), so every doc
+    * the gate drops had < minOverlap overlap with EVERY eval doc. False
     * positives only widen the candidate set; the exact shingle-join verify
     * then reproduces [[overlaps]] on the survivors.
     *
@@ -154,11 +155,18 @@ object Decontaminate {
         BloomFilterAgg(CB.expression(xxhash64(col("shingle"))), numBits, numHashes)
           .toAggregateExpression()).as("bloom"))
       .head().getSeq[Long](0).toArray
+    // Fused gate kernel (round-19 optimization): one compiled loop hashes
+    // each n-gram out of a reused byte buffer — no shingle-array
+    // materialization, no interpreted HOF chain. It counts WITH
+    // multiplicity (the unfused BloomHits counted distinct shingles),
+    // which only LOOSENS the gate: true overlap ≤ distinct hits ≤ hits
+    // with multiplicity, so no contaminated doc is ever dropped and the
+    // exact verify join below reproduces the identical result.
     val gated = train
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= n)
-      .filter(CB.column(BloomHits(
-        CB.expression(expr(TextDedup.shingleArrayExpr(n))), bloom, numHashes)) >= minOverlap)
+      .filter(CB.column(ShingleBloomHits(
+        CB.expression(col("w")), n, bloom, numHashes)) >= minOverlap)
       .drop("w")
     overlapsAgainst(TextDedup.shingles(gated, n), evalSh, minOverlap, broadcastEval)
   }

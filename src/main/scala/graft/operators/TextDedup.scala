@@ -34,26 +34,38 @@ object TextDedup {
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** (doc_id, shingle) distinct word n-grams, computed without UDFs.
-    * Dedup happens IN-ROW (`array_distinct` before the explode): the
+    * Dedup happens IN-ROW (the kernel dedups before the explode): the
     * distinct set is per-document by construction, so hoisting it into the
     * row replaces a full (doc_id, shingle) distinct SHUFFLE over the
     * exploded corpus (≈ tokens × corpus) with a far smaller one over the
     * raw docs. The doc-level `dropDuplicates` keeps replayed/re-appended
     * loads (identical rows delivered twice) from double-counting shingle
     * sets; doc_id is otherwise assumed unique — two DIFFERENT texts under
-    * one id are a broken input either way. */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    * one id are a broken input either way.
+    *
+    * The array is built by [[graft.functions.ShingleArray]] — one
+    * compiled loop per row inside whole-stage codegen. It replaced an
+    * interpreted transform/slice/concat_ws/array_distinct chain
+    * ([[shingleArrayExpr]], kept as the semantic reference) that was the
+    * hottest scan of the whole dedup family (round-19 optimization;
+    * `ShinglesSpec` pins value-identity against the reference form). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .dropDuplicates("doc_id")
-      .select(col("doc_id"), explode(expr(shingleArrayExpr(n))).as("shingle"))
+      .select(col("doc_id"),
+        explode(CB.column(graft.functions.ShingleArray(
+          CB.expression(col("w")), n))).as("shingle"))
+  }
 
-  /** The in-row distinct shingle array over a pre-split word column `w` —
-    * the un-exploded form of [[shingles]]. Exposed so scan-level gates
-    * (e.g. [[Decontaminate.bloomOverlaps]]) can inspect a document's
-    * shingle set without paying the explode. */
-  private[operators] def shingleArrayExpr(n: Int): String =
+  /** The in-row distinct shingle array over a pre-split word column `w` as
+    * a SQL expression string — the pre-round-19 builtin-chain form, kept
+    * as the executable semantic REFERENCE the [[graft.functions.ShingleArray]]
+    * kernel is spec-checked against (and errors on size(w) < n rows, which
+    * is why every caller filters first; the kernel returns empty there). */
+  private[graft] def shingleArrayExpr(n: Int): String =
     s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))))"
 
   /** Per-doc shingle-set sizes. */
