@@ -41,6 +41,7 @@ object OptProbe {
         case "q63" => q63(spark, sfDir)
         case "q19" => q19(spark, sfDir)
         case "mergeloop" => mergeLoop(spark, sfDir)
+        case "q52" => q52(spark, sfDir)
         case other => sys.error(s"unknown probe $other")
       }
     }
@@ -151,6 +152,28 @@ object OptProbe {
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
       finally walk.close()
     }
+  }
+
+  /** q52 phase split: LSH edges / components / sizes join. */
+  def q52(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{ConnectedComponents, TextDedup}
+    val edges = TextDedup
+      .minhashPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val e = t("edges (LSH pipeline)") {
+      edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .count(); edges
+    }
+    val comp = jobs(spark, "components") {
+      val c = ConnectedComponents.components(e)
+      noop(c); c
+    }
+    t("sizes join") {
+      val sizes = comp.groupBy(col("component_id")).agg(count(lit(1)).as("csize"))
+      noop(comp.select(col("id").as("doc_id"), col("component_id"))
+        .join(sizes, "component_id"))
+    }
+    e.unpersist()
   }
 
   /** Repeated q105-shaped DV merges on fresh tables — a sampling window

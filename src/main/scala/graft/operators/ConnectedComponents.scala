@@ -52,7 +52,20 @@ object ConnectedComponents {
     * identical on such inputs); integer-id inputs round-trip their type, with
     * MIXED int/long inputs widening to long exactly like a distributed
     * union's coercion. Both paths are spec-pinned label-identical. */
-  def components(edges: DataFrame): DataFrame = {
+  def components(edges: DataFrame): DataFrame =
+    componentsImpl(edges, withSizes = false)
+
+  /** [[components]] plus per-cluster sizes — (id, component_id, csize) —
+    * computed in the SAME pass on the driver union-find path (the counts
+    * fall out of the final find() sweep; a groupBy + self-join over a
+    * few-hundred-row local relation was two 32-partition shuffles of
+    * pure scheduling overhead, r19 probe: 0.2–0.4 s). The distributed
+    * paths keep the groupBy + join shape — there the labels relation is
+    * cluster-sized and the shuffles are the real work. */
+  private[operators] def componentsWithSizes(edges: DataFrame): DataFrame =
+    componentsImpl(edges, withSizes = true)
+
+  private def componentsImpl(edges: DataFrame, withSizes: Boolean): DataFrame = {
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.types.{IntegerType, LongType}
     import org.apache.spark.storage.StorageLevel
@@ -98,9 +111,16 @@ object ConnectedComponents {
           while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
           r
         }
-        val it = pairs.toLocalIterator()
-        while (it.hasNext) {
-          val row = it.next()
+        // ONE collect, not toLocalIterator: the iterator runs one
+        // sequential Spark job PER PARTITION (r19 probe: ~32 × ~20 ms of
+        // pure scheduling on a tiny edge list — over half the operator's
+        // wall time); the gate already bounds the pull at threshold
+        // edges × 16 bytes, the same budget the scaladoc prices
+        val rows = pairs.collect()
+        var ri = 0
+        while (ri < rows.length) {
+          val row = rows(ri)
+          ri += 1
           // a null endpoint cannot connect anything — skip, like the
           // distributed groupBy (null keys never beat a real min label)
           if (!row.isNullAt(0) && !row.isNullAt(1)) {
@@ -117,10 +137,19 @@ object ConnectedComponents {
         val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
         parent.keySet().forEach(id => out += ((id.longValue(), find(id))))
         import spark.implicits._
-        return out.toSeq.toDF("id", "component_id")
+        if (!withSizes)
+          return out.toSeq.toDF("id", "component_id")
+            .select(col("id").cast(outTpe),
+              col("component_id").cast(outTpe))
+            .toDF("id", "component_id")
+        // sizes in the same pass: count labels driver-side
+        val csize = new java.util.HashMap[Long, Long]()
+        out.foreach { case (_, c) => csize.merge(c, 1L, (a, b) => a + b) }
+        return out.toSeq.map { case (id, c) => (id, c, csize.get(c).longValue()) }
+          .toDF("id", "component_id", "csize")
           .select(col("id").cast(outTpe),
-            col("component_id").cast(outTpe))
-          .toDF("id", "component_id")
+            col("component_id").cast(outTpe), col("csize"))
+          .toDF("id", "component_id", "csize")
       }
       // past the gate: the distributed loop reads the SAME cache —
       // labels carry long and cast back to outTpe at the end
@@ -152,9 +181,9 @@ object ConnectedComponents {
         prev = ckptRdds(next)
       }
       und.unpersist()
-      return labels.select(col("id").cast(outTpe),
+      return attachSizes(labels.select(col("id").cast(outTpe),
         col("label").cast(outTpe).as("component_id"))
-        .toDF("id", "component_id")
+        .toDF("id", "component_id"), withSizes)
     }
 
     // Non-integer ids: the distributed loop over the source relation,
@@ -196,18 +225,24 @@ object ConnectedComponents {
       prev = ckptRdds(next)
     }
     und.unpersist()
-    labels.select(col("id"), col("label").as("component_id"))
+    attachSizes(labels.select(col("id"), col("label").as("component_id")),
+      withSizes)
   }
+
+  /** The distributed-path size attachment (groupBy + join — the labels
+    * relation is cluster-sized there, so the shuffles are real work). */
+  private def attachSizes(comp: DataFrame, withSizes: Boolean): DataFrame =
+    if (!withSizes) comp
+    else comp.join(
+      comp.groupBy(col("component_id")).agg(count(lit(1)).as("csize")),
+      "component_id")
+      .select(col("id"), col("component_id"), col("csize"))
 
   /** Cluster membership with sizes: (doc_id, component_id, csize). The
     * canonical representative of each cluster is component_id itself (the
     * minimum doc id); every other member is redundant and droppable.
     */
-  def dedupClusters(edges: DataFrame): DataFrame = {
-    val comp = components(edges)
-    val sizes = comp.groupBy(col("component_id")).agg(count(lit(1)).as("csize"))
-    comp.select(col("id").as("doc_id"), col("component_id"))
-      .join(sizes, "component_id")
-      .select(col("doc_id"), col("component_id"), col("csize"))
-  }
+  def dedupClusters(edges: DataFrame): DataFrame =
+    componentsWithSizes(edges)
+      .select(col("id").as("doc_id"), col("component_id"), col("csize"))
 }

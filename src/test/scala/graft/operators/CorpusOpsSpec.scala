@@ -121,6 +121,26 @@ class CorpusOpsSpec extends SparkSpec {
       (30L, 30L, 2L), (40L, 30L, 2L)))
   }
 
+  test("dedupClusters: driver-pass sizes equal the distributed groupBy+join") {
+    // r19 optimization: the driver union-find path counts csize in the
+    // same sweep instead of a groupBy + self-join over a local relation —
+    // crossing the gate must not change rows, schema, or types
+    val edges = Seq((4L, 9L), (9L, 2L), (30L, 40L), (5L, 5L), (1L, 2L))
+      .toDF("a_id", "b_id")
+    def run(): Set[(Long, Long, Long)] = {
+      val df = ConnectedComponents.dedupClusters(edges)
+      assert(df.schema.fieldNames.toSeq === Seq("doc_id", "component_id", "csize"))
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val driver = run()
+    val dist =
+      try {
+        spark.conf.set("spark.graft.cc.driverEdgeThreshold", "0")
+        run()
+      } finally spark.conf.unset("spark.graft.cc.driverEdgeThreshold")
+    assert(driver === dist)
+  }
+
   // --- decontamination ------------------------------------------------------
 
   test("decontamination finds planted cross-split near-dups with wide margin") {
