@@ -74,6 +74,17 @@ object Bench {
       val builder = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // local-FS file creates: the stock LocalFileSystem forks /bin/chmod
+        // per created file when libhadoop is absent (it is here) and doubles
+        // every staged file with a .crc sidecar — measured ~10% of the DML
+        // write path (round-19 thread-dump sampling). GraftLocalFileSystem
+        // sets permissions in-process and skips write-side checksums; on a
+        // real cluster HDFS/object-store schemes never touch this class.
+        // SPARK_GRAFT_STOCK_LOCALFS=1 restores stock behavior for A/B runs.
+        .config("spark.hadoop.fs.file.impl",
+          if (sys.env.contains("SPARK_GRAFT_STOCK_LOCALFS"))
+            "org.apache.hadoop.fs.LocalFileSystem"
+          else "graft.sources.GraftLocalFileSystem")
         .config("spark.sql.adaptive.enabled", "true")
         // testdata ships one parquet file per table (~10 MB at sf0.1); the
         // 128 MB default would scan it in ONE task — split small so all

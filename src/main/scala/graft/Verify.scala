@@ -26,6 +26,9 @@ object Verify {
       // single-file-per-table testdata: split small so cores engage
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "512k")
+      // in-process chmod + no .crc sidecars on staged writes (see
+      // Bench.buildSession / graft.sources.GraftLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", "graft.sources.GraftLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

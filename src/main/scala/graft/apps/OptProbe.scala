@@ -13,8 +13,12 @@ import graft.Tables.table
 object OptProbe {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
+    // A/B knob for the local-FS chmod/crc fix (default ON, like Bench)
+    val s = (if (sys.env.contains("SPARK_GRAFT_STOCK_LOCALFS")) b
+             else b.config("spark.hadoop.fs.file.impl",
+               "graft.sources.GraftLocalFileSystem"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "2m")
@@ -66,6 +70,8 @@ object OptProbe {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         starts.put(e.jobId, (System.nanoTime(), d))
       }
