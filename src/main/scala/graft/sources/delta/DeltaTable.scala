@@ -1464,7 +1464,10 @@ object DeltaTable {
             mappedSkipper(predExpr, schema), "MERGE")
           if (candidates.isEmpty) Seq.empty[AddFile]
           else {
-            val keys = source.select(col(sourceKey).as(targetKey)).distinct()
+            // no distinct: srcStats already REQUIRED non-null keys unique,
+            // and duplicate NULLs cannot alter a semi equi-join — the
+            // dedup would only re-shuffle the source per merge attempt
+            val keys = source.select(col(sourceKey).as(targetKey))
             val probe = readFiles(spark, table, schema, head.partitionColumns,
               candidates)
               .select(col(targetKey), input_file_name().as("__graft_file"))
