@@ -714,7 +714,7 @@ object Catalog {
     try {
       val docs = table(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .repartitionByRange(8, col("doc_id"))
+        .repartition(8, col("doc_id"))
       DeltaTable.write(docs, t, SaveMode.Append)
       val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
       DeltaTable.delete(spark, t, pmod(col("doc_id"), lit(10)) === 3)
@@ -1679,7 +1679,7 @@ object Catalog {
     try {
       val docs = table(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .repartitionByRange(8, col("doc_id"))
+        .repartition(8, col("doc_id"))
       DeltaTable.write(docs, t, SaveMode.Append)
       DeltaTable.setProperties(spark, t,
         Map("delta.enableDeletionVectors" -> "true"))
@@ -1776,7 +1776,7 @@ object Catalog {
     try {
       val docs = table(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      DeltaTable.write(docs.repartitionByRange(8, col("doc_id")),
+      DeltaTable.write(docs.repartition(8, col("doc_id")),
         t, SaveMode.Append)                                               // v0
       DeltaTable.setProperties(spark, t,
         Map("delta.enableChangeDataFeed" -> "true",
@@ -1935,7 +1935,7 @@ object Catalog {
     try {
       val docs = table(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .repartitionByRange(8, col("doc_id"))
+        .repartition(8, col("doc_id"))
       DeltaTable.write(docs, t, SaveMode.Append)
       DeltaTable.setProperties(spark, t,
         Map("delta.enableDeletionVectors" -> "true"))
