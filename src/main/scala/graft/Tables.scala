@@ -48,6 +48,67 @@ object Tables {
   /** Register every table as a temp view (for spark.sql parity paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** [[table]] with a row-group-aware scan SPREAD (optimization guide
+    * §2.5, "input skew: one huge unsplittable file"): a parquet ROW
+    * GROUP is Spark's minimum split unit, so a table whose files carry
+    * fewer row groups than the session has cores runs its scan stage —
+    * and everything Catalyst fuses into it: filters, projections,
+    * partial aggregates, shingle kernels — on that few threads no
+    * matter how small `spark.sql.files.maxPartitionBytes` is set. When
+    * the file layout offers LESS than half the session's default
+    * parallelism in row groups, redistribute right after the read by a
+    * deterministic hash of `keys` (hash partitioning is a pure function
+    * of the row — reproducible under retries, unlike round-robin, and
+    * it skips round-robin's sortBeforeRepartition local sort) so the
+    * per-row work downstream engages every core. Deterministic filters
+    * and column pruning push through a RepartitionByExpression, so
+    * PushedFilters/ReadSchema at the scan are unchanged.
+    *
+    * On a properly-laid-out table (row groups >= cores/2 — any real
+    * cluster dataset, where files are split-sized to begin with) this
+    * is the IDENTITY: no extra exchange is inserted. The gate reads
+    * only footer metadata (O(files) driver work, bounded by the same
+    * listing the scan itself performs); a layout it cannot inspect
+    * falls back to the plain read. Callers opt in per query where the
+    * scan stage's fused work is the measured bottleneck — for
+    * shuffle-bound queries whose first stage is already cheap, the
+    * extra exchange would only add cost, so [[table]] stays the
+    * default. */
+  def tableSpread(spark: SparkSession, dir: String, name: String,
+                  keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "tableSpread needs at least one hash key column")
+    val df = table(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    val groups = rowGroupCount(spark, s"$dir/$name.parquet")
+    if (groups.exists(_ * 2 >= p)) df
+    else df.repartition(p, keys: _*)
+  }
+
+  /** Total parquet row groups under `path` (file or directory of
+    * `*.parquet`), from footer metadata only; None when the layout
+    * cannot be inspected (callers treat that as "well laid out" and
+    * skip the spread — never fail a read over an optimization). */
+  private def rowGroupCount(spark: SparkSession, path: String): Option[Int] =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files = {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory)
+          fs.listStatus(p).toSeq.filter(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet"))
+        else Seq(st)
+      }
+      var n = 0
+      files.foreach { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try n += r.getRowGroups.size finally r.close()
+      }
+      Some(n)
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** Engine-portable numeric aggregation patterns.

@@ -46,6 +46,8 @@ object OptProbe {
         case "q19" => q19(spark, sfDir)
         case "mergeloop" => mergeLoop(spark, sfDir)
         case "q52" => q52(spark, sfDir)
+        case "micro" => micro(spark, sfDir)
+        case "q01" => q01(spark, sfDir)
         case other => sys.error(s"unknown probe $other")
       }
     }
@@ -105,7 +107,7 @@ object OptProbe {
       val docs = table(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       t("write v0") {
-        DeltaTable.write(docs.repartitionByRange(8, col("doc_id")), tp, SaveMode.Append)
+        DeltaTable.write(docs.repartition(8, col("doc_id")), tp, SaveMode.Append)
       }
       t("setProperties v1") {
         DeltaTable.setProperties(spark, tp,
@@ -213,6 +215,96 @@ object OptProbe {
           .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
         finally walk.close()
       }
+    }
+  }
+
+  /** q01 scan-parallelism probe: the sf testdata ships ONE parquet row
+    * group per table, so the scan+partial-agg stage runs on one core no
+    * matter how small maxPartitionBytes is (a row group cannot split).
+    * Compare the current shape vs a repartition-after-read spread
+    * (guide §2.5 input-skew fix). */
+  def q01(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.Num._
+    val l = table(spark, dir, "lineitem")
+    val eD = col("l_extendedprice").cast(DecimalType(18, 2))
+    val dD = col("l_discount").cast(DecimalType(4, 2))
+    val tD = col("l_tax").cast(DecimalType(4, 2))
+    val disc = eD * (lit(1) - dD)
+    val charge = disc * (lit(1) + tD)
+    def aggOf(src: org.apache.spark.sql.DataFrame) = src
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+    val p = spark.sparkContext.defaultParallelism
+    t("q01 current (1 row group)") { noop(aggOf(l)) }
+    t(s"q01 repartition($p) after read") { noop(aggOf(l.repartition(p))) }
+    t(s"q01 repartition($p, orderkey)") {
+      noop(aggOf(l.repartition(p, col("l_orderkey"))))
+    }
+    t(s"q01 repartition($p, xxhash)") {
+      noop(aggOf(l.repartition(p,
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(p * 64)))))
+    }
+    t("q01 scan+count only") { noop(l.select(col("l_quantity"))) }
+    t("q01 scan all 7 cols noop") {
+      noop(l.select(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate")))
+    }
+  }
+
+  /** Driver-side micro-costs on a q105-shaped table: log listing,
+    * snapshot replay, metaSnapshot, checkpointRows, parquet schema
+    * inference of the CDF feed — each timed over repeated calls so the
+    * per-call cost of the DML loop's metadata work is visible. */
+  def micro(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.delta.{DeltaLog, DeltaTable, MergeClause}
+    val scratch = java.nio.file.Files.createTempDirectory("graft_micro")
+    val tp = s"$scratch/t"
+    try {
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      DeltaTable.write(docs.repartition(8, col("doc_id")), tp, SaveMode.Append)
+      DeltaTable.setProperties(spark, tp,
+        Map("delta.enableChangeDataFeed" -> "true",
+          "delta.enableDeletionVectors" -> "true"))
+      DeltaTable.delete(spark, tp, pmod(col("doc_id"), lit(10)) === 3)
+      DeltaTable.update(spark, tp, pmod(col("doc_id"), lit(7)) === 2,
+        Map("n_chars" -> (col("n_chars") + 5L)))
+      val msrc = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+      DeltaTable.mergeInto(msrc, tp, targetKey = "doc_id", sourceKey = "doc_id",
+        matched = Seq(MergeClause.Update(None, Map(
+          "n_chars" -> (DeltaTable.src("n_chars") + 1000L)))),
+        notMatched = Seq(MergeClause.Insert(None, Map(
+          "doc_id" -> DeltaTable.src("doc_id"),
+          "lang" -> DeltaTable.src("lang"),
+          "n_chars" -> DeltaTable.src("n_chars")))))
+      def bench(label: String, reps: Int)(f: => Unit): Unit = {
+        f // warm
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => f)
+        println(f"[micro] $label%-34s ${(System.nanoTime() - t0) / 1e6 / reps}%.2f ms/call")
+      }
+      bench("versions (log listStatus)", 50) { DeltaLog.versions(spark, tp) }
+      bench("snapshot (full replay)", 50) { DeltaLog.snapshot(spark, tp) }
+      bench("metaSnapshot", 50) { DeltaLog.metaSnapshot(spark, tp) }
+      bench("checkpointRows", 50) { DeltaLog.checkpointRows(spark, tp) }
+      bench("read (DeltaTable.read plan)", 20) { DeltaTable.read(spark, tp) }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 

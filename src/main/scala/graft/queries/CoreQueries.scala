@@ -36,7 +36,12 @@ object CoreQueries {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus"""),
     headline = true) { (spark, dir) =>
-    val l = table(spark, dir, "lineitem")
+    // Row-group-aware spread (guide §2.5): the 11 decimal aggregates fuse
+    // into the scan stage, and a one-row-group file would run them all on
+    // one core — redistribute by the natural key when the layout is
+    // starved (identity on well-laid-out tables). Decimal sums are exact
+    // and associative, so the result is partitioning-independent.
+    val l = graft.Tables.tableSpread(spark, dir, "lineitem", col("l_orderkey"))
     // Decimal math on the RAW 2-dec columns only: double→decimal casts of
     // *computed* products can round differently across engines (true values
     // land on midpoints); raw scale-2 inputs cast exactly, and decimal
@@ -142,7 +147,11 @@ object CoreQueries {
       ) o ON c.c_custkey = o.o_custkey"""),
     headline = true) { (spark, dir) =>
     val c = table(spark, dir, "customer")
-    val agg = table(spark, dir, "orders")
+    // spread keyed on the GROUP key (guide §2.4/§2.5): the aggregate
+    // reuses the repartition's exchange — same exchange count, but the
+    // decimal agg runs on every core instead of inside a one-row-group
+    // scan stage
+    val agg = graft.Tables.tableSpread(spark, dir, "orders", col("o_custkey"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("count_orders"), dsum(col("o_totalprice")).as("sum_spent"))
     c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
@@ -444,7 +453,10 @@ object CoreQueries {
     headline = true) { (spark, dir) =>
     val c = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = table(spark, dir, "orders")
-    val l = table(spark, dir, "lineitem")
+    // Spread the FACT side (guide §2.5): the broadcast join + decimal agg
+    // fuse into lineitem's scan stage, and a one-row-group layout runs
+    // them on one core; identity on well-laid-out tables.
+    val l = graft.Tables.tableSpread(spark, dir, "lineitem", col("l_orderkey"))
     // No broadcast hint on customer: it grows with SF (forced broadcast =
     // OOM at 100×). AQE picks broadcast from runtime stats when the
     // filtered side is actually small.
@@ -486,7 +498,10 @@ object CoreQueries {
     val o = table(spark, dir, "orders")
       .filter(custBloom.gate(col("o_custkey")))
     val orderBloom = RuntimeFilter.forKeys(o, col("o_orderkey"))
-    val l = table(spark, dir, "lineitem")
+    // Spread before the gate (guide §2.5, same rationale as q17): the
+    // deterministic Bloom predicate pushes through the repartition to the
+    // scan, so gated rows — not the whole table — cross the exchange.
+    val l = graft.Tables.tableSpread(spark, dir, "lineitem", col("l_orderkey"))
       .filter(orderBloom.gate(col("l_orderkey")))
     revenueTop10(c, o, l)
   }

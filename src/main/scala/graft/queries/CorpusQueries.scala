@@ -42,7 +42,8 @@ object CorpusQueries {
     "q51_decontamination",
     Some(decontaminationOracle),
     headline = true) { (spark, dir) =>
-    val docs = table(spark, dir, "documents")
+    // spread (guide §2.5): tokenize + shingle kernel fuse into the scan
+    val docs = graft.Tables.tableSpread(spark, dir, "documents", col("doc_id"))
     Decontaminate.overlaps(
       train = docs.filter(col("doc_id") % 10 =!= 7),
       eval = docs.filter(col("doc_id") % 10 === 7),
@@ -61,7 +62,8 @@ object CorpusQueries {
     "q63_bloom_decontamination",
     Some(decontaminationOracle),
     headline = true) { (spark, dir) =>
-    val docs = table(spark, dir, "documents")
+    // spread (guide §2.5): the Bloom-gated scan IS the heavy stage
+    val docs = graft.Tables.tableSpread(spark, dir, "documents", col("doc_id"))
     Decontaminate.bloomOverlaps(
       train = docs.filter(col("doc_id") % 10 =!= 7),
       eval = docs.filter(col("doc_id") % 10 === 7),
@@ -406,6 +408,9 @@ object CorpusQueries {
                AS BIGINT) AS gidx
       FROM d"""),
     headline = true) { (spark, dir) =>
+    // NO spread (measured, round 19): GlobalIndex's range partitioning
+    // SAMPLES its child — every extra pass repays the exchange
+    // (0.61 -> 0.99 s A/B); same for the q55/q102 prefix-sum passes
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
     GlobalIndex.rank(d, col("ntok").desc, col("doc_id").asc)
@@ -566,7 +571,8 @@ object CorpusQueries {
       JOIN rsz sr ON it.right_id = sr.doc_id
       WHERE it.i / (sl.n + sr.n - it.i) >= 0.5"""),
     headline = true) { (spark, dir) =>
-    val docs = table(spark, dir, "documents")
+    // spread (guide §2.5): tokenize + shingle kernel fuse into the scan
+    val docs = graft.Tables.tableSpread(spark, dir, "documents", col("doc_id"))
     TextDedup.minhashJoin(
       left = docs.filter(col("doc_id") % 10 === 7),
       right = docs.filter(col("doc_id") % 10 =!= 7),

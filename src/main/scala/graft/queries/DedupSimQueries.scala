@@ -51,6 +51,9 @@ object DedupSimQueries {
     "q19_minhash_lsh",
     Some(exactJaccardSql),
     headline = true) { (spark, dir) =>
+    // NO spread (measured, round 19): minhashPairs persists its shingle
+    // relation for three consumers — a spread multiplies the cached
+    // partition count across every consumer for a wash-at-best A/B
     TextDedup.minhashPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
   }
 
@@ -190,6 +193,9 @@ object DedupSimQueries {
   /** Sign-LSH-bucketed ANN (scale path), oracle-gated via the recall row. */
   val q28AnnLsh: Q = Q("q28_ann_lsh", Some(annRecallOracle),
     headline = true) { (spark, dir) =>
+    // NO spread (measured, round 19): the ANN model build re-scans emb
+    // several times (sampling, assignment, recall gate) — each pass would
+    // repay the exchange (0.84 -> 1.16 s A/B)
     val emb = table(spark, dir, "embeddings")
     annRecallGate(VectorSearch.annLsh(emb, k = 5), emb, minRecall = 0.5)
   }
@@ -198,6 +204,7 @@ object DedupSimQueries {
     * nProbe=8 of 16 cells: measured recall 0.83+ at the gate SFs. */
   val q36IvfAnn: Q = Q("q36_ivf_ann", Some(annRecallOracle),
     headline = true) { (spark, dir) =>
+    // NO spread (measured, round 19): same multi-pass shape as q28
     val emb = table(spark, dir, "embeddings")
     annRecallGate(
       graft.operators.IvfSearch.ivfTopK(emb, k = 5, nProbe = 8), emb, minRecall = 0.5)
@@ -211,6 +218,8 @@ object DedupSimQueries {
     * SFs sits at/above q36's 0.83. */
   val q67IvfRefined: Q = Q("q67_ivf_refined", Some(annRecallOracle),
     headline = true) { (spark, dir) =>
+    // NO spread (measured, round 19): the 3 Lloyd passes + gate re-scan
+    // emb per pass — each would repay the exchange (1.15 -> 1.56 s A/B)
     val emb = table(spark, dir, "embeddings")
     annRecallGate(
       graft.operators.IvfSearch.ivfTopK(emb, k = 5, nProbe = 8, refineIters = 3),

@@ -45,7 +45,8 @@ object RetrievalQueries {
             FROM sc)
       SELECT doc_id, score, rnk FROM r WHERE rnk <= 10"""),
     headline = true) { (spark, dir) =>
-    Bm25.topK(table(spark, dir, "documents"),
+    // spread (guide §2.5): tokenize + tf explode fuse into the scan
+    Bm25.topK(graft.Tables.tableSpread(spark, dir, "documents", col("doc_id")),
       Seq("merge", "window", "scan"), k = 10)
   }
 
@@ -85,6 +86,8 @@ object RetrievalQueries {
             FROM ad)
       SELECT qid, nid, rnk, ad2 FROM r WHERE rnk <= 5"""),
     headline = true) { (spark, dir) =>
+    // NO spread (measured, round 19): codebook training re-scans emb per
+    // k-means batch — each pass would repay the exchange (0.51 -> 0.66 A/B)
     val emb = table(spark, dir, "embeddings")
     PqSearch.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
   }

@@ -124,6 +124,9 @@ object TextQueries {
              CAST(COUNT(*) AS BIGINT) AS n_copies
       FROM documents GROUP BY md5(text)"""),
     headline = true) { (spark, dir) =>
+    // NO spread here (measured, round 19): the fingerprint groupBy needs
+    // its own exchange on fp anyway — a doc_id spread first shuffles the
+    // full text column a second time for nothing (0.19 -> 0.59 s A/B)
     table(spark, dir, "documents")
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -316,7 +319,10 @@ object TextQueries {
       ORDER BY cnt DESC, bigram LIMIT 20"""),
     headline = true) { (spark, dir) =>
     import org.apache.spark.sql.graft.{ColumnBridge => CB}
-    val bigrams = table(spark, dir, "documents")
+    // Spread (guide §2.5): tokenize + explode + the sketch's partial agg
+    // all fuse into the documents scan stage — one row group = one core
+    // doing the whole corpus; identity on well-laid-out tables.
+    val bigrams = graft.Tables.tableSpread(spark, dir, "documents", col("doc_id"))
       .select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(explode(expr(

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[Tables.tableSpread]] — the row-group-aware scan spread (optimization
+  * guide §2.5 "input skew: one huge unsplittable file"). Pins the three
+  * contract points: the gate FIRES on a one-row-group layout (a hash
+  * repartition appears in the plan), it is the IDENTITY on a layout whose
+  * row groups already cover the session's parallelism, and the spread
+  * never changes the rows. */
+class TableSpreadSpec extends SparkSpec {
+
+  private def writeFixture(dir: java.nio.file.Path): Unit = {
+    val df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    // one row group: a single coalesced file far below parquet.block.size
+    df.coalesce(1).write.parquet(s"$dir/one.parquet")
+    // split-friendly: enough files (= row groups) to cover any plausible
+    // test parallelism twice over
+    df.repartition(math.max(16, spark.sparkContext.defaultParallelism))
+      .write.parquet(s"$dir/many.parquet")
+  }
+
+  test("spread fires on a one-row-group layout, is identity on a split-friendly one") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spread")
+    try {
+      writeFixture(tmp)
+      val one = Tables.tableSpread(spark, tmp.toString, "one", col("k"))
+      val many = Tables.tableSpread(spark, tmp.toString, "many", col("k"))
+      val onePlan = one.queryExecution.optimizedPlan.toString
+      val manyPlan = many.queryExecution.optimizedPlan.toString
+      assert(onePlan.contains("RepartitionByExpression"),
+        s"one-row-group layout not spread:\n$onePlan")
+      assert(!manyPlan.contains("RepartitionByExpression") &&
+          !manyPlan.contains("Repartition"),
+        s"well-laid-out table got a spurious exchange:\n$manyPlan")
+    } finally deleteRec(tmp)
+  }
+
+  test("spread returns exactly the plain read's rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spread_rows")
+    try {
+      writeFixture(tmp)
+      val expect = (0L until 1000L).map(i => (i, i * 2)).toSet
+      val got = Tables.tableSpread(spark, tmp.toString, "one", col("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect)
+    } finally deleteRec(tmp)
+  }
+
+  test("deterministic filters push through the spread to the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spread_push")
+    try {
+      writeFixture(tmp)
+      val plan = Tables.tableSpread(spark, tmp.toString, "one", col("k"))
+        .filter(col("v") >= 100L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v,100)"),
+        s"filter did not reach the scan through the spread:\n$plan")
+    } finally deleteRec(tmp)
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(p)
+    try walk.iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+}
