@@ -48,6 +48,9 @@ object OptProbe {
         case "q52" => q52(spark, sfDir)
         case "micro" => micro(spark, sfDir)
         case "q01" => q01(spark, sfDir)
+        case "q67" => q67(spark, sfDir)
+        case "spreadAB" => spreadAB(spark, sfDir)
+        case "spreadAB2" => spreadAB2(spark, sfDir)
         case other => sys.error(s"unknown probe $other")
       }
     }
@@ -259,6 +262,156 @@ object OptProbe {
       noop(l.select(col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate")))
+    }
+  }
+
+  /** In-JVM alternating plain-vs-spread A/B for every query whose spread
+    * decision came from cross-JVM stash pairs (which a decaying host
+    * window biases toward whichever side ran second): each rep runs
+    * plain then spread back-to-back on the SAME session, so the window
+    * hits both sides equally. */
+  def spreadAB(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{Bm25, ConnectedComponents, GlobalIndex,
+      PqSearch, SequencePack, ShardPack, TextDedup, VectorSearch}
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    def docs(spread: Boolean) = {
+      val d = table(spark, dir, "documents")
+      if (spread) d.repartition(p, col("doc_id")) else d
+    }
+    def emb(spread: Boolean) = {
+      val e = table(spark, dir, "embeddings")
+      if (spread) e.repartition(p, col("vec_id")) else e
+    }
+    def both(name: String)(f: Boolean => Unit): Unit =
+      Seq(false, true).foreach { s =>
+        spark.catalog.clearCache(); System.gc()
+        t(s"$name ${if (s) "spread" else "plain "}")(f(s))
+      }
+    both("q22 md5 dedup") { s =>
+      noop(docs(s).groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")))
+    }
+    both("q19 minhashPairs") { s =>
+      noop(TextDedup.minhashPairs(docs(s), n = 3, minJaccard = 0.5))
+    }
+    both("q52 dedupClusters") { s =>
+      noop(ConnectedComponents.dedupClusters(
+        TextDedup.minhashPairs(docs(s), n = 3, minJaccard = 0.5)
+          .select(col("a_id"), col("b_id"))))
+    }
+    both("q55 shardPack") { s =>
+      val d = docs(s)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      noop(ShardPack.pack(d, col("doc_id"), col("ntok"), budget = 10000L)
+        .select(col("doc_id"), col("ntok"), col("cum_before"), col("shard")))
+      d.unpersist()
+    }
+    both("q57 globalIndex") { s =>
+      noop(GlobalIndex.rank(
+        docs(s).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok")),
+        col("ntok").desc, col("doc_id").asc))
+    }
+    both("q102 seqPack spans") { s =>
+      val d = docs(s)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val spans = SequencePack.spans(d, col("doc_id"), col("ntok"), 2048L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      noop(spans)
+      spans.unpersist(); d.unpersist()
+    }
+    both("q28 annLsh") { s => noop(VectorSearch.annLsh(emb(s), k = 5)) }
+    both("q77 pqTopK") { s =>
+      val e = emb(s)
+      noop(PqSearch.pqTopK(e.filter(col("vec_id") < 10), e, k = 5))
+    }
+    both("q76 bm25 topK") { s =>
+      noop(Bm25.topK(docs(s), Seq("merge", "window", "scan"), k = 10))
+    }
+    both("q84 bm25 multi") { s =>
+      val qs = Seq(
+        (0L, Seq("merge", "window", "scan")),
+        (1L, Seq("filter", "join")),
+        (2L, Seq("vector"))).toDF("query_id", "terms")
+      noop(Bm25.topKMulti(docs(s), qs, k = 10, maxTerms = 3))
+    }
+  }
+
+  /** Second alternating batch: the remaining spread-decision queries. */
+  def spreadAB2(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{ConnectedComponents, IvfSearch, Sampling,
+      TextDedup, VectorSearch}
+    val p = spark.sparkContext.defaultParallelism
+    def docs(spread: Boolean) = {
+      val d = table(spark, dir, "documents")
+      if (spread) d.repartition(p, col("doc_id")) else d
+    }
+    def emb(spread: Boolean) = {
+      val e = table(spark, dir, "embeddings")
+      if (spread) e.repartition(p, col("vec_id")) else e
+    }
+    def both(name: String)(f: Boolean => Unit): Unit =
+      Seq(false, true).foreach { s =>
+        spark.catalog.clearCache(); System.gc()
+        t(s"$name ${if (s) "spread" else "plain "}")(f(s))
+      }
+    both("q38 nearDupsLsh") { s =>
+      val e = emb(s).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 10).select(
+        (-(col("vec_id") + 1)).as("vec_id"),
+        expr("transform(embedding, x -> x + x)").as("embedding"))
+      noop(VectorSearch.cosineNearDupsLsh(e.union(planted), minCosine = 0.9,
+        nBits = 10, nTables = 16))
+    }
+    both("q65 minhashJoin") { s =>
+      val d = docs(s)
+      noop(TextDedup.minhashJoin(
+        left = d.filter(col("doc_id") % 10 === 7),
+        right = d.filter(col("doc_id") % 10 =!= 7),
+        n = 3, minJaccard = 0.5))
+    }
+    both("q66 leakFreeSplit") { s =>
+      val d = docs(s)
+      val edges = TextDedup.minhashPairs(d, n = 3, minJaccard = 0.5)
+        .select(col("a_id"), col("b_id"))
+      noop(Sampling.leakFreeSplit(
+        d.select(col("doc_id")),
+        ConnectedComponents.components(edges)
+          .select(col("id").as("doc_id"), col("component_id")),
+        valPermille = 100, testPermille = 100))
+    }
+    both("q36 ivfTopK r0") { s =>
+      noop(IvfSearch.ivfTopK(emb(s), k = 5, nProbe = 8))
+    }
+    both("q63 bloomOverlaps") { s =>
+      val d = docs(s)
+      noop(graft.operators.Decontaminate.bloomOverlaps(
+        train = d.filter(col("doc_id") % 10 =!= 7),
+        eval = d.filter(col("doc_id") % 10 === 7),
+        n = 3, minOverlap = 10))
+    }
+  }
+
+  /** q67 phase split: the IVF+refine ANN path vs the recall gate's
+    * 100-query brute-force truth, each alone, plus spread variants. */
+  def q67(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{IvfSearch, VectorSearch}
+    val emb = table(spark, dir, "embeddings")
+    val embS = emb.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    t("ann path (ivf refine=3) plain") {
+      noop(IvfSearch.ivfTopK(emb, k = 5, nProbe = 8, refineIters = 3))
+    }
+    t("ann path (ivf refine=3) spread") {
+      noop(IvfSearch.ivfTopK(embS, k = 5, nProbe = 8, refineIters = 3))
+    }
+    t("gate truth (bruteForce k=1) plain") {
+      noop(VectorSearch.bruteForceTopK(emb.filter(col("vec_id") < 100), emb, k = 1))
+    }
+    t("gate truth (bruteForce k=1) spread") {
+      noop(VectorSearch.bruteForceTopK(embS.filter(col("vec_id") < 100), embS, k = 1))
     }
   }
 

@@ -110,6 +110,9 @@ object CorpusQueries {
       JOIN (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS csize
             FROM comp GROUP BY 1) s USING (component_id)"""),
     headline = true) { (spark, dir) =>
+    // NO spread (measured, round 19): ABA-ordered bench A/B reads plain
+    // 1.30-1.73 vs spread 1.87 (same verdict as q19 — the shared
+    // minhashPairs path does not profit from the spread at the bench)
     val edges = TextDedup
       .minhashPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
       .select(col("a_id"), col("b_id"))
@@ -408,9 +411,11 @@ object CorpusQueries {
                AS BIGINT) AS gidx
       FROM d"""),
     headline = true) { (spark, dir) =>
-    // NO spread (measured, round 19): GlobalIndex's range partitioning
-    // SAMPLES its child — every extra pass repays the exchange
-    // (0.61 -> 0.99 s A/B); same for the q55/q102 prefix-sum passes
+    // NO spread (measured, round 19; in-JVM alternating A/B: 0.82-1.13
+    // plain vs 0.97-1.26 spread warm): GlobalIndex's range partitioning
+    // SAMPLES its child — every extra pass repays the exchange; same
+    // verdict for the q55/q102 prefix-sum passes (0.61-0.66 vs
+    // 1.07-1.22 and 0.57-0.68 vs 1.01-1.29)
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
     GlobalIndex.rank(d, col("ntok").desc, col("doc_id").asc)
@@ -622,6 +627,8 @@ object CorpusQueries {
       FROM canon"""),
     headline = true) { (spark, dir) =>
     import graft.operators.Sampling
+    // NO spread (measured, round 19): ABA-ordered bench A/B is a wash
+    // (plain 1.37-1.83 vs spread 1.60) — not shipped without a win
     val docs = table(spark, dir, "documents")
     val edges = TextDedup.minhashPairs(docs, n = 3, minJaccard = 0.5)
       .select(col("a_id"), col("b_id"))

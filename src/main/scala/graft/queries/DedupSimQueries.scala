@@ -51,9 +51,10 @@ object DedupSimQueries {
     "q19_minhash_lsh",
     Some(exactJaccardSql),
     headline = true) { (spark, dir) =>
-    // NO spread (measured, round 19): minhashPairs persists its shingle
-    // relation for three consumers — a spread multiplies the cached
-    // partition count across every consumer for a wash-at-best A/B
+    // NO spread (measured, round 19): ABA-ordered bench A/B (old-new-old,
+    // drift-bracketed) reads plain 1.07-1.11 vs spread 1.56 — the
+    // probe run that favored the spread was itself order-biased
+    // (spread always ran second, warmed)
     TextDedup.minhashPairs(table(spark, dir, "documents"), n = 3, minJaccard = 0.5)
   }
 
@@ -193,9 +194,9 @@ object DedupSimQueries {
   /** Sign-LSH-bucketed ANN (scale path), oracle-gated via the recall row. */
   val q28AnnLsh: Q = Q("q28_ann_lsh", Some(annRecallOracle),
     headline = true) { (spark, dir) =>
-    // NO spread (measured, round 19): the ANN model build re-scans emb
-    // several times (sampling, assignment, recall gate) — each pass would
-    // repay the exchange (0.84 -> 1.16 s A/B)
+    // NO spread (measured, round 19): ABA-ordered bench A/B reads plain
+    // 1.06-1.27 vs spread 1.36 — the model build's repeated passes over
+    // the small emb table repay the exchange
     val emb = table(spark, dir, "embeddings")
     annRecallGate(VectorSearch.annLsh(emb, k = 5), emb, minRecall = 0.5)
   }
@@ -204,7 +205,8 @@ object DedupSimQueries {
     * nProbe=8 of 16 cells: measured recall 0.83+ at the gate SFs. */
   val q36IvfAnn: Q = Q("q36_ivf_ann", Some(annRecallOracle),
     headline = true) { (spark, dir) =>
-    // NO spread (measured, round 19): same multi-pass shape as q28
+    // NO spread (measured, round 19): ABA-ordered bench A/B is a wash
+    // (1.071/1.084 plain vs 1.085 spread) — not shipped without a win
     val emb = table(spark, dir, "embeddings")
     annRecallGate(
       graft.operators.IvfSearch.ivfTopK(emb, k = 5, nProbe = 8), emb, minRecall = 0.5)
@@ -218,8 +220,9 @@ object DedupSimQueries {
     * SFs sits at/above q36's 0.83. */
   val q67IvfRefined: Q = Q("q67_ivf_refined", Some(annRecallOracle),
     headline = true) { (spark, dir) =>
-    // NO spread (measured, round 19): the 3 Lloyd passes + gate re-scan
-    // emb per pass — each would repay the exchange (1.15 -> 1.56 s A/B)
+    // NO spread (measured, round 19): ABA-ordered bench A/B reads plain
+    // 1.30-1.58 vs spread 1.72 — the refine/gate passes repay the
+    // exchange like q28's
     val emb = table(spark, dir, "embeddings")
     annRecallGate(
       graft.operators.IvfSearch.ivfTopK(emb, k = 5, nProbe = 8, refineIters = 3),

@@ -86,8 +86,9 @@ object RetrievalQueries {
             FROM ad)
       SELECT qid, nid, rnk, ad2 FROM r WHERE rnk <= 5"""),
     headline = true) { (spark, dir) =>
-    // NO spread (measured, round 19): codebook training re-scans emb per
-    // k-means batch — each pass would repay the exchange (0.51 -> 0.66 A/B)
+    // NO spread (measured, round 19; in-JVM alternating A/B: 0.70 plain
+    // vs 0.84-0.95 spread warm): codebook training re-scans emb per
+    // k-means batch through driver collects — each repays the exchange
     val emb = table(spark, dir, "embeddings")
     PqSearch.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
   }

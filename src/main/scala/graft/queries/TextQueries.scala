@@ -124,9 +124,10 @@ object TextQueries {
              CAST(COUNT(*) AS BIGINT) AS n_copies
       FROM documents GROUP BY md5(text)"""),
     headline = true) { (spark, dir) =>
-    // NO spread here (measured, round 19): the fingerprint groupBy needs
-    // its own exchange on fp anyway — a doc_id spread first shuffles the
-    // full text column a second time for nothing (0.19 -> 0.59 s A/B)
+    // NO spread here (measured, round 19; in-JVM alternating A/B:
+    // 0.41-0.43 plain vs 0.86-0.92 spread warm): the fingerprint groupBy
+    // needs its own exchange on fp anyway — a doc_id spread first
+    // shuffles the full text column a second time for nothing
     table(spark, dir, "documents")
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
