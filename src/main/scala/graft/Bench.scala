@@ -213,7 +213,13 @@ object Bench {
     val control2Json = controls2.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"passes":$passJson,"control":"$controlName","controls":$controlJson,"control2":"$control2Name","controls2":$control2Json,"sf":"$sfDir"}"""
+    // key order puts the per-query minimums LAST: the driver's artifact
+    // keeps only a bounded tail of this line, and r18/r19 showed the
+    // ~6 KB diagnostics (passes/controls) pushing `queries` past it —
+    // round-over-round then goes dark (r19 verdict ask #1). JSON key
+    // order is semantically irrelevant, so the contract is unchanged;
+    // a 2000-char tail now always holds `queries` + `sf`.
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"passes":$passJson,"control":"$controlName","controls":$controlJson,"control2":"$control2Name","controls2":$control2Json,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line under the repo so every board's raw
     // pass lists survive as a committed artifact regardless of how the
