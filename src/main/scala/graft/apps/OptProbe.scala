@@ -45,7 +45,9 @@ object OptProbe {
         case "q63" => q63(spark, sfDir)
         case "q19" => q19(spark, sfDir)
         case "mergeloop" => mergeLoop(spark, sfDir)
+        case "q92" => q92(spark, sfDir)
         case "q52" => q52(spark, sfDir)
+        case "q66" => q66(spark, sfDir)
         case "micro" => micro(spark, sfDir)
         case "q01" => q01(spark, sfDir)
         case "q67" => q67(spark, sfDir)
@@ -117,14 +119,14 @@ object OptProbe {
           Map("delta.enableChangeDataFeed" -> "true",
             "delta.enableDeletionVectors" -> "true"))
       }
-      jobs(spark, "delete v2") {
+      sampled("delete v2")(jobs(spark, "delete v2") {
         DeltaTable.delete(spark, tp, pmod(col("doc_id"), lit(10)) === 3)
-      }
-      t("update v3") {
+      })
+      sampled("update v3")(t("update v3") {
         DeltaTable.update(spark, tp, pmod(col("doc_id"), lit(7)) === 2,
           Map("n_chars" -> (col("n_chars") + 5L)))
-      }
-      jobs(spark, "merge v4") {
+      })
+      sampled("merge v4")(jobs(spark, "merge v4") {
         val msrc = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
         DeltaTable.mergeInto(msrc, tp, targetKey = "doc_id", sourceKey = "doc_id",
           matched = Seq(MergeClause.Update(None, Map(
@@ -133,7 +135,7 @@ object OptProbe {
             "doc_id" -> DeltaTable.src("doc_id"),
             "lang" -> DeltaTable.src("lang"),
             "n_chars" -> DeltaTable.src("n_chars")))))
-      }
+      })
       t("stream CDF") {
         val q = spark.readStream.format("graft-delta")
           .option("readChangeFeed", "true")
@@ -187,9 +189,115 @@ object OptProbe {
     e.unpersist()
   }
 
+  /** In-process driver sampler (guide §7.3 without the pid hunt): every
+    * ~20 ms record the CALLER thread's top owned frame — the deepest
+    * frame in `graft.` or `org.apache.spark.sql.` — plus a coarse
+    * category, and print the histogram when the thunk finishes. */
+  private def sampled[A](label: String)(f: => A): A = {
+    val target = Thread.currentThread()
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val ehist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var stop = false
+    val sampler = new Thread(() => {
+      while (!stop) {
+        // executor-side view: what the task threads are doing while the
+        // driver waits (RUNNABLE only — parked pool threads are noise)
+        import scala.jdk.CollectionConverters._
+        Thread.getAllStackTraces.asScala.foreach { case (t, est) =>
+          if (t.getName.startsWith("Executor task launch") &&
+              t.getState == Thread.State.RUNNABLE && est.nonEmpty) {
+            val fr = est.map(e => e.getClassName + "." + e.getMethodName)
+            def has(s: String) = fr.exists(_.contains(s))
+            val cat =
+              if (has("CodeGenerator") || has("janino")) "codegen-compile"
+              else if (has("ParquetFileFormat") || has("Parquet")) "parquet-io"
+              else if (has("ShuffleWriter") || has("ShuffleReader") ||
+                has("shuffle")) "shuffle"
+              else if (has("GraftLocal") || has("RawLocal") ||
+                has("FileSystem")) "fs"
+              else fr.headOption.getOrElse("?").take(80)
+            ehist.merge(cat, 1, (a, b) => a + b)
+          }
+        }
+        val st = target.getStackTrace
+        if (st.nonEmpty) {
+          val cat = {
+            val j = st.map(e => e.getClassName + "." + e.getMethodName)
+            def has(s: String) = j.exists(_.contains(s))
+            if (has("RuleExecutor.execute") && has("Optimizer")) "optimizer"
+            else if (has("Analyzer") || has("RuleExecutor")) "analyzer/rules"
+            else if (has("resolveRelation") || has("FileIndex") ||
+              has("DataSource")) "relation-resolve"
+            else if (has("awaitResult") || has("runJob") ||
+              has("executeCollect") || has("executeTake")) "await-spark-job"
+            else if (has("ParquetFileReader") || has("footerStats")) "parquet-footer"
+            else if (has("json4s") || has("JsonMethods")) "log-json"
+            else if (has("FileSystem") || has("RawLocal") || has("GraftLocal")) "fs-ops"
+            else if (has("QueryExecution") || has("SparkPlan") ||
+              has("planner")) "planning"
+            else "other:" + j.take(12).lastOption.getOrElse("?")
+          }
+          hist.merge(cat, 1, (a, b) => a + b)
+        }
+        Thread.sleep(20)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    try f finally {
+      stop = true
+      import scala.jdk.CollectionConverters._
+      val total = hist.values.asScala.map(_.toInt).sum.max(1)
+      println(s"[sampled] $label ($total samples)")
+      hist.asScala.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+        println(f"  ${v * 100.0 / total}%5.1f%% ($v%4d) $k")
+      }
+      val etotal = ehist.values.asScala.map(_.toInt).sum
+      if (etotal > 0) {
+        println(s"[sampled-exec] $label ($etotal runnable task-thread samples)")
+        ehist.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (k, v) =>
+          println(f"  ${v * 100.0 / etotal}%5.1f%% ($v%4d) $k")
+        }
+      }
+    }
+  }
+
+  /** q66 phase split: the full leak-free-split pipeline, with the edges
+    * phase further split the q19 way (shingles / signatures / bands /
+    * verify) — r19 verdict ask #5: q66's minhashPairs phase was only
+    * indirectly optimized and is now the board's #2 query. */
+  def q66(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{ConnectedComponents, Sampling, TextDedup}
+    val docs = table(spark, dir, "documents")
+    val sh = TextDedup.shingles(docs, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sampled("q66 total") {
+      t("shingles persist") { sh.count() }
+      val sigs = TextDedup.minhashSignaturesSketch(sh, 64)
+      t("signatures") { noop(sigs) }
+      val cands = TextDedup.lshCandidates(TextDedup.lshBandsFromSig(sigs, 16, 4))
+      t("bands+candidates") { noop(cands) }
+      val edges = TextDedup.jaccardFor(cands, sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("jaccard verify persist") { edges.count() }
+      val comp = t("components") {
+        val c = ConnectedComponents.components(edges)
+          .select(col("id").as("doc_id"), col("component_id")); c
+      }
+      t("leakFreeSplit") {
+        noop(Sampling.leakFreeSplit(docs.select(col("doc_id")), comp,
+          valPermille = 100, testPermille = 100))
+      }
+      edges.unpersist()
+    }
+    sh.unpersist()
+  }
+
   /** Repeated q105-shaped DV merges on fresh tables — a sampling window
     * for driver profiling (jstack the main thread while this runs). */
-  def mergeLoop(spark: SparkSession, dir: String): Unit = {
+  def mergeLoop(spark: SparkSession, dir: String): Unit = sampled("mergeloop") {
     import graft.sources.delta.{DeltaTable, MergeClause}
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -218,6 +326,60 @@ object OptProbe {
           .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
         finally walk.close()
       }
+    }
+  }
+
+  /** q92-shaped catalog merge (partitioned + CDF, no DVs): per-job split
+    * of the MERGE plus the file counts its staging writes produced — a
+    * partitionBy staging write emits one file per (task × partition
+    * value), so the driver-side per-file work (rename + getFileStatus +
+    * footerStats) is O(tasks × partitions), not O(partitions). */
+  def q92(spark: SparkSession, dir: String): Unit = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q92p")
+    val cat = s"g92p_${java.lang.Long.toHexString(scratch.toString.hashCode & 0xffffffffL)}"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.delta.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch.toString)
+      table(spark, dir, "documents").createOrReplaceTempView(s"docs_src_$cat")
+      spark.sql(s"CREATE NAMESPACE $cat.corpus")
+      spark.sql(s"""CREATE TABLE $cat.corpus.docs
+                    (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                    PARTITIONED BY (lang)""")
+      spark.sql(s"""ALTER TABLE $cat.corpus.docs
+                    SET TBLPROPERTIES ('delta.enableChangeDataFeed'='true')""")
+      t("insert (partitioned)") {
+        spark.sql(s"""INSERT INTO $cat.corpus.docs
+                      SELECT doc_id, lang, n_chars FROM docs_src_$cat""")
+      }
+      jobs(spark, "merge (3 clauses)") {
+        spark.sql(s"""
+          MERGE INTO $cat.corpus.docs AS t
+          USING (SELECT doc_id, lang, n_chars FROM docs_src_$cat
+                 WHERE doc_id % 3 = 0
+                 UNION ALL
+                 SELECT doc_id + 1000000, 'new', n_chars FROM docs_src_$cat
+                 WHERE doc_id % 13 = 0) AS s
+          ON t.doc_id = s.doc_id
+          WHEN MATCHED AND s.n_chars % 2 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 100
+          WHEN NOT MATCHED AND s.n_chars >= 200 THEN
+            INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)
+          """)
+      }
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      val files = try walk.iterator().asScala.toSeq.map(_.toString)
+        finally walk.close()
+      val data = files.count(f => f.endsWith(".parquet") && !f.contains("_change_data"))
+      val cdc = files.count(f => f.endsWith(".parquet") && f.contains("_change_data"))
+      println(s"[files] data=$data cdc=$cdc")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 

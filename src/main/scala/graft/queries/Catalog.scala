@@ -1807,8 +1807,6 @@ object Catalog {
       val cdfSec = feed
         .select(concat(lit("cdf_"), col("_change_type")).as("section"),
           col("lang"), col("n_chars"))
-      val finalSec = DeltaTable.read(spark, t)
-        .select(lit("final").as("section"), col("lang"), col("n_chars"))
       // ONE aggregation pass serves both the returned rows and the
       // exactly-the-three-DML-versions invariant (guide §2.4 — the
       // require used to be its own distinct-count query over the feed,
@@ -1833,10 +1831,18 @@ object Catalog {
       val global = collected.filter(_.getAs[Long]("_gid") == 3L)
       require(global.length == 1 && global.head.getAs[Long]("_nver") == 3L,
         "q105: the stream must deliver exactly the three DML versions")
+      // rebuilt BY NAME (round-19 advice: a reordering of the
+      // groupingSets output must not silently mispair columns)
       val rows = collected.filter(_.getAs[Long]("_gid") == 0L).toSeq
-        .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3)))
-      // schema from the unchanged agg shape (plan-only, never executed)
-      val agg = cdfSec.unionByName(finalSec)
+        .map(r => org.apache.spark.sql.Row(r.getAs[Any]("section"),
+          r.getAs[Any]("lang"), r.getAs[Any]("n_rows"),
+          r.getAs[Any]("sum_chars")))
+      // schema from the unchanged agg shape over the FEED branch only
+      // (plan-only, never executed): the old form unioned a full
+      // DeltaTable.read whose two-branch DV relation resolution cost
+      // ~44 ms per construction and whose fields are all nullable like
+      // the feed's, so the union added nothing to the schema
+      val agg = cdfSec
         .groupBy(col("section"), col("lang"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("n_chars")).cast("long").as("sum_chars"))

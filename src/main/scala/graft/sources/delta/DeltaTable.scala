@@ -731,13 +731,15 @@ object DeltaTable {
   private[delta] def stageData(df: DataFrame, schema: StructType, tbl: Path,
                         fs: org.apache.hadoop.fs.FileSystem,
                         partitionBy: Seq[String] = Seq.empty,
-                        dataChange: Boolean = true): Seq[org.json4s.JValue] = {
+                        dataChange: Boolean = true,
+                        rebalance: Boolean = false): Seq[org.json4s.JValue] = {
     // column mapping: files, Hive dirs (and so the derived
     // partitionValues) and footer stats are all recorded under the
     // PHYSICAL names the table schema's stamps declare
     val m = ColumnMapping.physMap(schema)
-    val dfP = ColumnMapping.toPhysical(df, schema)
     val partitionByP = partitionBy.map(c => m.getOrElse(c, c))
+    val dfP = rebalanced(ColumnMapping.toPhysical(df, schema), partitionByP,
+      rebalance)
     val staging = new Path(tbl, s".staging-${java.util.UUID.randomUUID()}")
     val w = dfP.write.mode(SaveMode.Overwrite)
     // a failing write job (e.g. a CHECK constraint violation raised
@@ -762,6 +764,26 @@ object DeltaTable {
     }
     fs.delete(staging, true)
     adds
+  }
+
+  /** DML-staging "optimized write" (guide §6 small files): a row-level
+    * op's staged output inherits the partitioning of whatever plan
+    * produced it — at 32 shuffle partitions that is one TINY file per
+    * (task × partition value), and the driver then pays a footer-stats
+    * read, a rename and a getFileStatus PER FILE (15–20 % of a DML's
+    * wall at the bench, round-20 sampler). A REBALANCE (AQE-sized, by
+    * the partition columns when the table is partitioned) clusters the
+    * staged rows into advisory-sized files — one extra shuffle of
+    * exactly the CHANGED rows, the same trade delta-spark's optimized
+    * write makes on its DML paths. Bulk appends ([[writeInternal]])
+    * keep the caller's layout: a big append's shuffle would be a real
+    * cost, and callers there already choose their partitioning. */
+  private def rebalanced(df: DataFrame, partCols: Seq[String],
+                         enabled: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!enabled) df
+    else if (partCols.nonEmpty) df.hint("rebalance", partCols.map(col): _*)
+    else df.hint("rebalance")
   }
 
   /** Walk a staging dir: partitioned stages nest Hive-style `col=val/`
@@ -1295,9 +1317,11 @@ object DeltaTable {
                 .unionByName(updates.join(oldKeys, Seq(keyCol), "left_anti")
                   .withColumn("_change_type", lit("insert")))
           }
-          stageChangeData(changes, schema, tbl, fs, partitionBy = head.partitionColumns)
+          stageChangeData(changes, schema, tbl, fs,
+            partitionBy = head.partitionColumns, rebalance = true)
         }
-      val adds = stageData(merged, schema, tbl, fs, partitionBy = head.partitionColumns)
+      val adds = stageData(merged, schema, tbl, fs,
+        partitionBy = head.partitionColumns, rebalance = true)
       val now = System.currentTimeMillis()
       // rewrite retires the inputs' vectors: removes carry them (CDF
       // pre-image exactness), retired sidecars get retention tombstones
@@ -1410,6 +1434,22 @@ object DeltaTable {
       if (!hasKeys) lit(false)
       else col(targetKey) >= lit(srcStats.get(0)) &&
         col(targetKey) <= lit(srcStats.get(1))
+    // size-informed join strategy (guide §3.1): Spark's own estimate for
+    // the source is a post-filter guess, so the probe / fired / insert
+    // joins default to shuffling BOTH sides — for the common
+    // CDC-batch-into-big-table merge that shuffles the TARGET's touched
+    // files to match a tiny source. srcStats carries the source's exact
+    // row count; when (rows × schema width estimate) fits the session's
+    // own autoBroadcastJoinThreshold (and a 4M-row sanity cap), hint
+    // broadcast on the source side of all three joins: the target side
+    // is then never shuffled. A huge source keeps today's shuffle joins.
+    val srcRows = srcStats.getLong(4)
+    val srcBytesEst = srcRows * math.max(1, source.schema.defaultSize)
+    val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val bcSource = bcThreshold > 0 && srcRows <= (4L << 20) &&
+      srcBytesEst <= bcThreshold
+    def asBuild(df: DataFrame): DataFrame =
+      if (bcSource) org.apache.spark.sql.functions.broadcast(df) else df
     val srcP = source.select(source.columns.toSeq.map(c =>
       col(c).as(SrcPrefix + c)): _*)
     val clauseCol = "__graft_clause"
@@ -1456,140 +1496,156 @@ object DeltaTable {
         if (!GeneratedColumns.hasAny(schema)) notMatched
         else notMatched.map(i => MergeClause.Insert(i.condition,
           GeneratedColumns.augmentInsertValues(spark, schema, i.values)))
-      val touched =
-        if (!hasKeys) Seq.empty[AddFile]
-        else {
-          val predExpr = DataSkipping.resolvePredicate(spark, schema, rangePred)
-          val candidates = selectCandidates(spark, table, head, distributed,
-            mappedSkipper(predExpr, schema), "MERGE")
-          if (candidates.isEmpty) Seq.empty[AddFile]
+      // one PlanCache covers the whole attempt — created BEFORE the key
+      // probe so its cached (key, file) pairs are dropped on every exit
+      // (commit, no-op return, append-only refusal, staging failure)
+      val cachePlan = new PlanCache
+      try {
+        // the probe's matched pairs serve TWO consumers: the touched-file
+        // name set (collected here, driver-side) and the insert anti-join's
+        // matched-key set (distributed, below) — caching them removes the
+        // `matchedKeys` full re-scan + distinct of every touched file that
+        // each downstream consumer used to pay (guide §2.4: remove passes).
+        // The cache holds only source-MATCHED rows projected to the key and
+        // file name — O(matched rows), never O(touched-file rows), so the
+        // unfiltered-relation objection to caching the probe does not apply.
+        var probedPairs: Option[DataFrame] = None
+        val touched =
+          if (!hasKeys) Seq.empty[AddFile]
           else {
-            // no distinct: srcStats already REQUIRED non-null keys unique,
-            // and duplicate NULLs cannot alter a semi equi-join — the
-            // dedup would only re-shuffle the source per merge attempt
-            val keys = source.select(col(sourceKey).as(targetKey))
-            val probe = readFiles(spark, table, schema, head.partitionColumns,
-              candidates)
-              .select(col(targetKey), input_file_name().as("__graft_file"))
-            val names = probe.join(keys, Seq(targetKey), "left_semi")
-              .select(col("__graft_file")).distinct().collect()
-              .map(r => new Path(r.getString(0)).getName).toSet
-            candidates.filter(f => names.contains(new Path(f.path).getName))
-          }
-        }
-      // rewriting touched files removes their old incarnations — the
-      // append-only contract refuses exactly then (an insert-only merge
-      // that touches no file is a plain append and passes)
-      if (touched.nonEmpty) checkAppendOnly(table, head, "MERGE")
-      def condOf(c: MergeClause): Option[Column] = c match {
-        case MergeClause.Update(cond, _) => cond
-        case MergeClause.Delete(cond) => cond
-        case _: MergeClause.Insert => None // unreachable (validated)
-      }
-      // by-source candidates: the rest of the table, pruned by the OR of
-      // the clause conditions, then probed for files that actually
-      // CONTAIN a firing row. The matched probe already took every file
-      // holding a source key, so in these files ALL rows are unmatched
-      // and the probe is a plain filter scan (predicate columns only).
-      val bsConds = notMatchedBySource.map(condOf)
-      val bsTouched =
-        if (notMatchedBySource.isEmpty) Seq.empty[AddFile]
-        else {
-          val touchedNames = touched.map(_.path).toSet
-          // by-source candidates go through the same driver/distributed
-          // split: "the rest of the table" is a keep-function over live
-          // files, so the checkpoint-frame path serves it too. An
-          // UNCONDITIONAL by-source clause really does touch every
-          // untouched file — past-threshold that refuses at the
-          // candidate cap, which is honest: its semantics ARE a
-          // whole-table rewrite.
-          def rest(keep: AddFile => Boolean): Seq[AddFile] =
-            selectCandidates(spark, table, head, distributed,
-              f => !touchedNames.contains(f.path) && keep(f), "MERGE")
-          if (bsConds.exists(_.isEmpty)) rest(_ => true) // unconditional clause: every row fires
-          else {
-            val or = bsConds.flatten.reduce(_ || _)
-            val e = DataSkipping.resolvePredicate(spark, schema, or)
-            val candidates = rest(mappedSkipper(e, schema))
-            if (candidates.isEmpty) candidates
+            val predExpr = DataSkipping.resolvePredicate(spark, schema, rangePred)
+            val candidates = selectCandidates(spark, table, head, distributed,
+              mappedSkipper(predExpr, schema), "MERGE")
+            if (candidates.isEmpty) Seq.empty[AddFile]
             else {
-              val names = readFiles(spark, table, schema,
-                head.partitionColumns, candidates)
-                .filter(coalesce(or, lit(false)))
-                .select(input_file_name()).distinct().collect()
+              // no distinct: srcStats already REQUIRED non-null keys unique,
+              // and duplicate NULLs cannot alter a semi equi-join — the
+              // dedup would only re-shuffle the source per merge attempt
+              val keys = source.select(col(sourceKey).as(targetKey))
+              val probe = readFiles(spark, table, schema, head.partitionColumns,
+                candidates)
+                .select(col(targetKey), input_file_name().as("__graft_file"))
+              val pj = cachePlan(
+                probe.join(asBuild(keys), Seq(targetKey), "left_semi"))
+              probedPairs = Some(pj)
+              val names = pj
+                .select(col("__graft_file")).distinct().collect()
                 .map(r => new Path(r.getString(0)).getName).toSet
               candidates.filter(f => names.contains(new Path(f.path).getName))
             }
           }
+        // rewriting touched files removes their old incarnations — the
+        // append-only contract refuses exactly then (an insert-only merge
+        // that touches no file is a plain append and passes)
+        if (touched.nonEmpty) checkAppendOnly(table, head, "MERGE")
+        def condOf(c: MergeClause): Option[Column] = c match {
+          case MergeClause.Update(cond, _) => cond
+          case MergeClause.Delete(cond) => cond
+          case _: MergeClause.Insert => None // unreachable (validated)
         }
-      val touchedAll = touched ++ bsTouched
-      // DV mode: matched/by-source rows that fire a clause go behind
-      // per-file vectors; only post-images + inserts stage as new files
-      val useDv = dvEnabled(head) && touchedAll.nonEmpty
-      val touchedDf =
-        if (touchedAll.isEmpty) None
-        else if (useDv) Some(readFilesMeta(spark, table, schema,
-          head.partitionColumns, touchedAll))
-        else Some(readFiles(spark, table, schema, head.partitionColumns, touchedAll))
-      // ordered-clause machinery: first applicable clause index, -1 = none
-      def firstIdx(conds: Seq[Option[Column]]): Column =
-        conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), rest) =>
-          when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(i))
-            .otherwise(rest)
-        }
-      val updateIdxs = matched.zipWithIndex.collect {
-        case (_: MergeClause.Update, i) => i }
-      val bsUpdateIdxs = notMatchedBySource.zipWithIndex.collect {
-        case (_: MergeClause.Update, i) => i }
-      val bsCol = "__graft_bs_clause"
-      // per-column value after the firing update clause (else original):
-      // matched clauses key off clauseCol, by-source clauses off bsCol —
-      // a row fires in at most one branch (matched XOR unmatched)
-      def applied(n: String): Column = {
-        def fold(base: Column, clauses: Seq[MergeClause], cn: String) =
-          clauses.zipWithIndex.foldLeft(base) {
-            case (acc, (MergeClause.Update(_, set), i)) if set.contains(n) =>
-              when(col(cn) === i, set(n).cast(schema(n).dataType))
-                .otherwise(acc)
-            case (acc, _) => acc
+        // by-source candidates: the rest of the table, pruned by the OR of
+        // the clause conditions, then probed for files that actually
+        // CONTAIN a firing row. The matched probe already took every file
+        // holding a source key, so in these files ALL rows are unmatched
+        // and the probe is a plain filter scan (predicate columns only).
+        val bsConds = notMatchedBySource.map(condOf)
+        val bsTouched =
+          if (notMatchedBySource.isEmpty) Seq.empty[AddFile]
+          else {
+            val touchedNames = touched.map(_.path).toSet
+            // by-source candidates go through the same driver/distributed
+            // split: "the rest of the table" is a keep-function over live
+            // files, so the checkpoint-frame path serves it too. An
+            // UNCONDITIONAL by-source clause really does touch every
+            // untouched file — past-threshold that refuses at the
+            // candidate cap, which is honest: its semantics ARE a
+            // whole-table rewrite.
+            def rest(keep: AddFile => Boolean): Seq[AddFile] =
+              selectCandidates(spark, table, head, distributed,
+                f => !touchedNames.contains(f.path) && keep(f), "MERGE")
+            if (bsConds.exists(_.isEmpty)) rest(_ => true) // unconditional clause: every row fires
+            else {
+              val or = bsConds.flatten.reduce(_ || _)
+              val e = DataSkipping.resolvePredicate(spark, schema, or)
+              val candidates = rest(mappedSkipper(e, schema))
+              if (candidates.isEmpty) candidates
+              else {
+                val names = readFiles(spark, table, schema,
+                  head.partitionColumns, candidates)
+                  .filter(coalesce(or, lit(false)))
+                  .select(input_file_name()).distinct().collect()
+                  .map(r => new Path(r.getString(0)).getName).toSet
+                candidates.filter(f => names.contains(new Path(f.path).getName))
+              }
+            }
           }
-        fold(fold(col(n), matchedA, clauseCol),
-          bySourceA, bsCol).as(n)
-      }
-      val fired = touchedDf.map { t =>
-        t.join(srcP, col(targetKey) === col(SrcPrefix + sourceKey), "left_outer")
-          .withColumn(clauseCol,
-            when(col(SrcPrefix + sourceKey).isNotNull,
-              firstIdx(matchedA.map(condOf))).otherwise(lit(-1)))
-          .withColumn(bsCol,
-            when(col(SrcPrefix + sourceKey).isNull, firstIdx(bsConds))
-              .otherwise(lit(-1)))
-      }
-      // DV mode: marks, post-images and CDF rows all derive from the
-      // FIRED rows in separate jobs; a nondeterministic SOURCE must not
-      // let them diverge (post-imaged-but-never-vectored duplicates a
-      // row, the reverse loses one) — so the fired rows MATERIALIZE
-      // once (dml's DV discipline), which also pays the probe join ONCE
-      // instead of per consumer. `.staging-` is vacuum-exempt; dropped
-      // after the commit either way.
-      val dvScratch =
-        if (!useDv || !needsFreeze(Some(source))) None
-        else fired.map { f =>
-          val dir = new Path(tbl, s".staging-dvm-${java.util.UUID.randomUUID()}")
-          val sel = f.filter(col(clauseCol) >= 0 || col(bsCol) >= 0)
-          try sel.write.parquet(dir.toString)
-          catch { case e: Throwable => fs.delete(dir, true); throw e }
-          (dir, sel.schema)
+        val touchedAll = touched ++ bsTouched
+        // DV mode: matched/by-source rows that fire a clause go behind
+        // per-file vectors; only post-images + inserts stage as new files
+        val useDv = dvEnabled(head) && touchedAll.nonEmpty
+        val touchedDf =
+          if (touchedAll.isEmpty) None
+          else if (useDv) Some(readFilesMeta(spark, table, schema,
+            head.partitionColumns, touchedAll))
+          else Some(readFiles(spark, table, schema, head.partitionColumns, touchedAll))
+        // ordered-clause machinery: first applicable clause index, -1 = none
+        def firstIdx(conds: Seq[Option[Column]]): Column =
+          conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), rest) =>
+            when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(i))
+              .otherwise(rest)
+          }
+        val updateIdxs = matched.zipWithIndex.collect {
+          case (_: MergeClause.Update, i) => i }
+        val bsUpdateIdxs = notMatchedBySource.zipWithIndex.collect {
+          case (_: MergeClause.Update, i) => i }
+        val bsCol = "__graft_bs_clause"
+        // per-column value after the firing update clause (else original):
+        // matched clauses key off clauseCol, by-source clauses off bsCol —
+        // a row fires in at most one branch (matched XOR unmatched)
+        def applied(n: String): Column = {
+          def fold(base: Column, clauses: Seq[MergeClause], cn: String) =
+            clauses.zipWithIndex.foldLeft(base) {
+              case (acc, (MergeClause.Update(_, set), i)) if set.contains(n) =>
+                when(col(cn) === i, set(n).cast(schema(n).dataType))
+                  .otherwise(acc)
+              case (acc, _) => acc
+            }
+          fold(fold(col(n), matchedA, clauseCol),
+            bySourceA, bsCol).as(n)
         }
-      // multi-consumer fan-out: the fired rows feed post-images, DV
-      // marks, the matched-key anti-join and (CDF on) three change-row
-      // branches — without a cache each consumer re-runs the probe join
-      // over the touched files. Deterministic sources CACHE via
-      // [[PlanCache]] (nondeterministic ones already materialized to
-      // scratch above for correctness); the finally drops the cache on
-      // EVERY exit — commit, no-op return, or failure.
-      val cachePlan = new PlanCache
-      try {
+        val fired = touchedDf.map { t =>
+          t.join(asBuild(srcP),
+            col(targetKey) === col(SrcPrefix + sourceKey), "left_outer")
+            .withColumn(clauseCol,
+              when(col(SrcPrefix + sourceKey).isNotNull,
+                firstIdx(matchedA.map(condOf))).otherwise(lit(-1)))
+            .withColumn(bsCol,
+              when(col(SrcPrefix + sourceKey).isNull, firstIdx(bsConds))
+                .otherwise(lit(-1)))
+        }
+        // DV mode: marks, post-images and CDF rows all derive from the
+        // FIRED rows in separate jobs; a nondeterministic SOURCE must not
+        // let them diverge (post-imaged-but-never-vectored duplicates a
+        // row, the reverse loses one) — so the fired rows MATERIALIZE
+        // once (dml's DV discipline), which also pays the probe join ONCE
+        // instead of per consumer. `.staging-` is vacuum-exempt; dropped
+        // after the commit either way.
+        val dvScratch =
+          if (!useDv || !needsFreeze(Some(source))) None
+          else fired.map { f =>
+            val dir = new Path(tbl, s".staging-dvm-${java.util.UUID.randomUUID()}")
+            val sel = f.filter(col(clauseCol) >= 0 || col(bsCol) >= 0)
+            try sel.write.parquet(dir.toString)
+            catch { case e: Throwable => fs.delete(dir, true); throw e }
+            (dir, sel.schema)
+          }
+        // multi-consumer fan-out: the fired rows feed post-images, DV
+        // marks and (CDF on) three change-row branches — without a cache
+        // each consumer re-runs the probe join over the touched files.
+        // Deterministic sources CACHE via the attempt's [[PlanCache]]
+        // (nondeterministic ones already materialized to scratch above for
+        // correctness); the finally drops the cache on EVERY exit —
+        // commit, no-op return, or failure.
         val firedMat: Option[DataFrame] =
           if (!useDv) None
           else dvScratch match {
@@ -1620,15 +1676,21 @@ object DeltaTable {
             .select(schema.fieldNames.toSeq.map(applied): _*)
         }
         // inserts: source rows whose key exists in no touched file (the
-        // probe guarantees every matching target key lives in `touched`)
-        val matchedKeys = touchedDf.map(
+        // probe guarantees every matching target key lives in `touched`).
+        // The left_anti below only ever eliminates keys that are IN the
+        // source, so the cached probe pairs — exactly the source keys
+        // found in candidate files — are a complete matched-key set
+        // (bsTouched files hold no source key: the stats skip / matched
+        // probe already excluded them), and the old fresh scan + distinct
+        // of every touched file per consumer is gone.
+        val matchedKeys = probedPairs.map(
           _.select(col(targetKey).as(SrcPrefix + sourceKey)).distinct())
         val unmatchedSrc = matchedKeys.fold(srcP)(k =>
-          srcP.join(k, Seq(SrcPrefix + sourceKey), "left_anti"))
+          srcP.join(asBuild(k), Seq(SrcPrefix + sourceKey), "left_anti"))
         val insFired = unmatchedSrc
           .withColumn(clauseCol, firstIdx(notMatchedA.map(_.condition)))
           .filter(col(clauseCol) >= 0)
-        val inserts = insFired.select(schema.fieldNames.toSeq.map { n =>
+        val inserts0 = insFired.select(schema.fieldNames.toSeq.map { n =>
           notMatchedA.zipWithIndex.foldLeft(lit(null).cast(schema(n).dataType)) {
             case (acc, (MergeClause.Insert(_, vals), i)) if vals.contains(n) =>
               when(col(clauseCol) === i, vals(n).cast(schema(n).dataType))
@@ -1636,6 +1698,12 @@ object DeltaTable {
             case (acc, _) => acc
           }.as(n)
         }: _*)
+        // two consumers when the feed is on (the staged output AND the
+        // insert change-row branch) — cache, or the source anti-join and
+        // clause projection re-run per consumer. O(inserted rows), which
+        // become new data files anyway.
+        val inserts =
+          if (changeFeedEnabled(spark, head)) cachePlan(inserts0) else inserts0
         val output = enforceConstraints(
           rewritten.fold(inserts)(_.unionByName(inserts)), head.configuration,
           Some(schema))
@@ -1661,9 +1729,11 @@ object DeltaTable {
                     .withColumn(ct, lit("delete")))
                   .unionByName(inserts.withColumn(ct, lit("insert")))
             }
-            stageChangeData(changes, schema, tbl, fs, partitionBy = head.partitionColumns)
+            stageChangeData(changes, schema, tbl, fs,
+              partitionBy = head.partitionColumns, rebalance = true)
           }
-        val adds = stageData(output, schema, tbl, fs, partitionBy = head.partitionColumns)
+        val adds = stageData(output, schema, tbl, fs,
+          partitionBy = head.partitionColumns, rebalance = true)
           .filter { a =>
             val keep = addedRecords(a) != 0L
             if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
@@ -2751,9 +2821,11 @@ object DeltaTable {
               cdcSource.withColumn("_change_type", lit("update_preimage"))
                 .unionByName(applySet(cdcSource, s, unconditional = true)
                   .withColumn("_change_type", lit("update_postimage")))
-          }, schema, tbl, fs, partitionBy = head.partitionColumns)
+          }, schema, tbl, fs, partitionBy = head.partitionColumns,
+            rebalance = true)
         val adds0 = rewritten.fold(Seq.empty[org.json4s.JValue])(r =>
-          stageData(r, schema, tbl, fs, partitionBy = head.partitionColumns))
+          stageData(r, schema, tbl, fs, partitionBy = head.partitionColumns,
+            rebalance = true))
           .filter { a =>
             val keep = addedRecords(a) != 0L
             if (!keep) fs.delete(new Path(tbl, addedPath(a)), false)
@@ -2834,12 +2906,14 @@ object DeltaTable {
     * partitions) are dropped. */
   private[delta] def stageChangeData(df: DataFrame, schema: StructType, tbl: Path,
                               fs: org.apache.hadoop.fs.FileSystem,
-                              partitionBy: Seq[String] = Seq.empty): Seq[org.json4s.JValue] = {
+                              partitionBy: Seq[String] = Seq.empty,
+                              rebalance: Boolean = false): Seq[org.json4s.JValue] = {
     // same physical-name rule as stageData; `_change_type` is outside
     // the table schema and passes through untouched
     val m = ColumnMapping.physMap(schema)
-    val dfP = ColumnMapping.toPhysical(df, schema)
     val partitionByP = partitionBy.map(c => m.getOrElse(c, c))
+    val dfP = rebalanced(ColumnMapping.toPhysical(df, schema), partitionByP,
+      rebalance)
     val staging = new Path(tbl, s".staging-cdc-${java.util.UUID.randomUUID()}")
     val w = dfP.write.mode(SaveMode.Overwrite)
     try (if (partitionByP.nonEmpty) w.partitionBy(partitionByP: _*) else w)

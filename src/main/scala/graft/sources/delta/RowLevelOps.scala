@@ -447,7 +447,7 @@ private[delta] class GraftRowLevelBatchWrite(
         stagedRows(msgs.flatMap(_.inserts), "insert")).flatten
       if (parts.isEmpty) Seq.empty
       else DeltaTable.stageChangeData(parts.reduce(_ unionByName _),
-        logSchema, tbl, fs, partCols)
+        logSchema, tbl, fs, partCols, rebalance = true)
     }
 
     // ---- the marked files: vectors on DV tables, rewrite otherwise
@@ -486,7 +486,7 @@ private[delta] class GraftRowLevelBatchWrite(
               CB.expression(col(DeltaTable.DvRowCol)), lk))))
             .drop(DeltaTable.DvFileCol, DeltaTable.DvRowCol)
         val adds = DeltaTable.stageData(survivors, logSchema, tbl, fs,
-          partitionBy = partCols)
+          partitionBy = partCols, rebalance = true)
         // a rewrite retires its inputs' vectors (a table can carry DVs
         // with the property later turned off): removes keep them for
         // CDF pre-image exactness, retired sidecars get retention
