@@ -80,34 +80,48 @@ object Tables {
     require(keys.nonEmpty, "tableSpread needs at least one hash key column")
     val df = table(spark, dir, name)
     val p = spark.sparkContext.defaultParallelism
-    val groups = rowGroupCount(spark, s"$dir/$name.parquet")
-    if (groups.exists(_ * 2 >= p)) df
-    else df.repartition(p, keys: _*)
+    // `None` means "could not inspect OR enough row groups": skip the
+    // spread either way — never fail or shuffle a read the gate cannot
+    // justify (round-19 advice: a nested/partition-discovered layout
+    // must fall back to the plain read, not shuffle unconditionally)
+    rowGroupsUnder(spark, s"$dir/$name.parquet", p) match {
+      case Some(g) if g * 2 < p => df.repartition(p, keys: _*)
+      case _ => df
+    }
   }
 
-  /** Total parquet row groups under `path` (file or directory of
-    * `*.parquet`), from footer metadata only; None when the layout
-    * cannot be inspected (callers treat that as "well laid out" and
-    * skip the spread — never fail a read over an optimization). */
-  private def rowGroupCount(spark: SparkSession, path: String): Option[Int] =
+  /** Parquet row groups under `path` (a file or a directory tree of
+    * `*.parquet`, nested Hive-style dirs included), from footer
+    * metadata only — but bounded by the gate it serves: footers stop
+    * being opened (and None is returned, meaning "spread not
+    * justified") as soon as the count reaches `enough`, so a
+    * well-laid-out table pays at most ⌈cores/2⌉ footer opens, not
+    * O(files) (round-19 advice). None also covers an uninspectable
+    * layout and a directory with no parquet files at all. */
+  private def rowGroupsUnder(spark: SparkSession, path: String,
+                             enough: Int): Option[Int] =
     try {
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
-      val files = {
-        val st = fs.getFileStatus(p)
-        if (st.isDirectory)
-          fs.listStatus(p).toSeq.filter(s => s.isFile &&
-            s.getPath.getName.endsWith(".parquet"))
-        else Seq(st)
-      }
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+        else if (st.isFile && st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      val files = walk(fs.getFileStatus(p))
+      if (files.isEmpty) return None
+      // file count alone can decide: every parquet file holds >= 1 row
+      // group, so enough files means enough splits without any footer IO
+      if (files.size * 2 >= enough) return None
       var n = 0
-      files.foreach { st =>
+      val it = files.iterator
+      while (it.hasNext && n * 2 < enough) {
+        val st = it.next()
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
         try n += r.getRowGroups.size finally r.close()
       }
-      Some(n)
+      if (n * 2 >= enough) None else Some(n)
     } catch { case scala.util.control.NonFatal(_) => None }
 }
 

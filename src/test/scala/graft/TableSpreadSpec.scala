@@ -28,11 +28,34 @@ class TableSpreadSpec extends SparkSpec {
       val many = Tables.tableSpread(spark, tmp.toString, "many", col("k"))
       val onePlan = one.queryExecution.optimizedPlan.toString
       val manyPlan = many.queryExecution.optimizedPlan.toString
-      assert(onePlan.contains("RepartitionByExpression"),
-        s"one-row-group layout not spread:\n$onePlan")
+      // the gate is 1-row-group * 2 < defaultParallelism — at p <= 2 the
+      // fixture legitimately satisfies it and no spread should appear
+      // (round-19 advice: don't couple the assertion to harness config)
+      if (spark.sparkContext.defaultParallelism > 2)
+        assert(onePlan.contains("RepartitionByExpression"),
+          s"one-row-group layout not spread:\n$onePlan")
+      else
+        assert(!onePlan.contains("RepartitionByExpression"),
+          s"gate-satisfying layout got a spurious exchange:\n$onePlan")
       assert(!manyPlan.contains("RepartitionByExpression") &&
           !manyPlan.contains("Repartition"),
         s"well-laid-out table got a spurious exchange:\n$manyPlan")
+    } finally deleteRec(tmp)
+  }
+
+  test("a nested (partition-discovered) layout with enough files is identity") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spread_nested")
+    try {
+      // Hive-style nested dirs: rowGroups live one level down — the old
+      // top-level-only listing saw zero parquet files here and spread
+      // unconditionally (round-19 advice); the walk must find them
+      spark.range(0, 1000).selectExpr("id AS k", "id % 4 AS part")
+        .repartition(math.max(16, spark.sparkContext.defaultParallelism))
+        .write.partitionBy("part").parquet(s"$tmp/nested.parquet")
+      val plan = Tables.tableSpread(spark, tmp.toString, "nested", col("k"))
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("RepartitionByExpression"),
+        s"nested well-laid-out table got a spurious exchange:\n$plan")
     } finally deleteRec(tmp)
   }
 
