@@ -147,11 +147,13 @@ object CoreQueries {
       ) o ON c.c_custkey = o.o_custkey"""),
     headline = true) { (spark, dir) =>
     val c = table(spark, dir, "customer")
-    // spread keyed on the GROUP key (guide §2.4/§2.5): the aggregate
-    // reuses the repartition's exchange — same exchange count, but the
-    // decimal agg runs on every core instead of inside a one-row-group
-    // scan stage
-    val agg = graft.Tables.tableSpread(spark, dir, "orders", col("o_custkey"))
+    // NO spread (round-20 ABA re-measure of the r19 watch list): the
+    // r19 keep replaced the agg's exchange with a pre-agg repartition
+    // on the group key; two drift-bracketed boards read 0.437 vs 0.539
+    // then 0.561 vs 0.434 — a wash, so the site reverts per the
+    // ">=5% or revert" rule (q65/q68 re-confirmed their keeps in the
+    // same windows)
+    val agg = graft.Tables.table(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("count_orders"), dsum(col("o_totalprice")).as("sum_spent"))
     c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
@@ -501,6 +503,8 @@ object CoreQueries {
     // Spread before the gate (guide §2.5, same rationale as q17): the
     // deterministic Bloom predicate pushes through the repartition to the
     // scan, so gated rows — not the whole table — cross the exchange.
+    // Round-20 ABA re-confirm (r19 watch list): spread 0.763/0.901 vs
+    // plain 1.166/0.983 in two drift-bracketed boards — keep holds.
     val l = graft.Tables.tableSpread(spark, dir, "lineitem", col("l_orderkey"))
       .filter(orderBloom.gate(col("l_orderkey")))
     revenueTop10(c, o, l)

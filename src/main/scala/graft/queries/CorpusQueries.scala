@@ -576,7 +576,9 @@ object CorpusQueries {
       JOIN rsz sr ON it.right_id = sr.doc_id
       WHERE it.i / (sl.n + sr.n - it.i) >= 0.5"""),
     headline = true) { (spark, dir) =>
-    // spread (guide §2.5): tokenize + shingle kernel fuse into the scan
+    // spread (guide §2.5): tokenize + shingle kernel fuse into the scan.
+    // Round-20 ABA re-confirm (r19 watch list): spread 1.029/1.089 vs
+    // plain 1.466/1.269 in two drift-bracketed boards — keep holds.
     val docs = graft.Tables.tableSpread(spark, dir, "documents", col("doc_id"))
     TextDedup.minhashJoin(
       left = docs.filter(col("doc_id") % 10 === 7),
