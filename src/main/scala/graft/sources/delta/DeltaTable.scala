@@ -768,23 +768,25 @@ object DeltaTable {
 
   /** DML-staging "optimized write" (guide §6 small files): a row-level
     * op's staged output inherits the partitioning of whatever plan
-    * produced it — at 32 shuffle partitions that is one TINY file per
-    * (task × partition value), and the driver then pays a footer-stats
-    * read, a rename and a getFileStatus PER FILE (15–20 % of a DML's
-    * wall at the bench, round-20 sampler). A REBALANCE (AQE-sized, by
-    * the partition columns when the table is partitioned) clusters the
-    * staged rows into advisory-sized files — one extra shuffle of
-    * exactly the CHANGED rows, the same trade delta-spark's optimized
-    * write makes on its DML paths. Bulk appends ([[writeInternal]])
-    * keep the caller's layout: a big append's shuffle would be a real
-    * cost, and callers there already choose their partitioning. */
+    * produced it — at 32 shuffle partitions that is many TINY files,
+    * and the driver then pays a footer-stats read, a rename and a
+    * getFileStatus PER FILE (15–20 % of a DML's wall at the bench,
+    * round-20 sampler). An AQE-sized REBALANCE clusters the staged
+    * rows into advisory-sized files — one extra shuffle of exactly the
+    * CHANGED rows, the trade delta-spark's optimized write makes on
+    * its DML paths.
+    *
+    * UNPARTITIONED tables only (measured, round 20): a partitioned
+    * table's row-level inputs arrive already clustered by the
+    * Hive-dir-per-value input files, so its stage emits ~one file per
+    * partition value as-is and the extra shuffle only cost time
+    * (q106 1.03 → 1.45+, q92 muddy, in ABA-ordered boards) — and at
+    * scale a rebalance keyed on a low-cardinality partition column
+    * would concentrate each value into one task. Bulk appends
+    * ([[writeInternal]]) keep the caller's layout either way. */
   private def rebalanced(df: DataFrame, partCols: Seq[String],
-                         enabled: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    if (!enabled) df
-    else if (partCols.nonEmpty) df.hint("rebalance", partCols.map(col): _*)
-    else df.hint("rebalance")
-  }
+                         enabled: Boolean): DataFrame =
+    if (enabled && partCols.isEmpty) df.hint("rebalance") else df
 
   /** Walk a staging dir: partitioned stages nest Hive-style `col=val/`
     * dirs; keep the relative dir as the destination path prefix (and
